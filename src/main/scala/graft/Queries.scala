@@ -1,0 +1,313 @@
+package graft
+
+import graft.core.{Bytes, CellCodec}
+import graft.read._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The driver-checked query battery: one entry per implemented operator
+  * (SURVEY.md §2), each with an ANSI-SQL DuckDB oracle over the raw parquet
+  * tables. The pattern for engine-semantics operators is
+  * relational → `CellCodec.encode` → operator → `CellCodec.decode` →
+  * relational, so the oracle can be plain SQL on the source table while the
+  * Spark side exercises the full cell pipeline.
+  *
+  * Determinism rules (driver hash-compares):
+  *  - every query ends in an ORDER BY on a unique non-null key, mirrored in
+  *    the oracle;
+  *  - double aggregates go through exact DECIMAL arithmetic and are cast
+  *    back to double at the end (bit-identical in Spark and DuckDB);
+  *  - pass-through doubles are untouched (same parquet bits on both sides).
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      oracle: Option[String],
+      bench: Boolean = false)(val run: (SparkSession, String) => DataFrame)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // Exact decimal money/rate types for order-independent, engine-identical
+  // aggregation (raw double sums differ in final ulps between engines and
+  // across partition orders).
+  private val money = DecimalType(12, 2)
+  private val rate = DecimalType(12, 4)
+  private def m(c: String): Column = col(c).cast(money)
+  private def r(c: String): Column = col(c).cast(rate)
+  private val oneR: Column = lit(1).cast(rate)
+
+  private def ordersCells(s: SparkSession, dir: String): DataFrame =
+    CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"))
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    // Parquet timestamp[ms] isAdjustedToUTC=false — Spark 4 reads NTZ;
+    // keeping NTZ end-to-end makes our output bit-match DuckDB's TIMESTAMP.
+    StructField("o_orderdate", TimestampNTZType),
+    StructField("o_orderpriority", StringType)))
+
+  private val ordersCols =
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  private def sub(parent: StructType, names: String*): StructType =
+    StructType(names.map(n => parent(n)))
+
+  /** nanos since epoch for an ISO date at UTC midnight (deterministic).
+    * events.ts is parquet timestamp[ns], read as LongType nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong` (Spark has no nanos timestamp);
+    * cell timestamps for the events table are therefore epoch NANOS. */
+  private def nanosOf(isoDate: String): Long =
+    java.time.Instant.parse(isoDate + "T00:00:00Z").toEpochMilli * 1000000L
+
+  // ----------------------------------------------------------------------
+  // Aggregation surface (RowCounter/GroupingTableMapper analogs — SURVEY
+  // §2.4 — generalized to the relational view; bench headliners).
+  // ----------------------------------------------------------------------
+
+  private val q1Agg = Q("q1_agg", Some(s"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(38,10)) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""), bench = true) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1999-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(m("l_quantity")).cast(DoubleType).as("sum_qty"),
+        sum(m("l_extendedprice")).cast(DoubleType).as("sum_base_price"),
+        // Product sums stay exact DECIMAL end-to-end: a double cast is
+        // twice-rounded in DuckDB (int128 -> double -> *1e-s) vs correctly
+        // rounded in Spark, and rounding to money scale hits half-up ties
+        // (discount/tax are round hundredths) where the engines disagree.
+        sum(m("l_extendedprice") * (oneR - r("l_discount")))
+          .cast(DecimalType(38, 6)).as("sum_disc_price"),
+        sum(m("l_extendedprice") * (oneR - r("l_discount")) * (oneR + r("l_tax")))
+          .cast(DecimalType(38, 10)).as("sum_charge"),
+        (sum(m("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(m("l_extendedprice")).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        (sum(r("l_discount")).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q3Join = Q("q3_join_topn", Some(s"""
+    SELECT l_orderkey,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS revenue,
+      o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""), bench = true) { (s, dir) =>
+    val cutoff = lit("1998-03-15").cast(TimestampType)
+    // customer is the small dim at every SF — broadcast it explicitly.
+    val cust = broadcast(
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"))
+    t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      .join(t(s, dir, "orders").filter(col("o_orderdate") < cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(m("l_extendedprice") * (oneR - r("l_discount")))
+        .cast(DecimalType(38, 6)).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
+  // ----------------------------------------------------------------------
+  // Scan / Get surface (SURVEY §2.1)
+  // ----------------------------------------------------------------------
+
+  private val scanRange = Q("scan_range_filter", Some(s"""
+    SELECT $ordersCols FROM orders
+    WHERE o_orderkey >= 100 AND o_orderkey < 500 AND o_orderstatus = 'F'
+    ORDER BY o_orderkey"""), bench = true) { (s, dir) =>
+    val scan = Scan()
+      .setStartRow(Bytes.toBytes(100L)).setStopRow(Bytes.toBytes(500L))
+      .addFamily("o")
+      .setFilter(SingleColumnValueFilter("o", Bytes.toBytes("o_orderstatus"),
+        CompareOp.EQUAL, BinaryComparator(Bytes.toBytes("F"))))
+    CellCodec.decode(ScanExec(ordersCells(s, dir), scan), ordersSchema)
+      .orderBy("o_orderkey")
+  }
+
+  private val getPoint = Q("get_point", Some(s"""
+    SELECT $ordersCols FROM orders WHERE o_orderkey = 100""")) { (s, dir) =>
+    val g = Get(CellCodec.rowKeyOf(100L))
+    CellCodec.decode(ScanExec.get(ordersCells(s, dir), g), ordersSchema)
+  }
+
+  private val getRowOrBefore = Q("get_row_or_before", Some(s"""
+    SELECT $ordersCols FROM orders WHERE o_orderkey <= 999999999
+    ORDER BY o_orderkey DESC LIMIT 1""")) { (s, dir) =>
+    val res = ScanExec.getRowOrBefore(
+      ordersCells(s, dir), CellCodec.rowKeyOf(999999999L), "o")
+    CellCodec.decode(res, ordersSchema)
+  }
+
+  private val rowCounter = Q("row_counter", Some(
+    "SELECT count(*) AS count_rows FROM customer"), bench = true) { (s, dir) =>
+    val cells = CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_custkey"))
+    ScanExec(cells, Scan().setFilter(FirstKeyOnlyFilter()))
+      .agg(count(lit(1)).as("count_rows"))
+  }
+
+  // ----------------------------------------------------------------------
+  // Filter surface (SURVEY §2.3) — each filter exercised end-to-end
+  // against a SQL oracle. Unit tests (FiltersSpec) cover the finer
+  // per-cell semantics; these prove the compiled plans on real data.
+  // ----------------------------------------------------------------------
+
+  private val prefixFilter = Q("prefix_filter", Some("""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_name LIKE 'Customer#00000004%'
+    ORDER BY c_custkey""")) { (s, dir) =>
+    val cells = CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_name"))
+    val scan = Scan().setFilter(PrefixFilter(Bytes.toBytes("Customer#00000004")))
+    CellCodec.decode(ScanExec(cells, scan), customerSchema).orderBy("c_custkey")
+  }
+
+  private val columnPrefixFilter = Q("column_prefix_filter", Some("""
+    SELECT o_orderkey, o_orderdate, o_orderpriority, o_orderstatus
+    FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
+    val scan = Scan().setFilter(ColumnPrefixFilter(Bytes.toBytes("o_order")))
+    CellCodec.decode(ScanExec(ordersCells(s, dir), scan),
+      sub(ordersSchema, "o_orderkey", "o_orderdate", "o_orderpriority", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  private val valueFilterSubstr = Q("value_filter_substring", Some("""
+    SELECT doc_id, text FROM documents WHERE contains(lower(text), 'merge')
+    ORDER BY doc_id""")) { (s, dir) =>
+    val cells = CellCodec.encode(t(s, dir, "documents"), "d", Seq("doc_id"))
+    val scan = Scan().addColumn("d", Bytes.toBytes("text"))
+      .setFilter(ValueFilter(CompareOp.EQUAL, SubstringComparator("merge")))
+    CellCodec.decode(ScanExec(cells, scan),
+      StructType(Seq(StructField("text", StringType))),
+      key = Seq("doc_id" -> LongType))
+      .orderBy("doc_id")
+  }
+
+  private val valueFilterRegex = Q("value_filter_regex", Some("""
+    SELECT event_id, event_type FROM events
+    WHERE regexp_matches(event_type, '^(click|view)$')
+    ORDER BY event_id""")) { (s, dir) =>
+    val cells = CellCodec.encode(t(s, dir, "events"), "e", Seq("event_id"))
+    val scan = Scan().addColumn("e", Bytes.toBytes("event_type"))
+      .setFilter(ValueFilter(CompareOp.EQUAL, RegexStringComparator("^(click|view)$")))
+    CellCodec.decode(ScanExec(cells, scan),
+      StructType(Seq(StructField("event_type", StringType))),
+      key = Seq("event_id" -> LongType))
+      .orderBy("event_id")
+  }
+
+  private val inclusiveStop = Q("inclusive_stop_scan", Some(s"""
+    SELECT $ordersCols FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey <= 1200
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val scan = Scan().setStartRow(Bytes.toBytes(1000L))
+      .setFilter(InclusiveStopFilter(Bytes.toBytes(1200L)))
+    CellCodec.decode(ScanExec(ordersCells(s, dir), scan), ordersSchema)
+      .orderBy("o_orderkey")
+  }
+
+  private val pageFilter = Q("page_filter_scan", Some(s"""
+    SELECT $ordersCols FROM orders ORDER BY o_orderkey LIMIT 50"""),
+    bench = true) { (s, dir) =>
+    val scan = Scan().setFilter(PageFilter(50))
+    CellCodec.decode(ScanExec(ordersCells(s, dir), scan), ordersSchema)
+      .orderBy("o_orderkey")
+  }
+
+  private val columnPagination = Q("column_pagination", Some("""
+    SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
+    // Qualifiers in (family, qualifier) order: o_custkey, o_orderdate,
+    // o_orderkey, ... — offset 1, limit 2 slices exactly the middle two.
+    val scan = Scan().setFilter(ColumnPaginationFilter(limit = 2, offset = 1))
+    CellCodec.decode(ScanExec(ordersCells(s, dir), scan),
+      sub(ordersSchema, "o_orderkey", "o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  // ----------------------------------------------------------------------
+  // Version semantics (SURVEY §7.2): event-time versions over the events
+  // table; the oracle is the equivalent windowed SQL.
+  // ----------------------------------------------------------------------
+
+  private def eventsCells(s: SparkSession, dir: String): DataFrame =
+    CellCodec.encode(t(s, dir, "events"), "e", Seq("user_id"),
+      tsCol = Some(col("ts")), seqCol = Some(col("event_id")))
+
+  private val eventsValSchema = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private val versionsLatest = Q("versions_latest", Some("""
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1 ORDER BY user_id"""), bench = true) { (s, dir) =>
+    val scan = Scan().addFamily("e") // maxVersions = 1: newest event per user
+    CellCodec.decode(ScanExec(eventsCells(s, dir), scan), eventsValSchema,
+      key = Seq("user_id" -> LongType))
+      .orderBy("user_id")
+  }
+
+  private val timeRangeScan = Q("time_range_scan", Some("""
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20')
+    WHERE rn = 1 ORDER BY user_id""")) { (s, dir) =>
+    val scan = Scan().addFamily("e")
+      .setTimeRange(nanosOf("2024-01-10"), nanosOf("2024-01-20"))
+    CellCodec.decode(ScanExec(eventsCells(s, dir), scan), eventsValSchema,
+      key = Seq("user_id" -> LongType))
+      .orderBy("user_id")
+  }
+
+  // ----------------------------------------------------------------------
+  // Registry
+  // ----------------------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+    q1Agg, q3Join,
+    scanRange, getPoint, getRowOrBefore, rowCounter,
+    prefixFilter, columnPrefixFilter, valueFilterSubstr, valueFilterRegex,
+    inclusiveStop, pageFilter, columnPagination,
+    versionsLatest, timeRangeScan)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+
+  def benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+}

@@ -1,0 +1,131 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Typed codecs over `Array[Byte]` values, mirroring the reference's
+  * client-side codec surface (`hbase/util/Bytes.java:249-599`): the engine
+  * stores untyped bytes; typed interpretation is a client concern.
+  *
+  * Encodings are big-endian so that the engine's unsigned-lexicographic
+  * binary ordering is order-preserving for NON-NEGATIVE integers — the
+  * same caveat the reference documents for `Bytes.toBytes(long)`
+  * (SURVEY.md §7.5 risk 1). Row keys built from signed-negative numbers
+  * must be avoided or pre-shifted by the caller.
+  *
+  * Two layers:
+  *   - JVM-side (driver/test) encode/decode for building keys & fixtures.
+  *   - Column-side decode built from codegen'd Spark builtins where
+  *     possible (`conv(hex(..))` for integers, `cast` for UTF-8 strings)
+  *     so that decode at the output boundary stays in whole-stage codegen.
+  */
+object Bytes {
+
+  // ---- JVM-side encoders (reference: Bytes.toBytes overloads :414,:560,:599)
+
+  def toBytes(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  def toBytes(v: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var x = v; var i = 7
+    while (i >= 0) { b(i) = (x & 0xff).toByte; x >>>= 8; i -= 1 }
+    b
+  }
+
+  def toBytes(v: Int): Array[Byte] = {
+    val b = new Array[Byte](4)
+    var x = v; var i = 3
+    while (i >= 0) { b(i) = (x & 0xff).toByte; x >>>= 8; i -= 1 }
+    b
+  }
+
+  def toBytes(v: Boolean): Array[Byte] = Array(if (v) 1.toByte else 0.toByte)
+
+  /** IEEE-754 bits, big-endian (reference `Bytes.java:599`). NOT
+    * order-preserving for negatives — same as the reference. */
+  def toBytes(v: Double): Array[Byte] = toBytes(java.lang.Double.doubleToLongBits(v))
+
+  def toBytes(v: Float): Array[Byte] = toBytes(java.lang.Float.floatToIntBits(v))
+
+  // ---- JVM-side decoders (reference: Bytes.toLong:452, toString:249, ...)
+
+  def toString(b: Array[Byte]): String =
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+
+  def toLong(b: Array[Byte]): Long = {
+    require(b.length == 8, s"toLong needs 8 bytes, got ${b.length}")
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+
+  def toInt(b: Array[Byte]): Int = {
+    require(b.length == 4, s"toInt needs 4 bytes, got ${b.length}")
+    var v = 0; var i = 0
+    while (i < 4) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
+
+  def toBoolean(b: Array[Byte]): Boolean = b.nonEmpty && b(0) != 0
+
+  def toDouble(b: Array[Byte]): Double = java.lang.Double.longBitsToDouble(toLong(b))
+
+  def toFloat(b: Array[Byte]): Float = java.lang.Float.intBitsToFloat(toInt(b))
+
+  /** Unsigned-lexicographic compare — reference `Bytes.BYTES_COMPARATOR:118`.
+    * Must agree with Spark's BinaryType ordering (verified in BytesSpec). */
+  def compareTo(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Smallest byte string strictly greater than every string with this
+    * prefix — used to turn PrefixFilter into a sargable range
+    * `[prefix, succ(prefix))` for partition/row-group pruning. Returns
+    * None when the prefix is all 0xff (range is then unbounded above). */
+  def prefixSuccessor(prefix: Array[Byte]): Option[Array[Byte]] = {
+    val out = prefix.clone()
+    var i = out.length - 1
+    while (i >= 0) {
+      if (out(i) != 0xff.toByte) {
+        out(i) = (out(i) + 1).toByte
+        return Some(out.slice(0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  // ---- Column-side decoders (codegen'd builtins; no UDFs)
+
+  /** binary (UTF-8) -> string */
+  def asString(c: Column): Column = c.cast("string")
+
+  /** 8-byte big-endian -> long. Builtins only: hex -> base-16 conv -> cast.
+    * Valid for values that fit in a signed long; our non-negative keys and
+    * counters qualify. */
+  def asLong(c: Column): Column = conv(hex(c), 16, 10).cast("long")
+
+  /** 4-byte big-endian -> int */
+  def asInt(c: Column): Column = conv(hex(c), 16, 10).cast("int")
+
+  /** 8-byte IEEE-754 bits -> double. No builtin bit-reinterpret exists, so
+    * this is the one decode that uses a (scalar, deterministic) UDF; it is
+    * only ever applied at the output boundary after filtering. */
+  val asDouble: Column => Column = {
+    val f = udf((b: Array[Byte]) => if (b == null) null else java.lang.Double.valueOf(toDouble(b)))
+    c => f(c)
+  }
+
+  val asBoolean: Column => Column = {
+    val f = udf((b: Array[Byte]) => if (b == null) null else java.lang.Boolean.valueOf(toBoolean(b)))
+    c => f(c)
+  }
+}

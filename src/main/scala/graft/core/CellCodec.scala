@@ -1,0 +1,158 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Encodes relational DataFrames into the long cell format and back
+  * (FIXTURES.md F6): row key = order-preserving binary of the key columns,
+  * one cell per non-null column value, qualifier = column name, value =
+  * big-endian typed bytes (the reference's `Bytes.toBytes` conventions).
+  *
+  * Everything here is built from codegen'd builtins (`hex`/`unhex`/`lpad`/
+  * `conv`/`cast`) except IEEE-754 double bit-reinterpretation, which has no
+  * Spark builtin and uses a deterministic scalar UDF.
+  */
+object CellCodec {
+
+  private val doubleToBits = udf { (d: java.lang.Double) =>
+    if (d == null) null else Bytes.toBytes(java.lang.Double.doubleToLongBits(d))
+  }
+  private val bitsToDouble = udf { (b: Array[Byte]) =>
+    if (b == null) null else java.lang.Double.valueOf(Bytes.toDouble(b))
+  }
+
+  /** Non-negative long -> 8-byte big-endian binary (order-preserving),
+    * via builtins: hex -> zero-pad to 16 nibbles -> unhex. */
+  def longBytes(c: Column): Column = unhex(lpad(hex(c.cast("long")), 16, "0"))
+
+  /** Non-negative int -> 4-byte big-endian binary. */
+  def intBytes(c: Column): Column = unhex(lpad(hex(c.cast("long")), 8, "0"))
+
+  /** Typed column -> binary cell value. */
+  def encodeValue(c: Column, dt: DataType): Column = dt match {
+    case LongType => longBytes(c)
+    case IntegerType | ShortType => intBytes(c)
+    case StringType => c.cast(BinaryType) // UTF-8
+    case DoubleType | FloatType => doubleToBits(c.cast("double"))
+    case TimestampType => longBytes(unix_millis(c))
+    // Parquet isAdjustedToUTC=false timestamps (Spark 4 reads them as NTZ).
+    // Session tz is pinned to UTC, so the cast is instant-preserving; micros
+    // keeps full precision.
+    case TimestampNTZType => longBytes(unix_micros(c.cast(TimestampType)))
+    case DateType => intBytes(datediff(c, lit("1970-01-01").cast(DateType)))
+    case BooleanType => c.cast(BinaryType)
+    case BinaryType => c
+    case other => throw new IllegalArgumentException(s"unsupported cell type: $other")
+  }
+
+  /** binary cell value -> typed column. */
+  def decodeValue(c: Column, dt: DataType): Column = dt match {
+    case LongType => Bytes.asLong(c)
+    case IntegerType | ShortType => Bytes.asInt(c).cast(dt)
+    case StringType => c.cast(StringType)
+    case DoubleType | FloatType => bitsToDouble(c).cast(dt)
+    case TimestampType => timestamp_millis(Bytes.asLong(c))
+    case TimestampNTZType => timestamp_micros(Bytes.asLong(c)).cast(TimestampNTZType)
+    case DateType => date_add(lit("1970-01-01").cast(DateType), Bytes.asInt(c))
+    case BooleanType => c.cast(BooleanType)
+    case BinaryType => c
+    case other => throw new IllegalArgumentException(s"unsupported cell type: $other")
+  }
+
+  /** Order-preserving composite row key from key columns: fixed-width
+    * big-endian for integral types, raw UTF-8 for strings (strings must be
+    * the last key part, or prefix-free, for ordering to be exact —
+    * same constraint as any byte-concatenated HBase composite key). */
+  def rowKey(df: DataFrame, keyCols: Seq[String]): Column = {
+    val parts = keyCols.map { k =>
+      df.schema(k).dataType match {
+        case LongType => longBytes(col(k))
+        case IntegerType | ShortType => intBytes(col(k))
+        case StringType => col(k).cast(BinaryType)
+        case TimestampType => longBytes(unix_millis(col(k)))
+        case TimestampNTZType => longBytes(unix_micros(col(k).cast(TimestampType)))
+        case BinaryType => col(k)
+        case other => throw new IllegalArgumentException(s"unsupported key type: $other")
+      }
+    }
+    if (parts.size == 1) parts.head else concat(parts: _*)
+  }
+
+  /** JVM-side row-key builder for point lookups (must byte-match rowKey). */
+  def rowKeyOf(parts: Any*): Array[Byte] =
+    parts.flatMap {
+      case l: Long => Bytes.toBytes(l)
+      case i: Int => Bytes.toBytes(i)
+      case s: String => Bytes.toBytes(s)
+      case b: Array[Byte] => b
+      case x => throw new IllegalArgumentException(s"unsupported key part: $x")
+    }.toArray
+
+  /** Relational DataFrame -> cells (one family). `tsCol` defaults to a
+    * constant batch timestamp (deterministic — SURVEY.md §7.5 risk 3);
+    * pass e.g. `unix_millis(col("ts"))` to use event time. Null column
+    * values produce no cell (HBase has no null cells; absence == null). */
+  def encode(df: DataFrame, family: String, keyCols: Seq[String],
+      batchTs: Long = 1L, tsCol: Option[Column] = None,
+      seq: Long = 0L, seqCol: Option[Column] = None): DataFrame = {
+    val ts = tsCol.getOrElse(lit(batchTs))
+    val sq = seqCol.getOrElse(lit(seq))
+    val entries = df.schema.fields.map { f =>
+      struct(
+        lit(f.name).cast(BinaryType).as("qualifier"),
+        encodeValue(col(f.name), f.dataType).as("value"))
+    }
+    df.select(
+        rowKey(df, keyCols).as("row"),
+        ts.cast(LongType).as("ts"),
+        sq.cast(LongType).as("seq"),
+        filter(array(entries: _*), e => e.getField("value").isNotNull).as("_es"))
+      .select(col("row"), explode(col("_es")).as("_e"), col("ts"), col("seq"))
+      .select(
+        col("row"),
+        lit(family).as("family"),
+        col("_e.qualifier").as("qualifier"),
+        col("ts"),
+        lit(CellKind.Put).as("kind"),
+        col("_e.value").as("value"),
+        col("seq"))
+  }
+
+  /** Resolved cells (<=1 version per column) -> relational rows with the
+    * given schema. One shuffle (groupBy row). Columns absent for a row
+    * decode to null. `key` optionally re-derives typed key columns from the
+    * row key itself (so projections that drop the key qualifier still carry
+    * identity): fixed-width numeric parts first, at most one string/binary
+    * tail — the same prefix-free constraint as `rowKey`. */
+  def decode(cells: DataFrame, schema: StructType,
+      key: Seq[(String, DataType)] = Nil): DataFrame = {
+    val m = map_from_entries(
+      collect_list(struct(col("qualifier").cast(StringType), col("value"))))
+    val keyCols = {
+      var off = 1 // substring() is 1-based
+      key.map { case (name, dt) =>
+        dt match {
+          case LongType =>
+            val c = Bytes.asLong(substring(col("row"), off, 8)).as(name)
+            off += 8; c
+          case IntegerType =>
+            val c = Bytes.asInt(substring(col("row"), off, 4)).as(name)
+            off += 4; c
+          case StringType =>
+            substring(col("row"), off, Int.MaxValue).cast(StringType).as(name)
+          case BinaryType =>
+            substring(col("row"), off, Int.MaxValue).as(name)
+          case other =>
+            throw new IllegalArgumentException(s"unsupported key type: $other")
+        }
+      }
+    }
+    cells
+      .groupBy(col("row"))
+      .agg(m.as("_m"))
+      .select(keyCols ++ schema.fields.toSeq.map { f =>
+        decodeValue(col("_m").getItem(f.name), f.dataType).as(f.name)
+      }: _*)
+  }
+}

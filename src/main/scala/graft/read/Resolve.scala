@@ -1,0 +1,100 @@
+package graft.read
+
+import graft.core.CellKind
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Read-visibility options, mirroring what the reference's
+  * `ScanQueryMatcher` (`hbase/regionserver/ScanQueryMatcher.java:36-230`)
+  * derives from a `Scan` + the column-family descriptor:
+  *
+  *  - `timeRange`: half-open `[min, max)` — `hbase/io/TimeRange.java:34-41`
+  *  - `maxVersions`: per-column version cap (scan-level; default 1 like
+  *    `Scan.java`, while the family descriptor default is 3 —
+  *    `HColumnDescriptor.java:92`)
+  *  - `ttlMs`+`now`: cells older than `now - ttl` are invisible
+  *    (`ScanQueryMatcher.java:56,76`); `now` is caller-supplied so plans
+  *    are deterministic across executors
+  *  - `asOf`: upper timestamp bound for snapshot-style time travel
+  */
+case class ReadView(
+    maxVersions: Int = 1,
+    timeRange: Option[(Long, Long)] = None,
+    ttlMs: Option[Long] = None,
+    now: Long = 0L,
+    asOf: Option[Long] = None)
+
+/** The keystone transform (SURVEY.md §7.2): reproduces the reference's
+  * per-cell visibility pipeline — tombstone masking
+  * (`ScanDeleteTracker.java:41,69`), TTL, time range, and version limiting
+  * (`ExplicitColumnTracker.java:47`) — as plain window/filter operations so
+  * Catalyst can optimize and whole-stage-codegen them.
+  *
+  * Scale notes: all three window passes partition by prefixes/extensions of
+  * `(row, family)`, so EnsureRequirements plans exactly ONE hash exchange
+  * (on `(row, family)`); the finer windows are satisfied by that
+  * partitioning and only add local sorts. No driver-side state.
+  *
+  * Tombstone semantics (matching major-compacted HBase reads, and
+  * `TestScanDeleteTracker`):
+  *  - DeleteFamily ts T masks every cell of (row,family) with ts <= T
+  *  - DeleteColumn ts T masks every version of (row,family,qual) with ts <= T
+  *  - Delete ts T masks exactly the (row,family,qual) version at ts == T
+  *  - Delete-vs-put at equal ts: delete wins (type sorts before Put in
+  *    `KeyValue.KeyComparator` — `hbase/KeyValue.java:86`)
+  *  - Writes at identical (coords, ts): highest `seq` wins (the reference
+  *    serializes them under the row lock; we make the order explicit).
+  */
+object Resolve {
+
+  private val wFam = Window.partitionBy("row", "family")
+  private val wCol = Window.partitionBy("row", "family", "qualifier")
+
+  /** cells: DataFrame with Cell.schema columns. Returns only visible Put
+    * cells (tombstones consumed), at most `maxVersions` per column, newest
+    * first within each column when subsequently sorted. */
+  def apply(cells: DataFrame, view: ReadView = ReadView()): DataFrame = {
+    val k = col("kind")
+
+    // Time travel: cap everything (puts AND tombstones) at asOf, so the
+    // read is exactly "the table as of T".
+    val base = view.asOf.fold(cells)(t => cells.filter(col("ts") <= t))
+
+    val famDelTs = max(when(k === CellKind.DeleteFamily, col("ts"))).over(wFam)
+    val colDelTs = max(when(k === CellKind.DeleteColumn, col("ts"))).over(wCol)
+    val pointDelTs = collect_set(when(k === CellKind.Delete, col("ts"))).over(wCol)
+
+    val masked = base
+      .withColumn("_fdel", famDelTs)
+      .withColumn("_cdel", colDelTs)
+      .withColumn("_pdel", pointDelTs)
+      .filter(
+        k === CellKind.Put &&
+          (col("_fdel").isNull || col("ts") > col("_fdel")) &&
+          (col("_cdel").isNull || col("ts") > col("_cdel")) &&
+          !array_contains(col("_pdel"), col("ts")))
+      .drop("_fdel", "_cdel", "_pdel")
+
+    // TTL + time range apply to surviving puts
+    // (`ScanQueryMatcher.java:105-230` order: deletes before time checks).
+    val timed0 = view.ttlMs.fold(masked)(ttl => masked.filter(col("ts") >= view.now - ttl))
+    val timed = view.timeRange.fold(timed0) { case (lo, hi) =>
+      timed0.filter(col("ts") >= lo && col("ts") < hi)
+    }
+
+    // Same-(coords,ts) duplicate writes: keep highest seq only.
+    val dupW = Window.partitionBy("row", "family", "qualifier", "ts")
+      .orderBy(col("seq").desc)
+    val deduped = timed
+      .withColumn("_dup", row_number().over(dupW))
+      .filter(col("_dup") === 1).drop("_dup")
+
+    // Version cap, newest first (`row_number <= maxVersions`).
+    val verW = wCol.orderBy(col("ts").desc, col("seq").desc)
+    deduped
+      .withColumn("_v", row_number().over(verW))
+      .filter(col("_v") <= view.maxVersions)
+      .drop("_v")
+  }
+}

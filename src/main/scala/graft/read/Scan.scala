@@ -1,0 +1,117 @@
+package graft.read
+
+import graft.core.Bytes
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range-scan descriptor — reference `hbase/client/Scan.java` (657 LoC):
+  * `[startRow, stopRow)` bounds (`setStartRow:245`/`setStopRow:255`),
+  * family/column projection (`addFamily:178`/`addColumn:192`), time range
+  * (`setTimeRange:215`/`setTimeStamp:231`), `setMaxVersions:264`, pushed
+  * filter (`setFilter:307`). `setCaching`/`setBatch`/`setCacheBlocks` are
+  * RPC-era artifacts with no Spark meaning and are omitted.
+  *
+  * Immutable builder: each setter returns a copy.
+  */
+case class Scan(
+    startRow: Option[Array[Byte]] = None,
+    stopRow: Option[Array[Byte]] = None,
+    families: Option[Set[String]] = None,
+    columns: Map[String, Seq[Array[Byte]]] = Map.empty,
+    timeRange: Option[(Long, Long)] = None,
+    maxVersions: Int = 1,
+    filter: Option[GFilter] = None) {
+
+  def setStartRow(r: Array[Byte]): Scan = copy(startRow = Some(r))
+  def setStopRow(r: Array[Byte]): Scan = copy(stopRow = Some(r))
+  def addFamily(f: String): Scan =
+    copy(families = Some(families.getOrElse(Set.empty) + f))
+  def addColumn(f: String, q: Array[Byte]): Scan =
+    copy(families = Some(families.getOrElse(Set.empty) + f),
+      columns = columns.updated(f, columns.getOrElse(f, Seq.empty) :+ q))
+  /** Half-open `[min, max)` — `hbase/io/TimeRange.java:34-41`. */
+  def setTimeRange(min: Long, max: Long): Scan = copy(timeRange = Some((min, max)))
+  def setTimeStamp(ts: Long): Scan = copy(timeRange = Some((ts, ts + 1)))
+  def setMaxVersions(n: Int): Scan = copy(maxVersions = n)
+  def setMaxVersions(): Scan = copy(maxVersions = Int.MaxValue)
+  def setFilter(f: GFilter): Scan = copy(filter = Some(f))
+}
+
+/** Point-read descriptor — reference `hbase/client/Get.java:63`. Executed
+  * as a single-row Scan, exactly like the server does
+  * (`hbase/regionserver/HRegion.java:3080` — `new Scan(get)`). */
+case class Get(
+    row: Array[Byte],
+    families: Option[Set[String]] = None,
+    columns: Map[String, Seq[Array[Byte]]] = Map.empty,
+    timeRange: Option[(Long, Long)] = None,
+    maxVersions: Int = 1) {
+
+  def addFamily(f: String): Get =
+    copy(families = Some(families.getOrElse(Set.empty) + f))
+  def addColumn(f: String, q: Array[Byte]): Get =
+    copy(families = Some(families.getOrElse(Set.empty) + f),
+      columns = columns.updated(f, columns.getOrElse(f, Seq.empty) :+ q))
+  def setTimeRange(min: Long, max: Long): Get = copy(timeRange = Some((min, max)))
+  def setMaxVersions(n: Int): Get = copy(maxVersions = n)
+
+  def toScan: Scan = {
+    val stop = Bytes.prefixSuccessor(row)
+    Scan(Some(row), stop, families, columns, timeRange, maxVersions)
+  }
+}
+
+/** Compiles a Scan over a cell DataFrame: row-range + projection filters
+  * (which Catalyst pushes into the Parquet scan — region/family pruning,
+  * SURVEY §4), then version resolution, then the pushed filter. */
+object ScanExec {
+
+  def apply(cells: DataFrame, scan: Scan, ttlMs: Option[Long] = None,
+      now: Long = 0L, asOf: Option[Long] = None): DataFrame = {
+    // Row-range pruning (client META routing / region pruning analog).
+    var df = cells
+    scan.startRow.foreach(r => df = df.filter(col("row") >= lit(r)))
+    scan.stopRow.foreach(r => df = df.filter(col("row") < lit(r)))
+
+    // Family pruning (only requested families' stores are scanned —
+    // `HRegion.java:2364-2369`).
+    scan.families.foreach(fs => df = df.filter(col("family").isin(fs.toSeq: _*)))
+
+    // Qualifier projection applies to Put and DeleteColumn cells; DeleteFamily
+    // tombstones (empty qualifier) must survive until masking.
+    if (scan.columns.nonEmpty) {
+      val wanted = scan.columns.toSeq.map { case (f, qs) =>
+        col("family") === f &&
+          qs.map(q => col("qualifier") === lit(q)).reduce(_ || _)
+      }.reduce(_ || _)
+      df = df.filter(wanted || col("kind") === graft.core.CellKind.DeleteFamily)
+    }
+
+    val resolved = Resolve(df,
+      ReadView(scan.maxVersions, scan.timeRange, ttlMs, now, asOf))
+
+    scan.filter.fold(resolved)(f => f(resolved))
+  }
+
+  /** Get as a 1-row scan — one code path, like the reference. */
+  def get(cells: DataFrame, g: Get, ttlMs: Option[Long] = None,
+      now: Long = 0L): DataFrame = {
+    // Exact-row match (tighter than the prefix range from toScan).
+    val scoped = cells.filter(col("row") === lit(g.row))
+    ScanExec(scoped, g.toScan.copy(startRow = None, stopRow = None), ttlMs, now)
+  }
+
+  /** `HTable.exists:651` — Get returning only a boolean. */
+  def exists(cells: DataFrame, g: Get): Boolean = !get(cells, g).isEmpty
+
+  /** `getRowOrBefore` (`HTable.java:472`, `Store.getRowKeyAtOrBefore:980`):
+    * latest visible cells of the largest row <= key. The as-of point-lookup
+    * pattern: a 1-row ordered limit pushed down, then a normal Get. */
+  def getRowOrBefore(cells: DataFrame, key: Array[Byte], family: String): DataFrame = {
+    val target = cells
+      .filter(col("row") <= lit(key) && col("family") === family)
+      .select(max(col("row")).as("row"))
+    val scoped = cells.join(broadcast(target), Seq("row"), "left_semi")
+    ScanExec(scoped, Scan().addFamily(family))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.write
+
+import graft.core.{Bytes, Cell, CellKind}
+import graft.read.{ReadView, Resolve}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Client-side mutation builders — reference `hbase/client/Put.java:47`,
+  * `hbase/client/Delete.java:68`. A mutation is just a list of cells; a
+  * batch of mutations is a cell DataFrame appended ("merged") onto the
+  * table. Visibility is decided at read time by [[graft.read.Resolve]],
+  * exactly as the reference's LSM decides it at scan time — writes never
+  * rewrite existing data (SURVEY.md §2.2).
+  *
+  * `LATEST_TIMESTAMP` (`Cell.LatestTimestamp`) cells are stamped with the
+  * caller-supplied `batchTs` at merge time — deterministic across
+  * executors, standing in for the reference's server-assigned time on the
+  * write path (SURVEY.md §7.5 risk 3).
+  */
+final case class Put(row: Array[Byte], cells: Vector[Cell] = Vector.empty) {
+  def add(family: String, qualifier: Array[Byte], value: Array[Byte]): Put =
+    add(family, qualifier, Cell.LatestTimestamp, value)
+  def add(family: String, qualifier: Array[Byte], ts: Long, value: Array[Byte]): Put =
+    copy(cells = cells :+ Cell.put(row, family, qualifier, ts, value))
+}
+
+final case class Delete(row: Array[Byte], cells: Vector[Cell] = Vector.empty) {
+  /** Tombstone every cell of the family with ts <= `ts`
+    * (`Delete.deleteFamily:147`). */
+  def deleteFamily(family: String, ts: Long = Cell.LatestTimestamp): Delete =
+    copy(cells = cells :+ Cell.deleteFamily(row, family, ts))
+  /** Tombstone all versions of the column with ts <= `ts`
+    * (`Delete.deleteColumns:180`). */
+  def deleteColumns(family: String, qualifier: Array[Byte],
+      ts: Long = Cell.LatestTimestamp): Delete =
+    copy(cells = cells :+ Cell.deleteColumn(row, family, qualifier, ts))
+  /** Tombstone exactly one version (`Delete.deleteColumn`). */
+  def deleteColumn(family: String, qualifier: Array[Byte], ts: Long): Delete =
+    copy(cells = cells :+ Cell.delete(row, family, qualifier, ts))
+}
+
+object Mutations {
+
+  /** Driver-built mutation batch -> cell DataFrame, with LATEST_TIMESTAMP
+    * stamped to `batchTs` and per-cell `seq` assigned in batch order (the
+    * reference serializes same-coordinate writes under the row lock —
+    * `HRegion.java:2067`; batch order is our explicit equivalent). */
+  def toDF(spark: SparkSession, muts: Seq[Product], batchTs: Long,
+      baseSeq: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val cells = muts.flatMap {
+      case p: Put => p.cells
+      case d: Delete => d.cells
+      case other => throw new IllegalArgumentException(s"not a mutation: $other")
+    }.zipWithIndex.map { case (c, i) =>
+      val ts = if (c.ts == Cell.LatestTimestamp) batchTs else c.ts
+      c.copy(ts = ts, seq = baseSeq + i)
+    }
+    cells.toDF()
+  }
+
+  /** Merge a mutation batch onto a table: plain union — the LSM append.
+    * O(batch) work, no rewrite of existing data; at 100 TB this is the only
+    * write strategy that doesn't touch the whole table. */
+  def merge(table: DataFrame, batch: DataFrame): DataFrame =
+    table.unionByName(batch)
+
+  /** `incrementColumnValue` (`HRegion.java:3106-3161`) as a batch merge:
+    * increments are (row, family, qualifier, delta) rows; within a batch
+    * they sum associatively (SURVEY.md §7.5 risk 5); the summed delta is
+    * added to the current latest value (absent -> 0) and written back as a
+    * new version at `batchTs`. Returns the new counter cells to append.
+    *
+    * Scale: one partial-aggregated groupBy on the (small) increment batch +
+    * one join against the current-latest view restricted to touched rows —
+    * the view filter is a broadcast semi-join on the batch's row keys.
+    */
+  def increment(table: DataFrame, increments: DataFrame, batchTs: Long,
+      seq: Long = 0L): DataFrame = {
+    val deltas = increments
+      .groupBy("row", "family", "qualifier")
+      .agg(sum(col("delta")).as("_delta"))
+    val current = Resolve(
+      table.join(broadcast(deltas.select("row").distinct()), Seq("row"), "left_semi"),
+      ReadView(maxVersions = 1))
+      .select(col("row"), col("family"), col("qualifier"),
+        Bytes.asLong(col("value")).as("_cur"))
+    deltas.join(current, Seq("row", "family", "qualifier"), "left")
+      .select(
+        col("row"), col("family"), col("qualifier"),
+        lit(batchTs).as("ts"),
+        lit(CellKind.Put).as("kind"),
+        longToBytes(coalesce(col("_cur"), lit(0L)) + col("_delta")).as("value"),
+        lit(seq).as("seq"))
+  }
+
+  /** `checkAndPut`/`checkAndDelete` (`HRegion.checkAndMutate:1544`): apply
+    * each row's mutation cells only when the current latest value of the
+    * check column equals `expected` (null expected = "column absent",
+    * matching the reference's empty-value convention). Mutations evaluate
+    * against PRE-batch state (SURVEY.md §7.5 risk 5).
+    *
+    * `checks`: (row, family, qualifier, expected) one per mutated row;
+    * `batch`: the candidate mutation cells. Returns the accepted subset.
+    */
+  def checkAndMutate(table: DataFrame, checks: DataFrame, batch: DataFrame): DataFrame = {
+    val current = Resolve(
+      table.join(broadcast(checks.select("row").distinct()), Seq("row"), "left_semi"),
+      ReadView(maxVersions = 1))
+      .select(col("row"), col("family").as("_cf"), col("qualifier").as("_cq"),
+        col("value").as("_cv"))
+    val accepted = checks
+      .join(current,
+        col("row") === current("row") && col("family") === col("_cf") &&
+          col("qualifier") === col("_cq"), "left")
+      .filter(col("expected") <=> col("_cv"))
+      .select(checks("row"))
+      .distinct()
+    batch.join(broadcast(accepted), Seq("row"), "left_semi")
+  }
+
+  private def longToBytes(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 16, "0"))
+}
+
+/** Compaction — reference `hbase/regionserver/Store.java:778` (§2.2).
+  * Major compaction = materialize the resolve view: tombstones consumed,
+  * TTL-expired and over-`maxVersions` cells physically dropped; the result
+  * is a table whose reads are identical but smaller and tombstone-free.
+  * Minor compaction in the reference merges files but KEEPS deletes
+  * (`MinorCompactingStoreScanner`); our file-count analog is a plain
+  * repartition+rewrite, so only major is a semantic operation. */
+object Compact {
+  def major(table: DataFrame, maxVersions: Int = Int.MaxValue,
+      ttlMs: Option[Long] = None, now: Long = 0L): DataFrame =
+    Resolve(table, ReadView(maxVersions = maxVersions, ttlMs = ttlMs, now = now))
+}

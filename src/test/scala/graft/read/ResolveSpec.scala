@@ -1,0 +1,102 @@
+package graft.read
+
+import graft.SparkSpec
+import graft.core.{Cell, CellKind}
+
+/** F3 micro-fixtures (FIXTURES.md): resolve-transform semantics transcribed
+  * from the reference's `TestScanDeleteTracker`, `TestQueryMatcher`,
+  * `TestStoreScanner` and the delete-granularity cases of `TestHRegion`. */
+class ResolveSpec extends SparkSpec {
+
+  private def b(s: String) = s.getBytes("UTF-8")
+  private def put(r: String, q: String, ts: Long, v: String, fam: String = "f", seq: Long = 0) =
+    Cell.put(b(r), fam, b(q), ts, b(v), seq)
+
+  test("maxVersions keeps newest N per column") {
+    val fx = cells(Seq(
+      put("r1", "q1", 1, "v1"), put("r1", "q1", 2, "v2"),
+      put("r1", "q1", 3, "v3"), put("r1", "q1", 4, "v4")))
+    val latest = collectCells(Resolve(fx.toDF(), ReadView(maxVersions = 1)))
+    assert(latest == Set(("r1", "f", "q1", 4L, "v4")))
+    val three = collectCells(Resolve(fx.toDF(), ReadView(maxVersions = 3)))
+    assert(three.map(_._4) == Set(2L, 3L, 4L))
+  }
+
+  test("Delete masks exactly one version; DeleteColumn masks all <= ts") {
+    val fx = cells(Seq(
+      put("r1", "q1", 1, "v1"), put("r1", "q1", 2, "v2"), put("r1", "q1", 3, "v3"),
+      Cell.delete(b("r1"), "f", b("q1"), 2), // point delete of ts=2 only
+      put("r1", "q2", 1, "w1"), put("r1", "q2", 2, "w2"), put("r1", "q2", 3, "w3"),
+      Cell.deleteColumn(b("r1"), "f", b("q2"), 2))) // masks w1, w2
+    val out = collectCells(Resolve(fx.toDF(), ReadView(maxVersions = 10)))
+    assert(out.filter(_._3 == "q1").map(_._4) == Set(1L, 3L))
+    assert(out.filter(_._3 == "q2").map(_._4) == Set(3L))
+  }
+
+  test("DeleteFamily masks all cells of the family <= ts; other family untouched") {
+    val fx = cells(Seq(
+      put("r1", "q1", 1, "v1"), put("r1", "q1", 5, "v5"),
+      put("r1", "q2", 3, "w3"),
+      put("r1", "q1", 3, "g3", fam = "g"),
+      Cell.deleteFamily(b("r1"), "f", 3)))
+    val out = collectCells(Resolve(fx.toDF(), ReadView(maxVersions = 10)))
+    assert(out == Set(("r1", "f", "q1", 5L, "v5"), ("r1", "g", "q1", 3L, "g3")))
+  }
+
+  test("delete wins over put at equal timestamp (type sorts before Put)") {
+    val fx = cells(Seq(
+      put("r1", "q1", 5, "v5"),
+      Cell.delete(b("r1"), "f", b("q1"), 5)))
+    assert(collectCells(Resolve(fx.toDF(), ReadView(maxVersions = 10))).isEmpty)
+  }
+
+  test("put newer than tombstone is visible (out-of-order write after delete)") {
+    val fx = cells(Seq(
+      Cell.deleteColumn(b("r1"), "f", b("q1"), 10),
+      put("r1", "q1", 11, "after"),
+      put("r1", "q1", 9, "before")))
+    val out = collectCells(Resolve(fx.toDF(), ReadView(maxVersions = 10)))
+    assert(out == Set(("r1", "f", "q1", 11L, "after")))
+  }
+
+  test("time range is half-open [min, max)") {
+    val fx = cells(Seq(put("r1", "q1", 1, "a"), put("r1", "q1", 2, "b"),
+      put("r1", "q1", 3, "c")))
+    val out = collectCells(Resolve(fx.toDF(),
+      ReadView(maxVersions = 10, timeRange = Some((1L, 3L)))))
+    assert(out.map(_._4) == Set(1L, 2L))
+  }
+
+  test("TTL hides cells older than now - ttl") {
+    val fx = cells(Seq(put("r1", "q1", 100, "old"), put("r1", "q1", 900, "new")))
+    val out = collectCells(Resolve(fx.toDF(),
+      ReadView(maxVersions = 10, ttlMs = Some(200L), now = 1000L)))
+    assert(out.map(_._5) == Set("new"))
+  }
+
+  test("asOf time travel caps puts AND tombstones") {
+    val fx = cells(Seq(
+      put("r1", "q1", 1, "v1"),
+      Cell.deleteColumn(b("r1"), "f", b("q1"), 5), // after asOf -> ignored
+      put("r1", "q1", 10, "v10")))
+    val out = collectCells(Resolve(fx.toDF(), ReadView(maxVersions = 10, asOf = Some(3L))))
+    assert(out == Set(("r1", "f", "q1", 1L, "v1")))
+  }
+
+  test("duplicate write at identical coords+ts: highest seq wins") {
+    val fx = cells(Seq(
+      put("r1", "q1", 5, "first", seq = 1), put("r1", "q1", 5, "second", seq = 2)))
+    val out = collectCells(Resolve(fx.toDF(), ReadView(maxVersions = 10)))
+    assert(out == Set(("r1", "f", "q1", 5L, "second")))
+  }
+
+  test("resolve is idempotent") {
+    val fx = cells(Seq(
+      put("r1", "q1", 1, "v1"), put("r1", "q1", 2, "v2"),
+      Cell.delete(b("r1"), "f", b("q1"), 1),
+      put("r2", "q1", 1, "x"))).toDF()
+    val once = Resolve(fx, ReadView(maxVersions = 3))
+    val twice = Resolve(once, ReadView(maxVersions = 3))
+    assert(collectCells(once) == collectCells(twice))
+  }
+}
