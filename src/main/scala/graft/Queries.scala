@@ -2,6 +2,7 @@ package graft
 
 import graft.core.{Bytes, CellCodec}
 import graft.read._
+import graft.write.{Compact, Mutations}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -293,6 +294,79 @@ object Queries {
   }
 
   // ----------------------------------------------------------------------
+  // Write surface (SURVEY §2.2): mutations are batch merges; visibility is
+  // read-time. Oracles express the post-merge state in plain SQL.
+  // ----------------------------------------------------------------------
+
+  private val customerCols =
+    "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+
+  private val deleteFamilyScan = Q("delete_family_scan", Some(s"""
+    SELECT $customerCols FROM customer WHERE c_acctbal >= 0
+    ORDER BY c_custkey""")) { (s, dir) =>
+    val cust = t(s, dir, "customer")
+    val table = CellCodec.encode(cust, "c", Seq("c_custkey")) // batchTs=1
+    val victims = cust.filter(col("c_acctbal") < 0)
+    val tombs = Mutations.deleteFamilyCells(
+      victims, CellCodec.rowKey(victims, Seq("c_custkey")), "c", ts = 2L)
+    CellCodec.decode(ScanExec(Mutations.merge(table, tombs), Scan()),
+      customerSchema).orderBy("c_custkey")
+  }
+
+  // Major compaction must not change what a scan sees (reference
+  // `Store.java:778` — tombstone/version GC preserves visible state).
+  private val compactionScan = Q("compaction_scan", Some(s"""
+    SELECT $customerCols FROM customer WHERE c_acctbal >= 0
+    ORDER BY c_custkey""")) { (s, dir) =>
+    val cust = t(s, dir, "customer")
+    val table = CellCodec.encode(cust, "c", Seq("c_custkey"))
+    val victims = cust.filter(col("c_acctbal") < 0)
+    val tombs = Mutations.deleteFamilyCells(
+      victims, CellCodec.rowKey(victims, Seq("c_custkey")), "c", ts = 2L)
+    val compacted = Compact.major(Mutations.merge(table, tombs))
+    CellCodec.decode(ScanExec(compacted, Scan()), customerSchema)
+      .orderBy("c_custkey")
+  }
+
+  private val incrementCounters = Q("increment_counters", Some("""
+    SELECT user_id, 100 + count(*) AS clicks FROM events
+    GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val seed = Mutations.putCells(ev.select("user_id").distinct(),
+      CellCodec.longBytes(col("user_id")), "c", "clicks",
+      lit(Bytes.toBytes(100L)), ts = 1L)
+    val incs = ev.select(
+      CellCodec.longBytes(col("user_id")).as("row"),
+      lit("c").as("family"), lit(Bytes.toBytes("clicks")).as("qualifier"),
+      lit(1L).as("delta"))
+    val merged = Mutations.merge(seed,
+      Mutations.increment(seed, incs, batchTs = 2L))
+    CellCodec.decode(ScanExec(merged, Scan()),
+      StructType(Seq(StructField("clicks", LongType))),
+      key = Seq("user_id" -> LongType))
+      .orderBy("user_id")
+  }
+
+  private val checkAndPut = Q("check_and_put", Some(s"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      CASE WHEN o_orderstatus = 'F' THEN 'APPLIED' ELSE o_orderpriority END
+        AS o_orderpriority
+    FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val table = ordersCells(s, dir) // batchTs=1
+    val rk = CellCodec.rowKey(orders, Seq("o_orderkey"))
+    val checks = orders.select(
+      rk.as("row"), lit("o").as("family"),
+      lit(Bytes.toBytes("o_orderstatus")).as("qualifier"),
+      lit(Bytes.toBytes("F")).as("expected"))
+    val batch = Mutations.putCells(orders, rk, "o", "o_orderpriority",
+      lit("APPLIED"), ts = 2L)
+    val accepted = Mutations.checkAndMutate(table, checks, batch)
+    CellCodec.decode(ScanExec(Mutations.merge(table, accepted), Scan()),
+      ordersSchema).orderBy("o_orderkey")
+  }
+
+  // ----------------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------------
 
@@ -301,7 +375,8 @@ object Queries {
     scanRange, getPoint, getRowOrBefore, rowCounter,
     prefixFilter, columnPrefixFilter, valueFilterSubstr, valueFilterRegex,
     inclusiveStop, pageFilter, columnPagination,
-    versionsLatest, timeRangeScan)
+    versionsLatest, timeRangeScan,
+    deleteFamilyScan, compactionScan, incrementCounters, checkAndPut)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -59,6 +59,29 @@ object Mutations {
     cells.toDF()
   }
 
+  /** Data-derived Put batch: one put cell per input row, without any
+    * driver-side materialization (the 100 TB path — `Put`/`toDF` is for
+    * small OLTP-style batches, this is for bulk writes). */
+  def putCells(rows: DataFrame, rowKey: org.apache.spark.sql.Column,
+      family: String, qualifier: String, value: org.apache.spark.sql.Column,
+      ts: Long, seq: Long = 0L): DataFrame =
+    rows.select(
+      rowKey.as("row"), lit(family).as("family"),
+      lit(Bytes.toBytes(qualifier)).as("qualifier"),
+      lit(ts).as("ts"), lit(CellKind.Put).as("kind"),
+      value.cast(org.apache.spark.sql.types.BinaryType).as("value"),
+      lit(seq).as("seq"))
+
+  /** Data-derived DeleteFamily batch: one family tombstone per input row. */
+  def deleteFamilyCells(rows: DataFrame, rowKey: org.apache.spark.sql.Column,
+      family: String, ts: Long, seq: Long = 0L): DataFrame =
+    rows.select(
+      rowKey.as("row"), lit(family).as("family"),
+      lit(Array.emptyByteArray).as("qualifier"),
+      lit(ts).as("ts"), lit(CellKind.DeleteFamily).as("kind"),
+      lit(null).cast(org.apache.spark.sql.types.BinaryType).as("value"),
+      lit(seq).as("seq"))
+
   /** Merge a mutation batch onto a table: plain union — the LSM append.
     * O(batch) work, no rewrite of existing data; at 100 TB this is the only
     * write strategy that doesn't touch the whole table. */
@@ -80,8 +103,11 @@ object Mutations {
     val deltas = increments
       .groupBy("row", "family", "qualifier")
       .agg(sum(col("delta")).as("_delta"))
+    // Scope the current-latest view to touched rows via semi-join; no
+    // broadcast hint — AQE picks broadcast when the batch is small and a
+    // shuffle join when a bulk increment touches billions of rows.
     val current = Resolve(
-      table.join(broadcast(deltas.select("row").distinct()), Seq("row"), "left_semi"),
+      table.join(deltas.select("row").distinct(), Seq("row"), "left_semi"),
       ReadView(maxVersions = 1))
       .select(col("row"), col("family"), col("qualifier"),
         Bytes.asLong(col("value")).as("_cur"))
@@ -105,22 +131,22 @@ object Mutations {
     */
   def checkAndMutate(table: DataFrame, checks: DataFrame, batch: DataFrame): DataFrame = {
     val current = Resolve(
-      table.join(broadcast(checks.select("row").distinct()), Seq("row"), "left_semi"),
+      table.join(checks.select("row").distinct(), Seq("row"), "left_semi"),
       ReadView(maxVersions = 1))
-      .select(col("row"), col("family").as("_cf"), col("qualifier").as("_cq"),
-        col("value").as("_cv"))
+      .select(col("row").as("_cr"), col("family").as("_cf"),
+        col("qualifier").as("_cq"), col("value").as("_cv"))
     val accepted = checks
       .join(current,
-        col("row") === current("row") && col("family") === col("_cf") &&
+        col("row") === col("_cr") && col("family") === col("_cf") &&
           col("qualifier") === col("_cq"), "left")
       .filter(col("expected") <=> col("_cv"))
-      .select(checks("row"))
+      .select("row")
       .distinct()
-    batch.join(broadcast(accepted), Seq("row"), "left_semi")
+    batch.join(accepted, Seq("row"), "left_semi")
   }
 
   private def longToBytes(c: org.apache.spark.sql.Column) =
-    unhex(lpad(hex(c), 16, "0"))
+    graft.core.CellCodec.longBytes(c)
 }
 
 /** Compaction — reference `hbase/regionserver/Store.java:778` (§2.2).
