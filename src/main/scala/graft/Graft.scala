@@ -1,0 +1,114 @@
+package graft
+
+import graft.catalog.{Catalog, FamilyDescriptor, TableDescriptor}
+import graft.read.{Get, ReadView, Resolve, Scan, ScanExec}
+import graft.snapshot.Snapshots
+import graft.write.{Compact, Delete, Mutations, Put}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+
+/** The engine facade — the reference's `HBaseAdmin` + `HTable` surface
+  * (§2.7, §2.8) on one object: a user of the reference switches by
+  * replacing client calls one-for-one:
+  *
+  * {{{
+  * val g = Graft(spark, "/data/graft")
+  * g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f"))), nowMs)
+  * val t = g.table("t")
+  * t.put(Seq(Put(rk).add("f", q, v)), nowMs)
+  * t.scan(Scan().addFamily("f").setFilter(...))   // DataFrame of cells
+  * t.get(Get(rk))
+  * g.snapshot("s1", "t", nowMs); g.restoreSnapshot("s1", nowMs)
+  * }}}
+  */
+final case class Graft(spark: SparkSession, root: String) {
+  val catalog = new Catalog(spark, root)
+  val snapshots = new Snapshots(spark, catalog, root)
+
+  // ---- DDL (`HBaseAdmin`)
+  def createTable(desc: TableDescriptor, nowMs: Long): Unit =
+    catalog.createTable(desc, nowMs)
+  def deleteTable(name: String): Unit = catalog.deleteTable(name)
+  def listTables(): Seq[String] = catalog.listTables()
+  def tableExists(name: String): Boolean = catalog.tableExists(name)
+  def alterTable(name: String, desc: TableDescriptor, nowMs: Long): Unit =
+    catalog.alterTable(name, desc, nowMs)
+  /** `disableTable:449`/`enableTable:393` — our only semantic is the
+    * read-only latch (no serving lifecycle to manage). */
+  def disableTable(name: String, nowMs: Long): Unit = {
+    val d = catalog.currentManifest(name).descriptor
+    catalog.alterTable(name, d.copy(readOnly = true), nowMs)
+  }
+  def enableTable(name: String, nowMs: Long): Unit = {
+    val d = catalog.currentManifest(name).descriptor
+    catalog.alterTable(name, d.copy(readOnly = false), nowMs)
+  }
+
+  def table(name: String): GraftTable = GraftTable(this, name)
+
+  // ---- snapshot lifecycle (`HBaseAdmin:899-948`)
+  def snapshot(name: String, tableName: String, nowMs: Long): Unit =
+    snapshots.snapshot(name, tableName, nowMs)
+  def listSnapshots(): Seq[String] = snapshots.listSnapshots()
+  def restoreSnapshot(name: String, nowMs: Long): Unit =
+    snapshots.restore(name, nowMs)
+  def cloneSnapshot(name: String, newTable: String, nowMs: Long): Unit =
+    snapshots.clone(name, newTable, nowMs)
+  def deleteSnapshot(name: String): Unit = snapshots.deleteSnapshot(name)
+  def readSnapshot(name: String): DataFrame = snapshots.read(name)
+  def exportSnapshot(name: String, targetDir: String): Unit =
+    snapshots.exportSnapshot(name, targetDir)
+  def importSnapshot(name: String, exportedDir: String): Unit =
+    snapshots.importSnapshot(name, exportedDir)
+
+  /** Refcount-style GC: drop data dirs referenced by no table version and
+    * no snapshot (`SnapshotLogCleaner` + META refcounts). */
+  def vacuum(tableName: String): Seq[String] =
+    catalog.vacuum(tableName, snapshots.protectedDirs())
+}
+
+/** Per-table operations (`HTable`). Reads honor the family descriptor's
+  * maxVersions/TTL defaults the way `ScanQueryMatcher` reads them off the
+  * `HColumnDescriptor`. */
+final case class GraftTable(g: Graft, name: String) {
+  private def spark = g.spark
+
+  def cells: DataFrame = g.catalog.read(name)
+  def descriptor: TableDescriptor = g.catalog.currentManifest(name).descriptor
+
+  // ---- reads
+  def scan(s: Scan, nowMs: Long = 0L): DataFrame = {
+    val ttl = descriptor.families.flatMap(_.ttlMs).reduceOption(_ min _)
+    ScanExec(cells, s, ttl, nowMs)
+  }
+  def get(gt: Get): DataFrame = ScanExec.get(cells, gt)
+  def exists(gt: Get): Boolean = ScanExec.exists(cells, gt)
+  def getRowOrBefore(row: Array[Byte], family: String): DataFrame =
+    ScanExec.getRowOrBefore(cells, row, family)
+
+  // ---- writes (each commits one new immutable data dir)
+  def put(puts: Seq[Put], nowMs: Long): Unit =
+    g.catalog.append(name, Mutations.toDF(spark, puts, nowMs), nowMs)
+  def delete(dels: Seq[Delete], nowMs: Long): Unit =
+    g.catalog.append(name, Mutations.toDF(spark, dels, nowMs), nowMs)
+  def mutate(batch: DataFrame, nowMs: Long): Unit =
+    g.catalog.append(name, batch, nowMs)
+  def increment(increments: DataFrame, nowMs: Long): Unit =
+    g.catalog.append(name, Mutations.increment(cells, increments, nowMs), nowMs)
+  def checkAndMutate(checks: DataFrame, batch: DataFrame, nowMs: Long): Unit =
+    g.catalog.append(name, Mutations.checkAndMutate(cells, checks, batch), nowMs)
+
+  /** Major compaction (`majorCompact:736`): rewrite to the resolved view
+    * under the family descriptor's maxVersions/TTL, dropping tombstones. */
+  def majorCompact(nowMs: Long): Unit = {
+    val d = descriptor
+    val maxV = d.families.map(_.maxVersions).max
+    val ttl = d.families.flatMap(_.ttlMs).reduceOption(_ min _)
+    g.catalog.replaceData(name, Compact.major(cells, maxV, ttl, nowMs), nowMs)
+  }
+
+  /** Minor compaction / `compact:714`: merge small deltas into one dir,
+    * KEEPING tombstones (`MinorCompactingStoreScanner` semantics). */
+  def minorCompact(nowMs: Long): Unit =
+    g.catalog.replaceData(name, cells, nowMs)
+}

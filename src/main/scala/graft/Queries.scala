@@ -367,6 +367,45 @@ object Queries {
   }
 
   // ----------------------------------------------------------------------
+  // Snapshot / time travel (SURVEY §2.6). snapshot_scan drives the full
+  // catalog lifecycle (create/append/snapshot/mutate/read-snapshot) and
+  // must still see the pre-mutation state; asof_scan is the read-path
+  // time travel on event-time cells.
+  // ----------------------------------------------------------------------
+
+  private val snapshotScan = Q("snapshot_scan", Some(s"""
+    SELECT $customerCols FROM customer ORDER BY c_custkey""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val root = java.nio.file.Files.createTempDirectory("graft-q-snap").toString
+    val g = graft.Graft(s, root)
+    g.createTable(TableDescriptor("cust", Seq(FamilyDescriptor("c")),
+      splitKeys = 8), nowMs = 1L)
+    g.table("cust").mutate(
+      CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_custkey")), nowMs = 1L)
+    g.snapshot("s1", "cust", nowMs = 2L)
+    // post-snapshot damage: delete every row, then major-compact
+    val cust = t(s, dir, "customer")
+    g.table("cust").mutate(Mutations.deleteFamilyCells(
+      cust, CellCodec.rowKey(cust, Seq("c_custkey")), "c", ts = 3L), nowMs = 3L)
+    g.table("cust").majorCompact(nowMs = 4L)
+    // the snapshot still reads the full original table
+    CellCodec.decode(ScanExec(g.readSnapshot("s1"), Scan()), customerSchema)
+      .orderBy("c_custkey")
+  }
+
+  private val asofScan = Q("asof_scan", Some("""
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '2024-02-01')
+    WHERE rn = 1 ORDER BY user_id""")) { (s, dir) =>
+    val resolved = ScanExec(eventsCells(s, dir), Scan().addFamily("e"),
+      asOf = Some(nanosOf("2024-02-01")))
+    CellCodec.decode(resolved, eventsValSchema, key = Seq("user_id" -> LongType))
+      .orderBy("user_id")
+  }
+
+  // ----------------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------------
 
@@ -376,7 +415,8 @@ object Queries {
     prefixFilter, columnPrefixFilter, valueFilterSubstr, valueFilterRegex,
     inclusiveStop, pageFilter, columnPagination,
     versionsLatest, timeRangeScan,
-    deleteFamilyScan, compactionScan, incrementCounters, checkAndPut)
+    deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
+    snapshotScan, asofScan)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,269 @@
+package graft.catalog
+
+import graft.core.Cell
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.charset.StandardCharsets
+
+/** Per-family logical/physical knobs — reference `HColumnDescriptor.java`
+  * (649 LoC): `maxVersions` default 3 (`:92`), `TTL:78`. Physical knobs
+  * (compression/blocksize/bloom) map to Parquet writer config and are
+  * carried as opaque attrs. */
+final case class FamilyDescriptor(
+    name: String,
+    maxVersions: Int = 3,
+    ttlMs: Option[Long] = None)
+
+/** Table shape — reference `HTableDescriptor.java` (698 LoC): name +
+  * family set + attrs (`READONLY:65` kept; region-era attrs dropped). */
+final case class TableDescriptor(
+    name: String,
+    families: Seq[FamilyDescriptor],
+    readOnly: Boolean = false,
+    splitKeys: Int = 32) {
+  def family(n: String): FamilyDescriptor =
+    families.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no family $n in table $name"))
+}
+
+/** One committed table version: the list of immutable data directories
+  * (each a sorted parquet write) plus the descriptor. The reference's
+  * region dirs + HFiles + META, collapsed to a manifest — the same
+  * copy-on-write idea as its snapshot reference files
+  * (`SnapshotDescriptor.java:157-170`, `HRegion.java:2263-2292`). */
+final case class Manifest(
+    table: String,
+    version: Long,
+    createdMs: Long,
+    descriptor: TableDescriptor,
+    dataDirs: Seq[String])
+
+/** Hand-rolled JSON for manifests — flat, deterministic, no deps. */
+object ManifestJson {
+  private def esc(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def write(m: Manifest): String = {
+    val fams = m.descriptor.families.map { f =>
+      s"""{"name":${esc(f.name)},"maxVersions":${f.maxVersions},"ttlMs":${f.ttlMs.getOrElse(-1L)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"table":${esc(m.table)},"version":${m.version},"createdMs":${m.createdMs},""" +
+      s""""readOnly":${m.descriptor.readOnly},"splitKeys":${m.descriptor.splitKeys},""" +
+      s""""families":$fams,"dataDirs":${m.dataDirs.map(esc).mkString("[", ",", "]")}}"""
+  }
+
+  // Minimal parser for exactly the shape `write` produces.
+  def read(s: String): Manifest = {
+    def str(k: String): String = {
+      val p = ("\"" + k + "\":\"([^\"]*)\"").r
+      p.findFirstMatchIn(s).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"manifest missing $k: $s"))
+    }
+    def num(k: String): Long = {
+      val p = ("\"" + k + "\":(-?\\d+)").r
+      p.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(
+        throw new IllegalArgumentException(s"manifest missing $k: $s"))
+    }
+    def bool(k: String): Boolean = s.contains("\"" + k + "\":true")
+    val famsBlock = {
+      val i = s.indexOf("\"families\":[")
+      val j = s.indexOf("]", i)
+      s.substring(i + "\"families\":[".length, j)
+    }
+    val fams = "\\{[^}]*\\}".r.findAllIn(famsBlock).map { f =>
+      val n = "\"name\":\"([^\"]*)\"".r.findFirstMatchIn(f).get.group(1)
+      val mv = "\"maxVersions\":(\\d+)".r.findFirstMatchIn(f).get.group(1).toInt
+      val ttl = "\"ttlMs\":(-?\\d+)".r.findFirstMatchIn(f).get.group(1).toLong
+      FamilyDescriptor(n, mv, if (ttl < 0) None else Some(ttl))
+    }.toSeq
+    val dirsBlock = {
+      val i = s.indexOf("\"dataDirs\":[")
+      val j = s.indexOf("]", i)
+      s.substring(i + "\"dataDirs\":[".length, j)
+    }
+    val dirs = "\"([^\"]*)\"".r.findAllMatchIn(dirsBlock).map(_.group(1)).toSeq
+    Manifest(str("table"), num("version"), num("createdMs"),
+      TableDescriptor(str("table"), fams, bool("readOnly"),
+        num("splitKeys").toInt), dirs)
+  }
+}
+
+/** The table catalog — the reference's ROOT/META + `HBaseAdmin` surface
+  * (§2.7), as a manifest store on any Hadoop FileSystem.
+  *
+  * Layout: `{root}/{table}/manifest-{v}.json`, `{root}/{table}/CURRENT`
+  * (contains v), `{root}/{table}/data-{v}/...parquet`. Commits are
+  * atomic: write manifest, then rename CURRENT.tmp -> CURRENT (atomic on
+  * HDFS and local FS). Data dirs are immutable once referenced — the
+  * invariant that makes snapshots free.
+  *
+  * All timestamps are caller-supplied (`nowMs`) for determinism.
+  */
+final class Catalog(spark: SparkSession, root: String) {
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(t: String) = new Path(root, t)
+  private def currentPath(t: String) = new Path(tableDir(t), "CURRENT")
+
+  private def writeFile(p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readFile(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  private def commitCurrent(t: String, v: Long): Unit = {
+    val tmp = new Path(tableDir(t), s"CURRENT.tmp$v")
+    writeFile(tmp, v.toString)
+    fs.delete(currentPath(t), false)
+    if (!fs.rename(tmp, currentPath(t)))
+      throw new IllegalStateException(s"commit race on table $t v$v")
+  }
+
+  def tableExists(t: String): Boolean = fs.exists(currentPath(t))
+
+  def listTables(): Seq[String] =
+    if (!fs.exists(new Path(root))) Seq.empty
+    else fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "CURRENT")))
+      .map(_.getPath.getName).sorted
+
+  def currentManifest(t: String): Manifest = {
+    val v = readFile(currentPath(t)).trim.toLong
+    ManifestJson.read(readFile(new Path(tableDir(t), s"manifest-$v.json")))
+  }
+
+  def manifestAt(t: String, v: Long): Manifest =
+    ManifestJson.read(readFile(new Path(tableDir(t), s"manifest-$v.json")))
+
+  /** `HBaseAdmin.createTable:169`. */
+  def createTable(desc: TableDescriptor, nowMs: Long): Unit = {
+    require(!tableExists(desc.name), s"table ${desc.name} exists")
+    fs.mkdirs(tableDir(desc.name))
+    val m = Manifest(desc.name, 1L, nowMs, desc, Seq.empty)
+    writeFile(new Path(tableDir(desc.name), "manifest-1.json"), ManifestJson.write(m))
+    commitCurrent(desc.name, 1L)
+  }
+
+  /** `HBaseAdmin.deleteTable:299` — drops the catalog entry and data. */
+  def deleteTable(t: String): Unit = {
+    require(tableExists(t), s"no table $t")
+    fs.delete(tableDir(t), true)
+  }
+
+  /** `addColumn:549`/`deleteColumn:583`/`modifyColumn:618`/readonly flag:
+    * new manifest version with same data, new descriptor. */
+  def alterTable(t: String, desc: TableDescriptor, nowMs: Long): Unit = {
+    val cur = currentManifest(t)
+    val v = cur.version + 1
+    val m = cur.copy(version = v, createdMs = nowMs, descriptor = desc)
+    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
+    commitCurrent(t, v)
+  }
+
+  /** Read the table as a cell DataFrame: union of the manifest's immutable
+    * data dirs. Parquet stats give row-range/ts pruning; `family` is a
+    * partition-style column filterable before scan. */
+  def read(t: String): DataFrame = readManifest(currentManifest(t))
+
+  def readManifest(m: Manifest): DataFrame =
+    if (m.dataDirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Cell.schema)
+    else
+      spark.read.schema(Cell.schema).parquet(m.dataDirs: _*)
+
+  /** Append a batch of cells as a new immutable data dir + manifest
+    * version — the LSM "flush". Data is range-partitioned by row and
+    * sorted by full cell order within partitions (the HFileOutputFormat /
+    * SimpleTotalOrderPartitioner layout, SURVEY §2.1) so scans get
+    * min/max pruning and merges stay ordered. */
+  def append(t: String, cells: DataFrame, nowMs: Long): Manifest = {
+    val cur = currentManifest(t)
+    require(!cur.descriptor.readOnly, s"table $t is read-only")
+    val v = cur.version + 1
+    val dir = new Path(tableDir(t), s"data-$v").toString
+    import org.apache.spark.sql.functions.col
+    cells
+      .repartitionByRange(cur.descriptor.splitKeys, col("row"))
+      .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
+        col("ts").desc, col("seq").desc)
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    val m = cur.copy(version = v, createdMs = nowMs,
+      dataDirs = cur.dataDirs :+ dir)
+    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
+    commitCurrent(t, v)
+    m
+  }
+
+  /** Replace all data dirs with one rewritten dir (compaction commit).
+    * Old dirs stay on disk until `vacuum` — snapshots may reference them. */
+  def replaceData(t: String, cells: DataFrame, nowMs: Long): Manifest = {
+    val cur = currentManifest(t)
+    val v = cur.version + 1
+    val dir = new Path(tableDir(t), s"data-$v").toString
+    import org.apache.spark.sql.functions.col
+    cells
+      .repartitionByRange(cur.descriptor.splitKeys, col("row"))
+      .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
+        col("ts").desc, col("seq").desc)
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    val m = cur.copy(version = v, createdMs = nowMs, dataDirs = Seq(dir))
+    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
+    commitCurrent(t, v)
+    m
+  }
+
+  /** Commit a new manifest version with explicit data dirs (restore/clone
+    * repoint — copy-on-write, no data touched). */
+  def commitDataDirs(t: String, dataDirs: Seq[String], nowMs: Long): Manifest = {
+    val cur = currentManifest(t)
+    val v = cur.version + 1
+    val m = cur.copy(version = v, createdMs = nowMs, dataDirs = dataDirs)
+    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
+    commitCurrent(t, v)
+    m
+  }
+
+  /** All manifest versions of a table (for vacuum + time travel). */
+  def manifests(t: String): Seq[Manifest] =
+    fs.listStatus(tableDir(t)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest-") && n.endsWith(".json") =>
+        manifestAt(t, n.stripPrefix("manifest-").stripSuffix(".json").toLong)
+      }.sortBy(_.version)
+
+  /** Delete data dirs referenced by NO manifest of this table and no
+    * snapshot manifest in `protectedDirs` — the reference's refcount GC
+    * (`HRegion.updateRefCountInMeta:2283`, `SnapshotLogCleaner`). */
+  def vacuum(t: String, protectedDirs: Set[String]): Seq[String] = {
+    // Manifests may store paths without a scheme while listStatus returns
+    // fully-qualified ones — qualify BOTH sides before comparing, or live
+    // dirs look dead and get deleted.
+    def qual(d: String): String = fs.makeQualified(new Path(d)).toString
+    val live = (manifests(t).flatMap(_.dataDirs) ++ protectedDirs).map(qual).toSet
+    val dirs = fs.listStatus(tableDir(t)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+      .map(_.getPath)
+    val dead = dirs.filterNot(p => live.contains(qual(p.toString)))
+    dead.foreach(p => fs.delete(p, true))
+    dead.map(_.toString)
+  }
+
+  /** Drop old manifest versions (retain >= `keep` latest). Pruning history
+    * is what makes vacuum actually free space. */
+  def expireVersions(t: String, keep: Int): Unit = {
+    val ms = manifests(t).dropRight(keep)
+    ms.foreach(m => fs.delete(new Path(tableDir(t), s"manifest-${m.version}.json"), false))
+  }
+}

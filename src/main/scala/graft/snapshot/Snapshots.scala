@@ -1,0 +1,136 @@
+package graft.snapshot
+
+import graft.catalog.{Catalog, Manifest, ManifestJson}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+
+/** Snapshot lifecycle — the fork's core feature (SURVEY §2.6), re-expressed
+  * on immutable manifests. The reference needs a ZooKeeper 2-phase protocol
+  * (`SnapshotMonitor.java:46`, `ZKSnapshotWatcher.java:42`) because region
+  * servers mutate HFiles in place; our data dirs are immutable once
+  * referenced, so `snapshot` is one atomic manifest write — same
+  * reference-file/copy-on-write idea as `HRegion.java:2263-2292`, without
+  * the coordination.
+  *
+  * Layout: `{root}/.snapshot/{name}.json` holding the frozen table
+  * manifest (a `SnapshotDescriptor`: name, table, creationTime —
+  * `SnapshotDescriptor.java:36-106` — plus the file references).
+  */
+final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def snapDir = new Path(root, ".snapshot")
+  private def snapPath(name: String) = new Path(snapDir, s"$name.json")
+
+  private def writeFile(p: Path, content: String): Unit = {
+    val out = fs.create(p, false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readFile(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  /** `admin.snapshot(name, table)` (`HBaseAdmin.java:899`): freeze the
+    * current manifest under the snapshot name. O(1), no data copied. */
+  def snapshot(name: String, table: String, nowMs: Long): Unit = {
+    require(!fs.exists(snapPath(name)), s"snapshot $name exists")
+    fs.mkdirs(snapDir)
+    val m = catalog.currentManifest(table).copy(createdMs = nowMs)
+    writeFile(snapPath(name), ManifestJson.write(m))
+  }
+
+  /** `HBaseAdmin.listSnapshots:920`. */
+  def listSnapshots(): Seq[String] =
+    if (!fs.exists(snapDir)) Seq.empty
+    else fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+
+  def manifest(name: String): Manifest =
+    ManifestJson.read(readFile(snapPath(name)))
+
+  /** Read a snapshot directly (time travel read, no restore needed). */
+  def read(name: String): DataFrame = catalog.readManifest(manifest(name))
+
+  /** `HBaseAdmin.restoreSnapshot:934`: repoint the live table at the
+    * snapshot's data. Copy-on-write — instant, reversible while newer
+    * manifests are retained. */
+  def restore(name: String, nowMs: Long): Unit = {
+    val snap = manifest(name)
+    catalog.commitDataDirs(snap.table, snap.dataDirs, nowMs)
+  }
+
+  /** Clone: new table over the SAME data dirs (zero copy) — the restore
+    * path applied to a fresh name (`RestoreSnapshot.java:97-133`). */
+  def clone(name: String, newTable: String, nowMs: Long): Unit = {
+    val snap = manifest(name)
+    catalog.createTable(snap.descriptor.copy(name = newTable), nowMs)
+    catalog.commitDataDirs(newTable, snap.dataDirs, nowMs)
+  }
+
+  /** `HBaseAdmin.deleteSnapshot:948`: remove the snapshot manifest. Data
+    * dirs it referenced stay until `vacuum` proves nothing else points at
+    * them — the refcount-GC contract (SURVEY §7.5 risk 6). */
+  def deleteSnapshot(name: String): Unit = {
+    require(fs.exists(snapPath(name)), s"no snapshot $name")
+    fs.delete(snapPath(name), false)
+  }
+
+  /** Data dirs referenced by any live snapshot (vacuum protection set). */
+  def protectedDirs(): Set[String] =
+    listSnapshots().flatMap(n => manifest(n).dataDirs).toSet
+
+  /** `ExportSnapshot` (745 LoC MR distcp): copy a snapshot's files to
+    * another filesystem/dir as a size-balanced distributed Spark job over
+    * the file list (`SnapshotInputFormat:388` splits by size; here we
+    * repartition the file list and copy per-partition). */
+  def exportSnapshot(name: String, targetDir: String, parallelism: Int = 16): Unit = {
+    val snap = manifest(name)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val files: Seq[(String, String, Long)] = snap.dataDirs.flatMap { d =>
+      val dp = new Path(d)
+      val dfs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!dfs.exists(dp)) Seq.empty
+      else dfs.listStatus(dp).toSeq.filter(_.isFile).map { st =>
+        (st.getPath.toString, s"${dp.getName}/${st.getPath.getName}", st.getLen)
+      }
+    }
+    // Largest-first round-robin over partitions = size balancing.
+    val balanced = files.sortBy(-_._3).zipWithIndex
+      .map { case ((src, rel, _), i) => (i % parallelism, src, rel) }
+    val target = targetDir
+    spark.sparkContext.parallelize(balanced, parallelism)
+      .foreachPartition { it =>
+        val c = conf.value
+        it.foreach { case (_, src, rel) =>
+          val srcP = new Path(src)
+          val dstP = new Path(target, rel)
+          val dstFs = dstP.getFileSystem(c)
+          val srcFs = srcP.getFileSystem(c)
+          org.apache.hadoop.fs.FileUtil.copy(srcFs, srcP, dstFs, dstP, false, true, c)
+        }
+      }
+    // snapshot manifest, rewritten to the exported layout
+    val exported = snap.copy(dataDirs =
+      snap.dataDirs.map(d => new Path(target, new Path(d).getName).toString))
+    val mp = new Path(target, "snapshotinfo.json")
+    val tfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = tfs.create(mp, true)
+    try out.write(ManifestJson.write(exported).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** `ImportSnapshot`: register an exported snapshot dir as a local
+    * snapshot (data stays where it is — reference files). */
+  def importSnapshot(name: String, exportedDir: String): Unit = {
+    val mp = new Path(exportedDir, "snapshotinfo.json")
+    val m = ManifestJson.read(readFile(mp))
+    fs.mkdirs(snapDir)
+    writeFile(snapPath(name), ManifestJson.write(m))
+  }
+}

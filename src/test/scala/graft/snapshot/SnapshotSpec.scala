@@ -1,0 +1,131 @@
+package graft.snapshot
+
+import graft.{Graft, SparkSpec}
+import graft.catalog.{FamilyDescriptor, TableDescriptor}
+import graft.core.Bytes
+import graft.read.Scan
+import graft.write.{Delete, Put}
+import java.nio.file.Files
+
+/** Snapshot/catalog lifecycle transcribed from the reference's
+  * `TestSnapshot.java:150,177` (online/offline table),
+  * `TestHRegionSnapshot.java:111,169,269` (basic, compaction-after-
+  * snapshot) and the refcount-GC contract (SURVEY §7.5 risk 6). */
+class SnapshotSpec extends SparkSpec {
+
+  private def b(s: String) = Bytes.toBytes(s)
+  private def freshGraft(): Graft =
+    Graft(spark, Files.createTempDirectory("graft-cat").toString)
+
+  private def rows(g: Graft, t: String): Set[(String, String)] =
+    g.table(t).scan(Scan()).collect().map { r =>
+      (new String(r.getAs[Array[Byte]]("row"), "UTF-8"),
+        Option(r.getAs[Array[Byte]]("value")).map(new String(_, "UTF-8")).orNull)
+    }.toSet
+
+  private val desc = TableDescriptor("t", Seq(FamilyDescriptor("f")), splitKeys = 2)
+
+  test("DDL: create/list/exists/alter/disable blocks writes/delete") {
+    val g = freshGraft()
+    g.createTable(desc, 1L)
+    assert(g.listTables() == Seq("t") && g.tableExists("t"))
+    g.table("t").put(Seq(Put(b("r1")).add("f", b("q"), b("v1"))), 2L)
+    g.disableTable("t", 3L)
+    intercept[IllegalArgumentException] {
+      g.table("t").put(Seq(Put(b("r2")).add("f", b("q"), b("v2"))), 4L)
+    }
+    g.enableTable("t", 5L)
+    g.table("t").put(Seq(Put(b("r2")).add("f", b("q"), b("v2"))), 6L)
+    assert(rows(g, "t") == Set(("r1", "v1"), ("r2", "v2")))
+    g.deleteTable("t")
+    assert(!g.tableExists("t") && g.listTables().isEmpty)
+  }
+
+  test("snapshot is point-in-time: later writes/deletes don't leak in") {
+    val g = freshGraft()
+    g.createTable(desc, 1L)
+    g.table("t").put(Seq(Put(b("r1")).add("f", b("q"), b("v1"))), 2L)
+    g.snapshot("s1", "t", 3L)
+    g.table("t").put(Seq(Put(b("r2")).add("f", b("q"), b("v2"))), 4L)
+    g.table("t").delete(Seq(Delete(b("r1")).deleteFamily("f")), 5L)
+    assert(rows(g, "t") == Set(("r2", "v2")))
+    // snapshot still sees the frozen state
+    val snapRows = graft.read.Resolve(g.readSnapshot("s1")).collect().map { r =>
+      new String(r.getAs[Array[Byte]]("row"), "UTF-8")
+    }.toSet
+    assert(snapRows == Set("r1"))
+  }
+
+  test("restore repoints the table; clone shares files zero-copy") {
+    val g = freshGraft()
+    g.createTable(desc, 1L)
+    g.table("t").put(Seq(Put(b("r1")).add("f", b("q"), b("v1"))), 2L)
+    g.snapshot("s1", "t", 3L)
+    g.table("t").put(Seq(Put(b("r2")).add("f", b("q"), b("v2"))), 4L)
+    g.restoreSnapshot("s1", 5L)
+    assert(rows(g, "t") == Set(("r1", "v1")))
+    g.cloneSnapshot("s1", "t2", 6L)
+    assert(rows(g, "t2") == Set(("r1", "v1")))
+    // clone is independent: writing to t2 doesn't affect t
+    g.table("t2").put(Seq(Put(b("r3")).add("f", b("q"), b("v3"))), 7L)
+    assert(rows(g, "t") == Set(("r1", "v1")))
+    assert(rows(g, "t2") == Set(("r1", "v1"), ("r3", "v3")))
+  }
+
+  test("compaction after snapshot preserves both views; vacuum honors refcounts") {
+    val g = freshGraft()
+    g.createTable(desc, 1L)
+    g.table("t").put(Seq(Put(b("r1")).add("f", b("q"), b("v1"))), 2L)
+    g.snapshot("s1", "t", 3L)
+    g.table("t").put(Seq(Put(b("r1")).add("f", b("q"), b("v1b"))), 4L)
+    g.table("t").majorCompact(5L)
+    assert(rows(g, "t") == Set(("r1", "v1b")))
+    def snapVals(): Set[String] =
+      graft.read.Resolve(g.readSnapshot("s1")).collect().map { r =>
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8")
+      }.toSet
+    assert(snapVals() == Set("v1")) // TestHRegionSnapshot:269 semantics
+    // vacuum with live snapshot: snapshot-referenced dirs must survive
+    g.catalog.expireVersions("t", 1)
+    g.vacuum("t")
+    assert(snapVals() == Set("v1")) // re-read AFTER vacuum: files intact
+    // after snapshot deletion, its dirs become collectible
+    g.deleteSnapshot("s1")
+    val deleted2 = g.vacuum("t")
+    assert(deleted2.nonEmpty)
+    assert(rows(g, "t") == Set(("r1", "v1b"))) // live table intact
+  }
+
+  test("export + import: files copied size-balanced, snapshot readable at target") {
+    val g = freshGraft()
+    g.createTable(desc, 1L)
+    g.table("t").put(Seq(
+      Put(b("r1")).add("f", b("q"), b("v1")),
+      Put(b("r2")).add("f", b("q"), b("v2"))), 2L)
+    g.snapshot("s1", "t", 3L)
+    val target = Files.createTempDirectory("graft-export").toString
+    g.exportSnapshot("s1", target)
+    // import into a fresh catalog rooted elsewhere
+    val g2 = freshGraft()
+    g2.importSnapshot("s1-imported", target)
+    val got = graft.read.Resolve(g2.readSnapshot("s1-imported")).collect().map { r =>
+      new String(r.getAs[Array[Byte]]("value"), "UTF-8")
+    }.toSet
+    assert(got == Set("v1", "v2"))
+  }
+
+  test("increment and checkAndMutate through the table facade") {
+    val g = freshGraft()
+    g.createTable(desc, 1L)
+    import spark.implicits._
+    g.table("t").put(Seq(Put(b("u1")).add("f", b("n"), Bytes.toBytes(10L))), 2L)
+    val incs = Seq((b("u1"), "f", b("n"), 5L), (b("u2"), "f", b("n"), 1L))
+      .toDF("row", "family", "qualifier", "delta")
+    g.table("t").increment(incs, 3L)
+    val vals = g.table("t").scan(Scan()).collect().map { r =>
+      (new String(r.getAs[Array[Byte]]("row"), "UTF-8"),
+        Bytes.toLong(r.getAs[Array[Byte]]("value")))
+    }.toSet
+    assert(vals == Set(("u1", 15L), ("u2", 1L)))
+  }
+}
