@@ -406,6 +406,62 @@ object Queries {
   }
 
   // ----------------------------------------------------------------------
+  // Jobs + streaming (SURVEY §2.1 MR layer, §2.1 replication row).
+  // ----------------------------------------------------------------------
+
+  private val copyTableScan = Q("copy_table_window", Some("""
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-03-01')
+    WHERE rn = 1 ORDER BY user_id""")) { (s, dir) =>
+    val copied = graft.jobs.Jobs.copyTable(eventsCells(s, dir),
+      startTime = Some(nanosOf("2024-01-05")), endTime = Some(nanosOf("2024-03-01")))
+    CellCodec.decode(copied, eventsValSchema, key = Seq("user_id" -> LongType))
+      .orderBy("user_id")
+  }
+
+  private val importTsvScan = Q("import_tsv_scan", Some("""
+    SELECT CAST(c_custkey AS VARCHAR) AS rowkey, c_name, c_mktsegment
+    FROM customer ORDER BY c_custkey""")) { (s, dir) =>
+    // Round-trip: customer -> TSV file -> ImportTsv column-spec ingestion
+    // -> cell table -> scan. The oracle is the source table itself.
+    val work = java.nio.file.Files.createTempDirectory("graft-q-tsv").toString
+    t(s, dir, "customer")
+      .select(col("c_custkey").cast(StringType), col("c_name"), col("c_mktsegment"))
+      .write.mode("overwrite").option("sep", "\t").csv(s"$work/tsv")
+    val (cells, bad) = graft.jobs.Jobs.importTsv(s, s"$work/tsv",
+      Seq("HBASE_ROW_KEY", "c:c_name", "c:c_mktsegment"), ts = 1L)
+    require(bad == 0L, s"unexpected bad TSV lines: $bad")
+    CellCodec.decode(ScanExec(cells, Scan()),
+      StructType(Seq(StructField("c_name", StringType),
+        StructField("c_mktsegment", StringType))),
+      key = Seq("rowkey" -> StringType))
+      .withColumn("_k", col("rowkey").cast(LongType))
+      .orderBy("_k").drop("_k")
+  }
+
+  private val replicationStream = Q("replication_stream", Some("""
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1 ORDER BY user_id""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val work = java.nio.file.Files.createTempDirectory("graft-q-repl").toString
+    // WAL analog: the events cell batch lands in the feed dir
+    eventsCells(s, dir).write.parquet(s"$work/feed/b1")
+    val g = graft.Graft(s, s"$work/peer")
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("e")), splitKeys = 8), 1L)
+    graft.streaming.Replication.replicate(
+      graft.streaming.Replication.changeFeed(s, s"$work/feed"),
+      g.catalog, "t", s"$work/ckpt", nowMsOf = _ + 10L).awaitTermination()
+    CellCodec.decode(ScanExec(g.catalog.read("t"), Scan()), eventsValSchema,
+      key = Seq("user_id" -> LongType))
+      .orderBy("user_id")
+  }
+
+  // ----------------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------------
 
@@ -416,7 +472,8 @@ object Queries {
     inclusiveStop, pageFilter, columnPagination,
     versionsLatest, timeRangeScan,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
-    snapshotScan, asofScan)
+    snapshotScan, asofScan,
+    copyTableScan, importTsvScan, replicationStream)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

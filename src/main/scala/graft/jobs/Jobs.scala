@@ -1,0 +1,101 @@
+package graft.jobs
+
+import graft.core.{Bytes, CellCodec, CellKind}
+import graft.read.{Scan, ScanExec}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's MapReduce analytics/ETL layer (SURVEY §2.1, §2.4, §3.3)
+  * as Spark jobs. Each MR job is one declarative pipeline; splits-per-region
+  * ≅ parquet partitions, `TableMapper` ≅ the transform, counters ≅ aggs. */
+object Jobs {
+
+  /** `RowCounter` (`hbase/mapreduce/RowCounter.java:40`): rows with >= 1
+    * non-empty visible cell. */
+  def rowCount(cells: DataFrame, scan: Scan = Scan()): Long =
+    ScanExec(cells, scan)
+      .filter(col("value").isNotNull && length(col("value")) > 0)
+      .select("row").distinct().count()
+
+  /** `CopyTable` (`CopyTable.java:36`): scan source (optional time window
+    * + family projection), rewrite rows into the target cell table.
+    * Tombstone-resolved: the copy contains the VISIBLE state, like a
+    * CopyTable into an empty target. */
+  def copyTable(cells: DataFrame,
+      startTime: Option[Long] = None, endTime: Option[Long] = None,
+      families: Option[Set[String]] = None,
+      maxVersions: Int = 1): DataFrame = {
+    var scan = Scan().setMaxVersions(maxVersions)
+    (startTime, endTime) match {
+      case (Some(lo), Some(hi)) => scan = scan.setTimeRange(lo, hi)
+      case (Some(lo), None) => scan = scan.setTimeRange(lo, Long.MaxValue)
+      case (None, Some(hi)) => scan = scan.setTimeRange(0L, hi)
+      case _ =>
+    }
+    families.foreach(fs => fs.foreach(f => scan = scan.addFamily(f)))
+    ScanExec(cells, scan)
+  }
+
+  /** `Export` (`Export.java:41`): scan -> file sink. Parquet plays the
+    * SequenceFile role; the dump keeps the cell schema so `importTable`
+    * round-trips. */
+  def exportTable(cells: DataFrame, dir: String, scan: Scan = Scan()): Unit =
+    ScanExec(cells, scan).write.mode("overwrite").parquet(dir)
+
+  /** `Import` (`Import.java:39`): read an export, yielding put cells to
+    * merge into a target table. */
+  def importTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** `ImportTsv` (`ImportTsv.java:57`): TSV bulk ingestion with the
+    * reference's column-spec grammar `HBASE_ROW_KEY,fam:qual,...`
+    * (`:95-140`). Lines with a wrong field count are counted as "bad
+    * lines" and skipped (`:216` BadTsvLineException -> counter), returned
+    * here so callers can assert ingestion quality. */
+  def importTsv(spark: SparkSession, path: String, columnSpec: Seq[String],
+      ts: Long, separator: String = "\t"): (DataFrame, Long) = {
+    require(columnSpec.contains("HBASE_ROW_KEY"), "spec needs HBASE_ROW_KEY")
+    val raw = spark.read.option("sep", separator).csv(path)
+    val n = columnSpec.length
+    val good = raw.filter(raw.columns.take(n).map(col(_).isNotNull).reduce(_ && _))
+      .filter(size(array(raw.columns.map(col): _*)) >= n)
+    val bad = raw.count() - good.count()
+    val keyIdx = columnSpec.indexOf("HBASE_ROW_KEY")
+    val rowCol = col(raw.columns(keyIdx)).cast(BinaryType)
+    val cellCols = columnSpec.zipWithIndex.filter(_._1 != "HBASE_ROW_KEY")
+    val entries = cellCols.map { case (spec, i) =>
+      val Array(fam, qual) = spec.split(":", 2)
+      struct(lit(fam).as("family"),
+        lit(Bytes.toBytes(qual)).as("qualifier"),
+        col(raw.columns(i)).cast(BinaryType).as("value"))
+    }
+    val cells = good
+      .select(rowCol.as("row"), explode(array(entries: _*)).as("_e"))
+      .select(col("row"), col("_e.family").as("family"),
+        col("_e.qualifier").as("qualifier"), lit(ts).as("ts"),
+        lit(CellKind.Put).as("kind"), col("_e.value").as("value"),
+        lit(0L).as("seq"))
+      .filter(col("value").isNotNull)
+    (cells, bad)
+  }
+
+  /** `GroupingTableMapper` (`GroupingTableMapper.java:39`): build the MR
+    * group key by concatenating chosen columns' values space-joined
+    * (`createGroupKey:134`), generalized straight to `groupBy`. */
+  def groupingKey(resolved: DataFrame, family: String,
+      qualifiers: Seq[Array[Byte]]): DataFrame = {
+    val pivoted = resolved
+      .filter(col("family") === family &&
+        col("qualifier").isin(qualifiers.map(lit(_)): _*))
+      .groupBy("row")
+      .agg(map_from_entries(
+        collect_list(struct(col("qualifier").cast(StringType), col("value"))))
+        .as("_m"))
+    val parts = qualifiers.map(q =>
+      col("_m").getItem(new String(q, "UTF-8")).cast(StringType))
+    pivoted
+      .filter(parts.map(_.isNotNull).reduce(_ && _)) // mapper skips rows missing a grouped column
+      .select(col("row"), concat_ws(" ", parts: _*).as("groupKey"))
+  }
+}
