@@ -3,6 +3,7 @@ package graft
 import graft.core.{Bytes, CellCodec}
 import graft.read._
 import graft.write.{Compact, Mutations}
+import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -462,6 +463,150 @@ object Queries {
   }
 
   // ----------------------------------------------------------------------
+  // Training-data pipeline (dedup / similarity / text / multimodal) over
+  // the documents + embeddings tables. Oracles recompute the operator in
+  // DuckDB SQL where the arithmetic can be made engine-identical; the
+  // hash-based ops (simhash, langid profiles) get rows-only checks.
+  // ----------------------------------------------------------------------
+
+  private val duckToks =
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+  private val duckShingles = s"""
+    (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+       for i in generate_series(1, len(ts)-2)]) AS sg
+     FROM (SELECT doc_id, $duckToks AS ts FROM documents))"""
+
+  private val dedupExact = Q("dedup_exact", Some("""
+    SELECT doc_id, text FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    ORDER BY doc_id""")) { (s, dir) =>
+    Dedup.keepFirst(t(s, dir, "documents"), col("text"), "doc_id")
+      .select("doc_id", "text").orderBy("doc_id")
+  }
+
+  private val dedupFingerprint = Q("dedup_fingerprint", Some(s"""
+    SELECT doc_id, md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')) AS fp
+    FROM documents
+    WHERE doc_id IN (
+      SELECT min(doc_id) FROM documents
+      GROUP BY md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')))
+    ORDER BY doc_id""")) { (s, dir) =>
+    val fp = Text.fingerprint(col("text"))
+    Dedup.keepFirst(t(s, dir, "documents"), fp, "doc_id")
+      .select(col("doc_id"), fp.as("fp")).orderBy("doc_id")
+  }
+
+  private val jaccardOracle = s"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      len(list_intersect(a.sg, b.sg))::DOUBLE /
+        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS jaccard
+    FROM $duckShingles a JOIN $duckShingles b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sg, b.sg))::DOUBLE /
+        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8
+    ORDER BY id_a, id_b"""
+
+  private val dedupNgramJaccard = Q("dedup_ngram_jaccard", Some(jaccardOracle),
+    bench = true) { (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, threshold = 0.8).orderBy("id_a", "id_b")
+  }
+
+  private val dedupMinhashLsh = Q("dedup_minhash_lsh", Some(jaccardOracle),
+    bench = true) { (s, dir) =>
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, threshold = 0.8).orderBy("id_a", "id_b")
+  }
+
+  // simhash: no SQL-replicable oracle (xxhash64 has no DuckDB analog);
+  // the driver records a rows-only check, exact semantics covered in
+  // PipelineSpec.
+  private val dedupSimhash = Q("dedup_simhash", None) { (s, dir) =>
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 3).orderBy("id_a", "id_b")
+  }
+
+  private val textQuality = Q("text_quality", Some(s"""
+    SELECT doc_id,
+      len($duckToks)::BIGINT AS n_tokens,
+      list_sum(list_transform($duckToks, x -> len(x)))::DOUBLE /
+        greatest(len($duckToks), 1) AS avg_token_len,
+      len(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE /
+        greatest(len(text), 1) AS punct_ratio,
+      len(list_filter($duckToks, x -> lower(x) IN
+        ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE /
+        greatest(len($duckToks), 1) AS stopword_ratio,
+      (list_sum(list_transform($duckToks, x -> ceil(len(x)/4.0)::BIGINT)) +
+        len(regexp_replace(text, '[^.,!?;:]', '', 'g')))::BIGINT AS bpeish_tokens
+    FROM documents ORDER BY doc_id""")) { (s, dir) =>
+    Text.qualitySignals(t(s, dir, "documents"))
+      .withColumn("bpeish_tokens", Text.tokenCountBpeIsh(col("text")))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0, col("avg_token_len")).otherwise(0.0))
+      .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+        "stopword_ratio", "bpeish_tokens")
+      .orderBy("doc_id")
+  }
+
+  // langid over word-salad synthetic text: rows-only (the lang column in
+  // the table is not derivable from the text); real-language behavior is
+  // asserted in PipelineSpec.
+  private val textLangid = Q("text_langid", None) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+  }
+
+  private val duckCos =
+    """list_dot_product(a.v, b.v) /
+       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
+
+  private val similarityTopk = Q("similarity_topk", Some(s"""
+    SELECT query_id, rank, nn_id, cosine FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS nn_id, $duckCos AS cosine,
+        row_number() OVER (PARTITION BY a.vec_id
+          ORDER BY $duckCos DESC, b.vec_id) AS rank
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10) a
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+        ON a.vec_id <> b.vec_id)
+    WHERE rank <= 5 ORDER BY query_id, rank"""), bench = true) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val dedupEmbedding = Q("dedup_embedding", Some(s"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, $duckCos AS cosine
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+      ON a.vec_id < b.vec_id
+    WHERE $duckCos >= 0.4
+    ORDER BY id_a, id_b""")) { (s, dir) =>
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4).orderBy("id_a", "id_b")
+  }
+
+  private val multimodalFeatures = Q("multimodal_features", Some("""
+    SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len,
+      md5(text) AS checksum
+    FROM documents ORDER BY media_id""")) { (s, dir) =>
+    // documents' UTF-8 bytes stand in for opaque media payloads; the stub
+    // decoder + feature pipeline runs for real, the oracle checks the
+    // parts DuckDB can recompute (payload length + checksum).
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"), lit("image").as("kind"),
+      col("text").cast(BinaryType).as("payload"), lit("text/plain").as("mime"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"))
+    Multimodal.extractFeatures(media, Multimodal.FakeDecoder)
+      .select("media_id", "byte_len", "checksum")
+      .orderBy("media_id")
+  }
+
+  // ----------------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------------
 
@@ -473,7 +618,10 @@ object Queries {
     versionsLatest, timeRangeScan,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, asofScan,
-    copyTableScan, importTsvScan, replicationStream)
+    copyTableScan, importTsvScan, replicationStream,
+    dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
+    dedupSimhash, textQuality, textLangid, similarityTopk, dedupEmbedding,
+    multimodalFeatures)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication strategies for training-data pipelines, ordered by cost:
+  * exact (one shuffle), fingerprint-normalized exact, SimHash (linear +
+  * banded candidate join), MinHash+LSH (the scalable near-dup workhorse),
+  * exact n-gram Jaccard (inverted-index join — exact but superlinear in
+  * shared-shingle volume), and embedding-cosine near-dup.
+  *
+  * Scale design: every strategy is generate-candidates -> verify-exact;
+  * candidate generation is always a key-equality join (shuffle on a
+  * bucket/band/chunk key) — never a cross join. Verification only touches
+  * candidate pairs. At 100 TB the band/bucket keys are what keep the
+  * shuffle bounded; the per-key skew (a hot shingle/band) is handled by
+  * AQE skew-join splitting.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical value of `on`.
+    * One hash shuffle; at 100 TB group instead on `md5(on)` via
+    * [[keepFirstByHash]] so the shuffle key is 16 bytes, not the document. */
+  def keepFirst(df: DataFrame, on: Column, idCol: String): DataFrame = {
+    val w = Window.partitionBy(on).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Exact dedup on content hash — identical result to [[keepFirst]] on
+    * the raw value (modulo md5 collisions), constant-width shuffle key. */
+  def keepFirstByHash(df: DataFrame, on: Column, idCol: String): DataFrame =
+    keepFirst(df, md5(on.cast("string")), idCol)
+
+  /** (id, shingleSet) prep shared by jaccard/minhash paths. */
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"), Text.shingles(col(textCol), k).as("sh"))
+
+  /** Exact all-pairs n-gram Jaccard >= `threshold` via inverted-index
+    * join: explode shingles, self-join on shingle (id_a < id_b), count
+    * shared shingles, reconstruct |union| = |A| + |B| - shared. Returns
+    * (id_a, id_b, jaccard). Exact — no LSH approximation. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(df, idCol, textCol, k)
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: `numHashes` permutations approximated by
+    * xxhash64(shingle, seed); signature element i = min hash under seed i.
+    * Returns (id, sig array<long>). One pass over exploded shingles with
+    * `numHashes` min-aggregates — no per-row loops, stays in codegen. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 128): DataFrame = {
+    val sh = shingled(df, idCol, textCol, k)
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("s"), lit(i))).as(s"_h$i"))
+    inv.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"_h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: split the signature into `bands` bands of
+    * `rows` hashes, bucket-join docs sharing any band, then VERIFY each
+    * candidate pair with exact Jaccard over the shingle sets. With
+    * bands=32, rows=4 the probability of missing a 0.8-Jaccard pair is
+    * (1-0.8^4)^32 ~ 5e-8 — and verification makes every emitted pair
+    * exact. Returns (id_a, id_b, jaccard) like [[ngramJaccardPairs]]. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      bands: Int = 32, rows: Int = 4): DataFrame = {
+    val sh = shingled(df, idCol, textCol, k)
+    val sig = minhashSignatures(df, idCol, textCol, k, bands * rows)
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows))), b))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** SimHash: 64-bit signature where bit j = sign of the sum over tokens
+    * of (bit j of xxhash64(token) -> +1/-1). Computed as 64 conditional
+    * sums in ONE aggregation pass (no row explosion by bit index).
+    * Returns (id, simhash long). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(Text.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"_b$j")
+    }
+    val withSums = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"_b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    withSums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= `maxHamming` via the
+    * pigeonhole chunk join: split 64 bits into `maxHamming+1` chunks — any
+    * pair within distance k must agree exactly on >= 1 chunk. Candidates
+    * join on (chunkIndex, chunkValue); verify with bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(df, idCol, textCol)
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks
+    val chunked = sig.select(col("id"), col("simhash"),
+      posexplode(array((0 until nChunks).map { c =>
+        shiftrightunsigned(col("simhash"), c * width)
+          .bitwiseAND((1L << width) - 1)
+      }: _*)))
+      .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("v"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs >= `threshold`, exact via the
+    * all-pairs path of [[Similarity.cosinePairs]]. For the LSH-bucketed
+    * scale path use [[Similarity]] signatures as the candidate key. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    Similarity.cosinePairs(df, idCol, vecCol).filter(col("cosine") >= threshold)
+}

@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, processed by per-partition batch operators.
+  *
+  * The Spark-side plumbing — schema, partition batching, operator
+  * signatures, deterministic output shape — is real and tested; the codec
+  * layer itself is STUBBED behind [[MediaDecoder]] (this container has no
+  * image/audio libraries), with [[FakeDecoder]] providing a deterministic
+  * hash-derived stand-in so every downstream stage (feature extraction,
+  * resize bookkeeping, frame sampling) is exercised end-to-end. Swapping
+  * in a real JNI/JavaCV decoder is a one-class change.
+  *
+  * Scale notes: payloads never pass through a shuffle — all media ops are
+  * narrow `mapPartitions` over the batch iterator; only extracted features
+  * (small, fixed-width) flow into joins/aggregations. `binaryFile`-style
+  * sources should cap `maxPartitionBytes` so a partition of payloads fits
+  * executor memory.
+  */
+object Multimodal {
+
+  /** media row schema: payload + the metadata a lakehouse would carry. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Decoded intermediate: planar frame/sample data + dims. */
+  final case class Decoded(
+      mediaId: Long, kind: String, width: Int, height: Int,
+      nFrames: Int, samples: Array[Float])
+
+  /** The codec seam. Implementations MUST be deterministic per payload. */
+  trait MediaDecoder extends Serializable {
+    def decode(mediaId: Long, kind: String, payload: Array[Byte]): Decoded
+  }
+
+  /** Deterministic stand-in: "pixels" are a hash-seeded byte expansion of
+    * the payload — stable across executors/runs, shaped like real decode
+    * output (width*height samples, frame count from payload length). */
+  object FakeDecoder extends MediaDecoder {
+    def decode(mediaId: Long, kind: String, payload: Array[Byte]): Decoded = {
+      val p = if (payload == null) Array.emptyByteArray else payload
+      val w = math.max(1, math.min(64, p.length))
+      val h = math.max(1, w / 2)
+      val frames = if (kind == "video") math.max(1, p.length / 256) else 1
+      var seed = 1125899906842597L
+      var i = 0
+      while (i < p.length) { seed = seed * 31 + p(i); i += 1 }
+      val samples = new Array[Float](w * h)
+      var j = 0
+      var s = seed
+      while (j < samples.length) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        samples(j) = ((s >>> 40).toInt & 0xff) / 255.0f
+        j += 1
+      }
+      Decoded(mediaId, kind, w, h, frames, samples)
+    }
+  }
+
+  private val featSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("checksum", StringType, nullable = true),
+    StructField("feature", ArrayType(FloatType), nullable = false)))
+
+  /** Decode + feature-extract, batched per partition (the `mapInPandas`
+    * batch shape, Scala-side): one decoder instance per partition, rows
+    * streamed through it, features = `featDim` pooled buckets. */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder,
+      featDim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val md5Of = java.security.MessageDigest.getInstance("MD5")
+    val _ = md5Of // instantiated per partition below; driver copy unused
+    val rows = media.select("media_id", "kind", "payload").rdd.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val d = decoder.decode(id, kind, payload)
+        // mean-pool samples into featDim buckets
+        val feat = new Array[Float](featDim)
+        val cnt = new Array[Int](featDim)
+        var i = 0
+        while (i < d.samples.length) {
+          val b = i * featDim / math.max(1, d.samples.length)
+          feat(b) += d.samples(i); cnt(b) += 1; i += 1
+        }
+        var j = 0
+        while (j < featDim) { if (cnt(j) > 0) feat(j) /= cnt(j); j += 1 }
+        val sum = if (payload == null) null
+          else {
+            digest.reset()
+            digest.digest(payload).map("%02x".format(_)).mkString
+          }
+        Row(id, kind, d.width, d.height, d.nFrames,
+          (if (payload == null) 0L else payload.length.toLong), sum, feat.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, featSchema)
+  }
+
+  /** Resize bookkeeping: target dims + scale factors — metadata transform
+    * only (a real pipeline would re-encode payloads in the same
+    * mapPartitions pass; the stub keeps payloads opaque). */
+  def resizePlan(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    media
+      .withColumn("target_width", lit(targetW))
+      .withColumn("target_height", lit(targetH))
+      .withColumn("scale_x",
+        when(col("width").isNotNull && col("width") > 0,
+          lit(targetW).cast("double") / col("width")))
+      .withColumn("scale_y",
+        when(col("height").isNotNull && col("height") > 0,
+          lit(targetH).cast("double") / col("height")))
+
+  /** Frame sampling plan for videos: every `everyMs` milliseconds across
+    * the duration — pure metadata expansion, one row per sampled frame. */
+  def frameSamplePlan(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("kind") === "video" && col("duration_ms").isNotNull)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
+          .as("frame_ts_ms"))
+}

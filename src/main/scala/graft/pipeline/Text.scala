@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality signals, language ID, and
+  * document fingerprinting. Everything is built from codegen'd Spark
+  * builtins (no UDFs) so the whole stage stays in WholeStageCodegen and
+  * scales linearly — the difference between a 100 TB pass finishing or
+  * not is precisely whether these run inside codegen or as black boxes.
+  */
+object Text {
+
+  /** Whitespace tokenization, empty-safe: trim first, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: words + punctuation marks each
+    * count, long words count ceil(len/4) pieces — a deterministic stand-in
+    * for a real BPE vocab (which would be a broadcast lookup table). */
+  def tokenCountBpeIsh(text: Column): Column = {
+    val pieces = transform(tokens(text), t => ceil(length(t) / lit(4.0)))
+    (aggregate(pieces, lit(0L), (acc, x) => acc + x.cast("long")) +
+      length(regexp_replace(text, "[^.,!?;:]", ""))).cast("long")
+  }
+
+  /** Per-document quality signals (length/punct/stopword ratios) — the
+    * standard pre-training quality heuristics, each a plain column so
+    * thresholds stay a downstream `filter`. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val stop = filter(toks, x => lower(x).isin(EnglishStopwords: _*))
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("avg_token_len",
+        when(nTok > 0, aggregate(toks, lit(0L), (a, x) => a + length(x))
+          .cast("double") / nTok).otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") /
+          greatest(length(t), lit(1)))
+      .withColumn("stopword_ratio",
+        size(stop).cast("double") / greatest(nTok, lit(1)))
+  }
+
+  /** Language ID via stopword-profile scoring — the classic trigram/
+    * stopword heuristic (no model): score each language by the fraction
+    * of tokens in its closed-class word list, pick the argmax, "und"
+    * (undetermined) when no profile scores above `minScore`. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "with", "as", "on", "be"),
+    "de" -> Seq("der", "die", "das", "und", "oder", "von", "zu", "im", "ist",
+      "es", "den", "mit", "auf", "für", "ein", "eine", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "ou", "de", "du", "des", "est", "il",
+      "un", "une", "dans", "pour", "que", "pas", "sur"),
+    "es" -> Seq("el", "la", "los", "las", "y", "o", "de", "del", "es", "en",
+      "un", "una", "que", "no", "por", "con", "para"))
+
+  def langId(text: Column, minScore: Double = 0.08): Column = {
+    val toks = transform(tokens(text), lower _)
+    val n = greatest(size(toks), lit(1))
+    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (size(filter(toks, t => t.isin(words: _*))).cast("double") / n).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") >= minScore, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set — invariant to token order and repetition, the cheap first-line
+    * near-dup key (full rolling/winnowing hashes live in Dedup). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Word k-shingles, distinct — the unit of Jaccard similarity. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      when(size(ts) >= k,
+        transform(sequence(lit(0), size(ts) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*)))
+        .otherwise(array(concat_ws(" ", ts))))
+  }
+}

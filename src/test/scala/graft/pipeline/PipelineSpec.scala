@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different content about spark engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "dog lazy the over jumps fox brown quick the")) // permuted dup of 1
+    .toDF("doc_id", "text")
+
+  test("tokens/tokenCount/fingerprint: order-invariance and exactness") {
+    val out = docs.select(col("doc_id"), Text.tokenCount(col("text")).as("n"),
+      Text.fingerprint(col("text")).as("fp")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toList.sortBy(_._1)
+    assert(out.map(_._2) == List(9, 9, 8, 9, 9))
+    val fps = out.map(_._3)
+    assert(fps(0) == fps(3) && fps(0) == fps(4)) // 1 == 4 (exact) == 5 (permuted)
+    assert(fps(0) != fps(1) && fps(0) != fps(2))
+  }
+
+  test("quality signals: ratios computed as documented") {
+    val one = Seq((1L, "the cat, the hat!")).toDF("doc_id", "text")
+    val r = Text.qualitySignals(one).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Double]("stopword_ratio") == 0.5) // the, the
+    assert(r.getAs[Double]("punct_ratio") == 2.0 / 17)
+    assert(math.abs(r.getAs[Double]("avg_token_len") - 14.0 / 4) < 1e-12)
+  }
+
+  test("langId identifies real-language samples via stopword profiles") {
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it is happy to be in the sun"),
+      (2L, "der hund und die katze sind im garten mit dem ball"),
+      (3L, "le chat est dans la maison et il ne sort pas pour le moment"),
+      (4L, "el perro y el gato estan en la casa con una pelota"),
+      (5L, "xyzzy plugh quux")) // no profile hits
+      .toDF("id", "text")
+    val out = samples.select(col("id"), Text.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("exact dedup keeps lowest id per identical/normalized content") {
+    val exact = Dedup.keepFirst(docs, col("text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L, 3L, 5L)) // 4 is an exact dup of 1
+    val byFp = Dedup.keepFirst(docs, Text.fingerprint(col("text")), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byFp == Set(1L, 2L, 3L)) // 5 collapses too (order-invariant)
+  }
+
+  test("ngramJaccardPairs exact values; minhashLSH finds the same pairs") {
+    // doc1 vs doc2: 7 shared of 7+7 distinct trigrams -> j = 7/ (7+7-7)=... compute: trigram sets differ in last token only: shingles 1..7, last one differs -> shared 6, union 8 -> 0.75
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.map(t => (t._1, t._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(exact.find(t => t._1 == 1L && t._2 == 4L).get._3 == 1.0)
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact) // verification makes LSH output exact
+  }
+
+  test("simhash: identical docs distance 0; near dups small distance; banding finds them") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("cosine similarity: brute-force exact; LSH recall on clustered vectors") {
+    // 3 tight clusters of 4 vectors each in 8 dims + mild noise
+    val vecs = (0 until 12).map { i =>
+      val c = i / 4
+      val base = Array.fill(8)(0.05f)
+      base(c * 2) = 1.0f; base(c * 2 + 1) = 0.8f
+      base(7 - c) += (i % 4) * 0.01f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every vector's top-3 are its cluster-mates
+    assert(brute == (0 until 12).flatMap { i =>
+      val c = i / 4
+      (c * 4 until c * 4 + 4).filter(_ != i).map(j => (i.toLong, j.toLong))
+    }.toSet)
+    val lsh = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", k = 3,
+      bands = 8, bitsPerBand = 4)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall too low")
+  }
+
+  test("multimodal: stub decode is deterministic; features/resize/frames shaped right") {
+    import org.apache.spark.sql.Row
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", "img-bytes-payload-one".getBytes("UTF-8"), "image/png",
+          Integer.valueOf(640), Integer.valueOf(480), null),
+        Row(2L, "video", Array.fill(600)(7.toByte), "video/mp4",
+          Integer.valueOf(1920), Integer.valueOf(1080), java.lang.Long.valueOf(3000L)),
+        Row(3L, "audio", "aud".getBytes("UTF-8"), "audio/wav",
+          null, null, java.lang.Long.valueOf(1000L)))),
+      Multimodal.mediaSchema)
+    val f1 = Multimodal.extractFeatures(media, Multimodal.FakeDecoder).collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getLong(5), r.getString(6),
+        r.getSeq[Float](7))).sortBy(_._1)
+    val f2 = Multimodal.extractFeatures(media, Multimodal.FakeDecoder).collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getLong(5), r.getString(6),
+        r.getSeq[Float](7))).sortBy(_._1)
+    assert(f1.toSeq == f2.toSeq) // deterministic across runs
+    assert(f1.forall(_._5.length == 16))
+    assert(f1(1)._2 == 600 / 256) // video frame count from payload length
+    val rp = Multimodal.resizePlan(media, 224, 224)
+      .filter(col("media_id") === 1L).collect()(0)
+    assert(rp.getAs[Double]("scale_x") == 224.0 / 640)
+    val frames = Multimodal.frameSamplePlan(media, everyMs = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(frames == Set((2L, 0L), (2L, 1000L), (2L, 2000L)))
+  }
+}
