@@ -12,7 +12,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
 
-    val qs = Queries.all.filter(_.bench)
+    val qs =
+      if (args.nonEmpty) Queries.all.filter(q => args.contains(q.name))
+      else Queries.all.filter(_.bench)
     // Warm up the JVM/parquet footers once, outside the timings.
     qs.headOption.foreach(q =>
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save())

@@ -32,45 +32,71 @@ object Dedup {
   def keepFirstByHash(df: DataFrame, on: Column, idCol: String): DataFrame =
     keepFirst(df, md5(on.cast("string")), idCol)
 
-  /** (id, shingleSet) prep shared by jaccard/minhash paths. */
+  /** (id, shingleSet) prep shared by jaccard/minhash paths. Tokens are
+    * materialized as an attribute before shingling (see
+    * [[Text.shinglesOf]] PERF note). */
   private def shingled(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    df.select(col(idCol).as("id"), Text.shingles(col(textCol), k).as("sh"))
+    Text.withShingles(df.select(col(idCol).as("id"), col(textCol)), textCol, k)
+      .select("id", "sh")
 
-  /** Exact all-pairs n-gram Jaccard >= `threshold` via inverted-index
-    * join: explode shingles, self-join on shingle (id_a < id_b), count
-    * shared shingles, reconstruct |union| = |A| + |B| - shared. Returns
-    * (id_a, id_b, jaccard). Exact — no LSH approximation. */
+  /** Exact all-pairs n-gram Jaccard >= `threshold` via PREFIX-FILTERED
+    * inverted-index join (the PPJoin family — exact, not LSH):
+    *
+    *  1. order shingles by global rarity (docFreq asc, shingle asc);
+    *  2. index only each doc's first |A| - ceil(t*|A|) + 1 shingles in
+    *     that order (the prefix-filtering lemma: any pair with J >= t
+    *     must share a prefix element — common shingles land OUTSIDE the
+    *     prefix, so the hot-key quadratic blowup of a naive
+    *     shingle-equality join disappears);
+    *  3. verify every candidate pair with exact Jaccard on the full sets.
+    *
+    * The naive inverted join was the sf0.1 bench bottleneck (~45 s); the
+    * prefix filter is what keeps this join bounded at 100 TB. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = shingled(df, idCol, textCol, k)
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-    val shared = inv.as("a").join(inv.as("b"),
+    val cands = prefixCandidates(sh, threshold)
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Candidate pairs sharing an element of both docs' rarity-ordered
+    * prefixes. Exact w.r.t. Jaccard >= threshold (no false negatives). */
+  private def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    val inv = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = inv.join(freq, "s")
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+      .filter(col("_r") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("id", "s")
+    ranked.as("a").join(ranked.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), "id_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** MinHash signature: `numHashes` permutations approximated by
     * xxhash64(shingle, seed); signature element i = min hash under seed i.
-    * Returns (id, sig array<long>). One pass over exploded shingles with
-    * `numHashes` min-aggregates — no per-row loops, stays in codegen. */
+    * Returns (id, sig array<long>). Computed as a NARROW nested-array
+    * transform (array_min over per-seed hashes) — zero shuffle, zero
+    * explode; the previous explode+groupBy formulation shuffled every
+    * (doc x shingle) row and was the second sf0.1 bench bottleneck. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 128): DataFrame = {
-    val sh = shingled(df, idCol, textCol, k)
+    val m = minhashAggs(shingled(df, idCol, textCol, k), numHashes)
+    m.select(col("id"),
+      array((0 until numHashes).map(i => col(s"_h$i")): _*).as("sig"))
+  }
+
+  /** (id, _h0.._hN) minhash columns via explode + N codegen'd min-aggs —
+    * measured faster than the nested-HOF formulation (lambdas are
+    * interpreted; hash aggregates are whole-stage codegen'd). */
+  private def minhashAggs(sh: DataFrame, numHashes: Int): DataFrame = {
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("s"), lit(i))).as(s"_h$i"))
     inv.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"_h$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding: split the signature into `bands` bands of
@@ -83,10 +109,17 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.8,
       bands: Int = 32, rows: Int = 4): DataFrame = {
     val sh = shingled(df, idCol, textCol, k)
-    val sig = minhashSignatures(df, idCol, textCol, k, bands * rows)
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows))), b))))
+    // Band bucket = hash of the band's `rows` minhash AGG COLUMNS —
+    // attribute references, so each minhash is computed exactly once.
+    // (Deriving bands from a shared array-expression column re-inlines
+    // the whole signature expression per band after projection collapse —
+    // a `bands`x eval blowup that hung the sf0.1 bench.)
+    val sig = minhashAggs(sh, bands * rows)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(((b * rows until (b + 1) * rows).map(i => col(s"_h$i")) :+
+        lit(b)): _*)
+    }
+    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -24,6 +24,24 @@ class PipelineSpec extends SparkSpec {
     assert(fps(0) != fps(1) && fps(0) != fps(2))
   }
 
+  test("regex fast-path shingles are identical to the HOF formulation") {
+    // includes multi-space, short (<k tokens), and mid-word-trap inputs:
+    // an unanchored lookahead also fires at intra-token offsets ("ello
+    // world x"), which silently inflates shingle sets (caught at sf0.01)
+    val tricky = Seq((1L, "hello world and more words here"),
+      (2L, "two  spaced   tokens"), (3L, "short one"), (4L, "single"),
+      (5L, " leading and trailing  ")).toDF("doc_id", "text")
+    val fast = Text.withShingles(tricky, "text", 3)
+      .select("doc_id", "sh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val hof = tricky.select(col("doc_id"),
+      Text.shingles(col("text"), 3).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(fast == hof)
+    assert(fast(1L).contains("hello world and") && !fast(1L).exists(_.startsWith("ello")))
+    assert(fast(4L) == Set("single"))
+  }
+
   test("quality signals: ratios computed as documented") {
     val one = Seq((1L, "the cat, the hat!")).toDF("doc_id", "text")
     val r = Text.qualitySignals(one).collect()(0)
