@@ -83,18 +83,21 @@ object Resolve {
       timed0.filter(col("ts") >= lo && col("ts") < hi)
     }
 
-    // Same-(coords,ts) duplicate writes: keep highest seq only.
-    val dupW = Window.partitionBy("row", "family", "qualifier", "ts")
-      .orderBy(col("seq").desc)
-    val deduped = timed
-      .withColumn("_dup", row_number().over(dupW))
-      .filter(col("_dup") === 1).drop("_dup")
-
-    // Version cap, newest first (`row_number <= maxVersions`).
-    val verW = wCol.orderBy(col("ts").desc, col("seq").desc)
-    deduped
-      .withColumn("_v", row_number().over(verW))
-      .filter(col("_v") <= view.maxVersions)
-      .drop("_v")
+    // Duplicate-write dedup (same coords+ts: highest seq wins) and the
+    // version cap share ONE sort: within (row,family,qualifier) ordered
+    // by (ts desc, seq desc), a duplicate is a row whose predecessor has
+    // the same ts (lag), and the version index is dense_rank over ts desc
+    // (each distinct ts = one version). The second window's coarser order
+    // is satisfied by the first's output ordering — no extra sort, where
+    // the previous two-window formulation (partition by ...+ts) paid a
+    // full re-sort of every cell.
+    val wTs = wCol.orderBy(col("ts").desc, col("seq").desc)
+    val wVer = wCol.orderBy(col("ts").desc)
+    timed
+      .withColumn("_prevTs", lag("ts", 1).over(wTs))
+      .withColumn("_v", dense_rank().over(wVer))
+      .filter((col("_prevTs").isNull || col("_prevTs") =!= col("ts")) &&
+        col("_v") <= view.maxVersions)
+      .drop("_prevTs", "_v")
   }
 }
