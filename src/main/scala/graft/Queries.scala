@@ -57,6 +57,9 @@ object Queries {
   private val ordersCols =
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
+  private val customerCols =
+    "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),
     StructField("c_name", StringType),
@@ -256,6 +259,116 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  private def customerByNameCells(s: SparkSession, dir: String): DataFrame =
+    CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_name"))
+
+  private val rowFilterRegex = Q("row_filter_regex", Some(s"""
+    SELECT $customerCols FROM customer
+    WHERE regexp_matches(c_name, '^Customer#0000001[0-9]$$')
+    ORDER BY c_custkey""")) { (s, dir) =>
+    val scan = Scan().setFilter(RowFilter(CompareOp.EQUAL,
+      RegexStringComparator("^Customer#0000001[0-9]$")))
+    CellCodec.decode(ScanExec(customerByNameCells(s, dir), scan), customerSchema)
+      .orderBy("c_custkey")
+  }
+
+  private val qualifierFilter = Q("qualifier_filter", Some("""
+    SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+    FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
+    // binary >= on qualifier names: keeps o_orderkey..o_totalprice
+    val scan = Scan().setFilter(QualifierFilter(CompareOp.GREATER_OR_EQUAL,
+      BinaryComparator(Bytes.toBytes("o_orderkey"))))
+    CellCodec.decode(ScanExec(ordersCells(s, dir), scan),
+      sub(ordersSchema, "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val timestampsFilter = Q("timestamps_filter", Some(s"""
+    SELECT $ordersCols FROM orders WHERE o_orderkey % 5 + 1 IN (1, 3)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    // synthetic per-row version stamps: ts = key % 5 + 1
+    val cells = CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"),
+      tsCol = Some(col("o_orderkey") % 5 + 1))
+    val scan = Scan().setFilter(TimestampsFilter(Seq(1L, 3L)))
+    CellCodec.decode(ScanExec(cells, scan), ordersSchema)
+      .orderBy("o_orderkey")
+  }
+
+  private val columnCountGet = Q("column_count_get", Some("""
+    SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    // first 3 qualifiers in (family, qualifier) order: custkey, orderdate, orderkey
+    val scan = Scan().setFilter(ColumnCountGetFilter(3))
+    CellCodec.decode(ScanExec(ordersCells(s, dir), scan),
+      sub(ordersSchema, "o_orderkey", "o_custkey", "o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  private val skipFilterQ = Q("skip_filter", Some(s"""
+    SELECT $ordersCols FROM orders WHERE o_orderstatus <> 'F'
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    // SkipFilter: one failing cell (status == 'F') vetoes the whole row
+    val scan = Scan().setFilter(SkipFilter(
+      ValueFilter(CompareOp.NOT_EQUAL, BinaryComparator(Bytes.toBytes("F")))))
+    CellCodec.decode(ScanExec(ordersCells(s, dir), scan), ordersSchema)
+      .orderBy("o_orderkey")
+  }
+
+  private val whileMatch = Q("while_match_scan", Some(s"""
+    SELECT $ordersCols FROM orders WHERE o_orderkey < 1000
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val scan = Scan().setFilter(WhileMatchFilter(
+      RowFilter(CompareOp.LESS, BinaryComparator(Bytes.toBytes(1000L)))))
+    CellCodec.decode(ScanExec(ordersCells(s, dir), scan), ordersSchema)
+      .orderBy("o_orderkey")
+  }
+
+  private val filterListOr = Q("filter_list_or", Some(s"""
+    SELECT $customerCols FROM customer
+    WHERE c_name LIKE 'Customer#0000001%' OR c_name LIKE 'Customer#0000002%'
+    ORDER BY c_custkey""")) { (s, dir) =>
+    val scan = Scan().setFilter(FilterList.or(
+      PrefixFilter(Bytes.toBytes("Customer#0000001")),
+      PrefixFilter(Bytes.toBytes("Customer#0000002"))))
+    CellCodec.decode(ScanExec(customerByNameCells(s, dir), scan), customerSchema)
+      .orderBy("c_custkey")
+  }
+
+  private val scvExclude = Q("single_column_value_exclude", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""")) { (s, dir) =>
+    val scan = Scan().setFilter(SingleColumnValueExcludeFilter(
+      "o", Bytes.toBytes("o_orderstatus"),
+      CompareOp.EQUAL, BinaryComparator(Bytes.toBytes("F"))))
+    CellCodec.decode(ScanExec(ordersCells(s, dir), scan),
+      sub(ordersSchema, "o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  private val binaryPrefixScan = Q("binary_prefix_value", Some("""
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority LIKE '1-%' ORDER BY o_orderkey""")) { (s, dir) =>
+    val scan = Scan().addColumn("o", Bytes.toBytes("o_orderpriority"))
+      .setFilter(ValueFilter(CompareOp.EQUAL,
+        BinaryPrefixComparator(Bytes.toBytes("1-"))))
+    CellCodec.decode(ScanExec(ordersCells(s, dir), scan),
+      sub(ordersSchema, "o_orderpriority"),
+      key = Seq("o_orderkey" -> LongType))
+      .orderBy("o_orderkey")
+  }
+
+  private val groupingMapperAgg = Q("grouping_mapper_agg", Some("""
+    SELECT c_mktsegment AS group_key, count(*) AS cnt FROM customer
+    GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+    val resolved = ScanExec(
+      CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_custkey")), Scan())
+    graft.jobs.Jobs.groupingKey(resolved, "c", Seq(Bytes.toBytes("c_mktsegment")))
+      .groupBy(col("groupKey").cast(StringType).as("group_key"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("group_key")
+  }
+
   // ----------------------------------------------------------------------
   // Version semantics (SURVEY §7.2): event-time versions over the events
   // table; the oracle is the equivalent windowed SQL.
@@ -298,9 +411,6 @@ object Queries {
   // Write surface (SURVEY §2.2): mutations are batch merges; visibility is
   // read-time. Oracles express the post-merge state in plain SQL.
   // ----------------------------------------------------------------------
-
-  private val customerCols =
-    "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
 
   private val deleteFamilyScan = Q("delete_family_scan", Some(s"""
     SELECT $customerCols FROM customer WHERE c_acctbal >= 0
@@ -615,6 +725,9 @@ object Queries {
     scanRange, getPoint, getRowOrBefore, rowCounter,
     prefixFilter, columnPrefixFilter, valueFilterSubstr, valueFilterRegex,
     inclusiveStop, pageFilter, columnPagination,
+    rowFilterRegex, qualifierFilter, timestampsFilter, columnCountGet,
+    skipFilterQ, whileMatch, filterListOr, scvExclude, binaryPrefixScan,
+    groupingMapperAgg,
     versionsLatest, timeRangeScan,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, asofScan,
