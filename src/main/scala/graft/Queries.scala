@@ -504,6 +504,23 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  private val bulkLoadScan = Q("bulk_load_scan", Some(s"""
+    SELECT $customerCols FROM customer ORDER BY c_custkey""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val root = java.nio.file.Files.createTempDirectory("graft-q-bulk").toString
+    val g = graft.Graft(s, root)
+    g.createTable(TableDescriptor("cust", Seq(FamilyDescriptor("c")),
+      splitKeys = 8), nowMs = 1L)
+    // "prepared HFiles": cell parquet written outside the table, adopted
+    // by reference (LoadIncrementalHFiles semantics — no rewrite)
+    val prepared = s"$root/prepared"
+    CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_custkey"))
+      .write.parquet(prepared)
+    g.catalog.bulkLoad("cust", prepared, nowMs = 2L)
+    CellCodec.decode(ScanExec(g.catalog.read("cust"), Scan()), customerSchema)
+      .orderBy("c_custkey")
+  }
+
   private val asofScan = Q("asof_scan", Some("""
     SELECT user_id, event_type, value FROM (
       SELECT user_id, event_type, value,
@@ -730,7 +747,7 @@ object Queries {
     groupingMapperAgg,
     versionsLatest, timeRangeScan,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
-    snapshotScan, asofScan,
+    snapshotScan, asofScan, bulkLoadScan,
     copyTableScan, importTsvScan, replicationStream,
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, textQuality, textLangid, similarityTopk, dedupEmbedding,

@@ -224,6 +224,25 @@ final class Catalog(spark: SparkSession, root: String) {
     m
   }
 
+  /** `LoadIncrementalHFiles` analog (`LoadIncrementalHFiles.java:59`):
+    * adopt an already-written parquet cell directory into the table by
+    * reference — a manifest append, no data read, copy, or rewrite. The
+    * caller promises the dir holds Cell-schema parquet (e.g. produced by
+    * an `HFileOutputFormat`-style job via [[append]]'s layout on another
+    * table, or an export). The reference splits straddling HFiles across
+    * regions; our range partitioning has no per-region files to straddle. */
+  def bulkLoad(t: String, dataDir: String, nowMs: Long): Manifest = {
+    val cur = currentManifest(t)
+    require(!cur.descriptor.readOnly, s"table $t is read-only")
+    require(fs.exists(new Path(dataDir)), s"no such data dir: $dataDir")
+    val v = cur.version + 1
+    val m = cur.copy(version = v, createdMs = nowMs,
+      dataDirs = cur.dataDirs :+ dataDir)
+    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
+    commitCurrent(t, v)
+    m
+  }
+
   /** Commit a new manifest version with explicit data dirs (restore/clone
     * repoint — copy-on-write, no data touched). */
   def commitDataDirs(t: String, dataDirs: Seq[String], nowMs: Long): Manifest = {

@@ -114,6 +114,21 @@ class SnapshotSpec extends SparkSpec {
     assert(got == Set("v1", "v2"))
   }
 
+  test("bulkLoad adopts a pre-written cell dir by reference (no rewrite)") {
+    val g = freshGraft()
+    g.createTable(desc, 1L)
+    g.table("t").put(Seq(Put(b("r1")).add("f", b("q"), b("v1"))), 2L)
+    // prepared "HFiles": a cell-schema parquet dir written elsewhere
+    val ext = Files.createTempDirectory("graft-bulk").toString + "/prepared"
+    cells(Seq(graft.core.Cell.put(b("r2"), "f", b("q"), 3L, b("v2"))))
+      .toDF().write.parquet(ext)
+    g.catalog.bulkLoad("t", ext, 4L)
+    assert(rows(g, "t") == Set(("r1", "v1"), ("r2", "v2")))
+    // vacuum never touches externally-referenced dirs
+    g.vacuum("t")
+    assert(rows(g, "t") == Set(("r1", "v1"), ("r2", "v2")))
+  }
+
   test("increment and checkAndMutate through the table facade") {
     val g = freshGraft()
     g.createTable(desc, 1L)
