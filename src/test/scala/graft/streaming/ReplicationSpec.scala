@@ -53,6 +53,37 @@ class ReplicationSpec extends SparkSpec {
     assert(state() == Set(("r2", "v2")))
   }
 
+  test("windowed edit counts with watermark; stateful running counters") {
+    val work = Files.createTempDirectory("graft-repl3").toString
+    cells(Seq(
+      Cell.put(b("r1"), "f", b("q"), 1000L, b("a")),
+      Cell.put(b("r1"), "f", b("q"), 1500L, b("b")),
+      Cell.put(b("r2"), "g", b("q"), 61000L, b("c")))).toDF()
+      .write.parquet(s"$work/feed/b1")
+    val feed = Replication.changeFeed(spark, s"$work/feed")
+
+    // complete mode: every window state emitted per batch (append mode
+    // would emit a window only once a LATER batch advances the watermark
+    // past it — with a single AvailableNow batch nothing would surface)
+    val q1 = Replication.windowedEditCounts(feed, "1 minute", "10 seconds")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val wins = spark.table("win_counts").collect()
+      .map(r => (r.getAs[String]("family"), r.getAs[Long]("edits"))).toSet
+    assert(wins == Set(("f", 2L), ("g", 1L)))
+
+    val q2 = Replication.runningEditCounts(feed)
+      .writeStream.format("memory").queryName("run_counts")
+      .outputMode("update").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val counts = spark.table("run_counts").collect()
+      .map(r => r.getAs[Long]("edits")).sorted.toSeq
+    assert(counts == Seq(1L, 2L)) // r1/f/q counted twice, r2/g/q once
+  }
+
   test("latestState streaming aggregation tracks current value per column") {
     val work = Files.createTempDirectory("graft-repl2").toString
     cells(Seq(
