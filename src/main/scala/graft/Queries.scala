@@ -570,6 +570,32 @@ object Queries {
       .orderBy("_k").drop("_k")
   }
 
+  // As-of join: for each order by a user in the events keyspace, the
+  // user's latest event strictly-or-equal before the order date. DuckDB's
+  // native ASOF JOIN is the oracle (matches >= semantics, picks max ts).
+  private val asOfJoinQ = Q("as_of_join", Some("""
+    SELECT o_orderkey, user_id, event_id FROM (
+      SELECT o.o_orderkey, e.user_id, e.event_id
+      FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+            WHERE o_custkey <= 150) o
+      ASOF JOIN events e
+        ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val orders = t(s, dir, "orders").filter(col("o_custkey") <= 150)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val events = t(s, dir, "events").select("user_id", "event_id", "ts")
+    graft.jobs.Jobs.asOfJoin(
+      orders, events,
+      leftKey = col("o_custkey"), rightKey = col("user_id"),
+      // compare in epoch nanos on both sides (events.ts is long nanos)
+      leftTs = unix_micros(col("o_orderdate").cast(TimestampType)) * 1000L,
+      rightTs = col("ts"),
+      payloadCols = Seq("user_id", "event_id"))
+      .filter(col("event_id").isNotNull) // ASOF JOIN is inner: drop no-match rows
+      .select("o_orderkey", "user_id", "event_id")
+      .orderBy("o_orderkey")
+  }
+
   private val replicationStream = Q("replication_stream", Some("""
     SELECT user_id, event_type, value FROM (
       SELECT user_id, event_type, value,
@@ -748,7 +774,7 @@ object Queries {
     versionsLatest, timeRangeScan,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, asofScan, bulkLoadScan,
-    copyTableScan, importTsvScan, replicationStream,
+    copyTableScan, importTsvScan, replicationStream, asOfJoinQ,
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, textQuality, textLangid, similarityTopk, dedupEmbedding,
     multimodalFeatures)

@@ -3,6 +3,7 @@ package graft.jobs
 import graft.core.{Bytes, CellCodec, CellKind}
 import graft.read.{Scan, ScanExec}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -78,6 +79,40 @@ object Jobs {
         lit(0L).as("seq"))
       .filter(col("value").isNotNull)
     (cells, bad)
+  }
+
+  /** As-of join — the reference's closest-row-before lookup
+    * (`Store.getRowKeyAtOrBefore:980`, `GetClosestRowBeforeTracker`)
+    * generalized to a relational operator: for every left row, the latest
+    * right row with the same key and `rightTs <= leftTs`.
+    *
+    * Single-pass window formulation (no range-join explosion): union both
+    * sides tagged, sort within key by (ts, tag) with right rows first at
+    * equal ts, carry the last seen right payload forward with
+    * `last(ignoreNulls)`, keep left rows. One exchange on the key, one
+    * sort — survives arbitrarily large sides (vs broadcasting or
+    * per-key collect). */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, leftTs: Column, rightTs: Column,
+      payloadCols: Seq[String]): DataFrame = {
+    val lCols = Seq(leftKey.as("_k"), leftTs.as("_ts"), lit(1).as("_side")) ++
+      left.columns.map(c => col(c)) ++
+      payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_p_$c"))
+    val rCols = Seq(rightKey.as("_k"), rightTs.as("_ts"), lit(0).as("_side")) ++
+      left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      payloadCols.map(c => col(c).as(s"_p_$c"))
+    val l = left.select(lCols: _*)
+    val r = right.select(rCols: _*)
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var joined = l.unionByName(r)
+    for (c <- payloadCols)
+      joined = joined.withColumn(s"_p_$c",
+        last(col(s"_p_$c"), ignoreNulls = true).over(w))
+    joined.filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(s"_p_$c").as(c)): _*)
   }
 
   /** `GroupingTableMapper` (`GroupingTableMapper.java:39`): build the MR

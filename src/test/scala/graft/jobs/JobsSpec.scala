@@ -50,6 +50,20 @@ class JobsSpec extends SparkSpec {
       ("row3", "f", "c1", 7L, "v3"), ("row3", "g", "c2", 7L, "w3")))
   }
 
+  test("asOfJoin picks latest right row with ts <= left ts, per key") {
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 10L, "o1"), (1L, 25L, "o2"), (2L, 5L, "o3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, "e10"), (1L, 20L, "e20"), (1L, 30L, "e30"),
+      (2L, 7L, "e7"))
+      .toDF("rk", "rt", "ev")
+    val out = Jobs.asOfJoin(left, right,
+      col("k"), col("rk"), col("t"), col("rt"), Seq("ev"))
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[String]("ev"))).toSet
+    // o1: equal-ts right row visible (>= semantics); o3: no event <= 5
+    assert(out == Set(("o1", "e10"), ("o2", "e20"), ("o3", null)))
+  }
+
   test("groupingKey concatenates chosen column values space-joined") {
     val resolved = Resolve(fixture())
     val keys = Jobs.groupingKey(resolved, "f", Seq(b("a"), b("b")))
