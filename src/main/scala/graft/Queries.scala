@@ -730,6 +730,26 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // IVF with nProbe == nLists probes every list — the full IVF machinery
+  // (train/assign/probe/re-rank) with provably exact output, so the
+  // brute-force oracle applies verbatim.
+  private val similarityIvf = Q("similarity_ivf_topk", Some(s"""
+    SELECT query_id, rank, nn_id, cosine FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS nn_id, $duckCos AS cosine,
+        row_number() OVER (PARTITION BY a.vec_id
+          ORDER BY $duckCos DESC, b.vec_id) AS rank
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10) a
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+        ON a.vec_id <> b.vec_id)
+    WHERE rank <= 5 ORDER BY query_id, rank""")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nLists = 8, nProbe = 8, iters = 2)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   private val dedupEmbedding = Q("dedup_embedding", Some(s"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, $duckCos AS cosine
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
@@ -776,8 +796,8 @@ object Queries {
     snapshotScan, asofScan, bulkLoadScan,
     copyTableScan, importTsvScan, replicationStream, asOfJoinQ,
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, textQuality, textLangid, similarityTopk, dedupEmbedding,
-    multimodalFeatures)
+    dedupSimhash, textQuality, textLangid, similarityTopk, similarityIvf,
+    dedupEmbedding, multimodalFeatures)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

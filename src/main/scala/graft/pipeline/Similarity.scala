@@ -54,6 +54,77 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: k-means-lite coarse quantizer + probed
+    * buckets + exact re-rank — the other standard scale path besides LSH.
+    *
+    * Deterministic throughout (no RNG): centroids initialize from the `k`
+    * lowest-id vectors and refine with `iters` Lloyd steps computed as
+    * broadcast-join + groupBy-average — all DataFrame ops, so the corpus
+    * never leaves executors; only the k centroids (tiny) pass through the
+    * driver between iterations, which is how IVF training works on any
+    * cluster. Queries probe the `nProbe` nearest centroids and re-rank
+    * exactly within those buckets: approximate in recall only. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+
+    // ---- train the coarse quantizer (k-means-lite)
+    var centroids: Seq[(Int, Seq[Double])] = c.orderBy("_id").limit(nLists)
+      .select(col("_v")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Any](0).map(x => x.toString.toDouble))
+      }.toSeq
+    for (_ <- 0 until iters) {
+      val cdf = centroids.toDF("cid", "cv")
+      val assigned = c.crossJoin(broadcast(cdf))
+        .withColumn("_d", dot(col("_v"), col("cv")) /
+          (norm(col("_v")) * norm(col("cv"))))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("_id").orderBy(col("_d").desc, col("cid"))))
+        .filter(col("_rn") === 1)
+      centroids = assigned.groupBy("cid")
+        .agg(collect_list(col("_v")).as("vs"))
+        .select(col("cid"), aggregateMean(col("vs")).as("cv"))
+        .as[(Int, Seq[Double])].collect().toSeq
+    }
+    val cdf = broadcast(centroids.toDF("cid", "cv"))
+
+    // ---- assign corpus to lists; queries probe nProbe lists
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame =
+      df.crossJoin(cdf)
+        .withColumn("_d", dot(col(v), col("cv")) / (norm(col(v)) * norm(col("cv"))))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(id).orderBy(col("_d").desc, col("cid"))))
+        .filter(col("_rn") <= keep)
+        .drop("_d", "_rn", "cv")
+    val corpusLists = assign(
+      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("_cv2")), "nn_id", "_cv2", 1)
+    val queryLists = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")), "query_id", "_qv", nProbe)
+
+    // ---- exact re-rank within probed lists
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
+    corpusLists.join(queryLists, "cid")
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("_qv"), col("_cv2")).as("cosine"))
+      .dropDuplicates("query_id", "nn_id")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Element-wise mean of a collected list of vectors (used only on the
+    * k centroid groups — never on the full corpus). */
+  private def aggregateMean(vs: Column): Column = {
+    val n = size(vs)
+    val sum = aggregate(vs,
+      transform(element_at(vs, 1), x => x.cast("double") * 0.0),
+      (acc, v) => zip_with(acc, v, (a, b) => a + b.cast("double")))
+    transform(sum, x => x / n)
+  }
+
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) where
     * hyperplane components are deterministic +/-1 pseudo-random values
     * derived from xxhash64(j, dim) — reproducible across executors with

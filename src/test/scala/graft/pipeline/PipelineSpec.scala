@@ -119,6 +119,25 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low")
   }
 
+  test("IVF top-k: high recall vs brute force on clustered vectors") {
+    val vecs = (0 until 24).map { i =>
+      val c = i / 8
+      val base = Array.fill(8)(0.05f)
+      base(c * 2) = 1.0f; base(c * 2 + 1) = 0.8f
+      base(7 - c) += (i % 8) * 0.01f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding", k = 3,
+      nLists = 3, nProbe = 2, iters = 2)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall too low")
+  }
+
   test("multimodal: stub decode is deterministic; features/resize/frames shaped right") {
     import org.apache.spark.sql.Row
     val media = spark.createDataFrame(
