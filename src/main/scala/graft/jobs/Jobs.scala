@@ -81,6 +81,20 @@ object Jobs {
     (cells, bad)
   }
 
+  /** `MultiTableOutputFormat` (`MultiTableOutputFormat.java:58`): route a
+    * cell batch carrying a table-name column into multiple catalog
+    * tables. Only the table-name list (small by construction) crosses the
+    * driver; each table's slice is appended as a distributed write. */
+  def multiTableWrite(g: graft.Graft, cells: DataFrame, tableCol: String,
+      nowMs: Long): Seq[String] = {
+    val tables = cells.select(tableCol).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    tables.foreach { t =>
+      g.catalog.append(t, cells.filter(col(tableCol) === t).drop(tableCol), nowMs)
+    }
+    tables
+  }
+
   /** As-of join — the reference's closest-row-before lookup
     * (`Store.getRowKeyAtOrBefore:980`, `GetClosestRowBeforeTracker`)
     * generalized to a relational operator: for every left row, the latest

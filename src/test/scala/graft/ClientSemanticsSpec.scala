@@ -1,0 +1,95 @@
+package graft
+
+import graft.catalog.{FamilyDescriptor, TableDescriptor}
+import graft.core.Bytes
+import graft.read.{Get, Scan}
+import graft.write.{Delete, Put}
+import java.nio.file.Files
+
+/** Behavioral spec transcribed from the reference's
+  * `TestFromClientSide.java` (3695 LoC — the de-facto client-API spec:
+  * versions, deletes, timestamps, family projections) driven through the
+  * Graft facade over a multi-batch table lifecycle. */
+class ClientSemanticsSpec extends SparkSpec {
+
+  private def b(s: String) = Bytes.toBytes(s)
+
+  private def fresh(maxVersions: Int = 3, ttlMs: Option[Long] = None): Graft = {
+    val g = Graft(spark, Files.createTempDirectory("graft-client").toString)
+    g.createTable(TableDescriptor("t", Seq(
+      FamilyDescriptor("f", maxVersions, ttlMs),
+      FamilyDescriptor("g", maxVersions, ttlMs)), splitKeys = 2), 1L)
+    g
+  }
+
+  private def vals(df: org.apache.spark.sql.DataFrame): Set[(String, Long, String)] =
+    df.collect().map { r =>
+      (r.getAs[String]("family"), r.getAs[Long]("ts"),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+    }.toSet
+
+  test("multi-version put/get across separate write batches") {
+    val g = fresh()
+    val t = g.table("t")
+    // four versions written in four commits (four data dirs)
+    (1 to 4).foreach(i => t.put(Seq(
+      Put(b("r")).add("f", b("q"), i.toLong, b(s"v$i"))), nowMs = i.toLong))
+    assert(vals(t.get(Get(b("r")))) == Set(("f", 4L, "v4")))
+    assert(vals(t.get(Get(b("r")).setMaxVersions(3))) ==
+      Set(("f", 4L, "v4"), ("f", 3L, "v3"), ("f", 2L, "v2")))
+    // explicit time range: [2, 4) newest-first
+    assert(vals(t.get(Get(b("r")).setMaxVersions(1).setTimeRange(2L, 4L))) ==
+      Set(("f", 3L, "v3")))
+  }
+
+  test("delete granularities across batches mirror TestFromClientSide") {
+    val g = fresh()
+    val t = g.table("t")
+    t.put(Seq(
+      Put(b("r")).add("f", b("q1"), 1L, b("a1")).add("f", b("q1"), 3L, b("a3"))
+        .add("f", b("q2"), 2L, b("b2")).add("g", b("q1"), 2L, b("c2"))), 1L)
+    // point delete of q1@3 only
+    t.delete(Seq(Delete(b("r")).deleteColumn("f", b("q1"), 3L)), 2L)
+    assert(vals(t.scan(Scan().setMaxVersions(5))) ==
+      Set(("f", 1L, "a1"), ("f", 2L, "b2"), ("g", 2L, "c2")))
+    // deleteFamily masks everything in f up to its stamp; g untouched
+    t.delete(Seq(Delete(b("r")).deleteFamily("f", 5L)), 3L)
+    assert(vals(t.scan(Scan().setMaxVersions(5))) == Set(("g", 2L, "c2")))
+    // write AFTER the family tombstone is visible again
+    t.put(Seq(Put(b("r")).add("f", b("q1"), 9L, b("back"))), 4L)
+    assert(vals(t.scan(Scan().setMaxVersions(5))) ==
+      Set(("f", 9L, "back"), ("g", 2L, "c2")))
+  }
+
+  test("TTL from the family descriptor hides expired cells at read time") {
+    val g = fresh(ttlMs = Some(100L))
+    val t = g.table("t")
+    t.put(Seq(
+      Put(b("r")).add("f", b("q"), 100L, b("old")),
+      Put(b("r2")).add("f", b("q"), 950L, b("new"))), 1L)
+    assert(vals(t.scan(Scan(), nowMs = 1000L)) == Set(("f", 950L, "new")))
+    // without a clock the table shows everything
+    assert(vals(t.scan(Scan().setMaxVersions(5), nowMs = 0L)).size == 2)
+  }
+
+  test("family projection only scans requested stores") {
+    val g = fresh()
+    val t = g.table("t")
+    t.put(Seq(Put(b("r")).add("f", b("q"), 1L, b("fv")).add("g", b("q"), 1L, b("gv"))), 1L)
+    assert(vals(t.scan(Scan().addFamily("g"))) == Set(("g", 1L, "gv")))
+  }
+
+  test("multiTableWrite routes cells to their tables") {
+    import org.apache.spark.sql.functions._
+    val g = fresh()
+    g.createTable(TableDescriptor("t2", Seq(FamilyDescriptor("f")), splitKeys = 2), 1L)
+    val batch = cells(Seq(
+      graft.core.Cell.put(b("r1"), "f", b("q"), 1L, b("to-t")),
+      graft.core.Cell.put(b("r2"), "f", b("q"), 1L, b("to-t2")))).toDF()
+      .withColumn("_table", when(col("row") === b("r1"), "t").otherwise("t2"))
+    val routed = graft.jobs.Jobs.multiTableWrite(g, batch, "_table", 2L)
+    assert(routed == Seq("t", "t2"))
+    assert(vals(g.table("t").scan(Scan())) == Set(("f", 1L, "to-t")))
+    assert(vals(g.table("t2").scan(Scan())) == Set(("f", 1L, "to-t2")))
+  }
+}
