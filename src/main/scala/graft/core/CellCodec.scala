@@ -15,12 +15,13 @@ import org.apache.spark.sql.types._
   */
 object CellCodec {
 
-  private val doubleToBits = udf { (d: java.lang.Double) =>
-    if (d == null) null else Bytes.toBytes(java.lang.Double.doubleToLongBits(d))
-  }
-  private val bitsToDouble = udf { (b: Array[Byte]) =>
-    if (b == null) null else java.lang.Double.valueOf(Bytes.toDouble(b))
-  }
+  // Native codegen'd expressions (graft.functions) — the double<->bits
+  // reinterpretation has no Spark builtin, and a scalar UDF here would be
+  // the one non-codegen operator at the decode boundary.
+  private def doubleToBits(c: Column): Column =
+    graft.functions.VectorFunctions.doubleToBits(c)
+  private def bitsToDouble(c: Column): Column =
+    graft.functions.VectorFunctions.bitsToDouble(c)
 
   /** Non-negative long -> 8-byte big-endian binary (order-preserving),
     * via builtins: hex -> zero-pad to 16 nibbles -> unhex. */

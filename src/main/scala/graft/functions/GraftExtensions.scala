@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** `SparkSessionExtensions` entry point (SURVEY §2.9 — the custom-code
+  * extension seam): registers the engine's native expressions so they
+  * resolve by name in SQL and via `call_function`. Wired into every
+  * session through `spark.sql.extensions` (see GraftSession). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_double_to_bits"),
+      new ExpressionInfo(classOf[DoubleToBits].getName, "graft_double_to_bits"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DoubleToBits(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bits_to_double"),
+      new ExpressionInfo(classOf[BitsToDouble].getName, "graft_bits_to_double"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitsToDouble(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(args(0), args(1))))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the engine's two non-codegen hot
+  * spots (SURVEY §7.4 tier (b) — "a native Catalyst Expression beats a
+  * Scala UDF"): IEEE-754 double<->bits reinterpretation (no Spark
+  * builtin) and the dense dot product over float/double arrays (the
+  * `zip_with`+`aggregate` formulation is an interpreted higher-order
+  * function — unacceptable as the inner loop of a 100 TB similarity
+  * scan). Each implements both `nullSafeEval` and `doGenCode`, so they
+  * run inside WholeStageCodegen like any builtin. */
+
+/** double -> 8-byte big-endian IEEE-754 bits (reference `Bytes.java:599`). */
+case class DoubleToBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    graft.core.Bytes.toBytes(input.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.doubleToBits($c)")
+  override protected def withNewChildInternal(newChild: Expression): DoubleToBits =
+    copy(child = newChild)
+}
+
+/** 8-byte big-endian IEEE-754 bits -> double (reference `Bytes.toDouble`). */
+case class BitsToDouble(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    graft.core.Bytes.toDouble(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.bitsToDouble($c)")
+  override protected def withNewChildInternal(newChild: Expression): BitsToDouble =
+    copy(child = newChild)
+}
+
+/** Dense dot product over two numeric arrays (float or double elements),
+  * accumulated in double, sequential order (bit-compatible with the
+  * `zip_with`+`aggregate` formulation it replaces — the DuckDB-oracle
+  * comparisons depend on that). Nulls: null input array -> null; null
+  * elements treated as 0. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0
+        else if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (b.isNullAt(i)) 0.0
+        else if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = $a.isNullAt($i) ? 0.0 : (double) $a.$lGet($i);
+         |  double y = $b.isNullAt($i) ? 0.0 : (double) $b.$rGet($i);
+         |  $acc += x * y;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** JVM helpers referenced from generated code. */
+object VectorExprUtil {
+  def doubleToBits(d: Double): Array[Byte] =
+    graft.core.Bytes.toBytes(d)
+  def bitsToDouble(b: Array[Byte]): Double =
+    graft.core.Bytes.toDouble(b)
+}
+
+/** Column-level entry points, resolved through the function registry
+  * (the expressions are injected by [[GraftExtensions]], configured on
+  * every GraftSession via `spark.sql.extensions` — the public extension
+  * mechanism, no private[sql] access). */
+object VectorFunctions {
+  import org.apache.spark.sql.functions.call_function
+  def doubleToBits(c: Column): Column = call_function("graft_double_to_bits", c)
+  def bitsToDouble(c: Column): Column = call_function("graft_bits_to_double", c)
+  def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product in double precision. */
+  /** Elementwise dot product in double precision — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (sequential accumulation,
+    * bit-compatible with the zip_with+aggregate formulation it replaced;
+    * HOF lambdas are interpreted and this is the inner loop of every
+    * similarity scan). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

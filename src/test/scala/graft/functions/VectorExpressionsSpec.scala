@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.core.Bytes
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("double<->bits round-trips and matches the JVM codec byte-for-byte") {
+    val vals = Seq(0.0, -0.0, 1.5, -273.15, Double.MaxValue, Double.MinPositiveValue)
+    val df = vals.toDF("d")
+      .withColumn("bits", VectorFunctions.doubleToBits(col("d")))
+      .withColumn("back", VectorFunctions.bitsToDouble(col("bits")))
+    val rows = df.collect()
+    for ((v, r) <- vals.zip(rows)) {
+      assert(r.getAs[Array[Byte]]("bits").toSeq == Bytes.toBytes(v).toSeq)
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("back")) ==
+        java.lang.Double.doubleToLongBits(v))
+    }
+    // null in -> null out
+    val n = Seq[Option[Double]](None).toDF("d")
+      .select(VectorFunctions.doubleToBits(col("d"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("graft_dot matches the interpreted zip_with+aggregate bit-for-bit") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, -1.0f, 2.0f)),
+      (2L, Seq(0.1f, 0.2f, 0.3f), Seq(0.9f, 0.8f, 0.7f)),
+      (3L, Seq(1e-8f, 1e8f, -1e8f), Seq(1e8f, 1e-8f, 1e-8f)))
+      .toDF("id", "a", "b")
+    val out = vecs.select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+  }
+
+  test("graft_dot is available in SQL via the session extension") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("expressions survive codegen (inside a wider projection)") {
+    // a realistic plan: filter + groupBy over the expression output
+    val df = (1 to 1000).map(i => (i.toLong, Seq.fill(16)(i.toFloat)))
+      .toDF("id", "v")
+    val s = df.select(VectorFunctions.dotProduct(col("v"), col("v")).as("d"))
+      .filter(col("d") > 0).agg(sum(col("d"))).collect()(0).getDouble(0)
+    val expected = (1 to 1000).map(i => 16.0 * i * i).sum
+    assert(math.abs(s - expected) / expected < 1e-12)
+  }
+}
