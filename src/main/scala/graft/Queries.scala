@@ -678,7 +678,7 @@ object Queries {
       maxHamming = 3).orderBy("id_a", "id_b")
   }
 
-  private val textQuality = Q("text_quality", Some(s"""
+  private val textQuality = Q("text_quality", bench = true, oracle = Some(s"""
     SELECT doc_id,
       len($duckToks)::BIGINT AS n_tokens,
       list_sum(list_transform($duckToks, x -> len(x)))::DOUBLE /

@@ -116,16 +116,13 @@ object Bytes {
   /** 4-byte big-endian -> int */
   def asInt(c: Column): Column = conv(hex(c), 16, 10).cast("int")
 
-  /** 8-byte IEEE-754 bits -> double. No builtin bit-reinterpret exists, so
-    * this is the one decode that uses a (scalar, deterministic) UDF; it is
-    * only ever applied at the output boundary after filtering. */
-  val asDouble: Column => Column = {
-    val f = udf((b: Array[Byte]) => if (b == null) null else java.lang.Double.valueOf(toDouble(b)))
-    c => f(c)
-  }
+  /** 8-byte IEEE-754 bits -> double — the native codegen'd expression
+    * (graft.functions.BitsToDouble). */
+  def asDouble(c: Column): Column =
+    graft.functions.VectorFunctions.bitsToDouble(c)
 
-  val asBoolean: Column => Column = {
-    val f = udf((b: Array[Byte]) => if (b == null) null else java.lang.Boolean.valueOf(toBoolean(b)))
-    c => f(c)
-  }
+  /** single byte -> boolean (nonzero = true, empty = false). */
+  def asBoolean(c: Column): Column =
+    when(c.isNull, lit(null).cast("boolean"))
+      .otherwise(length(c) > 0 && substring(hex(c), 1, 2) =!= "00")
 }
