@@ -54,7 +54,15 @@ object Resolve {
   /** cells: DataFrame with Cell.schema columns. Returns only visible Put
     * cells (tombstones consumed), at most `maxVersions` per column, newest
     * first within each column when subsequently sorted. */
-  def apply(cells: DataFrame, view: ReadView = ReadView()): DataFrame = {
+  def apply(cells: DataFrame, view: ReadView = ReadView()): DataFrame =
+    finish(masked(cells, view), view)
+
+  /** Stage 1 — visibility WITHOUT the version cap: tombstone masking +
+    * asOf + TTL + time range. A row/column is present here iff it is
+    * present in the full resolve (the version cap never eliminates a
+    * column entirely), which lets row-set consumers (PageFilter paging,
+    * existence checks) stop after this cheaper stage. */
+  def masked(cells: DataFrame, view: ReadView = ReadView()): DataFrame = {
     val k = col("kind")
 
     // Time travel: cap everything (puts AND tombstones) at asOf, so the
@@ -65,7 +73,7 @@ object Resolve {
     val colDelTs = max(when(k === CellKind.DeleteColumn, col("ts"))).over(wCol)
     val pointDelTs = collect_set(when(k === CellKind.Delete, col("ts"))).over(wCol)
 
-    val masked = base
+    val maskedPuts = base
       .withColumn("_fdel", famDelTs)
       .withColumn("_cdel", colDelTs)
       .withColumn("_pdel", pointDelTs)
@@ -78,11 +86,15 @@ object Resolve {
 
     // TTL + time range apply to surviving puts
     // (`ScanQueryMatcher.java:105-230` order: deletes before time checks).
-    val timed0 = view.ttlMs.fold(masked)(ttl => masked.filter(col("ts") >= view.now - ttl))
-    val timed = view.timeRange.fold(timed0) { case (lo, hi) =>
+    val timed0 = view.ttlMs.fold(maskedPuts)(ttl => maskedPuts.filter(col("ts") >= view.now - ttl))
+    view.timeRange.fold(timed0) { case (lo, hi) =>
       timed0.filter(col("ts") >= lo && col("ts") < hi)
     }
+  }
 
+  /** Stage 2 — duplicate-write dedup + the version cap over a
+    * [[masked]] frame. */
+  def finish(timed: DataFrame, view: ReadView = ReadView()): DataFrame = {
     // Duplicate-write dedup (same coords+ts: highest seq wins) and the
     // version cap share ONE sort: within (row,family,qualifier) ordered
     // by (ts desc, seq desc), a duplicate is a row whose predecessor has

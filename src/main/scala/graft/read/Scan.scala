@@ -87,10 +87,21 @@ object ScanExec {
       df = df.filter(wanted || col("kind") === graft.core.CellKind.DeleteFamily)
     }
 
-    val resolved = Resolve(df,
-      ReadView(scan.maxVersions, scan.timeRange, ttlMs, now, asOf))
+    val view = ReadView(scan.maxVersions, scan.timeRange, ttlMs, now, asOf)
 
-    scan.filter.fold(resolved)(f => f(resolved))
+    scan.filter match {
+      // PageFilter fast path: the first-N visible row keys are decided by
+      // the masking stage alone (the version cap never empties a row), so
+      // page on the cheaper masked frame and run the version windows only
+      // over the N surviving rows' cells — instead of the full resolve
+      // twice (once to list keys, once as the probe side).
+      case Some(pf: PageFilter) =>
+        val m = Resolve.masked(df, view)
+        val keys = m.select("row").distinct().orderBy("row").limit(pf.pageSize)
+        Resolve.finish(m.join(broadcast(keys), Seq("row"), "left_semi"), view)
+      case Some(f) => f(Resolve(df, view))
+      case None => Resolve(df, view)
+    }
   }
 
   /** Get as a 1-row scan — one code path, like the reference. */
