@@ -81,6 +81,13 @@ final case class GraftTable(g: Graft, name: String) {
     val ttl = descriptor.families.flatMap(_.ttlMs).reduceOption(_ min _)
     ScanExec(cells, s, ttl, nowMs)
   }
+  /** Scan decoded to a relational view (`Result`-shaped rows): one row
+    * per table row, columns = qualifier names typed by `schema`. */
+  def scanDecoded(s: Scan, schema: org.apache.spark.sql.types.StructType,
+      key: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
+      family: Option[String] = None, nowMs: Long = 0L): DataFrame =
+    graft.core.CellCodec.decode(scan(s, nowMs), schema, key, family)
+
   def get(gt: Get): DataFrame = ScanExec.get(cells, gt)
   def exists(gt: Get): Boolean = ScanExec.exists(cells, gt)
   def getRowOrBefore(row: Array[Byte], family: String): DataFrame =

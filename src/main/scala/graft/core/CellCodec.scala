@@ -127,7 +127,13 @@ object CellCodec {
     * identity): fixed-width numeric parts first, at most one string/binary
     * tail — the same prefix-free constraint as `rowKey`. */
   def decode(cells: DataFrame, schema: StructType,
-      key: Seq[(String, DataType)] = Nil): DataFrame = {
+      key: Seq[(String, DataType)] = Nil,
+      family: Option[String] = None): DataFrame = {
+    // Column identity in the decoded view is the qualifier NAME — with
+    // cells from several families sharing a qualifier, the per-row map
+    // would hit duplicate keys (mapKeyDedupPolicy=EXCEPTION). Scope to
+    // one family when the input may span families with colliding names.
+    val scoped = family.fold(cells)(f => cells.filter(col("family") === f))
     val m = map_from_entries(
       collect_list(struct(col("qualifier").cast(StringType), col("value"))))
     val keyCols = {
@@ -149,7 +155,7 @@ object CellCodec {
         }
       }
     }
-    cells
+    scoped
       .groupBy(col("row"))
       .agg(m.as("_m"))
       .select(keyCols ++ schema.fields.toSeq.map { f =>

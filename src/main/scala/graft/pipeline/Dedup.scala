@@ -185,9 +185,36 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs >= `threshold`, exact via the
-    * all-pairs path of [[Similarity.cosinePairs]]. For the LSH-bucketed
-    * scale path use [[Similarity]] signatures as the candidate key. */
+    * all-pairs path of [[Similarity.cosinePairs]] — the correctness
+    * baseline (quadratic; use the LSH variant at scale). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =
     Similarity.cosinePairs(df, idCol, vecCol).filter(col("cosine") >= threshold)
+
+  /** Scale path: random-hyperplane LSH bands generate candidate pairs
+    * (bucket-equality join — near-identical vectors agree on band bits
+    * with high probability), exact cosine verifies. Emitted pairs are
+    * exact; recall is tunable via bands x bitsPerBand (more bands =
+    * higher recall, more candidates). */
+  def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    val nBits = bands * bitsPerBand
+    val sig = Similarity.hyperplaneSignature(col(vecCol), nBits)
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("_sig"))
+      .select(col("id"), col("v"),
+        posexplode(array((0 until bands).map { b =>
+          shiftrightunsigned(col("_sig"), b * bitsPerBand)
+            .bitwiseAND((1L << bitsPerBand) - 1)
+        }: _*)))
+      .select(col("id"), col("v"), col("pos").as("band"), col("col").as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("_va"), col("b.v").as("_vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

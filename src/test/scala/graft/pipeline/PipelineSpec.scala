@@ -119,6 +119,26 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low")
   }
 
+  test("embedding near-dup: LSH candidates recover the exact high-cosine pairs") {
+    // 4 near-identical pairs (tiny perturbations) + unrelated vectors
+    val vecs = ((0 until 8).map { i =>
+      val base = Array.tabulate(16)(j => if (j == i % 4) 1.0f else 0.02f * ((i + j) % 5))
+      (i.toLong, base.toSeq)
+    } ++ (8 until 12).map { i =>
+      val base = Array.tabulate(16)(j => ((i * 7 + j * 3) % 11 - 5) / 5.0f)
+      (i.toLong, base.toSeq)
+    }).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val lsh = Dedup.embeddingNearDupPairsLsh(vecs, "vec_id", "embedding", 0.95,
+      bands = 16, bitsPerBand = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification: no false positives ever
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH near-dup recall $recall")
+  }
+
   test("IVF top-k: high recall vs brute force on clustered vectors") {
     val vecs = (0 until 24).map { i =>
       val c = i / 8
