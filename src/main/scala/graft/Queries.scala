@@ -533,6 +533,22 @@ object Queries {
       .orderBy("user_id")
   }
 
+  // JSON metadata extraction over the cell pipeline — the
+  // props-parsing step every training-data pipeline has. The cell value
+  // carries the raw JSON; extraction happens on the decoded view.
+  private val jsonPropsAgg = Q("json_props_agg", Some("""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      count(*) AS cnt
+    FROM events GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+    val cells = CellCodec.encode(t(s, dir, "events"), "e", Seq("event_id"))
+    val decoded = CellCodec.decode(ScanExec(cells, Scan()),
+      StructType(Seq(StructField("props", StringType))))
+    decoded
+      .select((get_json_object(col("props"), "$.k").cast(LongType) % 10).as("k_mod"))
+      .groupBy("k_mod").agg(count(lit(1)).as("cnt"))
+      .orderBy("k_mod")
+  }
+
   // ----------------------------------------------------------------------
   // Jobs + streaming (SURVEY §2.1 MR layer, §2.1 replication row).
   // ----------------------------------------------------------------------
@@ -791,7 +807,7 @@ object Queries {
     rowFilterRegex, qualifierFilter, timestampsFilter, columnCountGet,
     skipFilterQ, whileMatch, filterListOr, scvExclude, binaryPrefixScan,
     groupingMapperAgg,
-    versionsLatest, timeRangeScan,
+    versionsLatest, timeRangeScan, jsonPropsAgg,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, asofScan, bulkLoadScan,
     copyTableScan, importTsvScan, replicationStream, asOfJoinQ,

@@ -79,6 +79,22 @@ class ClientSemanticsSpec extends SparkSpec {
     assert(vals(t.scan(Scan().addFamily("g"))) == Set(("g", 1L, "gv")))
   }
 
+  test("wide rows: 1000 qualifiers in one row scan and paginate correctly") {
+    val g = fresh()
+    val t = g.table("t")
+    val wide = (0 until 1000).foldLeft(Put(b("wide"))) { (p, i) =>
+      p.add("f", b(f"q$i%04d"), 1L, b(s"v$i"))
+    }
+    t.put(Seq(wide), 1L)
+    assert(t.scan(Scan()).count() == 1000)
+    // per-row column pagination slices the middle (TestWideScanner-ish)
+    val page = t.scan(Scan().setFilter(
+      graft.read.ColumnPaginationFilter(limit = 10, offset = 500)))
+      .collect().map(r => new String(r.getAs[Array[Byte]]("qualifier"), "UTF-8"))
+      .sorted.toSeq
+    assert(page == (500 until 510).map(i => f"q$i%04d"))
+  }
+
   test("multiTableWrite routes cells to their tables") {
     import org.apache.spark.sql.functions._
     val g = fresh()
