@@ -118,4 +118,11 @@ final case class GraftTable(g: Graft, name: String) {
     * KEEPING tombstones (`MinorCompactingStoreScanner` semantics). */
   def minorCompact(nowMs: Long): Unit =
     g.catalog.replaceData(name, cells, nowMs)
+
+  /** Register the RESOLVED view as a Spark SQL temp view, so the table is
+    * queryable with `spark.sql` (graft_* functions are registered by the
+    * session extension): the relational face of the cell table. */
+  def createTempView(viewName: String, maxVersions: Int = 1): Unit =
+    ScanExec(cells, Scan().setMaxVersions(maxVersions))
+      .createOrReplaceTempView(viewName)
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.catalog.{FamilyDescriptor, TableDescriptor}
+import graft.core.{Bytes, CellCodec}
+import graft.read.{BinaryComparator, CompareOp, Get, Scan, SingleColumnValueFilter}
+import org.apache.spark.sql.functions._
+
+/** PE-style workload harness — the reference's `PerformanceEvaluation`
+  * (modeled on Bigtable §7; workloads at `PerformanceEvaluation.java:
+  * 154-176`) re-expressed against the catalog/facade:
+  * sequentialWrite (table build), scan, scanRange100, randomRead (point
+  * Gets), filterScan (scan + SingleColumnValueFilter), randomWrite
+  * (mutation batch append). Prints one JSON line of seconds per workload.
+  *
+  * Keys derive deterministically from the orders table at
+  * SPARK_GRAFT_SF_DIR; "random" reads use a hash-scrambled key order (no
+  * RNG — reproducible across runs). */
+object PerfEval {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus)
+    val work = java.nio.file.Files.createTempDirectory("graft-pe").toString
+    val g = Graft(spark, work)
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    g.createTable(TableDescriptor("pe", Seq(FamilyDescriptor("o"))), 1L)
+
+    // sequentialWrite: encode + total-order layout commit
+    results("sequentialWrite") = timed {
+      g.table("pe").mutate(
+        CellCodec.encode(orders, "o", Seq("o_orderkey")), nowMs = 1L)
+    }
+
+    val t = g.table("pe")
+
+    // scan: full-table resolved scan
+    results("scan") = timed { t.scan(Scan()).count(): Unit }
+
+    // scanRange100: 20 range scans of 100 keys each
+    val keys = orders.select(max("o_orderkey")).collect()(0).getLong(0)
+    results("scanRange100") = timed {
+      var i = 0L
+      while (i < 20) {
+        val start = (i * 9973L) % math.max(1L, keys - 100)
+        t.scan(Scan().setStartRow(Bytes.toBytes(start))
+          .setStopRow(Bytes.toBytes(start + 100))).count()
+        i += 1
+      }
+    }
+
+    // randomRead: 20 point Gets at hash-scrambled keys
+    results("randomRead") = timed {
+      var i = 0L
+      while (i < 20) {
+        val k = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
+        t.get(Get(Bytes.toBytes(k))).count()
+        i += 1
+      }
+    }
+
+    // filterScan: scan + SingleColumnValueFilter (PE's filterScan)
+    results("filterScan") = timed {
+      t.scan(Scan().setFilter(SingleColumnValueFilter(
+        "o", Bytes.toBytes("o_orderstatus"),
+        CompareOp.EQUAL, BinaryComparator(Bytes.toBytes("F"))))).count(): Unit
+    }
+
+    // randomWrite: a 10% mutation batch appended as a delta
+    results("randomWrite") = timed {
+      val batch = CellCodec.encode(
+        orders.filter(col("o_orderkey") % 10 === 0), "o", Seq("o_orderkey"),
+        batchTs = 2L)
+      g.table("pe").mutate(batch, nowMs = 2L)
+    }
+
+    val json = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"metric":"pe_total","value":${results.values.sum},"unit":"sec","workloads":{$json},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

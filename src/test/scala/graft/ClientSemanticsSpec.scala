@@ -95,6 +95,24 @@ class ClientSemanticsSpec extends SparkSpec {
     assert(page == (500 until 510).map(i => f"q$i%04d"))
   }
 
+  test("edge cases: empty table, absent family, empty decode, SQL view") {
+    val g = fresh()
+    val t = g.table("t")
+    assert(t.scan(Scan()).count() == 0) // empty table scans cleanly
+    t.put(Seq(Put(b("r")).add("f", b("q"), 1L, b("v"))), 1L)
+    assert(t.scan(Scan().addFamily("nope")).count() == 0) // absent family
+    assert(graft.core.CellCodec.decode(
+      t.scan(Scan().addFamily("nope")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.StringType)))).count() == 0)
+    // SQL access through the temp view + extension functions
+    t.createTempView("graft_t")
+    val n = spark.sql(
+      "SELECT count(*) FROM graft_t WHERE family = 'f'").collect()(0).getLong(0)
+    assert(n == 1L)
+  }
+
   test("multiTableWrite routes cells to their tables") {
     import org.apache.spark.sql.functions._
     val g = fresh()
