@@ -76,10 +76,13 @@ final case class GraftTable(g: Graft, name: String) {
   def cells: DataFrame = g.catalog.read(name)
   def descriptor: TableDescriptor = g.catalog.currentManifest(name).descriptor
 
-  // ---- reads
+  // ---- reads (per-family descriptor maxVersions/TTL applied, exactly
+  // as ScanQueryMatcher reads them off the HColumnDescriptor)
   def scan(s: Scan, nowMs: Long = 0L): DataFrame = {
-    val ttl = descriptor.families.flatMap(_.ttlMs).reduceOption(_ min _)
-    ScanExec(cells, s, ttl, nowMs)
+    val d = descriptor
+    ScanExec(cells, s, ttlMs = None, now = nowMs,
+      familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
+      familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
   }
   /** Scan decoded to a relational view (`Result`-shaped rows): one row
     * per table row, columns = qualifier names typed by `schema`. */

@@ -1,7 +1,7 @@
 package graft.read
 
 import graft.core.CellKind
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,7 +23,12 @@ case class ReadView(
     timeRange: Option[(Long, Long)] = None,
     ttlMs: Option[Long] = None,
     now: Long = 0L,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    // Per-family descriptor knobs (`HColumnDescriptor` maxVersions/TTL):
+    // effective cap = min(scan maxVersions, family maxVersions); a family
+    // TTL overrides the global one for that family's cells.
+    familyMaxVersions: Map[String, Int] = Map.empty,
+    familyTtlMs: Map[String, Long] = Map.empty)
 
 /** The keystone transform (SURVEY.md §7.2): reproduces the reference's
   * per-cell visibility pipeline — tombstone masking
@@ -86,7 +91,19 @@ object Resolve {
 
     // TTL + time range apply to surviving puts
     // (`ScanQueryMatcher.java:105-230` order: deletes before time checks).
-    val timed0 = view.ttlMs.fold(maskedPuts)(ttl => maskedPuts.filter(col("ts") >= view.now - ttl))
+    // Family TTLs override the global TTL for their cells.
+    val ttlBound: Option[Column] = {
+      val global = view.ttlMs.map(ttl => lit(view.now - ttl))
+      if (view.familyTtlMs.isEmpty) global
+      else {
+        val perFam = view.familyTtlMs.foldLeft(
+          global.getOrElse(lit(Long.MinValue))) { case (els, (f, ttl)) =>
+          when(col("family") === f, lit(view.now - ttl)).otherwise(els)
+        }
+        Some(perFam)
+      }
+    }
+    val timed0 = ttlBound.fold(maskedPuts)(b => maskedPuts.filter(col("ts") >= b))
     view.timeRange.fold(timed0) { case (lo, hi) =>
       timed0.filter(col("ts") >= lo && col("ts") < hi)
     }
@@ -105,11 +122,16 @@ object Resolve {
     // full re-sort of every cell.
     val wTs = wCol.orderBy(col("ts").desc, col("seq").desc)
     val wVer = wCol.orderBy(col("ts").desc)
+    // effective cap per cell = min(view.maxVersions, its family's cap)
+    val cap: Column = view.familyMaxVersions.foldLeft(
+      lit(view.maxVersions)) { case (els, (f, mv)) =>
+      when(col("family") === f, lit(math.min(mv, view.maxVersions))).otherwise(els)
+    }
     timed
       .withColumn("_prevTs", lag("ts", 1).over(wTs))
       .withColumn("_v", dense_rank().over(wVer))
       .filter((col("_prevTs").isNull || col("_prevTs") =!= col("ts")) &&
-        col("_v") <= view.maxVersions)
+        col("_v") <= cap)
       .drop("_prevTs", "_v")
   }
 }

@@ -67,7 +67,9 @@ case class Get(
 object ScanExec {
 
   def apply(cells: DataFrame, scan: Scan, ttlMs: Option[Long] = None,
-      now: Long = 0L, asOf: Option[Long] = None): DataFrame = {
+      now: Long = 0L, asOf: Option[Long] = None,
+      familyMaxVersions: Map[String, Int] = Map.empty,
+      familyTtlMs: Map[String, Long] = Map.empty): DataFrame = {
     // Row-range pruning (client META routing / region pruning analog).
     var df = cells
     scan.startRow.foreach(r => df = df.filter(col("row") >= lit(r)))
@@ -87,7 +89,8 @@ object ScanExec {
       df = df.filter(wanted || col("kind") === graft.core.CellKind.DeleteFamily)
     }
 
-    val view = ReadView(scan.maxVersions, scan.timeRange, ttlMs, now, asOf)
+    val view = ReadView(scan.maxVersions, scan.timeRange, ttlMs, now, asOf,
+      familyMaxVersions, familyTtlMs)
 
     scan.filter match {
       // PageFilter fast path: the first-N visible row keys are decided by

@@ -61,6 +61,32 @@ class ClientSemanticsSpec extends SparkSpec {
       Set(("f", 9L, "back"), ("g", 2L, "c2")))
   }
 
+  test("per-family descriptor: different maxVersions and TTL per family") {
+    val g = Graft(spark, Files.createTempDirectory("graft-perfam").toString)
+    g.createTable(TableDescriptor("t", Seq(
+      FamilyDescriptor("keep3", maxVersions = 3),
+      FamilyDescriptor("keep1", maxVersions = 1),
+      FamilyDescriptor("shortttl", maxVersions = 3, ttlMs = Some(100L))),
+      splitKeys = 2), 1L)
+    val t = g.table("t")
+    t.put(Seq((1 to 4).foldLeft(Put(b("r"))) { (p, i) =>
+      p.add("keep3", b("q"), i.toLong, b(s"a$i"))
+        .add("keep1", b("q"), i.toLong, b(s"b$i"))
+        .add("shortttl", b("q"), 900L + i, b(s"c$i"))
+    }), 1L)
+    // scan requesting up to 10 versions: each family caps at its own max
+    val out = t.scan(Scan().setMaxVersions(10), nowMs = 1000L)
+      .collect().map(r => (r.getAs[String]("family"),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSet
+    assert(out.count(_._1 == "keep3") == 3 && !out.contains(("keep3", "a1")))
+    assert(out.filter(_._1 == "keep1") == Set(("keep1", "b4")))
+    assert(out.count(_._1 == "shortttl") == 3) // ts 901..904 >= 1000-100
+    // at a later clock the short-TTL family expires entirely
+    val later = t.scan(Scan().setMaxVersions(10), nowMs = 2000L)
+      .collect().map(_.getAs[String]("family")).toSet
+    assert(later == Set("keep3", "keep1"))
+  }
+
   test("TTL from the family descriptor hides expired cells at read time") {
     val g = fresh(ttlMs = Some(100L))
     val t = g.table("t")
