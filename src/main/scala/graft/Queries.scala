@@ -533,6 +533,29 @@ object Queries {
       .orderBy("user_id")
   }
 
+  // Gap-based sessionization over the events table (1-hour inactivity
+  // gap): the canonical event-pipeline windowing op. One window pass:
+  // session start = gap from previous event > threshold; sessions per
+  // user = sum of starts.
+  private val sessionize = Q("sessionize_events", Some("""
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+      count(*) AS n_events FROM (
+      SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL
+        OR ts - lag(ts) OVER w > INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("_prev", lag("ts", 1).over(w)) // ts is epoch nanos
+      .withColumn("new_s",
+        when(col("_prev").isNull ||
+          col("ts") - col("_prev") > 3600L * 1000000000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   // JSON metadata extraction over the cell pipeline — the
   // props-parsing step every training-data pipeline has. The cell value
   // carries the raw JSON; extraction happens on the decoded view.
@@ -807,7 +830,7 @@ object Queries {
     rowFilterRegex, qualifierFilter, timestampsFilter, columnCountGet,
     skipFilterQ, whileMatch, filterListOr, scvExclude, binaryPrefixScan,
     groupingMapperAgg,
-    versionsLatest, timeRangeScan, jsonPropsAgg,
+    versionsLatest, timeRangeScan, jsonPropsAgg, sessionize,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, asofScan, bulkLoadScan,
     copyTableScan, importTsvScan, replicationStream, asOfJoinQ,
