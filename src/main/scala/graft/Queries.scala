@@ -709,6 +709,35 @@ object Queries {
       k = 3, threshold = 0.8).orderBy("id_a", "id_b")
   }
 
+  // Near-dup clustering: connected components over the jaccard>=0.8 pair
+  // graph; cluster id = min doc id of the component (singletons keep
+  // their own id). Oracle: DuckDB recursive-CTE transitive closure over
+  // the same pair set.
+  private val dedupClusters = Q("dedup_clusters", Some(s"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      for i in generate_series(1, len(ts)-2)]) AS sg
+      FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sg, b.sg))::DOUBLE /
+        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a ORDER BY a""")) {
+    (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.8)
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      .orderBy("id")
+  }
+
   // simhash: no SQL-replicable oracle (xxhash64 has no DuckDB analog);
   // the driver records a rows-only check, exact semantics covered in
   // PipelineSpec.
@@ -835,6 +864,7 @@ object Queries {
     snapshotScan, asofScan, bulkLoadScan,
     copyTableScan, importTsvScan, replicationStream, asOfJoinQ,
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
+    dedupClusters,
     dedupSimhash, textQuality, textLangid, similarityTopk, similarityIvf,
     dedupEmbedding, multimodalFeatures)
 

@@ -184,6 +184,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair set: label propagation to
+    * fixpoint (each node's label = min id reachable so far), the standard
+    * scalable formulation — O(graph diameter) joins, each a key-equality
+    * shuffle; near-dup graphs have tiny diameters. `ids` supplies the
+    * full node set so singletons keep their own label. Returns
+    * (id, cluster) where cluster = min id of the component; the canonical
+    * survivor of each cluster is the row with id == cluster. */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    var labels = ids.select(col("id"), col("id").as("cluster"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node adopts the min cluster among itself and its neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "b", "cluster" -> "_nc")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("_nc")).as("_minN"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_minN"), col("cluster"))).as("cluster"))
+        .localCheckpoint() // truncate the iterative lineage
+      val changed = next.join(labels.withColumnsRenamed(
+          Map("cluster" -> "_old")), "id")
+        .filter(col("cluster") =!= col("_old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs >= `threshold`, exact via the
     * all-pairs path of [[Similarity.cosinePairs]] — the correctness
     * baseline (quadratic; use the LSH variant at scale). */

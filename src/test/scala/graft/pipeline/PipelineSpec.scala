@@ -119,6 +119,17 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low")
   }
 
+  test("connectedComponents: transitive clusters, singletons keep own label") {
+    val ids = (1L to 8L).toDF("id")
+    // components: {1,2,3,4} via chain, {5,6}, singletons 7, 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
   test("embedding near-dup: LSH candidates recover the exact high-cosine pairs") {
     // 4 near-identical pairs (tiny perturbations) + unrelated vectors
     val vecs = ((0 until 8).map { i =>
