@@ -96,11 +96,27 @@ final case class GraftTable(g: Graft, name: String) {
   def getRowOrBefore(row: Array[Byte], family: String): DataFrame =
     ScanExec.getRowOrBefore(cells, row, family)
 
+  // Family validation on client-built mutations — the reference rejects
+  // unknown families per mutation (`HRegion.checkFamilies` via
+  // `HRegion.put:1303`). Data-derived bulk batches (`mutate`) skip this
+  // driver-side check by design.
+  private def checkFamilies(cells: Seq[graft.core.Cell]): Unit = {
+    val known = descriptor.families.map(_.name).toSet
+    val bad = cells.map(_.family).distinct.filterNot(known)
+    require(bad.isEmpty,
+      s"unknown column families ${bad.mkString(",")} for table $name " +
+        s"(has: ${known.mkString(",")})")
+  }
+
   // ---- writes (each commits one new immutable data dir)
-  def put(puts: Seq[Put], nowMs: Long): Unit =
+  def put(puts: Seq[Put], nowMs: Long): Unit = {
+    checkFamilies(puts.flatMap(_.cells))
     g.catalog.append(name, Mutations.toDF(spark, puts, nowMs), nowMs)
-  def delete(dels: Seq[Delete], nowMs: Long): Unit =
+  }
+  def delete(dels: Seq[Delete], nowMs: Long): Unit = {
+    checkFamilies(dels.flatMap(_.cells))
     g.catalog.append(name, Mutations.toDF(spark, dels, nowMs), nowMs)
+  }
   def mutate(batch: DataFrame, nowMs: Long): Unit =
     g.catalog.append(name, batch, nowMs)
   def increment(increments: DataFrame, nowMs: Long): Unit =

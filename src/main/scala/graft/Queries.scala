@@ -3,7 +3,7 @@ package graft
 import graft.core.{Bytes, CellCodec}
 import graft.read._
 import graft.write.{Compact, Mutations}
-import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Text}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -829,6 +829,25 @@ object Queries {
       threshold = 0.4).orderBy("id_a", "id_b")
   }
 
+  // Deterministic train/val/test split: salted-md5 bucket assignment,
+  // reproducible across engines (the DuckDB oracle recomputes the same
+  // md5 arithmetic).
+  private val sampleSplit = Q("sample_split", Some("""
+    SELECT split, count(*) AS cnt, min(doc_id) AS min_id FROM (
+      SELECT doc_id,
+        CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+        CAST(('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS h
+      FROM documents))
+    GROUP BY split ORDER BY split""")) { (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("split", Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"))
+      .orderBy("split")
+  }
+
   private val multimodalFeatures = Q("multimodal_features", Some("""
     SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len,
       md5(text) AS checksum
@@ -866,7 +885,7 @@ object Queries {
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
     dedupClusters,
     dedupSimhash, textQuality, textLangid, similarityTopk, similarityIvf,
-    dedupEmbedding, multimodalFeatures)
+    dedupEmbedding, multimodalFeatures, sampleSplit)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -132,6 +132,10 @@ class ClientSemanticsSpec extends SparkSpec {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("q",
           org.apache.spark.sql.types.StringType)))).count() == 0)
+    // unknown family rejected like HRegion.checkFamilies
+    intercept[IllegalArgumentException] {
+      t.put(Seq(Put(b("r")).add("zzz", b("q"), b("v"))), 9L)
+    }
     // SQL access through the temp view + extension functions
     t.createTempView("graft_t")
     val n = spark.sql(

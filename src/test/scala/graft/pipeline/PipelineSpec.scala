@@ -119,6 +119,27 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low")
   }
 
+  test("sampling: deterministic, near-proportional, salt-independent") {
+    val ids = (1L to 2000L).toDF("id")
+    val s1 = Sampling.sampleByHash(ids, col("id"), 0.3, "a")
+      .as[Long].collect().toSet
+    val s2 = Sampling.sampleByHash(ids, col("id"), 0.3, "a")
+      .as[Long].collect().toSet
+    assert(s1 == s2) // reproducible
+    assert(math.abs(s1.size - 600) < 80, s"got ${s1.size}") // ~30%
+    val sb = Sampling.sampleByHash(ids, col("id"), 0.3, "b")
+      .as[Long].collect().toSet
+    assert(sb != s1) // different salt, different sample
+    // split labels partition the data
+    val labels = ids.withColumn("sp", Sampling.splitLabel(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("sp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == Set("train", "val", "test"))
+    assert(labels.values.sum == 2000L)
+    assert(labels("train") > 1500 && labels("val") < 300)
+  }
+
   test("connectedComponents: transitive clusters, singletons keep own label") {
     val ids = (1L to 8L).toDF("id")
     // components: {1,2,3,4} via chain, {5,6}, singletons 7, 8
