@@ -84,6 +84,25 @@ class ReplicationSpec extends SparkSpec {
     assert(counts == Seq(1L, 2L)) // r1/f/q counted twice, r2/g/q once
   }
 
+  test("dedupedFeed drops duplicate cells from an at-least-once stream") {
+    val work = Files.createTempDirectory("graft-repl4").toString
+    // the same batch shipped twice (replay) + one distinct cell
+    val dup = Seq(Cell.put(b("r1"), "f", b("q"), 1000L, b("v1")))
+    cells(dup).toDF().write.parquet(s"$work/feed/b1")
+    cells(dup ++ Seq(Cell.put(b("r2"), "f", b("q"), 2000L, b("v2")))).toDF()
+      .write.parquet(s"$work/feed/b2")
+    val q = Replication.dedupedFeed(
+      Replication.changeFeed(spark, s"$work/feed", maxFilesPerTrigger = 16),
+      watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("dedup_feed_t")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("dedup_feed_t").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).sorted.toSeq
+    assert(rows == Seq("v1", "v2")) // duplicate v1 dropped
+  }
+
   test("latestState streaming aggregation tracks current value per column") {
     val work = Files.createTempDirectory("graft-repl2").toString
     cells(Seq(
