@@ -232,14 +232,11 @@ object Dedup {
     * higher recall, more candidates). */
   def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
-    val nBits = bands * bitsPerBand
-    val sig = Similarity.hyperplaneSignature(col(vecCol), nBits)
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("_sig"))
-      .select(col("id"), col("v"),
-        posexplode(array((0 until bands).map { b =>
-          shiftrightunsigned(col("_sig"), b * bitsPerBand)
-            .bitwiseAND((1L << bitsPerBand) - 1)
-        }: _*)))
+    // per-band bucket values (NOT slices of one packed signature — see
+    // Similarity.hyperplaneBand on the 64-bit shift-wrap alias)
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(array((0 until bands).map(b =>
+          Similarity.hyperplaneBand(col(vecCol), b, bitsPerBand)): _*)))
       .select(col("id"), col("v"), col("pos").as("band"), col("col").as("bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

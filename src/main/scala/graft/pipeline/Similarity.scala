@@ -134,14 +134,27 @@ object Similarity {
     * no RNG state (`Date.now`/`Math.random` are banned in this harness
     * for exactly this reason). */
   def hyperplaneSignature(vec: Column, nBits: Int): Column = {
-    val bits = (0 until nBits).map { j =>
+    require(nBits <= 64,
+      "a packed signature holds at most 64 bits; use hyperplaneBand for banding")
+    hyperplaneBand(vec, 0, nBits)
+  }
+
+  /** Bucket value of band `b`: hyperplane sign bits [b*w, b*w + w) packed
+    * into one long. Banding MUST go through per-band values rather than
+    * slicing one packed signature: Java shifts wrap at 64, so packing
+    * >64 bits silently aliases high bands onto low ones (halving
+    * effective recall with the old 128-bit default). */
+  def hyperplaneBand(vec: Column, b: Int, w: Int): Column = {
+    require(w <= 64, s"band width $w exceeds 64 bits")
+    val bits = (0 until w).map { r =>
+      val j = b * w + r
       val prods = transform(vec, (x, i) =>
         when(xxhash64(lit(j), i).bitwiseAND(1) === 1,
           x.cast("double")).otherwise(-x.cast("double")))
       val s = aggregate(prods, lit(0.0), (acc, x) => acc + x)
-      when(s > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      when(s > 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    bits.reduce((a, c) => a.bitwiseOR(c))
   }
 
   /** LSH-bucketed ANN top-k: multi-band hyperplane signatures generate
@@ -151,17 +164,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
-    val nBits = bands * bitsPerBand
-    def banded(df: DataFrame, id: String, vOut: String): DataFrame = {
-      val sig = hyperplaneSignature(col(vecCol), nBits)
-      df.select(col(idCol).as(id), col(vecCol).as(vOut), sig.as("_sig"))
-        .select(col(id), col(vOut),
-          posexplode(array((0 until bands).map { b =>
-            shiftrightunsigned(col("_sig"), b * bitsPerBand)
-              .bitwiseAND((1L << bitsPerBand) - 1)
-          }: _*)))
+    def banded(df: DataFrame, id: String, vOut: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vOut),
+          posexplode(array((0 until bands).map(b =>
+            hyperplaneBand(col(vecCol), b, bitsPerBand)): _*)))
         .select(col(id), col(vOut), col("pos").as("band"), col("col").as("bucket"))
-    }
     val c = banded(corpus, "nn_id", "_cv")
     val q = banded(queries, "query_id", "_qv")
     val cands = c.join(q, Seq("band", "bucket"))

@@ -119,6 +119,18 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low")
   }
 
+  test("hyperplane bands beyond bit 64 use distinct hyperplanes (no shift-wrap alias)") {
+    val vecs = (0 until 6).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 3 + j * 7) % 13 - 6) / 6.0f)))
+      .toDF("vec_id", "embedding")
+    // band 8 at width 8 covers hyperplanes 64..71 — under the old packed
+    // 64-bit signature it aliased band 0 (hyperplanes 0..7) exactly
+    val out = vecs.select(
+      Similarity.hyperplaneBand(col("embedding"), 0, 8).as("b0"),
+      Similarity.hyperplaneBand(col("embedding"), 8, 8).as("b8")).collect()
+    assert(out.exists(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("sampling: deterministic, near-proportional, salt-independent") {
     val ids = (1L to 2000L).toDF("id")
     val s1 = Sampling.sampleByHash(ids, col("id"), 0.3, "a")
