@@ -126,12 +126,9 @@ final case class GraftTable(g: Graft, name: String) {
 
   /** Major compaction (`majorCompact:736`): rewrite to the resolved view
     * under the family descriptor's maxVersions/TTL, dropping tombstones. */
-  def majorCompact(nowMs: Long): Unit = {
-    val d = descriptor
-    val maxV = d.families.map(_.maxVersions).max
-    val ttl = d.families.flatMap(_.ttlMs).reduceOption(_ min _)
-    g.catalog.replaceData(name, Compact.major(cells, maxV, ttl, nowMs), nowMs)
-  }
+  def majorCompact(nowMs: Long): Unit =
+    g.catalog.replaceData(name,
+      Compact.major(cells, descriptor.families, nowMs), nowMs)
 
   /** Minor compaction / `compact:714`: merge small deltas into one dir,
     * KEEPING tombstones (`MinorCompactingStoreScanner` semantics). */

@@ -108,13 +108,15 @@ object Bytes {
   /** binary (UTF-8) -> string */
   def asString(c: Column): Column = c.cast("string")
 
-  /** 8-byte big-endian -> long. Builtins only: hex -> base-16 conv -> cast.
-    * Valid for values that fit in a signed long; our non-negative keys and
-    * counters qualify. */
-  def asLong(c: Column): Column = conv(hex(c), 16, 10).cast("long")
+  /** 8-byte big-endian -> SIGNED long, via the native codegen'd expression
+    * (graft.functions.BitsToLong). The former `conv(hex(c),16,10)` builtin
+    * chain was unsigned-only: negative stored values decoded to null. */
+  def asLong(c: Column): Column =
+    graft.functions.VectorFunctions.bitsToLong(c)
 
-  /** 4-byte big-endian -> int */
-  def asInt(c: Column): Column = conv(hex(c), 16, 10).cast("int")
+  /** 4-byte big-endian -> SIGNED int (graft.functions.BitsToInt). */
+  def asInt(c: Column): Column =
+    graft.functions.VectorFunctions.bitsToInt(c)
 
   /** 8-byte IEEE-754 bits -> double — the native codegen'd expression
     * (graft.functions.BitsToDouble). */

@@ -21,6 +21,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BitsToDouble(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_bits_to_long"),
+      new ExpressionInfo(classOf[BitsToLong].getName, "graft_bits_to_long"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitsToLong(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bits_to_int"),
+      new ExpressionInfo(classOf[BitsToInt].getName, "graft_bits_to_int"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitsToInt(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

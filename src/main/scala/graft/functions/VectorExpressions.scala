@@ -41,6 +41,37 @@ case class BitsToDouble(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 8-byte big-endian two's-complement bits -> SIGNED long (reference
+  * `Bytes.toLong:452`). The builtin `conv(hex(c),16,10).cast("long")`
+  * route is unsigned-only: a negative stored value exceeds Long.MaxValue
+  * as an unsigned decimal string and casts to null, which downstream
+  * `coalesce(_, 0)` silently turns into 0 — a counter that goes negative
+  * would reset toward zero on its next increment. Inputs shorter than 8
+  * bytes decode as unsigned (missing high bytes = 0), matching the conv
+  * formulation this replaces. */
+case class BitsToLong(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    VectorExprUtil.bitsToLong(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.bitsToLong($c)")
+  override protected def withNewChildInternal(newChild: Expression): BitsToLong =
+    copy(child = newChild)
+}
+
+/** 4-byte big-endian two's-complement bits -> SIGNED int (`Bytes.toInt`). */
+case class BitsToInt(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    VectorExprUtil.bitsToInt(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.bitsToInt($c)")
+  override protected def withNewChildInternal(newChild: Expression): BitsToInt =
+    copy(child = newChild)
+}
+
 /** Dense dot product over two numeric arrays (float or double elements),
   * accumulated in double, sequential order (bit-compatible with the
   * `zip_with`+`aggregate` formulation it replaces — the DuckDB-oracle
@@ -115,6 +146,18 @@ object VectorExprUtil {
     graft.core.Bytes.toBytes(d)
   def bitsToDouble(b: Array[Byte]): Double =
     graft.core.Bytes.toDouble(b)
+  def bitsToLong(b: Array[Byte]): Long = {
+    val n = math.min(b.length, 8)
+    var v = 0L; var i = 0
+    while (i < n) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+  def bitsToInt(b: Array[Byte]): Int = {
+    val n = math.min(b.length, 4)
+    var v = 0; var i = 0
+    while (i < n) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
 }
 
 /** Column-level entry points, resolved through the function registry
@@ -125,5 +168,7 @@ object VectorFunctions {
   import org.apache.spark.sql.functions.call_function
   def doubleToBits(c: Column): Column = call_function("graft_double_to_bits", c)
   def bitsToDouble(c: Column): Column = call_function("graft_bits_to_double", c)
+  def bitsToLong(c: Column): Column = call_function("graft_bits_to_long", c)
+  def bitsToInt(c: Column): Column = call_function("graft_bits_to_int", c)
   def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }

@@ -160,4 +160,16 @@ object Compact {
   def major(table: DataFrame, maxVersions: Int = Int.MaxValue,
       ttlMs: Option[Long] = None, now: Long = 0L): DataFrame =
     Resolve(table, ReadView(maxVersions = maxVersions, ttlMs = ttlMs, now = now))
+
+  /** Descriptor-driven major compaction: each family keeps ITS OWN
+    * maxVersions/TTL (`Store.java:778` compacts per store, so family knobs
+    * never bleed across families — a global min-TTL would physically drop
+    * live cells of longer-TTL families). */
+  def major(table: DataFrame, families: Seq[graft.catalog.FamilyDescriptor],
+      now: Long): DataFrame =
+    Resolve(table, ReadView(
+      maxVersions = Int.MaxValue,
+      familyMaxVersions = families.map(f => f.name -> f.maxVersions).toMap,
+      familyTtlMs = families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap,
+      now = now))
 }

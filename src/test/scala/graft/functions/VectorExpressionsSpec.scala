@@ -24,6 +24,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("bits_to_long/int decode SIGNED values and match the JVM codec") {
+    val vals = Seq(0L, 1L, -1L, 42L, -42L, Long.MaxValue, Long.MinValue)
+    val df = vals.map(v => Tuple1(Bytes.toBytes(v))).toDF("b")
+      .select(VectorFunctions.bitsToLong(col("b")).as("v"))
+    assert(df.as[Long].collect().toSeq == vals)
+    val ints = Seq(0, 7, -7, Int.MaxValue, Int.MinValue)
+    val di = ints.map(v => Tuple1(Bytes.toBytes(v))).toDF("b")
+      .select(VectorFunctions.bitsToInt(col("b")).as("v"))
+    assert(di.as[Int].collect().toSeq == ints)
+    // short input decodes unsigned (conv-compat); null in -> null out
+    val s = Seq(Tuple1(Array[Byte](1, 2))).toDF("b")
+      .select(VectorFunctions.bitsToLong(col("b"))).collect()(0)
+    assert(s.getLong(0) == 258L)
+    val n = Seq(Tuple1(null.asInstanceOf[Array[Byte]])).toDF("b")
+      .select(VectorFunctions.bitsToLong(col("b"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("graft_dot matches the interpreted zip_with+aggregate bit-for-bit") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, -1.0f, 2.0f)),

@@ -58,6 +58,21 @@ class MutationsSpec extends SparkSpec {
     assert(out == Set(("r1", 112L), ("r2", 3L)))
   }
 
+  test("increment: negative deltas and negative stored counters round-trip") {
+    val table = cells(Seq(
+      Cell.put(b("r1"), "c", b("n"), 1L, Bytes.toBytes(-100L)))).toDF()
+    val incs = Seq(
+      (b("r1"), "c", b("n"), -5L), // -100 + -5 = -105, not -5
+      (b("r2"), "c", b("n"), -3L)) // absent -> 0 + -3
+      .toDF("row", "family", "qualifier", "delta")
+    val merged = Mutations.merge(table, Mutations.increment(table, incs, batchTs = 9L))
+    val out = Resolve(merged).collect().map { r =>
+      (new String(r.getAs[Array[Byte]]("row"), "UTF-8"),
+        Bytes.toLong(r.getAs[Array[Byte]]("value")))
+    }.toSet
+    assert(out == Set(("r1", -105L), ("r2", -3L)))
+  }
+
   test("checkAndMutate: applies only where latest value matches expected; null = absent") {
     val table = cells(Seq(
       Cell.put(b("r1"), "f", b("st"), 1L, b("F")),
@@ -75,6 +90,29 @@ class MutationsSpec extends SparkSpec {
     val rows = accepted.select("row").as[Array[Byte]].collect()
       .map(new String(_, "UTF-8")).toSet
     assert(rows == Set("r1", "r3"))
+  }
+
+  test("descriptor major compaction: each family keeps its own TTL and maxVersions") {
+    import graft.catalog.FamilyDescriptor
+    val table = cells(Seq(
+      Cell.put(b("r1"), "short", b("q"), 10L, b("s-old")), // expired for short
+      Cell.put(b("r1"), "short", b("q"), 90L, b("s-new")),
+      Cell.put(b("r1"), "long", b("q"), 10L, b("l-old")), // ALIVE: long TTL
+      Cell.put(b("r1"), "long", b("q"), 20L, b("l-mid")),
+      Cell.put(b("r1"), "long", b("q"), 30L, b("l-new")),
+      Cell.put(b("r1"), "keep", b("q"), 1L, b("k")))).toDF() // no TTL at all
+    val fams = Seq(
+      FamilyDescriptor("short", maxVersions = 3, ttlMs = Some(50L)),
+      FamilyDescriptor("long", maxVersions = 2, ttlMs = Some(1000L)),
+      FamilyDescriptor("keep", maxVersions = 1))
+    val out = collectCells(Compact.major(table, fams, now = 100L))
+    // A collapsed min-TTL (50) would have dropped l-old/l-mid and k; the
+    // per-family view keeps them, and long's maxVersions=2 drops only l-old.
+    assert(out == Set(
+      ("r1", "short", "q", 90L, "s-new"),
+      ("r1", "long", "q", 30L, "l-new"),
+      ("r1", "long", "q", 20L, "l-mid"),
+      ("r1", "keep", "q", 1L, "k")))
   }
 
   test("major compaction: reads identical, tombstones physically gone") {
