@@ -15,9 +15,14 @@ object Bench {
     val qs =
       if (args.nonEmpty) Queries.all.filter(q => args.contains(q.name))
       else Queries.all.filter(_.bench)
-    // Warm up the JVM/parquet footers once, outside the timings.
-    qs.headOption.foreach(q =>
-      q.run(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // Warm up EVERY query once outside the timings: each distinct plan pays
+    // its own codegen compile + parquet footer reads on first execution, so
+    // warming only the first query (the r01 harness) inflated every later
+    // query by that fixed cost (versions_latest read 8.9s vs its true ~3s).
+    qs.foreach { q =>
+      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = qs.map { q =>
       val t0 = System.nanoTime()

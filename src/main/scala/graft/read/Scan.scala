@@ -95,13 +95,15 @@ object ScanExec {
     scan.filter match {
       // PageFilter fast path: the first-N visible row keys are decided by
       // the masking stage alone (the version cap never empties a row), so
-      // page on the cheaper masked frame and run the version windows only
-      // over the N surviving rows' cells — instead of the full resolve
-      // twice (once to list keys, once as the probe side).
+      // ONE masked pass computes the page's keys (distinct + TakeOrdered N),
+      // and the output is resolved from the RAW cells of just those N rows
+      // (broadcast semi-join — no second windowed pass over the full
+      // table; every Resolve window partitions by `row`, so restricting to
+      // the page's rows before resolving is semantics-preserving).
       case Some(pf: PageFilter) =>
-        val m = Resolve.masked(df, view)
-        val keys = m.select("row").distinct().orderBy("row").limit(pf.pageSize)
-        Resolve.finish(m.join(broadcast(keys), Seq("row"), "left_semi"), view)
+        val keys = Resolve.masked(df, view)
+          .select("row").distinct().orderBy("row").limit(pf.pageSize)
+        Resolve(df.join(broadcast(keys), Seq("row"), "left_semi"), view)
       case Some(f) => f(Resolve(df, view))
       case None => Resolve(df, view)
     }
