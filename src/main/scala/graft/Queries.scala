@@ -875,6 +875,19 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // LSH-bucketed ANN: rows-only driver check (bucket membership depends on
+  // xxhash64 hyperplanes DuckDB can't recompute); recall vs the exact
+  // baseline is asserted in PipelineSpec, and this entry benches the
+  // native HyperplaneBand signature stage end-to-end.
+  private val similarityLsh = Q("similarity_lsh_topk", None, bench = true) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, bands = 16, bitsPerBand = 8)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   private val dedupEmbedding = Q("dedup_embedding", Some(s"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, $duckCos AS cosine
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
@@ -942,7 +955,7 @@ object Queries {
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
     dedupClusters,
     dedupSimhash, textQuality, textLangid, similarityTopk, similarityIvf,
-    dedupEmbedding, multimodalFeatures, sampleSplit)
+    similarityLsh, dedupEmbedding, multimodalFeatures, sampleSplit)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.types.IntegerType
 
 /** `SparkSessionExtensions` entry point (SURVEY §2.9 — the custom-code
   * extension seam): registers the engine's native expressions so they
@@ -35,5 +36,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_band"),
+      new ExpressionInfo(classOf[HyperplaneBand].getName, "graft_hyperplane_band"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_band $what must be an int literal, got $other")
+        }
+        HyperplaneBand(args(0), intLit(args(1), "band"), intLit(args(2), "width"))
+      }))
   }
 }

@@ -140,6 +140,52 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH band bucket: bit r of the result is
+  * sign(dot(v, h_{band*width+r})) where hyperplane component i of plane j
+  * is +1/-1 from bit 0 of xxhash64(j, i) — EXACTLY the bits the previous
+  * `transform`+`aggregate` HOF formulation derived via Spark's xxhash64
+  * (seed 42, int-typed inputs), reproduced here through the same
+  * `XXH64.hashInt` so buckets are bit-compatible. The HOF version ran
+  * width interpreted vector passes per row with no common-subexpression
+  * elimination — unacceptable as the signature stage of a 100 TB ANN
+  * scan; this is one compiled pass accumulating all `width` sums.
+  * Accumulation order per plane matches the HOF's sequential aggregate,
+  * so the sign of every sum is identical. */
+case class HyperplaneBand(child: Expression, band: Int, width: Int)
+    extends UnaryExpression {
+  require(width > 0 && width <= 64, s"band width $width must be in [1,64]")
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hyperplane_band needs array<float|double>, got ${other.simpleString}")
+    }
+
+  // Per-plane inner hash seeds: xxhash64(j, i) folds left over the args,
+  // so hash(j, i) = XXH64.hashInt(i, XXH64.hashInt(j, DEFAULT_SEED)).
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(width) { r =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(band * width + r, 42L)
+    }
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprUtil.hyperplaneBand(input.asInstanceOf[ArrayData], seeds, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("hplaneSeeds", seeds, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.hyperplaneBand($c, $seedsRef, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBand =
+    copy(child = newChild)
+}
+
 /** JVM helpers referenced from generated code. */
 object VectorExprUtil {
   def doubleToBits(d: Double): Array[Byte] =
@@ -158,6 +204,34 @@ object VectorExprUtil {
     while (i < n) { v = (v << 8) | (b(i) & 0xff); i += 1 }
     v
   }
+
+  def hyperplaneBand(arr: ArrayData, seeds: Array[Long], isFloat: Boolean): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val w = seeds.length
+    val sums = new Array[Double](w)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val x =
+        if (arr.isNullAt(i)) 0.0
+        else if (isFloat) arr.getFloat(i).toDouble
+        else arr.getDouble(i)
+      var r = 0
+      while (r < w) {
+        if ((XXH64.hashInt(i, seeds(r)) & 1L) == 1L) sums(r) += x
+        else sums(r) -= x
+        r += 1
+      }
+      i += 1
+    }
+    var bucket = 0L
+    var r = 0
+    while (r < w) {
+      if (sums(r) > 0) bucket |= (1L << r)
+      r += 1
+    }
+    bucket
+  }
 }
 
 /** Column-level entry points, resolved through the function registry
@@ -171,4 +245,8 @@ object VectorFunctions {
   def bitsToLong(c: Column): Column = call_function("graft_bits_to_long", c)
   def bitsToInt(c: Column): Column = call_function("graft_bits_to_int", c)
   def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def hyperplaneBand(vec: Column, band: Int, width: Int): Column =
+    call_function("graft_hyperplane_band", vec,
+      org.apache.spark.sql.functions.lit(band),
+      org.apache.spark.sql.functions.lit(width))
 }

@@ -143,18 +143,18 @@ object Similarity {
     * into one long. Banding MUST go through per-band values rather than
     * slicing one packed signature: Java shifts wrap at 64, so packing
     * >64 bits silently aliases high bands onto low ones (halving
-    * effective recall with the old 128-bit default). */
+    * effective recall with the old 128-bit default).
+    *
+    * Backed by the native codegen'd [[graft.functions.HyperplaneBand]]
+    * expression — one compiled pass accumulating all `w` plane sums. The
+    * previous `transform`+`aggregate` formulation ran `w` interpreted
+    * vector passes per row (HOF lambdas get no codegen and no CSE); the
+    * native expression derives identical sign bits (same xxhash64(j, i)
+    * bit-0 hyperplanes, same accumulation order — parity-tested), so
+    * buckets are bit-compatible. */
   def hyperplaneBand(vec: Column, b: Int, w: Int): Column = {
     require(w <= 64, s"band width $w exceeds 64 bits")
-    val bits = (0 until w).map { r =>
-      val j = b * w + r
-      val prods = transform(vec, (x, i) =>
-        when(xxhash64(lit(j), i).bitwiseAND(1) === 1,
-          x.cast("double")).otherwise(-x.cast("double")))
-      val s = aggregate(prods, lit(0.0), (acc, x) => acc + x)
-      when(s > 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
-    }
-    bits.reduce((a, c) => a.bitwiseOR(c))
+    graft.functions.VectorFunctions.hyperplaneBand(vec, b, w)
   }
 
   /** LSH-bucketed ANN top-k: multi-band hyperplane signatures generate

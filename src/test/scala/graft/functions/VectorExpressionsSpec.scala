@@ -65,6 +65,36 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("graft_hyperplane_band matches the interpreted HOF formulation exactly") {
+    // the HOF formulation the native expression replaced — kept here as
+    // the parity oracle (sign bit = bit 0 of xxhash64(j, i), seed 42)
+    def hofBand(vec: org.apache.spark.sql.Column, b: Int, w: Int) = {
+      val bits = (0 until w).map { r =>
+        val j = b * w + r
+        val prods = transform(vec, (x, i) =>
+          when(xxhash64(lit(j), i).bitwiseAND(1) === 1,
+            x.cast("double")).otherwise(-x.cast("double")))
+        val s = aggregate(prods, lit(0.0), (acc, x) => acc + x)
+        when(s > 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
+      }
+      bits.reduce((a, c) => a.bitwiseOR(c))
+    }
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 50).map(i =>
+      (i.toLong, Seq.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    for (b <- Seq(0, 3, 15); w <- Seq(1, 8, 64)) {
+      val out = vecs.select(
+        VectorFunctions.hyperplaneBand(col("v"), b, w).as("native"),
+        hofBand(col("v"), b, w).as("hof")).collect()
+      out.foreach(r => assert(r.getLong(0) == r.getLong(1), s"band=$b w=$w"))
+    }
+    // double-typed arrays take the other element path
+    val dv = Seq((1L, Seq(0.5, -1.25, 3.0))).toDF("id", "v")
+    val d = dv.select(VectorFunctions.hyperplaneBand(col("v"), 2, 16).as("n"),
+      hofBand(col("v"), 2, 16).as("h")).collect()(0)
+    assert(d.getLong(0) == d.getLong(1))
+  }
+
   test("expressions survive codegen (inside a wider projection)") {
     // a realistic plan: filter + groupBy over the expression output
     val df = (1 to 1000).map(i => (i.toLong, Seq.fill(16)(i.toFloat)))
