@@ -541,6 +541,38 @@ object Queries {
   // time travel on event-time cells.
   // ----------------------------------------------------------------------
 
+  // The SQL door end-to-end: a catalog table (NOT a temp view) read with
+  // spark.sql, WHERE bounds on the binary row key pushed through the DSv2
+  // ScanBuilder onto the engine Scan (and from there to parquet row-group
+  // pruning — SqlCatalogSpec asserts the plan).
+  private val sqlCatalogRoots = scala.collection.mutable.Map.empty[String, String]
+  private val sqlCatalogScan = Q("sql_catalog_scan", Some(s"""
+    SELECT $customerCols FROM customer
+    WHERE c_custkey >= 100 AND c_custkey < 600
+    ORDER BY c_custkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlCatalogRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sql").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("cust_sql",
+          Seq(graft.catalog.FamilyDescriptor("c")), splitKeys = 8), nowMs = 1L)
+        g.table("cust_sql").mutate(customerCells(s, dir), nowMs = 1L)
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    def hexKey(k: Long) =
+      "X'" + CellCodec.rowKeyOf(k).map(b => f"$b%02x").mkString + "'"
+    val cells = s.sql(
+      s"""SELECT row, family, qualifier, ts, kind, value, seq
+          FROM graft.cust_sql
+          WHERE row >= ${hexKey(100L)} AND row < ${hexKey(600L)}""")
+    CellCodec.decode(cells, customerSchema).orderBy("c_custkey")
+  }
+
   private val snapshotScan = Q("snapshot_scan", Some(s"""
     SELECT $customerCols FROM customer ORDER BY c_custkey""")) { (s, dir) =>
     import graft.catalog.{FamilyDescriptor, TableDescriptor}
@@ -950,7 +982,7 @@ object Queries {
     groupingMapperAgg,
     versionsLatest, timeRangeScan, jsonPropsAgg, sessionize,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
-    snapshotScan, asofScan, bulkLoadScan,
+    snapshotScan, asofScan, bulkLoadScan, sqlCatalogScan,
     copyTableScan, importTsvScan, replicationStream, asOfJoinQ,
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
     dedupClusters,

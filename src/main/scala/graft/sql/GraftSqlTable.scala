@@ -1,0 +1,150 @@
+package graft.sql
+
+import graft.catalog.Catalog
+import graft.core.{Bytes, Cell}
+import graft.read.{Scan => GScan, ScanExec}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan => V2Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** One graft table as a DSv2 `Table`.
+  *
+  * Read path: filters Spark pushes down are translated onto the engine's
+  * own [[graft.read.Scan]] spec — the SAME operator the facade uses, so
+  * the sargable-range machinery (PrefixFilter successors, row-range →
+  * parquet min/max pruning, family projection before resolve) is reused,
+  * not re-derived. The data plane goes through the official `V1Scan`
+  * fallback: the resolved DataFrame's RDD feeds Spark's
+  * RowDataSourceScanExec. The inner plan (and its parquet pushdown) is
+  * exactly the facade's, asserted by SqlCatalogSpec.
+  *
+  * Write path: `V1Write`/`InsertableRelation` → `Catalog.append` — an
+  * `INSERT INTO graft.t` is the bulk put path with the usual manifest
+  * commit.
+  */
+class GraftSqlTable(engine: Catalog, tableName: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = tableName
+  override def schema(): StructType = Cell.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(engine, tableName)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite, "INSERT OVERWRITE is not supported; " +
+                "use DELETE tombstones or replaceData (compaction)")
+              // SQL has no caller-supplied batch time; stamp from the wall
+              // clock like the reference stamps server-side mutations.
+              engine.append(tableName, data, System.currentTimeMillis()): Unit
+            }
+          }
+      }
+    }
+}
+
+/** Translates pushed V1 filters into a [[graft.read.Scan]]:
+  *  - `row` bounds → startRow/stopRow (binary, unsigned-lex — identical
+  *    ordering to Spark's BinaryType, BytesSpec-asserted);
+  *  - `family` equality / IN → family projection (applied pre-resolve;
+  *    commutes with resolution);
+  *  - everything else → residual, evaluated by Spark post-resolve.
+  * Column pruning lands as a final projection so the inner plan's parquet
+  * scan reads only what survives.
+  */
+class GraftScanBuilder(engine: Catalog, tableName: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = Cell.schema
+  private var scan: GScan = GScan()
+
+  /** Smallest byte string strictly greater than v (v ++ 0x00). */
+  private def succ(v: Array[Byte]): Array[Byte] = v :+ 0.toByte
+
+  private def tightenStart(b: Array[Byte]): Unit =
+    if (scan.startRow.forall(cur => Bytes.compareTo(b, cur) > 0))
+      scan = scan.setStartRow(b)
+  private def tightenStop(b: Array[Byte]): Unit =
+    if (scan.stopRow.forall(cur => Bytes.compareTo(b, cur) < 0))
+      scan = scan.setStopRow(b)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = Array.newBuilder[Filter]
+    val residual = Array.newBuilder[Filter]
+    // Row bounds are each sound as conjuncts (every bound only tightens
+    // the range). Family filters union into a projection SET, so a second
+    // conjunct would widen instead of intersect — accept only the first
+    // and leave the rest residual (a ∧-chain of distinct family
+    // equalities is degenerate anyway).
+    var famTaken = false
+    filters.foreach {
+      case f @ sources.EqualTo("row", v: Array[Byte]) =>
+        tightenStart(v); tightenStop(succ(v)); accepted += f
+      case f @ sources.GreaterThanOrEqual("row", v: Array[Byte]) =>
+        tightenStart(v); accepted += f
+      case f @ sources.GreaterThan("row", v: Array[Byte]) =>
+        tightenStart(succ(v)); accepted += f
+      case f @ sources.LessThan("row", v: Array[Byte]) =>
+        tightenStop(v); accepted += f
+      case f @ sources.LessThanOrEqual("row", v: Array[Byte]) =>
+        tightenStop(succ(v)); accepted += f
+      case f @ sources.EqualTo("family", fam: String) if !famTaken =>
+        scan = scan.addFamily(fam); famTaken = true; accepted += f
+      case f @ sources.In("family", fs)
+          if !famTaken && fs.nonEmpty && fs.forall(_.isInstanceOf[String]) =>
+        fs.foreach(x => scan = scan.addFamily(x.asInstanceOf[String]))
+        famTaken = true; accepted += f
+      case other => residual += other
+    }
+    pushed = accepted.result()
+    residual.result()
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): V2Scan = new GraftV1Scan(engine, tableName, scan, required)
+}
+
+class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
+    required: StructType) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  /** The resolved view this scan produces — also the seam SqlCatalogSpec
+    * uses to assert that pushdown reached the inner parquet scan. */
+  private[sql] def resolvedFrame(spark: SparkSession): DataFrame = {
+    val d = engine.currentManifest(tableName).descriptor
+    val resolved = ScanExec(engine.read(tableName), gscan,
+      ttlMs = None, now = 0L,
+      familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
+      familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
+    import org.apache.spark.sql.functions.col
+    resolved.select(required.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): RDD[Row] =
+        resolvedFrame(context.sparkSession).rdd
+    }.asInstanceOf[T]
+}

@@ -1,0 +1,111 @@
+package graft.sql
+
+import graft.{Graft, SparkSpec}
+import graft.catalog.{FamilyDescriptor, TableDescriptor}
+import graft.core.Bytes
+import graft.write.{Delete, Put}
+import java.nio.file.Files
+
+/** The SQL door: graft tables resolved and queryable through a DSv2
+  * catalog — `spark.sql("... FROM graft_sql.t ...")` with row/family
+  * pushdown reaching the inner parquet scan. */
+class SqlCatalogSpec extends SparkSpec {
+
+  private def b(s: String) = Bytes.toBytes(s)
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-sqlcat").toString
+    val g = Graft(spark, r)
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f"), FamilyDescriptor("g")), splitKeys = 4), 1L)
+    g.table("t").put((1 to 50).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("q"), b(s"v$i")).add("g", b("q"), b(s"w$i"))), 2L)
+    // overwrite r010's f:q and tombstone r011's whole f family — the SQL
+    // view must show resolution, not raw cells
+    g.table("t").put(Seq(Put(b("r010")).add("f", b("q"), b("v10b"))), 3L)
+    g.table("t").delete(Seq(Delete(b("r011")).deleteFamily("f", 3L)), 3L)
+    spark.conf.set("spark.sql.catalog.graft_sql", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sql.root", r)
+    r
+  }
+
+  test("SELECT over the catalog table returns the RESOLVED view") {
+    root
+    val out = spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_sql.t " +
+        "WHERE family = 'f'")
+    val rows = collectCells(out)
+    assert(rows.size == 49, rows.size) // r011's f family tombstoned
+    assert(rows.contains(("r010", "f", "q", 3L, "v10b"))) // latest version
+    assert(!rows.exists(_._1 == "r011"))
+    assert(rows.forall(_._2 == "f"))
+  }
+
+  test("row-range WHERE prunes via the scan spec down to the parquet source") {
+    root
+    val df = spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_sql.t " +
+        "WHERE row >= X'72303130' AND row < X'72303230'") // 'r010'..'r020'
+    assert(collectCells(df).map(_._1).forall(r => r >= "r010" && r < "r020"))
+    assert(collectCells(df).map(_._1).size == 10 * 1) // 10 rows (dedup'd keys)
+
+    // the same translation, asserted at the seam: the builder must turn
+    // the pushed bounds into a Scan whose inner plan carries parquet
+    // PushedFilters on row
+    val engine = new graft.catalog.Catalog(spark, root)
+    val builder = new GraftScanBuilder(engine, "t")
+    import org.apache.spark.sql.sources
+    val residual = builder.pushFilters(Array(
+      sources.GreaterThanOrEqual("row", b("r010")),
+      sources.LessThan("row", b("r020")),
+      sources.EqualTo("family", "f")))
+    assert(residual.isEmpty)
+    assert(builder.pushedFilters().length == 3)
+    val v1 = builder.build().asInstanceOf[GraftV1Scan]
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      v1.resolvedFrame(spark).explain("formatted")
+    }
+    val pushed = out.toString("UTF-8").linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("row") && pushed.contains("family"), pushed)
+  }
+
+  test("INSERT INTO appends through the manifest catalog") {
+    root
+    val newCells = cells(Seq(
+      graft.core.Cell.put(b("r999"), "f", b("q"), 9L, b("new"))))
+    newCells.createOrReplaceTempView("ins_src")
+    spark.sql("INSERT INTO graft_sql.t SELECT * FROM ins_src")
+    val got = collectCells(spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_sql.t " +
+        "WHERE row = X'72393939'"))
+    assert(got == Set(("r999", "f", "q", 9L, "new")))
+  }
+
+  test("CREATE TABLE / DROP TABLE with family descriptors in TBLPROPERTIES") {
+    root
+    spark.sql("CREATE TABLE graft_sql.u " +
+      "TBLPROPERTIES('families'='a:maxVersions=1;b:maxVersions=5:ttlMs=1000')")
+    val engine = new graft.catalog.Catalog(spark, root)
+    val d = engine.currentManifest("u").descriptor
+    assert(d.families == Seq(
+      FamilyDescriptor("a", maxVersions = 1),
+      FamilyDescriptor("b", maxVersions = 5, ttlMs = Some(1000L))))
+    spark.sql("DROP TABLE graft_sql.u")
+    assert(!engine.tableExists("u"))
+  }
+
+  test("SELECT sees maxVersions from the family descriptor (resolution knobs)") {
+    root
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("v", Seq(FamilyDescriptor("m", maxVersions = 2))), 1L)
+    g.table("v").put(Seq(Put(b("k")).add("m", b("q"), b("v1"))), 10L)
+    g.table("v").put(Seq(Put(b("k")).add("m", b("q"), b("v2"))), 20L)
+    g.table("v").put(Seq(Put(b("k")).add("m", b("q"), b("v3"))), 30L)
+    val got = collectCells(spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_sql.v"))
+    // scan default maxVersions=1 — the SQL view is the latest visible cell
+    assert(got == Set(("k", "m", "q", 30L, "v3")))
+  }
+}
