@@ -731,14 +731,18 @@ object Queries {
       FROM events) WHERE rn = 1 ORDER BY user_id""")) { (s, dir) =>
     import graft.catalog.{FamilyDescriptor, TableDescriptor}
     val work = java.nio.file.Files.createTempDirectory("graft-q-repl").toString
-    // WAL analog: the events cell batch lands in the feed dir
-    eventsCells(s, dir).write.parquet(s"$work/feed/b1")
-    val g = graft.Graft(s, s"$work/peer")
-    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("e")), splitKeys = 8), 1L)
+    // The SOURCE is a real catalog table; its own append history is the
+    // change feed (tableChangeFeed tails data-* — the WAL analog). No
+    // parallel feed dir, no double-publish.
+    val src = graft.Graft(s, s"$work/src")
+    src.createTable(TableDescriptor("t", Seq(FamilyDescriptor("e")), splitKeys = 8), 1L)
+    src.table("t").mutate(eventsCells(s, dir), nowMs = 1L)
+    val peer = graft.Graft(s, s"$work/peer")
+    peer.createTable(TableDescriptor("t", Seq(FamilyDescriptor("e")), splitKeys = 8), 1L)
     graft.streaming.Replication.replicate(
-      graft.streaming.Replication.changeFeed(s, s"$work/feed"),
-      g.catalog, "t", s"$work/ckpt", nowMsOf = _ + 10L).awaitTermination()
-    CellCodec.decode(ScanExec(g.catalog.read("t"), Scan()), eventsValSchema,
+      graft.streaming.Replication.tableChangeFeed(s, s"$work/src", "t"),
+      peer.catalog, "t", s"$work/ckpt", nowMsOf = _ + 10L).awaitTermination()
+    CellCodec.decode(ScanExec(peer.catalog.read("t"), Scan()), eventsValSchema,
       key = Seq("user_id" -> LongType))
       .orderBy("user_id")
   }

@@ -97,10 +97,13 @@ object ManifestJson {
   * (§2.7), as a manifest store on any Hadoop FileSystem.
   *
   * Layout: `{root}/{table}/manifest-{v}.json`, `{root}/{table}/CURRENT`
-  * (contains v), `{root}/{table}/data-{v}/...parquet`. Commits are
-  * atomic: write manifest, then rename CURRENT.tmp -> CURRENT (atomic on
-  * HDFS and local FS). Data dirs are immutable once referenced — the
-  * invariant that makes snapshots free.
+  * (contains v), `{root}/{table}/data-{v}/...parquet` (append batches —
+  * the WAL analog, tailed by `Replication.tableChangeFeed`) and
+  * `{root}/{table}/compact-{v}/...parquet` (compaction rewrites, which
+  * never re-enter the feed). Commits are atomic: write manifest, then
+  * rename CURRENT.tmp -> CURRENT (atomic on HDFS and local FS). Data dirs
+  * are immutable once referenced — the invariant that makes snapshots
+  * free.
   *
   * All timestamps are caller-supplied (`nowMs`) for determinism.
   */
@@ -207,11 +210,18 @@ final class Catalog(spark: SparkSession, root: String) {
   }
 
   /** Replace all data dirs with one rewritten dir (compaction commit).
-    * Old dirs stay on disk until `vacuum` — snapshots may reference them. */
+    * Old dirs stay on disk until `vacuum` — snapshots may reference them.
+    *
+    * The rewrite lands under `compact-{v}`, NOT `data-{v}`: `data-*` dirs
+    * are exactly the append batches — the WAL analog that
+    * [[graft.streaming.Replication.tableChangeFeed]] tails — and the
+    * reference's compactions likewise never re-enter the WAL
+    * (`Store.java:778` rewrites HFiles; `ReplicationSource.java:334`
+    * ships only log edits). */
   def replaceData(t: String, cells: DataFrame, nowMs: Long): Manifest = {
     val cur = currentManifest(t)
     val v = cur.version + 1
-    val dir = new Path(tableDir(t), s"data-$v").toString
+    val dir = new Path(tableDir(t), s"compact-$v").toString
     import org.apache.spark.sql.functions.col
     cells
       .repartitionByRange(cur.descriptor.splitKeys, col("row"))
@@ -272,7 +282,9 @@ final class Catalog(spark: SparkSession, root: String) {
     def qual(d: String): String = fs.makeQualified(new Path(d)).toString
     val live = (manifests(t).flatMap(_.dataDirs) ++ protectedDirs).map(qual).toSet
     val dirs = fs.listStatus(tableDir(t)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("data-") ||
+          s.getPath.getName.startsWith("compact-")))
       .map(_.getPath)
     val dead = dirs.filterNot(p => live.contains(qual(p.toString)))
     dead.foreach(p => fs.delete(p, true))

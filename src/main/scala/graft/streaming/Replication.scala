@@ -36,6 +36,26 @@ object Replication {
       .option("recursiveFileLookup", "true")
       .parquet(feedDir)
 
+  /** Open a catalog TABLE's own history as the change feed — no parallel
+    * feed directory, no double-publishing writers: every `Catalog.append`
+    * commits exactly one immutable `data-{v}` dir, so the table's `data-*`
+    * glob IS its WAL (`ReplicationSource.java:334,518` tails the region
+    * server's log the same way). Compaction rewrites land under
+    * `compact-{v}` and are invisible to the glob — compactions never
+    * re-enter the reference's WAL either — and bulk-loaded dirs are
+    * adopted by reference at their original path, reproducing the
+    * reference's documented bulk-load/replication bypass.
+    *
+    * Any table is replicable after the fact: the stream's first batches
+    * replay all committed appends, then it tails new ones. */
+  def tableChangeFeed(spark: SparkSession, catalogRoot: String, table: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(Cell.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$catalogRoot/$table/data-*")
+
   /** Ship the feed into a target catalog table. Returns the running query;
     * callers own its lifecycle. `nowMsOf` stamps each committed batch
     * deterministically from the batch id (no wall clock on executors). */
@@ -51,29 +71,89 @@ object Replication {
       }
       .start()
 
-  /** Streaming per-key latest-state view: the memstore-ish "current value
-    * of every (row,family,qualifier)" maintained incrementally —
-    * watermarked dedup + arbitrary stateful latest via flatMapGroups is
-    * overkill; complete-mode max_by aggregation expresses it exactly. */
-  def latestState(feed: DataFrame): DataFrame =
-    feed
-      .filter(col("kind") === graft.core.CellKind.Put)
-      .groupBy(col("row"), col("family"), col("qualifier"))
-      .agg(max_by(col("value"), struct(col("ts"), col("seq"))).as("value"),
-        max(col("ts")).as("ts"))
+  /** Streaming per-key latest-state view — emits an UPDATE row for a
+    * (row, family, qualifier) whenever a newer (ts, seq) Put arrives,
+    * via `flatMapGroupsWithState` in Update mode (the memstore re-homed as
+    * Spark-managed group state).
+    *
+    * Scale posture: state is one small (ts, seq, value) record per LIVE
+    * key — never re-emitted wholesale (a complete-mode aggregation, the
+    * r01 formulation, holds AND re-outputs every key ever seen each
+    * trigger: unbounded on an unbounded keyspace). `idleTimeout` expires
+    * keys idle longer than the given processing-time duration, bounding
+    * state for drifting keyspaces — after expiry, a late stale edit can
+    * re-emit as "latest" (the usual watermark-horizon trade; pick the
+    * horizon to cover replay lag). For a durably materialized current
+    * state, pair [[replicate]] with `majorCompact` on the peer — state
+    * lives in the table, not in executors. */
+  def latestState(feed: DataFrame, stateHorizonMs: Option[Long] = None,
+      watermarkDelay: String = "10 seconds",
+      tsDivisorToMillis: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = feed.sparkSession
+    import spark.implicits._
+    val base = feed.filter(col("kind") === graft.core.CellKind.Put)
+      // the event-time column must SURVIVE into the stateful operator's
+      // input for EventTimeTimeout to pass the streaming checker
+      .withColumn("_event_time",
+        timestamp_millis((col("ts") / tsDivisorToMillis).cast("long")))
+    val withTime = stateHorizonMs.fold(base)(_ =>
+      base.withWatermark("_event_time", watermarkDelay))
+    val puts = withTime
+      .select(col("row"), col("family"), col("qualifier"), col("ts"),
+        col("seq"), col("value"), col("_event_time"))
+      .as[(Array[Byte], String, Array[Byte], Long, Long, Array[Byte], java.sql.Timestamp)]
+      .groupByKey { case (row, fam, qual, _, _, _, _) => (row, fam, qual) }
+    val timeoutConf =
+      if (stateHorizonMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    // state = (ts, seq, value, lastTsMs) of the current latest
+    puts.flatMapGroupsWithState(
+      OutputMode.Update(), timeoutConf) {
+      (key: (Array[Byte], String, Array[Byte]),
+          rows: Iterator[(Array[Byte], String, Array[Byte], Long, Long, Array[Byte], java.sql.Timestamp)],
+          state: GroupState[(Long, Long, Array[Byte], Long)]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val newest = rows.map(r => (r._4, r._5, r._6, r._7.getTime))
+            .reduceOption((a, b) =>
+              if (a._1 > b._1 || (a._1 == b._1 && a._2 >= b._2)) a else b)
+          val cur = state.getOption
+          val winner = (cur.toSeq ++ newest.toSeq)
+            .reduceOption((a, b) =>
+              if (a._1 > b._1 || (a._1 == b._1 && a._2 >= b._2)) a else b)
+          winner match {
+            case Some(w) =>
+              state.update(w)
+              stateHorizonMs.foreach { h =>
+                // the timeout must stay ahead of the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(w._4 + h, state.getCurrentWatermarkMs() + 1))
+              }
+              if (cur.contains(w)) Iterator.empty // stale edit: no change
+              else Iterator.single((key._1, key._2, key._3, w._3, w._1))
+            case None => Iterator.empty
+          }
+        }
+    }.toDF("row", "family", "qualifier", "value", "ts")
+  }
 
   /** Streaming dedup over the change feed: at-least-once delivery made
     * exactly-once-per-cell downstream by dropping duplicate cell
-    * coordinates within the watermark horizon — `dropDuplicates` keyed on
-    * the full cell identity with bounded state (the watermark expires
-    * per-key state, so this scales to unbounded streams). */
+    * coordinates within the watermark horizon. `_event_time` (functionally
+    * determined by `ts`) is part of the dedup key — Spark only expires
+    * dedup state for keys that CONTAIN the watermarked event-time column,
+    * so without it the state would grow forever. */
   def dedupedFeed(feed: DataFrame, watermarkDelay: String,
       tsDivisorToMillis: Long = 1L): DataFrame =
     feed
       .withColumn("_event_time",
         timestamp_millis((col("ts") / tsDivisorToMillis).cast("long")))
       .withWatermark("_event_time", watermarkDelay)
-      .dropDuplicates("row", "family", "qualifier", "ts", "kind", "seq")
+      .dropDuplicates("row", "family", "qualifier", "ts", "kind", "seq",
+        "_event_time")
       .drop("_event_time")
 
   /** Watermarked event-time windowed aggregation over the change feed:

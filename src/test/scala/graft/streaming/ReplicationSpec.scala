@@ -6,6 +6,13 @@ import graft.core.{Bytes, Cell}
 import graft.read.Scan
 import java.nio.file.Files
 
+object ReplicationSpec {
+  // foreachBatch closures run on the driver but outside the test's scope;
+  // accumulate emitted deltas here (memory sink can't restart checkpoints)
+  val deltas = scala.collection.mutable.ListBuffer.empty[(String, String)]
+  val horizonDeltas = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+}
+
 /** Replication semantics from `ReplicationSource`/`ReplicationSink`
   * (SURVEY §2.1): at-least-once shipping of appended edit batches into a
   * peer table, idempotent under replay. */
@@ -51,6 +58,48 @@ class ReplicationSpec extends SparkSpec {
       Replication.changeFeed(spark, feedDir), g.catalog, "t", s"$work/ckpt2",
       nowMsOf = _ + 200L).awaitTermination()
     assert(state() == Set(("r2", "v2")))
+  }
+
+  test("tableChangeFeed tails the table's own appends; compaction does not re-ship") {
+    import graft.write.{Delete, Put}
+    val work = Files.createTempDirectory("graft-replt").toString
+    val src = Graft(spark, s"$work/src")
+    src.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")), splitKeys = 2), 1L)
+    val peer = Graft(spark, s"$work/peer")
+    peer.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")), splitKeys = 2), 1L)
+
+    def ship(ckpt: String): Unit = Replication.replicate(
+      Replication.tableChangeFeed(spark, s"$work/src", "t"),
+      peer.catalog, "t", ckpt, nowMsOf = _ + 100L).awaitTermination()
+    def state(g: Graft): Set[(String, String)] =
+      g.table("t").scan(Scan()).collect().map { r =>
+        (new String(r.getAs[Array[Byte]]("row"), "UTF-8"),
+          new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+      }.toSet
+
+    // two appends (puts, then a tombstone) — normal WAL shipping
+    src.table("t").put(Seq(
+      Put(b("r1")).add("f", b("q"), 1L, b("v1")),
+      Put(b("r2")).add("f", b("q"), 1L, b("v2"))), nowMs = 1L)
+    src.table("t").delete(Seq(Delete(b("r1")).deleteColumn("f", b("q"), 1L)), 2L)
+    ship(s"$work/ckpt")
+    assert(state(peer) == Set(("r2", "v2")))
+
+    // major compaction rewrites the source into compact-{v}; the feed
+    // must NOT re-ship it (the peer already consumed those edits, and a
+    // compacted rewrite is not an edit). A fresh checkpoint replays the
+    // ORIGINAL appends only — same final state, tombstone included.
+    src.table("t").majorCompact(nowMs = 3L)
+    assert(state(src) == Set(("r2", "v2")))
+    ship(s"$work/ckpt") // incremental: nothing new to ship
+    assert(state(peer) == Set(("r2", "v2")))
+    ship(s"$work/ckpt2") // full replay from scratch: appends only
+    assert(state(peer) == Set(("r2", "v2")))
+
+    // post-compaction appends keep flowing
+    src.table("t").put(Seq(Put(b("r3")).add("f", b("q"), 4L, b("v3"))), nowMs = 4L)
+    ship(s"$work/ckpt")
+    assert(state(peer) == Set(("r2", "v2"), ("r3", "v3")))
   }
 
   test("windowed edit counts with watermark; stateful running counters") {
@@ -103,24 +152,108 @@ class ReplicationSpec extends SparkSpec {
     assert(rows == Seq("v1", "v2")) // duplicate v1 dropped
   }
 
-  test("latestState streaming aggregation tracks current value per column") {
+  test("latestState emits update deltas; stale edits are suppressed") {
     val work = Files.createTempDirectory("graft-repl2").toString
+    val ckpt = s"$work/ckpt"
+    // memory sink can't recover from a checkpoint; collect deltas through
+    // foreachBatch instead (checkpoint-compatible like any real sink)
+    def run(): Unit = {
+      val q = Replication.latestState(
+        Replication.changeFeed(spark, s"$work/feed"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect().map { r =>
+            (new String(r.getAs[Array[Byte]]("row"), "UTF-8"),
+              new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+          }
+          ReplicationSpec.deltas.synchronized {
+            ReplicationSpec.deltas ++= rows
+          }: Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
     cells(Seq(
       Cell.put(b("r1"), "f", b("q"), 1L, b("old")),
       Cell.put(b("r1"), "f", b("q"), 5L, b("new")),
       Cell.put(b("r2"), "f", b("q"), 3L, b("x")))).toDF()
       .write.parquet(s"$work/feed/b1")
-    val q = Replication.latestState(
-      Replication.changeFeed(spark, s"$work/feed"))
-      .writeStream.format("memory").queryName("latest_state_t")
-      .outputMode("complete").trigger(
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = spark.table("latest_state_t").collect().map { r =>
-      (new String(r.getAs[Array[Byte]]("row"), "UTF-8"),
-        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
-    }.toSet
-    assert(out == Set(("r1", "new"), ("r2", "x")))
+    run()
+    def emitted(): Seq[(String, String)] =
+      ReplicationSpec.deltas.synchronized(ReplicationSpec.deltas.toList)
+    // one delta per key — the in-batch older version never surfaces
+    assert(emitted().toSet == Set(("r1", "new"), ("r2", "x")))
+    assert(emitted().size == 2)
+
+    // a STALE late edit (ts 2 < current 5) must emit nothing...
+    cells(Seq(Cell.put(b("r1"), "f", b("q"), 2L, b("stale")))).toDF()
+      .write.parquet(s"$work/feed/b2")
+    run()
+    assert(emitted().size == 2)
+    // ...and a genuinely newer one emits exactly one delta
+    cells(Seq(Cell.put(b("r1"), "f", b("q"), 9L, b("v9")))).toDF()
+      .write.parquet(s"$work/feed/b3")
+    run()
+    assert(emitted().size == 3)
+    assert(emitted().contains(("r1", "v9")))
+  }
+
+  test("latestState with a state horizon expires idle keys (bounded state)") {
+    val work = Files.createTempDirectory("graft-repl5").toString
+    val ckpt = s"$work/ckpt"
+    // returns the state store's total key count after the run — the
+    // direct, deterministic observation of expiry (a behavioral probe is
+    // impossible by design: the watermark drops any event old enough to
+    // have been affected by the expired state before it reaches the
+    // operator)
+    def run(): Long = {
+      val q = Replication.latestState(
+        Replication.changeFeed(spark, s"$work/feed"),
+        stateHorizonMs = Some(5000L), watermarkDelay = "0 seconds")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect().map { r =>
+            (new String(r.getAs[Array[Byte]]("row"), "UTF-8"),
+              new String(r.getAs[Array[Byte]]("value"), "UTF-8"),
+              r.getAs[Long]("ts"))
+          }
+          ReplicationSpec.horizonDeltas.synchronized {
+            ReplicationSpec.horizonDeltas ++= rows
+          }: Unit
+        }
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    }
+    def emitted(): Seq[(String, String, Long)] =
+      ReplicationSpec.horizonDeltas.synchronized(
+        ReplicationSpec.horizonDeltas.toList)
+    // r1 lives at event-time 1000, horizon 5000 -> times out once the
+    // watermark passes 6000
+    cells(Seq(Cell.put(b("r1"), "f", b("q"), 1000L, b("v1")))).toDF()
+      .write.parquet(s"$work/feed/b1")
+    assert(run() == 1L)
+    assert(emitted().toSet == Set(("r1", "v1", 1000L)))
+    // advance the watermark far past r1's horizon (another key).
+    // AvailableNow runs a trailing no-data batch that commits the
+    // advanced watermark (100000 > r1's 6000 horizon) — r1's timeout
+    // fires within this run and its state is REMOVED: 1 key left (r2),
+    // not 2
+    cells(Seq(Cell.put(b("r2"), "f", b("q"), 100000L, b("v2")))).toDF()
+      .write.parquet(s"$work/feed/b2")
+    assert(run() == 1L)
+    // r2 (horizon 105000) survives; r3 joins — 2 keys, r1 still gone
+    cells(Seq(Cell.put(b("r3"), "f", b("q"), 100001L, b("v3")))).toDF()
+      .write.parquet(s"$work/feed/b3")
+    assert(run() == 2L)
+    assert(emitted().map(t => (t._1, t._2)).toSet ==
+      Set(("r1", "v1"), ("r2", "v2"), ("r3", "v3")))
   }
 }
