@@ -55,11 +55,30 @@ object PerfEval {
     }
 
     // randomRead: 20 point Gets at hash-scrambled keys
+    t.get(Get(Bytes.toBytes(1L))).count() // warm footers outside timing
     results("randomRead") = timed {
       var i = 0L
       while (i < 20) {
         val k = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
         t.get(Get(Bytes.toBytes(k))).count()
+        i += 1
+      }
+    }
+
+    // randomReadBloom: the same Gets against a bloom-filtered family
+    // (BLOOMFILTER parity — parquet row blooms prune row groups the
+    // min/max range check can't exclude)
+    g.createTable(TableDescriptor("pe_bloom",
+      Seq(FamilyDescriptor("o", bloomFilter = true))), 1L)
+    g.table("pe_bloom").mutate(
+      CellCodec.encode(orders, "o", Seq("o_orderkey")), nowMs = 1L)
+    val tb = g.table("pe_bloom")
+    tb.get(Get(Bytes.toBytes(1L))).count() // warm footers outside timing
+    results("randomReadBloom") = timed {
+      var i = 0L
+      while (i < 20) {
+        val k = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
+        tb.get(Get(Bytes.toBytes(k))).count()
         i += 1
       }
     }

@@ -6,13 +6,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import java.nio.charset.StandardCharsets
 
 /** Per-family logical/physical knobs — reference `HColumnDescriptor.java`
-  * (649 LoC): `maxVersions` default 3 (`:92`), `TTL:78`. Physical knobs
-  * (compression/blocksize/bloom) map to Parquet writer config and are
-  * carried as opaque attrs. */
+  * (649 LoC): `maxVersions` default 3 (`:92`), `TTL:78`, and the physical
+  * attrs `BLOOMFILTER:79` -> parquet row-key bloom filters (the
+  * reference's point-get pruning, `StoreFile.java:775-781`),
+  * `COMPRESSION:74` -> parquet codec, `IN_MEMORY:103` -> Spark block
+  * cache (`persist`) for that family's files. Family names must be
+  * directory-safe (the reference likewise restricts them to printable
+  * non-`:` names — `HColumnDescriptor.isLegalFamilyName`). */
 final case class FamilyDescriptor(
     name: String,
     maxVersions: Int = 3,
-    ttlMs: Option[Long] = None)
+    ttlMs: Option[Long] = None,
+    bloomFilter: Boolean = false,
+    compression: Option[String] = None,
+    inMemory: Boolean = false)
 
 /** Table shape — reference `HTableDescriptor.java` (698 LoC): name +
   * family set + attrs (`READONLY:65` kept; region-era attrs dropped). */
@@ -50,7 +57,8 @@ object ManifestJson {
 
   def write(m: Manifest): String = {
     val fams = m.descriptor.families.map { f =>
-      s"""{"name":${esc(f.name)},"maxVersions":${f.maxVersions},"ttlMs":${f.ttlMs.getOrElse(-1L)}}"""
+      s"""{"name":${esc(f.name)},"maxVersions":${f.maxVersions},"ttlMs":${f.ttlMs.getOrElse(-1L)},""" +
+        s""""bloom":${f.bloomFilter},"compression":${f.compression.map(esc).getOrElse("null")},"inMemory":${f.inMemory}}"""
     }.mkString("[", ",", "]")
     s"""{"table":${esc(m.table)},"version":${m.version},"createdMs":${m.createdMs},""" +
       s""""readOnly":${m.descriptor.readOnly},"splitKeys":${m.descriptor.splitKeys},""" +
@@ -79,7 +87,10 @@ object ManifestJson {
       val n = "\"name\":\"([^\"]*)\"".r.findFirstMatchIn(f).get.group(1)
       val mv = "\"maxVersions\":(\\d+)".r.findFirstMatchIn(f).get.group(1).toInt
       val ttl = "\"ttlMs\":(-?\\d+)".r.findFirstMatchIn(f).get.group(1).toLong
-      FamilyDescriptor(n, mv, if (ttl < 0) None else Some(ttl))
+      FamilyDescriptor(n, mv, if (ttl < 0) None else Some(ttl),
+        bloomFilter = f.contains("\"bloom\":true"),
+        compression = "\"compression\":\"([^\"]*)\"".r.findFirstMatchIn(f).map(_.group(1)),
+        inMemory = f.contains("\"inMemory\":true"))
     }.toSeq
     val dirsBlock = {
       val i = s.indexOf("\"dataDirs\":[")
@@ -183,27 +194,85 @@ final class Catalog(spark: SparkSession, root: String) {
     if (m.dataDirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Cell.schema)
-    else
-      spark.read.schema(Cell.schema).parquet(m.dataDirs: _*)
+    else {
+      // IN_MEMORY families (HColumnDescriptor.java:103 -> block cache):
+      // their leaf dirs read through a persisted frame. persist() is
+      // idempotent per logical plan (CacheManager dedupes), so repeated
+      // reads of the same manifest share one cache entry; superseded
+      // entries age out of MEMORY_AND_DISK by LRU.
+      val inMemFams = m.descriptor.families.filter(_.inMemory).map(_.name).toSet
+      def famOf(d: String): Option[String] = {
+        val n = new Path(d).getName
+        if (n.startsWith(Catalog.FamDirPrefix))
+          Some(n.stripPrefix(Catalog.FamDirPrefix))
+        else None
+      }
+      val (hot, cold) = m.dataDirs.partition(d => famOf(d).exists(inMemFams))
+      val frames = Seq(
+        if (hot.isEmpty) None
+        else Some(spark.read.schema(Cell.schema).parquet(hot: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+        if (cold.isEmpty) None
+        else Some(spark.read.schema(Cell.schema).parquet(cold: _*))).flatten
+      frames.reduce(_ unionByName _)
+    }
+
+  /** Write a cell batch under `base` in the committed layout:
+    * range-partitioned by row, sorted by full cell order within partitions
+    * (the HFileOutputFormat / SimpleTotalOrderPartitioner layout, SURVEY
+    * §2.1), split into per-family leaf dirs (`_fam={name}` — the
+    * reference's one-store-file-per-family shape) so each family gets ITS
+    * OWN physical attrs: families are grouped by identical
+    * (compression, bloom) and each group is one write job — a table with
+    * all-default families costs exactly one job, like before. Returns the
+    * committed leaf dirs. */
+  private def writeCells(base: String, cells: DataFrame,
+      desc: TableDescriptor): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, not}
+    def write(df: DataFrame, compression: Option[String], bloom: Boolean): Unit = {
+      var w = df
+        .withColumn("_fam", col("family")) // keep family IN the data files
+        .repartitionByRange(desc.splitKeys, col("row"))
+        .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
+          col("ts").desc, col("seq").desc)
+        .write.mode(SaveMode.Append).partitionBy("_fam")
+      compression.foreach(c => w = w.option("compression", c))
+      // Row-key bloom filters: the reference's point-get store-file
+      // pruning (StoreFile.java:775-781); parquet checks them before
+      // row-group decode on row = <key> predicates.
+      if (bloom) w = w.option("parquet.bloom.filter.enabled#row", "true")
+      w.parquet(base)
+    }
+    val nonDefault = desc.families
+      .filter(f => f.compression.isDefined || f.bloomFilter)
+      .groupBy(f => (f.compression, f.bloomFilter)).toSeq
+      .map { case ((c, b), fs) => (c, b, fs.map(_.name)) }
+    if (nonDefault.isEmpty) write(cells, None, bloom = false)
+    else {
+      val nd = nonDefault.flatMap(_._3)
+      // default-attrs group also catches cells of undeclared families
+      write(cells.filter(not(col("family").isin(nd: _*))), None, bloom = false)
+      nonDefault.foreach { case (c, b, fams) =>
+        write(cells.filter(col("family").isin(fams: _*)), c, b)
+      }
+    }
+    val bp = new Path(base)
+    if (!fs.exists(bp)) Seq.empty // an empty batch writes nothing
+    else fs.listStatus(bp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(Catalog.FamDirPrefix))
+      .map(_.getPath.toString).sorted
+  }
 
   /** Append a batch of cells as a new immutable data dir + manifest
-    * version — the LSM "flush". Data is range-partitioned by row and
-    * sorted by full cell order within partitions (the HFileOutputFormat /
-    * SimpleTotalOrderPartitioner layout, SURVEY §2.1) so scans get
-    * min/max pruning and merges stay ordered. */
+    * version — the LSM "flush" (layout: [[writeCells]]). */
   def append(t: String, cells: DataFrame, nowMs: Long): Manifest = {
     val cur = currentManifest(t)
     require(!cur.descriptor.readOnly, s"table $t is read-only")
     val v = cur.version + 1
-    val dir = new Path(tableDir(t), s"data-$v").toString
-    import org.apache.spark.sql.functions.col
-    cells
-      .repartitionByRange(cur.descriptor.splitKeys, col("row"))
-      .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
-        col("ts").desc, col("seq").desc)
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    val leaves = writeCells(
+      new Path(tableDir(t), s"data-$v").toString, cells, cur.descriptor)
     val m = cur.copy(version = v, createdMs = nowMs,
-      dataDirs = cur.dataDirs :+ dir)
+      dataDirs = cur.dataDirs ++ leaves)
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
     commitCurrent(t, v)
     m
@@ -221,14 +290,9 @@ final class Catalog(spark: SparkSession, root: String) {
   def replaceData(t: String, cells: DataFrame, nowMs: Long): Manifest = {
     val cur = currentManifest(t)
     val v = cur.version + 1
-    val dir = new Path(tableDir(t), s"compact-$v").toString
-    import org.apache.spark.sql.functions.col
-    cells
-      .repartitionByRange(cur.descriptor.splitKeys, col("row"))
-      .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
-        col("ts").desc, col("seq").desc)
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir)
-    val m = cur.copy(version = v, createdMs = nowMs, dataDirs = Seq(dir))
+    val leaves = writeCells(
+      new Path(tableDir(t), s"compact-$v").toString, cells, cur.descriptor)
+    val m = cur.copy(version = v, createdMs = nowMs, dataDirs = leaves)
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
     commitCurrent(t, v)
     m
@@ -286,7 +350,12 @@ final class Catalog(spark: SparkSession, root: String) {
         (s.getPath.getName.startsWith("data-") ||
           s.getPath.getName.startsWith("compact-")))
       .map(_.getPath)
-    val dead = dirs.filterNot(p => live.contains(qual(p.toString)))
+    // manifests reference per-family LEAF dirs (data-v/_fam=f); a listed
+    // top-level dir is live if any live leaf sits under it
+    val dead = dirs.filterNot { p =>
+      val q = qual(p.toString)
+      live.contains(q) || live.exists(_.startsWith(q + "/"))
+    }
     dead.foreach(p => fs.delete(p, true))
     dead.map(_.toString)
   }
@@ -297,4 +366,10 @@ final class Catalog(spark: SparkSession, root: String) {
     val ms = manifests(t).dropRight(keep)
     ms.foreach(m => fs.delete(new Path(tableDir(t), s"manifest-${m.version}.json"), false))
   }
+}
+
+object Catalog {
+  /** Per-family leaf-dir prefix inside a `data-{v}`/`compact-{v}` dir
+    * (written via `partitionBy`, family column duplicated into the data). */
+  val FamDirPrefix = "_fam="
 }

@@ -92,12 +92,21 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
     val snap = manifest(name)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // Leaf dirs are data-{v}/_fam={f}: keep the version component in the
+    // exported layout or same-named family leaves of different versions
+    // would collide.
+    def relOf(dp: Path): String = {
+      val parent = Option(dp.getParent).map(_.getName).getOrElse("")
+      if (parent.startsWith("data-") || parent.startsWith("compact-"))
+        s"$parent/${dp.getName}"
+      else dp.getName
+    }
     val files: Seq[(String, String, Long)] = snap.dataDirs.flatMap { d =>
       val dp = new Path(d)
       val dfs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!dfs.exists(dp)) Seq.empty
       else dfs.listStatus(dp).toSeq.filter(_.isFile).map { st =>
-        (st.getPath.toString, s"${dp.getName}/${st.getPath.getName}", st.getLen)
+        (st.getPath.toString, s"${relOf(dp)}/${st.getPath.getName}", st.getLen)
       }
     }
     // Largest-first round-robin over partitions = size balancing.
@@ -117,7 +126,7 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
       }
     // snapshot manifest, rewritten to the exported layout
     val exported = snap.copy(dataDirs =
-      snap.dataDirs.map(d => new Path(target, new Path(d).getName).toString))
+      snap.dataDirs.map(d => new Path(target, relOf(new Path(d))).toString))
     val mp = new Path(target, "snapshotinfo.json")
     val tfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = tfs.create(mp, true)

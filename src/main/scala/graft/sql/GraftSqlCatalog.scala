@@ -97,7 +97,8 @@ class GraftSqlCatalog extends TableCatalog {
 }
 
 object GraftSqlCatalog {
-  /** `name[:maxVersions=N][:ttlMs=N](;next)*` */
+  /** `name[:maxVersions=N][:ttlMs=N][:bloom=true][:compression=zstd]
+    * [:inMemory=true](;next)*` — the `HColumnDescriptor` attr surface. */
   private[sql] def parseFamilies(spec: String): Seq[FamilyDescriptor] =
     spec.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
       val parts = s.split(':')
@@ -105,6 +106,9 @@ object GraftSqlCatalog {
         kv.split('=') match {
           case Array("maxVersions", v) => fd.copy(maxVersions = v.toInt)
           case Array("ttlMs", v) => fd.copy(ttlMs = Some(v.toLong))
+          case Array("bloom", v) => fd.copy(bloomFilter = v.toBoolean)
+          case Array("compression", v) => fd.copy(compression = Some(v))
+          case Array("inMemory", v) => fd.copy(inMemory = v.toBoolean)
           case other => throw new IllegalArgumentException(
             s"bad family attribute '${other.mkString("=")}' in '$spec'")
         }

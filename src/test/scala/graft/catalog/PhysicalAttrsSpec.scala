@@ -1,0 +1,106 @@
+package graft.catalog
+
+import graft.{Graft, SparkSpec}
+import graft.core.Bytes
+import graft.write.Put
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+/** Family physical attrs land in the physical layout: bloom filters and
+  * codec in the parquet footers of THAT family's leaf dirs only
+  * (HColumnDescriptor BLOOMFILTER/COMPRESSION parity), IN_MEMORY families
+  * read through the block cache, and the per-family split keeps reads,
+  * snapshots, and vacuum correct. */
+class PhysicalAttrsSpec extends SparkSpec {
+
+  private def b(s: String) = Bytes.toBytes(s)
+
+  private def partFiles(dir: String): Seq[Path] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+  }
+
+  private def footerOf(f: Path) = {
+    val in = HadoopInputFile.fromPath(f, spark.sparkContext.hadoopConfiguration)
+    val r = ParquetFileReader.open(in)
+    try r.getFooter finally r.close()
+  }
+
+  test("bloom + codec land in the right family's footers; reads stay correct") {
+    val root = Files.createTempDirectory("graft-phys").toString
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(
+      FamilyDescriptor("hot", bloomFilter = true, compression = Some("zstd")),
+      FamilyDescriptor("plain")), splitKeys = 2), 1L)
+    g.table("t").put((1 to 200).map(i =>
+      Put(b(f"r$i%03d"))
+        .add("hot", b("q"), b(s"h$i"))
+        .add("plain", b("q"), b(s"p$i"))), 2L)
+
+    val m = g.catalog.currentManifest("t")
+    assert(m.dataDirs.size == 2, m.dataDirs)
+    val hotDir = m.dataDirs.find(_.endsWith("_fam=hot")).get
+    val plainDir = m.dataDirs.find(_.endsWith("_fam=plain")).get
+
+    val hotCols = partFiles(hotDir).map(footerOf)
+      .flatMap(_.getBlocks.toArray.toSeq)
+      .flatMap(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
+        .getColumns.toArray.toSeq)
+      .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+    assert(hotCols.nonEmpty)
+    assert(hotCols.forall(_.getCodec.name() == "ZSTD"),
+      hotCols.map(_.getCodec.name()).distinct)
+    val hotRowCols = hotCols.filter(_.getPath.toDotString == "row")
+    assert(hotRowCols.nonEmpty && hotRowCols.forall(_.getBloomFilterOffset >= 0),
+      hotRowCols.map(_.getBloomFilterOffset))
+
+    val plainCols = partFiles(plainDir).map(footerOf)
+      .flatMap(_.getBlocks.toArray.toSeq)
+      .flatMap(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
+        .getColumns.toArray.toSeq)
+      .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+    assert(plainCols.forall(_.getCodec.name() != "ZSTD"))
+    assert(plainCols.filter(_.getPath.toDotString == "row")
+      .forall(_.getBloomFilterOffset < 0))
+
+    // the split is invisible to reads: both families resolve as one table
+    val out = collectCells(g.table("t").scan(graft.read.Scan()))
+    assert(out.size == 400)
+    assert(out.contains(("r001", "hot", "q", 2L, "h1")))
+    assert(out.contains(("r001", "plain", "q", 2L, "p1")))
+  }
+
+  test("IN_MEMORY family reads through the block cache") {
+    val root = Files.createTempDirectory("graft-inmem").toString
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(
+      FamilyDescriptor("mem", inMemory = true),
+      FamilyDescriptor("disk")), splitKeys = 2), 1L)
+    g.table("t").put(Seq(
+      Put(b("r1")).add("mem", b("q"), b("m")).add("disk", b("q"), b("d"))), 2L)
+    val plan = g.table("t").cells.queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"), plan)
+    // cached + plain sides still read as one table
+    assert(collectCells(g.table("t").scan(graft.read.Scan())) ==
+      Set(("r1", "mem", "q", 2L, "m"), ("r1", "disk", "q", 2L, "d")))
+  }
+
+  test("vacuum keeps live leaf dirs, drops dead top dirs after compaction") {
+    val root = Files.createTempDirectory("graft-physvac").toString
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")), splitKeys = 2), 1L)
+    g.table("t").put(Seq(Put(b("r1")).add("f", b("q"), b("v1"))), 2L)
+    g.table("t").put(Seq(Put(b("r2")).add("f", b("q"), b("v2"))), 3L)
+    // nothing dead while the append manifests are retained
+    assert(g.vacuum("t").isEmpty)
+    g.table("t").majorCompact(4L)
+    g.catalog.expireVersions("t", keep = 1)
+    val dead = g.vacuum("t")
+    assert(dead.nonEmpty && dead.forall(_.contains("data-")), dead)
+    assert(collectCells(g.table("t").scan(graft.read.Scan())) ==
+      Set(("r1", "f", "q", 2L, "v1"), ("r2", "f", "q", 3L, "v2")))
+  }
+}
