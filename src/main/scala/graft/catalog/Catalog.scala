@@ -22,12 +22,20 @@ final case class FamilyDescriptor(
     inMemory: Boolean = false)
 
 /** Table shape — reference `HTableDescriptor.java` (698 LoC): name +
-  * family set + attrs (`READONLY:65` kept; region-era attrs dropped). */
+  * family set + attrs (`READONLY:65` kept; region-era attrs dropped).
+  *
+  * `splitKeys` is the default partition COUNT (sampled ranges);
+  * `splitBoundaries` are EXPLICIT sorted row-key split points — the
+  * reference's `HBaseAdmin.createTable(desc, byte[][] splitKeys)`
+  * (`HBaseAdmin.java:198,231`) pre-split for known-skewed keyspaces:
+  * committed files never straddle a boundary (each boundary range gets
+  * its own file set, like a pre-split region's HFiles). */
 final case class TableDescriptor(
     name: String,
     families: Seq[FamilyDescriptor],
     readOnly: Boolean = false,
-    splitKeys: Int = 32) {
+    splitKeys: Int = 32,
+    splitBoundaries: Seq[Array[Byte]] = Nil) {
   def family(n: String): FamilyDescriptor =
     families.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"no family $n in table $name"))
@@ -60,8 +68,11 @@ object ManifestJson {
       s"""{"name":${esc(f.name)},"maxVersions":${f.maxVersions},"ttlMs":${f.ttlMs.getOrElse(-1L)},""" +
         s""""bloom":${f.bloomFilter},"compression":${f.compression.map(esc).getOrElse("null")},"inMemory":${f.inMemory}}"""
     }.mkString("[", ",", "]")
+    val bounds = m.descriptor.splitBoundaries
+      .map(b => esc(b.map(x => f"$x%02x").mkString)).mkString("[", ",", "]")
     s"""{"table":${esc(m.table)},"version":${m.version},"createdMs":${m.createdMs},""" +
       s""""readOnly":${m.descriptor.readOnly},"splitKeys":${m.descriptor.splitKeys},""" +
+      s""""splitBoundaries":$bounds,""" +
       s""""families":$fams,"dataDirs":${m.dataDirs.map(esc).mkString("[", ",", "]")}}"""
   }
 
@@ -98,9 +109,20 @@ object ManifestJson {
       s.substring(i + "\"dataDirs\":[".length, j)
     }
     val dirs = "\"([^\"]*)\"".r.findAllMatchIn(dirsBlock).map(_.group(1)).toSeq
+    val bounds = {
+      val i = s.indexOf("\"splitBoundaries\":[")
+      if (i < 0) Seq.empty[Array[Byte]]
+      else {
+        val j = s.indexOf("]", i)
+        val block = s.substring(i + "\"splitBoundaries\":[".length, j)
+        "\"([0-9a-f]*)\"".r.findAllMatchIn(block).map(_.group(1))
+          .map(hex => hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+          .toSeq
+      }
+    }
     Manifest(str("table"), num("version"), num("createdMs"),
       TableDescriptor(str("table"), fams, bool("readOnly"),
-        num("splitKeys").toInt), dirs)
+        num("splitKeys").toInt, bounds), dirs)
   }
 }
 
@@ -207,13 +229,19 @@ final class Catalog(spark: SparkSession, root: String) {
           Some(n.stripPrefix(Catalog.FamDirPrefix))
         else None
       }
+      // recursiveFileLookup: leaf dirs may nest `_bucket={i}` subdirs
+      // (explicit pre-split boundaries); those names are containers, not
+      // partition columns — every cell column lives in the files.
+      def readDirs(dirs: Seq[String]): DataFrame =
+        spark.read.schema(Cell.schema)
+          .option("recursiveFileLookup", "true").parquet(dirs: _*)
       val (hot, cold) = m.dataDirs.partition(d => famOf(d).exists(inMemFams))
       val frames = Seq(
         if (hot.isEmpty) None
-        else Some(spark.read.schema(Cell.schema).parquet(hot: _*)
+        else Some(readDirs(hot)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
         if (cold.isEmpty) None
-        else Some(spark.read.schema(Cell.schema).parquet(cold: _*))).flatten
+        else Some(readDirs(cold))).flatten
       frames.reduce(_ unionByName _)
     }
 
@@ -228,14 +256,27 @@ final class Catalog(spark: SparkSession, root: String) {
     * committed leaf dirs. */
   private def writeCells(base: String, cells: DataFrame,
       desc: TableDescriptor): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, not}
+    import org.apache.spark.sql.functions.{col, lit, not, when}
+    // Explicit pre-split boundaries: bucket i = number of boundaries <=
+    // row (bytewise — Spark's BinaryType ordering matches Bytes.compareTo,
+    // BytesSpec-asserted). partitionBy on the bucket puts each boundary
+    // range in its own subdir, so no committed file straddles a boundary —
+    // the pre-split-region guarantee.
+    val bounds = desc.splitBoundaries
+    def withBucket(df: DataFrame): DataFrame =
+      if (bounds.isEmpty) df
+      else df.withColumn("_bucket",
+        bounds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col("row") >= lit(b), 1).otherwise(0)
+        })
+    val partCols = if (bounds.isEmpty) Seq("_fam") else Seq("_fam", "_bucket")
     def write(df: DataFrame, compression: Option[String], bloom: Boolean): Unit = {
-      var w = df
+      var w = withBucket(df)
         .withColumn("_fam", col("family")) // keep family IN the data files
         .repartitionByRange(desc.splitKeys, col("row"))
         .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
           col("ts").desc, col("seq").desc)
-        .write.mode(SaveMode.Append).partitionBy("_fam")
+        .write.mode(SaveMode.Append).partitionBy(partCols: _*)
       compression.foreach(c => w = w.option("compression", c))
       // Row-key bloom filters: the reference's point-get store-file
       // pruning (StoreFile.java:775-781); parquet checks them before

@@ -105,8 +105,18 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
       val dp = new Path(d)
       val dfs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!dfs.exists(dp)) Seq.empty
-      else dfs.listStatus(dp).toSeq.filter(_.isFile).map { st =>
-        (st.getPath.toString, s"${relOf(dp)}/${st.getPath.getName}", st.getLen)
+      else {
+        // recursive: leaf dirs may nest _bucket={i} subdirs (pre-split
+        // boundaries); keep each file's path relative to the leaf
+        val base = dfs.makeQualified(dp).toString
+        val it = dfs.listFiles(dp, true)
+        val out = Seq.newBuilder[(String, String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
+          out += ((st.getPath.toString, s"${relOf(dp)}/$rel", st.getLen))
+        }
+        out.result()
       }
     }
     // Largest-first round-robin over partitions = size balancing.

@@ -88,6 +88,44 @@ class PhysicalAttrsSpec extends SparkSpec {
       Set(("r1", "mem", "q", 2L, "m"), ("r1", "disk", "q", 2L, "d")))
   }
 
+  test("explicit pre-split boundaries: no committed file straddles a boundary") {
+    val root = Files.createTempDirectory("graft-presplit").toString
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2,
+      splitBoundaries = Seq(b("r010"), b("r020"))), 1L)
+    g.table("t").put((1 to 30).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("q"), b(s"v$i"))), 2L)
+
+    val leaf = g.catalog.currentManifest("t").dataDirs.head
+    val fs = new Path(leaf).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.listStatus(new Path(leaf)).toSeq
+      .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    assert(bucketDirs.map(_.getName) == Seq("_bucket=0", "_bucket=1", "_bucket=2"),
+      bucketDirs.map(_.getName))
+    // every bucket's rows stay inside its boundary range
+    def rowsOf(p: Path): Seq[String] =
+      spark.read.schema(graft.core.Cell.schema)
+        .option("recursiveFileLookup", "true").parquet(p.toString)
+        .collect().toSeq.map(r => new String(r.getAs[Array[Byte]]("row"), "UTF-8"))
+    assert(rowsOf(bucketDirs(0)).forall(_ < "r010"))
+    assert(rowsOf(bucketDirs(1)).forall(r => r >= "r010" && r < "r020"))
+    assert(rowsOf(bucketDirs(2)).forall(_ >= "r020"))
+
+    // descriptor round-trips through the manifest (hex-encoded boundaries)
+    val d = g.catalog.currentManifest("t").descriptor
+    assert(d.splitBoundaries.map(new String(_, "UTF-8")) == Seq("r010", "r020"))
+
+    // reads see the whole table; snapshot export/import survives nesting
+    assert(collectCells(g.table("t").scan(graft.read.Scan())).size == 30)
+    g.snapshot("s", "t", 3L)
+    val exp = s"$root/exported"
+    g.exportSnapshot("s", exp)
+    g.importSnapshot("s_imported", exp)
+    assert(collectCells(
+      graft.read.ScanExec(g.readSnapshot("s_imported"), graft.read.Scan())).size == 30)
+  }
+
   test("vacuum keeps live leaf dirs, drops dead top dirs after compaction") {
     val root = Files.createTempDirectory("graft-physvac").toString
     val g = Graft(spark, root)
