@@ -300,6 +300,57 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  // `HTable.exists:651` — the reference's behavioral tests probe both a
+  // present and an absent key (`TestFromClientSide` exists-cases); the
+  // per-key booleans land in a 2-row frame the DuckDB EXISTS subquery
+  // recomputes.
+  private val existsGet = Q("exists_get", Some("""
+    SELECT CAST(k AS BIGINT) AS o_orderkey,
+      EXISTS(SELECT 1 FROM orders WHERE o_orderkey = k) AS exists_flag
+    FROM (VALUES (100), (999999999)) t(k) ORDER BY o_orderkey""")) { (s, dir) =>
+    import s.implicits._
+    val table = ordersCells(s, dir)
+    Seq(100L, 999999999L)
+      .map(k => (k, ScanExec.exists(table, Get(CellCodec.rowKeyOf(k)))))
+      .toDF("o_orderkey", "exists_flag").orderBy("o_orderkey")
+  }
+
+  // `DependentColumnFilter` (TestDependentColumnFilter parity): a second
+  // version of o_orderstatus lands at ts=2, but the dependent column
+  // (o_orderdate) only has stamps at ts=1 — the filter drops every cell
+  // whose ts has no matching dependent stamp, so the decoded view is the
+  // unmodified base table.
+  private val dependentColumn = Q("dependent_column_scan", Some(s"""
+    SELECT $ordersCols FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val extra = Mutations.putCells(
+      orders.filter(col("o_orderkey") % 2 === 0),
+      CellCodec.rowKey(orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey")),
+      "o", "o_orderstatus", lit("X"), ts = 2L)
+    val table = Mutations.merge(ordersCells(s, dir), extra)
+    val scan = Scan().setMaxVersions(2)
+      .setFilter(DependentColumnFilter("o", Bytes.toBytes("o_orderdate")))
+    CellCodec.decode(ScanExec(table, scan), ordersSchema).orderBy("o_orderkey")
+  }
+
+  // Export -> Import round-trip (`Export.java:41`/`Import.java:39`,
+  // `TestSnapshotExport.java:105`-style file round-trip): the dump is real
+  // parquet on disk, re-read and decoded.
+  private val exportImportRoots = scala.collection.mutable.Map.empty[String, String]
+  private val exportImport = Q("export_import_scan", Some(s"""
+    SELECT $ordersCols FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
+    val dump = Queries.synchronized {
+      exportImportRoots.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-q-export").toString
+        graft.jobs.Jobs.exportTable(ordersCells(s, dir), s"$d/dump")
+        s"$d/dump"
+      })
+    }
+    CellCodec.decode(
+      ScanExec(graft.jobs.Jobs.importTable(s, dump), Scan()), ordersSchema)
+      .orderBy("o_orderkey")
+  }
+
   private val columnPagination = Q("column_pagination", Some("""
     SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
     // Qualifiers in (family, qualifier) order: o_custkey, o_orderdate,
@@ -978,7 +1029,8 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q1Agg, q3Join,
-    scanRange, getPoint, getRowOrBefore, rowCounter,
+    scanRange, getPoint, getRowOrBefore, rowCounter, existsGet,
+    dependentColumn, exportImport,
     prefixFilter, columnPrefixFilter, valueFilterSubstr, valueFilterRegex,
     inclusiveStop, pageFilter, columnPagination,
     rowFilterRegex, qualifierFilter, timestampsFilter, columnCountGet,

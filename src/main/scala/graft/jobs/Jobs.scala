@@ -59,9 +59,15 @@ object Jobs {
     require(columnSpec.contains("HBASE_ROW_KEY"), "spec needs HBASE_ROW_KEY")
     val raw = spark.read.option("sep", separator).csv(path)
     val n = columnSpec.length
-    val good = raw.filter(raw.columns.take(n).map(col(_).isNotNull).reduce(_ && _))
-      .filter(size(array(raw.columns.map(col): _*)) >= n)
-    val bad = raw.count() - good.count()
+    val okCol = raw.columns.take(n).map(col(_).isNotNull).reduce(_ && _) &&
+      size(array(raw.columns.map(col): _*)) >= n
+    // ONE counting pass for the bad-line counter (the r01 formulation ran
+    // raw.count() + good.count() — two extra full scans of a bulk-ingest
+    // input); the good-line frame itself stays lazy for the write job.
+    val counts = raw.agg(
+      count(lit(1)).as("_total"), count(when(okCol, 1)).as("_good")).head()
+    val bad = counts.getLong(0) - counts.getLong(1)
+    val good = raw.filter(okCol)
     val keyIdx = columnSpec.indexOf("HBASE_ROW_KEY")
     val rowCol = col(raw.columns(keyIdx)).cast(BinaryType)
     val cellCols = columnSpec.zipWithIndex.filter(_._1 != "HBASE_ROW_KEY")
