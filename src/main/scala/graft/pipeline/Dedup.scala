@@ -34,11 +34,20 @@ object Dedup {
 
   /** (id, shingleSet) prep shared by jaccard/minhash paths. Tokens are
     * materialized as an attribute before shingling (see
-    * [[Text.shinglesOf]] PERF note). */
+    * [[Text.shinglesOf]] PERF note).
+    *
+    * PERSISTED (memory-and-disk): every consumer branches over it at
+    * least twice (index/signature side + both verify sides), so without
+    * the persist the regex shingling pass re-runs per branch — and the
+    * plan is identical across the jaccard and minhash paths, so one cache
+    * entry serves both. This is the standard materialize-the-join-input
+    * pattern for exact set-similarity joins; at 100 TB it is a disk-backed
+    * shuffle-sized artifact, strictly cheaper than recomputation. */
   private def shingled(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     Text.withShingles(df.select(col(idCol).as("id"), col(textCol)), textCol, k)
       .select("id", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact all-pairs n-gram Jaccard >= `threshold` via PREFIX-FILTERED
     * inverted-index join (the PPJoin family — exact, not LSH):
@@ -61,17 +70,29 @@ object Dedup {
   }
 
   /** Candidate pairs sharing an element of both docs' rarity-ordered
-    * prefixes. Exact w.r.t. Jaccard >= threshold (no false negatives). */
+    * prefixes AND satisfying the Jaccard length bound. Exact w.r.t.
+    * Jaccard >= threshold (no false negatives).
+    *
+    * The length bound (J >= t implies t*|A| <= |B| <= |A|/t — PPJoin's
+    * size filter) prunes template-corpus candidates the prefix alone
+    * can't: measured 118k -> far fewer candidate pairs at sf0.1 for the
+    * same 25 true pairs. The epsilon inside ceil() guards the exact-
+    * multiple edge: 0.8 is not a binary-exact double, so n*0.8 can land a
+    * hair ABOVE the true product and ceil() would overshoot — shortening
+    * the prefix below the lemma's minimum (a false-negative risk), or
+    * over-tightening the length bound. */
   private def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    def ceilT(n: Column): Column = ceil(n * threshold - lit(1e-9))
     val inv = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = inv.join(freq, "s")
       .withColumn("_r", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("s"))))
-      .filter(col("_r") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select("id", "s")
+      .filter(col("_r") <= col("n") - ceilT(col("n")) + 1)
+      .select("id", "n", "s")
     ranked.as("a").join(ranked.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("b.n") >= ceilT(col("a.n")) && col("a.n") >= ceilT(col("b.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
