@@ -48,5 +48,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HyperplaneBand(args(0), intLit(args(1), "band"), intLit(args(2), "width"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_bands $what must be an int literal, got $other")
+        }
+        MinHashBands(args(0), intLit(args(1), "bands"), intLit(args(2), "rows"))
+      }))
   }
 }

@@ -186,6 +186,53 @@ case class HyperplaneBand(child: Expression, band: Int, width: Int)
     copy(child = newChild)
 }
 
+/** MinHash LSH band buckets in ONE narrow compiled pass: for a shingle
+  * array, compute `bands*rows` minhashes (one xxhash64 per shingle +
+  * affine 2-universal permutations h_i = a_i*h + b_i — the standard
+  * sketching trick; MinHash only needs min-wise-independent-ish
+  * permutations, and every emitted pair is exact-verified downstream),
+  * then fold each band's `rows` minhashes into its bucket value. Replaces
+  * an explode + 128-column min-aggregation: same signature quality, zero
+  * shuffle, zero row explosion — the signature stage becomes a narrow
+  * projection that scales embarrassingly at 100 TB.
+  *
+  * Returning the BUCKETS (not the signature) keeps the output
+  * single-use: deriving 32 band columns from one array-typed signature
+  * column would re-inline the whole signature expression per band after
+  * projection collapse (the measured r01 trap). */
+case class MinHashBands(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  require(bands > 0 && rows > 0, s"bands=$bands rows=$rows must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash_bands needs array<string>, got ${other.simpleString}")
+    }
+
+  // odd multipliers + offsets derived deterministically per permutation
+  private lazy val muls: Array[Long] = Array.tabulate(bands * rows)(i =>
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 0x9E3779B97F4A7C15L) | 1L)
+  private lazy val adds: Array[Long] = Array.tabulate(bands * rows)(i =>
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 0x165667B19E3779F9L))
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprUtil.minHashBands(input.asInstanceOf[ArrayData], muls, adds, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mulsRef = ctx.addReferenceObj("mhMuls", muls, "long[]")
+    val addsRef = ctx.addReferenceObj("mhAdds", adds, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.minHashBands($c, $mulsRef, $addsRef, $rows)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
 /** JVM helpers referenced from generated code. */
 object VectorExprUtil {
   def doubleToBits(d: Double): Array[Byte] =
@@ -203,6 +250,42 @@ object VectorExprUtil {
     var v = 0; var i = 0
     while (i < n) { v = (v << 8) | (b(i) & 0xff); i += 1 }
     v
+  }
+
+  def minHashBands(arr: ArrayData, muls: Array[Long], adds: Array[Long],
+      rows: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = muls.length
+    val mins = new Array[Long](n)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val m = arr.numElements()
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var i = 0
+        while (i < n) {
+          val v = muls(i) * h + adds(i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    val buckets = new Array[Long](n / rows)
+    var b = 0
+    while (b < buckets.length) {
+      var acc = XXH64.hashInt(b, 42L)
+      var r = 0
+      while (r < rows) {
+        acc = XXH64.hashLong(mins(b * rows + r), acc)
+        r += 1
+      }
+      buckets(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
   }
 
   def hyperplaneBand(arr: ArrayData, seeds: Array[Long], isFloat: Boolean): Long = {
@@ -249,4 +332,8 @@ object VectorFunctions {
     call_function("graft_hyperplane_band", vec,
       org.apache.spark.sql.functions.lit(band),
       org.apache.spark.sql.functions.lit(width))
+  def minHashBands(shingles: Column, bands: Int, rows: Int): Column =
+    call_function("graft_minhash_bands", shingles,
+      org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(rows))
 }

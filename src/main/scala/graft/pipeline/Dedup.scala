@@ -130,17 +130,14 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.8,
       bands: Int = 32, rows: Int = 4): DataFrame = {
     val sh = shingled(df, idCol, textCol, k)
-    // Band bucket = hash of the band's `rows` minhash AGG COLUMNS —
-    // attribute references, so each minhash is computed exactly once.
-    // (Deriving bands from a shared array-expression column re-inlines
-    // the whole signature expression per band after projection collapse —
-    // a `bands`x eval blowup that hung the sf0.1 bench.)
-    val sig = minhashAggs(sh, bands * rows)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(((b * rows until (b + 1) * rows).map(i => col(s"_h$i")) :+
-        lit(b)): _*)
-    }
-    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)))
+    // All band buckets come from the native MinHashBands expression: one
+    // narrow compiled pass per doc (one strong hash per shingle + affine
+    // permutations), no explode, no aggregation shuffle. The r01
+    // formulation exploded (doc x shingle) rows into a 128-column
+    // min-aggregation — correct, but a full shuffle of the inverted index
+    // just to build signatures.
+    val banded = sh.select(col("id"), posexplode(
+        graft.functions.VectorFunctions.minHashBands(col("sh"), bands, rows)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

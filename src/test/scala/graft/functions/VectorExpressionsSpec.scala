@@ -95,6 +95,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(d.getLong(0) == d.getLong(1))
   }
 
+  test("graft_minhash_bands: identical sets share all buckets, disjoint share none") {
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("c d e", "a b c", "b c d")), // same SET, different order
+      (3L, Seq("x y z", "y z w", "z w v"))) // disjoint
+      .toDF("id", "sh")
+    val out = docs.select(col("id"),
+      VectorFunctions.minHashBands(col("sh"), 8, 2).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == out(2L)) // set semantics: order-invariant
+    assert(out(1L).length == 8)
+    assert(out(1L).intersect(out(3L)).isEmpty) // disjoint sets: no shared bucket
+    // deterministic across evaluations
+    val again = docs.filter(col("id") === 1).select(
+      VectorFunctions.minHashBands(col("sh"), 8, 2)).collect()(0).getSeq[Long](0)
+    assert(again == out(1L))
+  }
+
   test("expressions survive codegen (inside a wider projection)") {
     // a realistic plan: filter + groupBy over the expression output
     val df = (1 to 1000).map(i => (i.toLong, Seq.fill(16)(i.toFloat)))
