@@ -8,8 +8,13 @@ import org.apache.spark.sql.functions._
   * `[startRow, stopRow)` bounds (`setStartRow:245`/`setStopRow:255`),
   * family/column projection (`addFamily:178`/`addColumn:192`), time range
   * (`setTimeRange:215`/`setTimeStamp:231`), `setMaxVersions:264`, pushed
-  * filter (`setFilter:307`). `setCaching`/`setBatch`/`setCacheBlocks` are
-  * RPC-era artifacts with no Spark meaning and are omitted.
+  * filter (`setFilter:307`). `setCaching`/`setCacheBlocks` are RPC-era
+  * artifacts with no Spark meaning and are omitted. `setBatch:283`
+  * (intra-row cell chunking, also an RPC-transfer artifact) has no
+  * result-shaping analog here; when a caller genuinely wants "at most N
+  * cells per row per page", `ColumnPaginationFilter(limit, offset)` is
+  * the supported equivalent — it pages a row's cells by (family,
+  * qualifier) position exactly like consecutive batched RPC chunks.
   *
   * Immutable builder: each setter returns a copy.
   */

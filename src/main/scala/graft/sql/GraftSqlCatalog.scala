@@ -63,6 +63,33 @@ class GraftSqlCatalog extends TableCatalog {
     new GraftSqlTable(engine, t)
   }
 
+  /** `VERSION AS OF v` — pin the scan to manifest version `v` (the
+    * manifest history IS the version chain; the reference's snapshot
+    * read, `SnapshotDescriptor` by name, maps to a frozen manifest the
+    * same way). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = ident.name()
+    if (!engine.tableExists(t)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft VERSION AS OF takes a manifest version number, got '$version'")
+    }
+    new GraftSqlTable(engine, t, Some(engine.manifestAt(t, v)))
+  }
+
+  /** `TIMESTAMP AS OF ts` — latest manifest committed at or before the
+    * timestamp (Spark hands micros since epoch; manifests carry
+    * `createdMs`). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = ident.name()
+    if (!engine.tableExists(t)) throw new NoSuchTableException(ident)
+    val ms = Math.floorDiv(timestampMicros, 1000L)
+    val m = engine.manifests(t).filter(_.createdMs <= ms).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"table $t has no manifest at or before ${ms}ms"))
+    new GraftSqlTable(engine, t, Some(m))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val t = ident.name()

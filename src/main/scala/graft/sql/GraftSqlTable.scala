@@ -28,7 +28,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `INSERT INTO graft.t` is the bulk put path with the usual manifest
   * commit.
   */
-class GraftSqlTable(engine: Catalog, tableName: String)
+class GraftSqlTable(engine: Catalog, tableName: String,
+    pinned: Option[graft.catalog.Manifest] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
@@ -37,9 +38,11 @@ class GraftSqlTable(engine: Catalog, tableName: String)
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(engine, tableName)
+    new GraftScanBuilder(engine, tableName, pinned)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty,
+      s"cannot write to a time-travel view of $tableName")
     new WriteBuilder {
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
@@ -54,6 +57,7 @@ class GraftSqlTable(engine: Catalog, tableName: String)
           }
       }
     }
+  }
 }
 
 /** Translates pushed V1 filters into a [[graft.read.Scan]]:
@@ -65,7 +69,8 @@ class GraftSqlTable(engine: Catalog, tableName: String)
   * Column pruning lands as a final projection so the inner plan's parquet
   * scan reads only what survives.
   */
-class GraftScanBuilder(engine: Catalog, tableName: String)
+class GraftScanBuilder(engine: Catalog, tableName: String,
+    pinned: Option[graft.catalog.Manifest] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -119,19 +124,22 @@ class GraftScanBuilder(engine: Catalog, tableName: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): V2Scan = new GraftV1Scan(engine, tableName, scan, required)
+  override def build(): V2Scan =
+    new GraftV1Scan(engine, tableName, scan, required, pinned)
 }
 
 class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
-    required: StructType) extends V1Scan {
+    required: StructType,
+    pinned: Option[graft.catalog.Manifest] = None) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   /** The resolved view this scan produces — also the seam SqlCatalogSpec
     * uses to assert that pushdown reached the inner parquet scan. */
   private[sql] def resolvedFrame(spark: SparkSession): DataFrame = {
-    val d = engine.currentManifest(tableName).descriptor
-    val resolved = ScanExec(engine.read(tableName), gscan,
+    val m = pinned.getOrElse(engine.currentManifest(tableName))
+    val d = m.descriptor
+    val resolved = ScanExec(engine.readManifest(m), gscan,
       ttlMs = None, now = 0L,
       familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
       familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)

@@ -96,6 +96,38 @@ class SqlCatalogSpec extends SparkSpec {
     assert(!engine.tableExists("u"))
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF read the pinned manifest") {
+    root
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("tt", Seq(FamilyDescriptor("f"))), 1000L)
+    g.table("tt").put(Seq(Put(b("k1")).add("f", b("q"), b("v1"))), 2000L)
+    val vAfterFirst = g.catalog.currentManifest("tt").version
+    g.table("tt").put(Seq(Put(b("k2")).add("f", b("q"), b("v2"))), 60000L)
+
+    val now = collectCells(spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_sql.tt"))
+    assert(now.map(_._1) == Set("k1", "k2"))
+
+    val versioned = collectCells(spark.sql(
+      s"SELECT row, family, qualifier, ts, value FROM graft_sql.tt " +
+        s"VERSION AS OF $vAfterFirst"))
+    assert(versioned.map(_._1) == Set("k1"), versioned)
+
+    // manifests carry createdMs 2000 and 60000: a timestamp between the
+    // two pins the first append
+    val timed = collectCells(spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_sql.tt " +
+        "TIMESTAMP AS OF TIMESTAMP '1970-01-01 00:00:30+00:00'"))
+    assert(timed.map(_._1) == Set("k1"), timed)
+
+    // a time-travel view is read-only
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_sql.tt VERSION AS OF $vAfterFirst " +
+        "SELECT * FROM graft_sql.tt")
+    }
+    assert(err.getMessage != null)
+  }
+
   test("SELECT sees maxVersions from the family descriptor (resolution knobs)") {
     root
     val g = Graft(spark, root)
