@@ -220,22 +220,10 @@ final class Catalog(spark: SparkSession, root: String) {
       // IN_MEMORY families (HColumnDescriptor.java:103 -> block cache):
       // their leaf dirs read through a persisted frame. persist() is
       // idempotent per logical plan (CacheManager dedupes), so repeated
-      // reads of the same manifest share one cache entry; superseded
-      // entries age out of MEMORY_AND_DISK by LRU.
-      val inMemFams = m.descriptor.families.filter(_.inMemory).map(_.name).toSet
-      def famOf(d: String): Option[String] = {
-        val n = new Path(d).getName
-        if (n.startsWith(Catalog.FamDirPrefix))
-          Some(n.stripPrefix(Catalog.FamDirPrefix))
-        else None
-      }
-      // recursiveFileLookup: leaf dirs may nest `_bucket={i}` subdirs
-      // (explicit pre-split boundaries); those names are containers, not
-      // partition columns — every cell column lives in the files.
-      def readDirs(dirs: Seq[String]): DataFrame =
-        spark.read.schema(Cell.schema)
-          .option("recursiveFileLookup", "true").parquet(dirs: _*)
-      val (hot, cold) = m.dataDirs.partition(d => famOf(d).exists(inMemFams))
+      // reads of the same manifest share one cache entry; entries of
+      // SUPERSEDED manifests are unpersisted at commit time (see
+      // uncacheHot), so the cache never accumulates stale versions.
+      val (hot, cold) = splitHot(m)
       val frames = Seq(
         if (hot.isEmpty) None
         else Some(readDirs(hot)
@@ -244,6 +232,34 @@ final class Catalog(spark: SparkSession, root: String) {
         else Some(readDirs(cold))).flatten
       frames.reduce(_ unionByName _)
     }
+
+  /** (in-memory-family leaf dirs, everything else) of a manifest. */
+  private def splitHot(m: Manifest): (Seq[String], Seq[String]) = {
+    val inMemFams = m.descriptor.families.filter(_.inMemory).map(_.name).toSet
+    def famOf(d: String): Option[String] = {
+      val n = new Path(d).getName
+      if (n.startsWith(Catalog.FamDirPrefix))
+        Some(n.stripPrefix(Catalog.FamDirPrefix))
+      else None
+    }
+    m.dataDirs.partition(d => famOf(d).exists(inMemFams))
+  }
+
+  // recursiveFileLookup: leaf dirs may nest `_bucket={i}` subdirs
+  // (explicit pre-split boundaries); those names are containers, not
+  // partition columns — every cell column lives in the files.
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    spark.read.schema(Cell.schema)
+      .option("recursiveFileLookup", "true").parquet(dirs: _*)
+
+  /** Drop the block-cache entry of a superseded manifest's in-memory
+    * frame (unpersist matches by logical plan). Without this, every
+    * commit on an IN_MEMORY table would strand the previous version's
+    * cached blocks until executor death. */
+  private def uncacheHot(m: Manifest): Unit = {
+    val (hot, _) = splitHot(m)
+    if (hot.nonEmpty) readDirs(hot).unpersist(): Unit
+  }
 
   /** Write a cell batch under `base` in the committed layout:
     * range-partitioned by row, sorted by full cell order within partitions
@@ -257,6 +273,14 @@ final class Catalog(spark: SparkSession, root: String) {
   private def writeCells(base: String, cells: DataFrame,
       desc: TableDescriptor): Seq[String] = {
     import org.apache.spark.sql.functions.{col, lit, not, when}
+    // The intra-call writes below use SaveMode.Append (several
+    // physical-attr groups share one base dir), so restore the
+    // ErrorIfExists contract HERE: a retried append() reusing the same
+    // version, or a concurrent writer racing to v+1, must fail loudly
+    // rather than silently interleave duplicate files into a committed
+    // layout.
+    require(!fs.exists(new Path(base)),
+      s"data dir already exists (retried or concurrent commit?): $base")
     // Explicit pre-split boundaries: bucket i = number of boundaries <=
     // row (bytewise — Spark's BinaryType ordering matches Bytes.compareTo,
     // BytesSpec-asserted). partitionBy on the bucket puts each boundary
@@ -316,6 +340,7 @@ final class Catalog(spark: SparkSession, root: String) {
       dataDirs = cur.dataDirs ++ leaves)
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
     commitCurrent(t, v)
+    uncacheHot(cur)
     m
   }
 
@@ -336,6 +361,7 @@ final class Catalog(spark: SparkSession, root: String) {
     val m = cur.copy(version = v, createdMs = nowMs, dataDirs = leaves)
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
     commitCurrent(t, v)
+    uncacheHot(cur)
     m
   }
 
@@ -366,6 +392,7 @@ final class Catalog(spark: SparkSession, root: String) {
     val m = cur.copy(version = v, createdMs = nowMs, dataDirs = dataDirs)
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
     commitCurrent(t, v)
+    uncacheHot(cur)
     m
   }
 

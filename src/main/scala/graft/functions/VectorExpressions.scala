@@ -220,14 +220,22 @@ case class MinHashBands(child: Expression, bands: Int, rows: Int)
   private lazy val adds: Array[Long] = Array.tabulate(bands * rows)(i =>
     org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 0x165667B19E3779F9L))
 
+  override def nullable: Boolean = true // empty shingle set -> null (no bands)
   override def nullSafeEval(input: Any): Any =
     VectorExprUtil.minHashBands(input.asInstanceOf[ArrayData], muls, adds, rows)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mulsRef = ctx.addReferenceObj("mhMuls", muls, "long[]")
     val addsRef = ctx.addReferenceObj("mhAdds", adds, "long[]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorExprUtil.minHashBands($c, $mulsRef, $addsRef, $rows)")
+    // not defineCodeGen: the helper returns null for an EMPTY shingle set
+    // and ev.isNull must reflect that (a non-null-flagged null ArrayData
+    // would NPE in the consumer)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.VectorExprUtil.minHashBands(
+         |  $c, $mulsRef, $addsRef, $rows);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
@@ -259,9 +267,11 @@ object VectorExprUtil {
     val mins = new Array[Long](n)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val m = arr.numElements()
+    var seen = false
     var j = 0
     while (j < m) {
       if (!arr.isNullAt(j)) {
+        seen = true
         val s = arr.getUTF8String(j)
         val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var i = 0
@@ -273,6 +283,13 @@ object VectorExprUtil {
       }
       j += 1
     }
+    // An EMPTY set has no minhash: emitting the (identical) sentinel
+    // buckets would band-join every empty doc with every other — the
+    // exact hot-bucket quadratic blowup banding exists to prevent. Null
+    // here = no bands = excluded from candidates, matching the previous
+    // explode+min-agg formulation (explode of an empty array emits no
+    // rows, so such docs never reached the band join).
+    if (!seen) return null
     val buckets = new Array[Long](n / rows)
     var b = 0
     while (b < buckets.length) {
@@ -295,9 +312,12 @@ object VectorExprUtil {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      // a null element null-propagates every plane sum in the HOF
+      // formulation (acc + null = null), collapsing the bucket to 0 —
+      // keep that exact behavior for bit-compatibility
+      if (arr.isNullAt(i)) return 0L
       val x =
-        if (arr.isNullAt(i)) 0.0
-        else if (isFloat) arr.getFloat(i).toDouble
+        if (isFloat) arr.getFloat(i).toDouble
         else arr.getDouble(i)
       var r = 0
       while (r < w) {

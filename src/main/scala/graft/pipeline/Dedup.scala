@@ -42,7 +42,13 @@ object Dedup {
     * plan is identical across the jaccard and minhash paths, so one cache
     * entry serves both. This is the standard materialize-the-join-input
     * pattern for exact set-similarity joins; at 100 TB it is a disk-backed
-    * shuffle-sized artifact, strictly cheaper than recomputation. */
+    * shuffle-sized artifact, strictly cheaper than recomputation.
+    *
+    * Lifecycle: entries live until the session ends or the caller clears
+    * them (`spark.catalog.clearCache()`); a long-lived service running
+    * dedup over many distinct corpora should clear between corpora.
+    * (persist cannot be scoped tighter here — the returned frame is lazy,
+    * so there is no safe point inside the operator to unpersist.) */
   private def shingled(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     Text.withShingles(df.select(col(idCol).as("id"), col(textCol)), textCol, k)

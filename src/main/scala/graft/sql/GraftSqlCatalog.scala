@@ -96,7 +96,11 @@ class GraftSqlCatalog extends TableCatalog {
     if (engine.tableExists(t)) throw new TableAlreadyExistsException(ident)
     val fams = GraftSqlCatalog.parseFamilies(
       Option(properties.get("families")).getOrElse("f"))
-    engine.createTable(TableDescriptor(t, fams), nowMs = 0L)
+    // SQL has no caller-supplied clock; stamp DDL like the insert path
+    // does (a 0 here would poison TIMESTAMP AS OF: the created manifest
+    // would sort before every real commit while carrying the newest
+    // version number).
+    engine.createTable(TableDescriptor(t, fams), nowMs = GraftSqlCatalog.nowMs())
     new GraftSqlTable(engine, t)
   }
 
@@ -107,7 +111,8 @@ class GraftSqlCatalog extends TableCatalog {
       case p: TableChange.SetProperty if p.property() == "families" =>
         val cur = engine.currentManifest(t).descriptor
         engine.alterTable(t,
-          cur.copy(families = GraftSqlCatalog.parseFamilies(p.value())), nowMs = 0L)
+          cur.copy(families = GraftSqlCatalog.parseFamilies(p.value())),
+          nowMs = GraftSqlCatalog.nowMs())
       case other => throw new UnsupportedOperationException(
         s"graft catalog supports only SET TBLPROPERTIES('families'=...), got $other")
     }
@@ -124,6 +129,13 @@ class GraftSqlCatalog extends TableCatalog {
 }
 
 object GraftSqlCatalog {
+  /** Clock for SQL-surface commits and TTL evaluation — wall clock (the
+    * reference's server-side time), overridable for deterministic tests
+    * via the session conf. */
+  private[sql] def nowMs(): Long =
+    SparkSession.active.conf.getOption("spark.graft.sql.nowMs")
+      .map(_.toLong).getOrElse(System.currentTimeMillis())
+
   /** `name[:maxVersions=N][:ttlMs=N][:bloom=true][:compression=zstd]
     * [:inMemory=true](;next)*` — the `HColumnDescriptor` attr surface. */
   private[sql] def parseFamilies(spec: String): Seq[FamilyDescriptor] =

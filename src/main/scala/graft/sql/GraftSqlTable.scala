@@ -52,7 +52,7 @@ class GraftSqlTable(engine: Catalog, tableName: String,
                 "use DELETE tombstones or replaceData (compaction)")
               // SQL has no caller-supplied batch time; stamp from the wall
               // clock like the reference stamps server-side mutations.
-              engine.append(tableName, data, System.currentTimeMillis()): Unit
+              engine.append(tableName, data, GraftSqlCatalog.nowMs()): Unit
             }
           }
       }
@@ -139,8 +139,11 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
   private[sql] def resolvedFrame(spark: SparkSession): DataFrame = {
     val m = pinned.getOrElse(engine.currentManifest(tableName))
     val d = m.descriptor
+    // Family TTLs evaluate against the SQL-surface clock (reference: TTL
+    // uses server time, ScanQueryMatcher.java:56). A now of 0 would make
+    // every TTL inert (cutoff = 0 - ttl < any ts).
     val resolved = ScanExec(engine.readManifest(m), gscan,
-      ttlMs = None, now = 0L,
+      ttlMs = None, now = GraftSqlCatalog.nowMs(),
       familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
       familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
     import org.apache.spark.sql.functions.col

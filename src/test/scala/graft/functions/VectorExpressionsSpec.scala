@@ -111,6 +111,11 @@ class VectorExpressionsSpec extends SparkSpec {
     val again = docs.filter(col("id") === 1).select(
       VectorFunctions.minHashBands(col("sh"), 8, 2)).collect()(0).getSeq[Long](0)
     assert(again == out(1L))
+    // an EMPTY set has no minhash: null out (-> excluded from banding),
+    // never a shared sentinel bucket that would pair all empty docs
+    val empty = Seq((9L, Seq.empty[String])).toDF("id", "sh")
+      .select(VectorFunctions.minHashBands(col("sh"), 8, 2)).collect()(0)
+    assert(empty.isNullAt(0))
   }
 
   test("expressions survive codegen (inside a wider projection)") {
