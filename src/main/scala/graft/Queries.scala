@@ -300,6 +300,32 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  // `HTable.get(List<Get>)` — batch point reads as one broadcast
+  // semi-join job (absent key contributes nothing, like the reference's
+  // empty Result).
+  private val multiGet = Q("multi_get", Some(s"""
+    SELECT $ordersCols FROM orders
+    WHERE o_orderkey IN (100, 200, 300, 999999999)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val keys = Seq(100L, 200L, 300L, 999999999L).map(k => CellCodec.rowKeyOf(k))
+    CellCodec.decode(
+      ScanExec.multiGet(ordersCells(s, dir), keys), ordersSchema)
+      .orderBy("o_orderkey")
+  }
+
+  // Family TTL visibility at scan time (`ScanQueryMatcher.java:56,76`):
+  // with synthetic stamps ts = key%5+1, a 3ms TTL at now=6 keeps ts>=3.
+  private val ttlScan = Q("ttl_scan", Some(s"""
+    SELECT $ordersCols FROM orders WHERE o_orderkey % 5 + 1 >= 3
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val cells = storedCells(s, dir, "orders", "orders_ts")(
+      CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"),
+        tsCol = Some(col("o_orderkey") % 5 + 1)))
+    CellCodec.decode(
+      ScanExec(cells, Scan(), ttlMs = Some(3L), now = 6L), ordersSchema)
+      .orderBy("o_orderkey")
+  }
+
   // `HTable.exists:651` — the reference's behavioral tests probe both a
   // present and an absent key (`TestFromClientSide` exists-cases); the
   // per-key booleans land in a 2-row frame the DuckDB EXISTS subquery
@@ -1030,7 +1056,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     q1Agg, q3Join,
     scanRange, getPoint, getRowOrBefore, rowCounter, existsGet,
-    dependentColumn, exportImport,
+    dependentColumn, exportImport, multiGet, ttlScan,
     prefixFilter, columnPrefixFilter, valueFilterSubstr, valueFilterRegex,
     inclusiveStop, pageFilter, columnPagination,
     rowFilterRegex, qualifierFilter, timestampsFilter, columnCountGet,

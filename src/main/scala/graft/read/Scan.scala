@@ -125,6 +125,22 @@ object ScanExec {
   /** `HTable.exists:651` — Get returning only a boolean. */
   def exists(cells: DataFrame, g: Get): Boolean = !get(cells, g).isEmpty
 
+  /** Batch point reads — `HTable.get(List<Get>):692` — as ONE distributed
+    * job: the key set broadcasts into a semi-join against the sorted
+    * layout (row-group pruning applies per key range via the bloom/minmax
+    * stats), then a single shared resolve. The reference issues one RPC
+    * per region batch; a driver-side loop of single Gets here would pay
+    * one Spark job per key. All gets share `scan`'s projection/time/
+    * version options (the common batch shape). */
+  def multiGet(cells: DataFrame, rows: Seq[Array[Byte]], scan: Scan = Scan(),
+      ttlMs: Option[Long] = None, now: Long = 0L): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val keys = broadcast(rows.toDF("row"))
+    ScanExec(cells.join(keys, Seq("row"), "left_semi"),
+      scan.copy(startRow = None, stopRow = None), ttlMs, now)
+  }
+
   /** `getRowOrBefore` (`HTable.java:472`, `Store.getRowKeyAtOrBefore:980`):
     * latest visible cells of the largest row <= key. The as-of point-lookup
     * pattern: a 1-row ordered limit pushed down, then a normal Get. */
