@@ -65,6 +65,14 @@ final case class Graft(spark: SparkSession, root: String) {
     * no snapshot (`SnapshotLogCleaner` + META refcounts). */
   def vacuum(tableName: String): Seq[String] =
     catalog.vacuum(tableName, snapshots.protectedDirs())
+
+  /** Open a table's change feed as an unbounded streaming DataFrame —
+    * the table's own `data-*` append history is the WAL
+    * ([[graft.streaming.Replication.tableChangeFeed]]); replays committed
+    * appends, then tails new ones. */
+  def readStream(tableName: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    graft.streaming.Replication.tableChangeFeed(
+      spark, root, tableName, maxFilesPerTrigger)
 }
 
 /** Per-table operations (`HTable`). Reads honor the family descriptor's

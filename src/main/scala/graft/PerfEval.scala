@@ -65,6 +65,13 @@ object PerfEval {
       }
     }
 
+    // multiGet20: the same 20 keys as ONE batch job (HTable.get(List<Get>))
+    results("multiGet20") = timed {
+      val batch = (0L until 20L).map(i =>
+        Bytes.toBytes(1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)))
+      graft.read.ScanExec.multiGet(t.cells, batch).count(): Unit
+    }
+
     // randomReadBloom: the same Gets against a bloom-filtered family
     // (BLOOMFILTER parity — parquet row blooms prune row groups the
     // min/max range check can't exclude)

@@ -34,7 +34,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `name[:maxVersions=N][:ttlMs=N](;next)*` — the `HColumnDescriptor`
   * surface (`HBaseAdmin.createTable:198`).
   */
-class GraftSqlCatalog extends TableCatalog {
+class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: String = _
 
@@ -126,6 +126,27 @@ class GraftSqlCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft tables cannot be renamed")
+
+  // ---- SupportsNamespaces: one flat default namespace (the catalog root
+  // is the namespace — the reference has no table namespaces either), so
+  // `SHOW TABLES IN <cat>` / `USE <cat>` resolve.
+  override def listNamespaces(): Array[Array[String]] = Array(Array.empty)
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
+    if (namespace.isEmpty) java.util.Collections.emptyMap()
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graft has a single flat namespace")
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft has a single flat namespace")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("graft has a single flat namespace")
 }
 
 object GraftSqlCatalog {

@@ -83,6 +83,13 @@ class SqlCatalogSpec extends SparkSpec {
     assert(got == Set(("r999", "f", "q", 9L, "new")))
   }
 
+  test("SHOW TABLES lists catalog tables (flat namespace)") {
+    root
+    val names = spark.sql("SHOW TABLES IN graft_sql").collect()
+      .map(_.getAs[String]("tableName")).toSet
+    assert(names.contains("t"), names)
+  }
+
   test("CREATE TABLE / DROP TABLE with family descriptors in TBLPROPERTIES") {
     root
     spark.sql("CREATE TABLE graft_sql.u " +
