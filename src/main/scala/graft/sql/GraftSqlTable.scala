@@ -35,7 +35,8 @@ class GraftSqlTable(engine: Catalog, tableName: String,
   override def name(): String = tableName
   override def schema(): StructType = Cell.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(engine, tableName, pinned)
@@ -158,4 +159,13 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       override def buildScan(): RDD[Row] =
         resolvedFrame(context.sparkSession).rdd
     }.asInstanceOf[T]
+
+  /** Streaming read = the table's append feed (see
+    * [[GraftMicroBatchStream]] for the semantics contract). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pinned.isEmpty,
+      s"cannot stream from a time-travel view of $tableName")
+    new GraftMicroBatchStream(engine, tableName, gscan, required)
+  }
 }

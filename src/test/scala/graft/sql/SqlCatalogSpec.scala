@@ -6,6 +6,11 @@ import graft.core.Bytes
 import graft.write.{Delete, Put}
 import java.nio.file.Files
 
+object SqlCatalogSpec {
+  // foreachBatch accumulator (memory sink can't resume checkpoints)
+  val streamed = scala.collection.mutable.ListBuffer.empty[(String, String, String)]
+}
+
 /** The SQL door: graft tables resolved and queryable through a DSv2
   * catalog — `spark.sql("... FROM graft_sql.t ...")` with row/family
   * pushdown reaching the inner parquet scan. */
@@ -133,6 +138,43 @@ class SqlCatalogSpec extends SparkSpec {
         "SELECT * FROM graft_sql.tt")
     }
     assert(err.getMessage != null)
+  }
+
+  test("spark.readStream.table streams the append feed; compaction invisible") {
+    root
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("st", Seq(FamilyDescriptor("f"))), 1L)
+    g.table("st").put(Seq(Put(b("r1")).add("f", b("q"), 1L, b("v1"))), 1L)
+    val work = Files.createTempDirectory("graft-sqlstream").toString
+    def run(): Unit = {
+      val q = spark.readStream.table("graft_sql.st")
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect().map { r =>
+            (new String(r.getAs[Array[Byte]]("row"), "UTF-8"),
+              r.getAs[String]("family"),
+              Option(r.getAs[Array[Byte]]("value"))
+                .map(new String(_, "UTF-8")).orNull)
+          }
+          SqlCatalogSpec.streamed.synchronized {
+            SqlCatalogSpec.streamed ++= rows
+          }: Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def seen(): Seq[(String, String, String)] =
+      SqlCatalogSpec.streamed.synchronized(SqlCatalogSpec.streamed.toList)
+
+    run() // replay of the committed append
+    assert(seen() == Seq(("r1", "f", "v1")), seen())
+    // compaction must not re-ship; a new append must tail in
+    g.table("st").majorCompact(2L)
+    g.table("st").put(Seq(Put(b("r2")).add("f", b("q"), 3L, b("v2"))), 3L)
+    run()
+    assert(seen().sorted == Seq(("r1", "f", "v1"), ("r2", "f", "v2")), seen())
   }
 
   test("SELECT sees maxVersions from the family descriptor (resolution knobs)") {
