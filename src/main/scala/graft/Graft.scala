@@ -68,8 +68,13 @@ final case class Graft(spark: SparkSession, root: String) {
 
   /** Open a table's change feed as an unbounded streaming DataFrame —
     * the table's own `data-*` append history is the WAL
-    * ([[graft.streaming.Replication.tableChangeFeed]]); replays committed
-    * appends, then tails new ones. */
+    * ([[graft.streaming.Replication.tableChangeFeed]]); replays existing
+    * append batches, then tails new ones. Like the reference's WAL, the
+    * file feed runs AHEAD of the catalog commit: batch files written by
+    * an append that then failed its manifest commit still ship (and are
+    * absorbed by the ts/seq-idempotent sink contract); the
+    * manifest-gated alternative is `spark.readStream.table` through
+    * [[graft.sql.GraftSqlCatalog]]. */
   def readStream(tableName: String, maxFilesPerTrigger: Int = 16): DataFrame =
     graft.streaming.Replication.tableChangeFeed(
       spark, root, tableName, maxFilesPerTrigger)
@@ -100,6 +105,16 @@ final case class GraftTable(g: Graft, name: String) {
     graft.core.CellCodec.decode(scan(s, nowMs), schema, key, family)
 
   def get(gt: Get): DataFrame = ScanExec.get(cells, gt)
+  /** Batch point reads (`HTable.get(List<Get>):692`) as one job, under
+    * the family descriptor's maxVersions/TTL like [[scan]]. All gets
+    * share `scan`'s projection/version options. */
+  def multiGet(rows: Seq[Array[Byte]], s: Scan = Scan(),
+      nowMs: Long = 0L): DataFrame = {
+    val d = descriptor
+    ScanExec.multiGet(cells, rows, s, ttlMs = None, now = nowMs,
+      familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
+      familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
+  }
   def exists(gt: Get): Boolean = ScanExec.exists(cells, gt)
   def getRowOrBefore(row: Array[Byte], family: String): DataFrame =
     ScanExec.getRowOrBefore(cells, row, family)

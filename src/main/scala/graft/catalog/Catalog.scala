@@ -182,6 +182,17 @@ final class Catalog(spark: SparkSession, root: String) {
   def manifestAt(t: String, v: Long): Manifest =
     ManifestJson.read(readFile(new Path(tableDir(t), s"manifest-$v.json")))
 
+  /** [[manifestAt]] tolerating pruned history (`expireVersions`). */
+  def tryManifestAt(t: String, v: Long): Option[Manifest] =
+    if (fs.exists(new Path(tableDir(t), s"manifest-$v.json")))
+      Some(manifestAt(t, v))
+    else None
+
+  /** Fully-qualified table directory (provenance checks — e.g. the
+    * streaming feed only ships dirs that live UNDER the table). */
+  def tablePath(t: String): String =
+    fs.makeQualified(tableDir(t)).toString
+
   /** `HBaseAdmin.createTable:169`. */
   def createTable(desc: TableDescriptor, nowMs: Long): Unit = {
     require(!tableExists(desc.name), s"table ${desc.name} exists")

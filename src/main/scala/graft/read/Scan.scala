@@ -133,12 +133,15 @@ object ScanExec {
     * one Spark job per key. All gets share `scan`'s projection/time/
     * version options (the common batch shape). */
   def multiGet(cells: DataFrame, rows: Seq[Array[Byte]], scan: Scan = Scan(),
-      ttlMs: Option[Long] = None, now: Long = 0L): DataFrame = {
+      ttlMs: Option[Long] = None, now: Long = 0L,
+      familyMaxVersions: Map[String, Int] = Map.empty,
+      familyTtlMs: Map[String, Long] = Map.empty): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
     val keys = broadcast(rows.toDF("row"))
     ScanExec(cells.join(keys, Seq("row"), "left_semi"),
-      scan.copy(startRow = None, stopRow = None), ttlMs, now)
+      scan.copy(startRow = None, stopRow = None), ttlMs, now,
+      familyMaxVersions = familyMaxVersions, familyTtlMs = familyTtlMs)
   }
 
   /** `getRowOrBefore` (`HTable.java:472`, `Store.getRowKeyAtOrBefore:980`):

@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, Par
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** Streaming read of a graft table through the SQL door —
   * `spark.readStream.table("<cat>.<t>")`.
@@ -19,14 +20,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * resolution is not an incremental operator, CDC is). Offsets are
   * manifest versions: each micro-batch covers the append dirs added
   * between two committed versions, diffed from the manifest endpoints so
-  * pruned intermediate manifests are harmless. Compaction rewrites
-  * (`compact-*`) and bulk-load adoptions (external paths) never enter the
-  * feed, matching the reference's WAL (compactions and bulk loads bypass
-  * it).
+  * pruned INTERMEDIATE manifests never matter; a pruned ENDPOINT (an old
+  * checkpoint racing `expireVersions`) falls back to the nearest retained
+  * earlier version — some already-shipped dirs re-ship, which the
+  * at-least-once / ts-seq-idempotent sink contract absorbs, instead of
+  * crash-looping the stream. Compaction rewrites (`compact-*`) and
+  * adopted external dirs (bulk load, imported snapshots) never enter the
+  * feed — shipped dirs must be `data-*` AND live under THIS table's
+  * directory, matching the reference's WAL (compactions and bulk loads
+  * bypass it). A snapshot RESTORE that re-adds the table's own previously
+  * streamed `data-*` dirs re-ships them (at-least-once again).
   *
-  * Pushed row bounds / family projection ARE applied per record in the
-  * reader — the ScanBuilder claimed them, so they must hold on the
-  * streaming path too. */
+  * Pushed row bounds are handed to parquet as a FilterPredicate (row-group
+  * skipping via the sorted layout's min/max + blooms) and re-checked with
+  * the family projection per record — the ScanBuilder claimed them, so
+  * they must hold on the streaming path too. */
 class GraftMicroBatchStream(engine: Catalog, tableName: String,
     gscan: graft.read.Scan, required: StructType) extends MicroBatchStream {
 
@@ -43,20 +51,35 @@ class GraftMicroBatchStream(engine: Catalog, tableName: String,
     GraftOffset("\"version\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad graft offset: $json")))
 
-  private def dirsAt(version: Long): Seq[String] =
-    if (version <= 0L) Seq.empty
-    else engine.manifestAt(tableName, version).dataDirs
+  /** Data dirs as of `version`, walking DOWN to the nearest retained
+    * manifest when the exact one was pruned (see class doc). */
+  private def dirsAt(version: Long): Seq[String] = {
+    var v = version
+    while (v > 0L) {
+      engine.tryManifestAt(tableName, v) match {
+        case Some(m) => return m.dataDirs
+        case None => v -= 1
+      }
+    }
+    Seq.empty
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].version
     val to = end.asInstanceOf[GraftOffset].version
-    val added = (dirsAt(to).toSet -- dirsAt(from).toSet).toSeq.sorted
-      // append batches only: leaf dirs under a data-{v} parent
-      .filter { d =>
-        Option(new Path(d).getParent).exists(_.getName.startsWith("data-"))
-      }
+    val tableRoot = engine.tablePath(tableName)
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
+    def qual(d: String): String =
+      new Path(d).getFileSystem(conf).makeQualified(new Path(d)).toString
+    val added = (dirsAt(to).toSet -- dirsAt(from).toSet).toSeq.sorted
+      // append batches only: leaf dirs under a data-{v} parent that lives
+      // UNDER this table (provenance, not just path shape — an imported
+      // snapshot's external dirs also look like .../data-{v}/_fam=f)
+      .filter { d =>
+        Option(new Path(d).getParent).exists(_.getName.startsWith("data-")) &&
+          qual(d).startsWith(tableRoot + "/")
+      }
     added.flatMap { d =>
       val p = new Path(d)
       val fs = p.getFileSystem(conf)
@@ -76,7 +99,8 @@ class GraftMicroBatchStream(engine: Catalog, tableName: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftFileReaderFactory
+    new GraftFileReaderFactory(new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -86,21 +110,50 @@ case class GraftFilePartition(file: String, fields: Array[String],
     startRow: Option[Array[Byte]], stopRow: Option[Array[Byte]],
     families: Option[Set[String]]) extends InputPartition
 
-class GraftFileReaderFactory extends PartitionReaderFactory {
+/** Carries the session's Hadoop configuration to executors — a default
+  * `new Configuration()` would lose credentials/filesystem settings and
+  * break exactly the deployments (s3a, custom FS) where batch reads of
+  * the same table work. */
+class GraftFileReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftFileReader(partition.asInstanceOf[GraftFilePartition])
+    new GraftFileReader(partition.asInstanceOf[GraftFilePartition], conf.value)
 }
 
 /** Reads one committed cell parquet file via parquet-hadoop's Group API
   * (the files are written by Spark with the fixed Cell schema, so field
-  * access by name is stable), applying the claimed row/family pushdown. */
-class GraftFileReader(p: GraftFilePartition) extends PartitionReader[InternalRow] {
+  * access by name is stable). Row bounds push into parquet as a
+  * FilterPredicate — row-group skipping against the sorted layout's
+  * min/max stats and blooms — and are re-checked (with the family
+  * projection) per record. */
+class GraftFileReader(p: GraftFilePartition,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
   import org.apache.parquet.example.data.Group
+  import org.apache.parquet.io.api.Binary
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new Path(p.file)).build()
+  private val rowPredicate: Option[FilterPredicate] = {
+    val col = FilterApi.binaryColumn("row")
+    val lo = p.startRow.map(b =>
+      FilterApi.gtEq(col, Binary.fromConstantByteArray(b)): FilterPredicate)
+    val hi = p.stopRow.map(b =>
+      FilterApi.lt(col, Binary.fromConstantByteArray(b)): FilterPredicate)
+    (lo, hi) match {
+      case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  private val reader: ParquetReader[Group] = {
+    var b = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+      .withConf(conf)
+    rowPredicate.foreach(pr => b = b.withFilter(FilterCompat.get(pr)))
+    b.build()
+  }
   private var current: Group = _
 
   private def visible(g: Group): Boolean = {
