@@ -5,6 +5,7 @@ import graft.catalog.{FamilyDescriptor, TableDescriptor}
 import graft.core.Bytes
 import graft.write.{Delete, Put}
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{col, lit}
 
 object SqlCatalogSpec {
   // foreachBatch accumulator (memory sink can't resume checkpoints)
@@ -175,6 +176,23 @@ class SqlCatalogSpec extends SparkSpec {
     g.table("st").put(Seq(Put(b("r2")).add("f", b("q"), 3L, b("v2"))), 3L)
     run()
     assert(seen().sorted == Seq(("r1", "f", "v1"), ("r2", "f", "v2")), seen())
+
+    // a row-bound WHERE pushes into the streaming reader (parquet
+    // FilterPredicate + per-record check): a fresh replay ships only r2
+    val filtered = scala.collection.mutable.ListBuffer.empty[String]
+    val q2 = spark.readStream.table("graft_sql.st")
+      .where(col("row") >= lit(b("r2")))
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => new String(r.getAs[Array[Byte]]("row"), "UTF-8"))
+        filtered.synchronized { filtered ++= rows }: Unit
+      }
+      .start()
+    q2.awaitTermination()
+    assert(filtered.synchronized(filtered.toList) == Seq("r2"), filtered)
   }
 
   test("SELECT sees maxVersions from the family descriptor (resolution knobs)") {
