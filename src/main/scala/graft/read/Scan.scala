@@ -136,11 +136,19 @@ object ScanExec {
       ttlMs: Option[Long] = None, now: Long = 0L,
       familyMaxVersions: Map[String, Int] = Map.empty,
       familyTtlMs: Map[String, Long] = Map.empty): DataFrame = {
+    require(rows.nonEmpty, "multiGet needs at least one row key")
     val spark = cells.sparkSession
     import spark.implicits._
     val keys = broadcast(rows.toDF("row"))
+    // [min, succ(max)) bounds derived from the batch: the semi-join alone
+    // can't prune the parquet scan, but the keys' span can — the
+    // reference's batch get routes each key to its region for the same
+    // reason (only touched regions are read).
+    val ord: Ordering[Array[Byte]] = (a, b) => Bytes.compareTo(a, b)
+    val lo = rows.min(ord)
+    val hi = rows.max(ord) :+ 0.toByte
     ScanExec(cells.join(keys, Seq("row"), "left_semi"),
-      scan.copy(startRow = None, stopRow = None), ttlMs, now,
+      scan.copy(startRow = Some(lo), stopRow = Some(hi)), ttlMs, now,
       familyMaxVersions = familyMaxVersions, familyTtlMs = familyTtlMs)
   }
 
