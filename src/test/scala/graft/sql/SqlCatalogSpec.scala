@@ -195,6 +195,80 @@ class SqlCatalogSpec extends SparkSpec {
     assert(filtered.synchronized(filtered.toList) == Seq("r2"), filtered)
   }
 
+  test("streaming resumes after manifest history pruning (nearest retained offset)") {
+    root
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("pr", Seq(FamilyDescriptor("f"))), 1L)
+    g.table("pr").put(Seq(Put(b("a")).add("f", b("q"), 1L, b("v1"))), 1L)
+    val work = Files.createTempDirectory("graft-prune").toString
+    val got = scala.collection.mutable.ListBuffer.empty[String]
+    def run(): Unit = {
+      val q = spark.readStream.table("graft_sql.pr")
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect()
+            .map(r => new String(r.getAs[Array[Byte]]("row"), "UTF-8"))
+          got.synchronized { got ++= rows }: Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(got.synchronized(got.toList) == Seq("a"))
+    // prune history PAST the checkpointed offset, then append more: the
+    // stream must resume (fall back to nearest retained version), not
+    // crash-loop; the at-least-once contract allows re-shipping "a"
+    g.table("pr").put(Seq(Put(b("b")).add("f", b("q"), 2L, b("v2"))), 2L)
+    g.catalog.expireVersions("pr", keep = 1)
+    run()
+    val after = got.synchronized(got.toList)
+    assert(after.contains("b"), after)
+  }
+
+  test("a cloned table's adopted dirs do not enter its own stream (WAL bypass)") {
+    root
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("src2", Seq(FamilyDescriptor("f"))), 1L)
+    g.table("src2").put(Seq(Put(b("x")).add("f", b("q"), 1L, b("v"))), 1L)
+    g.snapshot("s2", "src2", 2L)
+    g.cloneSnapshot("s2", "cl2", 3L)
+    // batch read of the clone sees the data; its stream ships NOTHING —
+    // the dirs are adopted by reference from src2 (the reference's bulk
+    // loads bypass the WAL the same way)
+    assert(collectCells(spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_sql.cl2")).size == 1)
+    val work = Files.createTempDirectory("graft-clone").toString
+    val got = scala.collection.mutable.ListBuffer.empty[String]
+    val q = spark.readStream.table("graft_sql.cl2")
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => new String(r.getAs[Array[Byte]]("row"), "UTF-8"))
+        got.synchronized { got ++= rows }: Unit
+      }
+      .start()
+    q.awaitTermination()
+    assert(got.synchronized(got.toList).isEmpty, got)
+    // but the clone's OWN subsequent appends do stream
+    g.table("cl2").put(Seq(Put(b("y")).add("f", b("q"), 4L, b("w"))), 4L)
+    val q2 = spark.readStream.table("graft_sql.cl2")
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => new String(r.getAs[Array[Byte]]("row"), "UTF-8"))
+        got.synchronized { got ++= rows }: Unit
+      }
+      .start()
+    q2.awaitTermination()
+    assert(got.synchronized(got.toList) == Seq("y"), got)
+  }
+
   test("SELECT sees maxVersions from the family descriptor (resolution knobs)") {
     root
     val g = Graft(spark, root)
