@@ -40,6 +40,13 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("GreaterThanOrEqual") || pushed.contains("IsNotNull"), pushed)
   }
 
+  test("multiGet batch key-span bounds reach the parquet scan") {
+    val plan = planOf(g.table("t").multiGet(Seq(b("r010"), b("r050"))))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(row") &&
+      pushed.contains("LessThan(row"), pushed)
+  }
+
   test("resolve plans exactly one exchange (single (row,family) clustering)") {
     val plan = planOf(Resolve(g.table("t").cells, ReadView(maxVersions = 2)))
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
