@@ -29,7 +29,11 @@ import org.apache.spark.util.SerializableConfiguration
   * feed — shipped dirs must be `data-*` AND live under THIS table's
   * directory, matching the reference's WAL (compactions and bulk loads
   * bypass it). A snapshot RESTORE that re-adds the table's own previously
-  * streamed `data-*` dirs re-ships them (at-least-once again).
+  * streamed `data-*` dirs re-ships them (at-least-once again). A FRESH
+  * replay after a compaction ships only the appends still referenced by
+  * the manifest chain — compacted-away history is table state, not feed,
+  * exactly as the reference cannot replay WAL segments its log cleaner
+  * already removed.
   *
   * Pushed row bounds are handed to parquet as a FilterPredicate (row-group
   * skipping via the sorted layout's min/max + blooms) and re-checked with
@@ -148,9 +152,31 @@ class GraftFileReader(p: GraftFilePartition,
     }
   }
 
+  // Column projection: request only the pruned fields (plus row/family,
+  // which the visibility check needs) so unneeded column chunks are never
+  // read. The projection is derived from the FILE's own schema (footer
+  // read) so field repetitions match exactly.
+  private val requestedSchema: String = {
+    import scala.jdk.CollectionConverters._
+    val needed = p.fields.toSet + "row" + "family"
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(p.file), conf)
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val fileSchema = fr.getFooter.getFileMetaData.getSchema
+      val kept = fileSchema.getFields.asScala.filter(f => needed(f.getName))
+      new org.apache.parquet.schema.MessageType(
+        fileSchema.getName, kept.asJava).toString
+    } finally fr.close()
+  }
+
   private val reader: ParquetReader[Group] = {
+    val readConf = new org.apache.hadoop.conf.Configuration(conf)
+    readConf.set(
+      org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      requestedSchema)
     var b = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
-      .withConf(conf)
+      .withConf(readConf)
     rowPredicate.foreach(pr => b = b.withFilter(FilterCompat.get(pr)))
     b.build()
   }

@@ -193,6 +193,27 @@ class SqlCatalogSpec extends SparkSpec {
       .start()
     q2.awaitTermination()
     assert(filtered.synchronized(filtered.toList) == Seq("r2"), filtered)
+
+    // column pruning: a projected stream (reader requests a schema subset
+    // from the file footer) still delivers correct values. This is a
+    // FRESH replay after the compaction above, so only appends still
+    // referenced by the manifest chain ship (r2): compacted-away history
+    // lives in the table state, not the feed — the same way the
+    // reference cannot replay WAL segments its log cleaner removed.
+    val projected = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val q3 = spark.readStream.table("graft_sql.st")
+      .select("row", "ts")
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt3")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r =>
+          (new String(r.getAs[Array[Byte]]("row"), "UTF-8"), r.getAs[Long]("ts")))
+        projected.synchronized { projected ++= rows }: Unit
+      }
+      .start()
+    q3.awaitTermination()
+    assert(projected.synchronized(projected.toList) == Seq(("r2", 3L)), projected)
   }
 
   test("streaming resumes after manifest history pruning (nearest retained offset)") {
