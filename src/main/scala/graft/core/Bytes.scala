@@ -86,6 +86,11 @@ object Bytes {
     a.length - b.length
   }
 
+  /** Smallest byte string strictly greater than `v` (v ++ 0x00) — the
+    * minimal exclusive upper bound for turning an inclusive key into a
+    * half-open range. */
+  def successor(v: Array[Byte]): Array[Byte] = v :+ 0.toByte
+
   /** Smallest byte string strictly greater than every string with this
     * prefix — used to turn PrefixFilter into a sargable range
     * `[prefix, succ(prefix))` for partition/row-group pruning. Returns

@@ -136,7 +136,8 @@ object ScanExec {
       ttlMs: Option[Long] = None, now: Long = 0L,
       familyMaxVersions: Map[String, Int] = Map.empty,
       familyTtlMs: Map[String, Long] = Map.empty): DataFrame = {
-    require(rows.nonEmpty, "multiGet needs at least one row key")
+    // empty batch -> empty result, like the reference's batch get
+    if (rows.isEmpty) return cells.limit(0)
     val spark = cells.sparkSession
     import spark.implicits._
     val keys = broadcast(rows.toDF("row"))
@@ -146,7 +147,7 @@ object ScanExec {
     // reason (only touched regions are read).
     val ord: Ordering[Array[Byte]] = (a, b) => Bytes.compareTo(a, b)
     val lo = rows.min(ord)
-    val hi = rows.max(ord) :+ 0.toByte
+    val hi = Bytes.successor(rows.max(ord))
     ScanExec(cells.join(keys, Seq("row"), "left_semi"),
       scan.copy(startRow = Some(lo), stopRow = Some(hi)), ttlMs, now,
       familyMaxVersions = familyMaxVersions, familyTtlMs = familyTtlMs)

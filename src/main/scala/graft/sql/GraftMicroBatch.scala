@@ -154,29 +154,25 @@ class GraftFileReader(p: GraftFilePartition,
 
   // Column projection: request only the pruned fields (plus row/family,
   // which the visibility check needs) so unneeded column chunks are never
-  // read. The projection is derived from the FILE's own schema (footer
-  // read) so field repetitions match exactly.
-  private val requestedSchema: String = {
-    import scala.jdk.CollectionConverters._
-    val needed = p.fields.toSet + "row" + "family"
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new Path(p.file), conf)
-    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val fileSchema = fr.getFooter.getFileMetaData.getSchema
+  // read. Pruning happens inside ReadSupport.init against the file schema
+  // the callback already receives — one footer read, exact repetitions,
+  // no conf copy or schema-string round-trip.
+  private class ProjectingReadSupport(needed: Set[String]) extends GroupReadSupport {
+    override def init(context: org.apache.parquet.hadoop.api.InitContext)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+      import scala.jdk.CollectionConverters._
+      val fileSchema = context.getFileSchema
       val kept = fileSchema.getFields.asScala.filter(f => needed(f.getName))
-      new org.apache.parquet.schema.MessageType(
-        fileSchema.getName, kept.asJava).toString
-    } finally fr.close()
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+        new org.apache.parquet.schema.MessageType(fileSchema.getName, kept.asJava))
+    }
   }
 
   private val reader: ParquetReader[Group] = {
-    val readConf = new org.apache.hadoop.conf.Configuration(conf)
-    readConf.set(
-      org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      requestedSchema)
-    var b = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
-      .withConf(readConf)
+    var b = ParquetReader.builder(
+        new ProjectingReadSupport(p.fields.toSet + "row" + "family"),
+        new Path(p.file))
+      .withConf(conf)
     rowPredicate.foreach(pr => b = b.withFilter(FilterCompat.get(pr)))
     b.build()
   }

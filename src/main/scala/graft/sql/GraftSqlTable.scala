@@ -78,8 +78,7 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   private var required: StructType = Cell.schema
   private var scan: GScan = GScan()
 
-  /** Smallest byte string strictly greater than v (v ++ 0x00). */
-  private def succ(v: Array[Byte]): Array[Byte] = v :+ 0.toByte
+  private def succ(v: Array[Byte]): Array[Byte] = Bytes.successor(v)
 
   private def tightenStart(b: Array[Byte]): Unit =
     if (scan.startRow.forall(cur => Bytes.compareTo(b, cur) > 0))

@@ -178,7 +178,11 @@ class SqlCatalogSpec extends SparkSpec {
     assert(seen().sorted == Seq(("r1", "f", "v1"), ("r2", "f", "v2")), seen())
 
     // a row-bound WHERE pushes into the streaming reader (parquet
-    // FilterPredicate + per-record check): a fresh replay ships only r2
+    // FilterPredicate + per-record check). A LIVE sub-bound row (r0,
+    // appended post-compaction so the fresh replay would ship it) makes
+    // the exclusion assertion non-vacuous: if the claimed bound were
+    // silently dropped, r0 would arrive and fail the assert.
+    g.table("st").put(Seq(Put(b("r0")).add("f", b("q"), 4L, b("v0"))), 4L)
     val filtered = scala.collection.mutable.ListBuffer.empty[String]
     val q2 = spark.readStream.table("graft_sql.st")
       .where(col("row") >= lit(b("r2")))
@@ -213,7 +217,8 @@ class SqlCatalogSpec extends SparkSpec {
       }
       .start()
     q3.awaitTermination()
-    assert(projected.synchronized(projected.toList) == Seq(("r2", 3L)), projected)
+    assert(projected.synchronized(projected.toList).sorted ==
+      Seq(("r0", 4L), ("r2", 3L)), projected)
   }
 
   test("streaming resumes after manifest history pruning (nearest retained offset)") {
