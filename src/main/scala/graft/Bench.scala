@@ -19,15 +19,17 @@ object Bench {
     // its own codegen compile + parquet footer reads on first execution, so
     // warming only the first query (the r01 harness) inflated every later
     // query by that fixed cost (versions_latest read 8.9s vs its true ~3s).
+    // NonFatal only: swallowing OutOfMemoryError/LinkageError here would
+    // leave a corrupted JVM producing misleading timed-run failures.
     qs.foreach { q =>
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
     val results = qs.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
       q.name -> (System.nanoTime() - t0) / 1e9

@@ -193,9 +193,27 @@ final class Catalog(spark: SparkSession, root: String) {
   def tablePath(t: String): String =
     fs.makeQualified(tableDir(t)).toString
 
+  /** `HColumnDescriptor.isLegalFamilyName` parity: the `_fam=` leaf-dir
+    * layout depends on family names being directory-safe — a '/', '=' or
+    * '%' would get partition-escaped by Spark's writer, so splitHot /
+    * inMemory matching on the literal name would silently miss. Printable
+    * ASCII (no space), no ':' (the reference's family separator), no path
+    * or partition-encoding separators, no leading '.'. */
+  private def requireLegalFamilyNames(desc: TableDescriptor): Unit =
+    desc.families.foreach { f =>
+      val n = f.name
+      val badChars = ":/\\=%"
+      require(n.nonEmpty && !n.startsWith(".") &&
+          n.forall(c => c > ' ' && c < 127 && !badChars.contains(c)),
+        s"illegal family name '$n' in table ${desc.name}: must be " +
+          "printable ASCII without whitespace, ':', '/', '\\', '=', '%', " +
+          "or a leading '.' (HColumnDescriptor.isLegalFamilyName parity)")
+    }
+
   /** `HBaseAdmin.createTable:169`. */
   def createTable(desc: TableDescriptor, nowMs: Long): Unit = {
     require(!tableExists(desc.name), s"table ${desc.name} exists")
+    requireLegalFamilyNames(desc)
     fs.mkdirs(tableDir(desc.name))
     val m = Manifest(desc.name, 1L, nowMs, desc, Seq.empty)
     writeFile(new Path(tableDir(desc.name), "manifest-1.json"), ManifestJson.write(m))
@@ -211,6 +229,7 @@ final class Catalog(spark: SparkSession, root: String) {
   /** `addColumn:549`/`deleteColumn:583`/`modifyColumn:618`/readonly flag:
     * new manifest version with same data, new descriptor. */
   def alterTable(t: String, desc: TableDescriptor, nowMs: Long): Unit = {
+    requireLegalFamilyNames(desc)
     val cur = currentManifest(t)
     val v = cur.version + 1
     val m = cur.copy(version = v, createdMs = nowMs, descriptor = desc)
@@ -407,13 +426,27 @@ final class Catalog(spark: SparkSession, root: String) {
     m
   }
 
-  /** All manifest versions of a table (for vacuum + time travel). */
-  def manifests(t: String): Seq[Manifest] =
+  /** Retained manifest version NUMBERS (file names only — no reads). */
+  private def manifestVersions(t: String): Seq[Long] =
     fs.listStatus(tableDir(t)).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("manifest-") && n.endsWith(".json") =>
-        manifestAt(t, n.stripPrefix("manifest-").stripSuffix(".json").toLong)
-      }.sortBy(_.version)
+        n.stripPrefix("manifest-").stripSuffix(".json").toLong
+      }.sorted
+
+  /** All manifest versions of a table (for vacuum + time travel). */
+  def manifests(t: String): Seq[Manifest] =
+    manifestVersions(t).map(manifestAt(t, _))
+
+  /** Highest-version manifest with `createdMs <= ms` (TIMESTAMP AS OF).
+    * Reads newest-first with early exit: versions commit in increasing
+    * order with non-decreasing stamps, so a time-travel read of a recent
+    * timestamp costs O(1) manifest reads instead of parsing the whole
+    * retained chain (the reference's equivalent lookup walks snapshot
+    * descriptors by name, never the full history). */
+  def manifestAtOrBefore(t: String, ms: Long): Option[Manifest] =
+    manifestVersions(t).reverseIterator
+      .map(manifestAt(t, _)).find(_.createdMs <= ms)
 
   /** Delete data dirs referenced by NO manifest of this table and no
     * snapshot manifest in `protectedDirs` — the reference's refcount GC

@@ -131,7 +131,10 @@ object ScanExec {
     * stats), then a single shared resolve. The reference issues one RPC
     * per region batch; a driver-side loop of single Gets here would pay
     * one Spark job per key. All gets share `scan`'s projection/time/
-    * version options (the common batch shape). */
+    * version options (the common batch shape); caller-supplied row bounds
+    * on `scan` are honored by INTERSECTING them with the batch's key span
+    * (a key outside the bounds contributes nothing, like a Get outside a
+    * bounded reference scan). */
   def multiGet(cells: DataFrame, rows: Seq[Array[Byte]], scan: Scan = Scan(),
       ttlMs: Option[Long] = None, now: Long = 0L,
       familyMaxVersions: Map[String, Int] = Map.empty,
@@ -144,12 +147,15 @@ object ScanExec {
     // [min, succ(max)) bounds derived from the batch: the semi-join alone
     // can't prune the parquet scan, but the keys' span can — the
     // reference's batch get routes each key to its region for the same
-    // reason (only touched regions are read).
+    // reason (only touched regions are read). Tighten-only against any
+    // bounds already on the scan (same pattern as GraftScanBuilder).
     val ord: Ordering[Array[Byte]] = (a, b) => Bytes.compareTo(a, b)
     val lo = rows.min(ord)
     val hi = Bytes.successor(rows.max(ord))
+    val start = (scan.startRow.toSeq :+ lo).max(ord)
+    val stop = (scan.stopRow.toSeq :+ hi).min(ord)
     ScanExec(cells.join(keys, Seq("row"), "left_semi"),
-      scan.copy(startRow = Some(lo), stopRow = Some(hi)), ttlMs, now,
+      scan.copy(startRow = Some(start), stopRow = Some(stop)), ttlMs, now,
       familyMaxVersions = familyMaxVersions, familyTtlMs = familyTtlMs)
   }
 

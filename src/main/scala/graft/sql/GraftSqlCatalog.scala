@@ -79,12 +79,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `TIMESTAMP AS OF ts` — latest manifest committed at or before the
     * timestamp (Spark hands micros since epoch; manifests carry
-    * `createdMs`). */
+    * `createdMs`). Newest-first early-exit lookup: O(1) manifest reads
+    * for recent timestamps, not O(history) JSON parses. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val t = ident.name()
     if (!engine.tableExists(t)) throw new NoSuchTableException(ident)
     val ms = Math.floorDiv(timestampMicros, 1000L)
-    val m = engine.manifests(t).filter(_.createdMs <= ms).lastOption.getOrElse(
+    val m = engine.manifestAtOrBefore(t, ms).getOrElse(
       throw new IllegalArgumentException(
         s"table $t has no manifest at or before ${ms}ms"))
     new GraftSqlTable(engine, t, Some(m))

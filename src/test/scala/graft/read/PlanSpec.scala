@@ -47,6 +47,16 @@ class PlanSpec extends SparkSpec {
       pushed.contains("LessThan(row"), pushed)
   }
 
+  test("multiGet intersects caller row bounds with the batch key span") {
+    // caller restricts the scan to [r020, r060); batch keys outside the
+    // bounds must NOT widen them back (tighten-only intersection)
+    val bounded = Scan().setStartRow(b("r020")).setStopRow(b("r060"))
+    val got = g.table("t")
+      .multiGet(Seq(b("r010"), b("r030"), b("r050"), b("r090")), bounded)
+    val rows = collectCells(got).map(_._1)
+    assert(rows == Set("r030", "r050"), rows)
+  }
+
   test("resolve plans exactly one exchange (single (row,family) clustering)") {
     val plan = planOf(Resolve(g.table("t").cells, ReadView(maxVersions = 2)))
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size

@@ -41,6 +41,34 @@ class SnapshotSpec extends SparkSpec {
     assert(!g.tableExists("t") && g.listTables().isEmpty)
   }
 
+  test("illegal family names are rejected at DDL time") {
+    val g = freshGraft()
+    for (bad <- Seq("a/b", "a=b", "a:b", "a%b", ".hidden", "", "a b")) {
+      intercept[IllegalArgumentException] {
+        g.createTable(TableDescriptor("bad",
+          Seq(FamilyDescriptor(bad)), splitKeys = 2), 1L)
+      }
+    }
+    assert(!g.tableExists("bad"))
+    // alterTable is guarded too
+    g.createTable(desc, 1L)
+    intercept[IllegalArgumentException] {
+      g.catalog.alterTable("t",
+        desc.copy(families = Seq(FamilyDescriptor("f/x"))), 2L)
+    }
+  }
+
+  test("manifestAtOrBefore finds the newest manifest at or before ts") {
+    val g = freshGraft()
+    g.createTable(desc, 10L)
+    g.table("t").put(Seq(Put(b("r1")).add("f", b("q"), b("v1"))), 20L)
+    g.table("t").put(Seq(Put(b("r2")).add("f", b("q"), b("v2"))), 30L)
+    assert(g.catalog.manifestAtOrBefore("t", 5L).isEmpty)
+    assert(g.catalog.manifestAtOrBefore("t", 10L).map(_.version).contains(1L))
+    assert(g.catalog.manifestAtOrBefore("t", 25L).map(_.version).contains(2L))
+    assert(g.catalog.manifestAtOrBefore("t", 99L).map(_.version).contains(3L))
+  }
+
   test("snapshot is point-in-time: later writes/deletes don't leak in") {
     val g = freshGraft()
     g.createTable(desc, 1L)
