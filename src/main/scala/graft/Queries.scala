@@ -55,16 +55,32 @@ object Queries {
     val src = new java.io.File(s"$dir/$table.parquet")
     val root = new java.io.File(
       s"/tmp/graft_cellstore/${src.lastModified}_${src.length}/$variant")
+    // The store is shared across harness PROCESSES (Verify + Bench can
+    // run concurrently): build under a pid-unique dir, then atomically
+    // rename into place — a loser of the publish race adopts the winner's
+    // copy (content is deterministic) and discards its own.
     Queries.synchronized {
       if (!new java.io.File(root, "_SUCCESS").exists()) {
+        val tmp = new java.io.File(root.getParentFile,
+          s".${root.getName}.tmp${ProcessHandle.current().pid()}")
         build
           .repartitionByRange(32, col("row"))
           .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
             col("ts").desc, col("seq").desc)
-          .write.mode("overwrite").parquet(root.toString)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (!tmp.renameTo(root)) {
+          if (new java.io.File(root, "_SUCCESS").exists()) deleteRec(tmp)
+          else throw new IllegalStateException(
+            s"cellstore publish failed and no complete copy exists: $root")
+        }
       }
     }
     s.read.schema(graft.core.Cell.schema).parquet(root.toString)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
   }
 
   private def ordersCells(s: SparkSession, dir: String): DataFrame =
@@ -908,12 +924,36 @@ object Queries {
       .orderBy("id")
   }
 
-  // simhash: no SQL-replicable oracle (xxhash64 has no DuckDB analog);
-  // the driver records a rows-only check, exact semantics covered in
-  // PipelineSpec.
-  private val dedupSimhash = Q("dedup_simhash", None) { (s, dir) =>
+  // simhash with the md5-derived token hash (Dedup.md5Hash64Of), so the
+  // oracle recomputes the IDENTICAL 64-bit signatures in SQL: bit j of
+  // the signature = sign of the sum over tokens of (+1/-1 by bit j of the
+  // hash). The pigeonhole chunk join is exact (any pair within hamming 3
+  // agrees on >= 1 of 4 chunks), so the all-pairs oracle applies
+  // verbatim. The xxhash64 default stays the production path (PipelineSpec
+  // covers it); the hash is the only pluggable piece.
+  private val dedupSimhash = Q("dedup_simhash", Some(s"""
+    WITH toks AS (
+      SELECT doc_id, unnest($duckToks) AS t FROM documents),
+    bits AS (
+      SELECT doc_id, g.b,
+        sum(CASE WHEN ((CAST(('0x' || substring(md5(t), 1, 16)) AS UBIGINT) >> g.b) & 1) = 1
+            THEN 1 ELSE -1 END) AS w
+      FROM toks CROSS JOIN generate_series(0, 63) g(b)
+      GROUP BY doc_id, g.b),
+    sig AS (
+      SELECT doc_id,
+        bit_or(CASE WHEN w > 0 THEN (CAST(1 AS UBIGINT) << b)
+               ELSE CAST(0 AS UBIGINT) END) AS s
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      bit_count(xor(a.s, b.s))::BIGINT AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    ORDER BY id_a, id_b""")) { (s, dir) =>
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-      maxHamming = 3).orderBy("id_a", "id_b")
+      maxHamming = 3, hashFn = Dedup.md5Hash64Of)
+      .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+      .orderBy("id_a", "id_b")
   }
 
   private val textQuality = Q("text_quality", bench = true, oracle = Some(s"""
@@ -938,12 +978,82 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  // langid over word-salad synthetic text: rows-only (the lang column in
-  // the table is not derivable from the text); real-language behavior is
-  // asserted in PipelineSpec.
-  private val textLangid = Q("text_langid", None) { (s, dir) =>
+  // Repetition signals (Gopher/MassiveText-family quality filters) at
+  // token/bigram granularity; the oracle recomputes duplicate-token
+  // fraction, top-bigram frequency share, and max token count from the
+  // same tokenization.
+  private val textRepetition = Q("text_repetition", Some(s"""
+    WITH d AS (SELECT doc_id, $duckToks AS ts FROM documents),
+    bg AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
+             for i in generate_series(1, len(ts)-1)]) AS g FROM d),
+    bgc AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac
+            FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+            GROUP BY doc_id),
+    tc AS (SELECT doc_id, max(c) AS max_token_rep
+           FROM (SELECT doc_id, t, count(*) AS c
+                 FROM (SELECT doc_id, unnest(ts) AS t FROM d) GROUP BY doc_id, t)
+           GROUP BY doc_id)
+    SELECT d.doc_id, len(ts)::BIGINT AS n_tokens,
+      CASE WHEN len(ts) > 0
+           THEN (len(ts) - len(list_distinct(ts)))::DOUBLE / len(ts)
+           ELSE 0.0 END AS dup_token_frac,
+      coalesce(bgc.top_bigram_frac, 0.0) AS top_bigram_frac,
+      coalesce(tc.max_token_rep, 0)::BIGINT AS max_token_rep
+    FROM d LEFT JOIN bgc USING (doc_id) LEFT JOIN tc USING (doc_id)
+    ORDER BY doc_id""")) { (s, dir) =>
+    Text.repetitionSignals(t(s, dir, "documents"), "doc_id")
+      .select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac",
+        "max_token_rep")
+      .orderBy("doc_id")
+  }
+
+  // PII redaction: deterministic synthetic PII (email/IPv4/phone built
+  // from doc_id) is injected into each document on BOTH sides, then the
+  // same engine-portable regex chain scrubs it — so the oracle verifies
+  // the redaction actually fires, not just passes text through.
+  private val textRedact = Q("text_redact", Some(s"""
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(
+        text || ' contact' || doc_id || '@example.com via 10.0.0.' ||
+          (doc_id % 256) || ' call +49-30-1234' || (doc_id % 10),
+        '${Text.EmailRe}', '<EMAIL>', 'g'),
+        '${Text.Ipv4Re}', '<IP>', 'g'),
+        '${Text.PhoneRe}', '<PHONE>', 'g') AS redacted
+    FROM documents ORDER BY doc_id""")) { (s, dir) =>
+    val injected = concat(col("text"),
+      lit(" contact"), col("doc_id").cast(StringType),
+      lit("@example.com via 10.0.0."), (col("doc_id") % 256).cast(StringType),
+      lit(" call +49-30-1234"), (col("doc_id") % 10).cast(StringType))
     t(s, dir, "documents")
-      .select(col("doc_id"), Text.langId(col("text")).as("lang_guess"))
+      .select(col("doc_id"), Text.redactPii(injected).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  // langid: the DuckDB oracle recomputes the SAME stopword-profile
+  // heuristic (per-language token-fraction scores, argmax with lang-code
+  // tie-break, "und" below minScore). Both engines compute each score as
+  // an exact small-int division to double, so comparisons agree bitwise.
+  // Real-language behavior is additionally asserted in PipelineSpec.
+  private def langScoreSql(lang: String): String = {
+    val words = Text.LangProfiles(lang)
+      .map(w => s"'${w}'").mkString(", ")
+    s"""len(list_filter(list_transform($duckToks, x -> lower(x)),
+        t -> t IN ($words)))::DOUBLE / greatest(len($duckToks), 1)"""
+  }
+  private val textLangid = Q("text_langid", Some(s"""
+    SELECT doc_id,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.08 THEN 'und'
+           WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+           WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+           WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+           ELSE 'de' END AS lang_guess
+    FROM (SELECT doc_id,
+      ${langScoreSql("de")} AS s_de, ${langScoreSql("en")} AS s_en,
+      ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr
+      FROM documents)
+    ORDER BY doc_id""")) { (s, dir) =>
+    Text.withLangId(t(s, dir, "documents"), "text")
+      .select("doc_id", "lang_guess")
       .orderBy("doc_id")
   }
 
@@ -988,14 +1098,61 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  // LSH-bucketed ANN: rows-only driver check (bucket membership depends on
-  // xxhash64 hyperplanes DuckDB can't recompute); recall vs the exact
-  // baseline is asserted in PipelineSpec, and this entry benches the
-  // native HyperplaneBand signature stage end-to-end.
+  // LSH-bucketed ANN, hash-derived planes: rows-only driver check (bucket
+  // membership depends on xxhash64 hyperplanes DuckDB can't recompute);
+  // recall vs the exact baseline is asserted in PipelineSpec, and this
+  // entry benches the native HyperplaneBand signature stage end-to-end.
+  // The plane-exact variant below verifies the identical candidate-join +
+  // re-rank machinery against a full DuckDB oracle.
   private val similarityLsh = Q("similarity_lsh_topk", None, bench = true) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, bands = 16, bitsPerBand = 8)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  // The SAME LSH path (signatures -> band buckets -> candidate join ->
+  // exact re-rank) with md5-derived hyperplanes both engines can build:
+  // the oracle rebuilds the plane matrix in SQL, recomputes every
+  // signature bit (list_dot_product is sequential like the native
+  // DotProduct, so the sign of every plane sum matches bitwise), joins
+  // buckets, and re-ranks — an end-to-end exactness check of the LSH
+  // machinery, not just its recall.
+  private val similarityLshPlanes = Q("similarity_lsh_planes", Some(s"""
+    WITH planes AS (
+      SELECT j, [ (CAST(('0x' || substring(md5('hp_' || j || '_' || (i-1)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0
+                  for i in generate_series(1, (SELECT len(embedding) FROM embeddings LIMIT 1)) ] AS pv
+      FROM generate_series(0, 127) t(j)),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigs AS (
+      SELECT vec_id, j // 8 AS band,
+        bit_or(CASE WHEN list_dot_product(v, pv) > 0 THEN (CAST(1 AS BIGINT) << (j % 8))
+               ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM vecs CROSS JOIN planes
+      GROUP BY vec_id, j // 8),
+    cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nn_id
+      FROM sigs q JOIN sigs c ON q.band = c.band AND q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT cd.query_id, cd.nn_id,
+        list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      FROM cands cd
+      JOIN vecs a ON a.vec_id = cd.query_id
+      JOIN vecs b ON b.vec_id = cd.nn_id)
+    SELECT query_id, rank, nn_id, cosine FROM (
+      SELECT query_id, nn_id, cosine,
+        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank""")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    Similarity.lshTopKPlanes(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5,
+      planes = Similarity.md5Planes(128, dim), bands = 16)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("nn_id"), col("cosine"))
       .orderBy("query_id", "rank")
@@ -1068,8 +1225,10 @@ object Queries {
     copyTableScan, importTsvScan, replicationStream, asOfJoinQ,
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
     dedupClusters,
-    dedupSimhash, textQuality, textLangid, similarityTopk, similarityIvf,
-    similarityLsh, dedupEmbedding, multimodalFeatures, sampleSplit)
+    dedupSimhash, textQuality, textLangid, textRepetition, textRedact,
+    similarityTopk, similarityIvf,
+    similarityLsh, similarityLshPlanes, dedupEmbedding, multimodalFeatures,
+    sampleSplit)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -165,14 +165,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Default token hash for SimHash: xxhash64 (codegen'd, fastest). */
+  def xxHash64Of(c: Column): Column = xxhash64(c)
+
+  /** md5-derived 64-bit token hash: the first 16 hex chars of md5
+    * decoded as a signed big-endian long (native BitsToLong). Slower than
+    * xxhash64 but recomputable by ANY engine with an md5 function — the
+    * DuckDB oracle derives identical bits via
+    * `CAST('0x' || substring(md5(t),1,16) AS UBIGINT)` (same bit pattern,
+    * unsigned view). */
+  def md5Hash64Of(c: Column): Column =
+    graft.functions.VectorFunctions.bitsToLong(unhex(substring(md5(c), 1, 16)))
+
   /** SimHash: 64-bit signature where bit j = sign of the sum over tokens
-    * of (bit j of xxhash64(token) -> +1/-1). Computed as 64 conditional
+    * of (bit j of hash(token) -> +1/-1). Computed as 64 conditional
     * sums in ONE aggregation pass (no row explosion by bit index).
     * Returns (id, simhash long). */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column = xxHash64Of): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(Text.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", hashFn(col("t")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"_b$j")
@@ -189,8 +202,9 @@ object Dedup {
     * pair within distance k must agree exactly on >= 1 chunk. Candidates
     * join on (chunkIndex, chunkValue); verify with bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(df, idCol, textCol)
+      maxHamming: Int = 3,
+      hashFn: Column => Column = xxHash64Of): DataFrame = {
+    val sig = simhashSignatures(df, idCol, textCol, hashFn)
     val nChunks = maxHamming + 1
     val width = 64 / nChunks
     val chunked = sig.select(col("id"), col("simhash"),

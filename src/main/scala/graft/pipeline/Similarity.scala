@@ -169,8 +169,12 @@ object Similarity {
           posexplode(array((0 until bands).map(b =>
             hyperplaneBand(col(vecCol), b, bitsPerBand)): _*)))
         .select(col(id), col(vOut), col("pos").as("band"), col("col").as("bucket"))
-    val c = banded(corpus, "nn_id", "_cv")
-    val q = banded(queries, "query_id", "_qv")
+    bandedTopK(banded(corpus, "nn_id", "_cv"),
+      banded(queries, "query_id", "_qv"), k)
+  }
+
+  /** Candidate join + exact re-rank shared by the banded ANN variants. */
+  private def bandedTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val cands = c.join(q, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .select("query_id", "nn_id", "_qv", "_cv")
@@ -181,5 +185,51 @@ object Similarity {
       .select(col("query_id"), col("nn_id"),
         cosine(col("_qv"), col("_cv")).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic hyperplane matrix derived from md5 — recomputable by
+    * ANY engine with an md5 function, unlike the xxhash64-seeded planes
+    * inside [[hyperplaneBand]] (the point: a DuckDB oracle can rebuild
+    * the identical matrix in SQL and verify the whole LSH path —
+    * signatures, buckets, candidates, re-rank — end to end). Component
+    * (j, d) = (h % 2001 - 1000) / 1000.0 where h = first 15 md5 hex chars
+    * of "hp_<j>_<d>" as a long — uniform-ish in [-1, 1], which is all
+    * sign-random-projection needs. */
+  def md5Planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { d =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hp_${j}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(15)
+        (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+      }
+    }
+
+  /** LSH top-k with an EXPLICIT plane matrix (`planes.length = bands * w`
+    * rows of `dim` components): bucket of band b packs the sign bits
+    * sign(dot(v, plane_{b*w+r})) for r in [0, w). Same candidate-join +
+    * exact-re-rank machinery as [[lshTopK]]; each plane dot product runs
+    * through the native codegen'd DotProduct, so the signature stage is
+    * `bands*w` compiled loops — fine for verification workloads, while
+    * the hash-derived [[lshTopK]] (one fused pass) remains the scale
+    * path. */
+  def lshTopKPlanes(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Seq[Seq[Double]], bands: Int): DataFrame = {
+    require(bands > 0 && planes.nonEmpty && planes.length % bands == 0,
+      s"planes (${planes.length}) must split evenly into $bands bands")
+    val w = planes.length / bands
+    require(w <= 64, s"band width $w exceeds 64 bits")
+    def bucket(b: Int): Column =
+      (0 until w).map { r =>
+        when(dot(col(vecCol), typedLit(planes(b * w + r))) > 0, lit(1L << r))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    def banded(df: DataFrame, id: String, vOut: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vOut),
+          posexplode(array((0 until bands).map(bucket): _*)))
+        .select(col(id), col(vOut), col("pos").as("band"), col("col").as("bucket"))
+    bandedTopK(banded(corpus, "nn_id", "_cv"),
+      banded(queries, "query_id", "_qv"), k)
   }
 }

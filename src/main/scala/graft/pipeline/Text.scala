@@ -96,6 +96,65 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Repetition signals (the Gopher/MassiveText family of quality
+    * filters): token-level duplicate fraction, the frequency share of the
+    * most common word bigram, and the max single-token count. Line and
+    * paragraph variants of these are the same computation keyed on a
+    * different split; token/bigram granularity is what a single-line
+    * corpus exercises.
+    *
+    * Shape at scale: one narrow pass for the per-doc array signals plus
+    * two doc-keyed groupBys with map-side combine for the mode counts —
+    * linear, no skew beyond document size itself. Adds columns
+    * `n_tokens, dup_token_frac, top_bigram_frac, max_token_rep`. */
+  def repetitionSignals(df: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame = {
+    val base = df
+      .withColumn("_rts", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("_rts")).cast("long"))
+      .withColumn("dup_token_frac",
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - size(array_distinct(col("_rts"))))
+            .cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+    // overlapping word bigrams WITH multiplicity (same anchored-lookahead
+    // trick as withShingles, minus the distinct)
+    val pat = "(?:^|(?<= ))(?=(\\S+ \\S+))"
+    val withBg = base.withColumn("_bg",
+      regexp_extract_all(regexp_replace(trim(col(textCol)), "\\s+", " "),
+        lit(pat), lit(1)))
+    val bigramTop = withBg
+      .select(col(idCol), explode(col("_bg")).as("_g"))
+      .groupBy(idCol, "_g").agg(count(lit(1)).as("_c"))
+      .groupBy(idCol)
+      .agg((max("_c").cast("double") / sum("_c")).as("top_bigram_frac"))
+    val tokenTop = base
+      .select(col(idCol), explode(col("_rts")).as("_t"))
+      .groupBy(idCol, "_t").agg(count(lit(1)).as("_c"))
+      .groupBy(idCol).agg(max("_c").as("max_token_rep"))
+    withBg
+      .join(bigramTop, Seq(idCol), "left")
+      .join(tokenTop, Seq(idCol), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+      .withColumn("max_token_rep", coalesce(col("max_token_rep"), lit(0L)))
+      .drop("_rts", "_bg")
+  }
+
+  /** PII redaction: replace emails, IPv4 addresses, and international
+    * phone-number-shaped digit runs with typed placeholder tokens — the
+    * standard pre-training scrub pass. Pure `regexp_replace` chain
+    * (codegen'd, linear); the patterns avoid constructs whose semantics
+    * differ between regex engines, so an oracle can replay them. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PhoneRe = "\\+\\d{1,3}[- ]\\d{2,4}[- ]\\d{3,4}[- ]?\\d{0,4}"
+
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
+  }
+
   /** Word k-shingles, distinct — the unit of Jaccard similarity.
     *
     * PERF: `ts` must be a materialized column ATTRIBUTE, not an inline

@@ -6,7 +6,7 @@ import graft.read.{Scan => GScan, ScanExec}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Scan => V2Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan => V2Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -66,17 +66,28 @@ class GraftSqlTable(engine: Catalog, tableName: String,
   *    ordering to Spark's BinaryType, BytesSpec-asserted);
   *  - `family` equality / IN → family projection (applied pre-resolve;
   *    commutes with resolution);
+  *  - `qualifier` equality / IN → column projection (`Scan.addColumn` —
+  *    `Get.addColumn` parity), accepted only once a family projection is
+  *    in place (`Scan.columns` is keyed by family) and only once (a
+  *    ∧-chain of distinct qualifier equalities must stay residual: the
+  *    projection set is a union, which would turn the conjunction into a
+  *    disjunction);
+  *  - a bare LIMIT → `.limit` on the resolved frame (incremental
+  *    execution stops the scan after n resolved rows — at 100 TB the
+  *    difference between a peek and a full pass);
   *  - everything else → residual, evaluated by Spark post-resolve.
   * Column pruning lands as a final projection so the inner plan's parquet
   * scan reads only what survives.
   */
 class GraftScanBuilder(engine: Catalog, tableName: String,
     pinned: Option[graft.catalog.Manifest] = None)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Cell.schema
   private var scan: GScan = GScan()
+  private var limit: Option[Int] = None
 
   private def succ(v: Array[Byte]): Array[Byte] = Bytes.successor(v)
 
@@ -94,8 +105,11 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
     // the range). Family filters union into a projection SET, so a second
     // conjunct would widen instead of intersect — accept only the first
     // and leave the rest residual (a ∧-chain of distinct family
-    // equalities is degenerate anyway).
+    // equalities is degenerate anyway). Qualifier projection needs the
+    // family set, so it runs in a second pass (Spark's filter order is
+    // not guaranteed).
     var famTaken = false
+    val rest = Array.newBuilder[Filter]
     filters.foreach {
       case f @ sources.EqualTo("row", v: Array[Byte]) =>
         tightenStart(v); tightenStop(succ(v)); accepted += f
@@ -113,6 +127,22 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
           if !famTaken && fs.nonEmpty && fs.forall(_.isInstanceOf[String]) =>
         fs.foreach(x => scan = scan.addFamily(x.asInstanceOf[String]))
         famTaken = true; accepted += f
+      case other => rest += other
+    }
+    var qualTaken = false
+    def addQualifiers(qs: Seq[Array[Byte]]): Unit =
+      scan.families.getOrElse(Set.empty).foreach { fam =>
+        qs.foreach(q => scan = scan.addColumn(fam, q))
+      }
+    rest.result().foreach {
+      case f @ sources.EqualTo("qualifier", v: Array[Byte])
+          if famTaken && !qualTaken =>
+        addQualifiers(Seq(v)); qualTaken = true; accepted += f
+      case f @ sources.In("qualifier", vs)
+          if famTaken && !qualTaken && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Array[Byte]]) =>
+        addQualifiers(vs.toSeq.map(_.asInstanceOf[Array[Byte]]))
+        qualTaken = true; accepted += f
       case other => residual += other
     }
     pushed = accepted.result()
@@ -124,13 +154,19 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Advisory push (isPartiallyPushed stays true, so Spark re-applies its
+    * own limit); the resolved frame's `.limit` is what turns a peek query
+    * into incremental execution instead of a full resolve pass. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
   override def build(): V2Scan =
-    new GraftV1Scan(engine, tableName, scan, required, pinned)
+    new GraftV1Scan(engine, tableName, scan, required, pinned, limit)
 }
 
 class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     required: StructType,
-    pinned: Option[graft.catalog.Manifest] = None) extends V1Scan {
+    pinned: Option[graft.catalog.Manifest] = None,
+    limit: Option[Int] = None) extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -147,7 +183,8 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
       familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
     import org.apache.spark.sql.functions.col
-    resolved.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    val projected = resolved.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    limit.fold(projected)(projected.limit)
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](

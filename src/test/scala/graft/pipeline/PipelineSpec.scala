@@ -94,6 +94,48 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("simhash md5-hash variant: identical semantics under the portable hash") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text",
+      hashFn = Dedup.md5Hash64Of)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L)) // identical docs -> identical signature
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+      hashFn = Dedup.md5Hash64Of)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("repetition signals: dup fraction, top-bigram share, max token count") {
+    val rep = Seq((1L, "a a a b"), (2L, "x y z"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Text.repetitionSignals(rep, "doc_id")
+      .select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac",
+        "max_token_rep")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+      .sortBy(_._1).toList
+    assert(out(0) == ((1L, 4L, 0.5, 2.0 / 3, 3L)))  // "a a" twice of 3 bigrams
+    assert(out(1) == ((2L, 3L, 0.0, 0.5, 1L)))
+    assert(out(2) == ((3L, 1L, 0.0, 0.0, 1L)))      // no bigrams
+    assert(out(3) == ((4L, 0L, 0.0, 0.0, 0L)))      // empty doc
+  }
+
+  test("PII redaction replaces emails, IPs, and phone runs") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@foo-bar.org now"),
+      (2L, "server at 192.168.0.1 port"),
+      (3L, "call +49-30-1234-567 today"),
+      (4L, "clean text stays put")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Text.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> now")
+    assert(out(2L) == "server at <IP> port")
+    assert(out(3L) == "call <PHONE> today")
+    assert(out(4L) == "clean text stays put")
+  }
+
   test("cosine similarity: brute-force exact; LSH recall on clustered vectors") {
     // 3 tight clusters of 4 vectors each in 8 dims + mild noise
     val vecs = (0 until 12).map { i =>
@@ -117,6 +159,16 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     assert(recall >= 0.9, s"LSH recall $recall too low")
+    // explicit md5-derived planes: same machinery, engine-portable planes
+    val planes = Similarity.md5Planes(32, 8)
+    assert(planes.flatten.forall(x => x >= -1.0 && x <= 1.0))
+    assert(planes == Similarity.md5Planes(32, 8)) // deterministic
+    val lshP = Similarity.lshTopKPlanes(vecs, vecs, "vec_id", "embedding",
+      k = 3, planes, bands = 8)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallP = brute.intersect(lshP).size.toDouble / brute.size
+    assert(recallP >= 0.9, s"plane-LSH recall $recallP too low")
   }
 
   test("hyperplane bands beyond bit 64 use distinct hyperplanes (no shift-wrap alias)") {

@@ -77,6 +77,43 @@ class SqlCatalogSpec extends SparkSpec {
     assert(pushed.contains("row") && pushed.contains("family"), pushed)
   }
 
+  test("qualifier equality pushes as a column projection; LIMIT pushes down") {
+    val r2 = Files.createTempDirectory("graft-sqlcat-q").toString
+    val g = Graft(spark, r2)
+    g.createTable(TableDescriptor("tq", Seq(FamilyDescriptor("f")), splitKeys = 2), 1L)
+    g.table("tq").put((1 to 20).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("qa"), b(s"a$i")).add("f", b("qb"), b(s"b$i"))), 2L)
+    spark.conf.set("spark.sql.catalog.graft_sqlq", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sqlq.root", r2)
+    val out = spark.sql("SELECT row, family, qualifier, ts, value FROM graft_sqlq.tq " +
+      "WHERE family = 'f' AND qualifier = X'7161'") // 'qa'
+    val rows = collectCells(out)
+    assert(rows.size == 20 && rows.forall(_._3 == "qa"), rows.take(3))
+
+    val engine = new graft.catalog.Catalog(spark, r2)
+    import org.apache.spark.sql.sources
+    // qualifier listed BEFORE family: acceptance must be order-independent
+    val builder = new GraftScanBuilder(engine, "tq")
+    val residual = builder.pushFilters(Array(
+      sources.EqualTo("qualifier", b("qa")),
+      sources.EqualTo("family", "f")))
+    assert(residual.isEmpty && builder.pushedFilters().length == 2)
+    // a second qualifier equality must stay residual (∧ would become ∨)
+    val b2 = new GraftScanBuilder(engine, "tq")
+    assert(b2.pushFilters(Array(sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("qa")),
+      sources.EqualTo("qualifier", b("qb")))).length == 1)
+    // without a family projection, qualifier stays residual
+    val b3 = new GraftScanBuilder(engine, "tq")
+    assert(b3.pushFilters(Array(sources.EqualTo("qualifier", b("qa")))).length == 1)
+
+    // LIMIT: advisory push lands on the resolved frame
+    assert(builder.pushLimit(5))
+    val v1 = builder.build().asInstanceOf[GraftV1Scan]
+    assert(v1.resolvedFrame(spark).count() == 5)
+    assert(spark.sql("SELECT * FROM graft_sqlq.tq LIMIT 7").count() == 7)
+  }
+
   test("INSERT INTO appends through the manifest catalog") {
     root
     val newCells = cells(Seq(
