@@ -791,6 +791,41 @@ object Queries {
       .orderBy("_k").drop("_k")
   }
 
+  // Watermarked event-time windowed aggregation over a table's OWN change
+  // feed (Structured Streaming end-to-end in the gate, not just specs):
+  // daily edit counts per family, AvailableNow over the append history,
+  // complete-mode memory sink. The feed ships in one micro-batch
+  // (maxFilesPerTrigger above the file count), so the advancing watermark
+  // cannot drop replayed history mid-run and the batch SQL oracle applies
+  // exactly: each event encodes to 4 cells (user_id/ts/event_id/
+  // event_type qualifiers), so edits = 4 * events per day.
+  private val streamWindowAgg = Q("stream_window_agg", Some("""
+    SELECT epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS window_ms,
+      'e' AS family, 4 * count(*) AS edits
+    FROM events GROUP BY 1 ORDER BY window_ms""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val work = java.nio.file.Files.createTempDirectory("graft-q-winagg").toString
+    val src = graft.Graft(s, s"$work/src")
+    src.createTable(TableDescriptor("t", Seq(FamilyDescriptor("e")), splitKeys = 8), 1L)
+    val ev = t(s, dir, "events").select("user_id", "ts", "event_id", "event_type")
+    src.table("t").mutate(
+      CellCodec.encode(ev, "e", Seq("user_id"),
+        tsCol = Some(col("ts")), seqCol = Some(col("event_id"))), nowMs = 1L)
+    val feed = graft.streaming.Replication.tableChangeFeed(
+      s, s"$work/src", "t", maxFilesPerTrigger = 100000)
+    val windowed = graft.streaming.Replication
+      .windowedEditCounts(feed, "1 day", "1 hour", tsDivisorToMillis = 1000000L)
+      .select(unix_millis(col("window_start")).as("window_ms"),
+        col("family"), col("edits"))
+    val sink = s"winagg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    windowed.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.table(sink).orderBy("window_ms")
+  }
+
   // As-of join: for each order by a user in the events keyspace, the
   // user's latest event strictly-or-equal before the order date. DuckDB's
   // native ASOF JOIN is the oracle (matches >= semantics, picks max ts).
@@ -1222,7 +1257,8 @@ object Queries {
     versionsLatest, timeRangeScan, jsonPropsAgg, sessionize,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, asofScan, bulkLoadScan, sqlCatalogScan,
-    copyTableScan, importTsvScan, replicationStream, asOfJoinQ,
+    copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
+    asOfJoinQ,
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
     dedupClusters,
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact,
