@@ -968,11 +968,12 @@ object Queries {
   // covers it); the hash is the only pluggable piece.
   private val dedupSimhash = Q("dedup_simhash", Some(s"""
     WITH toks AS (
-      SELECT doc_id, unnest($duckToks) AS t FROM documents),
+      SELECT doc_id,
+        CAST(('0x' || substring(md5(unnest($duckToks)), 1, 16)) AS UBIGINT) AS h
+      FROM documents),
     bits AS (
       SELECT doc_id, g.b,
-        sum(CASE WHEN ((CAST(('0x' || substring(md5(t), 1, 16)) AS UBIGINT) >> g.b) & 1) = 1
-            THEN 1 ELSE -1 END) AS w
+        sum(CASE WHEN ((h >> g.b) & 1) = 1 THEN 1 ELSE -1 END) AS w
       FROM toks CROSS JOIN generate_series(0, 63) g(b)
       GROUP BY doc_id, g.b),
     sig AS (
@@ -1011,6 +1012,36 @@ object Queries {
       .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
         "stopword_ratio", "bpeish_tokens")
       .orderBy("doc_id")
+  }
+
+  // Corpus statistics: global top-N word bigrams by occurrence count
+  // (vocabulary / boilerplate / stop-phrase mining). The cut is
+  // total-ordered (occurrences desc, then the gram), so LIMIT is
+  // deterministic on both engines.
+  private val textTopNgrams = Q("text_topngrams", Some(s"""
+    SELECT g AS ngram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
+            for i in generate_series(1, len(ts)-1)]) AS g
+          FROM (SELECT doc_id, $duckToks AS ts FROM documents))
+    GROUP BY g ORDER BY occurrences DESC, ngram LIMIT 50""")) { (s, dir) =>
+    Text.topNgrams(t(s, dir, "documents"), "doc_id", "text", k = 2, topN = 50)
+  }
+
+  // Benchmark decontamination: documents (doc_id >= 5, the "training"
+  // corpus) sharing any 3-shingle with the probe set (doc_id < 5, the
+  // "eval benchmark"), with the distinct-shingle hit count per document.
+  private val dedupContamination = Q("dedup_contamination", Some(s"""
+    WITH sh AS $duckShingles,
+    probe AS (SELECT DISTINCT s FROM
+      (SELECT unnest(sg) AS s FROM sh WHERE doc_id < 5)),
+    corpus AS (SELECT doc_id, unnest(sg) AS s FROM sh WHERE doc_id >= 5)
+    SELECT c.doc_id AS id, count(*) AS hits
+    FROM corpus c JOIN probe USING (s)
+    GROUP BY c.doc_id ORDER BY id""")) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationHits(docs.filter(col("doc_id") >= 5),
+      docs.filter(col("doc_id") < 5), "doc_id", "text", k = 3)
+      .orderBy("id")
   }
 
   // Repetition signals (Gopher/MassiveText-family quality filters) at
@@ -1262,6 +1293,7 @@ object Queries {
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
     dedupClusters,
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact,
+    textTopNgrams, dedupContamination,
     similarityTopk, similarityIvf,
     similarityLsh, similarityLshPlanes, dedupEmbedding, multimodalFeatures,
     sampleSplit)

@@ -222,6 +222,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark decontamination: count, per corpus document, the distinct
+    * `k`-shingles it shares with ANY probe document (the eval set) — the
+    * standard pre-training contamination check (drop or flag documents
+    * with hits above a threshold). Returns (id, hits), documents with
+    * zero hits absent.
+    *
+    * Scale shape: the probe shingle set is the eval benchmark — small by
+    * construction — so it broadcasts, and the check is a broadcast
+    * semi-join + per-doc count over the corpus's shingle pass: one linear
+    * scan, no shuffle of corpus text. */
+  def contaminationHits(docs: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val d = Text.withShingles(docs.select(col(idCol).as("id"), col(textCol)),
+        textCol, k)
+      .select(col("id"), explode(col("sh")).as("s"))
+    val p = Text.withShingles(probes.select(col(textCol)), textCol, k)
+      .select(explode(col("sh")).as("s")).distinct()
+    d.join(broadcast(p), "s")
+      .groupBy("id").agg(count(lit(1)).as("hits")) // shingles are distinct per doc
+  }
+
   /** Connected components over a near-dup pair set: label propagation to
     * fixpoint (each node's label = min id reachable so far), the standard
     * scalable formulation — O(graph diameter) joins, each a key-equality

@@ -155,6 +155,27 @@ object Text {
     regexp_replace(i, PhoneRe, "<PHONE>")
   }
 
+  /** Global top-N word k-grams by occurrence count (ties broken by the
+    * gram itself, so the cut is total-ordered and deterministic) — the
+    * corpus-statistics pass (vocabulary building, boilerplate discovery,
+    * stop-phrase mining). Scale shape: one narrow k-gram extraction pass,
+    * one (gram)-keyed aggregation with map-side combine (doc_freq's
+    * distinct runs as a two-phase partial aggregate), then TakeOrdered N —
+    * the full gram table never sorts globally. */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String = "text",
+      k: Int = 2, topN: Int = 50): DataFrame = {
+    val pat = "(?:^|(?<= ))(?=(" + Seq.fill(k)("\\S+").mkString(" ") + "))"
+    df.select(col(idCol).as("_id"),
+        explode(regexp_extract_all(
+          regexp_replace(trim(col(textCol)), "\\s+", " "), lit(pat), lit(1)))
+          .as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("ngram"))
+      .limit(topN)
+  }
+
   /** Word k-shingles, distinct — the unit of Jaccard similarity.
     *
     * PERF: `ts` must be a materialized column ATTRIBUTE, not an inline

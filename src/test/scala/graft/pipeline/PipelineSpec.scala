@@ -122,6 +122,24 @@ class PipelineSpec extends SparkSpec {
     assert(out(3) == ((4L, 0L, 0.0, 0.0, 0L)))      // empty doc
   }
 
+  test("top n-grams: multiplicity counts, doc frequency, deterministic cut") {
+    val d = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val out = Text.topNgrams(d, "doc_id", "text", k = 2, topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    // bigrams: doc1 = [a b, b a, a b, b c], doc2 = [a b, b x]
+    assert(out == List(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
+  }
+
+  test("contamination hits: corpus docs sharing eval shingles are flagged") {
+    val probes = docs.filter(col("doc_id") === 1)  // quick-brown-fox ... dog
+    val corpus = docs.filter(col("doc_id").isin(2L, 3L, 5L))
+    val out = Dedup.contaminationHits(corpus, probes, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc2 (same text, cat for dog) shares 6 of 7 trigram shingles; doc3
+    // (unrelated) and doc5 (permuted tokens) share none -> absent
+    assert(out == Map(2L -> 6L), out)
+  }
+
   test("PII redaction replaces emails, IPs, and phone runs") {
     val df = Seq(
       (1L, "mail bob.smith+x@foo-bar.org now"),
