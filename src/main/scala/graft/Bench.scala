@@ -30,16 +30,24 @@ object Bench {
     // A single timed pass is exposed to one-off GC pauses and competing
     // load: the r02 driver pass recorded 9.5s for a query that
     // steady-states at ~2.5s in every local run (same data, same plan).
-    def timedRound(): Map[String, Double] = qs.map { q =>
+    // A FAILED round records None — a fast failure must never beat a real
+    // run in the min, and a query with zero successful rounds reports a
+    // sentinel -1 instead of a bogus time-to-failure.
+    def timedRound(): Map[String, Option[Double]] = qs.map { q =>
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
+      q.name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }.toMap
     val rounds = Seq(timedRound(), timedRound())
-    val results = qs.map(_.name).map(n => n -> rounds.map(_(n)).min)
+    val results = qs.map(_.name).map { n =>
+      val ts = rounds.flatMap(_(n))
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
 
     val qJson = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")

@@ -70,8 +70,16 @@ object Queries {
           .write.mode("overwrite").parquet(tmp.toString)
         if (!tmp.renameTo(root)) {
           if (new java.io.File(root, "_SUCCESS").exists()) deleteRec(tmp)
-          else throw new IllegalStateException(
-            s"cellstore publish failed and no complete copy exists: $root")
+          else {
+            // self-heal a crashed writer's partial root (the old
+            // mode("overwrite") recovered this case automatically)
+            deleteRec(root)
+            if (!tmp.renameTo(root)) {
+              deleteRec(tmp)
+              throw new IllegalStateException(
+                s"cellstore publish failed and no complete copy exists: $root")
+            }
+          }
         }
       }
     }
@@ -818,11 +826,14 @@ object Queries {
       .select(unix_millis(col("window_start")).as("window_ms"),
         col("family"), col("edits"))
     val sink = s"winagg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    windowed.writeStream.format("memory").queryName(sink)
+    val q = windowed.writeStream.format("memory").queryName(sink)
       .outputMode("complete")
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination()
+      .start()
+    // a hung stream (corrupt checkpoint etc.) must fail THIS query, not
+    // wedge the whole battery
+    require(q.awaitTermination(600000L), "stream_window_agg timed out")
     s.table(sink).orderBy("window_ms")
   }
 

@@ -193,21 +193,23 @@ final class Catalog(spark: SparkSession, root: String) {
   def tablePath(t: String): String =
     fs.makeQualified(tableDir(t)).toString
 
-  /** `HColumnDescriptor.isLegalFamilyName` parity: the `_fam=` leaf-dir
-    * layout depends on family names being directory-safe — a '/', '=' or
-    * '%' would get partition-escaped by Spark's writer, so splitHot /
-    * inMemory matching on the literal name would silently miss. Printable
-    * ASCII (no space), no ':' (the reference's family separator), no path
-    * or partition-encoding separators, no leading '.'. */
+  /** `HColumnDescriptor.isLegalFamilyName` parity, tightened to an
+    * ALLOWLIST: the `_fam=` leaf-dir layout depends on family names being
+    * partition-path-safe — Spark's writer percent-escapes a whole set of
+    * characters ('/', '=', '%', '#', '*', '?', quotes, brackets, ...), so
+    * any escaped name would make splitHot / inMemory matching on the
+    * literal name silently miss. Enumerating the escape set is fragile
+    * across Spark versions; `[A-Za-z0-9_.-]` (no leading '.') is
+    * escape-free on every version and covers the reference's real-world
+    * family names. */
   private def requireLegalFamilyNames(desc: TableDescriptor): Unit =
     desc.families.foreach { f =>
       val n = f.name
-      val badChars = ":/\\=%"
       require(n.nonEmpty && !n.startsWith(".") &&
-          n.forall(c => c > ' ' && c < 127 && !badChars.contains(c)),
-        s"illegal family name '$n' in table ${desc.name}: must be " +
-          "printable ASCII without whitespace, ':', '/', '\\', '=', '%', " +
-          "or a leading '.' (HColumnDescriptor.isLegalFamilyName parity)")
+          n.forall(c => c.isLetterOrDigit && c < 127 || c == '_' || c == '.' || c == '-'),
+        s"illegal family name '$n' in table ${desc.name}: allowed " +
+          "characters are [A-Za-z0-9_.-] with no leading '.' " +
+          "(partition-path-safe superset of isLegalFamilyName)")
     }
 
   /** `HBaseAdmin.createTable:169`. */

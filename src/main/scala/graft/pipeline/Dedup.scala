@@ -231,14 +231,18 @@ object Dedup {
     * Scale shape: the probe shingle set is the eval benchmark — small by
     * construction — so it broadcasts, and the check is a broadcast
     * semi-join + per-doc count over the corpus's shingle pass: one linear
-    * scan, no shuffle of corpus text. */
+    * scan, no shuffle of corpus text.
+    *
+    * Uses raw k-grams (no whole-text fallback for sub-k-token docs —
+    * that is `withShingles`' Jaccard-specific contract): a document
+    * shorter than k tokens cannot CONTAIN a k-gram, so the correct
+    * containment answer for it is zero hits. */
   def contaminationHits(docs: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val d = Text.withShingles(docs.select(col(idCol).as("id"), col(textCol)),
-        textCol, k)
-      .select(col("id"), explode(col("sh")).as("s"))
-    val p = Text.withShingles(probes.select(col(textCol)), textCol, k)
-      .select(explode(col("sh")).as("s")).distinct()
+    val d = docs.select(col(idCol).as("id"),
+        explode(array_distinct(Text.kgrams(col(textCol), k))).as("s"))
+    val p = probes.select(
+        explode(Text.kgrams(col(textCol), k)).as("s")).distinct()
     d.join(broadcast(p), "s")
       .groupBy("id").agg(count(lit(1)).as("hits")) // shingles are distinct per doc
   }

@@ -195,15 +195,17 @@ object Similarity {
     * (j, d) = (h % 2001 - 1000) / 1000.0 where h = first 15 md5 hex chars
     * of "hp_<j>_<d>" as a long — uniform-ish in [-1, 1], which is all
     * sign-random-projection needs. */
-  def md5Planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+  def md5Planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5") // resets per digest()
     (0 until nPlanes).map { j =>
       (0 until dim).map { d =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
+        val hex = md
           .digest(s"hp_${j}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .map(b => f"$b%02x").mkString.take(15)
         (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
       }
     }
+  }
 
   /** LSH top-k with an EXPLICIT plane matrix (`planes.length = bands * w`
     * rows of `dim` components): bucket of band b packs the sign bits

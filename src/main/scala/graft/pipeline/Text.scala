@@ -119,10 +119,7 @@ object Text {
           .otherwise(lit(0.0)))
     // overlapping word bigrams WITH multiplicity (same anchored-lookahead
     // trick as withShingles, minus the distinct)
-    val pat = "(?:^|(?<= ))(?=(\\S+ \\S+))"
-    val withBg = base.withColumn("_bg",
-      regexp_extract_all(regexp_replace(trim(col(textCol)), "\\s+", " "),
-        lit(pat), lit(1)))
+    val withBg = base.withColumn("_bg", kgrams(col(textCol), 2))
     val bigramTop = withBg
       .select(col(idCol), explode(col("_bg")).as("_g"))
       .groupBy(idCol, "_g").agg(count(lit(1)).as("_c"))
@@ -155,6 +152,22 @@ object Text {
     regexp_replace(i, PhoneRe, "<PHONE>")
   }
 
+  /** Anchored-lookahead pattern capturing every overlapping word k-gram
+    * of whitespace-normalized text — THE one copy of a load-bearing
+    * regex (an unanchored lookahead would also fire at every mid-word
+    * offset, silently inflating gram sets; caught at sf0.01). Shared by
+    * [[withShingles]], [[repetitionSignals]], and [[topNgrams]]. */
+  private[pipeline] def kgramPattern(k: Int): String =
+    "(?:^|(?<= ))(?=(" + Seq.fill(k)("\\S+").mkString(" ") + "))"
+
+  /** Overlapping word k-grams WITH multiplicity, one codegen'd regex
+    * pass; empty result for texts with fewer than k tokens (no
+    * whole-text fallback — that is [[withShingles]]' Jaccard-specific
+    * contract). */
+  def kgrams(text: Column, k: Int): Column =
+    regexp_extract_all(regexp_replace(trim(text), "\\s+", " "),
+      lit(kgramPattern(k)), lit(1))
+
   /** Global top-N word k-grams by occurrence count (ties broken by the
     * gram itself, so the cut is total-ordered and deterministic) — the
     * corpus-statistics pass (vocabulary building, boilerplate discovery,
@@ -164,11 +177,8 @@ object Text {
     * the full gram table never sorts globally. */
   def topNgrams(df: DataFrame, idCol: String, textCol: String = "text",
       k: Int = 2, topN: Int = 50): DataFrame = {
-    val pat = "(?:^|(?<= ))(?=(" + Seq.fill(k)("\\S+").mkString(" ") + "))"
     df.select(col(idCol).as("_id"),
-        explode(regexp_extract_all(
-          regexp_replace(trim(col(textCol)), "\\s+", " "), lit(pat), lit(1)))
-          .as("ngram"))
+        explode(kgrams(col(textCol), k)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("occurrences"),
         countDistinct(col("_id")).as("doc_freq"))
@@ -199,18 +209,14 @@ object Text {
     * identical to [[shinglesOf]]: space-joined tokens, distinct, with the
     * whole text as the single shingle when tokens < k. */
   def withShingles(df: DataFrame, textCol: String, k: Int = 3,
-      out: String = "sh"): DataFrame = {
-    // anchored to token starts (begin-of-string or after the separator) —
-    // an unanchored lookahead would also match at every mid-word offset
-    val pat = "(?:^|(?<= ))(?=(" + Seq.fill(k)("\\S+").mkString(" ") + "))"
+      out: String = "sh"): DataFrame =
     df.withColumn("_norm", regexp_replace(trim(col(textCol)), "\\s+", " "))
       .withColumn(out, {
-        val grams = regexp_extract_all(col("_norm"), lit(pat), lit(1))
+        val grams = regexp_extract_all(col("_norm"), lit(kgramPattern(k)), lit(1))
         array_distinct(
           when(size(grams) > 0, grams).otherwise(array(col("_norm"))))
       })
       .drop("_norm")
-  }
 
   /** Convenience inline form — fine for one-shot use on small data; hot
     * paths use [[withShingles]]. */

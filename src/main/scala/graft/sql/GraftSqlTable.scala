@@ -154,10 +154,14 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Advisory push (isPartiallyPushed stays true, so Spark re-applies its
-    * own limit); the resolved frame's `.limit` is what turns a peek query
-    * into incremental execution instead of a full resolve pass. */
+  /** The resolved frame's `.limit` turns a peek query into incremental
+    * execution instead of a full resolve pass. The push is exact (a
+    * global `.limit(n)`), but `isPartiallyPushed` is overridden to true
+    * anyway so Spark keeps its own limit node as a safety net — the
+    * interface DEFAULT is false, which would make Spark silently trust
+    * any future relaxation of this to a per-partition cut. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def build(): V2Scan =
     new GraftV1Scan(engine, tableName, scan, required, pinned, limit)

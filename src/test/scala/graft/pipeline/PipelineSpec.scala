@@ -138,6 +138,11 @@ class PipelineSpec extends SparkSpec {
     // doc2 (same text, cat for dog) shares 6 of 7 trigram shingles; doc3
     // (unrelated) and doc5 (permuted tokens) share none -> absent
     assert(out == Map(2L -> 6L), out)
+    // sub-k-token docs cannot CONTAIN a k-gram: no whole-text fallback on
+    // either side (identical short texts still produce zero hits)
+    val short = Seq((9L, "tiny text")).toDF("doc_id", "text")
+    assert(Dedup.contaminationHits(short, short, "doc_id", "text", k = 3)
+      .collect().isEmpty)
   }
 
   test("PII redaction replaces emails, IPs, and phone runs") {

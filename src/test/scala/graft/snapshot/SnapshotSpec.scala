@@ -43,13 +43,20 @@ class SnapshotSpec extends SparkSpec {
 
   test("illegal family names are rejected at DDL time") {
     val g = freshGraft()
-    for (bad <- Seq("a/b", "a=b", "a:b", "a%b", ".hidden", "", "a b")) {
+    // '#' and '*' are percent-escaped by Spark's partition-path writer —
+    // the allowlist must reject everything outside [A-Za-z0-9_.-]
+    for (bad <- Seq("a/b", "a=b", "a:b", "a%b", ".hidden", "", "a b",
+        "a#b", "a*b", "a?b", "a'b")) {
       intercept[IllegalArgumentException] {
         g.createTable(TableDescriptor("bad",
           Seq(FamilyDescriptor(bad)), splitKeys = 2), 1L)
       }
     }
     assert(!g.tableExists("bad"))
+    // the full allowlist alphabet is accepted
+    g.createTable(TableDescriptor("ok",
+      Seq(FamilyDescriptor("Fam_1.x-y")), splitKeys = 2), 1L)
+    assert(g.tableExists("ok"))
     // alterTable is guarded too
     g.createTable(desc, 1L)
     intercept[IllegalArgumentException] {
