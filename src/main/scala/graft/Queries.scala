@@ -1029,7 +1029,7 @@ object Queries {
   // (vocabulary / boilerplate / stop-phrase mining). The cut is
   // total-ordered (occurrences desc, then the gram), so LIMIT is
   // deterministic on both engines.
-  private val textTopNgrams = Q("text_topngrams", Some(s"""
+  private val textTopNgrams = Q("text_topngrams", bench = true, oracle = Some(s"""
     SELECT g AS ngram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
     FROM (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
             for i in generate_series(1, len(ts)-1)]) AS g
@@ -1041,7 +1041,7 @@ object Queries {
   // Benchmark decontamination: documents (doc_id >= 5, the "training"
   // corpus) sharing any 3-shingle with the probe set (doc_id < 5, the
   // "eval benchmark"), with the distinct-shingle hit count per document.
-  private val dedupContamination = Q("dedup_contamination", Some(s"""
+  private val dedupContamination = Q("dedup_contamination", bench = true, oracle = Some(s"""
     WITH sh AS $duckShingles,
     probe AS (SELECT DISTINCT s FROM
       (SELECT unnest(sg) AS s FROM sh WHERE doc_id < 5)),
@@ -1059,7 +1059,7 @@ object Queries {
   // token/bigram granularity; the oracle recomputes duplicate-token
   // fraction, top-bigram frequency share, and max token count from the
   // same tokenization.
-  private val textRepetition = Q("text_repetition", Some(s"""
+  private val textRepetition = Q("text_repetition", bench = true, oracle = Some(s"""
     WITH d AS (SELECT doc_id, $duckToks AS ts FROM documents),
     bg AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
              for i in generate_series(1, len(ts)-1)]) AS g FROM d),

@@ -104,8 +104,9 @@ object Text {
     * corpus exercises.
     *
     * Shape at scale: one narrow pass for the per-doc array signals plus
-    * two doc-keyed groupBys with map-side combine for the mode counts —
-    * linear, no skew beyond document size itself. Adds columns
+    * ONE fused doc-keyed groupBy pyramid (tokens and bigrams share the
+    * explode) with map-side combine for the mode counts — linear, no
+    * skew beyond document size itself. Adds columns
     * `n_tokens, dup_token_frac, top_bigram_frac, max_token_rep`. */
   def repetitionSignals(df: DataFrame, idCol: String,
       textCol: String = "text"): DataFrame = {
@@ -117,24 +118,26 @@ object Text {
           (col("n_tokens") - size(array_distinct(col("_rts"))))
             .cast("double") / col("n_tokens"))
           .otherwise(lit(0.0)))
-    // overlapping word bigrams WITH multiplicity (same anchored-lookahead
-    // trick as withShingles, minus the distinct)
-    val withBg = base.withColumn("_bg", kgrams(col(textCol), 2))
-    val bigramTop = withBg
-      .select(col(idCol), explode(col("_bg")).as("_g"))
+    // Token and bigram mode counts share ONE explode + one groupBy
+    // pyramid (one shuffle chain instead of two). No tagging needed:
+    // tokens never contain a space and space-joined bigrams always do,
+    // so kind is recoverable from the gram itself (and no interpreted
+    // transform() lambda runs per element).
+    val grams = base.select(col(idCol),
+      explode(concat(col("_rts"), kgrams(col(textCol), 2))).as("_g"))
+    val tops = grams
       .groupBy(idCol, "_g").agg(count(lit(1)).as("_c"))
+      .withColumn("_isBg", col("_g").contains(" "))
       .groupBy(idCol)
-      .agg((max("_c").cast("double") / sum("_c")).as("top_bigram_frac"))
-    val tokenTop = base
-      .select(col(idCol), explode(col("_rts")).as("_t"))
-      .groupBy(idCol, "_t").agg(count(lit(1)).as("_c"))
-      .groupBy(idCol).agg(max("_c").as("max_token_rep"))
-    withBg
-      .join(bigramTop, Seq(idCol), "left")
-      .join(tokenTop, Seq(idCol), "left")
+      .agg(
+        (max(when(col("_isBg"), col("_c"))).cast("double") /
+          sum(when(col("_isBg"), col("_c")))).as("top_bigram_frac"),
+        max(when(!col("_isBg"), col("_c"))).as("max_token_rep"))
+    base
+      .join(tops, Seq(idCol), "left")
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
       .withColumn("max_token_rep", coalesce(col("max_token_rep"), lit(0L)))
-      .drop("_rts", "_bg")
+      .drop("_rts")
   }
 
   /** PII redaction: replace emails, IPv4 addresses, and international
