@@ -1235,6 +1235,31 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // Quantized ANN: top-k over int8-grid-quantized embeddings (the 4x
+  // memory path at 100 TB). The floor-based grid is engine-portable, so
+  // the oracle requantizes in SQL and the ranking — including the more
+  // frequent ties a coarse grid produces — matches exactly (ties break
+  // on nn_id over bit-identical doubles).
+  private val similarityQuantized = Q("similarity_quantized_topk", Some(s"""
+    WITH vq AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        x -> floor(least(greatest(x, -1.0), 1.0) * 127 + 0.5) / 127.0) AS v
+      FROM embeddings)
+    SELECT query_id, rank, nn_id, cosine FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS nn_id, $duckCos AS cosine,
+        row_number() OVER (PARTITION BY a.vec_id
+          ORDER BY $duckCos DESC, b.vec_id) AS rank
+      FROM (SELECT * FROM vq WHERE vec_id < 10) a
+      JOIN vq b ON a.vec_id <> b.vec_id)
+    WHERE rank <= 5 ORDER BY query_id, rank""")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select(col("vec_id"),
+      Similarity.quantizeUnit(col("embedding")).as("qv"))
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "qv", k = 5)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   private val dedupEmbedding = Q("dedup_embedding", Some(s"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, $duckCos AS cosine
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
@@ -1306,8 +1331,8 @@ object Queries {
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact,
     textTopNgrams, dedupContamination,
     similarityTopk, similarityIvf,
-    similarityLsh, similarityLshPlanes, dedupEmbedding, multimodalFeatures,
-    sampleSplit)
+    similarityLsh, similarityLshPlanes, similarityQuantized,
+    dedupEmbedding, multimodalFeatures, sampleSplit)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -32,6 +32,19 @@ object Similarity {
     df.withColumn(out,
       transform(col(vecCol), x => x.cast("double") / norm(col(vecCol))))
 
+  /** Int8-grid quantization: each component clamped to [-1, 1] and
+    * snapped to the 127-step grid via `floor(x*127 + 0.5) / 127` —
+    * explicit floor-based rounding so ANY engine reproduces the exact
+    * grid (round() half-tie conventions differ across engines). The 4x
+    * memory/bandwidth reduction of int8 ANN, with values kept numeric so
+    * scoring stays on the native DotProduct path. An INGEST-time pass
+    * (the interpreted transform() lambda is fine there — it runs once
+    * per corpus, not per query). */
+  def quantizeUnit(vec: Column): Column =
+    transform(vec, x =>
+      floor(least(greatest(x.cast("double"), lit(-1.0)), lit(1.0)) * 127 + 0.5)
+        / 127.0)
+
   /** Exact all-pairs cosine (id_a < id_b). Quadratic — the correctness
     * baseline and the verifier for banded variants. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -145,6 +145,24 @@ class PipelineSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("scale-shape plan assertions: TakeOrdered cut, broadcast probe join") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+      out.toString("UTF-8")
+    }
+    // topNgrams must cut with TakeOrdered (never a global sort of grams)
+    val top = planOf(Text.topNgrams(docs, "doc_id", "text", k = 2, topN = 3))
+    assert(top.contains("TakeOrderedAndProject"), top)
+    assert(!top.contains("\n   Sort "), top)
+    // contaminationHits must broadcast the probe side (corpus never
+    // shuffles before the join)
+    val cont = planOf(Dedup.contaminationHits(
+      docs.filter(col("doc_id") >= 3), docs.filter(col("doc_id") < 3),
+      "doc_id", "text", k = 3))
+    assert(cont.contains("BroadcastHashJoin"), cont)
+  }
+
   test("PII redaction replaces emails, IPs, and phone runs") {
     val df = Seq(
       (1L, "mail bob.smith+x@foo-bar.org now"),
@@ -192,6 +210,29 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recallP = brute.intersect(lshP).size.toDouble / brute.size
     assert(recallP >= 0.9, s"plane-LSH recall $recallP too low")
+  }
+
+  test("int8-grid quantization: exact grid points, rank preservation on clusters") {
+    val v = Seq((1L, Seq(0.5f, -0.3f, 1.7f, -2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = v.select(Similarity.quantizeUnit(col("embedding")).as("q"))
+      .collect()(0).getSeq[Double](0)
+    // floor(x*127 + 0.5)/127 with clamp to [-1, 1]
+    assert(q == Seq(64.0 / 127, -38.0 / 127, 1.0, -1.0, 0.0), q)
+    // quantization preserves cluster-mate top-k on the clustered fixture
+    val vecs = (0 until 12).map { i =>
+      val c = i / 4
+      val base = Array.fill(8)(0.05f)
+      base(c * 2) = 1.0f; base(c * 2 + 1) = 0.8f
+      base(7 - c) += (i % 4) * 0.01f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val quant = vecs.select(col("vec_id"),
+      Similarity.quantizeUnit(col("embedding")).as("qv"))
+    val topq = Similarity.bruteForceTopK(quant, quant, "vec_id", "qv", k = 3)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topq.forall { case (q2, n) => q2 / 4 == n / 4 }, topq)
   }
 
   test("hyperplane bands beyond bit 64 use distinct hyperplanes (no shift-wrap alias)") {
