@@ -674,6 +674,40 @@ object Queries {
     CellCodec.decode(cells, customerSchema).orderBy("c_custkey")
   }
 
+  // SQL DELETE end-to-end: tombstones written through the DSv2 door
+  // (SupportsDelete -> DeleteFamily cells at each group's max ts), read
+  // back resolved. Oracle = the source minus the deleted key range.
+  private val sqlDeleteRoots = scala.collection.mutable.Map.empty[String, String]
+  private val sqlDeleteScan = Q("sql_delete_scan", Some(s"""
+    SELECT $customerCols FROM customer
+    WHERE NOT (c_custkey >= 100 AND c_custkey < 600)
+    ORDER BY c_custkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlDeleteRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sqldel").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("cust_del",
+          Seq(FamilyDescriptor("c")), splitKeys = 8), nowMs = 1L)
+        g.table("cust_del").mutate(customerCells(s, dir), nowMs = 1L)
+        s.conf.set("spark.sql.catalog.graft_del",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_del.root", r)
+        def hexKey(k: Long) =
+          "X'" + CellCodec.rowKeyOf(k).map(b => f"$b%02x").mkString + "'"
+        s.sql(s"""DELETE FROM graft_del.cust_del
+                  WHERE row >= ${hexKey(100L)} AND row < ${hexKey(600L)}""")
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_del",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_del.root", root)
+    val cells = s.sql(
+      "SELECT row, family, qualifier, ts, kind, value, seq FROM graft_del.cust_del")
+    CellCodec.decode(cells, customerSchema).orderBy("c_custkey")
+  }
+
   private val snapshotScan = Q("snapshot_scan", Some(s"""
     SELECT $customerCols FROM customer ORDER BY c_custkey""")) { (s, dir) =>
     import graft.catalog.{FamilyDescriptor, TableDescriptor}
@@ -1323,7 +1357,7 @@ object Queries {
     groupingMapperAgg,
     versionsLatest, timeRangeScan, jsonPropsAgg, sessionize,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
-    snapshotScan, asofScan, bulkLoadScan, sqlCatalogScan,
+    snapshotScan, asofScan, bulkLoadScan, sqlCatalogScan, sqlDeleteScan,
     copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
     asOfJoinQ,
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,

@@ -26,11 +26,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Write path: `V1Write`/`InsertableRelation` → `Catalog.append` — an
   * `INSERT INTO graft.t` is the bulk put path with the usual manifest
-  * commit.
+  * commit. `DELETE FROM graft.t WHERE <row bounds> [AND family = 'f']`
+  * writes DeleteFamily TOMBSTONES (the reference's `Delete` semantics —
+  * `HTable.delete`, visibility at read time, snapshots unaffected), and
+  * `TRUNCATE TABLE` is a `replaceData` to empty (`HBaseAdmin` truncate =
+  * disable+drop+recreate; ours keeps history/snapshots reachable via
+  * old manifests until vacuum).
   */
 class GraftSqlTable(engine: Catalog, tableName: String,
     pinned: Option[graft.catalog.Manifest] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
   override def schema(): StructType = Cell.schema
@@ -40,6 +46,70 @@ class GraftSqlTable(engine: Catalog, tableName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(engine, tableName, pinned)
+
+  /** Deletable predicates: row bounds and at most one family equality —
+    * the same sargable subset the read path pushes. Anything else makes
+    * Spark fall back to an error (no silent full-table delete). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty && filters.forall {
+      case sources.EqualTo("row", _: Array[Byte]) => true
+      case sources.GreaterThanOrEqual("row", _: Array[Byte]) => true
+      case sources.GreaterThan("row", _: Array[Byte]) => true
+      case sources.LessThan("row", _: Array[Byte]) => true
+      case sources.LessThanOrEqual("row", _: Array[Byte]) => true
+      case sources.EqualTo("family", _: String) => true
+      case sources.IsNotNull("row" | "family") => true
+      case _: sources.AlwaysTrue => true
+      case _ => false
+    } && filters.count {
+      case sources.EqualTo("family", _) => true; case _ => false
+    } <= 1
+
+  /** SQL `DELETE` as the reference's tombstone write: one DeleteFamily
+    * cell per present (row, family) in the predicate's scope, stamped at
+    * that group's max cell ts — masking exactly the current contents
+    * (same <=-ts masking rule as `HBase Delete`; later writes with newer
+    * stamps survive, snapshots and time travel keep the pre-delete
+    * view). O(matching keys) appended, nothing rewritten. */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    require(pinned.isEmpty, s"cannot DELETE from a time-travel view of $tableName")
+    var cells = engine.read(tableName)
+    filters.foreach {
+      case sources.EqualTo("row", v: Array[Byte]) =>
+        cells = cells.filter(col("row") === lit(v))
+      case sources.GreaterThanOrEqual("row", v: Array[Byte]) =>
+        cells = cells.filter(col("row") >= lit(v))
+      case sources.GreaterThan("row", v: Array[Byte]) =>
+        cells = cells.filter(col("row") > lit(v))
+      case sources.LessThan("row", v: Array[Byte]) =>
+        cells = cells.filter(col("row") < lit(v))
+      case sources.LessThanOrEqual("row", v: Array[Byte]) =>
+        cells = cells.filter(col("row") <= lit(v))
+      case sources.EqualTo("family", f: String) =>
+        cells = cells.filter(col("family") === f)
+      case _ => () // IsNotNull / AlwaysTrue — vetted by canDeleteWhere
+    }
+    val tombs = cells
+      .groupBy("row", "family").agg(max("ts").as("ts"))
+      .select(col("row"), col("family"),
+        lit(Array.emptyByteArray).as("qualifier"), col("ts"),
+        lit(graft.core.CellKind.DeleteFamily).as("kind"),
+        lit(null).cast(org.apache.spark.sql.types.BinaryType).as("value"),
+        lit(0L).as("seq"))
+    if (!tombs.isEmpty) engine.append(tableName, tombs, GraftSqlCatalog.nowMs()): Unit
+  }
+
+  /** `TRUNCATE TABLE` — a compaction-to-empty commit (history and
+    * snapshot manifests still reference the old dirs until vacuum). */
+  override def truncateTable(): Boolean = {
+    require(pinned.isEmpty, s"cannot TRUNCATE a time-travel view of $tableName")
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], graft.core.Cell.schema)
+    engine.replaceData(tableName, empty, GraftSqlCatalog.nowMs())
+    true
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,

@@ -114,6 +114,35 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft_sqlq.tq LIMIT 7").count() == 7)
   }
 
+  test("DELETE writes tombstones; TRUNCATE empties; old versions unaffected") {
+    val r3 = Files.createTempDirectory("graft-sqlcat-del").toString
+    val g = Graft(spark, r3)
+    g.createTable(TableDescriptor("td", Seq(FamilyDescriptor("f")), splitKeys = 2), 1L)
+    g.table("td").put((1 to 10).map(i =>
+      Put(b(f"r$i%02d")).add("f", b("q"), b(s"v$i"))), 2L)
+    spark.conf.set("spark.sql.catalog.graft_sqld", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sqld.root", r3)
+    val dataVersion = g.catalog.currentManifest("td").version
+
+    // row-range DELETE -> DeleteFamily tombstones, resolved at read time
+    spark.sql("DELETE FROM graft_sqld.td " +
+      "WHERE row >= X'723033' AND row < X'723037'") // 'r03'..'r07'
+    val left = collectCells(spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_sqld.td")).map(_._1)
+    assert(left == Set("r01", "r02", "r07", "r08", "r09", "r10"), left)
+    // the pre-delete manifest version still reads the full table
+    val asOf = collectCells(spark.sql(
+      s"SELECT row, family, qualifier, ts, value FROM graft_sqld.td VERSION AS OF $dataVersion"))
+    assert(asOf.map(_._1) == (1 to 10).map(i => f"r$i%02d").toSet)
+
+    // TRUNCATE -> compaction-to-empty commit; old version still readable
+    spark.sql("TRUNCATE TABLE graft_sqld.td")
+    assert(spark.sql("SELECT * FROM graft_sqld.td").isEmpty)
+    assert(collectCells(spark.sql(
+      s"SELECT row, family, qualifier, ts, value FROM graft_sqld.td VERSION AS OF $dataVersion"))
+      .map(_._1) == (1 to 10).map(i => f"r$i%02d").toSet)
+  }
+
   test("INSERT INTO appends through the manifest catalog") {
     root
     val newCells = cells(Seq(
