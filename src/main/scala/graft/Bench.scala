@@ -51,7 +51,9 @@ object Bench {
 
     val qJson = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total sums only successful queries — the -1 sentinel must not make
+    // the headline number SMALLER when a query breaks
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -56,31 +56,39 @@ object Queries {
     val root = new java.io.File(
       s"/tmp/graft_cellstore/${src.lastModified}_${src.length}/$variant")
     // The store is shared across harness PROCESSES (Verify + Bench can
-    // run concurrently): build under a pid-unique dir, then atomically
-    // rename into place — a loser of the publish race adopts the winner's
-    // copy (content is deterministic) and discards its own.
+    // run concurrently): a cross-process FileLock serializes build +
+    // publish, so exactly one process builds, losers block and adopt the
+    // winner's copy, and a published root (which always carries
+    // _SUCCESS) is never deleted out from under a reader. A root WITHOUT
+    // _SUCCESS under the lock is a crashed writer's partial copy and is
+    // self-healed. Queries.synchronized additionally serializes within
+    // the JVM (FileLock throws on same-JVM overlap instead of blocking).
     Queries.synchronized {
       if (!new java.io.File(root, "_SUCCESS").exists()) {
-        val tmp = new java.io.File(root.getParentFile,
-          s".${root.getName}.tmp${ProcessHandle.current().pid()}")
-        build
-          .repartitionByRange(32, col("row"))
-          .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
-            col("ts").desc, col("seq").desc)
-          .write.mode("overwrite").parquet(tmp.toString)
-        if (!tmp.renameTo(root)) {
-          if (new java.io.File(root, "_SUCCESS").exists()) deleteRec(tmp)
-          else {
-            // self-heal a crashed writer's partial root (the old
-            // mode("overwrite") recovered this case automatically)
-            deleteRec(root)
+        root.getParentFile.mkdirs()
+        val lockPath = new java.io.File(root.getParentFile,
+          s".${root.getName}.lock").toPath
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = ch.lock()
+        try {
+          if (!new java.io.File(root, "_SUCCESS").exists()) {
+            if (root.exists()) deleteRec(root)
+            val tmp = new java.io.File(root.getParentFile,
+              s".${root.getName}.tmp${ProcessHandle.current().pid()}")
+            build
+              .repartitionByRange(32, col("row"))
+              .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
+                col("ts").desc, col("seq").desc)
+              .write.mode("overwrite").parquet(tmp.toString)
             if (!tmp.renameTo(root)) {
               deleteRec(tmp)
               throw new IllegalStateException(
-                s"cellstore publish failed and no complete copy exists: $root")
+                s"cellstore publish failed under lock: $root")
             }
           }
-        }
+        } finally { lock.release(); ch.close() }
       }
     }
     s.read.schema(graft.core.Cell.schema).parquet(root.toString)
@@ -90,6 +98,11 @@ object Queries {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
   }
+
+  /** `X'..'` SQL literal for an engine row key (shared by the SQL-door
+    * queries — the encoding must match `CellCodec.rowKeyOf` exactly). */
+  private def hexKey(k: Long): String =
+    "X'" + CellCodec.rowKeyOf(k).map(b => f"$b%02x").mkString + "'"
 
   private def ordersCells(s: SparkSession, dir: String): DataFrame =
     storedCells(s, dir, "orders", "orders_o")(
@@ -665,8 +678,6 @@ object Queries {
     s.conf.set("spark.sql.catalog.graft",
       classOf[graft.sql.GraftSqlCatalog].getName)
     s.conf.set("spark.sql.catalog.graft.root", root)
-    def hexKey(k: Long) =
-      "X'" + CellCodec.rowKeyOf(k).map(b => f"$b%02x").mkString + "'"
     val cells = s.sql(
       s"""SELECT row, family, qualifier, ts, kind, value, seq
           FROM graft.cust_sql
@@ -693,8 +704,6 @@ object Queries {
         s.conf.set("spark.sql.catalog.graft_del",
           classOf[graft.sql.GraftSqlCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_del.root", r)
-        def hexKey(k: Long) =
-          "X'" + CellCodec.rowKeyOf(k).map(b => f"$b%02x").mkString + "'"
         s.sql(s"""DELETE FROM graft_del.cust_del
                   WHERE row >= ${hexKey(100L)} AND row < ${hexKey(600L)}""")
         r
@@ -866,8 +875,12 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     // a hung stream (corrupt checkpoint etc.) must fail THIS query, not
-    // wedge the whole battery
-    require(q.awaitTermination(600000L), "stream_window_agg timed out")
+    // wedge the whole battery — and must be STOPPED, not left running
+    // (and holding threads/state) alongside every later query
+    if (!q.awaitTermination(600000L)) {
+      q.stop()
+      throw new IllegalStateException("stream_window_agg timed out")
+    }
     s.table(sink).orderBy("window_ms")
   }
 

@@ -97,13 +97,22 @@ class GraftSqlTable(engine: Catalog, tableName: String,
         lit(graft.core.CellKind.DeleteFamily).as("kind"),
         lit(null).cast(org.apache.spark.sql.types.BinaryType).as("value"),
         lit(0L).as("seq"))
-    if (!tombs.isEmpty) engine.append(tableName, tombs, GraftSqlCatalog.nowMs()): Unit
+    // No isEmpty pre-check — that would execute the read+aggregate twice
+    // (once to count, once to write). An empty tombstone batch writes no
+    // leaf dirs and commits a data-less manifest version, which is
+    // harmless (the reference logs a WAL entry for a no-op Delete too).
+    engine.append(tableName, tombs, GraftSqlCatalog.nowMs()): Unit
   }
 
   /** `TRUNCATE TABLE` — a compaction-to-empty commit (history and
-    * snapshot manifests still reference the old dirs until vacuum). */
+    * snapshot manifests still reference the old dirs until vacuum).
+    * Checks readOnly HERE: `replaceData` deliberately has no guard (major
+    * compaction is maintenance, allowed on read-only tables), but a
+    * truncate is a data mutation like INSERT/DELETE. */
   override def truncateTable(): Boolean = {
     require(pinned.isEmpty, s"cannot TRUNCATE a time-travel view of $tableName")
+    require(!engine.currentManifest(tableName).descriptor.readOnly,
+      s"table $tableName is read-only")
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], graft.core.Cell.schema)

@@ -154,7 +154,8 @@ class PipelineSpec extends SparkSpec {
     // topNgrams must cut with TakeOrdered (never a global sort of grams)
     val top = planOf(Text.topNgrams(docs, "doc_id", "text", k = 2, topN = 3))
     assert(top.contains("TakeOrderedAndProject"), top)
-    assert(!top.contains("\n   Sort "), top)
+    // formatted explain lists operators as "(n) Sort" — assert none exists
+    assert("\\(\\d+\\) Sort".r.findFirstIn(top).isEmpty, top)
     // contaminationHits must broadcast the probe side (corpus never
     // shuffles before the join)
     val cont = planOf(Dedup.contaminationHits(

@@ -141,6 +141,12 @@ class SqlCatalogSpec extends SparkSpec {
     assert(collectCells(spark.sql(
       s"SELECT row, family, qualifier, ts, value FROM graft_sqld.td VERSION AS OF $dataVersion"))
       .map(_._1) == (1 to 10).map(i => f"r$i%02d").toSet)
+
+    // a read-only table refuses TRUNCATE like it refuses INSERT/DELETE
+    g.catalog.alterTable("td",
+      g.catalog.currentManifest("td").descriptor.copy(readOnly = true), 99L)
+    val e = intercept[Exception] { spark.sql("TRUNCATE TABLE graft_sqld.td") }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
   }
 
   test("INSERT INTO appends through the manifest catalog") {
