@@ -158,6 +158,18 @@ final case class GraftTable(g: Graft, name: String) {
   def minorCompact(nowMs: Long): Unit =
     g.catalog.replaceData(name, cells, nowMs)
 
+  /** Shell `truncate` parity (disable+drop+recreate in the reference):
+    * a compaction-to-empty commit — schema kept, data gone, old manifest
+    * versions/snapshots still readable until vacuum. Refused on
+    * read-only tables (a data mutation, unlike maintenance compaction). */
+  def truncate(nowMs: Long): Unit = {
+    require(!descriptor.readOnly, s"table $name is read-only")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.core.Cell.schema)
+    g.catalog.replaceData(name, empty, nowMs): Unit
+  }
+
   /** Register the RESOLVED view as a Spark SQL temp view, so the table is
     * queryable with `spark.sql` (graft_* functions are registered by the
     * session extension): the relational face of the cell table. */

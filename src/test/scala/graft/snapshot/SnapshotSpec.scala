@@ -76,6 +76,22 @@ class SnapshotSpec extends SparkSpec {
     assert(g.catalog.manifestAtOrBefore("t", 99L).map(_.version).contains(3L))
   }
 
+  test("truncate empties the table, keeps schema, refuses read-only") {
+    val g = freshGraft()
+    g.createTable(desc, 1L)
+    g.table("t").put(Seq(Put(b("r1")).add("f", b("q"), b("v1"))), 2L)
+    g.snapshot("pre", "t", 3L)
+    g.table("t").truncate(4L)
+    assert(rows(g, "t").isEmpty)
+    assert(g.table("t").descriptor.families.map(_.name) == Seq("f"))
+    // the snapshot still reads the pre-truncate state
+    val snap = graft.read.Resolve(g.readSnapshot("pre")).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("row"), "UTF-8")).toSet
+    assert(snap == Set("r1"))
+    g.disableTable("t", 5L)
+    intercept[IllegalArgumentException] { g.table("t").truncate(6L) }
+  }
+
   test("snapshot is point-in-time: later writes/deletes don't leak in") {
     val g = freshGraft()
     g.createTable(desc, 1L)
