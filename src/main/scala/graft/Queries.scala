@@ -1017,6 +1017,30 @@ object Queries {
       .orderBy("id")
   }
 
+  // Winnowing (MOSS) fingerprints: the oracle replays char-8-gram
+  // hashing and window-4 min selection in SQL (hashes are md5-derived
+  // positive longs, identical on both engines; DuckDB list slices are
+  // 1-based inclusive, matching Spark's slice(start, length=4)).
+  private val dedupWinnowing = Q("dedup_winnowing", Some("""
+    WITH n AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+               FROM documents),
+    g AS (SELECT doc_id,
+            [CAST(('0x' || substring(md5(substring(t, i, 8)), 1, 14)) AS BIGINT)
+             for i in generate_series(1, len(t) - 7)] AS hs
+          FROM n),
+    f AS (SELECT doc_id,
+            CASE WHEN len(hs) >= 4 THEN
+                   list_distinct([list_min(hs[i:i+3])
+                                  for i in generate_series(1, len(hs) - 3)])
+                 WHEN len(hs) >= 1 THEN [list_min(hs)]
+                 ELSE [] END AS fps
+          FROM g)
+    SELECT doc_id AS id, unnest(fps) AS fp FROM f ORDER BY id, fp""")) { (s, dir) =>
+    Dedup.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text",
+      k = 8, window = 4)
+      .orderBy("id", "fp")
+  }
+
   // simhash with the md5-derived token hash (Dedup.md5Hash64Of), so the
   // oracle recomputes the IDENTICAL 64-bit signatures in SQL: bit j of
   // the signature = sign of the sum over tokens of (+1/-1 by bit j of the
@@ -1373,8 +1397,8 @@ object Queries {
     snapshotScan, asofScan, bulkLoadScan, sqlCatalogScan, sqlDeleteScan,
     copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
     asOfJoinQ,
-    dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
-    dedupClusters,
+    dedupExact, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
+    dedupMinhashLsh, dedupClusters,
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact,
     textTopNgrams, dedupContamination,
     similarityTopk, similarityIvf,

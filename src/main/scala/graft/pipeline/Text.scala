@@ -92,7 +92,8 @@ object Text {
 
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — invariant to token order and repetition, the cheap first-line
-    * near-dup key (full rolling/winnowing hashes live in Dedup). */
+    * near-dup key (local substring fingerprints are
+    * [[Dedup.winnowingFingerprints]]). */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 

@@ -94,6 +94,23 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("winnowing fingerprints: shared >= k+w-1 substrings share a fingerprint") {
+    val d = Seq(
+      (1L, "abcdefghijklmnop and some tail"),
+      (2L, "PREFIX abcdefghijklmnop SUFFIX"), // shares a 16-char substring
+      (3L, "completely unrelated textual content"))
+      .toDF("doc_id", "text")
+    def run() = Dedup.winnowingFingerprints(d, "doc_id", "text", k = 8, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fps = run()
+    // the winnowing guarantee: shared substring of length >= k + w - 1 = 11
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    // no shared 8-gram -> no shared fingerprint (56-bit hashes)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    assert(run() == fps) // deterministic
+  }
+
   test("simhash md5-hash variant: identical semantics under the portable hash") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text",
       hashFn = Dedup.md5Hash64Of)
