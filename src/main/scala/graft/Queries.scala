@@ -1021,7 +1021,7 @@ object Queries {
   // hashing and window-4 min selection in SQL (hashes are md5-derived
   // positive longs, identical on both engines; DuckDB list slices are
   // 1-based inclusive, matching Spark's slice(start, length=4)).
-  private val dedupWinnowing = Q("dedup_winnowing", Some("""
+  private val dedupWinnowing = Q("dedup_winnowing", bench = true, oracle = Some("""
     WITH n AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
                FROM documents),
     g AS (SELECT doc_id,

@@ -60,5 +60,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashBands(args(0), intLit(args(1), "bands"), intLit(args(2), "rows"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow $what must be an int literal, got $other")
+        }
+        WinnowFingerprints(args(0), intLit(args(1), "k"), intLit(args(2), "window"))
+      }))
   }
 }

@@ -241,6 +241,39 @@ case class MinHashBands(child: Expression, bands: Int, rows: Int)
     copy(child = newChild)
 }
 
+/** Winnowing (MOSS) fingerprint set in ONE compiled pass: char `k`-grams
+  * of the input string (the caller normalizes whitespace), each hashed to
+  * the first 7 md5 digest bytes as a positive long — bit-identical to the
+  * builtin chain `BitsToLong(unhex(substring(md5(gram), 1, 14)))` — then
+  * a sliding `window` keeps each window's minimum, distinct. The
+  * higher-order formulation (transform + slice + array_min per position)
+  * runs interpreted with an array allocation per window position; this is
+  * the hot-loop shape for fingerprinting a 100 TB corpus. */
+case class WinnowFingerprints(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+  require(k > 0 && window > 0, s"k=$k window=$window must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_winnow needs a string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprUtil.winnowFingerprints(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.winnowFingerprints($c, $k, $window)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** JVM helpers referenced from generated code. */
 object VectorExprUtil {
   def doubleToBits(d: Double): Array[Byte] =
@@ -305,6 +338,45 @@ object VectorExprUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
   }
 
+  def winnowFingerprints(s: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, window: Int): ArrayData = {
+    // char (UTF-16) grams, matching the HOF reference formulation's Java
+    // regex `(?=(.{k}))` — identical on any text without surrogate pairs
+    val str = s.toString
+    val n = str.length - k + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(str.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 7 digest bytes big-endian = first 14 md5 hex chars decoded
+      var v = 0L; var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      hs(i) = v
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val nWin = n - window + 1
+    val lastStart = if (nWin <= 0) 0 else nWin - 1
+    var w0 = 0
+    while (w0 <= lastStart) {
+      var m = Long.MaxValue
+      var t = w0
+      val end = math.min(w0 + window, n)
+      while (t < end) { if (hs(t) < m) m = hs(t); t += 1 }
+      out.add(m): Unit
+      w0 += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator(); var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   def hyperplaneBand(arr: ArrayData, seeds: Array[Long], isFloat: Boolean): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val w = seeds.length
@@ -356,4 +428,8 @@ object VectorFunctions {
     call_function("graft_minhash_bands", shingles,
       org.apache.spark.sql.functions.lit(bands),
       org.apache.spark.sql.functions.lit(rows))
+  def winnowFingerprints(text: Column, k: Int, window: Int): Column =
+    call_function("graft_winnow", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(window))
 }

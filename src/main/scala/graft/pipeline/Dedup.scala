@@ -232,11 +232,23 @@ object Dedup {
     *
     * The gram hash is md5-derived (first 14 hex chars as a positive
     * long), so ANY engine reproduces the identical fingerprint set — the
-    * driver oracle replays the whole pipeline in SQL. The window-min
-    * selection runs as higher-order builtins (fine at gate scale; the
-    * proven upgrade path for a 100 TB hot loop is a native expression
-    * like MinHashBands — one compiled pass, no per-position slice). */
+    * driver oracle replays the whole pipeline in SQL. Runs through the
+    * native codegen'd [[graft.functions.WinnowFingerprints]] expression —
+    * one compiled pass per document (the HOF formulation kept in
+    * [[winnowingFingerprintsHof]] ran interpreted with a slice allocation
+    * per window position; parity is spec-asserted). */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4): DataFrame = {
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.VectorFunctions.winnowFingerprints(norm, k, window))
+        .as("fp"))
+  }
+
+  /** Higher-order-builtins reference formulation of [[winnowingFingerprints]]
+    * — the executable spec the native expression is parity-tested against
+    * (same role as the HOF shingle formulation vs the regex fast path). */
+  def winnowingFingerprintsHof(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 4): DataFrame = {
     val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
     val grams = regexp_extract_all(norm, lit(s"(?=(.{$k}))"), lit(1))

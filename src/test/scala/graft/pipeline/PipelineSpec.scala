@@ -109,6 +109,15 @@ class PipelineSpec extends SparkSpec {
     // no shared 8-gram -> no shared fingerprint (56-bit hashes)
     assert((fps(1L) intersect fps(3L)).isEmpty)
     assert(run() == fps) // deterministic
+    // the native expression matches the HOF reference formulation exactly
+    // (including the sub-window and empty-text edges)
+    val edges = d.unionByName(Seq((4L, "tiny"), (5L, ""), (6L, "exactly8!"))
+      .toDF("doc_id", "text"))
+    val hof = Dedup.winnowingFingerprintsHof(edges, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = Dedup.winnowingFingerprints(edges, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == hof)
   }
 
   test("simhash md5-hash variant: identical semantics under the portable hash") {
