@@ -118,6 +118,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("graft_winnow: interpreted eval matches the codegen'd plan output") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq("abcdefghij klmnop", "exactly8!", "tiny", "")
+    // interpreted path: Expression.eval directly
+    val interp = texts.map { t =>
+      val e = WinnowFingerprints(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType), 8, 4)
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSet
+    }
+    // codegen path: through a DataFrame projection
+    val plan = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+      .select(col("i"), VectorFunctions.winnowFingerprints(col("t"), 8, 4).as("f"))
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Long](1).toSet)
+    assert(interp == plan.toSeq)
+    // (hash-chain equivalence with the portable builtin formulation is
+    // asserted by the HOF-parity test in PipelineSpec)
+  }
+
   test("expressions survive codegen (inside a wider projection)") {
     // a realistic plan: filter + groupBy over the expression output
     val df = (1 to 1000).map(i => (i.toLong, Seq.fill(16)(i.toFloat)))
