@@ -166,6 +166,22 @@ final class Catalog(spark: SparkSession, root: String) {
       throw new IllegalStateException(s"commit race on table $t v$v")
   }
 
+  /** Fresh scratch dir INSIDE the table dir for a distributed delta write
+    * (SQL UPDATE/MERGE task staging) — same filesystem as the table, so it
+    * scales wherever the table lives. Dot-prefixed: never matches the
+    * `data-*`/`compact-*`/`manifest-*` names any listing looks for. */
+  private[graft] def newStagingDir(t: String): String = {
+    val p = new Path(tableDir(t), s".stage-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(p)
+    p.toString
+  }
+
+  private[graft] def dropStagingDir(dir: String): Unit = {
+    val p = new Path(dir)
+    require(p.getName.startsWith(".stage-"), s"not a staging dir: $dir")
+    fs.delete(p, true): Unit
+  }
+
   def tableExists(t: String): Boolean = fs.exists(currentPath(t))
 
   def listTables(): Seq[String] =

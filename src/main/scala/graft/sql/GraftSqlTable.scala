@@ -36,7 +36,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftSqlTable(engine: Catalog, tableName: String,
     pinned: Option[graft.catalog.Manifest] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` / predicate-general `DELETE` — the
+    * checkAndMutate-shaped delta path (see [[GraftRowLevelOperation]]).
+    * Sargable DELETEs never get here: Spark's metadata-delete rule
+    * consults [[canDeleteWhere]] first and takes the tombstone-only
+    * path; everything else reads matched cells and writes deltas. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"cannot ${info.command} a time-travel view of $tableName")
+    () => new GraftRowLevelOperation(engine, tableName, info.command)
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = Cell.schema
