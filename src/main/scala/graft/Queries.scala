@@ -717,6 +717,100 @@ object Queries {
     CellCodec.decode(cells, customerSchema).orderBy("c_custkey")
   }
 
+  // SQL UPDATE end-to-end through the DSv2 row-level (delta) door: matched
+  // cells get a NEW Put version stamped after the old one (checkAndPut
+  // shape — never a rewrite), read back resolved. Oracle = customer with
+  // the updated segment applied by CASE.
+  private val sqlUpdateRoots = scala.collection.mutable.Map.empty[String, String]
+  private val sqlUpdateScan = Q("sql_update_scan", Some(s"""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+      CASE WHEN c_custkey >= 100 AND c_custkey < 600 THEN 'UPDATED'
+           ELSE c_mktsegment END AS c_mktsegment
+    FROM customer ORDER BY c_custkey""")) { (s, dir) =>
+    val mktQual = "X'" + "c_mktsegment".getBytes("UTF-8")
+      .map(b => f"$b%02x").mkString + "'"
+    val root = Queries.synchronized {
+      sqlUpdateRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sqlupd").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("cust_upd",
+          Seq(FamilyDescriptor("c")), splitKeys = 8), nowMs = 1L)
+        g.table("cust_upd").mutate(customerCells(s, dir), nowMs = 1L)
+        s.conf.set("spark.sql.catalog.graft_upd",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_upd.root", r)
+        s.sql(s"""UPDATE graft_upd.cust_upd SET value = CAST('UPDATED' AS BINARY)
+                  WHERE row >= ${hexKey(100L)} AND row < ${hexKey(600L)}
+                    AND qualifier = $mktQual""")
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_upd",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_upd.root", root)
+    val cells = s.sql(
+      "SELECT row, family, qualifier, ts, kind, value, seq FROM graft_upd.cust_upd")
+    CellCodec.decode(cells, customerSchema).orderBy("c_custkey")
+  }
+
+  // SQL MERGE INTO end-to-end: one statement carrying both the
+  // checkAndPut branch (matched segment cells update to 'MERGED') and the
+  // put branch (unmatched synthetic customers insert whole), against a
+  // cell-level source view. Oracle = the same two branches in SQL.
+  private val sqlMergeRoots = scala.collection.mutable.Map.empty[String, String]
+  private val sqlMergeScan = Q("sql_merge_scan", Some(s"""
+    SELECT * FROM (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        CASE WHEN c_custkey < 50 THEN 'MERGED' ELSE c_mktsegment END
+          AS c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW', c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey < 20)
+    ORDER BY c_custkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlMergeRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sqlmrg").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("cust_mrg",
+          Seq(FamilyDescriptor("c")), splitKeys = 8), nowMs = 1L)
+        g.table("cust_mrg").mutate(customerCells(s, dir), nowMs = 1L)
+        s.conf.set("spark.sql.catalog.graft_mrg",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_mrg.root", r)
+        val cust = t(s, dir, "customer")
+        val updates = CellCodec.encode(
+          cust.filter(col("c_custkey") < 50)
+            .withColumn("c_mktsegment", lit("MERGED")),
+          "c", Seq("c_custkey"), batchTs = 5L)
+          .filter(col("qualifier") === lit(Bytes.toBytes("c_mktsegment")))
+        val inserts = CellCodec.encode(
+          cust.filter(col("c_custkey") < 20)
+            .withColumn("c_custkey", col("c_custkey") + 1000000L)
+            .withColumn("c_name", lit("NEW")),
+          "c", Seq("c_custkey"), batchTs = 5L)
+        updates.unionByName(inserts).createOrReplaceTempView("cust_mrg_src")
+        s.sql("""MERGE INTO graft_mrg.cust_mrg t USING cust_mrg_src s
+                 ON t.row = s.row AND t.family = s.family
+                    AND t.qualifier = s.qualifier
+                 WHEN MATCHED THEN UPDATE SET value = s.value
+                 WHEN NOT MATCHED THEN INSERT
+                   (row, family, qualifier, ts, kind, value, seq)
+                   VALUES (s.row, s.family, s.qualifier, s.ts, s.kind,
+                           s.value, s.seq)""")
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_mrg",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mrg.root", root)
+    val cells = s.sql(
+      "SELECT row, family, qualifier, ts, kind, value, seq FROM graft_mrg.cust_mrg")
+    CellCodec.decode(cells, customerSchema).orderBy("c_custkey")
+  }
+
   private val snapshotScan = Q("snapshot_scan", Some(s"""
     SELECT $customerCols FROM customer ORDER BY c_custkey""")) { (s, dir) =>
     import graft.catalog.{FamilyDescriptor, TableDescriptor}
@@ -1395,6 +1489,7 @@ object Queries {
     versionsLatest, timeRangeScan, jsonPropsAgg, sessionize,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, asofScan, bulkLoadScan, sqlCatalogScan, sqlDeleteScan,
+    sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
     asOfJoinQ,
     dedupExact, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
