@@ -93,6 +93,19 @@ class SqlRowLevelSpec extends SparkSpec {
     assert(out.size == 41, out.size)
   }
 
+  test("UPDATE's matched-row scan pushes row bounds to the source") {
+    val (_, _) = freshTable("rl_plan")
+    val plan = spark.sql(
+      s"""EXPLAIN FORMATTED UPDATE rl_plan.t SET value = ${hex("X")}
+          WHERE row >= ${hex("r005")} AND row < ${hex("r010")}""")
+      .collect().map(_.getString(0)).mkString("\n")
+    // the row-level operation reuses GraftScanBuilder, so the UPDATE's
+    // read side carries the pushed row bounds — an UPDATE of a bounded
+    // range must read the bounded range, not the table
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("row"), s"no pushed row bounds in:\n$plan")
+  }
+
   test("UPDATE is rejected on a time-travel view") {
     val (_, _) = freshTable("rl_tt")
     val e = intercept[Exception] {
