@@ -3,7 +3,7 @@ package graft
 import graft.core.{Bytes, CellCodec}
 import graft.read._
 import graft.write.{Compact, Mutations}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Text}
+import graft.pipeline.{Dedup, Multimodal, Pack, Sampling, Similarity, Text}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1455,6 +1455,41 @@ object Queries {
       .orderBy("split")
   }
 
+  // Training-sequence packing: fixed-token-budget bins over the doc
+  // stream in doc_id order. The engine runs the distributed two-pass
+  // prefix sum (Pack.packSequences — no global window); the oracle is
+  // the naive single-window formulation. `div`/`//` keep the bin index
+  // in exact integer arithmetic on both engines.
+  private val packSequences = Q("pack_sequences", bench = true, oracle = Some(s"""
+    WITH d AS (SELECT doc_id, len($duckToks)::BIGINT AS n_tok FROM documents),
+    c AS (SELECT doc_id, n_tok,
+      CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+      FROM d)
+    SELECT CAST(pre // 512 AS BIGINT) AS seq_id, count(*) AS n_docs,
+      CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+      min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM c GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+    Pack.packManifest(t(s, dir, "documents"), "doc_id",
+      Text.tokenCount(col("text")), budget = 512L)
+      .orderBy("seq_id")
+  }
+
+  // Class-balanced sampling: exactly n docs per language, deterministic
+  // md5 rank. The engine runs the candidate-prefilter + verify-exact
+  // shape (Sampling.stratifiedTopN — the ranked sort touches ~4n rows
+  // per stratum, not the stratum); the oracle ranks every row.
+  private val sampleStratified = Q("sample_stratified", Some("""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        ORDER BY CAST(('0x' || substring(md5('stratn' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                 doc_id) AS rn
+      FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id""")) { (s, dir) =>
+    Sampling.stratifiedTopN(t(s, dir, "documents"),
+      col("doc_id"), col("lang"), n = 20)
+      .select("lang", "doc_id").orderBy("lang", "doc_id")
+  }
+
   private val multimodalFeatures = Q("multimodal_features", Some("""
     SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len,
       md5(text) AS checksum
@@ -1498,7 +1533,8 @@ object Queries {
     textTopNgrams, dedupContamination,
     similarityTopk, similarityIvf,
     similarityLsh, similarityLshPlanes, similarityQuantized,
-    dedupEmbedding, multimodalFeatures, sampleSplit)
+    dedupEmbedding, multimodalFeatures, sampleSplit,
+    packSequences, sampleStratified)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: assign documents, in stable `id` order, to
+  * contiguous fixed-token-budget bins ("sequences") — the deterministic
+  * variant of the pack-to-context-length step every LLM data pipeline
+  * runs before tokenized examples hit the trainer. Bins are the fixed
+  * budget-sized windows of the concatenated token stream; a document
+  * lands in the window its first token falls in
+  * (`floor(tokensBefore / budget)`), so bins are contiguous runs in id
+  * order, fill to ~budget when documents are small relative to the
+  * budget (a boundary-straddling document credits its overflow to its
+  * own bin), and the assignment is a pure function of the data — no
+  * partitioner, scheduler, or RNG dependence; re-running at any
+  * parallelism yields byte-identical packs.
+  *
+  * Scale shape: the naive formulation is one global running sum — a
+  * single-partition window, the classic 100 TB killer. This implements
+  * the two-pass distributed prefix sum instead: range-partition by id,
+  * per-partition running sums (parallel, partition-local sort), then a
+  * driver-side prefix over the k per-partition TOTALS (k = partition
+  * count, a few hundred longs — the only thing that ever visits the
+  * driver) broadcast back as each partition's starting offset. */
+object Pack {
+
+  /** (id, n_tok, seq_id) per input row. `tokens` is the per-row token
+    * count expression (e.g. `Text.tokenCount(col("text"))`). */
+  def packSequences(df: DataFrame, idCol: String, tokens: Column,
+      budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val nPart = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val base = df.select(col(idCol).as("id"), tokens.cast("long").as("n_tok"))
+    // Stage 1: range-partition by id; stamp the partition id BEFORE any
+    // further exchange so the prefix structure survives.
+    val parts = base.repartitionByRange(nPart, col("id"))
+      .withColumn("_pid", spark_partition_id())
+    // Stage 2: per-partition running sum of tokens BEFORE each row.
+    val w = Window.partitionBy("_pid").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("_pre", coalesce(sum("n_tok").over(w), lit(0L)))
+    // Stage 3: k partition totals -> driver prefix -> broadcast offsets.
+    // Range boundaries come from a sampled partitioner, so _pid -> rows is
+    // not deterministic across runs — but offsets are computed from the
+    // actual totals, so (offset + pre) is the exact global prefix sum
+    // regardless of where the boundaries fell.
+    val totals = local.groupBy("_pid").agg(sum("n_tok").as("_tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, tot) =>
+      val o = (pid, acc); acc += tot; o
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("_pid", "_off"))
+    local.join(offDf, "_pid")
+      // `div`: exact integer division — a double-rounded floor() would
+      // misplace bin boundaries once global token counts pass 2^53
+      .withColumn("seq_id", expr(s"(_off + _pre) div ${budget}L"))
+      .select(col("id"), col("n_tok"), col("seq_id"))
+  }
+
+  /** Per-sequence roll-up of [[packSequences]] — the pack manifest
+    * (sequence -> document span + token count) a trainer's loader reads. */
+  def packManifest(df: DataFrame, idCol: String, tokens: Column,
+      budget: Long, numPartitions: Int = 0): DataFrame =
+    packSequences(df, idCol, tokens, budget, numPartitions)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("seq_tokens"),
+        min("id").as("min_id"), max("id").as("max_id"))
+}

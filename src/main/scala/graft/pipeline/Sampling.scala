@@ -47,4 +47,64 @@ object Sampling {
       conv(substring(md5(concat_ws("|", lit(salt), stratum.cast("string"),
         key.cast("string"))), 1, 15), 16, 10)
         .cast("long") % Buckets < (frac * Buckets).toLong)
+
+  /** 60-bit deterministic rank of a key under a salt (md5-derived, so any
+    * engine reproduces it — same trick as the winnowing gram hash). */
+  def hashRank(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** EXACTLY `n` rows per stratum (fewer only if the stratum is smaller),
+    * chosen as the stratum's top-n by deterministic [[hashRank]] — the
+    * class-balancing step of a curation pipeline (n docs per language /
+    * source / topic), reproducible across engines and runs.
+    *
+    * Scale shape — generate candidates, verify exact (the repo-wide
+    * pattern): the naive formulation ranks EVERY row of every stratum
+    * (`row_number` = full sort of each group — a giant-stratum
+    * bottleneck at 100 TB). Instead:
+    *   1. per-stratum counts (one map-side-combined agg, one row per
+    *      stratum, broadcast back);
+    *   2. prefilter to rows whose rank-fraction < oversample*n/count —
+    *      a NARROW pass that keeps ~oversample*n rows per stratum, so
+    *      the expensive ranked sort touches ~n*oversample rows per
+    *      stratum, not the stratum;
+    *   3. exact row_number over the candidates;
+    *   4. verify: any stratum whose candidate pool came up short of
+    *      min(n, count) (P ~ e^-n per stratum at oversample=4) is
+    *      re-ranked WITHOUT the prefilter — exactness by construction,
+    *      never by probability.
+    * The hash-threshold candidates are a superset-invariant of the final
+    * top-n whenever the pool is big enough, so the composed result is
+    * identical to the naive global ranking (spec-asserted, including a
+    * forced-fallback run). */
+  def stratifiedTopN(df: DataFrame, key: Column, stratum: Column, n: Int,
+      salt: String = "stratn", oversample: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "n must be positive")
+    val rk = hashRank(key, salt)
+    val Max60 = (1L << 60).toDouble
+    val withRk = df.withColumn("_g_rk", rk).withColumn("_g_st", stratum)
+    val counts = withRk.groupBy("_g_st").agg(count(lit(1)).as("_g_cnt"))
+    val thresholds = broadcast(counts.withColumn("_g_thr",
+      least(lit(1.0), lit(oversample * n) / col("_g_cnt"))))
+    val cand = withRk.join(thresholds, "_g_st")
+      .filter(col("_g_rk").cast("double") / lit(Max60) < col("_g_thr"))
+    val w = Window.partitionBy("_g_st").orderBy(col("_g_rk"), key)
+    val picked = cand.withColumn("_g_rn", row_number().over(w))
+      .filter(col("_g_rn") <= n)
+    // verify step: strata whose candidate pool was too small. Anchored on
+    // the COUNTS side — a stratum with zero candidates is absent from the
+    // candidate aggregation entirely and must still fall back.
+    val candCounts = cand.groupBy("_g_st").agg(count(lit(1)).as("_g_cc"))
+    val short = counts.join(candCounts, Seq("_g_st"), "left")
+      .filter(coalesce(col("_g_cc"), lit(0L)) < least(lit(n.toLong), col("_g_cnt")))
+      .select("_g_st")
+    val fallback = withRk.join(broadcast(short), "_g_st")
+      .withColumn("_g_rn", row_number().over(w))
+      .filter(col("_g_rn") <= n)
+    val kept = picked.join(broadcast(short), Seq("_g_st"), "left_anti")
+    val internal = Seq("_g_rk", "_g_st", "_g_cnt", "_g_thr", "_g_rn")
+    kept.drop(internal: _*).unionByName(fallback.drop(internal: _*))
+  }
 }

@@ -372,4 +372,57 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(frames == Set((2L, 0L), (2L, 1000L), (2L, 2000L)))
   }
+
+  test("packSequences: distributed prefix sum == naive global running sum") {
+    val rows = (1L to 500L).map(i => (i, s"doc $i " + ("w " * (i % 37).toInt)))
+      .toDF("doc_id", "text")
+    val packed = Pack.packSequences(rows, "doc_id",
+      Text.tokenCount(col("text")), budget = 100L, numPartitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // naive reference: one sequential pass
+    var cum = 0L
+    val expected = packed.map { case (id, n, _) =>
+      val seq = cum / 100L; cum += n; (id, n, seq)
+    }
+    assert(packed.toSeq == expected.toSeq)
+    // bins are contiguous, non-decreasing windows of the doc stream; a
+    // doc lands in the window its FIRST token falls in, so a bin's sum
+    // can undershoot budget only when its predecessor overshot across
+    // the boundary (straddling doc) — sum(bin) + overshoot(prev) >= B
+    val bySeq = packed.groupBy(_._3).toSeq.sortBy(_._1)
+    bySeq.sliding(2).foreach {
+      case Seq((_, a), (_, b)) =>
+        assert(a.map(_._1).max < b.map(_._1).min) // contiguous
+      case _ => ()
+    }
+    bySeq.dropRight(1).foreach { case (seq, ds) =>
+      val firstPre = expected.filter(_._3 == seq).map(_._1).min
+      val overshootIn = (expected.takeWhile(_._1 < firstPre).map(_._2).sum)
+        .max(seq * 100L) - seq * 100L
+      assert(ds.map(_._2).sum + overshootIn >= 100L,
+        s"bin $seq under budget without a straddling predecessor")
+    }
+  }
+
+  test("stratifiedTopN: prefilter+verify == naive full ranking, incl. forced fallback") {
+    import org.apache.spark.sql.expressions.Window
+    val data = (1L to 300L).map(i => (i, s"s${(i % 7)}")).toDF("id", "st")
+    def naive(n: Int): Set[(Long, String)] = {
+      val w = Window.partitionBy("st")
+        .orderBy(Sampling.hashRank(col("id"), "stratn"), col("id"))
+      data.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+        .select("id", "st").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    def fast(n: Int, oversample: Double): Set[(Long, String)] =
+      Sampling.stratifiedTopN(data, col("id"), col("st"), n,
+        oversample = oversample)
+        .select("id", "st").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fast(5, 4.0) == naive(5))
+    // oversample so small every threshold rounds to ~0 candidates: the
+    // zero/short-candidate verify path must re-rank every stratum
+    assert(fast(5, 1e-9) == naive(5))
+    // n larger than some strata: those strata return whole
+    assert(fast(60, 4.0) == naive(60))
+  }
 }
