@@ -105,6 +105,22 @@ object PerfEval {
       g.table("pe").mutate(batch, nowMs = 2L)
     }
 
+    // sqlUpdate: the row-level delta door end-to-end — matched-row scan
+    // (bounded, pushed) + task-staged delta cells + one append commit.
+    // ~10% of rows by key range, one qualifier.
+    spark.conf.set("spark.sql.catalog.graft_pe",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_pe.root", work)
+    results("sqlUpdate") = timed {
+      val lo = "X'" + CellCodec.rowKeyOf(1L).map(b => f"$b%02x").mkString + "'"
+      val hi = "X'" + CellCodec.rowKeyOf(math.max(2L, keys / 10))
+        .map(b => f"$b%02x").mkString + "'"
+      val q = "X'" + "o_orderpriority".getBytes("UTF-8")
+        .map(b => f"$b%02x").mkString + "'"
+      spark.sql(s"""UPDATE graft_pe.pe SET value = CAST('RUSH' AS BINARY)
+                    WHERE row >= $lo AND row < $hi AND qualifier = $q""")
+    }
+
     val json = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"pe_total","value":${results.values.sum},"unit":"sec","workloads":{$json},"sf":"$sfDir"}""")
     spark.stop()
