@@ -1111,6 +1111,37 @@ object Queries {
       .orderBy("id")
   }
 
+  // From clusters to the SHIPPED corpus: drop every near-duplicate but
+  // each cluster's min-id representative. Same candidate machinery as
+  // dedup_clusters (MinHash-LSH at scale feeds the same pairs), one
+  // extra semi-join.
+  private val dedupKeepCanonical = Q("dedup_keep_canonical", Some(s"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      for i in generate_series(1, len(ts)-2)]) AS sg
+      FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sg, b.sg))::DOUBLE /
+        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lbl AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)
+    SELECT d.doc_id, d.n_chars FROM documents d
+    JOIN lbl ON d.doc_id = lbl.id
+    WHERE lbl.id = lbl.cluster ORDER BY d.doc_id""")) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.8)
+    Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id", "n_chars").orderBy("doc_id")
+  }
+
   // Winnowing (MOSS) fingerprints: the oracle replays char-8-gram
   // hashing and window-4 min selection in SQL (hashes are md5-derived
   // positive longs, identical on both engines; DuckDB list slices are
@@ -1528,7 +1559,7 @@ object Queries {
     copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
     asOfJoinQ,
     dedupExact, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
-    dedupMinhashLsh, dedupClusters,
+    dedupMinhashLsh, dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact,
     textTopNgrams, dedupContamination,
     similarityTopk, similarityIvf,

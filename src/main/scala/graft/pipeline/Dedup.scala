@@ -323,6 +323,18 @@ object Dedup {
     labels
   }
 
+  /** The curation step clusters exist FOR: given near-dup `pairs`, keep
+    * each cluster's canonical representative (min id) and drop every
+    * other member — the corpus that actually ships to training. Rows not
+    * in any pair are their own cluster and always survive. Cost shape:
+    * [[connectedComponents]] over the PAIRS (candidates only, O(diameter)
+    * key-equality joins) + one semi-join back to the corpus. */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(df.select(col(idCol).as("id")), pairs)
+    df.join(labels.filter(col("id") === col("cluster"))
+      .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** Embedding-cosine near-dup pairs >= `threshold`, exact via the
     * all-pairs path of [[Similarity.cosinePairs]] — the correctness
     * baseline (quadratic; use the LSH variant at scale). */

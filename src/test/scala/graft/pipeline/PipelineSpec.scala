@@ -373,6 +373,15 @@ class PipelineSpec extends SparkSpec {
     assert(frames == Set((2L, 0L), (2L, 1000L), (2L, 2000L)))
   }
 
+  test("keepCanonical: one min-id survivor per cluster, singletons survive") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, s"d$i")).toDF("doc_id", "x")
+    val pairs = Seq((1L, 4L), (4L, 5L), (2L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonical(ids, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // clusters {1,4,5} -> 1, {2,6} -> 2; singletons 3 (no pair) survive
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("packSequences: distributed prefix sum == naive global running sum") {
     val rows = (1L to 500L).map(i => (i, s"doc $i " + ("w " * (i % 37).toInt)))
       .toDF("doc_id", "text")
