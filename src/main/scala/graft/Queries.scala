@@ -1521,6 +1521,61 @@ object Queries {
       .select("lang", "doc_id").orderBy("lang", "doc_id")
   }
 
+  // The whole pipeline as ONE composed query — what a user actually runs
+  // before training: quality gate -> language filter -> exact dedup
+  // (min-id canonical per md5 fingerprint) -> deterministic split ->
+  // per-split manifest. Every stage is a library operator; the oracle
+  // replays the identical chain in SQL (same stopword lists, same CASE
+  // precedence as text_langid, same md5 split arithmetic as
+  // sample_split). Scale shape: three narrow passes + one fingerprint
+  // groupBy + one split agg — no all-pairs anything.
+  private val curationPipeline = Q("curation_pipeline", bench = true, oracle = Some(s"""
+    WITH sig AS (
+      SELECT doc_id, text, len($duckToks)::BIGINT AS n_tokens,
+        len(list_filter($duckToks, x -> lower(x) IN
+          ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE /
+          greatest(len($duckToks), 1) AS stopword_ratio
+      FROM documents),
+    q AS (SELECT doc_id, text, n_tokens FROM sig
+          WHERE n_tokens >= 30 AND stopword_ratio > 0),
+    l AS (SELECT doc_id, text, n_tokens FROM (
+        SELECT doc_id, text, n_tokens,
+          ${langScoreSql("de")} AS s_de, ${langScoreSql("en")} AS s_en,
+          ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr
+        FROM q)
+      WHERE greatest(s_de, s_en, s_es, s_fr) >= 0.08
+        AND s_fr <> greatest(s_de, s_en, s_es, s_fr)
+        AND s_es <> greatest(s_de, s_en, s_es, s_fr)
+        AND s_en = greatest(s_de, s_en, s_es, s_fr)),
+    d AS (SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM l)
+      WHERE doc_id = rep),
+    s AS (SELECT doc_id, n_tokens,
+        CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, n_tokens,
+        CAST(('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS h
+      FROM d))
+    SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM s GROUP BY split ORDER BY split""")) { (s, dir) =>
+    val quality = Text.qualitySignals(t(s, dir, "documents"))
+      .filter(col("n_tokens") >= 30 && col("stopword_ratio") > 0)
+    val english = Text.withLangId(quality, "text")
+      .filter(col("lang_guess") === "en")
+    val fp = english.withColumn("_fp", md5(col("text")))
+    val canon = fp.join(
+      fp.groupBy("_fp").agg(min("doc_id").as("doc_id")),
+      Seq("_fp", "doc_id"), "left_semi")
+    canon
+      .withColumn("split", Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split")
+  }
+
   private val multimodalFeatures = Q("multimodal_features", Some("""
     SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len,
       md5(text) AS checksum
@@ -1565,7 +1620,7 @@ object Queries {
     similarityTopk, similarityIvf,
     similarityLsh, similarityLshPlanes, similarityQuantized,
     dedupEmbedding, multimodalFeatures, sampleSplit,
-    packSequences, sampleStratified)
+    packSequences, sampleStratified, curationPipeline)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
