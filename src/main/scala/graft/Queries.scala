@@ -1467,6 +1467,71 @@ object Queries {
       threshold = 0.4).orderBy("id_a", "id_b")
   }
 
+  // SemDeDup over md5-derived hyperplanes: banded-LSH candidate pairs ->
+  // exact cosine verify -> connected components -> keep each cluster's
+  // min-id embedding. The oracle replays ALL of it in SQL: rebuilds the
+  // 128-plane matrix (same md5 arithmetic as similarity_lsh_planes, 32
+  // bands x 4 bits), re-derives every bucket, re-verifies candidates at
+  // cosine >= 0.4, closes components with a recursive CTE
+  // (dedup_clusters pattern), and keeps min-id survivors.
+  private val dedupSemantic = Q("dedup_semantic", bench = true, oracle = Some(s"""
+    WITH RECURSIVE
+    planes AS (
+      SELECT j, [ (CAST(('0x' || substring(md5('hp_' || j || '_' || (i-1)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0
+                  for i in generate_series(1, (SELECT len(embedding) FROM embeddings LIMIT 1)) ] AS pv
+      FROM generate_series(0, 127) t(j)),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigs AS (
+      SELECT vec_id, j // 4 AS band,
+        bit_or(CASE WHEN list_dot_product(v, pv) > 0 THEN (CAST(1 AS BIGINT) << (j % 4))
+               ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM vecs CROSS JOIN planes
+      GROUP BY vec_id, j // 4),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b FROM cands
+      JOIN vecs a ON a.vec_id = cands.id_a
+      JOIN vecs b ON b.vec_id = cands.id_b
+      WHERE $duckCos >= 0.4),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT e.vec_id, e.label FROM embeddings e
+    JOIN (SELECT a FROM reach GROUP BY a HAVING a = min(b)) k ON k.a = e.vec_id
+    ORDER BY e.vec_id""")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    Dedup.semanticDedupPlanes(emb, "vec_id", "embedding", threshold = 0.4,
+      planes = Similarity.md5Planes(128, dim), bands = 32)
+      .select("vec_id", "label").orderBy("vec_id")
+  }
+
+  // Domain-mixture weighted sampling: per-source keep fractions (the
+  // data-mixing step — downsample boilerplate-heavy domains). Thresholds
+  // are exact integer bucket counts on both engines; the oracle replays
+  // the same salted-md5 bucket arithmetic with the group folded into the
+  // salt.
+  private val sampleWeighted = Q("sample_weighted", Some("""
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substring(md5('wmix|' || source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 <
+      CASE WHEN source IN ('src0','src1','src2','src3') THEN 1000
+           WHEN source IN ('src4','src5','src6','src7') THEN 500
+           ELSE 250 END
+    ORDER BY doc_id""")) { (s, dir) =>
+    val full = (0 to 3).map(i => s"src$i" -> 1.0)
+    val half = (4 to 7).map(i => s"src$i" -> 0.5)
+    Sampling.weightedSample(t(s, dir, "documents"),
+      col("doc_id"), col("source"),
+      weights = (full ++ half).toMap, defaultWeight = 0.25)
+      .select("doc_id", "source").orderBy("doc_id")
+  }
+
   // Deterministic train/val/test split: salted-md5 bucket assignment,
   // reproducible across engines (the DuckDB oracle recomputes the same
   // md5 arithmetic).
@@ -1619,8 +1684,8 @@ object Queries {
     textTopNgrams, dedupContamination,
     similarityTopk, similarityIvf,
     similarityLsh, similarityLshPlanes, similarityQuantized,
-    dedupEmbedding, multimodalFeatures, sampleSplit,
-    packSequences, sampleStratified, curationPipeline)
+    dedupEmbedding, dedupSemantic, multimodalFeatures, sampleSplit,
+    sampleWeighted, packSequences, sampleStratified, curationPipeline)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -348,12 +348,29 @@ object Dedup {
     * exact; recall is tunable via bands x bitsPerBand (more bands =
     * higher recall, more candidates). */
   def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
-    // per-band bucket values (NOT slices of one packed signature — see
-    // Similarity.hyperplaneBand on the 64-bit shift-wrap alias)
+      threshold: Double, bands: Int = 16, bitsPerBand: Int = 8): DataFrame =
+    bandedNearDupPairs(df, idCol, vecCol, threshold, bands,
+      b => v => Similarity.hyperplaneBand(v, b, bitsPerBand))
+
+  /** [[embeddingNearDupPairsLsh]] with an EXPLICIT md5-derived plane
+    * matrix ([[Similarity.md5Planes]]) instead of the xxhash64-seeded
+    * planes — slower signatures (bands*w compiled dot loops vs one fused
+    * pass) but replayable by ANY engine with md5, so a SQL oracle can
+    * verify the whole path: planes, sign bits, buckets, candidate join,
+    * exact cosine. */
+  def embeddingNearDupPairsPlanes(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Seq[Seq[Double]], bands: Int): DataFrame =
+    bandedNearDupPairs(df, idCol, vecCol, threshold, bands,
+      b => v => Similarity.planeBand(v, planes, bands, b))
+
+  /** Candidate generation (per-band bucket-equality self-join — per-band
+    * values, NOT slices of one packed signature: see
+    * Similarity.hyperplaneBand on the 64-bit shift-wrap alias) + exact
+    * cosine verification, shared by the banded embedding variants. */
+  private def bandedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int, bucketOf: Int => Column => Column): DataFrame = {
     val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        posexplode(array((0 until bands).map(b =>
-          Similarity.hyperplaneBand(col(vecCol), b, bitsPerBand)): _*)))
+        posexplode(array((0 until bands).map(b => bucketOf(b)(col(vecCol))): _*)))
       .select(col("id"), col("v"), col("pos").as("band"), col("col").as("bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -365,4 +382,31 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup (semantic deduplication, Abbas et al. 2023): drop all but
+    * one representative of every group of near-identical EMBEDDINGS —
+    * the embedding-space analog of [[keepCanonical]] over text near-dups,
+    * and the standard curation step between exact dedup and quality
+    * filtering. Composition: banded-LSH candidate pairs (bucket-equality
+    * join) -> exact cosine verify -> connected components over the
+    * verified pairs -> keep each cluster's min-id row.
+    *
+    * Scale shape: the corpus never cross-joins — candidates come from the
+    * band join (same posture as MinHash-LSH text dedup), components run
+    * O(diameter) key-equality joins over the PAIRS, and the final keep is
+    * one semi-join. Recall is tunable via bands x bitsPerBand; emitted
+    * survivors are exact w.r.t. the discovered pairs. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 32, bitsPerBand: Int = 4): DataFrame =
+    keepCanonical(df, idCol,
+      embeddingNearDupPairsLsh(df, idCol, vecCol, threshold, bands, bitsPerBand))
+
+  /** [[semanticDedup]] over md5-derived planes — the oracle-replayable
+    * variant (the driver's SQL oracle rebuilds the plane matrix,
+    * re-derives every bucket, re-verifies every pair, and re-runs the
+    * component closure as a recursive CTE). */
+  def semanticDedupPlanes(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Seq[Seq[Double]], bands: Int): DataFrame =
+    keepCanonical(df, idCol,
+      embeddingNearDupPairsPlanes(df, idCol, vecCol, threshold, planes, bands))
 }

@@ -48,6 +48,33 @@ object Sampling {
         key.cast("string"))), 1, 15), 16, 10)
         .cast("long") % Buckets < (frac * Buckets).toLong)
 
+  /** Domain-mixture weighted sampling: keep each row with the
+    * probability its GROUP's weight assigns (weight 1.0 keeps all, 0.25
+    * keeps a quarter...) — the data-mixing step of corpus curation
+    * (downsample boilerplate-heavy domains, upweight books/reference
+    * sources). Deterministic: the group folds into the hash salt (same
+    * trick as [[stratifiedSample]]), so each group samples independently
+    * and the decision for a key is stable across runs and engines.
+    *
+    * Per-group keep thresholds are computed DRIVER-side as exact bucket
+    * counts (`(weight * Buckets).toLong`), so the executor predicate
+    * compares integers — no float rounding can disagree with an oracle.
+    * Weights above 1.0 are capped (upsampling-by-duplication is a
+    * different operator: it changes row multiplicity, not membership).
+    * One narrow filter pass, no shuffle — linear at any scale. */
+  def weightedSample(df: DataFrame, key: Column, group: Column,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "wmix"): DataFrame = {
+    def thr(w: Double): Long = (w.min(1.0).max(0.0) * Buckets).toLong
+    val b = conv(substring(md5(concat_ws("|", lit(salt), group.cast("string"),
+      key.cast("string"))), 1, 15), 16, 10).cast("long") % Buckets
+    val threshold = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(thr(defaultWeight))) { case (acc, (g, w)) =>
+        when(group === g, lit(thr(w))).otherwise(acc)
+      }
+    df.filter(b < threshold)
+  }
+
   /** 60-bit deterministic rank of a key under a salt (md5-derived, so any
     * engine reproduces it — same trick as the winnowing gram hash). */
   def hashRank(key: Column, salt: String): Column =

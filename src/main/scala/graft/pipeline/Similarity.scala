@@ -220,29 +220,37 @@ object Similarity {
     }
   }
 
-  /** LSH top-k with an EXPLICIT plane matrix (`planes.length = bands * w`
-    * rows of `dim` components): bucket of band b packs the sign bits
-    * sign(dot(v, plane_{b*w+r})) for r in [0, w). Same candidate-join +
-    * exact-re-rank machinery as [[lshTopK]]; each plane dot product runs
-    * through the native codegen'd DotProduct, so the signature stage is
-    * `bands*w` compiled loops — fine for verification workloads, while
-    * the hash-derived [[lshTopK]] (one fused pass) remains the scale
-    * path. */
-  def lshTopKPlanes(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      planes: Seq[Seq[Double]], bands: Int): DataFrame = {
+  /** Bucket value of band `b` under an EXPLICIT plane matrix
+    * (`planes.length = bands * w` rows): packs the sign bits
+    * sign(dot(v, plane_{b*w+r})) for r in [0, w) into one long. Each
+    * plane dot product runs through the native codegen'd DotProduct
+    * (sequential accumulation), so an oracle that rebuilds the same
+    * matrix and dots sequentially reproduces every bit. Shared by
+    * [[lshTopKPlanes]] and [[Dedup.embeddingNearDupPairsPlanes]]. */
+  def planeBand(vec: Column, planes: Seq[Seq[Double]], bands: Int,
+      b: Int): Column = {
     require(bands > 0 && planes.nonEmpty && planes.length % bands == 0,
       s"planes (${planes.length}) must split evenly into $bands bands")
     val w = planes.length / bands
     require(w <= 64, s"band width $w exceeds 64 bits")
-    def bucket(b: Int): Column =
-      (0 until w).map { r =>
-        when(dot(col(vecCol), typedLit(planes(b * w + r))) > 0, lit(1L << r))
-          .otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
+    (0 until w).map { r =>
+      when(dot(vec, typedLit(planes(b * w + r))) > 0, lit(1L << r))
+        .otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH top-k with an EXPLICIT plane matrix (see [[planeBand]] for the
+    * bucket layout). Same candidate-join + exact-re-rank machinery as
+    * [[lshTopK]]; the signature stage is `bands*w` compiled dot-product
+    * loops — fine for verification workloads, while the hash-derived
+    * [[lshTopK]] (one fused pass) remains the scale path. */
+  def lshTopKPlanes(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Seq[Seq[Double]], bands: Int): DataFrame = {
     def banded(df: DataFrame, id: String, vOut: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vOut),
-          posexplode(array((0 until bands).map(bucket): _*)))
+          posexplode(array((0 until bands).map(b =>
+            planeBand(col(vecCol), planes, bands, b)): _*)))
         .select(col(id), col(vOut), col("pos").as("band"), col("col").as("bucket"))
     bandedTopK(banded(corpus, "nn_id", "_cv"),
       banded(queries, "query_id", "_qv"), k)

@@ -326,6 +326,56 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH near-dup recall $recall")
   }
 
+  test("semanticDedup: one survivor per near-identical embedding group; planes == hash path") {
+    // 4 near-identical pairs (ids 0-7: i and i+4 share the dominant axis)
+    // + 4 unrelated vectors (ids 8-11) that must all survive
+    val vecs = ((0 until 8).map { i =>
+      val base = Array.tabulate(16)(j => if (j == i % 4) 1.0f else 0.02f * ((i + j) % 5))
+      (i.toLong, base.toSeq)
+    } ++ (8 until 12).map { i =>
+      val base = Array.tabulate(16)(j => ((i * 7 + j * 3) % 11 - 5) / 5.0f)
+      (i.toLong, base.toSeq)
+    }).toDF("vec_id", "embedding")
+    val exactSurvivors = Dedup.keepCanonical(vecs, "vec_id",
+      Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.95))
+      .select("vec_id").as[Long].collect().toSet
+    val lshSurvivors = Dedup.semanticDedup(vecs, "vec_id", "embedding", 0.95,
+      bands = 16, bitsPerBand = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // emitted pairs are verified-exact, so survivors can only be a
+    // superset of the exact answer (a missed pair keeps an extra row)
+    assert(exactSurvivors.subsetOf(lshSurvivors))
+    assert(lshSurvivors == exactSurvivors, // full recall on this fixture
+      s"LSH semantic dedup missed pairs: kept ${lshSurvivors -- exactSurvivors}")
+    // unrelated vectors all survive; each dup group keeps exactly min id
+    assert((8L to 11L).toSet.subsetOf(lshSurvivors))
+    assert(!lshSurvivors.exists(id => id >= 4L && id < 8L))
+    // md5-plane variant (the oracle path) agrees with the hash-plane path
+    val planeSurvivors = Dedup.semanticDedupPlanes(vecs, "vec_id", "embedding",
+      0.95, planes = Similarity.md5Planes(64, 16), bands = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(planeSurvivors == exactSurvivors)
+  }
+
+  test("weightedSample: per-group fractions, boundary weights, determinism") {
+    val rows = (1L to 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val weights = Map("g0" -> 1.0, "g1" -> 0.5, "g2" -> 0.0)
+    val out = Sampling.weightedSample(rows, col("id"), col("grp"), weights)
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("g0", 0L) == 1000L) // weight 1.0 keeps ALL
+    assert(!counts.contains("g2"))              // weight 0.0 keeps none
+    val g1 = counts.getOrElse("g1", 0L)
+    assert(math.abs(g1 - 500L) < 80, s"g1 kept $g1 of 1000 at weight 0.5")
+    // deterministic across runs; default weight applies to unlisted groups
+    val again = Sampling.weightedSample(rows, col("id"), col("grp"), weights)
+    assert(out.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    val withDefault = Sampling.weightedSample(rows, col("id"), col("grp"),
+      Map("g0" -> 0.0), defaultWeight = 1.0)
+    assert(withDefault.count() == 2000L) // g1 + g2 fully kept
+  }
+
   test("IVF top-k: high recall vs brute force on clustered vectors") {
     val vecs = (0 until 24).map { i =>
       val c = i / 8
