@@ -1470,10 +1470,16 @@ object Queries {
   // SemDeDup over md5-derived hyperplanes: banded-LSH candidate pairs ->
   // exact cosine verify -> connected components -> keep each cluster's
   // min-id embedding. The oracle replays ALL of it in SQL: rebuilds the
-  // 128-plane matrix (same md5 arithmetic as similarity_lsh_planes, 32
-  // bands x 4 bits), re-derives every bucket, re-verifies candidates at
-  // cosine >= 0.4, closes components with a recursive CTE
-  // (dedup_clusters pattern), and keeps min-id survivors.
+  // 128-plane matrix (same md5 arithmetic as similarity_lsh_planes, 16
+  // bands x 8 bits — the operator's default banding; 4-bit bands at this
+  // deliberately-low 0.4 threshold degenerate into a near-all-pairs join,
+  // 1.7M of 2M possible candidates at sf0.1), re-derives every bucket,
+  // re-verifies candidates at cosine >= 0.4, closes components with a
+  // recursive CTE (dedup_clusters pattern), and keeps min-id survivors.
+  // Pair recall at 0.4 is intentionally partial (~38% at sf0.1 — sign-LSH
+  // is built for the >= ~0.9 SemDeDup regime; dedup_embedding is the
+  // exact-quadratic anchor at this threshold) and both engines replay the
+  // SAME discovered pairs, so the comparison is exact.
   private val dedupSemantic = Q("dedup_semantic", bench = true, oracle = Some(s"""
     WITH RECURSIVE
     planes AS (
@@ -1482,11 +1488,11 @@ object Queries {
       FROM generate_series(0, 127) t(j)),
     vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     sigs AS (
-      SELECT vec_id, j // 4 AS band,
-        bit_or(CASE WHEN list_dot_product(v, pv) > 0 THEN (CAST(1 AS BIGINT) << (j % 4))
+      SELECT vec_id, j // 8 AS band,
+        bit_or(CASE WHEN list_dot_product(v, pv) > 0 THEN (CAST(1 AS BIGINT) << (j % 8))
                ELSE CAST(0 AS BIGINT) END) AS bucket
       FROM vecs CROSS JOIN planes
-      GROUP BY vec_id, j // 4),
+      GROUP BY vec_id, j // 8),
     cands AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
@@ -1508,7 +1514,7 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     Dedup.semanticDedupPlanes(emb, "vec_id", "embedding", threshold = 0.4,
-      planes = Similarity.md5Planes(128, dim), bands = 32)
+      planes = Similarity.md5Planes(128, dim), bands = 16)
       .select("vec_id", "label").orderBy("vec_id")
   }
 

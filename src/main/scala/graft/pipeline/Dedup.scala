@@ -298,25 +298,36 @@ object Dedup {
     * survivor of each cluster is the row with id == cluster. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE (eager localCheckpoint): `pairs` is
+    // usually the tail of an expensive candidate-generation + verify
+    // pipeline (LSH join, Jaccard verification), and every propagation
+    // iteration joins against edges — without this the whole upstream
+    // pipeline re-executes per iteration (measured: the sf0.1 semantic
+    // dedup bench ran minutes instead of seconds). Edges are
+    // candidates-only, so the materialized set is small at any scale.
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint()
     var labels = ids.select(col("id"), col("id").as("cluster"))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // each node adopts the min cluster among itself and its neighbors
+      // each node adopts the min cluster among itself and its neighbors;
+      // the convergence flag rides in the SAME pass (the eager
+      // localCheckpoint both truncates the iterative lineage and
+      // materializes the result, so the follow-up changed-count is a
+      // checkpoint read, not a second join job per iteration)
       val viaNeighbors = edges
         .join(labels.withColumnsRenamed(Map("id" -> "b", "cluster" -> "_nc")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("_nc")).as("_minN"))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("_minN"), col("cluster"))).as("cluster"))
-        .localCheckpoint() // truncate the iterative lineage
-      val changed = next.join(labels.withColumnsRenamed(
-          Map("cluster" -> "_old")), "id")
-        .filter(col("cluster") =!= col("_old")).limit(1).count()
-      labels = next
+          least(col("cluster"), coalesce(col("_minN"), col("cluster"))).as("cluster"),
+          (coalesce(col("_minN"), col("cluster")) < col("cluster")).as("_chg"))
+        .localCheckpoint()
+      val changed = next.filter(col("_chg")).limit(1).count()
+      labels = next.drop("_chg")
       converged = changed == 0
       i += 1
     }
@@ -366,18 +377,35 @@ object Dedup {
   /** Candidate generation (per-band bucket-equality self-join — per-band
     * values, NOT slices of one packed signature: see
     * Similarity.hyperplaneBand on the 64-bit shift-wrap alias) + exact
-    * cosine verification, shared by the banded embedding variants. */
+    * cosine verification, shared by the banded embedding variants.
+    *
+    * The band join carries IDS ONLY — vectors re-attach to the DISTINCT
+    * candidate pairs via key-equality joins afterwards (verifyJaccard's
+    * shape). Carrying vectors through the self-join widened every
+    * pre-dedup candidate row by 2 x dim doubles: measured 55 s -> 13 s
+    * at sf0.1 under a deliberately collision-heavy banding (a ~1 KB
+    * shuffle row vs a 24-byte one), and at 100 TB the band-collision
+    * volume, not the emitted pair count, owns that shuffle. */
   private def bandedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int, bucketOf: Int => Column => Column): DataFrame = {
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Materialized once (eager localCheckpoint): the self-join reads the
+    // banded frame TWICE, and its projection is the whole signature
+    // computation (bands x w plane dots per row). Post-projection rows
+    // are narrow (id, band, bucket) triples, so the artifact is bands
+    // rows x 24 bytes per vector at any scale.
+    val banded = df.select(col(idCol).as("id"),
         posexplode(array((0 until bands).map(b => bucketOf(b)(col(vecCol))): _*)))
-      .select(col("id"), col("v"), col("pos").as("band"), col("col").as("bucket"))
-    banded.as("a").join(banded.as("b"),
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+      .localCheckpoint()
+    val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("_va"), col("b.v").as("_vb"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(vecs.withColumnsRenamed(Map("id" -> "id_a", "v" -> "_va")), "id_a")
+      .join(vecs.withColumnsRenamed(Map("id" -> "id_b", "v" -> "_vb")), "id_b")
       .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
@@ -394,10 +422,14 @@ object Dedup {
     * Scale shape: the corpus never cross-joins — candidates come from the
     * band join (same posture as MinHash-LSH text dedup), components run
     * O(diameter) key-equality joins over the PAIRS, and the final keep is
-    * one semi-join. Recall is tunable via bands x bitsPerBand; emitted
-    * survivors are exact w.r.t. the discovered pairs. */
+    * one semi-join. Recall is tunable via bands x bitsPerBand: the 16x8
+    * default fits the realistic SemDeDup regime (threshold >= ~0.9 →
+    * ~99.6% per-pair recall); LOW thresholds need wider nets (fewer bits
+    * per band, more bands — e.g. 32x4 at 0.4) because distant pairs
+    * rarely agree on 8 sign bits. Emitted survivors are exact w.r.t. the
+    * discovered pairs. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 32, bitsPerBand: Int = 4): DataFrame =
+      threshold: Double, bands: Int = 16, bitsPerBand: Int = 8): DataFrame =
     keepCanonical(df, idCol,
       embeddingNearDupPairsLsh(df, idCol, vecCol, threshold, bands, bitsPerBand))
 

@@ -38,9 +38,21 @@ import org.apache.spark.util.SerializableConfiguration
   * Pushed row bounds are handed to parquet as a FilterPredicate (row-group
   * skipping via the sorted layout's min/max + blooms) and re-checked with
   * the family projection per record — the ScanBuilder claimed them, so
-  * they must hold on the streaming path too. */
+  * they must hold on the streaming path too.
+  *
+  * Admission control: `option("maxVersionsPerTrigger", n)` caps each
+  * micro-batch at `n` manifest versions (Delta's `maxFilesPerTrigger`
+  * analog, reference parity: replication ships WAL in bounded batches —
+  * `ReplicationSource` reads segments up to a size cap, not the whole
+  * backlog). Without it, a stream starting against a long table history
+  * plans the ENTIRE backlog as one micro-batch — one giant commit, no
+  * incremental checkpoints, and a failure loses all progress. With the
+  * cap, a 100 TB backfill becomes a sequence of bounded, individually
+  * committed batches (AvailableNow drains them to the prepared end). */
 class GraftMicroBatchStream(engine: Catalog, tableName: String,
-    gscan: graft.read.Scan, required: StructType) extends MicroBatchStream {
+    gscan: graft.read.Scan, required: StructType,
+    maxVersionsPerTrigger: Option[Long] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private case class GraftOffset(version: Long) extends Offset {
     override def json(): String = s"""{"version":$version}"""
@@ -50,6 +62,34 @@ class GraftMicroBatchStream(engine: Catalog, tableName: String,
 
   override def latestOffset(): Offset =
     GraftOffset(engine.currentManifest(tableName).version)
+
+  /** `Trigger.AvailableNow` pins the drain target at query start —
+    * REQUIRED alongside admission control: without
+    * `SupportsTriggerAvailableNow` Spark demotes AvailableNow to a
+    * single Trigger.Once batch, so a capped first batch would silently
+    * drop the rest of the backlog instead of draining it in bounded
+    * steps. */
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(engine.currentManifest(tableName).version)
+
+  /** Bounded-backlog offset: at most `maxVersionsPerTrigger` manifest
+    * versions past `start` (monotonic — manifest versions only grow, and
+    * a cap never exceeds the head). The head is the AvailableNow target
+    * when one is pinned, else the live current version. The `ReadLimit`
+    * Spark hands back is our own `getDefaultReadLimit` (all-available);
+    * the cap rides on the option so it applies per-run, not per-checkpoint. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val head = availableNowTarget
+      .getOrElse(engine.currentManifest(tableName).version)
+    val from = start.asInstanceOf[GraftOffset].version
+    GraftOffset(maxVersionsPerTrigger.fold(head)(n => math.min(head, from + n)))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset =
     GraftOffset("\"version\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong)

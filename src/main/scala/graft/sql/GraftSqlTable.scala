@@ -58,8 +58,14 @@ class GraftSqlTable(engine: Catalog, tableName: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(engine, tableName, pinned)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxVersions = Option(options.get("maxVersionsPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
+    new GraftScanBuilder(engine, tableName, pinned, maxVersions)
+  }
 
   /** Deletable predicates: row bounds and at most one family equality —
     * the same sargable subset the read path pushes. Anything else makes
@@ -173,7 +179,8 @@ class GraftSqlTable(engine: Catalog, tableName: String,
   * scan reads only what survives.
   */
 class GraftScanBuilder(engine: Catalog, tableName: String,
-    pinned: Option[graft.catalog.Manifest] = None)
+    pinned: Option[graft.catalog.Manifest] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -257,13 +264,15 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): V2Scan =
-    new GraftV1Scan(engine, tableName, scan, required, pinned, limit)
+    new GraftV1Scan(engine, tableName, scan, required, pinned, limit,
+      maxVersionsPerTrigger)
 }
 
 class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     required: StructType,
     pinned: Option[graft.catalog.Manifest] = None,
-    limit: Option[Int] = None) extends V1Scan {
+    limit: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Long] = None) extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -299,6 +308,7 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pinned.isEmpty,
       s"cannot stream from a time-travel view of $tableName")
-    new GraftMicroBatchStream(engine, tableName, gscan, required)
+    new GraftMicroBatchStream(engine, tableName, gscan, required,
+      maxVersionsPerTrigger)
   }
 }

@@ -293,6 +293,48 @@ class SqlCatalogSpec extends SparkSpec {
       Seq(("r0", 4L), ("r2", 3L)), projected)
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to n manifest versions") {
+    root
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("adm", Seq(FamilyDescriptor("f"))), 1L)
+    // three separate appends = three manifest versions of backlog
+    (1 to 3).foreach { i =>
+      g.table("adm").put(Seq(Put(b(s"r$i")).add("f", b("q"), i.toLong, b(s"v$i"))), i.toLong)
+    }
+    val work = Files.createTempDirectory("graft-adm").toString
+    val batches = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "1")
+      .table("graft_sql.adm")
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => new String(r.getAs[Array[Byte]]("row"), "UTF-8")).toSeq
+        batches.synchronized { batches += rows }: Unit
+      }
+      .start()
+    q.awaitTermination()
+    val all = batches.synchronized(batches.toList)
+    // the full backlog arrives, but never more than one version per batch
+    assert(all.flatten.sorted == Seq("r1", "r2", "r3"), all)
+    assert(all.forall(_.size <= 1), s"a batch exceeded the version cap: $all")
+    assert(all.count(_.nonEmpty) == 3, all)
+    // without the cap, the same fresh replay drains in ONE batch
+    val one = scala.collection.mutable.ListBuffer.empty[Int]
+    val q2 = spark.readStream.table("graft_sql.adm")
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        one.synchronized { one += batch.collect().length }: Unit
+      }
+      .start()
+    q2.awaitTermination()
+    assert(one.synchronized(one.toList).filter(_ > 0) == List(3), one)
+  }
+
   test("streaming resumes after manifest history pruning (nearest retained offset)") {
     root
     val g = Graft(spark, root)
