@@ -1166,6 +1166,41 @@ object Queries {
       .orderBy("id", "fp")
   }
 
+  // Boilerplate spans: per-document fraction of winnowing fingerprints
+  // shared by >= 2 documents (span-level repetition, the complement of
+  // whole-doc dedup). The oracle replays the winnowing CTE (same md5
+  // gram hash as dedup_winnowing), counts fingerprint doc-frequency,
+  // and recomputes each doc's common-fingerprint fraction.
+  private val textBoilerplate = Q("text_boilerplate", bench = true, oracle = Some(s"""
+    WITH n AS (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+               FROM documents),
+    g AS (SELECT doc_id,
+            [CAST(('0x' || substring(md5(substring(t, i, 8)), 1, 14)) AS BIGINT)
+             for i in generate_series(1, len(t) - 7)] AS hs
+          FROM n),
+    f AS (SELECT doc_id,
+            CASE WHEN len(hs) >= 4 THEN
+                   list_distinct([list_min(hs[i:i+3])
+                                  for i in generate_series(1, len(hs) - 3)])
+                 WHEN len(hs) >= 1 THEN [list_min(hs)]
+                 ELSE [] END AS fps
+          FROM g),
+    fp AS (SELECT doc_id AS id, unnest(fps) AS fp FROM f),
+    common AS (SELECT fp, 1 AS isc FROM fp GROUP BY fp HAVING count(*) >= 2),
+    per AS (SELECT f2.id, count(*) AS n_fps,
+              coalesce(sum(c.isc), 0) AS common_fps
+            FROM fp f2 LEFT JOIN common c ON c.fp = f2.fp GROUP BY f2.id)
+    SELECT d.doc_id,
+      coalesce(per.n_fps, 0)::BIGINT AS n_fps,
+      coalesce(per.common_fps, 0)::BIGINT AS common_fps,
+      CASE WHEN coalesce(per.n_fps, 0) > 0
+           THEN per.common_fps::DOUBLE / per.n_fps ELSE 0.0 END AS boilerplate_frac
+    FROM documents d LEFT JOIN per ON per.id = d.doc_id
+    ORDER BY d.doc_id""")) { (s, dir) =>
+    Text.boilerplateSignals(t(s, dir, "documents"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   // simhash with the md5-derived token hash (Dedup.md5Hash64Of), so the
   // oracle recomputes the IDENTICAL 64-bit signatures in SQL: bit j of
   // the signature = sign of the sum over tokens of (+1/-1 by bit j of the
@@ -1687,7 +1722,7 @@ object Queries {
     dedupExact, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
     dedupMinhashLsh, dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact,
-    textTopNgrams, dedupContamination,
+    textTopNgrams, textBoilerplate, dedupContamination,
     similarityTopk, similarityIvf,
     similarityLsh, similarityLshPlanes, similarityQuantized,
     dedupEmbedding, dedupSemantic, multimodalFeatures, sampleSplit,

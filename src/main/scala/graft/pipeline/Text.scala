@@ -156,6 +156,42 @@ object Text {
     regexp_replace(i, PhoneRe, "<PHONE>")
   }
 
+  /** Boilerplate signals via corpus-common winnowing fingerprints: a
+    * fingerprint shared by >= `minDocs` documents marks a repeated
+    * substring span (navigation chrome, license headers, templated
+    * text); a document's `boilerplate_frac` is the fraction of its
+    * fingerprints that are corpus-common — the span-level complement of
+    * whole-document dedup (a doc can be 40% boilerplate yet globally
+    * unique). Adds `n_fps`, `common_fps`, `boilerplate_frac`.
+    *
+    * Scale shape: ONE narrow winnow pass (persisted — it feeds both the
+    * fingerprint-frequency aggregation and the per-doc rollup; same
+    * lifecycle note as Dedup.shingled), a fingerprint-keyed count with
+    * map-side combine, a key-equality join back on the fingerprint, and
+    * a doc-keyed count. No shuffle ever carries document text. */
+  def boilerplateSignals(df: DataFrame, idCol: String,
+      textCol: String = "text", k: Int = 8, window: Int = 4,
+      minDocs: Int = 2): DataFrame = {
+    val fps = Dedup.winnowingFingerprints(df, idCol, textCol, k, window)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val common = fps.groupBy("fp") // fps are distinct per doc -> count = doc freq
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select("fp")
+    val perDoc = fps
+      .join(common.withColumn("_isC", lit(1)), Seq("fp"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_fps"), sum(coalesce(col("_isC"), lit(0))).as("common_fps"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left") // docs too short to emit any fingerprint
+      .select(col("id").as(idCol),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("common_fps"), lit(0L)).as("common_fps"),
+        when(coalesce(col("n_fps"), lit(0L)) > 0,
+          col("common_fps").cast("double") / col("n_fps"))
+          .otherwise(lit(0.0)).as("boilerplate_frac"))
+  }
+
   /** Anchored-lookahead pattern capturing every overlapping word k-gram
     * of whitespace-normalized text — THE one copy of a load-bearing
     * regex (an unanchored lookahead would also fire at every mid-word

@@ -326,6 +326,27 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH near-dup recall $recall")
   }
 
+  test("boilerplateSignals: shared spans counted, unique text scores zero") {
+    val shared = "this exact navigation header repeats across many pages verbatim"
+    val corpus = Seq(
+      (1L, s"$shared plus some unique tail content alpha beta gamma delta"),
+      (2L, s"$shared and then different unique words entirely elsewhere here"),
+      (3L, "completely unrelated document with its own singular phrasing style"),
+      (4L, "xy")) // shorter than k=8 chars after normalization -> 1 gram? no: len < 8 -> zero fps
+      .toDF("doc_id", "text")
+    val out = Text.boilerplateSignals(corpus, "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1 and 2 share the header's fingerprints; doc 3 shares nothing
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0)
+    assert(out(1L)._3 > 0.0 && out(1L)._3 < 1.0, out(1L))
+    assert(out(3L) == ((out(3L)._1, 0L, 0.0)) && out(3L)._1 > 0)
+    // a doc too short for any char k-gram emits no fingerprints
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    // fraction is common/total exactly
+    assert(out(2L)._3 == out(2L)._2.toDouble / out(2L)._1)
+  }
+
   test("semanticDedup: one survivor per near-identical embedding group; planes == hash path") {
     // 4 near-identical pairs (ids 0-7: i and i+4 share the dominant axis)
     // + 4 unrelated vectors (ids 8-11) that must all survive
