@@ -660,10 +660,10 @@ object Queries {
   // ScanBuilder onto the engine Scan (and from there to parquet row-group
   // pruning — SqlCatalogSpec asserts the plan).
   private val sqlCatalogRoots = scala.collection.mutable.Map.empty[String, String]
-  private val sqlCatalogScan = Q("sql_catalog_scan", Some(s"""
-    SELECT $customerCols FROM customer
-    WHERE c_custkey >= 100 AND c_custkey < 600
-    ORDER BY c_custkey""")) { (s, dir) =>
+  /** Registers catalog `graft` over a root holding `cust_sql` (the
+    * customer table as stored cells), building both at most once per sf
+    * dir. Shared by sql_catalog_scan and sql_agg_pushdown. */
+  private def custSqlCatalog(s: SparkSession, dir: String): Unit = {
     val root = Queries.synchronized {
       sqlCatalogRoots.getOrElseUpdate(dir, {
         val r = java.nio.file.Files.createTempDirectory("graft-q-sql").toString
@@ -678,11 +678,36 @@ object Queries {
     s.conf.set("spark.sql.catalog.graft",
       classOf[graft.sql.GraftSqlCatalog].getName)
     s.conf.set("spark.sql.catalog.graft.root", root)
+  }
+  private val sqlCatalogScan = Q("sql_catalog_scan", Some(s"""
+    SELECT $customerCols FROM customer
+    WHERE c_custkey >= 100 AND c_custkey < 600
+    ORDER BY c_custkey""")) { (s, dir) =>
+    custSqlCatalog(s, dir)
     val cells = s.sql(
       s"""SELECT row, family, qualifier, ts, kind, value, seq
           FROM graft.cust_sql
           WHERE row >= ${hexKey(100L)} AND row < ${hexKey(600L)}""")
     CellCodec.decode(cells, customerSchema).orderBy("c_custkey")
+  }
+
+  // Aggregate pushdown through the SQL door: the grouped COUNT/MIN/MAX
+  // runs INSIDE the inner resolved plan (SupportsPushDownAggregates,
+  // complete pushdown — SqlCatalogSpec asserts no Aggregate node
+  // survives), so only |groups| rows cross the V1 bridge. The oracle
+  // recomputes per-qualifier cell counts from the relational source:
+  // one cell per non-null column value, all stamped with batch ts 1.
+  private val sqlAggPushdown = Q("sql_agg_pushdown", Some(
+    customerSchema.fieldNames.sorted.map { c =>
+      s"""SELECT '$c' AS q, count($c) AS n_cells,
+            CAST(1 AS BIGINT) AS min_ts, CAST(1 AS BIGINT) AS max_ts
+          FROM customer"""
+    }.mkString("SELECT q, n_cells, min_ts, max_ts FROM (",
+      " UNION ALL ", ") ORDER BY q"))) { (s, dir) =>
+    custSqlCatalog(s, dir)
+    s.sql("""SELECT CAST(qualifier AS STRING) AS q, count(*) AS n_cells,
+               min(ts) AS min_ts, max(ts) AS max_ts
+             FROM graft.cust_sql GROUP BY qualifier ORDER BY q""")
   }
 
   // SQL DELETE end-to-end: tombstones written through the DSv2 door
@@ -1715,8 +1740,8 @@ object Queries {
     groupingMapperAgg,
     versionsLatest, timeRangeScan, jsonPropsAgg, sessionize,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
-    snapshotScan, asofScan, bulkLoadScan, sqlCatalogScan, sqlDeleteScan,
-    sqlUpdateScan, sqlMergeScan,
+    snapshotScan, asofScan, bulkLoadScan, sqlCatalogScan, sqlAggPushdown,
+    sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
     asOfJoinQ,
     dedupExact, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,

@@ -6,7 +6,9 @@ import graft.read.{Scan => GScan, ScanExec}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Scan => V2Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, FieldReference, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan => V2Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -182,12 +184,71 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
     pinned: Option[graft.catalog.Manifest] = None,
     maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Cell.schema
   private var scan: GScan = GScan()
   private var limit: Option[Int] = None
+  private var aggSpec: Option[GraftAggSpec] = None
+
+  /** Aggregate pushdown — COMPLETE (final values, not partial buffers):
+    * the aggregation runs inside the inner resolved plan (hash aggregate
+    * with map-side combine, whole-stage codegen) instead of above the V1
+    * bridge, so an aggregate-only SQL query converts `|groups|` rows
+    * through the Row boundary rather than every resolved cell. Semantics
+    * are safe by construction: aggregation COMPOSES over the resolved
+    * view (the same frame a SELECT returns — tombstones and version
+    * windows already applied), never over raw cells.
+    *
+    * Accepted: group-bys on plain columns, COUNT(*), COUNT(col),
+    * MIN/MAX(col) on non-binary columns (binary min/max stays above the
+    * bridge: Spark's typed ordering on BinaryType differs from simple
+    * column ordering in enough edge cases that we refuse rather than
+    * risk a silent divergence). Everything else falls back — Spark keeps
+    * its own Aggregate node. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // Only complete pushdown is offered: without it Spark would expect
+    // partial-aggregation buffers (sum/count pairs) this source does not
+    // produce. supportCompletePushDown is consulted first; a false from
+    // there must make this a no-op too.
+    val spec = translateAgg(agg)
+    spec.foreach(s => aggSpec = Some(s))
+    spec.isDefined
+  }
+
+  private def fieldName(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+    case _ => None
+  }
+
+  private def translateAgg(agg: Aggregation): Option[GraftAggSpec] = {
+    import org.apache.spark.sql.types.BinaryType
+    val cellType = Cell.schema.fields.map(f => f.name -> f.dataType).toMap
+    val groups = agg.groupByExpressions.toSeq.map(fieldName)
+    val aggs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftAggCol("count", None))
+      case c: Count if !c.isDistinct =>
+        fieldName(c.column).map(n => GraftAggCol("count_col", Some(n)))
+      case m: Min =>
+        fieldName(m.column)
+          .filter(n => cellType.get(n).exists(_ != BinaryType))
+          .map(n => GraftAggCol("min", Some(n)))
+      case m: Max =>
+        fieldName(m.column)
+          .filter(n => cellType.get(n).exists(_ != BinaryType))
+          .map(n => GraftAggCol("max", Some(n)))
+      case _ => None
+    }
+    if (groups.forall(_.isDefined) && aggs.forall(_.isDefined) &&
+        groups.flatten.forall(cellType.contains) && aggs.nonEmpty)
+      Some(GraftAggSpec(groups.flatten, aggs.flatten))
+    else None
+  }
 
   private def succ(v: Array[Byte]): Array[Byte] = Bytes.successor(v)
 
@@ -251,8 +312,11 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** With an aggregate pushed, the scan's output is the aggregate schema
+    * — Spark's subsequent pruning call (if any) refers to that output,
+    * not to cell columns, so the cell projection must not change. */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    if (aggSpec.isEmpty) required = requiredSchema
 
   /** The resolved frame's `.limit` turns a peek query into incremental
     * execution instead of a full resolve pass. The push is exact (a
@@ -265,16 +329,52 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
 
   override def build(): V2Scan =
     new GraftV1Scan(engine, tableName, scan, required, pinned, limit,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, aggSpec)
+}
+
+/** One pushed aggregate column: `fn` in count | count_col | min | max,
+  * `col` absent only for COUNT(*). */
+private[sql] case class GraftAggCol(fn: String, col: Option[String])
+
+/** A completely-pushed aggregation: output = groupBy columns (cell
+  * types preserved) ++ aggregate columns, in Spark's declared order. */
+private[sql] case class GraftAggSpec(groupBy: Seq[String], aggs: Seq[GraftAggCol]) {
+  import org.apache.spark.sql.types.{LongType, StructField}
+  def schema: StructType = {
+    val cellType = Cell.schema.fields.map(f => f.name -> f.dataType).toMap
+    StructType(
+      groupBy.map(g => StructField(g, cellType(g))) ++
+        aggs.zipWithIndex.map { case (a, i) =>
+          val name = a.col.fold(s"agg_$i")(c => s"agg_${i}_$c")
+          a.fn match {
+            case "count" | "count_col" => StructField(name, LongType, nullable = false)
+            case _ => StructField(name, cellType(a.col.get))
+          }
+        })
+  }
+  def apply(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val names = schema.fieldNames.drop(groupBy.length)
+    val exprs = aggs.zip(names).map {
+      case (GraftAggCol("count", _), n) => count(lit(1)).as(n)
+      case (GraftAggCol("count_col", Some(c)), n) => count(col(c)).as(n)
+      case (GraftAggCol("min", Some(c)), n) => min(col(c)).as(n)
+      case (GraftAggCol("max", Some(c)), n) => max(col(c)).as(n)
+      case (a, _) => throw new IllegalStateException(s"unreachable agg $a")
+    }
+    df.groupBy(groupBy.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
 }
 
 class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     required: StructType,
     pinned: Option[graft.catalog.Manifest] = None,
     limit: Option[Int] = None,
-    maxVersionsPerTrigger: Option[Long] = None) extends V1Scan {
+    maxVersionsPerTrigger: Option[Long] = None,
+    aggSpec: Option[GraftAggSpec] = None) extends V1Scan {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    aggSpec.fold(required)(_.schema)
 
   /** The resolved view this scan produces — also the seam SqlCatalogSpec
     * uses to assert that pushdown reached the inner parquet scan. */
@@ -289,15 +389,27 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
       familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
     import org.apache.spark.sql.functions.col
-    val projected = resolved.select(required.fieldNames.map(col).toIndexedSeq: _*)
-    limit.fold(projected)(projected.limit)
+    aggSpec match {
+      case Some(spec) =>
+        // the pushed aggregation runs INSIDE the inner plan (codegen'd
+        // hash aggregate over the resolved view); LIMIT pushdown is
+        // refused alongside aggregates (Spark never offers both), and
+        // the bridge converts |groups| rows instead of every cell
+        spec(resolved)
+      case None =>
+        val projected = resolved.select(required.fieldNames.map(col).toIndexedSeq: _*)
+        limit.fold(projected)(projected.limit)
+    }
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
-      override def schema: StructType = required
+      // MUST be readSchema() (not the cell projection): with a pushed
+      // aggregate the scan's output is the aggregate schema, and Spark
+      // validates the v1 relation against the v2 scan's schema.
+      override def schema: StructType = readSchema()
       override def buildScan(): RDD[Row] =
         resolvedFrame(context.sparkSession).rdd
     }.asInstanceOf[T]

@@ -18,6 +18,8 @@ object SqlCatalogSpec {
 class SqlCatalogSpec extends SparkSpec {
 
   private def b(s: String) = Bytes.toBytes(s)
+  private def hex(s: String): String =
+    "X'" + b(s).map(x => f"$x%02X").mkString + "'"
 
   private lazy val root: String = {
     val r = Files.createTempDirectory("graft-sqlcat").toString
@@ -291,6 +293,61 @@ class SqlCatalogSpec extends SparkSpec {
     q3.awaitTermination()
     assert(projected.synchronized(projected.toList).sorted ==
       Seq(("r0", 4L), ("r2", 3L)), projected)
+  }
+
+  test("aggregate pushdown: grouped COUNT/MIN/MAX runs inside the inner plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    root
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("ag",
+      Seq(FamilyDescriptor("f"), FamilyDescriptor("h"))), 1L)
+    g.table("ag").put(Seq(
+      Put(b("r1")).add("f", b("q1"), 10L, b("a")).add("f", b("q2"), 20L, b("b"))
+        .add("h", b("q1"), 30L, b("c")),
+      Put(b("r2")).add("f", b("q1"), 40L, b("d"))), 1L)
+
+    val agg = spark.sql(
+      "SELECT family, count(*) AS n, min(ts) AS mn, max(ts) AS mx " +
+        "FROM graft_sql.ag GROUP BY family ORDER BY family")
+    // complete pushdown: no Aggregate node survives in the outer plan
+    assert(agg.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty,
+      agg.queryExecution.optimizedPlan)
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq(("f", 3L, 10L, 40L), ("h", 1L, 30L, 30L)))
+
+    // aggregation composes over the RESOLVED view: a family tombstone
+    // changes the counts the pushed aggregate sees
+    g.table("ag").delete(Seq(Delete(b("r1")).deleteFamily("f", 25L)), 2L)
+    val after = spark.sql(
+      "SELECT family, count(*) AS n FROM graft_sql.ag GROUP BY family ORDER BY family")
+    assert(after.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty)
+    // r1/f cells at ts 10,20 are masked (<= 25); ts 40 on r2 survives
+    assert(after.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("f", 1L), ("h", 1L)))
+
+    // binary min/max is refused -> Spark keeps its own Aggregate, same result
+    val binAgg = spark.sql("SELECT min(row) AS mr FROM graft_sql.ag")
+    assert(binAgg.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty)
+    assert(new String(binAgg.collect()(0).getAs[Array[Byte]](0), "UTF-8") == "r1")
+
+    // global (ungrouped) count over a row-bounded WHERE composes with the
+    // pushed filter
+    val bounded = spark.sql(
+      s"SELECT count(*) AS n FROM graft_sql.ag WHERE row >= ${hex("r2")}")
+    assert(bounded.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty)
+    assert(bounded.collect()(0).getLong(0) == 1L)
+
+    // grouping by a binary column with a CAST in the projection (the
+    // sql_agg_pushdown gate-query shape) still pushes: the cast stays in
+    // the outer Project, the grouping reference is the plain column
+    val castAgg = spark.sql(
+      "SELECT CAST(qualifier AS STRING) AS q, count(*) AS n " +
+        "FROM graft_sql.ag GROUP BY qualifier ORDER BY q")
+    assert(castAgg.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty,
+      castAgg.queryExecution.optimizedPlan)
+    // post-tombstone visible cells: r1/h:q1 (ts 30) and r2/f:q1 (ts 40)
+    assert(castAgg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("q1", 2L)))
   }
 
   test("maxVersionsPerTrigger bounds each micro-batch to n manifest versions") {
