@@ -1598,6 +1598,33 @@ object Queries {
       .select("doc_id", "source").orderBy("doc_id")
   }
 
+  // The duplication side of data mixing: floor(w) replicas per row plus
+  // a fractional extra by the same salted-md5 bucket arithmetic as
+  // sample_weighted, with a replica index. Weights 2.5/1.0/0.5 keep
+  // every driver-side threshold binary-exact.
+  private val sampleUpsampled = Q("sample_upsampled", Some("""
+    WITH t AS (SELECT doc_id, source,
+      CAST(('0x' || substring(md5('wmix|' || source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS h
+      FROM documents),
+    c AS (SELECT doc_id, source,
+      (CASE WHEN source IN ('src0','src1','src2','src3') THEN 2
+            WHEN source IN ('src4','src5','src6','src7') THEN 1
+            ELSE 0 END
+       + CASE WHEN h < (CASE WHEN source IN ('src4','src5','src6','src7') THEN 0
+                             ELSE 500 END)
+              THEN 1 ELSE 0 END) AS copies
+      FROM t)
+    SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS replica
+    FROM c WHERE copies > 0
+    ORDER BY doc_id, replica""")) { (s, dir) =>
+    val heavy = (0 to 3).map(i => s"src$i" -> 2.5)
+    val unit = (4 to 7).map(i => s"src$i" -> 1.0)
+    Sampling.upsampleWeighted(t(s, dir, "documents"),
+      col("doc_id"), col("source"),
+      weights = (heavy ++ unit).toMap, defaultWeight = 0.5)
+      .select("doc_id", "source", "replica").orderBy("doc_id", "replica")
+  }
+
   // Deterministic train/val/test split: salted-md5 bucket assignment,
   // reproducible across engines (the DuckDB oracle recomputes the same
   // md5 arithmetic).
@@ -1751,7 +1778,8 @@ object Queries {
     similarityTopk, similarityIvf,
     similarityLsh, similarityLshPlanes, similarityQuantized,
     dedupEmbedding, dedupSemantic, multimodalFeatures, sampleSplit,
-    sampleWeighted, packSequences, sampleStratified, curationPipeline)
+    sampleWeighted, sampleUpsampled, packSequences, sampleStratified,
+    curationPipeline)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -75,6 +75,45 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** The duplication side of data mixing: [[weightedSample]] caps at 1.0
+    * because membership filtering cannot express upweighting — THIS
+    * operator can. Each row emits `floor(w)` replicas plus one more with
+    * probability `frac(w)` (deterministic salted-md5 bucket, same
+    * arithmetic as weightedSample), tagged with a 0-based `replica`
+    * column so downstream shuffling/packing can tell copies apart.
+    * Weight 2.5 ≈ 2-3 copies, 1.0 = exactly the input, 0.4 = membership
+    * sampling, 0 = drop. Thresholds and integer copy counts are computed
+    * DRIVER-side, so executors compare integers only.
+    *
+    * One narrow pass (explode of a per-row integer range) — row
+    * multiplicity changes, bytes scale with the OUTPUT corpus, nothing
+    * shuffles. */
+  def upsampleWeighted(df: DataFrame, key: Column, group: Column,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "wmix"): DataFrame = {
+    def parts(w: Double): (Long, Long) = {
+      require(w >= 0.0, s"negative weight $w")
+      val base = math.floor(w).toLong
+      (base, ((w - base) * Buckets).toLong)
+    }
+    val b = conv(substring(md5(concat_ws("|", lit(salt), group.cast("string"),
+      key.cast("string"))), 1, 15), 16, 10).cast("long") % Buckets
+    val (db, dt) = parts(defaultWeight)
+    val (baseC, thrC) = weights.toSeq.sortBy(_._1)
+      .foldLeft((lit(db), lit(dt))) { case ((bc, tc), (g, w)) =>
+        val (wb, wt) = parts(w)
+        (when(group === g, lit(wb)).otherwise(bc),
+          when(group === g, lit(wt)).otherwise(tc))
+      }
+    val copies = baseC + when(b < thrC, lit(1L)).otherwise(lit(0L))
+    df.withColumn("_copies", copies)
+      .withColumn("replica",
+        explode(when(col("_copies") >= 1,
+          sequence(lit(0L), col("_copies") - 1))
+          .otherwise(array().cast("array<bigint>")))) // explode drops empties
+      .drop("_copies")
+  }
+
   /** 60-bit deterministic rank of a key under a salt (md5-derived, so any
     * engine reproduces it — same trick as the winnowing gram hash). */
   def hashRank(key: Column, salt: String): Column =

@@ -397,6 +397,31 @@ class PipelineSpec extends SparkSpec {
     assert(withDefault.count() == 2000L) // g1 + g2 fully kept
   }
 
+  test("upsampleWeighted: integer weights exact, fractional extras, zero drops") {
+    val rows = (1L to 2000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val out = Sampling.upsampleWeighted(rows, col("id"), col("grp"),
+      Map("g0" -> 2.0, "g1" -> 1.0, "g2" -> 0.5, "g3" -> 0.0))
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("g0") == 1000L) // exactly 2 copies of 500 rows
+    assert(byGrp("g1") == 500L)  // weight 1.0 == input
+    assert(!byGrp.contains("g3"))
+    assert(math.abs(byGrp("g2") - 250L) < 60, byGrp)
+    // replica indices are dense per row: weight-2 rows carry 0 and 1
+    val reps = out.filter(col("grp") === "g0").groupBy("id")
+      .agg(collect_list("replica").as("rs")).collect()
+      .map(_.getSeq[Long](1).sorted)
+    assert(reps.forall(_ == Seq(0L, 1L)))
+    // weight 1.0 keeps the original single replica 0
+    assert(out.filter(col("grp") === "g1").select("replica")
+      .distinct().as[Long].collect().toSeq == Seq(0L))
+    // deterministic
+    val again = Sampling.upsampleWeighted(rows, col("id"), col("grp"),
+      Map("g0" -> 2.0, "g1" -> 1.0, "g2" -> 0.5, "g3" -> 0.0))
+    assert(again.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == byGrp)
+  }
+
   test("IVF top-k: high recall vs brute force on clustered vectors") {
     val vecs = (0 until 24).map { i =>
       val c = i / 8
