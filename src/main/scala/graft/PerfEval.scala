@@ -2,7 +2,8 @@ package graft
 
 import graft.catalog.{FamilyDescriptor, TableDescriptor}
 import graft.core.{Bytes, CellCodec}
-import graft.read.{BinaryComparator, CompareOp, Get, Scan, SingleColumnValueFilter}
+import graft.read.{BinaryComparator, CompareOp, Get, PageFilter, Scan,
+  SingleColumnValueFilter, WhileMatchFilter}
 import org.apache.spark.sql.functions._
 
 /** PE-style workload harness — the reference's `PerformanceEvaluation`
@@ -42,14 +43,32 @@ object PerfEval {
     // scan: full-table resolved scan
     results("scan") = timed { t.scan(Scan()).count(): Unit }
 
-    // scanRange100: 20 range scans of 100 keys each
+    // scanRange10/100/1000/10000: 20 range scans of N keys each from
+    // scrambled start keys (PE's RandomScanWithRange{10,100,1000,10000};
+    // `PerformanceEvaluation.java:852-906` — random start, start+N stop,
+    // count rows; our starts are hash-scrambled, not RNG).
     val keys = orders.select(max("o_orderkey")).collect()(0).getLong(0)
-    results("scanRange100") = timed {
+    for (range <- Seq(10L, 100L, 1000L, 10000L)) {
+      results(s"scanRange$range") = timed {
+        var i = 0L
+        while (i < 20) {
+          val start = (i * 9973L) % math.max(1L, keys - range)
+          t.scan(Scan().setStartRow(Bytes.toBytes(start))
+            .setStopRow(Bytes.toBytes(start + range))).count()
+          i += 1
+        }
+      }
+    }
+
+    // randomSeekScan: seek to a scrambled key, read the next 120 rows —
+    // PE's RandomSeekScanTest (`PerformanceEvaluation.java:798-814`:
+    // Scan(randomRow) + WhileMatchFilter(PageFilter(120))).
+    results("randomSeekScan") = timed {
       var i = 0L
-      while (i < 20) {
-        val start = (i * 9973L) % math.max(1L, keys - 100)
+      while (i < 10) {
+        val start = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
         t.scan(Scan().setStartRow(Bytes.toBytes(start))
-          .setStopRow(Bytes.toBytes(start + 100))).count()
+          .setFilter(WhileMatchFilter(PageFilter(120)))).count()
         i += 1
       }
     }
@@ -61,6 +80,16 @@ object PerfEval {
       while (i < 20) {
         val k = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
         t.get(Get(Bytes.toBytes(k))).count()
+        i += 1
+      }
+    }
+
+    // sequentialRead: point Gets at sequential keys (PE's
+    // SequentialReadTest, `PerformanceEvaluation.java:978-990`)
+    results("sequentialRead") = timed {
+      var i = 1L
+      while (i <= 20) {
+        t.get(Get(Bytes.toBytes(i))).count()
         i += 1
       }
     }
@@ -119,6 +148,18 @@ object PerfEval {
         .map(b => f"$b%02x").mkString + "'"
       spark.sql(s"""UPDATE graft_pe.pe SET value = CAST('RUSH' AS BINARY)
                     WHERE row >= $lo AND row < $hi AND qualifier = $q""")
+    }
+
+    // annLshHash: hash-derived-hyperplane ANN top-k (native HyperplaneBand
+    // signatures). Timed here rather than in the correctness battery:
+    // DuckDB cannot recompute xxhash64 buckets, so the battery carries the
+    // md5-plane variant (full oracle) and this workload keeps the fused
+    // signature path's performance tracked round-over-round.
+    results("annLshHash") = timed {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.pipeline.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, bands = 16, bitsPerBand = 8)
+        .count(): Unit
     }
 
     val json = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")

@@ -75,10 +75,10 @@ object Similarity {
     *
     * Deterministic throughout (no RNG): centroids initialize from the `k`
     * lowest-id vectors and refine with `iters` Lloyd steps computed as
-    * broadcast-join + groupBy-average — all DataFrame ops, so the corpus
-    * never leaves executors; only the k centroids (tiny) pass through the
-    * driver between iterations, which is how IVF training works on any
-    * cluster. Queries probe the `nProbe` nearest centroids and re-rank
+    * broadcast-join + per-dimension groupBy-average — all DataFrame ops, so
+    * the corpus never leaves executors; only the k*dim dimension means
+    * (tiny) pass through the driver between iterations, which is how IVF
+    * training works on any cluster. Queries probe the `nProbe` nearest centroids and re-rank
     * exactly within those buckets: approximate in recall only. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -86,27 +86,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-
-    // ---- train the coarse quantizer (k-means-lite)
-    var centroids: Seq[(Int, Seq[Double])] = c.orderBy("_id").limit(nLists)
-      .select(col("_v")).collect()
-      .zipWithIndex.map { case (r, i) =>
-        (i, r.getSeq[Any](0).map(x => x.toString.toDouble))
-      }.toSeq
-    for (_ <- 0 until iters) {
-      val cdf = centroids.toDF("cid", "cv")
-      val assigned = c.crossJoin(broadcast(cdf))
-        .withColumn("_d", dot(col("_v"), col("cv")) /
-          (norm(col("_v")) * norm(col("cv"))))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy("_id").orderBy(col("_d").desc, col("cid"))))
-        .filter(col("_rn") === 1)
-      centroids = assigned.groupBy("cid")
-        .agg(collect_list(col("_v")).as("vs"))
-        .select(col("cid"), aggregateMean(col("vs")).as("cv"))
-        .as[(Int, Seq[Double])].collect().toSeq
-    }
-    val cdf = broadcast(centroids.toDF("cid", "cv"))
+    val cdf = broadcast(trainCentroids(c, nLists, iters).toDF("cid", "cv"))
 
     // ---- assign corpus to lists; queries probe nProbe lists
     def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame =
@@ -131,14 +111,43 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Element-wise mean of a collected list of vectors (used only on the
-    * k centroid groups — never on the full corpus). */
-  private def aggregateMean(vs: Column): Column = {
-    val n = size(vs)
-    val sum = aggregate(vs,
-      transform(element_at(vs, 1), x => x.cast("double") * 0.0),
-      (acc, v) => zip_with(acc, v, (a, b) => a + b.cast("double")))
-    transform(sum, x => x / n)
+  /** k-means-lite coarse-quantizer training for [[ivfTopK]]. Input frame
+    * has columns `(_id, _v)`; returns the `nLists` centroids after `iters`
+    * deterministic Lloyd steps (init = the `nLists` lowest-id vectors).
+    *
+    * The refinement computes the new centroid as a PER-DIMENSION mean:
+    * posexplode -> groupBy(cid, pos) -> avg. The aggregation state is one
+    * double per (centroid, dimension) — never a list of member vectors (a
+    * collect_list formulation would hold ~1/k of the whole corpus in ONE
+    * aggregation buffer row: a guaranteed executor OOM at 100 TB). Only
+    * k*dim scalar rows pass through the driver per iteration. */
+  private[pipeline] def trainCentroids(c: DataFrame, nLists: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    var centroids: Seq[(Int, Seq[Double])] = c.orderBy("_id").limit(nLists)
+      .select(col("_v")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Any](0).map(x => x.toString.toDouble))
+      }.toSeq
+    for (_ <- 0 until iters) {
+      val cdf = centroids.toDF("cid", "cv")
+      val assigned = c.crossJoin(broadcast(cdf))
+        .withColumn("_d", dot(col("_v"), col("cv")) /
+          (norm(col("_v")) * norm(col("cv"))))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("_id").orderBy(col("_d").desc, col("cid"))))
+        .filter(col("_rn") === 1)
+      val dimMeans = assigned
+        .select(col("cid"), posexplode(col("_v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .as[(Int, Int, Double)].collect()
+      centroids = dimMeans.groupBy(_._1).map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(_._3).toSeq)
+      }.toSeq.sortBy(_._1)
+    }
+    centroids
   }
 
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) where

@@ -441,6 +441,33 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall too low")
   }
 
+  test("IVF centroid training: per-dimension means match a hand computation") {
+    // two obvious clusters around e0 and e1; init = 2 lowest-id vectors,
+    // one from each cluster, so one Lloyd step assigns cleanly.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.8f, 0.2f, 0.0f)),
+      (4L, Seq(0.9f, 0.1f, 0.1f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f)), (3L, Seq(0.2f, 0.8f, 0.0f)),
+      (5L, Seq(0.1f, 0.9f, 0.1f)))
+    val df = vecs.toDF("_id", "_v")
+    val cents = Similarity.trainCentroids(df, nLists = 2, iters = 1).toMap
+    def mean(ids: Seq[Long]): Seq[Double] = {
+      val vs = vecs.filter(v => ids.contains(v._1)).map(_._2.map(_.toDouble))
+      vs.transpose.map(ds => ds.sum / ds.size)
+    }
+    // cluster of centroid 0 (init = id 0's vector): ids 0,2,4
+    val exp0 = mean(Seq(0L, 2L, 4L))
+    val exp1 = mean(Seq(1L, 3L, 5L))
+    cents(0).zip(exp0).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    cents(1).zip(exp1).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // the training plan must never aggregate whole vectors into a list
+    assert(!Similarity.ivfTopK(df.withColumnRenamed("_id", "vec_id")
+        .withColumnRenamed("_v", "embedding"),
+      df.withColumnRenamed("_id", "vec_id").withColumnRenamed("_v", "embedding"),
+      "vec_id", "embedding", k = 2, nLists = 2, nProbe = 2, iters = 1)
+      .queryExecution.analyzed.toString.contains("collect_list"))
+  }
+
   test("multimodal: stub decode is deterministic; features/resize/frames shaped right") {
     import org.apache.spark.sql.Row
     val media = spark.createDataFrame(
