@@ -1,9 +1,9 @@
 package graft
 
-import graft.catalog.{FamilyDescriptor, TableDescriptor}
+import graft.catalog.{BloomType, FamilyDescriptor, TableDescriptor}
 import graft.core.{Bytes, CellCodec}
 import graft.read.{BinaryComparator, CompareOp, Get, PageFilter, Scan,
-  SingleColumnValueFilter, WhileMatchFilter}
+  SingleColumnValueFilter}
 import org.apache.spark.sql.functions._
 
 /** PE-style workload harness — the reference's `PerformanceEvaluation`
@@ -62,13 +62,16 @@ object PerfEval {
 
     // randomSeekScan: seek to a scrambled key, read the next 120 rows —
     // PE's RandomSeekScanTest (`PerformanceEvaluation.java:798-814`:
-    // Scan(randomRow) + WhileMatchFilter(PageFilter(120))).
+    // Scan(randomRow) + WhileMatchFilter(PageFilter(120))). With our
+    // global-page semantics, PageFilter(120) on a start-row scan IS
+    // "the next 120 rows after the seek" — the WhileMatch wrapper only
+    // exists in the reference to stop its per-region scanners early.
     results("randomSeekScan") = timed {
       var i = 0L
       while (i < 10) {
         val start = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
         t.scan(Scan().setStartRow(Bytes.toBytes(start))
-          .setFilter(WhileMatchFilter(PageFilter(120)))).count()
+          .setFilter(PageFilter(120))).count()
         i += 1
       }
     }
@@ -105,7 +108,7 @@ object PerfEval {
     // (BLOOMFILTER parity — parquet row blooms prune row groups the
     // min/max range check can't exclude)
     g.createTable(TableDescriptor("pe_bloom",
-      Seq(FamilyDescriptor("o", bloomFilter = true))), 1L)
+      Seq(FamilyDescriptor("o", bloomFilter = BloomType.Row))), 1L)
     g.table("pe_bloom").mutate(
       CellCodec.encode(orders, "o", Seq("o_orderkey")), nowMs = 1L)
     val tb = g.table("pe_bloom")
@@ -115,6 +118,25 @@ object PerfEval {
       while (i < 20) {
         val k = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
         tb.get(Get(Bytes.toBytes(k))).count()
+        i += 1
+      }
+    }
+
+    // randomReadRowCol: single-column Gets against a ROWCOL-bloomed family
+    // (StoreFile.BloomType ROWCOL parity — the qualifier bloom prunes for
+    // column-addressed point reads on wide rows)
+    g.createTable(TableDescriptor("pe_rowcol",
+      Seq(FamilyDescriptor("o", bloomFilter = BloomType.RowCol))), 1L)
+    g.table("pe_rowcol").mutate(
+      CellCodec.encode(orders, "o", Seq("o_orderkey")), nowMs = 1L)
+    val trc = g.table("pe_rowcol")
+    trc.get(Get(Bytes.toBytes(1L))).count() // warm footers outside timing
+    results("randomReadRowCol") = timed {
+      var i = 0L
+      while (i < 20) {
+        val k = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
+        trc.get(Get(Bytes.toBytes(k))
+          .addColumn("o", Bytes.toBytes("o_orderstatus"))).count()
         i += 1
       }
     }

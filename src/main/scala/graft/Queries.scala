@@ -697,7 +697,7 @@ object Queries {
   // survives), so only |groups| rows cross the V1 bridge. The oracle
   // recomputes per-qualifier cell counts from the relational source:
   // one cell per non-null column value, all stamped with batch ts 1.
-  private val sqlAggPushdown = Q("sql_agg_pushdown", Some(
+  private val sqlAggPushdown = Q("sql_agg_pushdown", bench = true, oracle = Some(
     customerSchema.fieldNames.sorted.map { c =>
       s"""SELECT '$c' AS q, count($c) AS n_cells,
             CAST(1 AS BIGINT) AS min_ts, CAST(1 AS BIGINT) AS max_ts
@@ -856,6 +856,46 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  // The RESTORE side of the lifecycle (TestSnapshot.java:150,177 —
+  // restored table == snapshot-time state): snapshot, then damage the
+  // LIVE table three ways (delete a key range, overwrite a column,
+  // append new rows), then restoreSnapshot and read the TABLE itself.
+  // Also proves restore is a manifest swap, not a data copy: the clone
+  // reads post-damage state independently. Oracle = the untouched source.
+  private val snapshotRestoreScan = Q("snapshot_restore_scan", Some(s"""
+    SELECT $customerCols FROM customer ORDER BY c_custkey""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val root = java.nio.file.Files.createTempDirectory("graft-q-snaprest").toString
+    val g = graft.Graft(s, root)
+    g.createTable(TableDescriptor("cust", Seq(FamilyDescriptor("c")),
+      splitKeys = 8), nowMs = 1L)
+    val cust = t(s, dir, "customer")
+    g.table("cust").mutate(
+      CellCodec.encode(cust, "c", Seq("c_custkey")), nowMs = 1L)
+    g.snapshot("s1", "cust", nowMs = 2L)
+    // post-snapshot damage: range delete + column overwrite + new rows
+    val lowKeys = cust.filter(col("c_custkey") < 200)
+    g.table("cust").mutate(Mutations.deleteFamilyCells(
+      lowKeys, CellCodec.rowKey(lowKeys, Seq("c_custkey")), "c", ts = 3L), nowMs = 3L)
+    g.table("cust").mutate(CellCodec.encode(
+      cust.withColumn("c_name", lit("DAMAGED")), "c", Seq("c_custkey"),
+      batchTs = 3L), nowMs = 4L)
+    g.table("cust").mutate(CellCodec.encode(
+      cust.select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .limit(50), "c", Seq("c_custkey"), batchTs = 3L), nowMs = 5L)
+    // clone from the snapshot, then restore the original: the clone
+    // shares the snapshot's data dirs by reference, so a correct restore
+    // must leave it intact (refcount integrity in one lifecycle)
+    g.cloneSnapshot("s1", "cust_clone", nowMs = 6L)
+    g.restoreSnapshot("s1", nowMs = 7L)
+    require(g.table("cust_clone").scan(Scan()).count() ==
+      g.table("cust").scan(Scan()).count(), "clone diverged after restore")
+    // the restored table must be exactly the snapshot-time state
+    CellCodec.decode(g.table("cust").scan(Scan()), customerSchema)
+      .orderBy("c_custkey")
+  }
+
   private val bulkLoadScan = Q("bulk_load_scan", Some(s"""
     SELECT $customerCols FROM customer ORDER BY c_custkey""")) { (s, dir) =>
     import graft.catalog.{FamilyDescriptor, TableDescriptor}
@@ -922,6 +962,54 @@ object Queries {
       .select((get_json_object(col("props"), "$.k").cast(LongType) % 10).as("k_mod"))
       .groupBy("k_mod").agg(count(lit(1)).as("cnt"))
       .orderBy("k_mod")
+  }
+
+  // Pivoted Result-style family-map view over genuinely DYNAMIC
+  // qualifiers (`Result.java:168,213` NavigableMap parity — SURVEY §1.6):
+  // row = user, family "e" holds one qualifier PER EVENT TYPE the user
+  // actually produced (different set per user — no fixed schema exists),
+  // family "m" holds a fixed "n" total. The query reads the maps
+  // themselves: entry count, qualifier-sorted "type=count" rendering via
+  // map_entries (deterministic because decodeToMaps sorts entries), and a
+  // point lookup into the second family's map. The oracle recomputes all
+  // three from the relational source.
+  private val resultFamilyMap = Q("result_family_map", Some("""
+    SELECT user_id, n_quals, quals, total FROM (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_quals,
+        string_agg(event_type || '=' || cnt, ',' ORDER BY event_type) AS quals,
+        CAST(CAST(sum(cnt) AS VARCHAR) AS BIGINT) AS total
+      FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2)
+      GROUP BY user_id)
+    ORDER BY user_id""")) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val counts = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+    val eCells = counts.select(
+      CellCodec.rowKey(counts, Seq("user_id")).as("row"),
+      lit("e").as("family"),
+      col("event_type").cast(BinaryType).as("qualifier"),
+      lit(1L).as("ts"),
+      lit(graft.core.CellKind.Put).as("kind"),
+      CellCodec.encodeValue(col("cnt"), LongType).as("value"),
+      lit(0L).as("seq"))
+    val totals = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val mCells = totals.select(
+      CellCodec.rowKey(totals, Seq("user_id")).as("row"),
+      lit("m").as("family"),
+      lit("n").cast(BinaryType).as("qualifier"),
+      lit(1L).as("ts"),
+      lit(graft.core.CellKind.Put).as("kind"),
+      CellCodec.encodeValue(col("n"), LongType).as("value"),
+      lit(0L).as("seq"))
+    val maps = CellCodec.decodeToMaps(eCells.unionByName(mCells), Seq("e", "m"))
+    maps.select(
+      Bytes.asLong(col("row")).as("user_id"),
+      size(col("e")).cast(LongType).as("n_quals"),
+      concat_ws(",", transform(map_entries(col("e")), ent =>
+        concat(ent.getField("key").cast(StringType), lit("="),
+          Bytes.asLong(ent.getField("value")).cast(StringType)))).as("quals"),
+      Bytes.asLong(element_at(col("m"), lit("n").cast(BinaryType))).as("total"))
+      .orderBy("user_id")
   }
 
   // ----------------------------------------------------------------------
@@ -1756,9 +1844,10 @@ object Queries {
     rowFilterRegex, qualifierFilter, timestampsFilter, columnCountGet,
     skipFilterQ, whileMatch, filterListOr, scvExclude, binaryPrefixScan,
     groupingMapperAgg,
-    versionsLatest, timeRangeScan, jsonPropsAgg, sessionize,
+    versionsLatest, timeRangeScan, jsonPropsAgg, resultFamilyMap, sessionize,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
-    snapshotScan, asofScan, bulkLoadScan, sqlCatalogScan, sqlAggPushdown,
+    snapshotScan, snapshotRestoreScan, asofScan, bulkLoadScan,
+    sqlCatalogScan, sqlAggPushdown,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
     asOfJoinQ,

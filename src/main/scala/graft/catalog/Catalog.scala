@@ -5,10 +5,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import java.nio.charset.StandardCharsets
 
+/** Bloom filter mode — reference `StoreFile.BloomType:93-105`: NONE, ROW
+  * (bloom on the row key — point-Get store-file pruning), ROWCOL (bloom on
+  * row + qualifier — prunes files for Gets that name a specific column of
+  * a wide row, where the row bloom alone always hits). Our ROWCOL is an
+  * ADDITIONAL parquet bloom on the qualifier column: a
+  * `row = k AND qualifier = q` scan prunes row groups by both filters
+  * independently (the reference hashes the concatenated rowcol key; the
+  * two-filter form prunes at least as well for equality probes). */
+object BloomType extends Enumeration {
+  val None, Row, RowCol = Value
+}
+
 /** Per-family logical/physical knobs — reference `HColumnDescriptor.java`
   * (649 LoC): `maxVersions` default 3 (`:92`), `TTL:78`, and the physical
-  * attrs `BLOOMFILTER:79` -> parquet row-key bloom filters (the
-  * reference's point-get pruning, `StoreFile.java:775-781`),
+  * attrs `BLOOMFILTER:79` -> parquet bloom filters per [[BloomType]],
   * `COMPRESSION:74` -> parquet codec, `IN_MEMORY:103` -> Spark block
   * cache (`persist`) for that family's files. Family names must be
   * directory-safe (the reference likewise restricts them to printable
@@ -17,7 +28,7 @@ final case class FamilyDescriptor(
     name: String,
     maxVersions: Int = 3,
     ttlMs: Option[Long] = None,
-    bloomFilter: Boolean = false,
+    bloomFilter: BloomType.Value = BloomType.None,
     compression: Option[String] = None,
     inMemory: Boolean = false)
 
@@ -66,7 +77,7 @@ object ManifestJson {
   def write(m: Manifest): String = {
     val fams = m.descriptor.families.map { f =>
       s"""{"name":${esc(f.name)},"maxVersions":${f.maxVersions},"ttlMs":${f.ttlMs.getOrElse(-1L)},""" +
-        s""""bloom":${f.bloomFilter},"compression":${f.compression.map(esc).getOrElse("null")},"inMemory":${f.inMemory}}"""
+        s""""bloom":${esc(f.bloomFilter.toString)},"compression":${f.compression.map(esc).getOrElse("null")},"inMemory":${f.inMemory}}"""
     }.mkString("[", ",", "]")
     val bounds = m.descriptor.splitBoundaries
       .map(b => esc(b.map(x => f"$x%02x").mkString)).mkString("[", ",", "]")
@@ -99,7 +110,11 @@ object ManifestJson {
       val mv = "\"maxVersions\":(\\d+)".r.findFirstMatchIn(f).get.group(1).toInt
       val ttl = "\"ttlMs\":(-?\\d+)".r.findFirstMatchIn(f).get.group(1).toLong
       FamilyDescriptor(n, mv, if (ttl < 0) None else Some(ttl),
-        bloomFilter = f.contains("\"bloom\":true"),
+        bloomFilter = "\"bloom\":\"([^\"]*)\"".r.findFirstMatchIn(f)
+          .map(m => BloomType.withName(m.group(1)))
+          // legacy boolean form ("bloom":true was a row bloom)
+          .getOrElse(if (f.contains("\"bloom\":true")) BloomType.Row
+                     else BloomType.None),
         compression = "\"compression\":\"([^\"]*)\"".r.findFirstMatchIn(f).map(_.group(1)),
         inMemory = f.contains("\"inMemory\":true"))
     }.toSeq
@@ -342,7 +357,8 @@ final class Catalog(spark: SparkSession, root: String) {
           acc + when(col("row") >= lit(b), 1).otherwise(0)
         })
     val partCols = if (bounds.isEmpty) Seq("_fam") else Seq("_fam", "_bucket")
-    def write(df: DataFrame, compression: Option[String], bloom: Boolean): Unit = {
+    def write(df: DataFrame, compression: Option[String],
+        bloom: BloomType.Value): Unit = {
       var w = withBucket(df)
         .withColumn("_fam", col("family")) // keep family IN the data files
         .repartitionByRange(desc.splitKeys, col("row"))
@@ -350,21 +366,27 @@ final class Catalog(spark: SparkSession, root: String) {
           col("ts").desc, col("seq").desc)
         .write.mode(SaveMode.Append).partitionBy(partCols: _*)
       compression.foreach(c => w = w.option("compression", c))
-      // Row-key bloom filters: the reference's point-get store-file
-      // pruning (StoreFile.java:775-781); parquet checks them before
-      // row-group decode on row = <key> predicates.
-      if (bloom) w = w.option("parquet.bloom.filter.enabled#row", "true")
+      // Bloom filters per BloomType: ROW = the reference's point-get
+      // store-file pruning (StoreFile.java:775-781) — parquet checks the
+      // row bloom before row-group decode on row = <key> predicates;
+      // ROWCOL adds the qualifier bloom (StoreFile.BloomType:93-105) for
+      // Gets naming a specific column of a wide row.
+      if (bloom != BloomType.None)
+        w = w.option("parquet.bloom.filter.enabled#row", "true")
+      if (bloom == BloomType.RowCol)
+        w = w.option("parquet.bloom.filter.enabled#qualifier", "true")
       w.parquet(base)
     }
     val nonDefault = desc.families
-      .filter(f => f.compression.isDefined || f.bloomFilter)
+      .filter(f => f.compression.isDefined || f.bloomFilter != BloomType.None)
       .groupBy(f => (f.compression, f.bloomFilter)).toSeq
       .map { case ((c, b), fs) => (c, b, fs.map(_.name)) }
-    if (nonDefault.isEmpty) write(cells, None, bloom = false)
+    if (nonDefault.isEmpty) write(cells, None, bloom = BloomType.None)
     else {
       val nd = nonDefault.flatMap(_._3)
       // default-attrs group also catches cells of undeclared families
-      write(cells.filter(not(col("family").isin(nd: _*))), None, bloom = false)
+      write(cells.filter(not(col("family").isin(nd: _*))), None,
+        bloom = BloomType.None)
       nonDefault.foreach { case (c, b, fams) =>
         write(cells.filter(col("family").isin(fams: _*)), c, b)
       }

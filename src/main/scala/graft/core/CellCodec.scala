@@ -162,4 +162,29 @@ object CellCodec {
         decodeValue(col("_m").getItem(f.name), f.dataType).as(f.name)
       }: _*)
   }
+
+  /** Resolved cells -> the pivoted `Result`-style row view: one row per
+    * row key, one `map<binary, binary>` column PER FAMILY (qualifier ->
+    * value), named after the family. The reference's `Result` exposes
+    * exactly this — a per-family NavigableMap of qualifier bytes to value
+    * bytes (`hbase/client/Result.java:168,213,244,273`) — and it is the
+    * right view when qualifiers are genuinely DYNAMIC data (the
+    * wide-column data model's whole point: per-user event types, sparse
+    * feature names), where [[decode]]'s fixed relational schema cannot
+    * apply. Map entries are qualifier-sorted (`array_sort` on the struct
+    * array orders by the leading binary field, unsigned lexicographic —
+    * the same order as the NavigableMap), so downstream `map_entries`
+    * traversals are deterministic. A row with no cells in a family gets
+    * an EMPTY map for it, mirroring `Result.getFamilyMap`'s empty map for
+    * an unrequested family. One shuffle (groupBy row), same scale shape
+    * as [[decode]]. */
+  def decodeToMaps(cells: DataFrame, families: Seq[String]): DataFrame = {
+    require(families.nonEmpty, "at least one family")
+    val aggs = families.map { f =>
+      map_from_entries(array_sort(collect_list(
+        when(col("family") === f, struct(col("qualifier"), col("value"))))))
+        .as(f)
+    }
+    cells.groupBy(col("row")).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize-and-truncate-lineage for frames that iterative loops and
+    * self-joins re-read. Default = `localCheckpoint()` (blocks on executor
+    * storage, no extra infrastructure) — fine locally and for ephemeral
+    * jobs, but lineage is GONE, so on a real cluster losing an executor
+    * mid-job fails the query unrecoverably. Pass `checkpointDir` (an HDFS/
+    * object-store path on a fault-tolerant FS) to use a RELIABLE
+    * checkpoint instead: blocks are re-readable by any surviving executor,
+    * the job survives executor loss — the right setting for long
+    * multi-iteration dedup runs at 100 TB. Both variants are eager. */
+  private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** Exact dedup: keep the lowest-id row per identical value of `on`.
     * One hash shuffle; at 100 TB group instead on `md5(on)` via
     * [[keepFirstByHash]] so the shuffle key is 16 bytes, not the document. */
@@ -134,7 +152,8 @@ object Dedup {
     * exact. Returns (id_a, id_b, jaccard) like [[ngramJaccardPairs]]. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
-      bands: Int = 32, rows: Int = 4): DataFrame = {
+      bands: Int = 32, rows: Int = 4,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val sh = shingled(df, idCol, textCol, k)
     // All band buckets come from the native MinHashBands expression: one
     // narrow compiled pass per doc (one strong hash per shingle + affine
@@ -142,9 +161,10 @@ object Dedup {
     // formulation exploded (doc x shingle) rows into a 128-column
     // min-aggregation — correct, but a full shuffle of the inverted index
     // just to build signatures.
-    val banded = sh.select(col("id"), posexplode(
+    val banded = capBuckets(sh.select(col("id"), posexplode(
         graft.functions.VectorFunctions.minHashBands(col("sh"), bands, rows)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket")),
+      maxBucketSize)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -152,6 +172,28 @@ object Dedup {
       .distinct()
     verifyJaccard(cands, sh, threshold)
   }
+
+  /** Skew guard for LSH band self-joins: DROP (band, bucket) groups larger
+    * than `maxBucketSize` before the bucket-equality join. A degenerate hot
+    * bucket — every empty document, every all-zero embedding, a template
+    * page repeated millions of times — makes the self-join QUADRATIC in
+    * that bucket's size (10^6 members = 10^12 candidate rows in one join
+    * key: the job never finishes), and AQE skew splitting only repartitions
+    * the pairs, it cannot reduce their count. Capping trades bounded recall
+    * for bounded cost, and the trade is mild: a true near-dup pair agrees
+    * on SEVERAL of its `bands` buckets, so it is only lost if every shared
+    * bucket is oversized — in practice exactly the degenerate-content
+    * clusters a curation pipeline handles with exact dedup first. `None`
+    * (default) = no cap; behavior and recall are unchanged. */
+  private def capBuckets(banded: DataFrame, maxBucketSize: Option[Int]): DataFrame =
+    maxBucketSize match {
+      case Some(cap) =>
+        val ok = banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= cap)
+          .select("band", "bucket")
+        banded.join(ok, Seq("band", "bucket"), "left_semi")
+      case None => banded
+    }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame,
@@ -295,42 +337,54 @@ object Dedup {
     * shuffle; near-dup graphs have tiny diameters. `ids` supplies the
     * full node set so singletons keep their own label. Returns
     * (id, cluster) where cluster = min id of the component; the canonical
-    * survivor of each cluster is the row with id == cluster. */
+    * survivor of each cluster is the row with id == cluster.
+    *
+    * Throws if the fixpoint is not reached within `maxIters` (a component
+    * with diameter > maxIters would otherwise SILENTLY return
+    * partially-propagated labels, splitting clusters): raise `maxIters`
+    * for adversarial chain-shaped graphs — near-dup graphs converge in a
+    * handful of iterations. `checkpointDir` selects reliable checkpoints
+    * for the per-iteration materialization (see [[materialize]]). */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
-    // Materialize the edge list ONCE (eager localCheckpoint): `pairs` is
+      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    // Materialize the edge list ONCE (eager checkpoint): `pairs` is
     // usually the tail of an expensive candidate-generation + verify
     // pipeline (LSH join, Jaccard verification), and every propagation
     // iteration joins against edges — without this the whole upstream
     // pipeline re-executes per iteration (measured: the sf0.1 semantic
     // dedup bench ran minutes instead of seconds). Edges are
     // candidates-only, so the materialized set is small at any scale.
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint()
+    val edges = materialize(
+      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b"))),
+      checkpointDir)
     var labels = ids.select(col("id"), col("id").as("cluster"))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       // each node adopts the min cluster among itself and its neighbors;
       // the convergence flag rides in the SAME pass (the eager
-      // localCheckpoint both truncates the iterative lineage and
+      // checkpoint both truncates the iterative lineage and
       // materializes the result, so the follow-up changed-count is a
       // checkpoint read, not a second join job per iteration)
       val viaNeighbors = edges
         .join(labels.withColumnsRenamed(Map("id" -> "b", "cluster" -> "_nc")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("_nc")).as("_minN"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("_minN"), col("cluster"))).as("cluster"),
-          (coalesce(col("_minN"), col("cluster")) < col("cluster")).as("_chg"))
-        .localCheckpoint()
+      val next = materialize(
+        labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("_minN"), col("cluster"))).as("cluster"),
+            (coalesce(col("_minN"), col("cluster")) < col("cluster")).as("_chg")),
+        checkpointDir)
       val changed = next.filter(col("_chg")).limit(1).count()
       labels = next.drop("_chg")
       converged = changed == 0
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters iterations " +
+        "(component diameter exceeds maxIters); raise maxIters")
     labels
   }
 
@@ -340,8 +394,10 @@ object Dedup {
     * in any pair are their own cluster and always survive. Cost shape:
     * [[connectedComponents]] over the PAIRS (candidates only, O(diameter)
     * key-equality joins) + one semi-join back to the corpus. */
-  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val labels = connectedComponents(df.select(col(idCol).as("id")), pairs)
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val labels = connectedComponents(df.select(col(idCol).as("id")), pairs,
+      maxIters, checkpointDir)
     df.join(labels.filter(col("id") === col("cluster"))
       .select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
@@ -359,9 +415,12 @@ object Dedup {
     * exact; recall is tunable via bands x bitsPerBand (more bands =
     * higher recall, more candidates). */
   def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 16, bitsPerBand: Int = 8): DataFrame =
+      threshold: Double, bands: Int = 16, bitsPerBand: Int = 8,
+      maxBucketSize: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame =
     bandedNearDupPairs(df, idCol, vecCol, threshold, bands,
-      b => v => Similarity.hyperplaneBand(v, b, bitsPerBand))
+      b => v => Similarity.hyperplaneBand(v, b, bitsPerBand),
+      maxBucketSize, checkpointDir)
 
   /** [[embeddingNearDupPairsLsh]] with an EXPLICIT md5-derived plane
     * matrix ([[Similarity.md5Planes]]) instead of the xxhash64-seeded
@@ -370,9 +429,12 @@ object Dedup {
     * verify the whole path: planes, sign bits, buckets, candidate join,
     * exact cosine. */
   def embeddingNearDupPairsPlanes(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Seq[Seq[Double]], bands: Int): DataFrame =
+      threshold: Double, planes: Seq[Seq[Double]], bands: Int,
+      maxBucketSize: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame =
     bandedNearDupPairs(df, idCol, vecCol, threshold, bands,
-      b => v => Similarity.planeBand(v, planes, bands, b))
+      b => v => Similarity.planeBand(v, planes, bands, b),
+      maxBucketSize, checkpointDir)
 
   /** Candidate generation (per-band bucket-equality self-join — per-band
     * values, NOT slices of one packed signature: see
@@ -387,17 +449,21 @@ object Dedup {
     * shuffle row vs a 24-byte one), and at 100 TB the band-collision
     * volume, not the emitted pair count, owns that shuffle. */
   private def bandedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int, bucketOf: Int => Column => Column): DataFrame = {
+      threshold: Double, bands: Int, bucketOf: Int => Column => Column,
+      maxBucketSize: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // Materialized once (eager localCheckpoint): the self-join reads the
-    // banded frame TWICE, and its projection is the whole signature
-    // computation (bands x w plane dots per row). Post-projection rows
-    // are narrow (id, band, bucket) triples, so the artifact is bands
-    // rows x 24 bytes per vector at any scale.
-    val banded = df.select(col(idCol).as("id"),
-        posexplode(array((0 until bands).map(b => bucketOf(b)(col(vecCol))): _*)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-      .localCheckpoint()
+    // Materialized once (eager checkpoint — see [[materialize]] for the
+    // local-vs-reliable trade): the self-join reads the banded frame
+    // TWICE, and its projection is the whole signature computation
+    // (bands x w plane dots per row). Post-projection rows are narrow
+    // (id, band, bucket) triples, so the artifact is bands rows x 24
+    // bytes per vector at any scale.
+    val banded = capBuckets(materialize(
+      df.select(col(idCol).as("id"),
+          posexplode(array((0 until bands).map(b => bucketOf(b)(col(vecCol))): _*)))
+        .select(col("id"), col("pos").as("band"), col("col").as("bucket")),
+      checkpointDir), maxBucketSize)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -429,16 +495,24 @@ object Dedup {
     * rarely agree on 8 sign bits. Emitted survivors are exact w.r.t. the
     * discovered pairs. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 16, bitsPerBand: Int = 8): DataFrame =
+      threshold: Double, bands: Int = 16, bitsPerBand: Int = 8,
+      maxIters: Int = 20, maxBucketSize: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame =
     keepCanonical(df, idCol,
-      embeddingNearDupPairsLsh(df, idCol, vecCol, threshold, bands, bitsPerBand))
+      embeddingNearDupPairsLsh(df, idCol, vecCol, threshold, bands, bitsPerBand,
+        maxBucketSize, checkpointDir),
+      maxIters, checkpointDir)
 
   /** [[semanticDedup]] over md5-derived planes — the oracle-replayable
     * variant (the driver's SQL oracle rebuilds the plane matrix,
     * re-derives every bucket, re-verifies every pair, and re-runs the
     * component closure as a recursive CTE). */
   def semanticDedupPlanes(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Seq[Seq[Double]], bands: Int): DataFrame =
+      threshold: Double, planes: Seq[Seq[Double]], bands: Int,
+      maxIters: Int = 20, maxBucketSize: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame =
     keepCanonical(df, idCol,
-      embeddingNearDupPairsPlanes(df, idCol, vecCol, threshold, planes, bands))
+      embeddingNearDupPairsPlanes(df, idCol, vecCol, threshold, planes, bands,
+        maxBucketSize, checkpointDir),
+      maxIters, checkpointDir)
 }

@@ -8,12 +8,12 @@ import org.apache.spark.sql.types._
   * typed metadata, processed by per-partition batch operators.
   *
   * The Spark-side plumbing — schema, partition batching, operator
-  * signatures, deterministic output shape — is real and tested; the codec
-  * layer itself is STUBBED behind [[MediaDecoder]] (this container has no
-  * image/audio libraries), with [[FakeDecoder]] providing a deterministic
-  * hash-derived stand-in so every downstream stage (feature extraction,
-  * resize bookkeeping, frame sampling) is exercised end-to-end. Swapping
-  * in a real JNI/JavaCV decoder is a one-class change.
+  * signatures, deterministic output shape — is real and tested. The codec
+  * seam ([[MediaDecoder]]) ships two implementations: [[BmpDecoder]], a
+  * REAL pure-JVM parser for uncompressed BMP images (no native deps), and
+  * [[FakeDecoder]], a deterministic hash-derived stand-in for formats
+  * whose codecs are not in this container (JPEG/PNG/audio/video — those
+  * remain a one-class JNI/JavaCV swap).
   *
   * Scale notes: payloads never pass through a shuffle — all media ops are
   * narrow `mapPartitions` over the batch iterator; only extracted features
@@ -64,6 +64,59 @@ object Multimodal {
         j += 1
       }
       Decoded(mediaId, kind, w, h, frames, samples)
+    }
+  }
+
+  /** A REAL decoder behind the same seam — pure-JVM parser for
+    * uncompressed 24/32-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    * BI_RGB), zero native dependencies: proof the [[MediaDecoder]] seam
+    * carries an actual codec, not only the stub. Samples are BT.601 luma
+    * in [0, 1], row-major TOP-DOWN (BMP stores rows bottom-up when the
+    * header height is positive; a negative height means top-down, per the
+    * format). Strict: non-BMP payloads and compressed variants throw —
+    * a mixed-modality corpus routes per-mime to the right decoder rather
+    * than silently mis-decoding. */
+  object BmpDecoder extends MediaDecoder {
+    def decode(mediaId: Long, kind: String, payload: Array[Byte]): Decoded = {
+      require(payload != null && payload.length >= 54,
+        s"media $mediaId: not a BMP (too short)")
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(payload(0) == 'B' && payload(1) == 'M',
+        s"media $mediaId: missing BM magic")
+      val pixelOffset = buf.getInt(10)
+      val headerSize = buf.getInt(14)
+      require(headerSize >= 40, s"media $mediaId: BITMAPCOREHEADER unsupported")
+      val width = buf.getInt(18)
+      val rawHeight = buf.getInt(22)
+      val bpp = buf.getShort(28).toInt
+      val compression = buf.getInt(30)
+      require(width > 0 && rawHeight != 0, s"media $mediaId: bad dims")
+      require(bpp == 24 || bpp == 32, s"media $mediaId: $bpp bpp unsupported")
+      require(compression == 0, s"media $mediaId: compressed BMP unsupported")
+      val height = math.abs(rawHeight)
+      val bottomUp = rawHeight > 0
+      val bytesPp = bpp / 8
+      val stride = ((bpp * width + 31) / 32) * 4 // rows pad to 4 bytes
+      require(payload.length >= pixelOffset + stride.toLong * height,
+        s"media $mediaId: truncated pixel array")
+      val samples = new Array[Float](width * height)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (bottomUp) height - 1 - y else y
+        var x = 0
+        while (x < width) {
+          val o = pixelOffset + srcRow * stride + x * bytesPp
+          val bB = payload(o) & 0xff // BMP pixel order is B, G, R [, A]
+          val g = payload(o + 1) & 0xff
+          val r = payload(o + 2) & 0xff
+          samples(y * width + x) =
+            ((0.299f * r + 0.587f * g + 0.114f * bB) / 255.0f)
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(mediaId, kind, width, height, nFrames = 1, samples)
     }
   }
 

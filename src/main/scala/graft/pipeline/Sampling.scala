@@ -18,10 +18,18 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
       .cast("long") % Buckets
 
+  /** Nearest-integer bucket threshold. `math.round`, NOT `.toLong`:
+    * binary floating point makes 0.3 * 1000 = 299.9999...97, and
+    * truncation would keep 29.9% — breaking the documented "exact to
+    * 1/Buckets" contract and diverging from any oracle that computes 300
+    * independently. Rounding restores the intended integer for every
+    * fraction that is a multiple of 1/Buckets. */
+  private def thresholdOf(frac: Double): Long = math.round(frac * Buckets)
+
   /** Deterministic fraction sample: keep rows whose bucket < frac*Buckets. */
   def sampleByHash(df: DataFrame, key: Column, frac: Double,
       salt: String = "sample"): DataFrame =
-    df.filter(bucket(key, salt) < (frac * Buckets).toLong)
+    df.filter(bucket(key, salt) < thresholdOf(frac))
 
   /** Train/val/test split labels from cumulative fractions; fractions
     * must sum to <= 1, remainder labeled last. Different salts give
@@ -32,7 +40,7 @@ object Sampling {
     val (expr, _) = fracs.foldLeft((lit(null).cast("string"), 0.0)) {
       case ((acc, cum), (label, f)) =>
         val hi = cum + f
-        (when(b >= (cum * Buckets).toLong && b < (hi * Buckets).toLong, label)
+        (when(b >= thresholdOf(cum) && b < thresholdOf(hi), label)
           .otherwise(acc), hi)
     }
     expr
@@ -46,7 +54,7 @@ object Sampling {
     df.filter(
       conv(substring(md5(concat_ws("|", lit(salt), stratum.cast("string"),
         key.cast("string"))), 1, 15), 16, 10)
-        .cast("long") % Buckets < (frac * Buckets).toLong)
+        .cast("long") % Buckets < thresholdOf(frac))
 
   /** Domain-mixture weighted sampling: keep each row with the
     * probability its GROUP's weight assigns (weight 1.0 keeps all, 0.25
@@ -65,7 +73,7 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, group: Column,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
       salt: String = "wmix"): DataFrame = {
-    def thr(w: Double): Long = (w.min(1.0).max(0.0) * Buckets).toLong
+    def thr(w: Double): Long = thresholdOf(w.min(1.0).max(0.0))
     val b = conv(substring(md5(concat_ws("|", lit(salt), group.cast("string"),
       key.cast("string"))), 1, 15), 16, 10).cast("long") % Buckets
     val threshold = weights.toSeq.sortBy(_._1)
@@ -91,10 +99,17 @@ object Sampling {
   def upsampleWeighted(df: DataFrame, key: Column, group: Column,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
       salt: String = "wmix"): DataFrame = {
+    // `replica` is part of this operator's OUTPUT contract, so a caller
+    // frame already carrying one would be silently overwritten — refuse
+    // instead. The copy-count scratch column gets a collision-proof name.
+    require(!df.columns.contains("replica"),
+      "upsampleWeighted emits a 'replica' column; rename the input's")
+    val copiesCol = Iterator.from(0).map(i => s"_copies$i")
+      .find(c => !df.columns.contains(c)).get
     def parts(w: Double): (Long, Long) = {
       require(w >= 0.0, s"negative weight $w")
       val base = math.floor(w).toLong
-      (base, ((w - base) * Buckets).toLong)
+      (base, thresholdOf(w - base))
     }
     val b = conv(substring(md5(concat_ws("|", lit(salt), group.cast("string"),
       key.cast("string"))), 1, 15), 16, 10).cast("long") % Buckets
@@ -106,12 +121,12 @@ object Sampling {
           when(group === g, lit(wt)).otherwise(tc))
       }
     val copies = baseC + when(b < thrC, lit(1L)).otherwise(lit(0L))
-    df.withColumn("_copies", copies)
+    df.withColumn(copiesCol, copies)
       .withColumn("replica",
-        explode(when(col("_copies") >= 1,
-          sequence(lit(0L), col("_copies") - 1))
+        explode(when(col(copiesCol) >= 1,
+          sequence(lit(0L), col(copiesCol) - 1))
           .otherwise(array().cast("array<bigint>")))) // explode drops empties
-      .drop("_copies")
+      .drop(copiesCol)
   }
 
   /** 60-bit deterministic rank of a key under a salt (md5-derived, so any

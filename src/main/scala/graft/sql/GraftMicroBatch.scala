@@ -60,8 +60,14 @@ class GraftMicroBatchStream(engine: Catalog, tableName: String,
 
   override def initialOffset(): Offset = GraftOffset(0L)
 
+  /** Under the SupportsAdmissionControl / SupportsTriggerAvailableNow
+    * contract Spark must call the (start, ReadLimit) overload below; the
+    * legacy no-arg form would silently bypass both maxVersionsPerTrigger
+    * and the pinned AvailableNow target, so misuse fails loudly (the
+    * standard pattern for admission-controlled sources). */
   override def latestOffset(): Offset =
-    GraftOffset(engine.currentManifest(tableName).version)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   /** `Trigger.AvailableNow` pins the drain target at query start —
     * REQUIRED alongside admission control: without

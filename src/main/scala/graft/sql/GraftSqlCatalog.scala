@@ -158,8 +158,10 @@ object GraftSqlCatalog {
     SparkSession.active.conf.getOption("spark.graft.sql.nowMs")
       .map(_.toLong).getOrElse(System.currentTimeMillis())
 
-  /** `name[:maxVersions=N][:ttlMs=N][:bloom=true][:compression=zstd]
-    * [:inMemory=true](;next)*` — the `HColumnDescriptor` attr surface. */
+  /** `name[:maxVersions=N][:ttlMs=N][:bloom=row|rowcol|none]
+    * [:compression=zstd][:inMemory=true](;next)*` — the
+    * `HColumnDescriptor` attr surface (`bloom=true` accepted as a legacy
+    * alias for the row bloom). */
   private[sql] def parseFamilies(spec: String): Seq[FamilyDescriptor] =
     spec.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
       val parts = s.split(':')
@@ -167,7 +169,13 @@ object GraftSqlCatalog {
         kv.split('=') match {
           case Array("maxVersions", v) => fd.copy(maxVersions = v.toInt)
           case Array("ttlMs", v) => fd.copy(ttlMs = Some(v.toLong))
-          case Array("bloom", v) => fd.copy(bloomFilter = v.toBoolean)
+          case Array("bloom", v) => fd.copy(bloomFilter = v.toLowerCase match {
+            case "true" | "row" => graft.catalog.BloomType.Row
+            case "rowcol" => graft.catalog.BloomType.RowCol
+            case "false" | "none" => graft.catalog.BloomType.None
+            case other => throw new IllegalArgumentException(
+              s"bad bloom type '$other' in '$spec'")
+          })
           case Array("compression", v) => fd.copy(compression = Some(v))
           case Array("inMemory", v) => fd.copy(inMemory = v.toBoolean)
           case other => throw new IllegalArgumentException(

@@ -143,6 +143,29 @@ class ClientSemanticsSpec extends SparkSpec {
     assert(n == 1L)
   }
 
+  test("decodeToMaps: Result-style per-family qualifier maps, sorted, dynamic") {
+    val g = fresh()
+    val t = g.table("t")
+    // row r1 carries DYNAMIC qualifiers in f (different set than r2) plus
+    // one g cell; r2 has f only — its g map must come back EMPTY
+    t.put(Seq(
+      Put(b("r1")).add("f", b("beta"), 1L, b("v2")).add("f", b("alpha"), 1L, b("v1"))
+        .add("g", b("n"), 1L, b("g1")),
+      Put(b("r2")).add("f", b("gamma"), 1L, b("v3"))), 1L)
+    val out = graft.core.CellCodec.decodeToMaps(t.scan(Scan()), Seq("f", "g"))
+      .collect().map { r =>
+        new String(r.getAs[Array[Byte]]("row"), "UTF-8") ->
+          (r.getMap[Array[Byte], Array[Byte]](1), r.getMap[Array[Byte], Array[Byte]](2))
+      }.toMap
+    def render(m: scala.collection.Map[Array[Byte], Array[Byte]]): Seq[(String, String)] =
+      m.toSeq.map { case (k, v) => (new String(k, "UTF-8"), new String(v, "UTF-8")) }
+    // entries are qualifier-sorted (NavigableMap parity)
+    assert(render(out("r1")._1) == Seq("alpha" -> "v1", "beta" -> "v2"))
+    assert(render(out("r1")._2) == Seq("n" -> "g1"))
+    assert(render(out("r2")._1) == Seq("gamma" -> "v3"))
+    assert(out("r2")._2.isEmpty) // no g cells -> empty map, not null
+  }
+
   test("multiTableWrite routes cells to their tables") {
     import org.apache.spark.sql.functions._
     val g = fresh()

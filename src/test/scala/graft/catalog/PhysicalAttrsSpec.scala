@@ -33,7 +33,8 @@ class PhysicalAttrsSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-phys").toString
     val g = Graft(spark, root)
     g.createTable(TableDescriptor("t", Seq(
-      FamilyDescriptor("hot", bloomFilter = true, compression = Some("zstd")),
+      FamilyDescriptor("hot", bloomFilter = BloomType.Row,
+        compression = Some("zstd")),
       FamilyDescriptor("plain")), splitKeys = 2), 1L)
     g.table("t").put((1 to 200).map(i =>
       Put(b(f"r$i%03d"))
@@ -71,6 +72,47 @@ class PhysicalAttrsSpec extends SparkSpec {
     assert(out.size == 400)
     assert(out.contains(("r001", "hot", "q", 2L, "h1")))
     assert(out.contains(("r001", "plain", "q", 2L, "p1")))
+  }
+
+  test("ROWCOL bloom: qualifier column gets its own bloom; ROW does not") {
+    val root = Files.createTempDirectory("graft-rowcol").toString
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(
+      FamilyDescriptor("rc", bloomFilter = BloomType.RowCol),
+      FamilyDescriptor("r", bloomFilter = BloomType.Row)), splitKeys = 2), 1L)
+    // High-cardinality rows AND qualifiers: parquet only materializes a
+    // bloom when the chunk falls back from dictionary to plain encoding
+    // (a fully-dictionary chunk is its own exact filter, so parquet-mr
+    // skips the bloom as redundant) — which is precisely the
+    // at-scale wide-table regime where ROWCOL matters.
+    g.table("t").put((1 to 500).map(i =>
+      Put(b(f"r$i%03d"))
+        .add("rc", b(f"q$i%03d"), b(s"v$i"))
+        .add("r", b(f"q$i%03d"), b(s"w$i"))), 2L)
+
+    def colsOf(dir: String) = partFiles(dir).map(footerOf)
+      .flatMap(_.getBlocks.toArray.toSeq)
+      .flatMap(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
+        .getColumns.toArray.toSeq)
+      .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+    val m = g.catalog.currentManifest("t")
+    val rcCols = colsOf(m.dataDirs.find(_.endsWith("_fam=rc")).get)
+    val rCols = colsOf(m.dataDirs.find(_.endsWith("_fam=r")).get)
+    def blooms(cs: Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData],
+        path: String) = cs.filter(_.getPath.toDotString == path)
+    assert(blooms(rcCols, "row").forall(_.getBloomFilterOffset >= 0))
+    assert(blooms(rcCols, "qualifier").forall(_.getBloomFilterOffset >= 0))
+    assert(blooms(rCols, "row").forall(_.getBloomFilterOffset >= 0))
+    assert(blooms(rCols, "qualifier").forall(_.getBloomFilterOffset < 0))
+    // descriptor round-trips through the manifest JSON
+    val d = g.catalog.currentManifest("t").descriptor
+    assert(d.family("rc").bloomFilter == BloomType.RowCol)
+    assert(d.family("r").bloomFilter == BloomType.Row)
+    // column-addressed point read stays correct
+    val got = collectCells(g.table("t").scan(
+      graft.read.Scan().setStartRow(b("r007")).setStopRow(b("r008"))
+        .addColumn("rc", b("q007"))))
+    assert(got == Set(("r007", "rc", "q007", 2L, "v7")))
   }
 
   test("IN_MEMORY family reads through the block cache") {

@@ -306,6 +306,58 @@ class PipelineSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("connectedComponents: reliable checkpoint dir gives identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ids = (1L to 8L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(ids, pairs,
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+    // reliable checkpoints actually landed on the fault-tolerant dir
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("connectedComponents: non-convergence throws instead of truncating") {
+    // a 12-node chain has diameter 11; label propagation moves the min
+    // one hop per iteration, so maxIters = 3 cannot close it
+    val ids = (1L to 12L).toDF("id")
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(ids, pairs, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and a sufficient budget closes the same chain
+    val ok = Dedup.connectedComponents(ids, pairs, maxIters = 12)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ok == Set(1L))
+  }
+
+  test("capBuckets: a degenerate hot bucket is dropped, cost stays bounded") {
+    // 40 IDENTICAL all-ones embeddings (every band bucket equal: the
+    // quadratic hot bucket) + 3 distinct near-dup pairs elsewhere
+    val hot = (0 until 40).map(i =>
+      (100L + i, Seq.fill(8)(1.0f)))
+    val normal = (0 until 6).map { i =>
+      val base = Array.tabulate(8)(j => if (j == i / 2) 1.0f else -0.5f + 0.01f * (i % 2))
+      (i.toLong, base.toSeq)
+    }
+    val vecs = (hot ++ normal).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDupPairsLsh(vecs, "vec_id", "embedding",
+      0.95, bands = 16, bitsPerBand = 4, maxBucketSize = Some(20))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 40-member hot cluster (780 pairs) is excluded by the cap...
+    assert(!capped.exists(_._1 >= 100L))
+    // ...while pairs living in small buckets are still found
+    val uncapped = Dedup.embeddingNearDupPairsLsh(vecs, "vec_id", "embedding",
+      0.95, bands = 16, bitsPerBand = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped.filter(_._1 < 100L))
+    assert(uncapped.count(_._1 >= 100L) == 40 * 39 / 2) // the quadratic blowup the cap prevents
+  }
+
   test("embedding near-dup: LSH candidates recover the exact high-cosine pairs") {
     // 4 near-identical pairs (tiny perturbations) + unrelated vectors
     val vecs = ((0 until 8).map { i =>
@@ -494,6 +546,53 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.frameSamplePlan(media, everyMs = 1000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(frames == Set((2L, 0L), (2L, 1000L), (2L, 2000L)))
+  }
+
+  test("BmpDecoder: real BMP payloads decode to exact dims and luma") {
+    import org.apache.spark.sql.Row
+    // hand-build an uncompressed 24-bit BMP: 3x2, bottom-up, 4-byte padded
+    // rows. Top row = pure R, G, B; bottom row = black, white, mid-gray.
+    def bmp24(pixelsTopDown: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+      val h = pixelsTopDown.size; val w = pixelsTopDown.head.size
+      val stride = ((24 * w + 31) / 32) * 4
+      val size = 54 + stride * h
+      val buf = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(size)
+        .putInt(0).putInt(54) // reserved, pixel offset
+      buf.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, bottom-up
+        .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (row <- pixelsTopDown.reverse) { // bottom-up storage
+        for ((r, g, b) <- row)
+          buf.put(b.toByte).put(g.toByte).put(r.toByte) // B, G, R order
+        buf.position(buf.position() + (stride - 3 * w)) // row padding
+      }
+      buf.array()
+    }
+    val img = bmp24(Seq(
+      Seq((255, 0, 0), (0, 255, 0), (0, 0, 255)),
+      Seq((0, 0, 0), (255, 255, 255), (128, 128, 128))))
+    val d = Multimodal.BmpDecoder.decode(7L, "image", img)
+    assert((d.width, d.height, d.nFrames) == (3, 2, 1))
+    val exp = Seq(0.299f, 0.587f, 0.114f, 0.0f, 1.0f, 128f / 255f)
+    d.samples.zip(exp).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4) }
+    // the same seam drives the distributed feature extractor
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(7L, "image", img, "image/bmp", Integer.valueOf(3),
+          Integer.valueOf(2), null))),
+      Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(media, Multimodal.BmpDecoder, featDim = 2)
+      .collect()(0)
+    assert((f.getInt(2), f.getInt(3)) == (3, 2)) // real decoded dims
+    val feat = f.getSeq[Float](7)
+    assert(math.abs(feat(0) - exp.take(3).sum / 3) < 1e-4)
+    assert(math.abs(feat(1) - exp.drop(3).sum / 3) < 1e-4)
+    // strictness: garbage payloads are a loud error, not a wrong decode
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder.decode(8L, "image", "not-a-bmp-payload-xx".getBytes)
+    }
   }
 
   test("keepCanonical: one min-id survivor per cluster, singletons survive") {
