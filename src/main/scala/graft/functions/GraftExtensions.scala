@@ -61,6 +61,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashBands(args(0), intLit(args(1), "bands"), intLit(args(2), "rows"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_plane_bands"),
+      new ExpressionInfo(classOf[PlaneBands].getName, "graft_plane_bands"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_plane_bands $what must be an int literal, got $other")
+        }
+        val flat = args(3) match {
+          case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, _)) =>
+            v.toDoubleArray().toSeq
+          case other => throw new IllegalArgumentException(
+            s"graft_plane_bands planes must be an array<double> literal, got $other")
+        }
+        PlaneBands(args(0), intLit(args(1), "bands"), intLit(args(2), "width"), flat)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

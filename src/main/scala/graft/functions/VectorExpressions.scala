@@ -186,6 +186,52 @@ case class HyperplaneBand(child: Expression, band: Int, width: Int)
     copy(child = newChild)
 }
 
+/** ALL plane-LSH band buckets in ONE compiled pass over an EXPLICIT
+  * (caller-supplied, e.g. md5-derived) hyperplane matrix: element b of
+  * the result is band b's bucket, whose bit r is
+  * sign(dot(vec, plane_{b*width+r})). Each plane dot accumulates
+  * SEQUENTIALLY in double — bit-identical to the per-plane
+  * `DotProduct`-composition formulation ([[graft.pipeline.Similarity]]
+  * `planeBand`, parity spec-asserted) and therefore to a SQL oracle's
+  * sequential `list_dot_product`. Replaces `bands*width` separate
+  * literal-plane dot expressions (a plan with thousands of inlined
+  * array literals, measured 4 s at sf0.1) with one projection that
+  * hoists the vector once and streams the flat matrix. `flat` is the
+  * row-major concatenation of the `bands*width` planes. */
+case class PlaneBands(child: Expression, bands: Int, width: Int,
+    flat: Seq[Double]) extends UnaryExpression {
+  require(bands > 0 && width > 0 && width <= 64,
+    s"bands=$bands width=$width must be positive, width <= 64")
+  require(flat.nonEmpty && flat.length % (bands * width) == 0,
+    s"flat plane matrix (${flat.length}) must hold bands*width equal rows")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_plane_bands needs array<float|double>, got ${other.simpleString}")
+    }
+
+  private lazy val flatArr: Array[Double] = flat.toArray
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprUtil.planeBands(input.asInstanceOf[ArrayData], flatArr,
+      bands, width, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planeMatrix", flatArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.planeBands($c, $ref, $bands, $width, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PlaneBands =
+    copy(child = newChild)
+}
+
 /** MinHash LSH band buckets in ONE narrow compiled pass: for a shingle
   * array, compute `bands*rows` minhashes (one xxhash64 per shingle +
   * affine 2-universal permutations h_i = a_i*h + b_i — the standard
@@ -377,6 +423,39 @@ object VectorExprUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  def planeBands(arr: ArrayData, flat: Array[Double], bands: Int, width: Int,
+      isFloat: Boolean): ArrayData = {
+    val planeDim = flat.length / (bands * width)
+    // DotProduct semantics exactly: iterate min(len, planeDim) ascending,
+    // null elements contribute 0.0, accumulate in double
+    val dim = math.min(arr.numElements(), planeDim)
+    val xs = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      xs(i) = if (arr.isNullAt(i)) 0.0
+        else if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var p = 0 // plane row index = b*width + r
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var r = 0
+      while (r < width) {
+        val base = p * planeDim
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += xs(j) * flat(base + j); j += 1 }
+        if (acc > 0) bucket |= (1L << r)
+        r += 1; p += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def hyperplaneBand(arr: ArrayData, seeds: Array[Long], isFloat: Boolean): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val w = seeds.length
@@ -428,6 +507,15 @@ object VectorFunctions {
     call_function("graft_minhash_bands", shingles,
       org.apache.spark.sql.functions.lit(bands),
       org.apache.spark.sql.functions.lit(rows))
+  def planeBands(vec: Column, planes: Seq[Seq[Double]], bands: Int): Column = {
+    require(bands > 0 && planes.nonEmpty && planes.length % bands == 0,
+      s"planes (${planes.length}) must split evenly into $bands bands")
+    require(planes.map(_.length).distinct.size == 1, "ragged plane matrix")
+    call_function("graft_plane_bands", vec,
+      org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(planes.length / bands),
+      org.apache.spark.sql.functions.typedLit(planes.flatten))
+  }
   def winnowFingerprints(text: Column, k: Int, window: Int): Column =
     call_function("graft_winnow", text,
       org.apache.spark.sql.functions.lit(k),

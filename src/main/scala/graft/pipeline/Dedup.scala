@@ -418,8 +418,9 @@ object Dedup {
       threshold: Double, bands: Int = 16, bitsPerBand: Int = 8,
       maxBucketSize: Option[Int] = None,
       checkpointDir: Option[String] = None): DataFrame =
-    bandedNearDupPairs(df, idCol, vecCol, threshold, bands,
-      b => v => Similarity.hyperplaneBand(v, b, bitsPerBand),
+    bandedNearDupPairs(df, idCol, vecCol, threshold,
+      v => array((0 until bands).map(b =>
+        Similarity.hyperplaneBand(v, b, bitsPerBand)): _*),
       maxBucketSize, checkpointDir)
 
   /** [[embeddingNearDupPairsLsh]] with an EXPLICIT md5-derived plane
@@ -432,8 +433,8 @@ object Dedup {
       threshold: Double, planes: Seq[Seq[Double]], bands: Int,
       maxBucketSize: Option[Int] = None,
       checkpointDir: Option[String] = None): DataFrame =
-    bandedNearDupPairs(df, idCol, vecCol, threshold, bands,
-      b => v => Similarity.planeBand(v, planes, bands, b),
+    bandedNearDupPairs(df, idCol, vecCol, threshold,
+      v => Similarity.planeBandsAll(v, planes, bands),
       maxBucketSize, checkpointDir)
 
   /** Candidate generation (per-band bucket-equality self-join — per-band
@@ -449,7 +450,7 @@ object Dedup {
     * shuffle row vs a 24-byte one), and at 100 TB the band-collision
     * volume, not the emitted pair count, owns that shuffle. */
   private def bandedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int, bucketOf: Int => Column => Column,
+      threshold: Double, bandsOf: Column => Column,
       maxBucketSize: Option[Int] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -460,8 +461,7 @@ object Dedup {
     // (id, band, bucket) triples, so the artifact is bands rows x 24
     // bytes per vector at any scale.
     val banded = capBuckets(materialize(
-      df.select(col(idCol).as("id"),
-          posexplode(array((0 until bands).map(b => bucketOf(b)(col(vecCol))): _*)))
+      df.select(col(idCol).as("id"), posexplode(bandsOf(col(vecCol))))
         .select(col("id"), col("pos").as("band"), col("col").as("bucket")),
       checkpointDir), maxBucketSize)
     val cands = banded.as("a").join(banded.as("b"),

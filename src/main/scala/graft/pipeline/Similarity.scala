@@ -229,13 +229,26 @@ object Similarity {
     }
   }
 
+  /** ALL band buckets under an EXPLICIT plane matrix, one fused compiled
+    * pass (native [[graft.functions.PlaneBands]]): element b's bit r =
+    * sign(dot(v, plane_{b*w+r})), sequential double accumulation — the
+    * exact bits of the [[planeBand]] composition (parity spec-asserted)
+    * and of a SQL oracle's `list_dot_product`. This is the production
+    * signature stage for [[lshTopKPlanes]] and
+    * [[Dedup.embeddingNearDupPairsPlanes]]; the per-band [[planeBand]]
+    * composition below is its executable specification. */
+  def planeBandsAll(vec: Column, planes: Seq[Seq[Double]], bands: Int): Column =
+    graft.functions.VectorFunctions.planeBands(vec, planes, bands)
+
   /** Bucket value of band `b` under an EXPLICIT plane matrix
     * (`planes.length = bands * w` rows): packs the sign bits
     * sign(dot(v, plane_{b*w+r})) for r in [0, w) into one long. Each
     * plane dot product runs through the native codegen'd DotProduct
     * (sequential accumulation), so an oracle that rebuilds the same
-    * matrix and dots sequentially reproduces every bit. Shared by
-    * [[lshTopKPlanes]] and [[Dedup.embeddingNearDupPairsPlanes]]. */
+    * matrix and dots sequentially reproduces every bit. The executable
+    * spec for [[planeBandsAll]] — use that in production plans: `bands*w`
+    * literal-plane dots inline thousands of array literals into the plan
+    * (measured 4 s of the sf0.1 bench on signature stages alone). */
   def planeBand(vec: Column, planes: Seq[Seq[Double]], bands: Int,
       b: Int): Column = {
     require(bands > 0 && planes.nonEmpty && planes.length % bands == 0,
@@ -248,18 +261,17 @@ object Similarity {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** LSH top-k with an EXPLICIT plane matrix (see [[planeBand]] for the
-    * bucket layout). Same candidate-join + exact-re-rank machinery as
-    * [[lshTopK]]; the signature stage is `bands*w` compiled dot-product
-    * loops — fine for verification workloads, while the hash-derived
-    * [[lshTopK]] (one fused pass) remains the scale path. */
+  /** LSH top-k with an EXPLICIT plane matrix (see [[planeBandsAll]] for
+    * the bucket layout). Same candidate-join + exact-re-rank machinery as
+    * [[lshTopK]]; the signature stage is ONE fused compiled pass over the
+    * matrix, so the oracle-replayable variant carries no plan-size or
+    * speed penalty vs the hash-derived path. */
   def lshTopKPlanes(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Seq[Seq[Double]], bands: Int): DataFrame = {
     def banded(df: DataFrame, id: String, vOut: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vOut),
-          posexplode(array((0 until bands).map(b =>
-            planeBand(col(vecCol), planes, bands, b)): _*)))
+          posexplode(planeBandsAll(col(vecCol), planes, bands)))
         .select(col(id), col(vOut), col("pos").as("band"), col("col").as("bucket"))
     bandedTopK(banded(corpus, "nn_id", "_cv"),
       banded(queries, "query_id", "_qv"), k)

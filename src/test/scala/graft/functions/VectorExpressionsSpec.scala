@@ -95,6 +95,42 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(d.getLong(0) == d.getLong(1))
   }
 
+  test("graft_plane_bands matches the per-band DotProduct composition exactly") {
+    val rnd = new scala.util.Random(13)
+    val dim = 24
+    val planes = graft.pipeline.Similarity.md5Planes(32, dim)
+    val vecs = ((1 to 40).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))) :+
+      (99L, Seq.fill(dim)(0.0f))) // all-zero edge: every sign non-positive
+      .toDF("id", "v")
+    for (bands <- Seq(4, 32)) {
+      val composed = (0 until bands).map(b =>
+        graft.pipeline.Similarity.planeBand(col("v"), planes, bands, b))
+      val out = vecs.select(col("id"),
+        VectorFunctions.planeBands(col("v"), planes, bands).as("native"),
+        array(composed: _*).as("spec")).collect()
+      out.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)} bands=$bands")
+      }
+    }
+    // double-typed arrays take the other element path
+    val dv = Seq((1L, Seq.fill(dim)(0.37))).toDF("id", "v")
+    val d = dv.select(
+      VectorFunctions.planeBands(col("v"), planes, 8).as("n"),
+      array((0 until 8).map(b =>
+        graft.pipeline.Similarity.planeBand(col("v"), planes, 8, b)): _*).as("s"))
+      .collect()(0)
+    assert(d.getSeq[Long](0) == d.getSeq[Long](1))
+    // interpreted eval matches the codegen'd plan path
+    val e = PlaneBands(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq.fill(dim)(0.37), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      8, 4, planes.take(32).flatten)
+    assert(e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq == d.getSeq[Long](0))
+  }
+
   test("graft_minhash_bands: identical sets share all buckets, disjoint share none") {
     val docs = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),
