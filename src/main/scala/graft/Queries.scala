@@ -1723,6 +1723,22 @@ object Queries {
       .orderBy("split")
   }
 
+  // Deterministic pre-training shuffle + sharding: salted-md5 rank gives
+  // every doc a shard and a dense in-shard position — the global shuffle
+  // before training export. The oracle replays the identical md5
+  // arithmetic (same 60-bit rank as sample_split) and window.
+  private val sampleShardShuffle = Q("sample_shard_shuffle", Some("""
+    SELECT doc_id, shard, pos FROM (
+      SELECT doc_id, h % 16 AS shard,
+        row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS pos
+      FROM (SELECT doc_id,
+        CAST(('0x' || substring(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents))
+    ORDER BY doc_id""")) { (s, dir) =>
+    Sampling.shardAndShuffle(t(s, dir, "documents"), col("doc_id"), nShards = 16)
+      .select("doc_id", "shard", "pos").orderBy("doc_id")
+  }
+
   // Training-sequence packing: fixed-token-budget bins over the doc
   // stream in doc_id order. The engine runs the distributed two-pass
   // prefix sum (Pack.packSequences — no global window); the oracle is
@@ -1858,7 +1874,8 @@ object Queries {
     similarityTopk, similarityIvf,
     similarityLshPlanes, similarityQuantized,
     dedupEmbedding, dedupSemantic, multimodalFeatures, sampleSplit,
-    sampleWeighted, sampleUpsampled, packSequences, sampleStratified,
+    sampleWeighted, sampleUpsampled, sampleShardShuffle,
+    packSequences, sampleStratified,
     curationPipeline)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

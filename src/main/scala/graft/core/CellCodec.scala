@@ -166,25 +166,40 @@ object CellCodec {
   /** Resolved cells -> the pivoted `Result`-style row view: one row per
     * row key, one `map<binary, binary>` column PER FAMILY (qualifier ->
     * value), named after the family. The reference's `Result` exposes
-    * exactly this — a per-family NavigableMap of qualifier bytes to value
-    * bytes (`hbase/client/Result.java:168,213,244,273`) — and it is the
-    * right view when qualifiers are genuinely DYNAMIC data (the
+    * exactly this — the per-family latest-version NavigableMap of
+    * qualifier bytes to value bytes (`hbase/client/Result.java:168,213,
+    * 244,273`, `getFamilyMap:273` = newest version per qualifier) — and
+    * it is the right view when qualifiers are genuinely DYNAMIC data (the
     * wide-column data model's whole point: per-user event types, sparse
     * feature names), where [[decode]]'s fixed relational schema cannot
-    * apply. Map entries are qualifier-sorted (`array_sort` on the struct
-    * array orders by the leading binary field, unsigned lexicographic —
-    * the same order as the NavigableMap), so downstream `map_entries`
-    * traversals are deterministic. A row with no cells in a family gets
-    * an EMPTY map for it, mirroring `Result.getFamilyMap`'s empty map for
-    * an unrequested family. One shuffle (groupBy row), same scale shape
-    * as [[decode]]. */
+    * apply. When the input carries SEVERAL visible versions of a
+    * qualifier (a multi-version scan), the NEWEST (max ts, then max seq)
+    * wins — never an arbitrary or byte-order pick, and never the
+    * duplicate-map-key error `map_from_entries` alone would raise. Map
+    * entries are qualifier-sorted (unsigned lexicographic — the
+    * NavigableMap's order), so downstream `map_entries` traversals are
+    * deterministic. A row with no cells in a family gets an EMPTY map,
+    * mirroring `Result.getFamilyMap` for an unrequested family. One
+    * shuffle (groupBy row), same scale shape as [[decode]]. */
   def decodeToMaps(cells: DataFrame, families: Seq[String]): DataFrame = {
     require(families.nonEmpty, "at least one family")
-    val aggs = families.map { f =>
-      map_from_entries(array_sort(collect_list(
-        when(col("family") === f, struct(col("qualifier"), col("value"))))))
-        .as(f)
+    // sorted by (qualifier asc, ts desc, seq desc) via negated longs
+    val aggs = families.zipWithIndex.map { case (f, i) =>
+      array_sort(collect_list(when(col("family") === f,
+        struct(col("qualifier"), (-col("ts")).as("_nts"),
+          (-col("seq")).as("_nseq"), col("value"))))).as(s"_es$i")
     }
-    cells.groupBy(col("row")).agg(aggs.head, aggs.tail: _*)
+    val grouped = cells.groupBy(col("row")).agg(aggs.head, aggs.tail: _*)
+    grouped.select(col("row") +: families.zipWithIndex.map { case (f, i) =>
+      val es = col(s"_es$i")
+      // keep each qualifier's FIRST (= newest) entry: filter's 0-based
+      // index makes element_at(es, idx) the PREVIOUS (1-based) element
+      val newest = filter(es, (e, idx) =>
+        (idx === 0) || e.getField("qualifier") =!=
+          element_at(es, idx).getField("qualifier"))
+      map_from_entries(transform(newest, e =>
+        struct(e.getField("qualifier").as("key"),
+          e.getField("value").as("value")))).as(f)
+    }: _*)
   }
 }

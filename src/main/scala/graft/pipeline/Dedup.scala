@@ -24,16 +24,27 @@ object Dedup {
     * storage, no extra infrastructure) — fine locally and for ephemeral
     * jobs, but lineage is GONE, so on a real cluster losing an executor
     * mid-job fails the query unrecoverably. Pass `checkpointDir` (an HDFS/
-    * object-store path on a fault-tolerant FS) to use a RELIABLE
-    * checkpoint instead: blocks are re-readable by any surviving executor,
-    * the job survives executor loss — the right setting for long
-    * multi-iteration dedup runs at 100 TB. Both variants are eager. */
+    * object-store path on a fault-tolerant FS) for a RELIABLE
+    * materialization: the frame is written as parquet under a fresh
+    * subdirectory and read back, so any surviving executor can re-read it
+    * and the job survives executor loss — the right setting for long
+    * multi-iteration dedup runs at 100 TB. (Deliberately NOT
+    * `SparkContext.setCheckpointDir` + `Dataset.checkpoint`: that mutates
+    * context-global state — clobbering whatever checkpoint dir the
+    * application had configured — and appends a random UUID directory per
+    * call.) The caller owns the directory's lifecycle; one run's
+    * artifacts are bounded by the pair/edge volume, not the corpus. Both
+    * variants are eager. */
+  private val ckptCounter = new java.util.concurrent.atomic.AtomicLong(0L)
   private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(d) =>
-        val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
-        df.checkpoint()
+        // unique per materialization: pid disambiguates concurrent
+        // processes sharing a dir, the counter disambiguates within a run
+        val dir = s"$d/mat-${ProcessHandle.current().pid()}-" +
+          s"${ckptCounter.incrementAndGet()}"
+        df.write.parquet(dir)
+        df.sparkSession.read.schema(df.schema).parquet(dir)
       case None => df.localCheckpoint()
     }
 
@@ -161,10 +172,14 @@ object Dedup {
     // formulation exploded (doc x shingle) rows into a 128-column
     // min-aggregation — correct, but a full shuffle of the inverted index
     // just to build signatures.
-    val banded = capBuckets(sh.select(col("id"), posexplode(
+    val raw = sh.select(col("id"), posexplode(
         graft.functions.VectorFunctions.minHashBands(col("sh"), bands, rows)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket")),
-      maxBucketSize)
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    // with a cap, the banded frame is read up to four times (the bucket
+    // count, the semi-join, both self-join sides) — materialize it so the
+    // per-doc signature pass runs once, mirroring bandedNearDupPairs
+    val banded = maxBucketSize.fold(raw)(_ =>
+      capBuckets(materialize(raw, None), maxBucketSize))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -359,32 +374,46 @@ object Dedup {
         .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b"))),
       checkpointDir)
     var labels = ids.select(col("id"), col("id").as("cluster"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
+    def propagate(ls: DataFrame): DataFrame = {
       // each node adopts the min cluster among itself and its neighbors;
       // the convergence flag rides in the SAME pass (the eager
       // checkpoint both truncates the iterative lineage and
       // materializes the result, so the follow-up changed-count is a
       // checkpoint read, not a second join job per iteration)
       val viaNeighbors = edges
-        .join(labels.withColumnsRenamed(Map("id" -> "b", "cluster" -> "_nc")), "b")
+        .join(ls.withColumnsRenamed(Map("id" -> "b", "cluster" -> "_nc")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("_nc")).as("_minN"))
-      val next = materialize(
-        labels.join(viaNeighbors, Seq("id"), "left")
+      materialize(
+        ls.join(viaNeighbors, Seq("id"), "left")
           .select(col("id"),
             least(col("cluster"), coalesce(col("_minN"), col("cluster"))).as("cluster"),
             (coalesce(col("_minN"), col("cluster")) < col("cluster")).as("_chg")),
         checkpointDir)
+    }
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = propagate(labels)
       val changed = next.filter(col("_chg")).limit(1).count()
       labels = next.drop("_chg")
       converged = changed == 0
       i += 1
     }
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIters iterations " +
-        "(component diameter exceeds maxIters); raise maxIters")
+    if (!converged) {
+      // the budget ran out right after an iteration that still changed
+      // labels — which happens BOTH when truncated (diameter > maxIters)
+      // and when the last permitted iteration was exactly the final one
+      // (diameter == maxIters, labels now correct). One verification pass
+      // distinguishes them, so a long job at the boundary is never failed
+      // with a correct result in hand.
+      val verify = propagate(labels)
+      if (verify.filter(col("_chg")).limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIters iterations " +
+            "(component diameter exceeds maxIters); raise maxIters")
+      labels = verify.drop("_chg")
+    }
     labels
   }
 

@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partition batching, operator
   * signatures, deterministic output shape — is real and tested. The codec
-  * seam ([[MediaDecoder]]) ships two implementations: [[BmpDecoder]], a
-  * REAL pure-JVM parser for uncompressed BMP images (no native deps), and
-  * [[FakeDecoder]], a deterministic hash-derived stand-in for formats
-  * whose codecs are not in this container (JPEG/PNG/audio/video — those
-  * remain a one-class JNI/JavaCV swap).
+  * seam ([[MediaDecoder]]) ships three implementations: [[BmpDecoder]]
+  * and [[WavDecoder]], REAL pure-JVM parsers for uncompressed BMP images
+  * and PCM WAV audio (no native deps), and [[FakeDecoder]], a
+  * deterministic hash-derived stand-in for formats whose codecs are not
+  * in this container (JPEG/PNG/MP4 — those remain a one-class JNI/JavaCV
+  * swap).
   *
   * Scale notes: payloads never pass through a shuffle — all media ops are
   * narrow `mapPartitions` over the batch iterator; only extracted features
@@ -85,6 +86,10 @@ object Multimodal {
       require(payload(0) == 'B' && payload(1) == 'M',
         s"media $mediaId: missing BM magic")
       val pixelOffset = buf.getInt(10)
+      // an unvalidated offset would bypass the truncation check below
+      // (negative: crash; into the header: silent mis-decode)
+      require(pixelOffset >= 54 && pixelOffset <= payload.length,
+        s"media $mediaId: bad pixel offset $pixelOffset")
       val headerSize = buf.getInt(14)
       require(headerSize >= 40, s"media $mediaId: BITMAPCOREHEADER unsupported")
       val width = buf.getInt(18)
@@ -117,6 +122,79 @@ object Multimodal {
         y += 1
       }
       Decoded(mediaId, kind, width, height, nFrames = 1, samples)
+    }
+  }
+
+  /** Real pure-JVM decoder for PCM WAV audio (RIFF/WAVE, 8- or 16-bit
+    * integer PCM) — the audio-modality counterpart of [[BmpDecoder]].
+    * Samples are mono-mixed (channel average) and mapped to [0, 1]
+    * (`(s + 1) / 2` of the [-1, 1] PCM range), so downstream pooling in
+    * [[extractFeatures]] treats audio exactly like image luma. `width` =
+    * channel count, `height` = 1, `nFrames` = per-channel sample count.
+    * Strict on non-WAV / compressed payloads, like [[BmpDecoder]]. */
+  object WavDecoder extends MediaDecoder {
+    def decode(mediaId: Long, kind: String, payload: Array[Byte]): Decoded = {
+      require(payload != null && payload.length >= 44,
+        s"media $mediaId: not a WAV (too short)")
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"media $mediaId: missing RIFF/WAVE magic")
+      // walk chunks: fmt must precede data (the canonical layout). Long
+      // offsets: an adversarial chunk size near Int.MaxValue must step
+      // the cursor PAST the payload (loop exit), never wrap negative.
+      var off = 12L
+      var nChannels = 0; var bits = 0; var fmtSeen = false
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= payload.length && dataOff < 0) {
+        val o = off.toInt
+        val id = tag(o)
+        val size = buf.getInt(o + 4)
+        require(size >= 0, s"media $mediaId: bad chunk size")
+        id match {
+          case "fmt " =>
+            require(size >= 16 && o + 24 <= payload.length,
+              s"media $mediaId: truncated fmt chunk")
+            val audioFormat = buf.getShort(o + 8).toInt
+            require(audioFormat == 1,
+              s"media $mediaId: non-PCM WAV (format $audioFormat) unsupported")
+            nChannels = buf.getShort(o + 10).toInt
+            bits = buf.getShort(o + 22).toInt
+            require(nChannels > 0, s"media $mediaId: zero channels")
+            require(bits == 8 || bits == 16,
+              s"media $mediaId: $bits-bit PCM unsupported")
+            fmtSeen = true
+          case "data" =>
+            require(fmtSeen, s"media $mediaId: data chunk before fmt")
+            dataOff = o + 8
+            dataLen = math.min(size, payload.length - dataOff)
+          case _ => // skip LIST/INFO/etc
+        }
+        off += 8L + size.toLong + (size & 1) // chunks pad to even length
+      }
+      require(dataOff >= 0, s"media $mediaId: no data chunk")
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * nChannels
+      val nFrames = dataLen / frameBytes
+      val samples = new Array[Float](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0f
+        var c = 0
+        while (c < nChannels) {
+          val o = dataOff + f * frameBytes + c * bytesPerSample
+          // 8-bit WAV is UNSIGNED (0..255, midpoint 128); 16-bit is signed
+          val v = if (bits == 8) ((payload(o) & 0xff) - 128) / 128.0f
+                  else buf.getShort(o) / 32768.0f
+          acc += v
+          c += 1
+        }
+        samples(f) = (acc / nChannels + 1.0f) / 2.0f
+        f += 1
+      }
+      Decoded(mediaId, kind, width = nChannels, height = 1, nFrames, samples)
     }
   }
 

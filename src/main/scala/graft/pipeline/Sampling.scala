@@ -135,6 +135,34 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
       .cast("long")
 
+  /** Deterministic pre-training shuffle + sharding: every row gets a
+    * `shard` in [0, nShards) and a dense 0-based `pos` within its shard,
+    * both derived from the salted-md5 [[hashRank]] — the global shuffle a
+    * training run needs (break source/time locality so batches are IID),
+    * reproducible across runs, engines, and retried tasks (RNG-free, like
+    * every sampler here). Different salts give independent shuffles.
+    *
+    * Scale shape: one hash pass + one shuffle on `shard` + a per-shard
+    * sort (the window never spans shards) — the standard distributed
+    * sort-by-random-key; with shards sized to executors (nShards ~ a few
+    * per core at the target SF) the sort is partition-local. Writing the
+    * result partitioned by `shard`, sorted by `pos`, gives ready-to-read
+    * training shards. */
+  def shardAndShuffle(df: DataFrame, key: Column, nShards: Int,
+      salt: String = "shuf"): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "shardAndShuffle emits 'shard' and 'pos' columns; rename the input's")
+    import org.apache.spark.sql.expressions.Window
+    val rkCol = Iterator.from(0).map(i => s"_rk$i")
+      .find(c => !df.columns.contains(c)).get
+    val w = Window.partitionBy(col("shard")).orderBy(col(rkCol), key)
+    df.withColumn(rkCol, hashRank(key, salt))
+      .withColumn("shard", col(rkCol) % nShards)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop(rkCol)
+  }
+
   /** EXACTLY `n` rows per stratum (fewer only if the stratum is smaller),
     * chosen as the stratum's top-n by deterministic [[hashRank]] — the
     * class-balancing step of a curation pipeline (n docs per language /

@@ -166,6 +166,21 @@ class ClientSemanticsSpec extends SparkSpec {
     assert(out("r2")._2.isEmpty) // no g cells -> empty map, not null
   }
 
+  test("decodeToMaps: multi-version scans keep the newest value per qualifier") {
+    val g = fresh(maxVersions = 3)
+    val t = g.table("t")
+    t.put(Seq(Put(b("r1")).add("f", b("q"), 1L, b("old"))), 1L)
+    t.put(Seq(Put(b("r1")).add("f", b("q"), 5L, b("new"))), 5L)
+    t.put(Seq(Put(b("r1")).add("f", b("other"), 2L, b("x"))), 6L)
+    // a multi-version scan yields two q cells — the map must carry the
+    // newest, not crash on a duplicate key or pick by value byte-order
+    val out = graft.core.CellCodec.decodeToMaps(
+      t.scan(Scan().setMaxVersions(3)), Seq("f")).collect()(0)
+    val m = out.getMap[Array[Byte], Array[Byte]](1).toSeq
+      .map { case (k, v) => (new String(k, "UTF-8"), new String(v, "UTF-8")) }
+    assert(m == Seq("other" -> "x", "q" -> "new"))
+  }
+
   test("multiTableWrite routes cells to their tables") {
     import org.apache.spark.sql.functions._
     val g = fresh()

@@ -333,6 +333,12 @@ class PipelineSpec extends SparkSpec {
     val ok = Dedup.connectedComponents(ids, pairs, maxIters = 12)
       .collect().map(r => r.getLong(1)).toSet
     assert(ok == Set(1L))
+    // boundary: the final permitted iteration makes the last change
+    // (diameter == maxIters) — the verification pass must accept the
+    // now-correct labels instead of throwing
+    val boundary = Dedup.connectedComponents(ids, pairs, maxIters = 11)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(boundary == Set(1L))
   }
 
   test("capBuckets: a degenerate hot bucket is dropped, cost stays bounded") {
@@ -474,6 +480,34 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap == byGrp)
   }
 
+  test("shardAndShuffle: permutation per shard, deterministic, salt-independent") {
+    val rows = (1L to 2000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val out = Sampling.shardAndShuffle(rows, col("id"), nShards = 8)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2000) // a shuffle is a permutation: nothing lost
+    assert(out.map(_._2).distinct.sorted.toSeq == (0L until 8L)) // all shards hit
+    // positions are dense 0..n-1 within every shard
+    for ((_, members) <- out.groupBy(_._2))
+      assert(members.map(_._3).sorted.toSeq == (0L until members.length))
+    // shards are roughly balanced (md5 uniformity)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.forall(n => math.abs(n - 250) < 80), sizes.toMap)
+    // deterministic across runs; a different salt permutes differently
+    val again = Sampling.shardAndShuffle(rows, col("id"), nShards = 8)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    val salted = Sampling.shardAndShuffle(rows, col("id"), 8, salt = "other")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(salted.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
+    // output-column collision refused
+    intercept[IllegalArgumentException] {
+      Sampling.shardAndShuffle(rows.withColumn("pos", lit(1)), col("id"), 8)
+    }
+  }
+
   test("IVF top-k: high recall vs brute force on clustered vectors") {
     val vecs = (0 until 24).map { i =>
       val c = i / 8
@@ -593,6 +627,75 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.BmpDecoder.decode(8L, "image", "not-a-bmp-payload-xx".getBytes)
     }
+    // adversarial pixel offsets (negative / into the header) are refused,
+    // never a crash or a silent header-as-pixels decode
+    for (badOff <- Seq(-1000, 2)) {
+      val evil = img.clone()
+      java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(10, badOff)
+      val ex = intercept[IllegalArgumentException] {
+        Multimodal.BmpDecoder.decode(9L, "image", evil)
+      }
+      assert(ex.getMessage.contains("pixel offset"))
+    }
+  }
+
+  test("WavDecoder: real PCM WAV payloads decode to exact mono samples") {
+    // hand-build a 16-bit stereo PCM WAV with an extra LIST chunk to skip
+    def wav16(frames: Seq[(Int, Int)]): Array[Byte] = {
+      val dataLen = frames.size * 4
+      val listLen = 4 // minimal LIST chunk body
+      val size = 44 + 8 + listLen + dataLen - 8
+      val buf = java.nio.ByteBuffer.allocate(size + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(size)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(2) // PCM, stereo
+        .putInt(8000).putInt(8000 * 4).putShort(4).putShort(16)
+      buf.put("LIST".getBytes("US-ASCII")).putInt(listLen)
+        .put("INFO".getBytes("US-ASCII")) // chunk the walker must skip
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      for ((l, r) <- frames) buf.putShort(l.toShort).putShort(r.toShort)
+      buf.array()
+    }
+    val frames = Seq((0, 0), (32767, 32767), (-32768, -32768), (16384, -16384))
+    val d = Multimodal.WavDecoder.decode(5L, "audio", wav16(frames))
+    assert((d.width, d.height, d.nFrames) == (2, 1, 4))
+    // mono mix mapped to [0,1]: silence=0.5, full+=~1, full-=0, mixed=0.5
+    val exp = Seq(0.5f, (32767f / 32768 + 1) / 2, 0.0f, 0.5f)
+    d.samples.zip(exp).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4) }
+    // 8-bit unsigned path: midpoint 128 = silence = 0.5
+    val w8 = {
+      val data = Array[Byte](128.toByte, 255.toByte, 0.toByte)
+      val buf = java.nio.ByteBuffer.allocate(44 + data.length + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+      buf.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      buf.array()
+    }
+    val d8 = Multimodal.WavDecoder.decode(6L, "audio", w8)
+    assert(d8.nFrames == 3)
+    assert(math.abs(d8.samples(0) - 0.5f) < 1e-4)
+    assert(d8.samples(1) > 0.99f && d8.samples(2) < 0.01f)
+    // strict on garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decode(9L, "audio",
+        Array.fill(64)(42.toByte))
+    }
+    // an adversarial near-Int.MaxValue chunk size must not wrap the
+    // cursor negative: the walk steps past the payload and reports the
+    // missing data chunk as the strict error
+    val evil = wav16(frames).clone()
+    java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 3) // the LIST chunk's size field
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decode(10L, "audio", evil)
+    }
+    assert(ex.getMessage.contains("no data chunk"))
   }
 
   test("keepCanonical: one min-id survivor per cluster, singletons survive") {
