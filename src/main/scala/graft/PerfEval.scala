@@ -184,6 +184,20 @@ object PerfEval {
         .count(): Unit
     }
 
+    // annPqAdc: product-quantization ANN end-to-end (maximin-seeded L2
+    // codebook training + PqEncode codes + ADC-table scan + exact
+    // re-rank). Like annLshHash, timed here rather than oracle-gated: the
+    // k-means training has no tractable SQL replay; recall and the
+    // native-expression parity are spec-asserted.
+    results("annPqAdc") = timed {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val books = graft.pipeline.Similarity.pqTrain(
+        emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      graft.pipeline.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", kNN = 5, codebooks = books)
+        .count(): Unit
+    }
+
     val json = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"pe_total","value":${results.values.sum},"unit":"sec","workloads":{$json},"sf":"$sfDir"}""")
     spark.stop()

@@ -81,6 +81,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         PlaneBands(args(0), intLit(args(1), "bands"), intLit(args(2), "width"), flat)
       }))
+    def pqArgs(name: String,
+        args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+        (org.apache.spark.sql.catalyst.expressions.Expression, Int, Int, Seq[Double]) = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+          what: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$name $what must be an int literal, got $other")
+      }
+      val flat = args(3) match {
+        case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, _)) =>
+          v.toDoubleArray().toSeq
+        case other => throw new IllegalArgumentException(
+          s"$name codebook must be an array<double> literal, got $other")
+      }
+      (args(0), intLit(args(1), "m"), intLit(args(2), "k"), flat)
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val (c, m, k, flat) = pqArgs("graft_pq_encode", args)
+        PqEncode(c, m, k, flat)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcTable].getName, "graft_pq_adc"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val (c, m, k, flat) = pqArgs("graft_pq_adc", args)
+        PqAdcTable(c, m, k, flat)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),

@@ -232,6 +232,95 @@ case class PlaneBands(child: Expression, bands: Int, width: Int,
     copy(child = newChild)
 }
 
+/** Product-quantization ENCODE in one compiled pass: split the vector
+  * into `m` subspaces of `flat.length / (m*k)` dims each and emit, per
+  * subspace, the id of the L2-nearest of its `k` codebook centroids
+  * (argmin ||v_j - c||^2 = argmax (v_j . c - |c|^2/2); ties break to the
+  * LOWEST cid — deterministic). `flat` is the row-major concatenation of
+  * the m*k centroids, subspace-major. The 100 TB point of PQ: the stored
+  * code is m small ints per vector instead of dim floats, so the ANN
+  * scan becomes memory-bandwidth-bound on codes (see PqAdcTable). */
+case class PqEncode(child: Expression, m: Int, k: Int, flat: Seq[Double])
+    extends UnaryExpression {
+  require(m > 0 && k > 0, s"m=$m k=$k must be positive")
+  require(flat.nonEmpty && flat.length % (m * k) == 0,
+    s"flat codebook (${flat.length}) must hold m*k equal centroids")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_encode needs array<float|double>, got ${other.simpleString}")
+    }
+
+  private lazy val flatArr: Array[Double] = flat.toArray
+  // 0.5*|c|^2 per centroid, folded into the argmax score
+  private lazy val halfNormSq: Array[Double] = {
+    val sub = flat.length / (m * k)
+    Array.tabulate(m * k) { p =>
+      var s = 0.0; var t = 0
+      while (t < sub) { val x = flatArr(p * sub + t); s += x * x; t += 1 }
+      s / 2
+    }
+  }
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprUtil.pqEncode(input.asInstanceOf[ArrayData], flatArr,
+      halfNormSq, m, k, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("pqCodebook", flatArr, "double[]")
+    val nRef = ctx.addReferenceObj("pqHalfNorms", halfNormSq, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.pqEncode($c, $fRef, $nRef, $m, $k, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** The ADC (asymmetric distance computation) lookup table for a QUERY
+  * vector, one compiled pass: element j*k + c = dot(q_j, centroid_{j,c})
+  * over the same subspace-major flat codebook as [[PqEncode]]. Scoring a
+  * PQ-coded corpus vector is then m table lookups:
+  * `sum_j table[j*k + code_j] ~ dot(q, x)` — the query pays m*k dots
+  * ONCE, every corpus vector costs m array reads. */
+case class PqAdcTable(child: Expression, m: Int, k: Int, flat: Seq[Double])
+    extends UnaryExpression {
+  require(m > 0 && k > 0, s"m=$m k=$k must be positive")
+  require(flat.nonEmpty && flat.length % (m * k) == 0,
+    s"flat codebook (${flat.length}) must hold m*k equal centroids")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_adc needs array<float|double>, got ${other.simpleString}")
+    }
+
+  private lazy val flatArr: Array[Double] = flat.toArray
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExprUtil.pqAdcTable(input.asInstanceOf[ArrayData], flatArr, m, k, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("pqCodebook", flatArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.pqAdcTable($c, $fRef, $m, $k, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+}
+
 /** MinHash LSH band buckets in ONE narrow compiled pass: for a shingle
   * array, compute `bands*rows` minhashes (one xxhash64 per shingle +
   * affine 2-universal permutations h_i = a_i*h + b_i — the standard
@@ -456,6 +545,67 @@ object VectorExprUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Hoist the vector once (nulls -> 0.0, DotProduct semantics). */
+  private def hoist(arr: ArrayData, upTo: Int, isFloat: Boolean): Array[Double] = {
+    val dim = math.min(arr.numElements(), upTo)
+    val xs = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      xs(i) = if (arr.isNullAt(i)) 0.0
+        else if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    xs
+  }
+
+  /** dot(v_subspace_j, centroid p) over the subspace-major flat codebook;
+    * subvectors past the vector's end contribute 0 (short-vector guard). */
+  private def subDot(xs: Array[Double], flat: Array[Double], p: Int,
+      j: Int, sub: Int): Double = {
+    val base = p * sub
+    val vOff = j * sub
+    val n = math.min(sub, math.max(0, xs.length - vOff))
+    var acc = 0.0
+    var t = 0
+    while (t < n) { acc += xs(vOff + t) * flat(base + t); t += 1 }
+    acc
+  }
+
+  def pqEncode(arr: ArrayData, flat: Array[Double], halfNormSq: Array[Double],
+      m: Int, k: Int, isFloat: Boolean): ArrayData = {
+    val sub = flat.length / (m * k)
+    val xs = hoist(arr, m * sub, isFloat)
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < k) {
+        val p = j * k + c
+        val score = subDot(xs, flat, p, j, sub) - halfNormSq(p)
+        if (score > bestScore) { bestScore = score; best = c } // ties: lowest cid
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def pqAdcTable(arr: ArrayData, flat: Array[Double], m: Int, k: Int,
+      isFloat: Boolean): ArrayData = {
+    val sub = flat.length / (m * k)
+    val xs = hoist(arr, m * sub, isFloat)
+    val out = new Array[Double](m * k)
+    var p = 0
+    while (p < m * k) {
+      out(p) = subDot(xs, flat, p, p / k, sub)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def hyperplaneBand(arr: ArrayData, seeds: Array[Long], isFloat: Boolean): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val w = seeds.length
@@ -520,4 +670,26 @@ object VectorFunctions {
     call_function("graft_winnow", text,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(window))
+  private def flatCodebook(codebooks: Seq[Seq[Seq[Double]]]): (Int, Int, Seq[Double]) = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+    val k = codebooks.head.length
+    require(codebooks.forall(_.length == k), "ragged codebook (k differs)")
+    require(codebooks.flatten.map(_.length).distinct.size == 1,
+      "ragged codebook (subspace dims differ)")
+    (codebooks.length, k, codebooks.flatten.flatten)
+  }
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val (m, k, flat) = flatCodebook(codebooks)
+    call_function("graft_pq_encode", vec,
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.typedLit(flat))
+  }
+  def pqAdcTable(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val (m, k, flat) = flatCodebook(codebooks)
+    call_function("graft_pq_adc", vec,
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.typedLit(flat))
+  }
 }

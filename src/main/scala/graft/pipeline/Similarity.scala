@@ -143,11 +143,150 @@ object Similarity {
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("col").cast("double")).as("m"))
         .as[(Int, Int, Double)].collect()
-      centroids = dimMeans.groupBy(_._1).map { case (cid, rows) =>
+      val refreshed = dimMeans.groupBy(_._1).map { case (cid, rows) =>
         (cid, rows.sortBy(_._2).map(_._3).toSeq)
-      }.toSeq.sortBy(_._1)
+      }
+      // a centroid whose cluster emptied keeps its previous position —
+      // the centroid COUNT is part of the contract (PQ codes index
+      // 0..k-1), and duplicate inits (common in clustered subspaces)
+      // would otherwise silently shrink the codebook
+      centroids = centroids.map { case (cid, old) =>
+        (cid, refreshed.getOrElse(cid, old))
+      }
     }
     centroids
+  }
+
+  /** Product-quantization codebooks: split the `dim`-dimensional space
+    * into `m` subspaces (dim must divide evenly) and train `k` L2
+    * centroids per subspace. Deterministic throughout (no RNG):
+    * farthest-point (maximin) seeding — first seed = the lowest-id row's
+    * subvector, each next seed the row maximizing distance to its
+    * nearest chosen seed, ties to the lowest id (the kmeans++ idea
+    * without randomness; naive first-k-rows seeding collapses when the
+    * lowest ids share a cluster) — then `iters` Lloyd steps with
+    * per-dimension-mean refinement (empty clusters keep their centroid,
+    * the codebook's k is part of the contract).
+    *
+    * ALL subspaces train JOINTLY: every maximin round and every Lloyd
+    * step is ONE job over the corpus (signatures via the native
+    * [[graft.functions.PqAdcTable]]/[[graft.functions.PqEncode]]
+    * kernels, per-subspace argmax via `max_by`), so the whole training
+    * costs k-1+iters+2 jobs regardless of m — only m*k*subdim scalars
+    * ever visit the driver. Returns `codebooks(j)(c)` = centroid c of
+    * subspace j.
+    *
+    * PQ is the memory-bandwidth scale path for ANN at 100 TB: each
+    * corpus vector stores m SMALL INTS (the per-subspace centroid ids,
+    * [[graft.functions.PqEncode]]) instead of dim floats — a 64-dim
+    * float vector becomes 8 bytes at m=8 — and query scoring is m table
+    * lookups per vector ([[pqTopK]]), not a dim-wide dot. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && k > 0, s"m=$m k=$k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fn = graft.functions.VectorFunctions
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val v = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    def subSlice(full: Seq[Double], j: Int): Seq[Double] =
+      full.slice(j * sub, (j + 1) * sub)
+    // per-subspace squared norms of the row's subvectors (m compiled dots)
+    val subNormSq = array((0 until m).map { j =>
+      val s = slice(col("_v"), j * sub + 1, sub)
+      dot(s, s)
+    }: _*)
+
+    // ---- maximin seeding, all subspaces per round
+    var books: Seq[Seq[Seq[Double]]] = {
+      val first = v.orderBy("_id").limit(1).select(col("_v")).collect()(0)
+        .getSeq[Any](0).map(x => x.toString.toDouble)
+      (0 until m).map(j => Seq(subSlice(first, j)))
+    }
+    while (books.head.size < k) {
+      val r = books.head.size
+      val tab = fn.pqAdcTable(col("_v"), books) // dots vs all chosen seeds
+      val cn = typedLit(books.map(_.map(cv => cv.map(x => x * x).sum)))
+      val dmin = array((0 until m).map { j =>
+        (0 until r).map { c =>
+          element_at(subNormSq, j + 1) -
+            element_at(tab, j * r + c + 1) * 2 +
+            element_at(element_at(cn, j + 1), c + 1)
+        }.reduce(least(_, _))
+      }: _*)
+      val picked = v.select(col("_id"), col("_v"),
+          posexplode(dmin).as(Seq("_j", "_dm")))
+        .groupBy("_j")
+        .agg(max_by(col("_v"), struct(col("_dm"), -col("_id"))).as("_w"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Any](1).map(x => x.toString.toDouble)).toMap
+      books = (0 until m).map(j =>
+        books(j) :+ subSlice(picked(j), j))
+    }
+
+    // ---- Lloyd refinement, all subspaces per iteration
+    for (_ <- 0 until iters) {
+      val dimMeans = v
+        .select(fn.pqEncode(col("_v"), books).as("_code"),
+          posexplode(col("_v")).as(Seq("pos", "x")))
+        .select((col("pos") / sub).cast("int").as("j"), col("pos"),
+          element_at(col("_code"), (col("pos") / sub).cast("int") + 1).as("cid"),
+          col("x").cast("double").as("x"))
+        .groupBy("j", "cid", "pos").agg(avg(col("x")).as("mn"))
+        .as[(Int, Int, Int, Double)].collect()
+      val refreshed = dimMeans.groupBy(t => (t._1, t._2)).map {
+        case ((j, cid), rows) => (j, cid) -> rows.sortBy(_._3).map(_._4).toSeq
+      }
+      books = books.zipWithIndex.map { case (cents, j) =>
+        cents.zipWithIndex.map { case (old, cid) =>
+          refreshed.getOrElse((j, cid), old) // empty cluster keeps its seat
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ/ADC approximate top-k + exact re-rank: corpus vectors are scored
+    * against each query through the ADC lookup table (approx dot =
+    * sum over subspaces of table[j*k + code_j]), the top
+    * `oversample * kNN` per query re-rank with EXACT cosine, and only
+    * exact scores are emitted — approximate in recall, never in values
+    * (the family-wide contract). Queries broadcast with their tables
+    * (built once per query by the native [[graft.functions.PqAdcTable]]);
+    * the corpus side reads codes, not vectors, for the scoring pass. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, kNN: Int,
+      codebooks: Seq[Seq[Seq[Double]]], oversample: Int = 4): DataFrame = {
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val fn = graft.functions.VectorFunctions
+    // codes + the TRUE vector norm (one scalar, stored at encode time —
+    // the standard companion to a PQ code): ADC approximates the raw
+    // dot, but the target metric is cosine, so candidates rank by
+    // adc / |x| (|q| is constant per query and cannot change its order)
+    val coded = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("_cv"),
+      fn.pqEncode(col(vecCol), codebooks).as("_code"),
+      norm(col(vecCol)).as("_cn"))
+    val qtab = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      fn.pqAdcTable(col(vecCol), codebooks).as("_tab"))
+    val approx = coded.crossJoin(broadcast(qtab))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("_adc", aggregate(
+        zip_with(col("_code"), sequence(lit(0), lit(m - 1)),
+          (c, j) => element_at(col("_tab"), (j * k + c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x) / col("_cn"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("_adc").desc, col("nn_id"))
+    val cands = approx.withColumn("_ar", row_number().over(wA))
+      .filter(col("_ar") <= oversample * kNN)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("nn_id"))
+    cands.select(col("query_id"), col("nn_id"),
+        cosine(col("_qv"), col("_cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= kNN)
   }
 
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) where

@@ -131,6 +131,46 @@ class VectorExpressionsSpec extends SparkSpec {
       .toLongArray().toSeq == d.getSeq[Long](0))
   }
 
+  test("graft_pq_encode / graft_pq_adc match a pure-Scala reference") {
+    val rnd = new scala.util.Random(29)
+    val m = 4; val k = 3; val sub = 5; val dim = m * sub
+    val codebooks: Seq[Seq[Seq[Double]]] = Seq.fill(m, k, sub)(rnd.nextDouble() * 2 - 1)
+    val vecs = (1 to 30).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    def refEncode(v: Seq[Float]): Seq[Int] =
+      (0 until m).map { j =>
+        val x = v.slice(j * sub, (j + 1) * sub).map(_.toDouble)
+        (0 until k).maxBy { c =>
+          val cv = codebooks(j)(c)
+          // tuple ordering: score asc, then PREFER lower cid on ties
+          (x.zip(cv).map { case (a, b) => a * b }.sum -
+            cv.map(b => b * b).sum / 2, -c)
+        }
+      }
+    def refTable(v: Seq[Float]): Seq[Double] =
+      for (j <- 0 until m; c <- 0 until k)
+        yield v.slice(j * sub, (j + 1) * sub).map(_.toDouble)
+          .zip(codebooks(j)(c)).map { case (a, b) => a * b }.sum
+    val out = vecs.select(col("id"), col("v"),
+      VectorFunctions.pqEncode(col("v"), codebooks).as("code"),
+      VectorFunctions.pqAdcTable(col("v"), codebooks).as("tab")).collect()
+    out.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(r.getSeq[Int](2) == refEncode(v), s"encode id=${r.getLong(0)}")
+      val tab = r.getSeq[Double](3)
+      // same sequential accumulation order -> bit-identical doubles
+      assert(tab == refTable(v), s"table id=${r.getLong(0)}")
+    }
+    // interpreted eval path agrees with the codegen'd plan path
+    val flat = codebooks.flatten.flatten
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      out(0).getSeq[Float](1).map(_.toDouble),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    assert(PqEncode(lit, m, k, flat).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq == out(0).getSeq[Int](2))
+  }
+
   test("graft_minhash_bands: identical sets share all buckets, disjoint share none") {
     val docs = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),

@@ -554,6 +554,46 @@ class PipelineSpec extends SparkSpec {
       .queryExecution.analyzed.toString.contains("collect_list"))
   }
 
+  test("PQ/ADC top-k: high recall vs brute force; codes are deterministic") {
+    // clustered corpus (same fixture family as the IVF test, wider)
+    val vecs = (0 until 48).map { i =>
+      val c = i / 12
+      val base = Array.fill(16)(0.05f)
+      base(c * 3) = 1.0f; base(c * 3 + 1) = 0.8f
+      base(15 - c) += (i % 12) * 0.01f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(vecs, "vec_id", "embedding", m = 4, k = 4)
+    assert(books.length == 4 && books.forall(_.length == 4))
+    assert(books.flatten.forall(_.length == 4)) // 16 dims / 4 subspaces
+    val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(vecs, vecs, "vec_id", "embedding", kNN = 3,
+      codebooks = books, oversample = 4)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"PQ recall $recall too low")
+    // deterministic end to end (training init, encode ties, ADC ranks)
+    val again = Similarity.pqTopK(vecs, vecs, "vec_id", "embedding", kNN = 3,
+      codebooks = Similarity.pqTrain(vecs, "vec_id", "embedding", 4, 4),
+      oversample = 4)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pq)
+    // emitted scores are EXACT cosines (the family contract): spot-check
+    val exactCos = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
+      .select("query_id", "nn_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.pqTopK(vecs, vecs, "vec_id", "embedding", 3, books)
+      .select("query_id", "nn_id", "cosine").collect()
+      .foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        exactCos.get(key).foreach(c => assert(c == r.getDouble(2), key))
+      }
+  }
+
   test("multimodal: stub decode is deterministic; features/resize/frames shaped right") {
     import org.apache.spark.sql.Row
     val media = spark.createDataFrame(
