@@ -1595,6 +1595,70 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // PQ/ADC ANN with md5-derived codebooks both engines can rebuild: the
+  // oracle re-derives the 8x16x8 codebook, re-encodes every corpus
+  // vector (argmax(dot - |c|^2/2), ties to the lowest cid — the exact
+  // PqEncode rule over bit-identical doubles), rebuilds each query's ADC
+  // table, replays the candidate cut (left-fold lookup sum / corpus
+  // norm, explicit 8-term parenthesized sum = the Spark aggregate()
+  // fold), and re-ranks by exact cosine — end-to-end exactness for the
+  // whole PQ path, the same pattern as similarity_lsh_planes. The
+  // TRAINED-codebook variant (pqTrain) is recall-asserted in
+  // PipelineSpec and timed as PerfEval's annPqAdc; its k-means has no
+  // tractable SQL replay, so the replayable-codebook query is the gate.
+  private val similarityPq = Q("similarity_pq_topk", Some(s"""
+    WITH cb AS (
+      SELECT j, c, [ (CAST(('0x' || substring(md5('pq_' || j || '_' || c || '_' || (t-1)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0
+                     for t in generate_series(1, 8) ] AS cv
+      FROM generate_series(0, 7) tj(j) CROSS JOIN generate_series(0, 15) tc(c)),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    codes AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT v.vec_id, cb.j, cb.c,
+          row_number() OVER (PARTITION BY v.vec_id, cb.j
+            ORDER BY list_dot_product(v.v[cb.j*8+1 : cb.j*8+8], cb.cv)
+                     - list_dot_product(cb.cv, cb.cv)/2 DESC, cb.c) AS rn
+        FROM vecs v CROSS JOIN cb)
+      WHERE rn = 1),
+    qtab AS (
+      SELECT v.vec_id AS query_id, cb.j, cb.c,
+        list_dot_product(v.v[cb.j*8+1 : cb.j*8+8], cb.cv) AS d
+      FROM vecs v CROSS JOIN cb
+      WHERE v.vec_id < 10),
+    approx AS (
+      SELECT q.query_id, co.vec_id AS nn_id, list(q.d ORDER BY q.j) AS ds
+      FROM qtab q JOIN codes co ON co.j = q.j AND co.code = q.c
+      WHERE co.vec_id <> q.query_id
+      GROUP BY q.query_id, co.vec_id),
+    cands AS (
+      SELECT query_id, nn_id FROM (
+        SELECT a.query_id, a.nn_id,
+          row_number() OVER (PARTITION BY a.query_id
+            ORDER BY (ds[1]+ds[2]+ds[3]+ds[4]+ds[5]+ds[6]+ds[7]+ds[8]) /
+              sqrt(list_dot_product(n.v, n.v)) DESC, a.nn_id) AS ar
+        FROM approx a JOIN vecs n ON n.vec_id = a.nn_id)
+      WHERE ar <= 20),
+    scored AS (
+      SELECT cd.query_id, cd.nn_id,
+        list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      FROM cands cd
+      JOIN vecs a ON a.vec_id = cd.query_id
+      JOIN vecs b ON b.vec_id = cd.nn_id)
+    SELECT query_id, rank, nn_id, cosine FROM (
+      SELECT query_id, nn_id, cosine,
+        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank""")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", kNN = 5,
+      codebooks = Similarity.md5Codebooks(m = 8, k = 16, sub = 8))
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   private val dedupEmbedding = Q("dedup_embedding", Some(s"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, $duckCos AS cosine
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
@@ -1872,7 +1936,7 @@ object Queries {
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact,
     textTopNgrams, textBoilerplate, dedupContamination,
     similarityTopk, similarityIvf,
-    similarityLshPlanes, similarityQuantized,
+    similarityLshPlanes, similarityQuantized, similarityPq,
     dedupEmbedding, dedupSemantic, multimodalFeatures, sampleSplit,
     sampleWeighted, sampleUpsampled, sampleShardShuffle,
     packSequences, sampleStratified,

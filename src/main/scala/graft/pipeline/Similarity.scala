@@ -393,6 +393,29 @@ object Similarity {
     }
   }
 
+  /** Deterministic PQ codebooks from md5, the [[md5Planes]] idea applied
+    * to quantization: centroid component (j, c, t) derives from
+    * md5("pq_<j>_<c>_<t>") with the same %2001 arithmetic, so a SQL
+    * oracle can rebuild the identical codebook and replay the ENTIRE
+    * PQ path — encode argmax, ADC lookup sums, candidate cut, exact
+    * re-rank — bit-for-bit (the driver-gate behind
+    * `similarity_pq_topk`). Not a substitute for [[pqTrain]]'s fitted
+    * codebooks in production — random codebooks cost recall — but the
+    * machinery they exercise is byte-identical. */
+  def md5Codebooks(m: Int, k: Int, sub: Int): Seq[Seq[Seq[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until m).map { j =>
+      (0 until k).map { c =>
+        (0 until sub).map { t =>
+          val hex = md
+            .digest(s"pq_${j}_${c}_${t}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map(b => f"$b%02x").mkString.take(15)
+          (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+        }
+      }
+    }
+  }
+
   /** ALL band buckets under an EXPLICIT plane matrix, one fused compiled
     * pass (native [[graft.functions.PlaneBands]]): element b's bit r =
     * sign(dot(v, plane_{b*w+r})), sequential double accumulation — the
