@@ -321,6 +321,41 @@ case class PqAdcTable(child: Expression, m: Int, k: Int, flat: Seq[Double])
     copy(child = newChild)
 }
 
+/** ADC SCORE in one compiled pass: `sum_j table[j*k + codes[j]]` as a
+  * left fold in j order — bit-identical to a `zip_with`+`aggregate`
+  * chain over the same lookups and to a SQL oracle's parenthesized
+  * left-to-right sum. `codes` is a [[PqEncode]] output (length m),
+  * `table` a [[PqAdcTable]] output (length m*k); k derives at runtime
+  * as `table.length / codes.length`. This runs once per
+  * corpus-vector × query pair — THE inner loop of a PQ scan — which is
+  * exactly where interpreted HOF lambdas are unaffordable (the
+  * DotProduct lesson: one compiled kernel, no per-element dispatch). */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_score needs (array<int> codes, array<double> table), " +
+            s"got ${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorExprUtil.pqAdcScore(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) =>
+      s"graft.functions.VectorExprUtil.pqAdcScore($c, $t)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash LSH band buckets in ONE narrow compiled pass: for a shingle
   * array, compute `bands*rows` minhashes (one xxhash64 per shingle +
   * affine 2-universal permutations h_i = a_i*h + b_i — the standard
@@ -545,6 +580,26 @@ object VectorExprUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** `sum_j table[j*k + codes[j]]`, left fold in j order. Null or
+    * out-of-range codes contribute 0 (unreachable from [[PqEncode]]
+    * output, which is dense and 0..k-1 by construction). */
+  def pqAdcScore(codes: ArrayData, table: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val k = table.numElements() / m
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (!codes.isNullAt(j)) {
+        val idx = j * k + codes.getInt(j)
+        if (idx >= 0 && idx < table.numElements() && !table.isNullAt(idx))
+          acc += table.getDouble(idx)
+      }
+      j += 1
+    }
+    acc
+  }
+
   /** Hoist the vector once (nulls -> 0.0, DotProduct semantics). */
   private def hoist(arr: ArrayData, upTo: Int, isFloat: Boolean): Array[Double] = {
     val dim = math.min(arr.numElements(), upTo)
@@ -692,4 +747,6 @@ object VectorFunctions {
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.typedLit(flat))
   }
+  def pqAdcScore(codes: Column, table: Column): Column =
+    call_function("graft_pq_score", codes, table)
 }

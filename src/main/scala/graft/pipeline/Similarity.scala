@@ -111,6 +111,20 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact numeric widening for vector components collected to the
+    * driver: `getFloat(i).toDouble` semantics (what the native kernels
+    * see via `hoist`), NOT `toString.toDouble` — the string round-trip
+    * parses the shortest decimal representation, which differs from the
+    * exact widening by up to half a float ulp and can train a boundary
+    * point into a different Voronoi cell than encode assigns it. */
+  private def widen(x: Any): Double = x match {
+    case null => 0.0
+    case f: java.lang.Float => f.doubleValue
+    case d: java.lang.Double => d.doubleValue
+    case n: java.lang.Number => n.doubleValue
+    case other => other.toString.toDouble
+  }
+
   /** k-means-lite coarse-quantizer training for [[ivfTopK]]. Input frame
     * has columns `(_id, _v)`; returns the `nLists` centroids after `iters`
     * deterministic Lloyd steps (init = the `nLists` lowest-id vectors).
@@ -128,7 +142,7 @@ object Similarity {
     var centroids: Seq[(Int, Seq[Double])] = c.orderBy("_id").limit(nLists)
       .select(col("_v")).collect()
       .zipWithIndex.map { case (r, i) =>
-        (i, r.getSeq[Any](0).map(x => x.toString.toDouble))
+        (i, r.getSeq[Any](0).map(widen))
       }.toSeq
     for (_ <- 0 until iters) {
       val cdf = centroids.toDF("cid", "cv")
@@ -192,7 +206,9 @@ object Similarity {
       trainSample: Int = 4096): Seq[Seq[Seq[Double]]] = {
     require(m > 0 && k > 0, s"m=$m k=$k must be positive")
     require(trainSample >= k, s"trainSample=$trainSample must cover k=$k")
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dimRows = corpus.select(size(col(vecCol))).head(1)
+    require(dimRows.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dim = dimRows(0).getInt(0)
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     // hash-ordered TakeOrdered: a uniform, reproducible, type-agnostic
@@ -206,11 +222,10 @@ object Similarity {
         val v = r.getSeq[Any](1)
         val a = new Array[Double](dim) // short vectors 0-pad, like PqEncode
         v.iterator.take(dim).zipWithIndex.foreach { case (x, i) =>
-          a(i) = if (x == null) 0.0 else x.toString.toDouble
+          a(i) = widen(x)
         }
         a
       }
-    require(pts.nonEmpty, "pqTrain needs a non-empty corpus")
 
     (0 until m).map { j =>
       val off = j * sub
@@ -285,31 +300,40 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, kNN: Int,
       codebooks: Seq[Seq[Seq[Double]]], oversample: Int = 4): DataFrame = {
-    val m = codebooks.length
-    val k = codebooks.head.length
     val fn = graft.functions.VectorFunctions
     // codes + the TRUE vector norm (one scalar, stored at encode time —
     // the standard companion to a PQ code): ADC approximates the raw
     // dot, but the target metric is cosine, so candidates rank by
-    // adc / |x| (|q| is constant per query and cannot change its order)
-    val coded = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("_cv"),
+    // adc / |x| (|q| is constant per query and cannot change its order).
+    // The scoring pass carries ONLY (nn_id, codes, norm) — m ints + a
+    // double per corpus vector, never the vector itself: at 100 TB the
+    // candidate cut shuffles codes, and full vectors surface only for
+    // the oversample*kNN survivors joined back below.
+    val coded = corpus.select(col(idCol).as("nn_id"),
       fn.pqEncode(col(vecCol), codebooks).as("_code"),
       norm(col(vecCol)).as("_cn"))
-    val qtab = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+    val qtab = queries.select(col(idCol).as("query_id"),
       fn.pqAdcTable(col(vecCol), codebooks).as("_tab"))
+    // compiled kernel (PqAdcScore), not zip_with/aggregate lambdas:
+    // this expression runs corpus x queries times — interpreted HOF
+    // dispatch here would cost more than the dot product ADC replaces
     val approx = coded.crossJoin(broadcast(qtab))
       .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("_adc", aggregate(
-        zip_with(col("_code"), sequence(lit(0), lit(m - 1)),
-          (c, j) => element_at(col("_tab"), (j * k + c + 1).cast("int"))),
-        lit(0.0), (acc, x) => acc + x) / col("_cn"))
+      .withColumn("_adc",
+        fn.pqAdcScore(col("_code"), col("_tab")) / col("_cn"))
     val wA = Window.partitionBy("query_id")
       .orderBy(col("_adc").desc, col("nn_id"))
     val cands = approx.withColumn("_ar", row_number().over(wA))
       .filter(col("_ar") <= oversample * kNN)
+      .select("query_id", "nn_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("nn_id"))
-    cands.select(col("query_id"), col("nn_id"),
+    cands
+      .join(corpus.select(col(idCol).as("nn_id"), col(vecCol).as("_cv")), "nn_id")
+      .join(broadcast(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))),
+        "query_id")
+      .select(col("query_id"), col("nn_id"),
         cosine(col("_qv"), col("_cv")).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= kNN)
   }
@@ -384,13 +408,20 @@ object Similarity {
   def md5Planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5") // resets per digest()
     (0 until nPlanes).map { j =>
-      (0 until dim).map { d =>
-        val hex = md
-          .digest(s"hp_${j}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map(b => f"$b%02x").mkString.take(15)
-        (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
-      }
+      (0 until dim).map(d => md5Unit(md, s"hp_${j}_${d}"))
     }
+  }
+
+  /** The md5-hex-to-[-1,1] component shared by [[md5Planes]] and
+    * [[md5Codebooks]]: first 15 md5 hex chars of the key as a long,
+    * (h % 2001 - 1000) / 1000.0. This arithmetic is LOAD-BEARING for
+    * the SQL oracles, which rebuild it verbatim in DuckDB — change it
+    * in lockstep with the `similarity_lsh_planes` / `dedup_semantic` /
+    * `similarity_pq_topk` oracle CTEs or the gates go red. */
+  private def md5Unit(md: java.security.MessageDigest, key: String): Double = {
+    val hex = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
   }
 
   /** Deterministic PQ codebooks from md5, the [[md5Planes]] idea applied
@@ -406,12 +437,7 @@ object Similarity {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until m).map { j =>
       (0 until k).map { c =>
-        (0 until sub).map { t =>
-          val hex = md
-            .digest(s"pq_${j}_${c}_${t}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .map(b => f"$b%02x").mkString.take(15)
-          (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
-        }
+        (0 until sub).map(t => md5Unit(md, s"pq_${j}_${c}_${t}"))
       }
     }
   }

@@ -171,6 +171,39 @@ class VectorExpressionsSpec extends SparkSpec {
       .toIntArray().toSeq == out(0).getSeq[Int](2))
   }
 
+  test("graft_pq_score: left-fold lookup sum matches the reference, bit-exact") {
+    val rnd = new scala.util.Random(31)
+    val m = 4; val k = 3; val sub = 5; val dim = m * sub
+    val codebooks: Seq[Seq[Seq[Double]]] = Seq.fill(m, k, sub)(rnd.nextDouble() * 2 - 1)
+    val vecs = (1 to 20).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    // score every vector's own code against its own table through the
+    // compiled kernel, and replay the fold in plain Scala
+    val out = vecs.select(col("id"),
+      VectorFunctions.pqAdcScore(
+        VectorFunctions.pqEncode(col("v"), codebooks),
+        VectorFunctions.pqAdcTable(col("v"), codebooks)).as("s"),
+      VectorFunctions.pqEncode(col("v"), codebooks).as("code"),
+      VectorFunctions.pqAdcTable(col("v"), codebooks).as("tab")).collect()
+    out.foreach { r =>
+      val code = r.getSeq[Int](2)
+      val tab = r.getSeq[Double](3)
+      val ref = code.zipWithIndex.foldLeft(0.0) { case (acc, (c, j)) =>
+        acc + tab(j * k + c)
+      }
+      assert(r.getDouble(1) == ref, s"id=${r.getLong(0)}") // bit-exact
+    }
+    // interpreted eval agrees with the plan path
+    val one = out(0)
+    val codeLit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      one.getSeq[Int](2),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+    val tabLit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      one.getSeq[Double](3),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    assert(PqAdcScore(codeLit, tabLit).eval(null) == one.getDouble(1))
+  }
+
   test("graft_minhash_bands: identical sets share all buckets, disjoint share none") {
     val docs = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),
