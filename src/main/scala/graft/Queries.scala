@@ -1162,6 +1162,46 @@ object Queries {
       .select("doc_id", "text").orderBy("doc_id")
   }
 
+  // STREAMING exact dedup over a file-arrival stream of documents
+  // (StreamDedup.firstSeen: flatMapGroupsWithState, one bit of state per
+  // distinct key) — same oracle as dedup_exact because the whole corpus
+  // ships in ONE micro-batch here (maxFilesPerTrigger above the file
+  // count), where firstSeen's winner is the min doc_id of the key's
+  // first batch = the global min the batch SQL computes. Keyed on
+  // md5(text), the documented at-scale posture (16 bytes shuffled and
+  // stored, not the document): equivalent to grouping by text itself
+  // absent md5 collisions. The stream emits winner IDs only; text is
+  // joined back from the batch table after termination.
+  private val streamDedup = Q("stream_dedup", Some("""
+    SELECT doc_id, text FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    ORDER BY doc_id""")) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-q-sdedup").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$work/in/documents.parquet"))
+    val docs = t(s, dir, "documents")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 100000).parquet(s"$work/in")
+    val winners = graft.streaming.StreamDedup.firstSeen(
+      stream, key = md5(col("text")), id = col("doc_id"))
+    val sink = s"sdedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = winners.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // a hung stream must fail THIS query and be stopped, not wedge the
+    // battery (same containment as stream_window_agg)
+    if (!q.awaitTermination(600000L)) {
+      q.stop()
+      throw new IllegalStateException("stream_dedup timed out")
+    }
+    docs.join(s.table(sink).select(col("id").as("doc_id")), "doc_id")
+      .select("doc_id", "text").orderBy("doc_id")
+  }
+
   private val dedupFingerprint = Q("dedup_fingerprint", Some(s"""
     SELECT doc_id, md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')) AS fp
     FROM documents
@@ -1931,7 +1971,7 @@ object Queries {
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
     asOfJoinQ,
-    dedupExact, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
+    dedupExact, streamDedup, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
     dedupMinhashLsh, dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact,
     textTopNgrams, textBoilerplate, dedupContamination,

@@ -256,4 +256,27 @@ class ReplicationSpec extends SparkSpec {
     assert(emitted().map(t => (t._1, t._2)).toSet ==
       Set(("r1", "v1"), ("r2", "v2"), ("r3", "v3")))
   }
+
+  test("StreamDedup.firstSeen: min id of the first batch wins; re-sightings suppressed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, md5}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamDedup.firstSeen(
+      ms.toDF().toDF("doc_id", "text"), md5(col("text")), col("doc_id"))
+    val q = out.writeStream.format("memory").queryName("fs_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: key A arrives as ids 5 and 7 -> 5 wins; B -> 9
+      ms.addData((5L, "A"), (7L, "A"), (9L, "B"))
+      q.processAllAvailable()
+      // batch 2: A again with a SMALLER id (3) -> suppressed, first
+      // batch won; new key C -> 1
+      ms.addData((3L, "A"), (1L, "C"))
+      q.processAllAvailable()
+      val ids = spark.table("fs_dedup").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(5L, 9L, 1L))
+    } finally q.stop()
+  }
 }
