@@ -83,19 +83,18 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-    val cdf = broadcast(trainCentroids(c, nLists, iters).toDF("cid", "cv"))
+    val cents = trainCentroids(c, nLists, iters)
 
-    // ---- assign corpus to lists; queries probe nProbe lists
+    // ---- assign corpus to lists; queries probe nProbe lists. NARROW:
+    // nearest-centroid ids come from a per-row expression over the
+    // driver-side centroid literals — a row never leaves its partition
+    // to learn its list (the windowed formulation this replaces
+    // exchanged corpus x nLists rows WITH their vectors just to run
+    // row_number per id: a 16x corpus shuffle for a per-row argmax)
     def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame =
-      df.crossJoin(cdf)
-        .withColumn("_d", dot(col(v), col("cv")) / (norm(col(v)) * norm(col("cv"))))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy(id).orderBy(col("_d").desc, col("cid"))))
-        .filter(col("_rn") <= keep)
-        .drop("_d", "_rn", "cv")
+      df.select(col(id), col(v),
+        explode(nearestCids(col(v), cents, keep)).as("cid"))
     val corpusLists = assign(
       corpus.select(col(idCol).as("nn_id"), col(vecCol).as("_cv2")), "nn_id", "_cv2", 1)
     val queryLists = assign(
@@ -125,6 +124,28 @@ object Similarity {
     case other => other.toString.toDouble
   }
 
+  /** The `keep` nearest-centroid ids for a vector column, best first, as
+    * a NARROW per-row expression over DRIVER-SIDE centroid literals: an
+    * array of `(-score, cid)` structs, `array_sort` (lexicographic:
+    * score desc, ties to the lowest cid — the exact ordering of the
+    * windowed formulation this replaces), sliced to `keep`, projected to
+    * cids. No crossJoin, no window, no shuffle.
+    *
+    * Score = `dot(v, c) / |c|` with `|c|` a driver-computed constant:
+    * the row's own norm is a common POSITIVE factor across all
+    * centroids, so dividing by it cannot change the per-row ordering —
+    * dropping it saves a sqrt per centroid term. A zero-norm centroid
+    * scores 0 against everything (guard, not NaN). */
+  private def nearestCids(v: Column, cents: Seq[(Int, Seq[Double])],
+      keep: Int): Column = {
+    val scored = array(cents.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      val score = if (cn == 0.0) lit(0.0) else dot(v, typedLit(cv)) / cn
+      struct((-score).as("negd"), lit(cid).as("cid"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, keep), s => s.getField("cid"))
+  }
+
   /** k-means-lite coarse-quantizer training for [[ivfTopK]]. Input frame
     * has columns `(_id, _v)`; returns the `nLists` centroids after `iters`
     * deterministic Lloyd steps (init = the `nLists` lowest-id vectors).
@@ -145,13 +166,10 @@ object Similarity {
         (i, r.getSeq[Any](0).map(widen))
       }.toSeq
     for (_ <- 0 until iters) {
-      val cdf = centroids.toDF("cid", "cv")
-      val assigned = c.crossJoin(broadcast(cdf))
-        .withColumn("_d", dot(col("_v"), col("cv")) /
-          (norm(col("_v")) * norm(col("cv"))))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy("_id").orderBy(col("_d").desc, col("cid"))))
-        .filter(col("_rn") === 1)
+      // narrow per-row assignment (see nearestCids) — the Lloyd step's
+      // only exchange is the (cid, pos) mean aggregation below
+      val assigned = c.withColumn("cid",
+        element_at(nearestCids(col("_v"), centroids, 1), 1))
       val dimMeans = assigned
         .select(col("cid"), posexplode(col("_v")))
         .groupBy(col("cid"), col("pos"))

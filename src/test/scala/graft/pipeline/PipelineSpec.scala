@@ -547,11 +547,18 @@ class PipelineSpec extends SparkSpec {
     cents(0).zip(exp0).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
     cents(1).zip(exp1).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
     // the training plan must never aggregate whole vectors into a list
-    assert(!Similarity.ivfTopK(df.withColumnRenamed("_id", "vec_id")
+    val ivfPlan = Similarity.ivfTopK(df.withColumnRenamed("_id", "vec_id")
         .withColumnRenamed("_v", "embedding"),
       df.withColumnRenamed("_id", "vec_id").withColumnRenamed("_v", "embedding"),
       "vec_id", "embedding", k = 2, nLists = 2, nProbe = 2, iters = 1)
-      .queryExecution.analyzed.toString.contains("collect_list"))
+    assert(!ivfPlan.queryExecution.analyzed.toString.contains("collect_list"))
+    // list assignment is a narrow per-row expression: the ONLY window
+    // (and its shuffle) in the whole query is the final exact re-rank —
+    // the windowed-assignment formulation had one per assign() call,
+    // exchanging corpus x nLists rows with their vectors
+    assert(ivfPlan.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size == 1)
   }
 
   test("PQ/ADC top-k: high recall vs brute force; codes are deterministic") {
