@@ -1235,6 +1235,48 @@ object Queries {
       k = 3, threshold = 0.8).orderBy("id_a", "id_b")
   }
 
+  // STREAMING near-dup over a file-arrival stream: shingle + MinHash
+  // bands computed per arriving doc (narrow compiled expressions,
+  // streaming-safe), candidate pairs emitted by per-bucket GroupState
+  // (StreamDedup.lshCandidates), exact-Jaccard verification batch-side
+  // after termination through the SAME verifyJaccard arithmetic as the
+  // batch path. One micro-batch + an uncapped bucket bound makes the
+  // candidate set equal the batch banded join's, so the batch minhash
+  // oracle applies verbatim; across real incremental batches the
+  // candidate set only grows (new docs probe all remembered ones).
+  private val streamMinhashLsh = Q("stream_minhash_lsh",
+    Some(jaccardOracle)) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-q-slsh").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$work/in/documents.parquet"))
+    val docs = t(s, dir, "documents")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 100000).parquet(s"$work/in")
+    val shStream = graft.pipeline.Text.withShingles(
+      stream.select(col("doc_id"), col("text")), "text", 3)
+    val cands = graft.streaming.StreamDedup.lshCandidates(
+      shStream, col("doc_id"),
+      graft.functions.VectorFunctions.minHashBands(col("sh"), 32, 4),
+      maxBucketSize = 1000000)
+    val sink = s"slsh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = cands.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(600000L)) {
+      q.stop()
+      throw new IllegalStateException("stream_minhash_lsh timed out")
+    }
+    val sh = graft.pipeline.Text.withShingles(
+      docs.select(col("doc_id").as("id"), col("text")), "text", 3)
+      .select("id", "sh")
+    Dedup.verifyJaccard(s.table(sink).distinct(), sh, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   // Near-dup clustering: connected components over the jaccard>=0.8 pair
   // graph; cluster id = min doc id of the component (singletons keep
   // their own id). Oracle: DuckDB recursive-CTE transitive closure over
@@ -1972,7 +2014,7 @@ object Queries {
     copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
     asOfJoinQ,
     dedupExact, streamDedup, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
-    dedupMinhashLsh, dedupClusters, dedupKeepCanonical,
+    dedupMinhashLsh, streamMinhashLsh, dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact,
     textTopNgrams, textBoilerplate, dedupContamination,
     similarityTopk, similarityIvf,

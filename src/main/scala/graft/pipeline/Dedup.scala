@@ -210,8 +210,11 @@ object Dedup {
       case None => banded
     }
 
-  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+  /** Exact-Jaccard verification of candidate pairs against shingle sets.
+    * `private[graft]`: the streaming LSH gate verifies its candidate
+    * stream through the SAME arithmetic so emitted jaccard doubles are
+    * bit-identical to the batch path's. */
+  private[graft] def verifyJaccard(cands: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame =
     cands
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")

@@ -279,4 +279,33 @@ class ReplicationSpec extends SparkSpec {
       assert(ids == Set(5L, 9L, 1L))
     } finally q.stop()
   }
+
+  test("StreamDedup.lshCandidates: new docs probe remembered buckets; full bucket freezes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Long])]
+    val out = StreamDedup.lshCandidates(
+      ms.toDF().toDF("id", "bands"), col("id"), col("bands"),
+      maxBucketSize = 3)
+    val q = out.writeStream.format("memory").queryName("lsh_cands")
+      .outputMode("append").start()
+    def pairs() = spark.table("lsh_cands").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // batch 1: ids 1,2 share band-0 bucket 10 -> pair (1,2)
+      ms.addData((1L, Seq(10L, 20L)), (2L, Seq(10L, 30L)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)))
+      // batch 2: id 3 probes the REMEMBERED bucket -> (1,3), (2,3)
+      ms.addData((3L, Seq(10L, 40L)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      // batch 3: bucket 10 is at the cap (3 ids) -> frozen: id 4 emits
+      // nothing there and is not remembered
+      ms.addData((4L, Seq(10L, 50L)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    } finally q.stop()
+  }
 }
