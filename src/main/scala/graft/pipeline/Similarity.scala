@@ -307,6 +307,21 @@ object Similarity {
     }
   }
 
+  /** Ingest-time PQ encoding: append the code column (the m per-subspace
+    * centroid ids, array<int>) and the TRUE vector norm (one double —
+    * the standard companion to a PQ code: ADC approximates the raw dot
+    * but the family metric is cosine, so candidates rank by adc/|x|).
+    * At 100 TB this runs ONCE at ingest — the same posture as
+    * [[withUnitVec]]/[[quantizeUnit]] — and every [[pqTopKEncoded]]
+    * query scans m ints + a double per vector instead of dim floats. */
+  def withPqCodes(df: DataFrame, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      codeCol: String = "pq_code", normCol: String = "pq_norm"): DataFrame = {
+    val fn = graft.functions.VectorFunctions
+    df.withColumn(codeCol, fn.pqEncode(col(vecCol), codebooks))
+      .withColumn(normCol, norm(col(vecCol)))
+  }
+
   /** PQ/ADC approximate top-k + exact re-rank: corpus vectors are scored
     * against each query through the ADC lookup table (approx dot =
     * sum over subspaces of table[j*k + code_j]), the top
@@ -314,22 +329,28 @@ object Similarity {
     * exact scores are emitted — approximate in recall, never in values
     * (the family-wide contract). Queries broadcast with their tables
     * (built once per query by the native [[graft.functions.PqAdcTable]]);
-    * the corpus side reads codes, not vectors, for the scoring pass. */
+    * the corpus side reads codes, not vectors, for the scoring pass.
+    * Encodes inline; a corpus queried repeatedly should encode once via
+    * [[withPqCodes]] and use [[pqTopKEncoded]]. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, kNN: Int,
-      codebooks: Seq[Seq[Seq[Double]]], oversample: Int = 4): DataFrame = {
+      codebooks: Seq[Seq[Seq[Double]]], oversample: Int = 4): DataFrame =
+    pqTopKEncoded(withPqCodes(corpus, vecCol, codebooks), queries,
+      idCol, vecCol, kNN, codebooks, oversample)
+
+  /** PQ/ADC top-k over a PRE-ENCODED corpus ([[withPqCodes]], run at
+    * ingest). The scoring pass carries ONLY (nn_id, codes, norm) — m
+    * ints + a double per corpus vector, never the vector itself: at
+    * 100 TB the candidate cut shuffles codes, and full vectors surface
+    * only for the oversample*kNN survivors joined back for the exact
+    * re-rank. */
+  def pqTopKEncoded(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, kNN: Int,
+      codebooks: Seq[Seq[Seq[Double]]], oversample: Int = 4,
+      codeCol: String = "pq_code", normCol: String = "pq_norm"): DataFrame = {
     val fn = graft.functions.VectorFunctions
-    // codes + the TRUE vector norm (one scalar, stored at encode time —
-    // the standard companion to a PQ code): ADC approximates the raw
-    // dot, but the target metric is cosine, so candidates rank by
-    // adc / |x| (|q| is constant per query and cannot change its order).
-    // The scoring pass carries ONLY (nn_id, codes, norm) — m ints + a
-    // double per corpus vector, never the vector itself: at 100 TB the
-    // candidate cut shuffles codes, and full vectors surface only for
-    // the oversample*kNN survivors joined back below.
     val coded = corpus.select(col(idCol).as("nn_id"),
-      fn.pqEncode(col(vecCol), codebooks).as("_code"),
-      norm(col(vecCol)).as("_cn"))
+      col(codeCol).as("_code"), col(normCol).as("_cn"))
     val qtab = queries.select(col(idCol).as("query_id"),
       fn.pqAdcTable(col(vecCol), codebooks).as("_tab"))
     // compiled kernel (PqAdcScore), not zip_with/aggregate lambdas:

@@ -589,6 +589,13 @@ class PipelineSpec extends SparkSpec {
       .select("query_id", "nn_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == pq)
+    // pre-encoded path (withPqCodes at ingest) == inline encoding
+    val encoded = Similarity.withPqCodes(vecs, "embedding", books)
+    val viaEncoded = Similarity.pqTopKEncoded(encoded, vecs, "vec_id",
+      "embedding", kNN = 3, codebooks = books, oversample = 4)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaEncoded == pq)
     // emitted scores are EXACT cosines (the family contract): spot-check
     val exactCos = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
       .select("query_id", "nn_id", "cosine").collect()
