@@ -1162,43 +1162,57 @@ object Queries {
       .select("doc_id", "text").orderBy("doc_id")
   }
 
-  // STREAMING exact dedup over a file-arrival stream of documents
-  // (StreamDedup.firstSeen: flatMapGroupsWithState, one bit of state per
-  // distinct key) — same oracle as dedup_exact because the whole corpus
-  // ships in ONE micro-batch here (maxFilesPerTrigger above the file
-  // count), where firstSeen's winner is the min doc_id of the key's
-  // first batch = the global min the batch SQL computes. Keyed on
-  // md5(text), the documented at-scale posture (16 bytes shuffled and
-  // stored, not the document): equivalent to grouping by text itself
-  // absent md5 collisions. The stream emits winner IDs only; text is
-  // joined back from the batch table after termination.
-  private val streamDedup = Q("stream_dedup", Some("""
-    SELECT doc_id, text FROM documents
-    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
-    ORDER BY doc_id""")) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft-q-sdedup").toString
+  /** Replay one parquet file as a file-arrival stream through
+    * `transform`, AvailableNow into a memory sink; returns the sink's
+    * frame. The whole file ships as ONE micro-batch (maxFilesPerTrigger
+    * far above the file count), which is what lets the streaming gates
+    * reuse their batch oracles. Shared containment: a hung stream fails
+    * ITS query and is STOPPED, never wedging the battery (the
+    * stream_window_agg lesson; that gate keeps its own harness — cell
+    * change-feed source, complete output mode — but the same timeout
+    * rule). */
+  private def runFileStream(s: SparkSession, inputFile: String,
+      namePrefix: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory(s"graft-q-$namePrefix").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      java.nio.file.Paths.get(s"$work/in/documents.parquet"))
-    val docs = t(s, dir, "documents")
-    val stream = s.readStream.schema(docs.schema)
+      java.nio.file.Paths.get(inputFile),
+      java.nio.file.Paths.get(
+        s"$work/in/${java.nio.file.Paths.get(inputFile).getFileName}"))
+    val stream = s.readStream.schema(s.read.parquet(inputFile).schema)
       .option("maxFilesPerTrigger", 100000).parquet(s"$work/in")
-    val winners = graft.streaming.StreamDedup.firstSeen(
-      stream, key = md5(col("text")), id = col("doc_id"))
-    val sink = s"sdedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = winners.writeStream.format("memory").queryName(sink)
+    val sink = s"${namePrefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = transform(stream).writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    // a hung stream must fail THIS query and be stopped, not wedge the
-    // battery (same containment as stream_window_agg)
     if (!q.awaitTermination(600000L)) {
       q.stop()
-      throw new IllegalStateException("stream_dedup timed out")
+      throw new IllegalStateException(s"$namePrefix stream timed out")
     }
-    docs.join(s.table(sink).select(col("id").as("doc_id")), "doc_id")
+    s.table(sink)
+  }
+
+  // STREAMING exact dedup over a file-arrival stream of documents
+  // (StreamDedup.firstSeen: flatMapGroupsWithState, one bit of state per
+  // distinct key) — same oracle as dedup_exact because the whole corpus
+  // ships in ONE micro-batch (see runFileStream), where firstSeen's
+  // winner is the min doc_id of the key's first batch = the global min
+  // the batch SQL computes. Keyed on md5(text), the documented at-scale
+  // posture (16 bytes shuffled and stored, not the document): equivalent
+  // to grouping by text itself absent md5 collisions. The stream emits
+  // winner IDs only; text is joined back from the batch table after
+  // termination.
+  private val streamDedup = Q("stream_dedup", Some("""
+    SELECT doc_id, text FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    ORDER BY doc_id""")) { (s, dir) =>
+    val winners = runFileStream(s, s"$dir/documents.parquet", "sdedup")(
+      stream => graft.streaming.StreamDedup.firstSeen(
+        stream, key = md5(col("text")), id = col("doc_id")))
+    t(s, dir, "documents")
+      .join(winners.select(col("id").as("doc_id")), "doc_id")
       .select("doc_id", "text").orderBy("doc_id")
   }
 
@@ -1246,34 +1260,19 @@ object Queries {
   // candidate set only grows (new docs probe all remembered ones).
   private val streamMinhashLsh = Q("stream_minhash_lsh",
     Some(jaccardOracle)) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft-q-slsh").toString
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      java.nio.file.Paths.get(s"$work/in/documents.parquet"))
-    val docs = t(s, dir, "documents")
-    val stream = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 100000).parquet(s"$work/in")
-    val shStream = graft.pipeline.Text.withShingles(
-      stream.select(col("doc_id"), col("text")), "text", 3)
-    val cands = graft.streaming.StreamDedup.lshCandidates(
-      shStream, col("doc_id"),
-      graft.functions.VectorFunctions.minHashBands(col("sh"), 32, 4),
-      maxBucketSize = 1000000)
-    val sink = s"slsh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = cands.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(600000L)) {
-      q.stop()
-      throw new IllegalStateException("stream_minhash_lsh timed out")
-    }
-    val sh = graft.pipeline.Text.withShingles(
-      docs.select(col("doc_id").as("id"), col("text")), "text", 3)
-      .select("id", "sh")
-    Dedup.verifyJaccard(s.table(sink).distinct(), sh, threshold = 0.8)
+    val cands = runFileStream(s, s"$dir/documents.parquet", "slsh")(
+      stream => graft.streaming.StreamDedup.lshCandidates(
+        graft.pipeline.Text.withShingles(
+          stream.select(col("doc_id"), col("text")), "text", 3),
+        col("doc_id"),
+        graft.functions.VectorFunctions.minHashBands(col("sh"), 32, 4),
+        maxBucketSize = 1000000))
+    // verification reuses the batch path's PERSISTED shingle frame
+    // (verifyJaccard joins it twice — unpersisted, the full-corpus
+    // regexp shingling pass would run once per join) and the batch
+    // arithmetic, so emitted jaccard doubles are bit-identical
+    val sh = Dedup.shingled(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    Dedup.verifyJaccard(cands.distinct(), sh, threshold = 0.8)
       .orderBy("id_a", "id_b")
   }
 

@@ -78,7 +78,7 @@ object Dedup {
     * dedup over many distinct corpora should clear between corpora.
     * (persist cannot be scoped tighter here — the returned frame is lazy,
     * so there is no safe point inside the operator to unpersist.) */
-  private def shingled(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingled(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     Text.withShingles(df.select(col(idCol).as("id"), col(textCol)), textCol, k)
       .select("id", "sh")
