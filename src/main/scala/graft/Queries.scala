@@ -1365,6 +1365,46 @@ object Queries {
   // whole-doc dedup). The oracle replays the winnowing CTE (same md5
   // gram hash as dedup_winnowing), counts fingerprint doc-frequency,
   // and recomputes each doc's common-fingerprint fraction.
+  // BM25 retrieval over the corpus (Text.bm25) with the
+  // Robertson/Sparck-Jones ODDS idf — the log-free rational form, so the
+  // oracle replays every term contribution bit-for-bit (ln differs in
+  // the last ulp across engines; the standard log-idf variant is
+  // spec-asserted instead). Contributions quantize to the 2^-20 grid
+  // and accumulate as LONGS (order-independent — a raw double sum's
+  // value depends on partial-aggregate combine order), so the per-doc
+  // score is exact on both sides. The SQL mirrors the Spark expression
+  // tree operation for operation.
+  private val textBm25 = Q("text_bm25", Some(s"""
+    WITH toks AS (
+      SELECT doc_id, unnest($duckToks) AS t FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+           WHERE t IN ('spark', 'table', 'row') GROUP BY doc_id, t),
+    dfreq AS (SELECT t, count(*) AS dfreq FROM tf GROUP BY t),
+    stats AS (SELECT count(*) AS n_docs,
+      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    contrib AS (
+      SELECT tf.doc_id,
+        CAST(floor(((n_docs - dfreq + 0.5) / (dfreq + 0.5)) *
+          ((tf * (1.2 + 1)) /
+            (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1048576.0 + 0.5)
+          AS BIGINT) AS q
+      FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN stats),
+    scored AS (SELECT doc_id, sum(q) / 1048576.0 AS score
+               FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    WHERE rank <= 50 ORDER BY rank""")) { (s, dir) =>
+    graft.pipeline.Text.bm25(t(s, dir, "documents"), "doc_id", "text",
+      queryTerms = Seq("spark", "table", "row"), topN = 50,
+      idf = (dfreq, nDocs) => (nDocs - dfreq + 0.5) / (dfreq + 0.5))
+      .select(col("id").as("doc_id"), col("score"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy("rank")
+  }
+
   private val textBoilerplate = Q("text_boilerplate", bench = true, oracle = Some(s"""
     WITH n AS (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
                FROM documents),
@@ -2014,7 +2054,7 @@ object Queries {
     asOfJoinQ,
     dedupExact, streamDedup, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
     dedupMinhashLsh, streamMinhashLsh, dedupClusters, dedupKeepCanonical,
-    dedupSimhash, textQuality, textLangid, textRepetition, textRedact,
+    dedupSimhash, textQuality, textLangid, textRepetition, textRedact, textBm25,
     textTopNgrams, textBoilerplate, dedupContamination,
     similarityTopk, similarityIvf,
     similarityLshPlanes, similarityQuantized, similarityPq,

@@ -261,4 +261,64 @@ object Text {
   /** Convenience inline form — fine for one-shot use on small data; hot
     * paths use [[withShingles]]. */
   def shingles(text: Column, k: Int = 3): Column = shinglesOf(tokens(text), k)
+
+  /** BM25 relevance of every document against a bag of query terms —
+    * the retrieval face of the text pipeline (eval-set decontamination
+    * probes, quality spot-checks, corpus search). Okapi shape:
+    *
+    *   score(d) = sum over query terms t of
+    *     idf(df_t, N) * (tf * (k1+1)) / (tf + k1 * (1 - b + b*dl/avgdl))
+    *
+    * Distribution: tokens explode once; the (doc, term) tf aggregation is
+    * FILTERED to the query terms before the shuffle (a handful of rows
+    * per doc), doc lengths are one count per doc, and the four corpus
+    * scalars (N, total length, per-term df) broadcast — no corpus-wide
+    * join anywhere.
+    *
+    * Determinism contract: each term's contribution is quantized to the
+    * 2^-20 grid (`floor(x * 2^20 + 0.5)`, the engine-portable floor
+    * idiom of [[Similarity.quantizeUnit]]) and accumulated as a LONG —
+    * integer addition is order-independent, so the per-doc sum is exact
+    * and reproducible no matter how partial aggregates combine, and an
+    * independent engine replays it bit-for-bit. (A raw double sum's
+    * value depends on combine order — nondeterministic run to run.)
+    *
+    * `idf` defaults to the standard log form (transcendental — JVM and
+    * other engines' `ln` may differ in the last ulp); an oracle-exact
+    * gate uses the Robertson/Sparck-Jones ODDS weight
+    * `(N - df + 0.5) / (df + 0.5)` (the same quantity without the log:
+    * rational arithmetic, bit-identical across engines). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 50,
+      idf: (Column, Column) => Column = (dfreq, nDocs) =>
+        log((nDocs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("t"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("t").isin(queryTerms: _*))
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("dfreq"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val contrib = tf
+      .join(broadcast(dfreq), "t")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf", idf(col("dfreq"), col("n_docs")))
+      .withColumn("_score", col("_idf") *
+        ((col("tf") * lit(k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))))
+      .withColumn("_q",
+        floor(col("_score") * 1048576.0 + 0.5).cast("long"))
+    // TakeOrdered(topN) first — the rank window then runs over <= topN
+    // rows, never a corpus-wide single-partition sort
+    val top = contrib.groupBy("id")
+      .agg((sum(col("_q")) / 1048576.0).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(topN)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("id"))))
+  }
 }

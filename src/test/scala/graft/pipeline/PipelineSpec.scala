@@ -608,6 +608,32 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("bm25: tf and idf order the ranking; non-matching docs absent; deterministic") {
+    val docs = Seq(
+      (1L, "spark spark spark pad pad pad pad pad"),
+      (2L, "spark pad pad pad pad pad pad pad"),
+      (3L, "rare pad pad pad pad pad pad pad"),
+      (4L, "common pad pad pad pad pad pad pad"),
+      (5L, "common pad pad pad pad pad pad pad"),
+      (6L, "common pad pad pad pad pad pad pad"),
+      (7L, "nothing here at all pad pad pad pad")).toDF("id", "text")
+    // tf: doc 1 (tf=3) outranks doc 2 (tf=1) for the same term
+    val byTf = Text.bm25(docs, "id", "text", Seq("spark"), topN = 10)
+      .orderBy("rank").select("id").collect().map(_.getLong(0))
+    assert(byTf.toSeq == Seq(1L, 2L))
+    // idf: a 1-doc term outranks a 3-doc term at equal tf and dl
+    val byIdf = Text.bm25(docs, "id", "text", Seq("rare", "common"), topN = 10)
+      .orderBy("rank").select("id").collect().map(_.getLong(0))
+    assert(byIdf.head == 3L)
+    assert(byIdf.toSet == Set(3L, 4L, 5L, 6L)) // doc 7 matches nothing
+    // quantized-long accumulation: bit-identical across runs
+    val again = Text.bm25(docs, "id", "text", Seq("rare", "common"), topN = 10)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val first = Text.bm25(docs, "id", "text", Seq("rare", "common"), topN = 10)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq == first.toSeq)
+  }
+
   test("multimodal: stub decode is deterministic; features/resize/frames shaped right") {
     import org.apache.spark.sql.Row
     val media = spark.createDataFrame(
