@@ -1405,6 +1405,45 @@ object Queries {
       .orderBy("rank")
   }
 
+  // CCNet-style bigram-LM fluency scoring (Text.trainBigramLm +
+  // Text.perplexity), self-trained on the corpus for gate determinism
+  // (a production run trains on a reference corpus instead — same
+  // plumbing, different `df` argument). The oracle-compared column is
+  // the rational `predictability` twin (counts + IEEE `+ - * /` +
+  // floor: bit-identical across engines); the transcendental
+  // `perplexity` column is projected away here and ranking-asserted in
+  // PipelineSpec. The SQL replays bigram formation, both count tables,
+  // Laplace smoothing, and the quantized-long mean operation for
+  // operation.
+  private val textPerplexity = Q("text_perplexity", Some(s"""
+    WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+    bg AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT doc_id,
+          unnest([{'w1': ts[i], 'w2': ts[i+1]}
+                  for i in generate_series(1, len(ts)-1)]) AS b
+        FROM toks WHERE len(ts) >= 2)),
+    big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    voc AS (SELECT count(DISTINCT t) AS v
+            FROM (SELECT unnest($duckToks) AS t FROM documents)),
+    q AS (
+      SELECT bg.doc_id,
+        CAST(floor(((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + v))
+          * 1048576.0 + 0.5) AS BIGINT) AS q
+      FROM bg LEFT JOIN big USING (w1, w2) LEFT JOIN ctx USING (w1)
+        CROSS JOIN voc)
+    SELECT doc_id, count(*) AS n_bigrams,
+      sum(q) / 1048576.0 / count(*) AS predictability
+    FROM q GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    graft.pipeline.Text.perplexity(docs, "doc_id", "text",
+        graft.pipeline.Text.trainBigramLm(docs))
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        col("predictability"))
+      .orderBy("doc_id")
+  }
+
   private val textBoilerplate = Q("text_boilerplate", bench = true, oracle = Some(s"""
     WITH n AS (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
                FROM documents),
@@ -2055,6 +2094,7 @@ object Queries {
     dedupExact, streamDedup, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
     dedupMinhashLsh, streamMinhashLsh, dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact, textBm25,
+    textPerplexity,
     textTopNgrams, textBoilerplate, dedupContamination,
     similarityTopk, similarityIvf,
     similarityLshPlanes, similarityQuantized, similarityPq,

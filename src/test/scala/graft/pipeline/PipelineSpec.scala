@@ -634,6 +634,40 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == first.toSeq)
   }
 
+  test("perplexity: repetitive text scores fluent, unseen sequences surprise; <2-token docs absent") {
+    val ref = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the dog sat on the mat and the dog sat again"),
+      (3L, "the cat ran to the mat and the dog ran home")).toDF("id", "text")
+    val lm = Text.trainBigramLm(ref, "id", "text")
+    val score = Seq(
+      (10L, "the cat sat on the mat"),   // every bigram well-attested
+      (11L, "mat home again ran to on"), // real words, unseen order
+      (12L, "onlyone"),                  // 1 token -> no bigram -> no row
+      (13L, "")).toDF("id", "text")
+    val out = Text.perplexity(score, "id", "text", lm)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(10L, 11L))
+    val (n10, pred10, ppl10) = out(10L)
+    val (n11, pred11, ppl11) = out(11L)
+    assert(n10 == 5 && n11 == 5)
+    // fluent doc: lower perplexity, higher mean bigram probability
+    assert(ppl10 < ppl11)
+    assert(pred10 > pred11)
+    // self-scored corpus ranks its most-templated doc most predictable
+    val self = Text.perplexity(ref, "id", "text", Text.trainBigramLm(ref, "id", "text"))
+    val byPpl = self.orderBy(col("perplexity")).select("id")
+      .collect().map(_.getLong(0))
+    assert(byPpl.last == 3L) // doc 3 has the most unique transitions
+    // deterministic across runs (quantized-long predictability)
+    val a = Text.perplexity(score, "id", "text", lm)
+      .select("id", "predictability").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = Text.perplexity(score, "id", "text", lm)
+      .select("id", "predictability").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
+  }
+
   test("multimodal: stub decode is deterministic; features/resize/frames shaped right") {
     import org.apache.spark.sql.Row
     val media = spark.createDataFrame(
