@@ -1374,7 +1374,7 @@ object Queries {
   // value depends on partial-aggregate combine order), so the per-doc
   // score is exact on both sides. The SQL mirrors the Spark expression
   // tree operation for operation.
-  private val textBm25 = Q("text_bm25", Some(s"""
+  private val bm25OracleSql = s"""
     WITH toks AS (
       SELECT doc_id, unnest($duckToks) AS t FROM documents),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -1396,10 +1396,32 @@ object Queries {
       SELECT doc_id, score,
         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
       FROM scored)
-    WHERE rank <= 50 ORDER BY rank""")) { (s, dir) =>
+    WHERE rank <= 50 ORDER BY rank"""
+
+  private val rsjIdf: (Column, Column) => Column =
+    (dfreq, nDocs) => (nDocs - dfreq + 0.5) / (dfreq + 0.5)
+
+  private val textBm25 = Q("text_bm25", Some(bm25OracleSql)) { (s, dir) =>
     graft.pipeline.Text.bm25(t(s, dir, "documents"), "doc_id", "text",
-      queryTerms = Seq("spark", "table", "row"), topN = 50,
-      idf = (dfreq, nDocs) => (nDocs - dfreq + 0.5) / (dfreq + 0.5))
+      queryTerms = Seq("spark", "table", "row"), topN = 50, idf = rsjIdf)
+      .select(col("id").as("doc_id"), col("score"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy("rank")
+  }
+
+  // BM25 answered from the ingest-time inverted index
+  // (Text.buildInvertedIndex + bm25FromIndex) instead of raw text. The
+  // oracle is the SAME SQL as text_bm25: the index path must reproduce
+  // the from-text scores exactly (shared scoring core; the index only
+  // changes WHERE tf/dl come from). The parquet round-trip + row-group
+  // pruning behavior of the written index is spec-asserted
+  // (PipelineSpec "inverted index").
+  private val textBm25Indexed = Q("text_bm25_indexed",
+      Some(bm25OracleSql)) { (s, dir) =>
+    val ix = graft.pipeline.Text.buildInvertedIndex(
+      t(s, dir, "documents"), "doc_id", "text")
+    graft.pipeline.Text.bm25FromIndex(ix,
+      queryTerms = Seq("spark", "table", "row"), topN = 50, idf = rsjIdf)
       .select(col("id").as("doc_id"), col("score"),
         col("rank").cast(LongType).as("rank"))
       .orderBy("rank")
@@ -2094,7 +2116,7 @@ object Queries {
     dedupExact, streamDedup, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
     dedupMinhashLsh, streamMinhashLsh, dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact, textBm25,
-    textPerplexity,
+    textPerplexity, textBm25Indexed,
     textTopNgrams, textBoilerplate, dedupContamination,
     similarityTopk, similarityIvf,
     similarityLshPlanes, similarityQuantized, similarityPq,

@@ -291,14 +291,26 @@ object Text {
   def bm25(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topN: Int = 50,
-      idf: (Column, Column) => Column = (dfreq, nDocs) =>
-        log((nDocs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      idf: (Column, Column) => Column = defaultIdf): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("t"))
     val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
     val tf = toks.filter(col("t").isin(queryTerms: _*))
       .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, k1, b, topN, idf)
+  }
+
+  private val defaultIdf: (Column, Column) => Column = (dfreq, nDocs) =>
+    log((nDocs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+
+  /** Shared BM25 scoring core over `(id, t, tf)` term frequencies and
+    * `(id, dl)` doc lengths — [[bm25]] (from raw text) and
+    * [[bm25FromIndex]] (from a prebuilt index) both land here, so their
+    * arithmetic — and therefore their quantized scores — are identical
+    * by construction. */
+  private def bm25Score(tf: DataFrame, dl: DataFrame, k1: Double,
+      b: Double, topN: Int, idf: (Column, Column) => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("dfreq"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -321,6 +333,51 @@ object Text {
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col("id"))))
   }
+
+  /** Ingest-time inverted index — the retrieval analog of
+    * [[Similarity]]'s encode-once PQ path: tokenize the corpus ONCE,
+    * persist term postings, answer every later query from the postings
+    * alone. `postings` is `(t, id, tf)`; `docs` is `(id, dl)` with
+    * `dl = sum(tf)` precomputed so query-time never re-reads text. */
+  final case class InvertedIndex(postings: DataFrame, docs: DataFrame)
+
+  def buildInvertedIndex(df: DataFrame, idCol: String,
+      textCol: String): InvertedIndex = {
+    val tf = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    InvertedIndex(
+      postings = tf.select("t", "id", "tf"),
+      docs = tf.groupBy("id").agg(sum(col("tf")).as("dl")))
+  }
+
+  /** Persist the index with postings RANGE-PARTITIONED AND SORTED BY
+    * TERM: every parquet row group then carries tight min/max stats on
+    * `t`, so a query's `t IN (...)` predicate prunes to the handful of
+    * row groups holding those terms — query cost scales with the query
+    * terms' posting lists, not the corpus. */
+  def writeInvertedIndex(ix: InvertedIndex, dir: String): Unit = {
+    ix.postings.repartitionByRange(col("t"))
+      .sortWithinPartitions("t", "id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    ix.docs.write.mode("overwrite").parquet(s"$dir/docs")
+  }
+
+  def readInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): InvertedIndex =
+    InvertedIndex(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/docs"))
+
+  /** BM25 from a prebuilt [[InvertedIndex]] — same scores as [[bm25]]
+    * (shared core), but the only corpus-sized read is the pruned
+    * postings scan; doc lengths and corpus stats come from the
+    * doc-count-sized `docs` frame. */
+  def bm25FromIndex(ix: InvertedIndex, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 50,
+      idf: (Column, Column) => Column = defaultIdf): DataFrame =
+    bm25Score(ix.postings.filter(col("t").isin(queryTerms: _*))
+        .select("id", "t", "tf"),
+      ix.docs, k1, b, topN, idf)
 
   /** Add-one-smoothed bigram language model: the counting side of a
     * CCNet-style perplexity quality filter. Train on a reference corpus

@@ -634,6 +634,32 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == first.toSeq)
   }
 
+  test("inverted index: disk round-trip reproduces from-text bm25 exactly; term predicate pushes to postings scan") {
+    val docs = Seq(
+      (1L, "spark rows spark tables spark"),
+      (2L, "spark joins and filters"),
+      (3L, "nothing relevant here at all"),
+      (4L, "rows rows rows spark")).toDF("id", "text")
+    val fromText = Text.bm25(docs, "id", "text", Seq("spark", "rows"), topN = 10)
+      .select("id", "score", "rank").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ix").toString
+    try {
+      Text.writeInvertedIndex(Text.buildInvertedIndex(docs, "id", "text"), dir)
+      val ix = Text.readInvertedIndex(spark, dir)
+      val fromIx = Text.bm25FromIndex(ix, Seq("spark", "rows"), topN = 10)
+        .select("id", "score", "rank").collect().toSeq
+      assert(fromIx == fromText)
+      // the t IN (...) predicate must reach the parquet postings scan —
+      // that pushdown (plus term-sorted row groups) is the whole reason
+      // query cost tracks posting-list size, not corpus size
+      val plan = ix.postings.filter(col("t").isin("spark", "rows"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(t,"), plan)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("perplexity: repetitive text scores fluent, unseen sequences surprise; <2-token docs absent") {
     val ref = Seq(
       (1L, "the cat sat on the mat and the cat sat again"),
