@@ -1664,6 +1664,57 @@ object Queries {
     """list_dot_product(a.v, b.v) /
        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
 
+  // Deterministic k-means clustering (Similarity.kmeansCluster): the
+  // oracle replays the ENTIRE algorithm — lowest-id init, one Lloyd
+  // step with the quantized-grid per-dimension mean (longs: combine-
+  // order-independent), keep-old-on-empty, and both argmax assignments
+  // (score desc, ties to lowest cid) — because every arithmetic step is
+  // IEEE `+ - * /`, floor, sqrt, and a sequential-fold dot product:
+  // no RNG, no transcendentals, no order-dependent double sums.
+  private val clusterKmeans = Q("cluster_kmeans", Some(s"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+             FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)),
+    a1 AS (SELECT vec_id, cid FROM (
+      SELECT e.vec_id, i.cid, row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY
+          CASE WHEN sqrt(list_dot_product(i.v, i.v)) = 0 THEN 0.0
+               ELSE list_dot_product(e.v, i.v) /
+                    sqrt(list_dot_product(i.v, i.v)) END DESC,
+          i.cid) AS rn
+      FROM emb e CROSS JOIN init i) WHERE rn = 1),
+    mem AS (SELECT cid, u.pos AS pos, u.x AS x FROM (
+      SELECT cid, unnest([{'pos': i-1, 'x': v[i]}
+               for i in generate_series(1, len(v))]) AS u
+      FROM a1 JOIN emb USING (vec_id))),
+    means AS (SELECT cid, pos,
+                sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+                count(*) AS n
+              FROM mem GROUP BY 1, 2),
+    initg AS (SELECT cid, u.pos AS pos, u.x AS x FROM (
+      SELECT cid, unnest([{'pos': i-1, 'x': v[i]}
+               for i in generate_series(1, len(v))]) AS u FROM init)),
+    ref AS (SELECT ig.cid, ig.pos,
+              coalesce(m.sq / 1048576.0 / m.n, ig.x) AS m
+            FROM initg ig LEFT JOIN means m
+              ON m.cid = ig.cid AND m.pos = ig.pos),
+    cents AS (SELECT cid, list(m ORDER BY pos) AS v FROM ref GROUP BY cid)
+    SELECT vec_id, cid FROM (
+      SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY
+          CASE WHEN sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+               ELSE list_dot_product(e.v, c.v) /
+                    sqrt(list_dot_product(c.v, c.v)) END DESC,
+          c.cid) AS rn
+      FROM emb e CROSS JOIN cents c) WHERE rn = 1
+    ORDER BY vec_id""")) { (s, dir) =>
+    Similarity.kmeansCluster(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4, iters = 1)
+      .select(col("vec_id"), col("cid").cast(LongType).as("cid"))
+      .orderBy("vec_id")
+  }
+
   private val similarityTopk = Q("similarity_topk", Some(s"""
     SELECT query_id, rank, nn_id, cosine FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS nn_id, $duckCos AS cosine,
@@ -2118,7 +2169,7 @@ object Queries {
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,
     textTopNgrams, textBoilerplate, dedupContamination,
-    similarityTopk, similarityIvf,
+    similarityTopk, similarityIvf, clusterKmeans,
     similarityLshPlanes, similarityQuantized, similarityPq,
     dedupEmbedding, dedupSemantic, multimodalFeatures, sampleSplit,
     sampleWeighted, sampleUpsampled, sampleShardShuffle,

@@ -110,6 +110,62 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic k-means clustering of the corpus by embedding — the
+    * mixing/curation face of the vector pipeline (cluster-balanced
+    * sampling, per-cluster quality stats, SemDeDup-style pruning all
+    * start from `(id, cid)` assignments). Returns `(idCol, cid)`.
+    *
+    * Engine-replayable BY CONSTRUCTION, unlike textbook k-means:
+    *  - init = the `k` lowest-id vectors (no RNG);
+    *  - each Lloyd refresh is a PER-DIMENSION GRID MEAN: coordinates
+    *    quantize to the 2^-20 grid and accumulate as longs, so the mean
+    *    is combine-order-independent and an independent engine replays
+    *    it bit-for-bit (same contract as [[graft.pipeline.Text.bm25]]);
+    *    raw double `avg` would depend on partial-aggregate order;
+    *  - assignment = [[nearestCids]] (score desc, ties to lowest cid),
+    *    whose dot products are sequential folds matching any engine's
+    *    list dot product;
+    *  - an emptied cluster keeps its previous centroid (k is part of
+    *    the output contract).
+    *
+    * Scale: assignment is a narrow per-row expression over driver-side
+    * centroid literals (no shuffle); each refresh is one `groupBy(cid,
+    * pos)` whose state is one long per (cluster, dimension); only k*dim
+    * scalars visit the driver per iteration. The corpus is read
+    * `iters + 1` times — at 100 TB pass `corpus.persist()` if memory
+    * allows, or keep `iters` small (cluster quality saturates fast;
+    * FAISS trains IVF coarse quantizers with a handful of steps). */
+  def kmeansCluster(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    var cents: Seq[(Int, Seq[Double])] =
+      c.orderBy("_id").limit(k).select(col("_v")).collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Any](0).map(widen).toSeq)
+        }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = c.withColumn("cid",
+        element_at(nearestCids(col("_v"), cents, 1), 1))
+      val gridMeans = assigned
+        .select(col("cid"), posexplode(col("_v")))
+        .withColumn("_q",
+          floor(col("col").cast("double") * 1048576.0 + 0.5).cast("long"))
+        .groupBy("cid", "pos")
+        .agg((sum(col("_q")) / 1048576.0 / count(lit(1))).as("m"))
+        .as[(Int, Int, Double)].collect()
+      val refreshed = gridMeans.groupBy(_._1).map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(_._3).toSeq)
+      }
+      cents = cents.map { case (cid, old) =>
+        (cid, refreshed.getOrElse(cid, old))
+      }
+    }
+    c.select(col("_id").as(idCol),
+      element_at(nearestCids(col("_v"), cents, 1), 1).as("cid"))
+  }
+
   /** Exact numeric widening for vector components collected to the
     * driver: `getFloat(i).toDouble` semantics (what the native kernels
     * see via `hoist`), NOT `toString.toDouble` — the string round-trip

@@ -634,6 +634,32 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == first.toSeq)
   }
 
+  test("kmeans: separable clusters recovered; empty cluster keeps centroid; deterministic") {
+    // two tight clusters on orthogonal axes + ids chosen so both init
+    // seeds (lowest 2 ids) land in cluster A: the Lloyd step must MOVE
+    // a centroid toward cluster B for the assignment to split correctly
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.05f)), (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(1.0f, 0.05f, 0.0f)), (4L, Seq(0.95f, 0.0f, 0.1f)),
+      (10L, Seq(0.0f, 1.0f, 0.05f)), (11L, Seq(0.1f, 0.9f, 0.0f)),
+      (12L, Seq(0.0f, 1.0f, 0.1f)), (13L, Seq(0.05f, 0.95f, 0.0f)))
+      .toDF("id", "vec")
+    val out = Similarity.kmeansCluster(rows, "id", "vec", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val clusterA = Set(1L, 2L, 3L, 4L).map(out)
+    val clusterB = Set(10L, 11L, 12L, 13L).map(out)
+    assert(clusterA.size == 1 && clusterB.size == 1 && clusterA != clusterB)
+    // determinism: same assignments across runs
+    val again = Similarity.kmeansCluster(rows, "id", "vec", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == out)
+    // k > distinct directions: an emptied cluster keeps its centroid and
+    // the output still assigns every row to SOME cid in [0, k)
+    val outK4 = Similarity.kmeansCluster(rows, "id", "vec", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(outK4.size == 8 && outK4.values.forall(c => c >= 0 && c < 4))
+  }
+
   test("inverted index: disk round-trip reproduces from-text bm25 exactly; term predicate pushes to postings scan") {
     val docs = Seq(
       (1L, "spark rows spark tables spark"),
