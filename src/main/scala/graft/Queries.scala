@@ -929,13 +929,15 @@ object Queries {
   // gap): the canonical event-pipeline windowing op. One window pass:
   // session start = gap from previous event > threshold; sessions per
   // user = sum of starts.
-  private val sessionize = Q("sessionize_events", Some("""
+  private val sessionizeOracleSql = """
     SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
       count(*) AS n_events FROM (
       SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL
         OR ts - lag(ts) OVER w > INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-    GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
+    GROUP BY user_id ORDER BY user_id"""
+
+  private val sessionize = Q("sessionize_events", Some(sessionizeOracleSql)) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     t(s, dir, "events")
@@ -945,6 +947,43 @@ object Queries {
           col("ts") - col("_prev") > 3600L * 1000000000L, 1L).otherwise(0L))
       .groupBy("user_id")
       .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // STREAMING sessionization (StreamSessions.sessionize,
+  // flatMapGroupsWithState: three longs of state per active user), same
+  // oracle as sessionize_events. The corpus ships as one micro-batch
+  // PLUS a per-user sentinel flush event gap+1ns past the corpus max:
+  // the sentinel closes every real session (strict-> gap rule), while
+  // its own 1-event session stays open in state and is never emitted —
+  // so the emitted closed sessions aggregate to exactly the batch
+  // query's (n_sessions, n_events).
+  private val streamSessionize = Q("stream_sessionize",
+      Some(sessionizeOracleSql)) { (s, dir) =>
+    val gap = 3600L * 1000000000L
+    val ev = t(s, dir, "events")
+    val mx = ev.agg(max(col("ts"))).head.getLong(0) // one scalar: fixture prep
+    val work = java.nio.file.Files.createTempDirectory("graft-q-ssess").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$work/in/events.parquet"))
+    // the file-stream source lists top-level files: stage the sentinel
+    // write, then move its single part file next to the source parquet
+    ev.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), lit(mx + gap + 1L).as("ts"),
+        col("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$work/stage")
+    val part = new java.io.File(s"$work/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$work/in/flush.parquet"))
+    val sessions = runDirStream(s, s"$work/in", ev.schema, work, "ssess")(
+      stream => graft.streaming.StreamSessions.sessionize(
+        stream, col("user_id"), col("ts"), col("event_id"), gap))
+    sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
       .orderBy("user_id")
   }
 
@@ -1179,8 +1218,18 @@ object Queries {
       java.nio.file.Paths.get(inputFile),
       java.nio.file.Paths.get(
         s"$work/in/${java.nio.file.Paths.get(inputFile).getFileName}"))
-    val stream = s.readStream.schema(s.read.parquet(inputFile).schema)
-      .option("maxFilesPerTrigger", 100000).parquet(s"$work/in")
+    runDirStream(s, s"$work/in", s.read.parquet(inputFile).schema, work,
+      namePrefix)(transform)
+  }
+
+  /** [[runFileStream]] over a PREPARED input dir (gates that need extra
+    * fixture files — e.g. a sentinel flush batch — alongside the source
+    * parquet build the dir themselves, then stream it as one batch). */
+  private def runDirStream(s: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, work: String,
+      namePrefix: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 100000).parquet(inDir)
     val sink = s"${namePrefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = transform(stream).writeStream.format("memory").queryName(sink)
       .outputMode("append")
@@ -2157,7 +2206,7 @@ object Queries {
     rowFilterRegex, qualifierFilter, timestampsFilter, columnCountGet,
     skipFilterQ, whileMatch, filterListOr, scvExclude, binaryPrefixScan,
     groupingMapperAgg,
-    versionsLatest, timeRangeScan, jsonPropsAgg, resultFamilyMap, sessionize,
+    versionsLatest, timeRangeScan, jsonPropsAgg, resultFamilyMap, sessionize, streamSessionize,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, snapshotRestoreScan, asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown,

@@ -280,6 +280,43 @@ class ReplicationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamSessions.sessionize: gap closes across batches; open tail stays in state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)] // (user, ts, id)
+    val out = StreamSessions.sessionize(
+      ms.toDF().toDF("user_id", "ts", "event_id"),
+      col("user_id"), col("ts"), col("event_id"), gapNanos = 100L)
+    val q = out.writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    def sessions() = spark.table("ssess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      // batch 1: user 1 events at 0,50 (one open session); user 2 at 0
+      ms.addData((1L, 0L, 1L), (1L, 50L, 2L), (2L, 0L, 3L))
+      q.processAllAvailable()
+      assert(sessions().isEmpty) // nothing closed yet
+      // batch 2: user 1 at 150 EXTENDS (150-50 <= 100, strict-> rule);
+      // user 2 at 101 closes its session (101-0 > 100)
+      ms.addData((1L, 150L, 4L), (2L, 101L, 5L))
+      q.processAllAvailable()
+      assert(sessions() == Set((2L, 0L, 0L, 1L)))
+      // batch 3: user 1 far future -> closes the 3-event session 0..150
+      ms.addData((1L, 1000L, 6L))
+      q.processAllAvailable()
+      assert(sessions() == Set((2L, 0L, 0L, 1L), (1L, 0L, 150L, 3L)))
+      // out-of-order WITHIN a batch sorts by (ts, id) before the fold:
+      // user 3's 250,30,100 form sessions {30,100} (70<=100) then {250}
+      ms.addData((3L, 250L, 7L), (3L, 30L, 8L), (3L, 100L, 9L))
+      q.processAllAvailable()
+      ms.addData((3L, 1000L, 10L)) // close the {250} tail
+      q.processAllAvailable()
+      assert(sessions().contains((3L, 30L, 100L, 2L)))
+      assert(sessions().contains((3L, 250L, 250L, 1L)))
+    } finally q.stop()
+  }
+
   test("StreamDedup.lshCandidates: new docs probe remembered buckets; full bucket freezes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
