@@ -1720,8 +1720,8 @@ object Queries {
   // (score desc, ties to lowest cid) — because every arithmetic step is
   // IEEE `+ - * /`, floor, sqrt, and a sequential-fold dot product:
   // no RNG, no transcendentals, no order-dependent double sums.
-  private val clusterKmeans = Q("cluster_kmeans", Some(s"""
-    WITH emb AS (
+  private val kmeansCteSql = s"""
+    emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
              FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)),
@@ -1748,20 +1748,45 @@ object Queries {
               coalesce(m.sq / 1048576.0 / m.n, ig.x) AS m
             FROM initg ig LEFT JOIN means m
               ON m.cid = ig.cid AND m.pos = ig.pos),
-    cents AS (SELECT cid, list(m ORDER BY pos) AS v FROM ref GROUP BY cid)
-    SELECT vec_id, cid FROM (
+    cents AS (SELECT cid, list(m ORDER BY pos) AS v FROM ref GROUP BY cid),
+    assign AS (SELECT vec_id, cid FROM (
       SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
         ORDER BY
           CASE WHEN sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
                ELSE list_dot_product(e.v, c.v) /
                     sqrt(list_dot_product(c.v, c.v)) END DESC,
           c.cid) AS rn
-      FROM emb e CROSS JOIN cents c) WHERE rn = 1
-    ORDER BY vec_id""")) { (s, dir) =>
+      FROM emb e CROSS JOIN cents c) WHERE rn = 1)"""
+
+  private val clusterKmeans = Q("cluster_kmeans", Some(s"""
+    WITH $kmeansCteSql
+    SELECT vec_id, cid FROM assign ORDER BY vec_id""")) { (s, dir) =>
     Similarity.kmeansCluster(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 4, iters = 1)
       .select(col("vec_id"), col("cid").cast(LongType).as("cid"))
       .orderBy("vec_id")
+  }
+
+  // Cluster-balanced sampling: the composition the clustering exists
+  // for — k-means assignments feed stratifiedTopN with cid as the
+  // stratum, giving a deterministic equal-per-cluster subsample
+  // (diversity-preserving curation: rare embedding regions keep
+  // representation a uniform sample would wash out). The oracle chains
+  // the full replayed k-means with the salted-md5 rank replay of the
+  // stratified sampler.
+  private val sampleClusterBalanced = Q("sample_cluster_balanced", Some(s"""
+    WITH $kmeansCteSql
+    SELECT cid, vec_id FROM (
+      SELECT cid, vec_id, row_number() OVER (PARTITION BY cid
+        ORDER BY CAST(('0x' || substring(md5('cbal' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                 vec_id) AS rn
+      FROM assign) WHERE rn <= 20 ORDER BY cid, vec_id""")) { (s, dir) =>
+    val cids = Similarity.kmeansCluster(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 4, iters = 1)
+    Sampling.stratifiedTopN(cids, col("vec_id"), col("cid"), n = 20,
+        salt = "cbal")
+      .select(col("cid").cast(LongType).as("cid"), col("vec_id"))
+      .orderBy("cid", "vec_id")
   }
 
   private val similarityTopk = Q("similarity_topk", Some(s"""
@@ -2218,7 +2243,7 @@ object Queries {
     dedupSimhash, textQuality, textLangid, textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,
     textTopNgrams, textBoilerplate, dedupContamination,
-    similarityTopk, similarityIvf, clusterKmeans,
+    similarityTopk, similarityIvf, clusterKmeans, sampleClusterBalanced,
     similarityLshPlanes, similarityQuantized, similarityPq,
     dedupEmbedding, dedupSemantic, multimodalFeatures, sampleSplit,
     sampleWeighted, sampleUpsampled, sampleShardShuffle,
