@@ -1681,6 +1681,37 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Unicode normalization (native UnicodeNormalize/StripAccents
+  // expressions): the oracle is DuckDB's OWN nfc_normalize/strip_accents
+  // (utf8proc) vs our java.text.Normalizer twins — two independent
+  // Unicode implementations agreeing byte-for-byte. The injected suffix
+  // exercises the interesting cases on every row: a combining acute that
+  // NFC must compose (chr(769) after 'e'), precomposed accents the fold
+  // must strip (è Û É ç ï ó ź, multi-mark ệ), and the characters
+  // strip_accents must NOT touch (ß ﬁ Æ ø Ł have no canonical
+  // decomposition — compat folding would corrupt them).
+  private val normSuf1 =
+    " Crème BRÛLÉE façade naïve e"
+  private val normSuf2 =
+    " ệ Łódź ﬁß Æø"
+  private val textNormalize = Q("text_normalize", Some(s"""
+    SELECT doc_id,
+      nfc_normalize(raw) AS nfc,
+      length(nfc_normalize(raw)) AS nfc_len,
+      strip_accents(lower(nfc_normalize(raw))) AS folded
+    FROM (SELECT doc_id,
+      text || '$normSuf1' || chr(769) || '$normSuf2' AS raw
+      FROM documents)
+    ORDER BY doc_id""")) { (s, dir) =>
+    val raw = concat(col("text"), lit(normSuf1 + "́" + normSuf2))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Text.normalize(raw).as("nfc"),
+        length(Text.normalize(raw)).cast("long").as("nfc_len"),
+        Text.canonicalFold(raw).as("folded"))
+      .orderBy("doc_id")
+  }
+
   // langid: the DuckDB oracle recomputes the SAME stopword-profile
   // heuristic (per-language token-fraction scores, argmax with lang-code
   // tie-break, "und" below minScore). Both engines compute each score as
@@ -2240,7 +2271,7 @@ object Queries {
     asOfJoinQ,
     dedupExact, streamDedup, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
     dedupMinhashLsh, streamMinhashLsh, dedupClusters, dedupKeepCanonical,
-    dedupSimhash, textQuality, textLangid, textRepetition, textRedact, textBm25,
+    dedupSimhash, textQuality, textLangid, textNormalize, textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,
     textTopNgrams, textBoilerplate, dedupContamination,
     similarityTopk, similarityIvf, clusterKmeans, sampleClusterBalanced,

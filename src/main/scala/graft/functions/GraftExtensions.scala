@@ -98,6 +98,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_score"),
       (args: Seq[Expression]) => PqAdcScore(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (args: Seq[Expression]) => {
+        val form = args(1) match {
+          case Literal(v, _) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_normalize form must be a string literal, got $other")
+        }
+        UnicodeNormalize(args(0), form)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "graft_strip_accents"),
+      (args: Seq[Expression]) => StripAccents(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
       (args: Seq[Expression]) => {

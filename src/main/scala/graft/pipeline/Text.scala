@@ -16,6 +16,26 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization
+    * every hash-based operator in this package assumes has ALREADY run
+    * at ingest ("é" has two byte spellings; exact dedup, shingles, and
+    * winnowing fingerprints all diverge on un-normalized text). Native
+    * codegen'd expression ([[graft.functions.UnicodeNormalize]]); DuckDB
+    * twin `nfc_normalize`. */
+  def normalize(text: Column, form: String = "NFC"): Column =
+    graft.functions.TextFunctions.normalize(text, form)
+
+  /** Accent strip pinned to utf8proc/DuckDB `strip_accents` semantics:
+    * canonical decompose, drop Mn/Mc/Me marks, no recompose, no compat
+    * folding (ß, ﬁ, Æ, Ł survive verbatim). */
+  def stripAccents(text: Column): Column =
+    graft.functions.TextFunctions.stripAccents(text)
+
+  /** Canonical match/dedup key: NFC -> full Unicode lowercase -> accent
+    * strip. Oracle twin: `strip_accents(lower(nfc_normalize(x)))`. */
+  def canonicalFold(text: Column): Column =
+    graft.functions.TextFunctions.canonicalFold(text)
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count approximation: words + punctuation marks each
