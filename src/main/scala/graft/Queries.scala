@@ -1201,6 +1201,31 @@ object Queries {
       .select("doc_id", "text").orderBy("doc_id")
   }
 
+  // Canonical-key dedup: the normalization primitive feeding the exact
+  // dedup path. Every pair of rows (2k, 2k+1) spells the SAME word two
+  // ways — composed é on even ids, e + combining acute (chr(769)) on odd
+  // — so byte-exact grouping sees two distinct documents while grouping
+  // by canonicalFold collapses each pair to its min id. The oracle
+  // rebuilds the canonical key with DuckDB's independent
+  // nfc_normalize/strip_accents stack.
+  private val dedupCanonical = Q("dedup_canonical", Some(s"""
+    WITH spelled AS (
+      SELECT doc_id, strip_accents(lower(nfc_normalize('menu: ' ||
+        CASE WHEN doc_id % 2 = 0 THEN 'café' ELSE 'cafe' || chr(769) END ||
+        ' #' || CAST(doc_id // 2 AS VARCHAR)))) AS canon
+      FROM documents)
+    SELECT doc_id, canon FROM spelled
+    WHERE doc_id IN (SELECT min(doc_id) FROM spelled GROUP BY canon)
+    ORDER BY doc_id""")) { (s, dir) =>
+    val spelled = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("menu: "),
+        when(col("doc_id") % 2 === 0, lit("café")).otherwise(lit("café")),
+        lit(" #"), expr("doc_id div 2").cast(StringType)).as("spelled"))
+    Dedup.keepFirst(spelled, Text.canonicalFold(col("spelled")), "doc_id")
+      .select(col("doc_id"), Text.canonicalFold(col("spelled")).as("canon"))
+      .orderBy("doc_id")
+  }
+
   /** Replay one parquet file as a file-arrival stream through
     * `transform`, AvailableNow into a memory sink; returns the sink's
     * frame. The whole file ships as ONE micro-batch (maxFilesPerTrigger
@@ -2269,7 +2294,7 @@ object Queries {
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
     asOfJoinQ,
-    dedupExact, streamDedup, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
+    dedupExact, dedupCanonical, streamDedup, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
     dedupMinhashLsh, streamMinhashLsh, dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textNormalize, textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,
