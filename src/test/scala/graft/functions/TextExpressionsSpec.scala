@@ -62,6 +62,11 @@ class TextExpressionsSpec extends SparkSpec {
       "SELECT graft_strip_accents(lower(graft_normalize('Café', 'NFC')))")
       .as[String].collect()(0)
     assert(viaSql == "cafe")
+    // ASCII fast path returns the INPUT buffer — no per-row allocation
+    // on the (dominant) already-normalized corpus slice
+    val ascii = org.apache.spark.unsafe.types.UTF8String.fromString("plain")
+    assert(TextExprUtil.normalize(ascii, "NFC") eq ascii)
+    assert(TextExprUtil.stripAccents(ascii) eq ascii)
     // interpreted eval matches the codegen'd DataFrame path
     val ev = StripAccents(org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString("éø"),
