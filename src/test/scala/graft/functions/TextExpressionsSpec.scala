@@ -51,6 +51,27 @@ class TextExpressionsSpec extends SparkSpec {
       "ßﬁ", "X", "X", "X"))
   }
 
+  test("NFKC compat folding and codegen compilation (no fallback)") {
+    // NFKC is the search-key fold NFC deliberately is not: ligatures and
+    // width variants collapse. (No DuckDB twin — nfkc_normalize doesn't
+    // exist there — so this is pinned here, not in an oracle gate.)
+    val rows = Seq("ﬁn", "Ａ１")
+      .toDF("s").select(TextFunctions.normalize(col("s"), "NFKC").as("n"))
+      .as[String].collect()
+    assert(rows.toSeq == Seq("fin", "A1"))
+    // with codegen fallback disabled, a doGenCode bug fails the query
+    // instead of silently degrading to interpreted eval
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = spark.range(0, 3)
+        .select(graft.functions.TextFunctions.canonicalFold(
+          concat(lit("Café"), col("id").cast("string"))).as("k"))
+        .as[String].collect()
+      assert(out.toSeq == Seq("cafe0", "cafe1", "cafe2"))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("canonicalFold and SQL-door registration agree with eval") {
     // composed vs decomposed spellings of the same word fold to one key --
     // the property exact dedup needs
