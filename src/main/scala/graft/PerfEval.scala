@@ -198,6 +198,16 @@ object PerfEval {
         .count(): Unit
     }
 
+    // canonicalFoldScan: the ingest canonicalization pass (NFC + full
+    // lowercase + accent strip, native codegen'd kernels) over the whole
+    // documents corpus — the normalization every hash-based dedup assumes
+    // already ran at ingest, so its scan rate IS the ingest budget line.
+    results("canonicalFoldScan") = timed {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.select(graft.pipeline.Text.canonicalFold(col("text")).as("k"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     val json = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"pe_total","value":${results.values.sum},"unit":"sec","workloads":{$json},"sf":"$sfDir"}""")
     spark.stop()

@@ -1221,9 +1221,9 @@ object Queries {
       concat(lit("menu: "),
         when(col("doc_id") % 2 === 0, lit("café")).otherwise(lit("café")),
         lit(" #"), expr("doc_id div 2").cast(StringType)).as("spelled"))
-    Dedup.keepFirst(spelled, Text.canonicalFold(col("spelled")), "doc_id")
-      .select(col("doc_id"), Text.canonicalFold(col("spelled")).as("canon"))
-      .orderBy("doc_id")
+    val keyed = spelled.withColumn("canon", Text.canonicalFold(col("spelled")))
+    Dedup.keepFirst(keyed, col("canon"), "doc_id")
+      .select("doc_id", "canon").orderBy("doc_id")
   }
 
   /** Replay one parquet file as a file-arrival stream through
