@@ -164,7 +164,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
       bands: Int = 32, rows: Int = 4,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     val sh = shingled(df, idCol, textCol, k)
     // All band buckets come from the native MinHashBands expression: one
     // narrow compiled pass per doc (one strong hash per shingle + affine
@@ -175,11 +176,13 @@ object Dedup {
     val raw = sh.select(col("id"), posexplode(
         graft.functions.VectorFunctions.minHashBands(col("sh"), bands, rows)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    // with a cap, the banded frame is read up to four times (the bucket
-    // count, the semi-join, both self-join sides) — materialize it so the
-    // per-doc signature pass runs once, mirroring bandedNearDupPairs
-    val banded = maxBucketSize.fold(raw)(_ =>
-      capBuckets(materialize(raw, None), maxBucketSize))
+    // materialized once, mirroring bandedNearDupPairs: the frame is read
+    // at least twice (both self-join sides; up to four times with a cap —
+    // bucket count + semi-join), and its projection is the whole per-doc
+    // signature pass. Post-projection rows are narrow (id, band, bucket)
+    // triples. `checkpointDir` selects reliable checkpoints (see
+    // [[materialize]]) so a long run survives executor loss.
+    val banded = capBuckets(materialize(raw, checkpointDir), maxBucketSize)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

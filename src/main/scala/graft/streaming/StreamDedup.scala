@@ -128,9 +128,8 @@ object StreamDedup {
             Iterator.empty
           } else {
             var seen = state.getOption.getOrElse(Seq.empty[Long]).toVector
-            // membership as a set: Vector.contains is O(bucket) per
-            // arrival (quadratic maintenance, paid even by re-sightings
-            // that emit nothing)
+            // O(1) membership probes (re-sightings that emit nothing
+            // shouldn't pay a bucket-length scan each)
             val member = scala.collection.mutable.HashSet(seen: _*)
             val out = Vector.newBuilder[(Long, Long)]
             rows.map(_._2).toVector.sorted.distinct.foreach { nid =>

@@ -84,6 +84,20 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == exact) // verification makes LSH output exact
   }
 
+  test("minhashLSH with a reliable checkpoint dir + bucket cap matches defaults") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-ckpt").toString
+    val expected = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val reliable = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.7, maxBucketSize = Some(64),
+      checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(reliable == expected) // a non-binding cap changes nothing
+    // the banded frame really materialized on the fault-tolerant dir
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("simhash: identical docs distance 0; near dups small distance; banding finds them") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
