@@ -2274,6 +2274,64 @@ object Queries {
       .orderBy("media_id")
   }
 
+  private val multimodalMixed = Q("multimodal_mixed", Some("""
+    SELECT doc_id AS media_id,
+      CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'png' END AS format,
+      CASE WHEN doc_id % 3 = 1 THEN 1
+           ELSE LEAST(8, GREATEST(octet_length(encode(text)), 1)) END::BIGINT AS width,
+      CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 4 END::BIGINT AS height,
+      CASE WHEN doc_id % 3 = 1
+           THEN LEAST(1000, GREATEST(octet_length(encode(text)), 1))
+           ELSE 1 END::BIGINT AS n_frames,
+      (CASE doc_id % 3
+        WHEN 0 THEN 54 + ((3 * LEAST(8, GREATEST(octet_length(encode(text)), 1)) + 3) // 4) * 4 * 4
+        WHEN 1 THEN 44 + 2 * LEAST(1000, GREATEST(octet_length(encode(text)), 1))
+        ELSE NULL END)::BIGINT AS byte_len
+    FROM documents ORDER BY media_id""")) { (s, dir) =>
+    // REAL codecs end-to-end: each document's UTF-8 bytes become an actual
+    // BMP / PCM-WAV / PNG payload (by doc_id mod 3), decoded back by the
+    // magic-byte-routed real decoders, and the oracle replays the
+    // dims/frame/size arithmetic in SQL. PNG's compressed size is
+    // writer-dependent → byte_len NULL on both sides; its width/height
+    // still prove a real PNG decode happened (only the decoder knows
+    // them). Payload construction is a narrow per-row map; payloads never
+    // shuffle (extractFeatures contract).
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val media = s.createDataFrame(
+      docs.rdd.map { r =>
+        val id = r.getLong(0)
+        val raw = r.getString(1).getBytes("UTF-8")
+        val n = math.max(1, raw.length)
+        def b(i: Int): Byte = if (raw.isEmpty) 0 else raw(i % raw.length)
+        val payload = (id % 3) match {
+          case 0 =>
+            val w = math.min(8, n)
+            Multimodal.encodeBmpGray(w, 4, Array.tabulate(w * 4)(b))
+          case 1 =>
+            val frames = math.min(1000, n)
+            Multimodal.encodeWavPcm16(
+              Array.tabulate(frames)(i => (((b(i) & 0xff) - 128) * 256).toShort))
+          case _ =>
+            val w = math.min(8, n)
+            Multimodal.encodePngGray(w, 4, Array.tabulate(w * 4)(b))
+        }
+        org.apache.spark.sql.Row(
+          id, if (id % 3 == 1) "audio" else "image", payload,
+          null, null, null, null)
+      }, Multimodal.mediaSchema)
+    Multimodal.extractFeatures(media, Multimodal.SniffDecoder())
+      .select(col("media_id"),
+        when(col("media_id") % 3 === 0, "bmp")
+          .when(col("media_id") % 3 === 1, "wav")
+          .otherwise("png").as("format"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"),
+        col("n_frames").cast(LongType).as("n_frames"),
+        when(col("media_id") % 3 === 2, lit(null).cast(LongType))
+          .otherwise(col("byte_len")).as("byte_len"))
+      .orderBy("media_id")
+  }
+
   // ----------------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------------
@@ -2301,7 +2359,7 @@ object Queries {
     textTopNgrams, textBoilerplate, dedupContamination,
     similarityTopk, similarityIvf, clusterKmeans, sampleClusterBalanced,
     similarityLshPlanes, similarityQuantized, similarityPq,
-    dedupEmbedding, dedupSemantic, multimodalFeatures, sampleSplit,
+    dedupEmbedding, dedupSemantic, multimodalFeatures, multimodalMixed, sampleSplit,
     sampleWeighted, sampleUpsampled, sampleShardShuffle,
     packSequences, sampleStratified,
     curationPipeline)

@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partition batching, operator
   * signatures, deterministic output shape — is real and tested. The codec
-  * seam ([[MediaDecoder]]) ships three implementations: [[BmpDecoder]]
-  * and [[WavDecoder]], REAL pure-JVM parsers for uncompressed BMP images
-  * and PCM WAV audio (no native deps), and [[FakeDecoder]], a
-  * deterministic hash-derived stand-in for formats whose codecs are not
-  * in this container (JPEG/PNG/MP4 — those remain a one-class JNI/JavaCV
-  * swap).
+  * seam ([[MediaDecoder]]) ships real decoders for every image format the
+  * JDK carries plus PCM audio: [[BmpDecoder]] and [[WavDecoder]] (pure-JVM
+  * parsers written against the format specs), [[ImageIoDecoder]]
+  * (JPEG/PNG/GIF/TIFF via the JDK's built-in `javax.imageio` readers —
+  * headless-safe, no native deps), and [[SniffDecoder]] (magic-byte
+  * router over the above for mixed-format corpora). [[FakeDecoder]] is a
+  * deterministic hash-derived stand-in ONLY for formats with no JVM codec
+  * in this container (MP4 / compressed audio — a one-class JavaCV swap;
+  * see the [[MediaDecoder]] contract below for what such a swap must
+  * satisfy).
   *
   * Scale notes: payloads never pass through a shuffle — all media ops are
   * narrow `mapPartitions` over the batch iterator; only extracted features
@@ -39,7 +43,24 @@ object Multimodal {
       mediaId: Long, kind: String, width: Int, height: Int,
       nFrames: Int, samples: Array[Float])
 
-  /** The codec seam. Implementations MUST be deterministic per payload. */
+  /** The codec seam — the contract any decoder (including a future
+    * JavaCV-backed MP4/compressed-audio swap) must satisfy; the
+    * `DecoderConformanceSpec` test harness asserts it mechanically:
+    *
+    *  1. DETERMINISM: `decode` is a pure function of `(payload)` — two
+    *     calls on any executor, any run, return bit-identical `Decoded`
+    *     (the oracle gates and exact dedup both rely on replayability;
+    *     a codec with threaded/nondeterministic output must be pinned).
+    *  2. RANGE: every sample is a finite Float in [0, 1].
+    *  3. SHAPE: `width > 0`, `height > 0`, `nFrames >= 1`. For images,
+    *     `samples.length == width*height*nFrames` (row-major, top-down,
+    *     frame-major). For audio, `width` = source channel count,
+    *     `height == 1`, and `samples.length == nFrames` (mono-mixed
+    *     per-frame values — channels average into one sample).
+    *  4. STRICTNESS: a payload that is not the decoder's format throws
+    *     (never a silent garbage decode) — [[SniffDecoder]] routes
+    *     per-format so strict decoders compose over mixed corpora.
+    */
   trait MediaDecoder extends Serializable {
     def decode(mediaId: Long, kind: String, payload: Array[Byte]): Decoded
   }
@@ -196,6 +217,153 @@ object Multimodal {
       }
       Decoded(mediaId, kind, width = nChannels, height = 1, nFrames, samples)
     }
+  }
+
+  /** Real decoder for the JDK's built-in raster formats — JPEG, PNG, GIF,
+    * TIFF, (and BMP) — via `javax.imageio.ImageIO`, which is headless-safe
+    * and ships in every JDK 17: no native dependency. Luma extraction:
+    * single-band 8-bit images (gray PNG etc.) read the raster sample
+    * directly (`v / 255` — exact, no colorspace round-trip); everything
+    * else goes through sRGB `getRGB` + the same BT.601 weights as
+    * [[BmpDecoder]], so a pixel-identical BMP and PNG produce identical
+    * samples. Strict: payloads no installed reader recognizes throw. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(mediaId: Long, kind: String, payload: Array[Byte]): Decoded = {
+      require(payload != null && payload.length > 0,
+        s"media $mediaId: empty payload")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        s"media $mediaId: no ImageIO reader recognizes this payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w > 0 && h > 0, s"media $mediaId: bad dims ${w}x$h")
+      val samples = new Array[Float](w * h)
+      val raster = img.getRaster
+      val gray8 = raster.getNumBands == 1 &&
+        img.getColorModel.getComponentSize(0) == 8
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          samples(y * w + x) =
+            if (gray8) raster.getSample(x, y, 0) / 255.0f
+            else {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+            }
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(mediaId, kind, w, h, nFrames = 1, samples)
+    }
+  }
+
+  /** Magic-byte router: each payload dispatches to the decoder for the
+    * format it actually is — [[BmpDecoder]] for `BM`, [[WavDecoder]] for
+    * `RIFF…WAVE`, [[ImageIoDecoder]] for JPEG/PNG/GIF/TIFF signatures —
+    * so one [[extractFeatures]] pass handles a mixed-modality corpus
+    * without a per-format shuffle or split. Payloads matching nothing go
+    * to `fallback` (e.g. [[FakeDecoder]] for MP4 until a JavaCV decoder
+    * lands); no fallback → strict throw. Routing reads magic bytes, not
+    * the `mime` column: object stores lie about content types, payloads
+    * don't. */
+  final case class SniffDecoder(fallback: Option[MediaDecoder] = None)
+      extends MediaDecoder {
+    private def at(p: Array[Byte], i: Int): Int =
+      if (i < p.length) p(i) & 0xff else -1
+    def decode(mediaId: Long, kind: String, payload: Array[Byte]): Decoded = {
+      val p = if (payload == null) Array.emptyByteArray else payload
+      val d: MediaDecoder =
+        if (at(p, 0) == 'B' && at(p, 1) == 'M') BmpDecoder
+        else if (at(p, 0) == 'R' && at(p, 1) == 'I' && at(p, 2) == 'F' &&
+          at(p, 3) == 'F' && at(p, 8) == 'W' && at(p, 9) == 'A' &&
+          at(p, 10) == 'V' && at(p, 11) == 'E') WavDecoder
+        else if ((at(p, 0) == 0xff && at(p, 1) == 0xd8) || // JPEG SOI
+          (at(p, 0) == 0x89 && at(p, 1) == 'P' && at(p, 2) == 'N' &&
+            at(p, 3) == 'G') || // PNG
+          (at(p, 0) == 'G' && at(p, 1) == 'I' && at(p, 2) == 'F') || // GIF
+          (at(p, 0) == 'I' && at(p, 1) == 'I' && at(p, 2) == 42) || // TIFF LE
+          (at(p, 0) == 'M' && at(p, 1) == 'M' && at(p, 3) == 42)) // TIFF BE
+          ImageIoDecoder
+        else fallback.getOrElse(throw new IllegalArgumentException(
+          s"media $mediaId: unrecognized format and no fallback decoder"))
+      d.decode(mediaId, kind, payload)
+    }
+  }
+
+  /** Encoder twins of the real decoders — the write path of the media
+    * seam. Grayscale-only on purpose: features pool luma, so gray
+    * round-trips decode → encode → decode losslessly (BMP/PNG) or
+    * near-losslessly (16-bit PCM), which is what the conformance spec and
+    * the `multimodal_mixed` oracle gate exercise. All three are
+    * deterministic per input (required: gate oracles replay payload
+    * sizes). */
+  def encodeBmpGray(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"encodeBmpGray: need $width x $height = ${width * height} pixels")
+    val stride = ((24 * width + 31) / 32) * 4
+    val size = 54 + stride * height
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height) // bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(stride * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val v = gray(y * width + x)
+        buf.put(v).put(v).put(v) // B = G = R = gray
+        x += 1
+      }
+      buf.position(buf.position() + (stride - 3 * width))
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Mono 16-bit PCM at 8 kHz — `44 + 2 * samples.length` bytes. */
+  def encodeWavPcm16(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
+  /** 8-bit grayscale PNG via the JDK writer (compressed size is
+    * writer-dependent — callers must not predict `length`, only
+    * decodability and pixels). */
+  def encodePngGray(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"encodePngGray: need $width x $height = ${width * height} pixels")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, gray(y * width + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", out),
+      "no PNG writer installed") // JDK always ships one; belt-and-braces
+    out.toByteArray
   }
 
   private val featSchema = StructType(Seq(

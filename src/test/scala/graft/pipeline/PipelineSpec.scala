@@ -878,6 +878,125 @@ class PipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("no data chunk"))
   }
 
+  test("ImageIoDecoder: real PNG and JPEG payloads decode via the JDK readers") {
+    // gray PNG: lossless, single-band raster path → luma is EXACTLY v/255
+    val gray = Array[Byte](0, 64, 128.toByte, 192.toByte, 255.toByte, 10)
+    val png = Multimodal.encodePngGray(3, 2, gray)
+    assert(png.length >= 8 && (png(0) & 0xff) == 0x89) // real PNG signature
+    val d = Multimodal.ImageIoDecoder.decode(1L, "image", png)
+    assert((d.width, d.height, d.nFrames) == (3, 2, 1))
+    d.samples.zip(gray).foreach { case (s, v) =>
+      assert(s == (v & 0xff) / 255.0f) // exact: no colorspace round-trip
+    }
+    // JPEG: lossy, RGB path — dims exact, luma approximate on a flat image
+    val flat = Array.fill(64)(100.toByte)
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, 100 << 16 | 100 << 8 | 100)
+    val jout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jout))
+    val jpeg = jout.toByteArray
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8) // SOI magic
+    val dj = Multimodal.ImageIoDecoder.decode(2L, "image", jpeg)
+    assert((dj.width, dj.height, dj.nFrames) == (8, 8, 1))
+    val expLuma = 100 / 255.0f
+    dj.samples.foreach(s => assert(math.abs(s - expLuma) < 0.05f))
+    assert(flat.length == 64) // (silence unused-warning on the fixture)
+    // strict: bytes no reader recognizes are a loud error
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode(3L, "image", "not-an-image".getBytes)
+    }
+  }
+
+  test("SniffDecoder: magic-byte routing over a mixed-format corpus") {
+    import org.apache.spark.sql.Row
+    val gray = Array.tabulate(12)(i => (i * 20).toByte)
+    val bmp = Multimodal.encodeBmpGray(4, 3, gray)
+    val png = Multimodal.encodePngGray(4, 3, gray)
+    val wav = Multimodal.encodeWavPcm16(Array[Short](0, 16384, -16384, 32767))
+    val sniff = Multimodal.SniffDecoder()
+    // routed BMP and PNG of the SAME pixels produce IDENTICAL samples
+    // (gray hits BmpDecoder's B=G=R luma and ImageIo's exact gray path:
+    // 0.299v+0.587v+0.114v vs v/255 agree to float rounding)
+    val db = sniff.decode(1L, "image", bmp)
+    val dp = sniff.decode(2L, "image", png)
+    assert((db.width, db.height) == (4, 3) && (dp.width, dp.height) == (4, 3))
+    db.samples.zip(dp.samples).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-4f)
+    }
+    val dw = sniff.decode(3L, "audio", wav)
+    assert((dw.width, dw.height, dw.nFrames) == (1, 1, 4))
+    // unknown format: strict without a fallback, FakeDecoder with one
+    intercept[IllegalArgumentException] {
+      sniff.decode(4L, "video", Array.fill(16)(9.toByte))
+    }
+    val withFb = Multimodal.SniffDecoder(Some(Multimodal.FakeDecoder))
+    assert(withFb.decode(4L, "video", Array.fill(300)(9.toByte)).nFrames == 1)
+    // the router drives one extractFeatures pass over all three formats
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", bmp, "image/bmp", null, null, null),
+        Row(2L, "image", png, "image/png", null, null, null),
+        Row(3L, "audio", wav, "audio/wav", null, null, null))),
+      Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(media, sniff)
+      .select("media_id", "width", "height", "n_frames")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(f.toSeq == Seq((1L, 4, 3, 1), (2L, 4, 3, 1), (3L, 1, 1, 4)))
+  }
+
+  /** The [[Multimodal.MediaDecoder]] contract, asserted mechanically —
+    * any future decoder (the JavaCV MP4 swap included) must pass this
+    * exact harness with its own fixture payloads. */
+  private def assertDecoderContract(dec: Multimodal.MediaDecoder,
+      payloads: Seq[(String, Array[Byte])],
+      garbage: Option[Array[Byte]]): Unit = {
+    for ((kind, p) <- payloads) {
+      val a = dec.decode(42L, kind, p)
+      val b = dec.decode(42L, kind, p)
+      // 1. determinism: bit-identical across calls
+      assert(a.samples.toSeq == b.samples.toSeq &&
+        (a.width, a.height, a.nFrames) == (b.width, b.height, b.nFrames))
+      // 2. range: finite, in [0,1]
+      assert(a.samples.forall(s => !s.isNaN && s >= 0.0f && s <= 1.0f))
+      // 3. shape
+      assert(a.width > 0 && a.height > 0 && a.nFrames >= 1)
+      if (kind == "image")
+        assert(a.samples.length == a.width * a.height * a.nFrames)
+      if (kind == "audio")
+        assert(a.height == 1 && a.samples.length == a.nFrames)
+    }
+    // 4. strictness (real decoders only; lenient stand-ins pass None)
+    garbage.foreach { g =>
+      intercept[Exception](dec.decode(99L, "image", g))
+    }
+  }
+
+  test("MediaDecoder conformance: every shipped decoder satisfies the contract") {
+    val gray = Array.tabulate(20)(i => (i * 12).toByte)
+    val bmp = Multimodal.encodeBmpGray(5, 4, gray)
+    val png = Multimodal.encodePngGray(5, 4, gray)
+    val wav = Multimodal.encodeWavPcm16(Array[Short](0, 100, -100, 32767, -32768))
+    val junk = Some("definitely-not-any-media-format".getBytes)
+    assertDecoderContract(Multimodal.BmpDecoder, Seq("image" -> bmp), junk)
+    assertDecoderContract(Multimodal.WavDecoder, Seq("audio" -> wav), junk)
+    assertDecoderContract(Multimodal.ImageIoDecoder,
+      Seq("image" -> png, "image" -> bmp), junk) // ImageIO reads BMP too
+    assertDecoderContract(Multimodal.SniffDecoder(),
+      Seq("image" -> bmp, "image" -> png, "audio" -> wav), junk)
+    assertDecoderContract(Multimodal.FakeDecoder,
+      Seq("image" -> bmp, "video" -> Array.fill(600)(7.toByte)), None)
+    // gray round-trip: decode(encode(gray)) is lossless for BMP and PNG
+    val viaBmp = Multimodal.BmpDecoder.decode(1L, "image", bmp).samples
+    val viaPng = Multimodal.ImageIoDecoder.decode(1L, "image", png).samples
+    gray.zip(viaPng).foreach { case (v, s) => assert(s == (v & 0xff) / 255.0f) }
+    gray.zip(viaBmp).foreach { case (v, s) =>
+      assert(math.abs(s - (v & 0xff) / 255.0f) < 1e-4f)
+    }
+  }
+
   test("keepCanonical: one min-id survivor per cluster, singletons survive") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, s"d$i")).toDF("doc_id", "x")
     val pairs = Seq((1L, 4L), (4L, 5L), (2L, 6L)).toDF("id_a", "id_b")
