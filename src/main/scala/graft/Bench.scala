@@ -26,13 +26,16 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
     }
 
-    // TWO timed rounds, report each query's MIN — the steady-state number.
-    // A single timed pass is exposed to one-off GC pauses and competing
-    // load: the r02 driver pass recorded 9.5s for a query that
-    // steady-states at ~2.5s in every local run (same data, same plan).
-    // A FAILED round records None — a fast failure must never beat a real
-    // run in the min, and a query with zero successful rounds reports a
-    // sentinel -1 instead of a bogus time-to-failure.
+    // THREE timed rounds, report each query's MIN — the steady-state
+    // number. A single timed pass is exposed to one-off GC pauses and
+    // competing load: the r02 driver pass recorded 9.5s for a query that
+    // steady-states at ~2.5s in every local run (same data, same plan),
+    // and the r04 pass drifted a uniform 1.2-1.35x on queries whose plans
+    // had not changed — min-of-3 makes a real regression distinguishable
+    // from sandbox noise. A FAILED round records None — a fast failure
+    // must never beat a real run in the min, and a query with zero
+    // successful rounds reports a sentinel -1 instead of a bogus
+    // time-to-failure.
     def timedRound(): Map[String, Option[Double]] = qs.map { q =>
       val t0 = System.nanoTime()
       val ok =
@@ -43,7 +46,7 @@ object Bench {
         }
       q.name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }.toMap
-    val rounds = Seq(timedRound(), timedRound())
+    val rounds = Seq(timedRound(), timedRound(), timedRound())
     val results = qs.map(_.name).map { n =>
       val ts = rounds.flatMap(_(n))
       n -> (if (ts.isEmpty) -1.0 else ts.min)

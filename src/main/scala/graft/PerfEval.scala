@@ -209,7 +209,15 @@ object PerfEval {
     }
 
     val json = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    println(s"""{"metric":"pe_total","value":${results.values.sum},"unit":"sec","workloads":{$json},"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"pe_total","value":${results.values.sum},"unit":"sec","workloads":{$json},"sf":"$sfDir"}"""
+    println(line)
+    // also persist as a diffable artifact (PE_rNN.json) so point-read /
+    // write regressions are tracked round-over-round, not from memory
+    sys.env.get("SPARK_GRAFT_PE_OUT").foreach { path =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }
