@@ -987,6 +987,52 @@ object Queries {
       .orderBy("user_id")
   }
 
+  // EVENT-TIME streaming sessionization over OUT-OF-ORDER arrival
+  // (StreamSessions.sessionizeEventTime): the corpus replays as two
+  // micro-batches split by event_id parity — every user's timeline
+  // interleaves across the two files, so cross-batch arrival is genuinely
+  // out of event order — then a single watermark-driver event pushes the
+  // watermark past every session's last+gap, sealing all real events and
+  // event-time-closing every open tail. Watermark delay = the corpus's
+  // full time span, so no real event is ever late-dropped: arrival order
+  // is unconstrained and the emitted sessions must still aggregate to
+  // exactly the batch query's result.
+  private val streamSessionizeLate = Q("stream_sessionize_late",
+      Some(sessionizeOracleSql)) { (s, dir) =>
+    val gap = 3600L * 1000000000L
+    val ev = t(s, dir, "events")
+    val b = ev.agg(min(col("ts")), max(col("ts"))).head // two scalars: fixture prep
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val delayMs = (mx - mn) / 1000000L + 1000L
+    val work = java.nio.file.Files.createTempDirectory("graft-q-slate").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val st = s"$work/stage_$name"
+      df.coalesce(1).write.parquet(st)
+      val part = new java.io.File(st).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$work/in/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      // the file source orders by modification time (latestFirst=false);
+      // explicit spaced mtimes pin the arrival sequence
+      dst.toFile.setLastModified(mtimeMs): Unit
+    }
+    stage(ev.filter(col("event_id") % 2 === 1), "a", 1000000L)
+    stage(ev.filter(col("event_id") % 2 === 0), "b", 2000000L)
+    stage(ev.limit(1).select(lit(-1L).as("event_id"),
+      lit(mx + gap + (delayMs + 100L) * 1000000L).as("ts"),
+      lit(-1L).as("user_id"), lit("flush").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props")), "c", 3000000L)
+    val sessions = runDirStreamSequenced(s, s"$work/in", ev.schema, work,
+      "slate")(stream => graft.streaming.StreamSessions.sessionizeEventTime(
+        stream, col("user_id"), col("ts"), col("event_id"), gap,
+        java.time.Duration.ofMillis(delayMs)))
+    sessions.filter(col("user_id") =!= -1L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
   // JSON metadata extraction over the cell pipeline — the
   // props-parsing step every training-data pipeline has. The cell value
   // carries the raw JSON; extraction happens on the decoded view.
@@ -1250,11 +1296,26 @@ object Queries {
   /** [[runFileStream]] over a PREPARED input dir (gates that need extra
     * fixture files — e.g. a sentinel flush batch — alongside the source
     * parquet build the dir themselves, then stream it as one batch). */
+  // one file per micro-batch, oldest mtime first — the replay harness for
+  // operators whose semantics depend on CROSS-batch arrival order
+  private def runDirStreamSequenced(s: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, work: String,
+      namePrefix: String)(transform: DataFrame => DataFrame): DataFrame =
+    runDirStreamImpl(s, inDir, schema, work, namePrefix, filesPerTrigger = 1)(
+      transform)
+
   private def runDirStream(s: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, work: String,
-      namePrefix: String)(transform: DataFrame => DataFrame): DataFrame = {
+      namePrefix: String)(transform: DataFrame => DataFrame): DataFrame =
+    runDirStreamImpl(s, inDir, schema, work, namePrefix,
+      filesPerTrigger = 100000)(transform)
+
+  private def runDirStreamImpl(s: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, work: String,
+      namePrefix: String, filesPerTrigger: Int)(
+      transform: DataFrame => DataFrame): DataFrame = {
     val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 100000).parquet(inDir)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(inDir)
     val sink = s"${namePrefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = transform(stream).writeStream.format("memory").queryName(sink)
       .outputMode("append")
@@ -2346,6 +2407,7 @@ object Queries {
     skipFilterQ, whileMatch, filterListOr, scvExclude, binaryPrefixScan,
     groupingMapperAgg,
     versionsLatest, timeRangeScan, jsonPropsAgg, resultFamilyMap, sessionize, streamSessionize,
+    streamSessionizeLate,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, snapshotRestoreScan, asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown,

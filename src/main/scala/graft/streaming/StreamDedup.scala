@@ -31,7 +31,17 @@ object StreamDedup {
     * unbounded key cardinality (the 100 TB lever — without it the state
     * store grows with every distinct document forever). A key seen again
     * after its TTL re-emits: the standard recall-for-memory trade,
-    * documented rather than silent.
+    * documented rather than silent. The TTL is PROCESSING-time on
+    * purpose: dedup state is a "have I ever seen this key" bit with no
+    * timeline semantics, so wall-clock idleness is the right eviction
+    * clock even when events carry timestamps. An event-time TTL (evict
+    * when the watermark passes `lastSeen + ttl`) only changes which
+    * duplicates slip through on REPLAY of historic data — replays of
+    * ts-keyed idempotent sinks (the reference's replication model)
+    * tolerate re-emits by construction, so the extra watermark plumbing
+    * buys nothing here; see `StreamSessions.sessionizeEventTime` for the
+    * operator where event-time state transitions ARE semantic and the
+    * watermark variant is real.
     *
     * Output mode must be Append (the only mode
     * `flatMapGroupsWithState(Append)` supports downstream). */

@@ -317,6 +317,47 @@ class ReplicationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamSessions.sessionizeEventTime: out-of-order across batches equals batch fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)] // (user, ts nanos, id)
+    val msNanos = 1000000L
+    val gap = 100 * msNanos
+    val out = StreamSessions.sessionizeEventTime(
+      ms.toDF().toDF("user_id", "ts", "event_id"),
+      col("user_id"), col("ts"), col("event_id"), gapNanos = gap,
+      watermarkDelay = java.time.Duration.ofMillis(200))
+    val q = out.writeStream.format("memory").queryName("ssess_et")
+      .outputMode("append").start()
+    def sessions() = spark.table("ssess_et").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      // batch 1: user 1 arrives OUT OF EVENT ORDER within the batch
+      ms.addData((1L, 1500 * msNanos, 1L), (1L, 1000 * msNanos, 2L),
+        (1L, 1100 * msNanos, 3L))
+      q.processAllAvailable()
+      // batch 2: a LATE arrival for user 1 lands between its earlier
+      // events (1400ms, still >= watermark 1300ms -> admitted), plus
+      // user 2, plus a watermark driver at 3000ms
+      ms.addData((1L, 1400 * msNanos, 4L), (2L, 1600 * msNanos, 5L),
+        (9L, 3000 * msNanos, 6L))
+      q.processAllAvailable()
+      // watermark is now 2800ms: user 1's timeline 1000,1100,1400,1500
+      // folds in EVENT order -> {1000,1100} then {1400,1500} (300 > gap),
+      // both sealed + tail-closed (2800 > 1500+100); user 2's single
+      // event closed too. The driver's open {3000} stays in state.
+      assert(sessions() == Set(
+        (1L, 1000 * msNanos, 1100 * msNanos, 2L),
+        (1L, 1400 * msNanos, 1500 * msNanos, 2L),
+        (2L, 1600 * msNanos, 1600 * msNanos, 1L)))
+      // batch 3: advance the watermark past the driver's tail
+      ms.addData((9L, 6000 * msNanos, 7L))
+      q.processAllAvailable()
+      assert(sessions().contains((9L, 3000 * msNanos, 3000 * msNanos, 1L)))
+    } finally q.stop()
+  }
+
   test("StreamDedup.lshCandidates: new docs probe remembered buckets; full bucket freezes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
