@@ -1831,17 +1831,41 @@ object Queries {
        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
 
   // Deterministic k-means clustering (Similarity.kmeansCluster): the
-  // oracle replays the ENTIRE algorithm — lowest-id init, one Lloyd
-  // step with the quantized-grid per-dimension mean (longs: combine-
-  // order-independent), keep-old-on-empty, and both argmax assignments
-  // (score desc, ties to lowest cid) — because every arithmetic step is
-  // IEEE `+ - * /`, floor, sqrt, and a sequential-fold dot product:
-  // no RNG, no transcendentals, no order-dependent double sums.
+  // oracle replays the ENTIRE algorithm — maximin seeding over the
+  // md5-hash-ordered 256-sample (three unrolled farthest-point rounds,
+  // distances as quantized longs: combine-order-independent), one Lloyd
+  // step with the quantized-grid per-dimension mean, keep-old-on-empty,
+  // and both argmax assignments (score desc, ties to lowest cid) —
+  // because every arithmetic step is IEEE `+ - * /`, floor, sqrt, and a
+  // sequential-fold dot product: no RNG, no transcendentals, no
+  // order-dependent double sums.
+  private def kmeansQd2(s: String) = s"""
+    list_sum([CAST(floor((p.v[i]-$s.v[i])*(p.v[i]-$s.v[i])*1048576.0+0.5) AS BIGINT)
+              for i in generate_series(1, len(p.v))])"""
   private val kmeansCteSql = s"""
     emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-             FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)),
+    samp AS (SELECT v, row_number() OVER (
+               ORDER BY md5('kmseed' || CAST(vec_id AS VARCHAR)), vec_id) AS sn
+             FROM emb
+             ORDER BY md5('kmseed' || CAST(vec_id AS VARCHAR)), vec_id
+             LIMIT 256),
+    sd1 AS (SELECT p.sn, p.v, ${kmeansQd2("s")} AS dm
+            FROM samp p CROSS JOIN (SELECT v FROM samp WHERE sn = 1) s),
+    sd2 AS (SELECT p.sn, p.v, least(p.dm, ${kmeansQd2("s")}) AS dm
+            FROM sd1 p CROSS JOIN
+              (SELECT v FROM sd1 ORDER BY dm DESC, sn LIMIT 1) s),
+    sd3 AS (SELECT p.sn, p.v, least(p.dm, ${kmeansQd2("s")}) AS dm
+            FROM sd2 p CROSS JOIN
+              (SELECT v FROM sd2 ORDER BY dm DESC, sn LIMIT 1) s),
+    init AS (
+      SELECT CAST(0 AS BIGINT) AS cid, v FROM samp WHERE sn = 1
+      UNION ALL SELECT * FROM
+        (SELECT CAST(1 AS BIGINT) AS cid, v FROM sd1 ORDER BY dm DESC, sn LIMIT 1)
+      UNION ALL SELECT * FROM
+        (SELECT CAST(2 AS BIGINT) AS cid, v FROM sd2 ORDER BY dm DESC, sn LIMIT 1)
+      UNION ALL SELECT * FROM
+        (SELECT CAST(3 AS BIGINT) AS cid, v FROM sd3 ORDER BY dm DESC, sn LIMIT 1)),
     a1 AS (SELECT vec_id, cid FROM (
       SELECT e.vec_id, i.cid, row_number() OVER (PARTITION BY e.vec_id
         ORDER BY

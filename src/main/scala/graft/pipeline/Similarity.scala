@@ -110,13 +110,68 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic maximin (farthest-point) seeding over a bounded
+    * hash-ordered sample — [[pqTrain]]'s seeding logic, shared by the
+    * full-vector trainers. First seed = the sample's first point; each
+    * next seed the point maximizing distance to its nearest chosen seed,
+    * ties to the earliest sample position. Distances accumulate as
+    * QUANTIZED LONGS (each squared-difference term snaps to the 2^-20
+    * grid): order-independent and bit-replayable by an independent
+    * engine — the `cluster_kmeans` oracle re-derives the same seeds in
+    * SQL. Quantization is harmless here: seeding picks far-apart points,
+    * it doesn't need sub-grid distance resolution. */
+  private def maximinSeeds(samp: IndexedSeq[Seq[Double]],
+      k: Int): Seq[(Int, Seq[Double])] = {
+    require(samp.length >= k, s"k=$k exceeds sample size ${samp.length}")
+    def quantD2(p: Seq[Double], c: Seq[Double]): Long = {
+      var s = 0L; var i = 0
+      val n = math.min(p.length, c.length)
+      while (i < n) {
+        val dx = p(i) - c(i)
+        s += math.floor(dx * dx * 1048576.0 + 0.5).toLong
+        i += 1
+      }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(samp(0))
+    val dmin = Array.fill(samp.length)(Long.MaxValue)
+    while (seeds.length < k) {
+      val last = seeds.last
+      var best = 0; var bestD = -1L
+      var i = 0
+      while (i < samp.length) {
+        val d = quantD2(samp(i), last)
+        if (d < dmin(i)) dmin(i) = d
+        if (dmin(i) > bestD) { bestD = dmin(i); best = i }
+        i += 1
+      }
+      seeds += samp(best)
+    }
+    seeds.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+  }
+
+  /** A bounded deterministic training sample: the `n` rows with the
+    * lowest `md5(salt || id)` (ties to id) — uniform in content (the
+    * hash decorrelates sample position from id order, which in crawl
+    * corpora correlates with content), reproducible, and replayable in
+    * plain SQL (unlike `xxhash64`, every engine has md5). One
+    * TakeOrdered job; `n * dim` doubles to the driver. */
+  private def hashOrderedSample(c: DataFrame, n: Int,
+      salt: String): IndexedSeq[Seq[Double]] =
+    c.orderBy(md5(concat(lit(salt), col("_id").cast("string")).cast("binary")),
+        col("_id"))
+      .limit(n).select(col("_v")).collect()
+      .map(r => r.getSeq[Any](0).map(widen).toSeq).toIndexedSeq
+
   /** Deterministic k-means clustering of the corpus by embedding — the
     * mixing/curation face of the vector pipeline (cluster-balanced
     * sampling, per-cluster quality stats, SemDeDup-style pruning all
     * start from `(id, cid)` assignments). Returns `(idCol, cid)`.
     *
     * Engine-replayable BY CONSTRUCTION, unlike textbook k-means:
-    *  - init = the `k` lowest-id vectors (no RNG);
+    *  - init = [[maximinSeeds]] over a bounded md5-hash-ordered sample
+    *    (no RNG; first-k-ids seeding degraded when id order correlated
+    *    with content, the norm in crawl corpora);
     *  - each Lloyd refresh is a PER-DIMENSION GRID MEAN: coordinates
     *    quantize to the 2^-20 grid and accumulate as longs, so the mean
     *    is combine-order-independent and an independent engine replays
@@ -132,19 +187,20 @@ object Similarity {
     * centroid literals (no shuffle); each refresh is one `groupBy(cid,
     * pos)` whose state is one long per (cluster, dimension); only k*dim
     * scalars visit the driver per iteration. The corpus is read
-    * `iters + 1` times — at 100 TB pass `corpus.persist()` if memory
-    * allows, or keep `iters` small (cluster quality saturates fast;
-    * FAISS trains IVF coarse quantizers with a handful of steps). */
+    * `iters + 1` times — `cache = true` persists the projected
+    * `(id, vec)` frame (MEMORY_AND_DISK) for the loop and unpersists on
+    * return; otherwise keep `iters` small (cluster quality saturates
+    * fast; FAISS trains IVF coarse quantizers with a handful of
+    * steps). */
   def kmeansCluster(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 1): DataFrame = {
+      k: Int, iters: Int = 1, cache: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    if (cache)
+      c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit
     var cents: Seq[(Int, Seq[Double])] =
-      c.orderBy("_id").limit(k).select(col("_v")).collect()
-        .zipWithIndex.map { case (r, i) =>
-          (i, r.getSeq[Any](0).map(widen).toSeq)
-        }.toSeq
+      maximinSeeds(hashOrderedSample(c, math.max(k, 256), "kmseed"), k)
     for (_ <- 0 until iters) {
       val assigned = c.withColumn("cid",
         element_at(nearestCids(col("_v"), cents, 1), 1))
@@ -162,6 +218,10 @@ object Similarity {
         (cid, refreshed.getOrElse(cid, old))
       }
     }
+    // the cache serves the EAGER training passes above; the returned
+    // frame is lazy, so release the blocks now — its one narrow pass
+    // re-reads the source when the caller executes
+    if (cache) c.unpersist(blocking = false): Unit
     c.select(col("_id").as(idCol),
       element_at(nearestCids(col("_v"), cents, 1), 1).as("cid"))
   }
@@ -204,7 +264,8 @@ object Similarity {
 
   /** k-means-lite coarse-quantizer training for [[ivfTopK]]. Input frame
     * has columns `(_id, _v)`; returns the `nLists` centroids after `iters`
-    * deterministic Lloyd steps (init = the `nLists` lowest-id vectors).
+    * deterministic Lloyd steps (init = [[maximinSeeds]] over a bounded
+    * md5-hash-ordered sample, like [[kmeansCluster]]).
     *
     * The refinement computes the new centroid as a PER-DIMENSION mean:
     * posexplode -> groupBy(cid, pos) -> avg. The aggregation state is one
@@ -216,11 +277,9 @@ object Similarity {
       iters: Int): Seq[(Int, Seq[Double])] = {
     val spark = c.sparkSession
     import spark.implicits._
-    var centroids: Seq[(Int, Seq[Double])] = c.orderBy("_id").limit(nLists)
-      .select(col("_v")).collect()
-      .zipWithIndex.map { case (r, i) =>
-        (i, r.getSeq[Any](0).map(widen))
-      }.toSeq
+    var centroids: Seq[(Int, Seq[Double])] =
+      maximinSeeds(hashOrderedSample(c, math.max(nLists, 256), "kmseed"),
+        nLists)
     for (_ <- 0 until iters) {
       // narrow per-row assignment (see nearestCids) — the Lloyd step's
       // only exchange is the (cid, pos) mean aggregation below

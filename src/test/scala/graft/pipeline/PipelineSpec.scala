@@ -542,8 +542,10 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("IVF centroid training: per-dimension means match a hand computation") {
-    // two obvious clusters around e0 and e1; init = 2 lowest-id vectors,
-    // one from each cluster, so one Lloyd step assigns cleanly.
+    // two obvious clusters around e0 and e1; maximin seeding puts one
+    // seed in each (the farthest point from any seed is in the other
+    // cluster), so one Lloyd step assigns cleanly — which CLUSTER gets
+    // cid 0 depends on the hash-ordered sample, so compare as a set.
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.8f, 0.2f, 0.0f)),
       (4L, Seq(0.9f, 0.1f, 0.1f)),
@@ -555,11 +557,13 @@ class PipelineSpec extends SparkSpec {
       val vs = vecs.filter(v => ids.contains(v._1)).map(_._2.map(_.toDouble))
       vs.transpose.map(ds => ds.sum / ds.size)
     }
-    // cluster of centroid 0 (init = id 0's vector): ids 0,2,4
     val exp0 = mean(Seq(0L, 2L, 4L))
     val exp1 = mean(Seq(1L, 3L, 5L))
-    cents(0).zip(exp0).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
-    cents(1).zip(exp1).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 }
+    assert(Seq(exp0, exp1).forall(e =>
+      close(cents(0), e) || close(cents(1), e)))
+    assert(!close(cents(0), cents(1)))
     // the training plan must never aggregate whole vectors into a list
     val ivfPlan = Similarity.ivfTopK(df.withColumnRenamed("_id", "vec_id")
         .withColumnRenamed("_v", "embedding"),
@@ -649,9 +653,9 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("kmeans: separable clusters recovered; empty cluster keeps centroid; deterministic") {
-    // two tight clusters on orthogonal axes + ids chosen so both init
-    // seeds (lowest 2 ids) land in cluster A: the Lloyd step must MOVE
-    // a centroid toward cluster B for the assignment to split correctly
+    // two tight clusters on orthogonal axes; under the old first-k-ids
+    // init both seeds landed in cluster A (ids 1..4) and only the Lloyd
+    // step could split — maximin seeding starts one seed per cluster
     val rows = Seq(
       (1L, Seq(1.0f, 0.0f, 0.05f)), (2L, Seq(0.9f, 0.1f, 0.0f)),
       (3L, Seq(1.0f, 0.05f, 0.0f)), (4L, Seq(0.95f, 0.0f, 0.1f)),
@@ -672,6 +676,25 @@ class PipelineSpec extends SparkSpec {
     val outK4 = Similarity.kmeansCluster(rows, "id", "vec", k = 4, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(outK4.size == 8 && outK4.values.forall(c => c >= 0 && c < 4))
+  }
+
+  test("kmeans maximin seeding: id-correlated clusters get one seed each at iters=0") {
+    // ids correlate with content (the crawl-corpus norm): ids 0-7 are
+    // cluster A, 8-15 B, 16-23 C. First-k-ids seeding would put ALL
+    // THREE seeds in cluster A and need Lloyd steps to recover; maximin
+    // must place one seed per cluster, so even ZERO iterations separate.
+    val rows = (0 until 24).map { i =>
+      val c = i / 8
+      val base = Array.fill(6)(0.01f * (i % 8))
+      base(c * 2) = 1.0f; base(c * 2 + 1) = 0.9f
+      (i.toLong, base.toSeq)
+    }.toDF("id", "vec")
+    val out = Similarity.kmeansCluster(rows, "id", "vec", k = 3, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byTrue = (0 until 24).groupBy(_ / 8)
+      .map { case (c, ids) => c -> ids.map(i => out(i.toLong)).toSet }
+    assert(byTrue.values.forall(_.size == 1), s"cluster split: $byTrue")
+    assert(byTrue.values.flatten.toSet.size == 3, s"clusters merged: $byTrue")
   }
 
   test("inverted index: disk round-trip reproduces from-text bm25 exactly; term predicate pushes to postings scan") {
