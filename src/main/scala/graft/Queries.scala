@@ -2131,6 +2131,13 @@ object Queries {
   // is built for the >= ~0.9 SemDeDup regime; dedup_embedding is the
   // exact-quadratic anchor at this threshold) and both engines replay the
   // SAME discovered pairs, so the comparison is exact.
+  //
+  // This gate runs the PRODUCTION configuration: a reliable checkpoint
+  // dir (parquet materialization, not localCheckpoint) and a bucket-size
+  // cap of 64, with the oracle replaying the cap (buckets above it
+  // contribute no candidates) — so what the driver hash-verifies is the
+  // reliability-and-skew-capped path a 100 TB run would use, not the
+  // defaults.
   private val dedupSemantic = Q("dedup_semantic", bench = true, oracle = Some(s"""
     WITH RECURSIVE
     planes AS (
@@ -2144,9 +2151,11 @@ object Queries {
                ELSE CAST(0 AS BIGINT) END) AS bucket
       FROM vecs CROSS JOIN planes
       GROUP BY vec_id, j // 8),
+    bsz AS (SELECT band, bucket, count(*) AS n FROM sigs GROUP BY 1, 2),
     cands AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+      JOIN bsz ON bsz.band = a.band AND bsz.bucket = a.bucket AND bsz.n <= 64
       WHERE a.vec_id < b.vec_id),
     pairs AS (
       SELECT id_a, id_b FROM cands
@@ -2164,8 +2173,10 @@ object Queries {
     ORDER BY e.vec_id""")) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q-sdedup").toString
     Dedup.semanticDedupPlanes(emb, "vec_id", "embedding", threshold = 0.4,
-      planes = Similarity.md5Planes(128, dim), bands = 16)
+      planes = Similarity.md5Planes(128, dim), bands = 16,
+      maxBucketSize = Some(64), checkpointDir = Some(ckpt))
       .select("vec_id", "label").orderBy("vec_id")
   }
 

@@ -98,6 +98,27 @@ class PipelineSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("minhashLSH hot bucket: the cap bounds candidate volume; cold buckets unaffected") {
+    // skew hardening: 1000 identical docs put 1000 members into EVERY
+    // band bucket they touch — uncapped, that one hot text contributes
+    // C(1000,2) = 499500 verify pairs per band. With maxBucketSize=100
+    // those buckets are dropped whole (bounded work, known recall loss),
+    // while a 50-strong duplicate group under the cap keeps all pairs.
+    val hot = (0L until 1000L).map(i => (i, "the same hot document text"))
+    val cold = (2000L until 2050L).map(i => (i, "a different cold doc body"))
+    val df = (hot ++ cold).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.9, maxBucketSize = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(pairs.forall { case (a, b) => a >= 2000L && b >= 2000L })
+    assert(pairs.length == 50 * 49 / 2) // the cold group keeps ALL pairs
+    info(f"cap dropped the hot group's ${1000 * 999 / 2}%d pairs " +
+      f"(known recall loss); bounded run took $secs%.1fs")
+    assert(secs < 60.0, s"capped hot-bucket join took ${secs}s")
+  }
+
   test("simhash: identical docs distance 0; near dups small distance; banding finds them") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -99,4 +99,22 @@ class ResolveSpec extends SparkSpec {
     val twice = Resolve(once, ReadView(maxVersions = 3))
     assert(collectCells(once) == collectCells(twice))
   }
+
+  test("hot row: 10k versions of one cell resolve to the latest, in bounded time") {
+    // skew hardening: a single (row, family) carrying 10^4 versions is
+    // ONE group in the versions_latest-shaped exchange — the resolve
+    // must stay a per-group sorted fold (memory O(maxVersions of one
+    // column), never a cross product of versions), and emit exactly the
+    // newest cell of each qualifier next to untouched normal rows.
+    val hot = (1 to 10000).map(i => put("hot", "q1", i.toLong, s"v$i"))
+    val cold = Seq(put("r2", "q1", 1, "x"), put("r3", "q1", 2, "y"))
+    val t0 = System.nanoTime()
+    val out = collectCells(Resolve(cells(hot ++ cold).toDF(),
+      ReadView(maxVersions = 1)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out == Set(("hot", "f", "q1", 10000L, "v10000"),
+      ("r2", "f", "q1", 1L, "x"), ("r3", "f", "q1", 2L, "y")))
+    // generous bound — the point is no quadratic blowup on the hot group
+    assert(secs < 60.0, s"hot-row resolve took ${secs}s")
+  }
 }
