@@ -1086,7 +1086,14 @@ object Queries {
       lit(graft.core.CellKind.Put).as("kind"),
       CellCodec.encodeValue(col("n"), LongType).as("value"),
       lit(0L).as("seq"))
-    val maps = CellCodec.decodeToMaps(eCells.unionByName(mCells), Seq("e", "m"))
+    // round-trip through the encode twin before reading: maps -> cells
+    // (encodeFromMaps) -> maps again, so the oracle hash-verifies the
+    // dynamic-qualifier WRITE path too, not just the pivoted read
+    val maps = CellCodec.decodeToMaps(
+      CellCodec.encodeFromMaps(
+        CellCodec.decodeToMaps(eCells.unionByName(mCells), Seq("e", "m")),
+        Seq("e", "m")),
+      Seq("e", "m"))
     maps.select(
       Bytes.asLong(col("row")).as("user_id"),
       size(col("e")).cast(LongType).as("n_quals"),

@@ -181,6 +181,37 @@ object CellCodec {
     * deterministic. A row with no cells in a family gets an EMPTY map,
     * mirroring `Result.getFamilyMap` for an unrequested family. One
     * shuffle (groupBy row), same scale shape as [[decode]]. */
+  /** The inverse of [[decodeToMaps]] — the WRITE path for dynamic
+    * qualifiers: one row per row key, one `map<binary, binary>` column
+    * per family (named after it), becomes Put cells. This is how
+    * map-shaped data (per-user event types, sparse feature names — no
+    * fixed schema exists) enters the table without forcing a relational
+    * detour through [[encode]]'s column-per-qualifier contract. A null
+    * or empty family map produces no cells (absence == null, the same
+    * rule as [[encode]]); all builtins (`map_entries` + `explode`), no
+    * UDF. Round-trip law, asserted in `ClientSemanticsSpec`:
+    * `decodeToMaps(encodeFromMaps(df), families)` reproduces `df` with
+    * null maps normalized to empty. */
+  def encodeFromMaps(df: DataFrame, families: Seq[String],
+      rowCol: String = "row", batchTs: Long = 1L,
+      tsCol: Option[Column] = None, seq: Long = 0L): DataFrame = {
+    require(families.nonEmpty, "at least one family")
+    val ts = tsCol.getOrElse(lit(batchTs))
+    families.map { f =>
+      df.select(col(rowCol).cast(BinaryType).as("row"),
+          explode(map_entries(col(f))).as("_e"),
+          ts.cast(LongType).as("ts"))
+        .select(
+          col("row"),
+          lit(f).as("family"),
+          col("_e.key").as("qualifier"),
+          col("ts"),
+          lit(CellKind.Put).as("kind"),
+          col("_e.value").as("value"),
+          lit(seq).as("seq"))
+    }.reduce(_ unionByName _)
+  }
+
   def decodeToMaps(cells: DataFrame, families: Seq[String]): DataFrame = {
     require(families.nonEmpty, "at least one family")
     // sorted by (qualifier asc, ts desc, seq desc) via negated longs

@@ -181,6 +181,45 @@ class ClientSemanticsSpec extends SparkSpec {
     assert(m == Seq("other" -> "x", "q" -> "new"))
   }
 
+  test("encodeFromMaps: map-frame round-trips through cells and a real table") {
+    val g = fresh()
+    val t = g.table("t")
+    // dynamic-qualifier source data born as maps — no relational schema
+    t.put(Seq(
+      Put(b("r1")).add("f", b("beta"), 1L, b("v2")).add("f", b("alpha"), 1L, b("v1"))
+        .add("g", b("n"), 1L, b("g1")),
+      Put(b("r2")).add("f", b("gamma"), 1L, b("v3"))), 1L)
+    val maps = graft.core.CellCodec.decodeToMaps(t.scan(Scan()), Seq("f", "g"))
+    // encode twin: maps -> cells; kinds all Put, null/empty maps silent
+    val cells = graft.core.CellCodec.encodeFromMaps(maps, Seq("f", "g"),
+      batchTs = 7L)
+    val got = cells.collect().map { r =>
+      (new String(r.getAs[Array[Byte]]("row"), "UTF-8"), r.getString(1),
+        new String(r.getAs[Array[Byte]]("qualifier"), "UTF-8"), r.getLong(3),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+    }.toSet
+    assert(got == Set(
+      ("r1", "f", "alpha", 7L, "v1"), ("r1", "f", "beta", 7L, "v2"),
+      ("r1", "g", "n", 7L, "g1"), ("r2", "f", "gamma", 7L, "v3")))
+    // round-trip law: decodeToMaps(encodeFromMaps(m)) == m (empty maps
+    // for families a row lacks, entries qualifier-sorted)
+    val back = graft.core.CellCodec.decodeToMaps(cells, Seq("f", "g"))
+      .collect().map { r =>
+        new String(r.getAs[Array[Byte]]("row"), "UTF-8") ->
+          (r.getMap[Array[Byte], Array[Byte]](1).toSeq.map { case (k, v) =>
+            (new String(k, "UTF-8"), new String(v, "UTF-8")) },
+           r.getMap[Array[Byte], Array[Byte]](2).toSeq.map { case (k, v) =>
+            (new String(k, "UTF-8"), new String(v, "UTF-8")) })
+      }.toMap
+    assert(back("r1") == (Seq("alpha" -> "v1", "beta" -> "v2"), Seq("n" -> "g1")))
+    assert(back("r2") == (Seq("gamma" -> "v3"), Seq()))
+    // and the encoded cells WRITE into a real table (mutate path)
+    g.createTable(TableDescriptor("t_rt", Seq(
+      FamilyDescriptor("f"), FamilyDescriptor("g"))), 1L)
+    g.table("t_rt").mutate(cells, nowMs = 7L)
+    assert(g.table("t_rt").scan(Scan()).count() == 4L)
+  }
+
   test("multiTableWrite routes cells to their tables") {
     import org.apache.spark.sql.functions._
     val g = fresh()
