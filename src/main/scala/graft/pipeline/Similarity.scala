@@ -559,6 +559,27 @@ object Similarity {
     * (j, d) = (h % 2001 - 1000) / 1000.0 where h = first 15 md5 hex chars
     * of "hp_<j>_<d>" as a long — uniform-ish in [-1, 1], which is all
     * sign-random-projection needs. */
+  /** Sign-LSH banding sizing rule, from the 10x/30x scale sweep
+    * (BENCH_SF1.md finding 2): with `bits` planes per band, the 2^bits
+    * buckets of each band hold a mean of `corpusSize / 2^bits` vectors —
+    * occupancy grows LINEARLY with the corpus under a fixed width, so a
+    * fixed `maxBucketSize` flips from skew safety net to primary volume
+    * control somewhere around one order of magnitude of growth.
+    * `bitsPerBand` returns the width that keeps mean occupancy at
+    * `targetOccupancy` for a given corpus size: grow bits with
+    * log2(corpus), re-derive per ingest generation, and leave the cap
+    * for the skewed tail. Clamped to [4, 30] (below 4 bits banding is
+    * degenerate; above 30 the bucket id no longer fits the byte-packed
+    * signature). Plane count for [[md5Planes]] is then
+    * `bands * bitsPerBand(...)`. */
+  def bitsPerBand(corpusSize: Long, targetOccupancy: Int = 16): Int = {
+    require(corpusSize > 0 && targetOccupancy > 0,
+      s"corpusSize=$corpusSize targetOccupancy=$targetOccupancy")
+    val needed = math.ceil(
+      math.log(corpusSize.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.max(4, math.min(30, needed))
+  }
+
   def md5Planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5") // resets per digest()
     (0 until nPlanes).map { j =>

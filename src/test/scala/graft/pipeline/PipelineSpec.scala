@@ -699,6 +699,21 @@ class PipelineSpec extends SparkSpec {
     assert(outK4.size == 8 && outK4.values.forall(c => c >= 0 && c < 4))
   }
 
+  test("bitsPerBand: occupancy-targeted widths grow with log2(corpus), clamped") {
+    // the BENCH_SF1 sweep's sizes: 2k (cap non-binding at 8 bits), 20k
+    // (borderline), 60k (cap-dominated) — the rule recovers widths that
+    // keep mean occupancy at the target instead
+    assert(Similarity.bitsPerBand(2000) == 7) // 2000/128 ~ 15.6 <= 16
+    assert(Similarity.bitsPerBand(20000) == 11)
+    assert(Similarity.bitsPerBand(60000) == 12)
+    for (n <- Seq(2000L, 20000L, 60000L, 1000000000L)) {
+      val bits = Similarity.bitsPerBand(n)
+      if (bits < 30) assert(n.toDouble / (1L << bits) <= 16.0)
+    }
+    assert(Similarity.bitsPerBand(10) == 4) // floor clamp
+    assert(Similarity.bitsPerBand(Long.MaxValue / 2) == 30) // ceiling clamp
+  }
+
   test("kmeans maximin seeding: id-correlated clusters get one seed each at iters=0") {
     // ids correlate with content (the crawl-corpus norm): ids 0-7 are
     // cluster A, 8-15 B, 16-23 C. First-k-ids seeding would put ALL
