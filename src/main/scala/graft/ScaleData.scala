@@ -60,7 +60,14 @@ object ScaleData {
     Seq("nation", "region").foreach { n => write(table(n), n, 1) }
 
     replicate("customer", 4) { (df, i) =>
+      // names must decorrelate too: customer is NAME-keyed in the
+      // prefix-filter queries, and replicas sharing c_name would
+      // collapse into one row key under version resolution (caught at
+      // sf1: prefix_filter returned 10 resolved rows vs the oracle's
+      // 100 relational ones). A SUFFIX keeps every name-prefix
+      // predicate's selectivity identical across replicas.
       df.withColumn("c_custkey", shifted("c_custkey", i))
+        .withColumn("c_name", concat(col("c_name"), lit(s"_r$i")))
     }
     replicate("orders", 8) { (df, i) =>
       df.withColumn("o_orderkey", shifted("o_orderkey", i))

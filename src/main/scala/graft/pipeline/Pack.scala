@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the naive formulation is one global running sum — a
   * single-partition window, the classic 100 TB killer. This implements
-  * the two-pass distributed prefix sum instead: range-partition by id,
-  * per-partition running sums (parallel, partition-local sort), then a
-  * driver-side prefix over the k per-partition TOTALS (k = partition
-  * count, a few hundred longs — the only thing that ever visits the
-  * driver) broadcast back as each partition's starting offset. */
+  * the two-pass distributed prefix sum instead: bucket by id into
+  * quantile ranges whose boundaries are driver-collected LITERALS (so
+  * the bucket of a row is a pure function of its id, stable across
+  * re-executions — see the stage-1 comment for why a physical
+  * partition id is not), per-bucket running sums (parallel,
+  * bucket-local sort), then a driver-side prefix over the k per-bucket
+  * TOTALS (k = bucket count, a few hundred longs — the only thing that
+  * ever visits the driver) broadcast back as each bucket's starting
+  * offset. */
 object Pack {
 
   /** (id, n_tok, seq_id) per input row. `tokens` is the per-row token
@@ -35,19 +39,35 @@ object Pack {
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val base = df.select(col(idCol).as("id"), tokens.cast("long").as("n_tok"))
-    // Stage 1: range-partition by id; stamp the partition id BEFORE any
-    // further exchange so the prefix structure survives.
-    val parts = base.repartitionByRange(nPart, col("id"))
-      .withColumn("_pid", spark_partition_id())
-    // Stage 2: per-partition running sum of tokens BEFORE each row.
+    // Stage 1: deterministic id-range buckets. The bucket boundaries are
+    // approximate quantiles COLLECTED ONCE and embedded as literals, so
+    // `_pid` is a PURE FUNCTION OF id — identical on every execution of
+    // this frame. The previous formulation stamped
+    // `spark_partition_id()` after a repartitionByRange, which is a
+    // property of the PHYSICAL plan, not the data: this frame executes
+    // twice (the totals collect below, then the final join), and AQE may
+    // coalesce the two executions differently, silently misaligning the
+    // collected offsets with the joined rows. Invisible at oracle scales
+    // (both executions coalesce identically); caught by the sf1
+    // scale-stress as a 2% bin drift (BENCH_SF1.md).
+    val probs = (1 until nPart).map(_.toDouble / nPart).toArray
+    val bounds: Seq[Long] =
+      if (nPart <= 1) Nil
+      else base.stat.approxQuantile("id", probs, 0.001)
+        .map(_.toLong).toSeq.distinct
+    val pidExpr =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds), b => b <= col("id")))
+    val parts = base.withColumn("_pid", pidExpr)
+    // Stage 2: per-bucket running sum of tokens BEFORE each row (the
+    // window's own hash exchange on _pid replaces the explicit range
+    // repartition — each bucket sorts locally by id).
     val w = Window.partitionBy("_pid").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parts.withColumn("_pre", coalesce(sum("n_tok").over(w), lit(0L)))
-    // Stage 3: k partition totals -> driver prefix -> broadcast offsets.
-    // Range boundaries come from a sampled partitioner, so _pid -> rows is
-    // not deterministic across runs — but offsets are computed from the
-    // actual totals, so (offset + pre) is the exact global prefix sum
-    // regardless of where the boundaries fell.
+    // Stage 3: k bucket totals -> driver prefix -> broadcast offsets.
+    // Buckets ascend with id by construction (quantiles are sorted), so
+    // the pid-ordered prefix of totals IS the id-ordered global prefix.
     val totals = local.groupBy("_pid").agg(sum("n_tok").as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
