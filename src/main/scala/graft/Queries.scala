@@ -1358,6 +1358,57 @@ object Queries {
       .select("doc_id", "text").orderBy("doc_id")
   }
 
+  // CROSS-BATCH streaming dedup: the corpus (plus deterministically
+  // INJECTED duplicates — the driver tables carry no duplicate texts,
+  // which would make a dedup gate vacuous) replays as TWO sequenced
+  // micro-batches split by doc_id parity, odds first. First-seen's
+  // batch semantics is then driver-verified on its interesting branch:
+  // texts whose ONLY odd member is a large injected id win with that id
+  // even though a smaller even id arrives in batch 2 — the winner is
+  // the min of the key's FIRST batch, NOT the global min (a single-batch
+  // replay cannot distinguish the two rules). The oracle replays the
+  // injection and the two-phase rule in SQL.
+  private val streamDedupBatches = Q("stream_dedup_batches", Some("""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT 2000000 + 2*doc_id + 1, text FROM documents WHERE doc_id % 6 = 0
+      UNION ALL SELECT 2000000 + 2*doc_id, text FROM documents WHERE doc_id % 6 = 3)
+    SELECT doc_id, text FROM corpus
+    WHERE doc_id IN (
+      SELECT CASE WHEN count(*) FILTER (WHERE doc_id % 2 = 1) > 0
+                  THEN min(doc_id) FILTER (WHERE doc_id % 2 = 1)
+                  ELSE min(doc_id) END
+      FROM corpus GROUP BY text)
+    ORDER BY doc_id""")) { (s, dir) =>
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    // injected duplicates: %6=0 texts gain a LARGE odd twin (first-batch
+    // rule must pick it over the smaller even original); %6=3 texts gain
+    // a large even twin (control: the odd original stays the winner)
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") % 6 === 0)
+        .select((lit(2000000L) + col("doc_id") * 2 + 1).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 6 === 3)
+        .select((lit(2000000L) + col("doc_id") * 2).as("doc_id"), col("text")))
+    val work = java.nio.file.Files.createTempDirectory("graft-q-sdb").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val st = s"$work/stage_$name"
+      df.coalesce(1).write.parquet(st)
+      val part = new java.io.File(st).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$work/in/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtimeMs): Unit
+    }
+    stage(corpus.filter(col("doc_id") % 2 === 1), "a", 1000000L)
+    stage(corpus.filter(col("doc_id") % 2 === 0), "b", 2000000L)
+    val winners = runDirStreamSequenced(s, s"$work/in", corpus.schema, work,
+      "sdb")(stream => graft.streaming.StreamDedup.firstSeen(
+        stream, key = md5(col("text")), id = col("doc_id")))
+    corpus.join(winners.select(col("id").as("doc_id")), "doc_id")
+      .select("doc_id", "text").orderBy("doc_id")
+  }
+
   private val dedupFingerprint = Q("dedup_fingerprint", Some(s"""
     SELECT doc_id, md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')) AS fp
     FROM documents
@@ -2456,7 +2507,8 @@ object Queries {
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
     asOfJoinQ,
-    dedupExact, dedupCanonical, streamDedup, dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
+    dedupExact, dedupCanonical, streamDedup, streamDedupBatches,
+    dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
     dedupMinhashLsh, streamMinhashLsh, dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textNormalize, textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,
