@@ -6,8 +6,11 @@ import org.apache.spark.sql.SparkSession
   * mains and the test harness agree.
   *
   *  - timeZone UTC: makes NTZ<->instant casts identity, plans deterministic.
-  *  - nanosAsLong: parquet timestamp[ns] (events.ts) has no Spark type;
-  *    read it as LongType epoch-nanos and treat it as the cell timestamp.
+  *  - nanosAsLong: parquet timestamp[ns] has no Spark type; with this flag a
+  *    ns-unit corpus reads as LongType epoch-nanos instead of erroring. The
+  *    engine does NOT assume any particular unit — `graft.core.EventTime`
+  *    dispatches on the actual column type at ingest (ns-as-long, us/ms NTZ,
+  *    instant timestamps all normalize to the same epoch-nanos cell ts).
   *  - AQE on: runtime coalescing + skew-join handling — the 100 TB posture.
   *  - shuffle.partitions = cores locally; a real cluster deployment would
   *    size this to 2-3x total cores (AQE coalesces the rest).

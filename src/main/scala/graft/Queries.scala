@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Bytes, CellCodec}
+import graft.core.{Bytes, CellCodec, EventTime}
 import graft.read._
 import graft.write.{Compact, Mutations}
 import graft.pipeline.{Dedup, Multimodal, Pack, Sampling, Similarity, Text}
@@ -135,11 +135,18 @@ object Queries {
     StructType(names.map(n => parent(n)))
 
   /** nanos since epoch for an ISO date at UTC midnight (deterministic).
-    * events.ts is parquet timestamp[ns], read as LongType nanos via
-    * `spark.sql.legacy.parquet.nanosAsLong` (Spark has no nanos timestamp);
-    * cell timestamps for the events table are therefore epoch NANOS. */
-  private def nanosOf(isoDate: String): Long =
-    java.time.Instant.parse(isoDate + "T00:00:00Z").toEpochMilli * 1000000L
+    * Cell timestamps for the events table are epoch NANOS regardless of the
+    * unit the parquet writer chose — `EventTime` dispatches on the actual
+    * column type at ingest (`eventsNs`), and these constants come from the
+    * same contract so TimeRange/as-of bounds always agree with the data. */
+  private def nanosOf(isoDate: String): Long = EventTime.nanosOf(isoDate)
+
+  /** THE events-table ingest point: `ts` normalized to epoch-nanos long by
+    * schema dispatch (ns-as-long, us/ms NTZ, instant timestamps all land
+    * identically). Every consumer reads through here — an upstream unit
+    * change is one adapted branch, not ten broken queries. */
+  private def eventsNs(s: SparkSession, dir: String): DataFrame =
+    EventTime.normalize(t(s, dir, "events"))
 
   // ----------------------------------------------------------------------
   // Aggregation surface (RowCounter/GroupingTableMapper analogs — SURVEY
@@ -430,7 +437,7 @@ object Queries {
 
   private def eventsIdCells(s: SparkSession, dir: String): DataFrame =
     storedCells(s, dir, "events", "events_id")(
-      CellCodec.encode(t(s, dir, "events"), "e", Seq("event_id")))
+      CellCodec.encode(eventsNs(s, dir), "e", Seq("event_id")))
 
   private val rowFilterRegex = Q("row_filter_regex", Some(s"""
     SELECT $customerCols FROM customer
@@ -546,7 +553,7 @@ object Queries {
 
   private def eventsCells(s: SparkSession, dir: String): DataFrame =
     storedCells(s, dir, "events", "events_user")(
-      CellCodec.encode(t(s, dir, "events"), "e", Seq("user_id"),
+      CellCodec.encode(eventsNs(s, dir), "e", Seq("user_id"),
         tsCol = Some(col("ts")), seqCol = Some(col("event_id"))))
 
   private val eventsValSchema = StructType(Seq(
@@ -613,7 +620,7 @@ object Queries {
   private val incrementCounters = Q("increment_counters", Some("""
     SELECT user_id, 100 + count(*) AS clicks FROM events
     GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
-    val ev = t(s, dir, "events")
+    val ev = eventsNs(s, dir)
     val seed = Mutations.putCells(ev.select("user_id").distinct(),
       CellCodec.longBytes(col("user_id")), "c", "clicks",
       lit(Bytes.toBytes(100L)), ts = 1L)
@@ -940,7 +947,7 @@ object Queries {
   private val sessionize = Q("sessionize_events", Some(sessionizeOracleSql)) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    t(s, dir, "events")
+    eventsNs(s, dir)
       .withColumn("_prev", lag("ts", 1).over(w)) // ts is epoch nanos
       .withColumn("new_s",
         when(col("_prev").isNull ||
@@ -961,24 +968,27 @@ object Queries {
   private val streamSessionize = Q("stream_sessionize",
       Some(sessionizeOracleSql)) { (s, dir) =>
     val gap = 3600L * 1000000000L
-    val ev = t(s, dir, "events")
+    val ev = eventsNs(s, dir)
     val mx = ev.agg(max(col("ts"))).head.getLong(0) // one scalar: fixture prep
     val work = java.nio.file.Files.createTempDirectory("graft-q-ssess").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(s"$work/in/events.parquet"))
-    // the file-stream source lists top-level files: stage the sentinel
-    // write, then move its single part file next to the source parquet
-    ev.select(col("user_id")).distinct()
+    // the file-stream source lists top-level files and reads them with the
+    // NORMALIZED (epoch-nanos long) schema, so the corpus is staged through
+    // eventsNs rather than file-copied raw — the raw parquet's ts unit is
+    // the writer's choice, not the stream's contract
+    def stage(df: DataFrame, name: String): Unit = {
+      val st = s"$work/stage_$name"
+      df.coalesce(1).write.parquet(st)
+      val part = new java.io.File(st).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$work/in/$name.parquet")): Unit
+    }
+    stage(ev, "events")
+    stage(ev.select(col("user_id")).distinct()
       .select(lit(-1L).as("event_id"), lit(mx + gap + 1L).as("ts"),
         col("user_id"), lit("flush").as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-      .coalesce(1).write.parquet(s"$work/stage")
-    val part = new java.io.File(s"$work/stage").listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(s"$work/in/flush.parquet"))
+        lit(0.0).as("value"), lit("{}").as("props")), "flush")
     val sessions = runDirStream(s, s"$work/in", ev.schema, work, "ssess")(
       stream => graft.streaming.StreamSessions.sessionize(
         stream, col("user_id"), col("ts"), col("event_id"), gap))
@@ -1000,7 +1010,7 @@ object Queries {
   private val streamSessionizeLate = Q("stream_sessionize_late",
       Some(sessionizeOracleSql)) { (s, dir) =>
     val gap = 3600L * 1000000000L
-    val ev = t(s, dir, "events")
+    val ev = eventsNs(s, dir)
     val b = ev.agg(min(col("ts")), max(col("ts"))).head // two scalars: fixture prep
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     val delayMs = (mx - mn) / 1000000L + 1000L
@@ -1067,7 +1077,7 @@ object Queries {
             FROM events GROUP BY 1, 2)
       GROUP BY user_id)
     ORDER BY user_id""")) { (s, dir) =>
-    val ev = t(s, dir, "events")
+    val ev = eventsNs(s, dir)
     val counts = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
     val eCells = counts.select(
       CellCodec.rowKey(counts, Seq("user_id")).as("row"),
@@ -1157,7 +1167,7 @@ object Queries {
     val work = java.nio.file.Files.createTempDirectory("graft-q-winagg").toString
     val src = graft.Graft(s, s"$work/src")
     src.createTable(TableDescriptor("t", Seq(FamilyDescriptor("e")), splitKeys = 8), 1L)
-    val ev = t(s, dir, "events").select("user_id", "ts", "event_id", "event_type")
+    val ev = eventsNs(s, dir).select("user_id", "ts", "event_id", "event_type")
     src.table("t").mutate(
       CellCodec.encode(ev, "e", Seq("user_id"),
         tsCol = Some(col("ts")), seqCol = Some(col("event_id"))), nowMs = 1L)
@@ -1196,7 +1206,7 @@ object Queries {
     ORDER BY o_orderkey""")) { (s, dir) =>
     val orders = t(s, dir, "orders").filter(col("o_custkey") <= 150)
       .select("o_orderkey", "o_custkey", "o_orderdate")
-    val events = t(s, dir, "events").select("user_id", "event_id", "ts")
+    val events = eventsNs(s, dir).select("user_id", "event_id", "ts")
     graft.jobs.Jobs.asOfJoin(
       orders, events,
       leftKey = col("o_custkey"), rightKey = col("user_id"),
