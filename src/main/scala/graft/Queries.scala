@@ -2496,11 +2496,30 @@ object Queries {
       .orderBy("media_id")
   }
 
+  // Pre-flight corpus contract: asserts every load-bearing column of every
+  // driver table is inside the engine's adaptable type envelope (one
+  // actionable line per drift — the labeled-diff answer to round 5's silent
+  // ns->us regen). The result is the contract's own static surface, so the
+  // gate goes red EITHER on corpus drift (Spark side throws) or on a
+  // contract edit that forgot its documented shape (oracle mismatch).
+  private val dataContract = Q("data_contract", Some("""
+    SELECT tbl, CAST(n_cols AS BIGINT) AS n_cols FROM (VALUES
+      ('customer', 5), ('documents', 4), ('embeddings', 2), ('events', 6),
+      ('lineitem', 8), ('nation', 3), ('orders', 6), ('part', 2),
+      ('region', 2), ('supplier', 2)) AS t(tbl, n_cols)
+    ORDER BY tbl""")) { (s, dir) =>
+    graft.core.DataContract.enforce(s, dir)
+    val rows = graft.core.DataContract.tables.toSeq.sortBy(_._1)
+      .map { case (name, cols) => (name, cols.size.toLong) }
+    s.createDataFrame(rows).toDF("tbl", "n_cols").orderBy("tbl")
+  }
+
   // ----------------------------------------------------------------------
   // Registry
   // ----------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
+    dataContract,
     q1Agg, q3Join,
     scanRange, getPoint, getRowOrBefore, rowCounter, existsGet,
     dependentColumn, exportImport, multiGet, ttlScan,

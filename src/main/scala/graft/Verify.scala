@@ -9,6 +9,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // Pre-flight: corpus drift prints as a labeled diff up front (the
+    // data_contract gate also goes red); unaffected queries still run.
+    graft.core.DataContract.violations(spark, sfDir).foreach { v =>
+      System.err.println(s"[verify] DATA CONTRACT: $v")
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }

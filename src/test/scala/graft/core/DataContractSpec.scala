@@ -1,0 +1,113 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** The round-5 lesson as executable law: the engine adapts to whatever
+  * timestamp unit the corpus ships (ns-as-long, us/NTZ, instant) and the
+  * contract pre-flight turns a non-adaptable regen into one actionable
+  * line, not ten AnalysisExceptions. */
+class DataContractSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val microsA = 1704067200000000L // 2024-01-01T00:00:00Z in us
+  private val microsB = 1704070800000000L // +1h
+
+  test("EventTime.normalize: long nanos pass through untouched") {
+    val df = Seq((1L, microsA * 1000L), (2L, microsB * 1000L)).toDF("id", "ts")
+    val out = EventTime.normalize(df)
+    assert(out.schema("ts").dataType == LongType)
+    assert(out.orderBy("id").select("ts").as[Long].collect().toSeq ==
+      Seq(microsA * 1000L, microsB * 1000L))
+  }
+
+  test("EventTime.normalize: timestamp_ntz micros land on identical nanos") {
+    val ntz = Seq((1L, microsA), (2L, microsB)).toDF("id", "us")
+      .select(col("id"), timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    assert(ntz.schema("ts").dataType == TimestampNTZType) // fixture is really NTZ
+    val out = EventTime.normalize(ntz)
+    assert(out.schema("ts").dataType == LongType)
+    // BOTH directions: the us-shaped fixture normalizes to the same nanos
+    // as the ns-shaped one — the two corpus generations are one engine view
+    assert(out.orderBy("id").select("ts").as[Long].collect().toSeq ==
+      Seq(microsA * 1000L, microsB * 1000L))
+  }
+
+  test("EventTime.normalize: instant timestamps convert via unix_micros") {
+    val df = Seq((1L, new Timestamp(microsA / 1000L))).toDF("id", "ts")
+    assert(df.schema("ts").dataType == TimestampType)
+    val out = EventTime.normalize(df)
+    assert(out.select("ts").as[Long].head() == microsA * 1000L)
+  }
+
+  test("EventTime.nanos rejects a non-temporal column with a unit message") {
+    val e = intercept[IllegalArgumentException] {
+      EventTime.nanos(StringType, col("ts"))
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
+  test("contract passes on a conforming corpus, either ts unit") {
+    def corpus(tsUnit: String): String = {
+      val dir = Files.createTempDirectory("graft-contract").toString
+      val ev = Seq((1L, microsA, 10L, "click", 1.0, "{}"))
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      val shaped = tsUnit match {
+        case "ns" => ev.select(col("event_id"), (col("us") * 1000L).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        case "us" => ev.select(col("event_id"),
+          timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      }
+      shaped.write.parquet(s"$dir/events.parquet")
+      Seq((1, "r")).toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+      Seq((1, "n", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+        .write.parquet(s"$dir/nation.parquet")
+      Seq((1L, "c", 1, 0.0, "B"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.parquet(s"$dir/customer.parquet")
+      Seq((1L, "s")).toDF("s_suppkey", "s_name").write.parquet(s"$dir/supplier.parquet")
+      Seq((1L, "p")).toDF("p_partkey", "p_name").write.parquet(s"$dir/part.parquet")
+      Seq((1L, 1L, "F", 1.0, new Timestamp(0L), "1-URGENT"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.parquet(s"$dir/orders.parquet")
+      Seq((1L, 1.0, 1.0, 0.1, 0.02, "N", "O", new Timestamp(0L)))
+        .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.parquet(s"$dir/lineitem.parquet")
+      Seq((1L, "t", "en", "web")).toDF("doc_id", "text", "lang", "source")
+        .write.parquet(s"$dir/documents.parquet")
+      Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+        .write.parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    assert(DataContract.violations(spark, corpus("ns")).isEmpty)
+    assert(DataContract.violations(spark, corpus("us")).isEmpty)
+  }
+
+  test("contract flags a non-adaptable ts type with one actionable line") {
+    val dir = Files.createTempDirectory("graft-contract-bad").toString
+    Seq((1L, "2024-01-01", 10L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val v = DataContract.violations(spark, dir)
+    val tsLine = v.find(_.startsWith("events.ts:"))
+    assert(tsLine.isDefined, s"expected events.ts violation in: $v")
+    assert(tsLine.get.contains("string not adaptable"))
+    assert(tsLine.get.contains("event time"))
+    // missing tables are reported as missing, not as crashes
+    assert(v.exists(_.startsWith("region: missing")))
+  }
+
+  test("contract flags an absent column") {
+    val dir = Files.createTempDirectory("graft-contract-col").toString
+    Seq((1L, 1L)).toDF("event_id", "user_id").write.parquet(s"$dir/events.parquet")
+    val v = DataContract.violations(spark, dir)
+    assert(v.exists(l => l.startsWith("events.ts:") && l.contains("column absent")))
+  }
+}
