@@ -1114,6 +1114,50 @@ object Queries {
       .orderBy("user_id")
   }
 
+  // COLLIDING qualifier names across families — the case `decode`'s
+  // single-family scoping documents (`CellCodec.scala` map-key-collision
+  // note) and the family-map view exists to serve: families "a" and "b"
+  // both carry one qualifier PER EVENT TYPE (identical names), with
+  // different payloads (count vs min event id). The round trip
+  // maps -> encodeFromMaps -> decodeToMaps must keep each family's
+  // entries on its own side of the collision, and the rendered maps
+  // must both match the oracle's per-family recomputation.
+  private val familyMapCollision = Q("family_map_collision", Some("""
+    SELECT user_id, quals_a, quals_b FROM (
+      SELECT user_id,
+        string_agg(event_type || '=' || cnt, ',' ORDER BY event_type) AS quals_a,
+        string_agg(event_type || '=' || mid, ',' ORDER BY event_type) AS quals_b
+      FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(min(event_id) AS BIGINT) AS mid
+            FROM events GROUP BY 1, 2)
+      GROUP BY user_id)
+    ORDER BY user_id""")) { (s, dir) =>
+    val byType = eventsNs(s, dir).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"), min("event_id").as("mid"))
+    def famCells(fam: String, payload: Column): DataFrame = byType.select(
+      CellCodec.rowKey(byType, Seq("user_id")).as("row"),
+      lit(fam).as("family"),
+      col("event_type").cast(BinaryType).as("qualifier"),
+      lit(1L).as("ts"),
+      lit(graft.core.CellKind.Put).as("kind"),
+      CellCodec.encodeValue(payload, LongType).as("value"),
+      lit(0L).as("seq"))
+    val cells = famCells("a", col("cnt")).unionByName(famCells("b", col("mid")))
+    val maps = CellCodec.decodeToMaps(
+      CellCodec.encodeFromMaps(
+        CellCodec.decodeToMaps(cells, Seq("a", "b")), Seq("a", "b")),
+      Seq("a", "b"))
+    def render(fam: String): Column =
+      concat_ws(",", transform(map_entries(col(fam)), ent =>
+        concat(ent.getField("key").cast(StringType), lit("="),
+          Bytes.asLong(ent.getField("value")).cast(StringType))))
+    maps.select(
+      Bytes.asLong(col("row")).as("user_id"),
+      render("a").as("quals_a"),
+      render("b").as("quals_b"))
+      .orderBy("user_id")
+  }
+
   // ----------------------------------------------------------------------
   // Jobs + streaming (SURVEY §2.1 MR layer, §2.1 replication row).
   // ----------------------------------------------------------------------
@@ -2528,7 +2572,8 @@ object Queries {
     rowFilterRegex, qualifierFilter, timestampsFilter, columnCountGet,
     skipFilterQ, whileMatch, filterListOr, scvExclude, binaryPrefixScan,
     groupingMapperAgg,
-    versionsLatest, timeRangeScan, jsonPropsAgg, resultFamilyMap, sessionize, streamSessionize,
+    versionsLatest, timeRangeScan, jsonPropsAgg, resultFamilyMap,
+    familyMapCollision, sessionize, streamSessionize,
     streamSessionizeLate,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, snapshotRestoreScan, asofScan, bulkLoadScan,

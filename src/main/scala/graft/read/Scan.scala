@@ -98,17 +98,52 @@ object ScanExec {
       familyMaxVersions, familyTtlMs)
 
     scan.filter match {
-      // PageFilter fast path: the first-N visible row keys are decided by
-      // the masking stage alone (the version cap never empties a row), so
-      // ONE masked pass computes the page's keys (distinct + TakeOrdered N),
-      // and the output is resolved from the RAW cells of just those N rows
-      // (broadcast semi-join — no second windowed pass over the full
-      // table; every Resolve window partitions by `row`, so restricting to
-      // the page's rows before resolving is semantics-preserving).
+      // PageFilter fast path, BOUNDED SEEK: the page's first-N visible row
+      // keys are decided by the masking stage alone (the version cap never
+      // empties a row), but running `masked` over the scan's open tail pays
+      // a window shuffle of everything after the seek point — the reference
+      // reads one region forward from the seek and stops when the page
+      // fills (`ClientScanner`/`ScannerCallable`), never the table tail.
+      // Same shape here: probe a raw-key prefix (TakeOrdered over the
+      // narrow sorted `row` column — no shuffle), mask only `[start, B]`,
+      // and escalate the probe (x4) only if tombstones emptied enough rows
+      // that the bounded page came up short. No-tombstone scans (the common
+      // case) finish on the first probe with an O(page) masked pass. The
+      // probed keys are O(page) driver-side sets (same bound as multiGet's
+      // key batch); resolution then reads raw cells of just the page's
+      // rows with `[lo, succ(hi))` pushed into the parquet scan.
       case Some(pf: PageFilter) =>
-        val keys = Resolve.masked(df, view)
-          .select("row").distinct().orderBy("row").limit(pf.pageSize)
-        Resolve(df.join(broadcast(keys), Seq("row"), "left_semi"), view)
+        val spark = df.sparkSession
+        import spark.implicits._
+        val n = math.max(pf.pageSize, 1)
+        var cellProbe = n.toLong * 8 // >= 8 cells/row before first escalation
+        var pageKeys: Option[Array[Array[Byte]]] = None
+        while (pageKeys.isEmpty) {
+          val raw = df.select("row").orderBy("row").limit(
+            math.min(cellProbe, Int.MaxValue.toLong).toInt)
+            .collect().map(_.getAs[Array[Byte]](0))
+          val exhausted = raw.length < cellProbe
+          val bounded =
+            if (exhausted) df else df.filter(col("row") <= lit(raw.last))
+          val distinctRaw = raw.map(_.toSeq).distinct.length
+          if (distinctRaw >= n || exhausted) {
+            val vis = Resolve.masked(bounded, view)
+              .select("row").distinct().orderBy("row").limit(n)
+              .collect().map(_.getAs[Array[Byte]](0))
+            if (vis.length >= n || exhausted) pageKeys = Some(vis)
+            else cellProbe *= 4 // tombstoned rows ate the page: widen
+          } else cellProbe *= 4 // wide rows: not even N raw keys probed
+        }
+        val keys = pageKeys.get
+        if (keys.isEmpty) df.limit(0).transform(Resolve(_, view))
+        else {
+          val ord: Ordering[Array[Byte]] = (a, b) => Bytes.compareTo(a, b)
+          val scoped = df
+            .filter(col("row") >= lit(keys.min(ord)) &&
+              col("row") < lit(Bytes.successor(keys.max(ord))))
+            .join(broadcast(keys.toSeq.toDF("row")), Seq("row"), "left_semi")
+          Resolve(scoped, view)
+        }
       case Some(f) => f(Resolve(df, view))
       case None => Resolve(df, view)
     }

@@ -31,17 +31,13 @@ object StreamDedup {
     * unbounded key cardinality (the 100 TB lever — without it the state
     * store grows with every distinct document forever). A key seen again
     * after its TTL re-emits: the standard recall-for-memory trade,
-    * documented rather than silent. The TTL is PROCESSING-time on
-    * purpose: dedup state is a "have I ever seen this key" bit with no
-    * timeline semantics, so wall-clock idleness is the right eviction
-    * clock even when events carry timestamps. An event-time TTL (evict
-    * when the watermark passes `lastSeen + ttl`) only changes which
-    * duplicates slip through on REPLAY of historic data — replays of
-    * ts-keyed idempotent sinks (the reference's replication model)
-    * tolerate re-emits by construction, so the extra watermark plumbing
-    * buys nothing here; see `StreamSessions.sessionizeEventTime` for the
-    * operator where event-time state transitions ARE semantic and the
-    * watermark variant is real.
+    * documented rather than silent. This variant's TTL is
+    * PROCESSING-time: wall-clock idleness evicts, which is the right
+    * clock for a live ingest feed. For REPLAY of historic data, which
+    * duplicates slip through then depends on replay speed — when the
+    * corpus build must be reproducible, use [[firstSeenEventTime]],
+    * whose eviction clock is the data's own timeline (the same
+    * watermark contract as `StreamSessions.sessionizeEventTime`).
     *
     * Output mode must be Append (the only mode
     * `flatMapGroupsWithState(Append)` supports downstream). */
@@ -77,6 +73,67 @@ object StreamDedup {
             state.update(true)
             stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             Iterator.single((k, winner))
+          }
+      }
+      .toDF("key", "id")
+  }
+
+  /** [[firstSeen]] with an EVENT-time TTL: a key's state expires when the
+    * WATERMARK passes `lastSeen + ttl`, where `lastSeen` is the key's max
+    * event time so far — so eviction (and therefore which re-sightings
+    * re-emit) is a deterministic function of the data and its arrival
+    * order, independent of wall clock. Replaying a historic feed through
+    * the same micro-batches reproduces the exact same output — the
+    * property a versioned training-corpus build needs, and the one the
+    * processing-time variant cannot give (replay speed would change the
+    * evictions).
+    *
+    * `ts` is epoch NANOS (the cell-timestamp unit; `EventTime.normalize`
+    * upstream makes any source unit land here). Same watermark contract
+    * as `StreamSessions.sessionizeEventTime`: `watermarkDelay` bounds
+    * out-of-order arrival; rows later than the delay may be dropped by
+    * the engine before they reach the state function. State per key: one
+    * long (last-seen event time) — same O(1)/key posture as [[firstSeen]].
+    *
+    * Out-of-order arrival WITHIN the TTL is handled exactly like
+    * [[firstSeen]]: re-sightings suppress and push `lastSeen` forward
+    * (never backward — `max`), so a late straggler cannot shorten a
+    * key's retention. */
+  def firstSeenEventTime(stream: DataFrame, key: Column, id: Column,
+      ts: Column, ttl: java.time.Duration,
+      watermarkDelay: java.time.Duration): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
+    stream
+      .select(key.cast("string").as("_k"), id.cast("long").as("_id"),
+        ts.cast("long").as("_ts"),
+        // same nanos->micros derivation as sessionizeEventTime:121
+        timestamp_micros(floor(ts.cast("long") / 1000L).cast("long")).as("_evt"))
+      .withWatermark("_evt", s"${watermarkDelay.toMillis} milliseconds")
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed lastSeen + ttl: forget
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            val batchMax = batch.map(_._3).max
+            val lastSeen = math.max(state.getOption.getOrElse(Long.MinValue),
+              batchMax)
+            val first = !state.exists
+            state.update(lastSeen)
+            // deadline in the WATERMARK's clock (ms); EventTimeTimeout
+            // requires a timestamp strictly beyond the current watermark
+            val deadlineMs = lastSeen / 1000000L + ttl.toMillis
+            state.setTimeoutTimestamp(
+              math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
+            if (first) Iterator.single((k, batch.map(_._2).min))
+            else Iterator.empty
           }
       }
       .toDF("key", "id")

@@ -280,6 +280,45 @@ class ReplicationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamDedup.firstSeenEventTime: watermark-driven TTL evicts on the data's clock") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, md5}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msNanos = 1000000L
+    val ms = MemoryStream[(Long, String, Long)] // (id, text, ts nanos)
+    val out = StreamDedup.firstSeenEventTime(
+      ms.toDF().toDF("doc_id", "text", "ts"),
+      md5(col("text")), col("doc_id"), col("ts"),
+      ttl = java.time.Duration.ofMillis(300),
+      watermarkDelay = java.time.Duration.ofMillis(200))
+    val q = out.writeStream.format("memory").queryName("fs_dedup_et")
+      .outputMode("append").start()
+    def ids() = spark.table("fs_dedup_et").select("id")
+      .collect().map(_.getLong(0)).toSet
+    try {
+      // batch 1, SHUFFLED arrival within the batch: A's min id wins
+      ms.addData((7L, "A", 1500 * msNanos), (5L, "A", 1000 * msNanos),
+        (9L, "B", 1200 * msNanos))
+      q.processAllAvailable()
+      assert(ids() == Set(5L, 9L)) // watermark now 1300ms
+      // batch 2: a LATE re-sighting of A (1400ms >= watermark) is
+      // suppressed — still inside the event-time TTL (lastSeen 1500 +
+      // 300); Z drives the watermark to 2800ms, past both deadlines
+      ms.addData((3L, "A", 1400 * msNanos), (6L, "Z", 3000 * msNanos))
+      q.processAllAvailable()
+      assert(ids() == Set(5L, 9L, 6L))
+      // batch 3 (no data for A/B): their expired timers fire, state drops
+      ms.addData((8L, "Z2", 6000 * msNanos))
+      q.processAllAvailable()
+      assert(ids() == Set(5L, 9L, 6L, 8L))
+      // batch 4: A re-arrives AFTER eviction -> re-emits (the documented
+      // recall-for-memory trade, now on the data's own timeline)
+      ms.addData((4L, "A", 5900 * msNanos))
+      q.processAllAvailable()
+      assert(ids() == Set(5L, 9L, 6L, 8L, 4L))
+    } finally q.stop()
+  }
+
   test("StreamSessions.sessionize: gap closes across batches; open tail stays in state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
