@@ -903,6 +903,73 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  // Refcount GC in one lifecycle (`hbase/master/DeleteSnapshot.java:50-64`
+  // + `SnapshotLogCleaner`): two snapshots share one data dir, a later
+  // append is referenced by only one of them, history is pruned, the
+  // scratch snapshot is deleted, and vacuum runs. A correct protection
+  // set deletes the scratch-only dir and KEEPS the shared one; get the
+  // refcount wrong in either direction and the survivor snapshot's scan
+  // (the gate output) loses rows or reads deleted files. The require()
+  // pins the other direction — the scratch-only dir must actually die,
+  // or "GC" is a no-op that never frees space.
+  private val snapshotGcScan = Q("snapshot_gc_scan", Some(s"""
+    SELECT $customerCols FROM customer ORDER BY c_custkey""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val root = java.nio.file.Files.createTempDirectory("graft-q-snapgc").toString
+    val g = graft.Graft(s, root)
+    g.createTable(TableDescriptor("cust", Seq(FamilyDescriptor("c")),
+      splitKeys = 8), nowMs = 1L)
+    val cust = t(s, dir, "customer")
+    g.table("cust").mutate(
+      CellCodec.encode(cust, "c", Seq("c_custkey")), nowMs = 1L)
+    g.snapshot("s_keep", "cust", nowMs = 2L) // refs data-1 only
+    // append damage -> data-2; scratch snapshot refs data-1 AND data-2
+    g.table("cust").mutate(CellCodec.encode(
+      cust.withColumn("c_name", lit("SCRATCH")), "c", Seq("c_custkey"),
+      batchTs = 3L), nowMs = 3L)
+    g.snapshot("s_tmp", "cust", nowMs = 4L)
+    // compact the live table away from both dirs, prune history so only
+    // snapshots keep the old dirs alive, then drop the scratch snapshot
+    g.table("cust").majorCompact(nowMs = 5L)
+    g.catalog.expireVersions("cust", keep = 1)
+    g.deleteSnapshot("s_tmp")
+    val dead = g.vacuum("cust")
+    require(dead.nonEmpty, "vacuum freed nothing — scratch-only dir leaked")
+    // the surviving snapshot still reads the full pre-damage table
+    CellCodec.decode(ScanExec(g.readSnapshot("s_keep"), Scan()), customerSchema)
+      .orderBy("c_custkey")
+  }
+
+  // Export -> import across CATALOGS, then prove the copy is self-
+  // contained: the source root is deleted outright before the imported
+  // snapshot is read (`ExportSnapshot.java:53` — the MR distcp whose
+  // whole point is that the target survives the source cluster). A
+  // reference-not-copy bug, a dropped file, or a manifest path not
+  // rewritten to the exported layout all surface as missing rows or a
+  // read error on the gate's scan.
+  private val snapshotExportScan = Q("snapshot_export_scan", Some(s"""
+    SELECT $customerCols FROM customer ORDER BY c_custkey""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val rootA = java.nio.file.Files.createTempDirectory("graft-q-snapexA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-q-snapexB").toString
+    val exportDir = java.nio.file.Files.createTempDirectory("graft-q-snapexD").toString
+    val gA = graft.Graft(s, rootA)
+    gA.createTable(TableDescriptor("cust", Seq(FamilyDescriptor("c")),
+      splitKeys = 8), nowMs = 1L)
+    gA.table("cust").mutate(
+      CellCodec.encode(t(s, dir, "customer"), "c", Seq("c_custkey")), nowMs = 1L)
+    gA.snapshot("s1", "cust", nowMs = 2L)
+    gA.exportSnapshot("s1", exportDir)
+    val gB = graft.Graft(s, rootB)
+    gB.importSnapshot("s1", exportDir)
+    // the export must stand on its own: the source catalog disappears
+    val fsA = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsA.delete(new org.apache.hadoop.fs.Path(rootA), true)
+    CellCodec.decode(ScanExec(gB.readSnapshot("s1"), Scan()), customerSchema)
+      .orderBy("c_custkey")
+  }
+
   private val bulkLoadScan = Q("bulk_load_scan", Some(s"""
     SELECT $customerCols FROM customer ORDER BY c_custkey""")) { (s, dir) =>
     import graft.catalog.{FamilyDescriptor, TableDescriptor}
@@ -1237,30 +1304,36 @@ object Queries {
     s.table(sink).orderBy("window_ms")
   }
 
-  // As-of join: for each order by a user in the events keyspace, the
-  // user's latest event strictly-or-equal before the order date. DuckDB's
-  // native ASOF JOIN is the oracle (matches >= semantics, picks max ts).
+  // As-of join: for each 'click' event, the SAME user's latest 'purchase'
+  // at-or-before the click — the generalized `getRowKeyAtOrBefore`
+  // (`hbase/regionserver/Store.java:980`) as a relational join. Both sides
+  // come from the events timeline, so matches exist by construction (the
+  // r06 fixture joined 1990s order dates against 2024 events and passed
+  // vacuously on 0 rows). Deterministic: the corpus has no duplicate
+  // (user_id, ts), so each probe's max-ts match is unique. DuckDB's
+  // native ASOF JOIN is the oracle (inner, >= semantics, picks max ts).
   private val asOfJoinQ = Q("as_of_join", Some("""
-    SELECT o_orderkey, user_id, event_id FROM (
-      SELECT o.o_orderkey, e.user_id, e.event_id
-      FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
-            WHERE o_custkey <= 150) o
-      ASOF JOIN events e
-        ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
-    ORDER BY o_orderkey""")) { (s, dir) =>
-    val orders = t(s, dir, "orders").filter(col("o_custkey") <= 150)
-      .select("o_orderkey", "o_custkey", "o_orderdate")
-    val events = eventsNs(s, dir).select("user_id", "event_id", "ts")
+    SELECT probe_id, user_id, match_id FROM (
+      SELECT l.event_id AS probe_id, l.user_id AS user_id,
+        r.event_id AS match_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') l
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts)
+    ORDER BY probe_id""")) { (s, dir) =>
+    val ev = eventsNs(s, dir) // ts already epoch-nanos long on both sides
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("probe_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("match_id"),
+        col("ts"))
     graft.jobs.Jobs.asOfJoin(
-      orders, events,
-      leftKey = col("o_custkey"), rightKey = col("user_id"),
-      // compare in epoch nanos on both sides (events.ts is long nanos)
-      leftTs = unix_micros(col("o_orderdate").cast(TimestampType)) * 1000L,
-      rightTs = col("ts"),
-      payloadCols = Seq("user_id", "event_id"))
-      .filter(col("event_id").isNotNull) // ASOF JOIN is inner: drop no-match rows
-      .select("o_orderkey", "user_id", "event_id")
-      .orderBy("o_orderkey")
+      clicks, purchases,
+      leftKey = col("user_id"), rightKey = col("p_user"),
+      leftTs = col("ts"), rightTs = col("ts"),
+      payloadCols = Seq("match_id"))
+      .filter(col("match_id").isNotNull) // ASOF JOIN is inner: drop no-match rows
+      .select("probe_id", "user_id", "match_id")
+      .orderBy("probe_id")
   }
 
   private val replicationStream = Q("replication_stream", Some("""
@@ -1365,6 +1438,19 @@ object Queries {
     runDirStreamImpl(s, inDir, schema, work, namePrefix, filesPerTrigger = 1)(
       transform)
 
+  /** Write `df` as ONE parquet file `$work/in/$name.parquet` with the given
+    * mtime — the unit [[runDirStreamSequenced]] orders micro-batches by. */
+  private def stageBatch(work: String, df: DataFrame, name: String,
+      mtimeMs: Long): Unit = {
+    val st = s"$work/stage_$name"
+    df.coalesce(1).write.parquet(st)
+    val part = new java.io.File(st).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = java.nio.file.Paths.get(s"$work/in/$name.parquet")
+    java.nio.file.Files.move(part.toPath, dst)
+    dst.toFile.setLastModified(mtimeMs): Unit
+  }
+
   private def runDirStream(s: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, work: String,
       namePrefix: String)(transform: DataFrame => DataFrame): DataFrame =
@@ -1445,22 +1531,64 @@ object Queries {
         .select((lit(2000000L) + col("doc_id") * 2).as("doc_id"), col("text")))
     val work = java.nio.file.Files.createTempDirectory("graft-q-sdb").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
-    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val st = s"$work/stage_$name"
-      df.coalesce(1).write.parquet(st)
-      val part = new java.io.File(st).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = java.nio.file.Paths.get(s"$work/in/$name.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(mtimeMs): Unit
-    }
-    stage(corpus.filter(col("doc_id") % 2 === 1), "a", 1000000L)
-    stage(corpus.filter(col("doc_id") % 2 === 0), "b", 2000000L)
+    stageBatch(work, corpus.filter(col("doc_id") % 2 === 1), "a", 1000000L)
+    stageBatch(work, corpus.filter(col("doc_id") % 2 === 0), "b", 2000000L)
     val winners = runDirStreamSequenced(s, s"$work/in", corpus.schema, work,
       "sdb")(stream => graft.streaming.StreamDedup.firstSeen(
         stream, key = md5(col("text")), id = col("doc_id")))
     corpus.join(winners.select(col("id").as("doc_id")), "doc_id")
       .select("doc_id", "text").orderBy("doc_id")
+  }
+
+  // EVENT-time TTL streaming dedup (StreamDedup.firstSeenEventTime) over
+  // THREE sequenced micro-batches. B1 seeds every doc with a parity-split
+  // timeline (even docs at T0, odd at T0+20h); B2 is one fresh key whose
+  // ts only drives the watermark; B3 re-sights every doc. Whether a B3
+  // re-sighting re-emits is decided by the WATERMARK rule alone: after B1
+  // the watermark is max(B1 ts) - delay = T0+19h, so even docs' deadlines
+  // (T0 + ttl = T0+10h) have passed -> their timers fire in B2 (state
+  // dropped, B3 re-emits with the NEW min id), while odd docs' deadlines
+  // (T0+30h) have not (B3 suppresses). The oracle recomputes exactly that
+  // rule in SQL — lastSeen per key, watermark from the global max, evict
+  // iff lastSeen + ttl < watermark — so a semantics drift in eviction
+  // timing (the clock the replay-determinism argument rests on) breaks
+  // the hash, not just a count. Margins are hours (>= 1h) against the
+  // engine's ms-floor watermark arithmetic and strict-vs-equal timer
+  // comparisons.
+  private val streamDedupEventTtl = Q("stream_dedup_event_ttl", Some("""
+    WITH k AS (
+      SELECT text, min(doc_id) AS win,
+        max(1704067200000 + (doc_id % 2) * 72000000) AS last_ms,
+        min(1000000 + doc_id) AS rewin
+      FROM documents GROUP BY text),
+    wm1 AS (SELECT max(last_ms) - 3600000 AS wm FROM k)
+    SELECT id FROM (
+      SELECT win AS id FROM k
+      UNION ALL SELECT 1000000000 AS id
+      UNION ALL SELECT rewin AS id FROM k, wm1 WHERE last_ms + 36000000 < wm1.wm)
+    ORDER BY id""")) { (s, dir) =>
+    val hourNs = 3600L * 1000000000L
+    val t0 = graft.core.EventTime.nanosOf("2024-01-01") // 1704067200000 ms
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val b1 = docs.select(col("doc_id"), col("text"),
+      (lit(t0) + (col("doc_id") % 2) * lit(20L * hourNs)).as("ts"))
+    // fresh key, ts chosen to be NOT late vs the post-B1 watermark
+    // (T0+19h) and to leave odd docs' deadlines (T0+30h) un-passed
+    val b2 = s.range(1).select(lit(1000000000L).as("doc_id"),
+      lit("~watermark-driver~").as("text"), lit(t0 + 30L * hourNs).as("ts"))
+    val b3 = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+      lit(t0 + 40L * hourNs).as("ts")) // >= post-B2 watermark: admitted
+    val work = java.nio.file.Files.createTempDirectory("graft-q-sdet").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    stageBatch(work, b1, "a", 1000000L)
+    stageBatch(work, b2, "b", 2000000L)
+    stageBatch(work, b3, "c", 3000000L)
+    val winners = runDirStreamSequenced(s, s"$work/in", b1.schema, work,
+      "sdet")(stream => graft.streaming.StreamDedup.firstSeenEventTime(
+        stream, key = md5(col("text")), id = col("doc_id"), ts = col("ts"),
+        ttl = java.time.Duration.ofHours(10),
+        watermarkDelay = java.time.Duration.ofHours(1)))
+    winners.select("id").orderBy("id")
   }
 
   private val dedupFingerprint = Q("dedup_fingerprint", Some(s"""
@@ -2576,12 +2704,14 @@ object Queries {
     familyMapCollision, sessionize, streamSessionize,
     streamSessionizeLate,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
-    snapshotScan, snapshotRestoreScan, asofScan, bulkLoadScan,
+    snapshotScan, snapshotRestoreScan, snapshotGcScan, snapshotExportScan,
+    asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
     asOfJoinQ,
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,
+    streamDedupEventTtl,
     dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
     dedupMinhashLsh, streamMinhashLsh, dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textNormalize, textRepetition, textRedact, textBm25,

@@ -31,6 +31,16 @@ object DataContract {
     case LongType | TimestampType | TimestampNTZType | DateType => true
     case _ => false
   }
+  // Calendar-time columns consumed DIRECTLY with timestamp semantics
+  // (date-literal comparisons in Queries — no EventTime.normalize seam on
+  // their ingest path). LongType is deliberately NOT adaptable here: a
+  // regen shipping epoch-nanos longs for these would pass an `et` check
+  // green and then die inside the first date comparison — the exact
+  // false-negative this pre-flight exists to prevent.
+  private val calTime: DataType => Boolean = {
+    case TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
   private val floatVec: DataType => Boolean = {
     case ArrayType(FloatType | DoubleType, _) => true; case _ => false
   }
@@ -41,6 +51,9 @@ object DataContract {
   private def d(n: String) = Col(n, real, "double")
   private def et(n: String) =
     Col(n, eventTime, "event time (long epoch-nanos, timestamp[_ntz], or date)")
+  private def ct(n: String) =
+    Col(n, calTime, "calendar time (timestamp[_ntz] or date; epoch-long not " +
+      "adaptable — column is compared against date literals with no normalize seam)")
 
   /** table -> the columns the battery's queries actually depend on. */
   val tables: Map[String, Seq[Col]] = Map(
@@ -51,10 +64,10 @@ object DataContract {
     "supplier" -> Seq(k("s_suppkey"), s("s_name")),
     "part" -> Seq(k("p_partkey"), s("p_name")),
     "orders" -> Seq(k("o_orderkey"), k("o_custkey"), s("o_orderstatus"),
-      d("o_totalprice"), et("o_orderdate"), s("o_orderpriority")),
+      d("o_totalprice"), ct("o_orderdate"), s("o_orderpriority")),
     "lineitem" -> Seq(k("l_orderkey"), d("l_quantity"), d("l_extendedprice"),
       d("l_discount"), d("l_tax"), s("l_returnflag"), s("l_linestatus"),
-      et("l_shipdate")),
+      ct("l_shipdate")),
     "events" -> Seq(k("event_id"), et("ts"), k("user_id"), s("event_type"),
       d("value"), s("props")),
     "documents" -> Seq(k("doc_id"), s("text"), s("lang"), s("source")),

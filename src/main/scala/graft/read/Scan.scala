@@ -112,13 +112,22 @@ object ScanExec {
       // probed keys are O(page) driver-side sets (same bound as multiGet's
       // key batch); resolution then reads raw cells of just the page's
       // rows with `[lo, succ(hi))` pushed into the parquet scan.
+      //
+      // Escalation is CAPPED at 3 widenings (probe <= page*512 cells); a
+      // pathological prefix (a huge tombstoned span, or rows wider than
+      // 512 cells) falls back to the fully distributed masked pass over
+      // the whole range, which collects only the final n page keys —
+      // driver traffic stays O(page) no matter how adversarial the data.
       case Some(pf: PageFilter) =>
         val spark = df.sparkSession
         import spark.implicits._
         val n = math.max(pf.pageSize, 1)
         var cellProbe = n.toLong * 8 // >= 8 cells/row before first escalation
+        var rounds = 0
+        val maxRounds = 4 // initial probe + 3 x4 widenings
         var pageKeys: Option[Array[Array[Byte]]] = None
-        while (pageKeys.isEmpty) {
+        while (pageKeys.isEmpty && rounds < maxRounds) {
+          rounds += 1
           val raw = df.select("row").orderBy("row").limit(
             math.min(cellProbe, Int.MaxValue.toLong).toInt)
             .collect().map(_.getAs[Array[Byte]](0))
@@ -134,7 +143,14 @@ object ScanExec {
             else cellProbe *= 4 // tombstoned rows ate the page: widen
           } else cellProbe *= 4 // wide rows: not even N raw keys probed
         }
-        val keys = pageKeys.get
+        val keys = pageKeys.getOrElse {
+          // Probe budget exhausted: distributed masked pass end-to-end
+          // (the pre-bounded-seek plan) — pays the range-wide shuffle but
+          // never collects more than the page itself.
+          Resolve.masked(df, view)
+            .select("row").distinct().orderBy("row").limit(n)
+            .collect().map(_.getAs[Array[Byte]](0))
+        }
         if (keys.isEmpty) df.limit(0).transform(Resolve(_, view))
         else {
           val ord: Ordering[Array[Byte]] = (a, b) => Bytes.compareTo(a, b)

@@ -104,12 +104,14 @@ object StreamDedup {
       watermarkDelay: java.time.Duration): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     stream
       .select(key.cast("string").as("_k"), id.cast("long").as("_id"),
-        ts.cast("long").as("_ts"),
-        // same nanos->micros derivation as sessionizeEventTime:121
-        timestamp_micros(floor(ts.cast("long") / 1000L).cast("long")).as("_evt"))
+        ts.cast("long").as("_ts"))
+      // same nanos->micros derivation as sessionizeEventTime — integral
+      // `div`, because `/` on longs is double division and epoch-nanos
+      // exceed 2^53 (inexact by up to ~1us on the watermark clock)
+      .withColumn("_evt", timestamp_micros(expr("_ts div 1000")))
       .withWatermark("_evt", s"${watermarkDelay.toMillis} milliseconds")
       .as[(String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
@@ -169,7 +171,8 @@ object StreamDedup {
     * without a TTL the state store still grows forever. An expired
     * bucket forgets its members; docs arriving after the expiry no
     * longer pair with them (the recall-for-memory trade, documented
-    * rather than silent). */
+    * rather than silent). This variant's TTL is PROCESSING-time; for
+    * replay determinism use [[lshCandidatesEventTime]]. */
   def lshCandidates(stream: DataFrame, id: Column, bandBuckets: Column,
       maxBucketSize: Int = 64,
       stateTtl: Option[java.time.Duration] = None): DataFrame = {
@@ -211,6 +214,71 @@ object StreamDedup {
             // re-arm on every sighting (see firstSeen: an un-set timeout
             // is CANCELLED, not carried forward)
             stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out.result().iterator
+          }
+      }
+      .toDF("id_a", "id_b")
+  }
+
+  /** [[lshCandidates]] with an EVENT-time TTL — the same replay-determinism
+    * upgrade [[firstSeenEventTime]] gives [[firstSeen]]: a bucket's members
+    * are forgotten when the WATERMARK passes `lastSeen + ttl` (lastSeen =
+    * the bucket's max event time so far), so which candidate pairs a
+    * replayed feed emits is a function of the data and its batch order
+    * alone, independent of replay speed. A versioned corpus build that
+    * near-dedups its ingest stream needs exactly this: re-running the
+    * build must reproduce the same candidate set.
+    *
+    * `ts` is epoch NANOS (`EventTime.normalize` upstream); watermark
+    * contract as [[firstSeenEventTime]]. State per (band, bucket): the
+    * member ids (capped at `maxBucketSize` — full buckets freeze, see
+    * [[lshCandidates]]) plus one lastSeen long. */
+  def lshCandidatesEventTime(stream: DataFrame, id: Column,
+      bandBuckets: Column, ts: Column, ttl: java.time.Duration,
+      watermarkDelay: java.time.Duration,
+      maxBucketSize: Int = 64): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, expr, posexplode, timestamp_micros}
+    stream
+      .select(id.cast("long").as("_id"), ts.cast("long").as("_ts"),
+        posexplode(bandBuckets).as(Seq("_band", "_bucket")))
+      .select(concat_ws(" ", col("_band"), col("_bucket")).as("_k"),
+        col("_id"), col("_ts"))
+      // integral `div` (see firstSeenEventTime): epoch-nanos exceed 2^53
+      .withColumn("_evt", timestamp_micros(expr("_ts div 1000")))
+      .withWatermark("_evt", s"${watermarkDelay.toMillis} milliseconds")
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Seq[Long])]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed lastSeen + ttl: forget members
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            val (prevLast, prevSeen) =
+              state.getOption.getOrElse((Long.MinValue, Seq.empty[Long]))
+            var seen = prevSeen.toVector
+            val member = scala.collection.mutable.HashSet(seen: _*)
+            val out = Vector.newBuilder[(Long, Long)]
+            batch.map(_._2).sorted.distinct.foreach { nid =>
+              if (seen.length < maxBucketSize && !member.contains(nid)) {
+                seen.foreach(p =>
+                  out += ((math.min(p, nid), math.max(p, nid))))
+                seen = seen :+ nid
+                member += nid
+              } // else: frozen bucket (or re-sighting) — no pairs, no growth
+            }
+            // lastSeen only moves FORWARD: a late straggler cannot shorten
+            // the bucket's retention (same max rule as firstSeenEventTime)
+            val lastSeen = math.max(prevLast, batch.map(_._3).max)
+            state.update((lastSeen, seen))
+            val deadlineMs = lastSeen / 1000000L + ttl.toMillis
+            state.setTimeoutTimestamp(
+              math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
             out.result().iterator
           }
       }

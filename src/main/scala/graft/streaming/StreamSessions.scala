@@ -113,11 +113,14 @@ object StreamSessions {
       watermarkDelay: java.time.Duration): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     stream
       .select(userCol.cast("long").as("_u"), tsCol.cast("long").as("_ts"),
         idCol.cast("long").as("_id"))
-      .withColumn("_et", timestamp_micros(floor(col("_ts") / 1000L).cast("long")))
+      // `div` = integral division: `/` on longs is DOUBLE division in Spark
+      // SQL, and epoch-nanos (~1.7e18) exceed 2^53, so the double path is
+      // inexact by up to ~1us — silently wrong even when tests pass
+      .withColumn("_et", timestamp_micros(expr("_ts div 1000")))
       .withWatermark("_et", s"${watermarkDelay.toMillis} milliseconds")
       // the watermarked column must reach the grouped Dataset for
       // EventTimeTimeout to resolve; the fold itself never reads it

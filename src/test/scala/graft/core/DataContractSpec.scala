@@ -90,6 +90,54 @@ class DataContractSpec extends SparkSpec {
     assert(DataContract.violations(spark, corpus("us")).isEmpty)
   }
 
+  test("EventTime.normalize: all four dispatch arms agree across parquet") {
+    // Midnight-aligned instants, so DateType (day resolution) can encode
+    // the SAME instants as the three finer-grained arms. Each shape is
+    // WRITTEN to parquet and read back — proving the whole ingest path
+    // (writer encoding -> parquet logical type -> Spark read type ->
+    // EventTime dispatch), not just in-memory casts.
+    val days = Seq("2024-01-01", "2024-03-15")
+    val expected = days.map(EventTime.nanosOf)
+    val base = days.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("id", "day")
+    val shapes: Map[String, DataType] = Map(
+      "long" -> LongType, "instant" -> TimestampType,
+      "ntz" -> TimestampNTZType, "date" -> DateType)
+    val dir = Files.createTempDirectory("graft-et4").toString
+    val results = shapes.map { case (kind, expectType) =>
+      val ts = kind match {
+        case "long" => unix_micros(to_timestamp(col("day"))) * 1000L
+        case "instant" => to_timestamp(col("day"))
+        case "ntz" => to_timestamp_ntz(col("day"))
+        case "date" => to_date(col("day"))
+      }
+      base.select(col("id"), ts.as("ts")).write.parquet(s"$dir/$kind")
+      val back = spark.read.parquet(s"$dir/$kind")
+      assert(back.schema("ts").dataType == expectType,
+        s"$kind round-tripped as ${back.schema("ts").dataType}")
+      kind -> EventTime.normalize(back)
+        .orderBy("id").select("ts").as[Long].collect().toSeq
+    }
+    for ((kind, nanos) <- results)
+      assert(nanos == expected, s"arm $kind: $nanos != $expected")
+  }
+
+  test("contract rejects epoch-long calendar-time columns (no normalize seam)") {
+    // o_orderdate/l_shipdate are compared against date literals directly;
+    // a regen shipping them as epoch longs must FAIL pre-flight, not pass
+    // as 'adaptable event time' and die inside the first date comparison.
+    val dir = Files.createTempDirectory("graft-contract-cal").toString
+    Seq((1L, 1L, "F", 1.0, 1704067200000000000L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val v = DataContract.violations(spark, dir)
+    val line = v.find(_.startsWith("orders.o_orderdate:"))
+    assert(line.isDefined, s"expected o_orderdate violation in: $v")
+    assert(line.get.contains("bigint not adaptable"))
+    assert(line.get.contains("calendar time"))
+  }
+
   test("contract flags a non-adaptable ts type with one actionable line") {
     val dir = Files.createTempDirectory("graft-contract-bad").toString
     Seq((1L, "2024-01-01", 10L, "click", 1.0, "{}"))

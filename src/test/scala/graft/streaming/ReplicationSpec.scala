@@ -319,6 +319,46 @@ class ReplicationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamDedup.lshCandidatesEventTime: bucket members evict on the data's clock") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msNanos = 1000000L
+    val ms = MemoryStream[(Long, Seq[Int], Long)] // (id, band buckets, ts nanos)
+    val out = StreamDedup.lshCandidatesEventTime(
+      ms.toDF().toDF("doc_id", "bands", "ts"),
+      col("doc_id"), col("bands"), col("ts"),
+      ttl = java.time.Duration.ofMillis(300),
+      watermarkDelay = java.time.Duration.ofMillis(200))
+    val q = out.writeStream.format("memory").queryName("lsh_et")
+      .outputMode("append").start()
+    def pairs() = spark.table("lsh_et").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // batch 1: docs 1,2 share bucket 7 -> pair (1,2); lastSeen 1100ms
+      ms.addData((1L, Seq(7), 1000 * msNanos), (2L, Seq(7), 1100 * msNanos))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)))
+      // batch 2: doc 3 alone in bucket 9 at 3000ms — no pair; drives the
+      // watermark to 2800ms, past bucket 7's deadline (1100 + 300)
+      ms.addData((3L, Seq(9), 3000 * msNanos))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)))
+      // batch 3: bucket 7's timer fires (no data for it; wm 2800 > 1400)
+      // -> members 1,2 forgotten. Bucket 9 is ALIVE (deadline 3300 > wm):
+      // doc 4 joins it -> pair (3,4)
+      ms.addData((4L, Seq(9), 3100 * msNanos))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (3L, 4L)))
+      // batch 4: doc 5 lands in the EVICTED bucket 7 -> pairs with nobody
+      // (1 and 2 are forgotten — the documented recall-for-memory trade,
+      // decided by the data's own clock, not wall time)
+      ms.addData((5L, Seq(7), 3200 * msNanos))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (3L, 4L)))
+    } finally q.stop()
+  }
+
   test("StreamSessions.sessionize: gap closes across batches; open tail stays in state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
