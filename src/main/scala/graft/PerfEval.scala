@@ -27,6 +27,13 @@ object PerfEval {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // Read-only workloads report MIN-of-2 — the bench methodology
+    // (BENCHNOTES): one sample on a shared machine confounds the plan
+    // with I/O-cache state and competing load (observed: the same
+    // scanRange10 loop at 25.4 s and 9.1 s in back-to-back runs).
+    // Write workloads stay single-shot (a second run would time a
+    // different table state).
+    def timedMin2(f: => Unit): Double = math.min(timed(f), timed(f))
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -41,7 +48,7 @@ object PerfEval {
     val t = g.table("pe")
 
     // scan: full-table resolved scan
-    results("scan") = timed { t.scan(Scan()).count(): Unit }
+    results("scan") = timedMin2 { t.scan(Scan()).count(): Unit }
 
     // scanRange10/100/1000/10000: 20 range scans of N keys each from
     // scrambled start keys (PE's RandomScanWithRange{10,100,1000,10000};
@@ -49,7 +56,7 @@ object PerfEval {
     // count rows; our starts are hash-scrambled, not RNG).
     val keys = orders.select(max("o_orderkey")).collect()(0).getLong(0)
     for (range <- Seq(10L, 100L, 1000L, 10000L)) {
-      results(s"scanRange$range") = timed {
+      results(s"scanRange$range") = timedMin2 {
         var i = 0L
         while (i < 20) {
           val start = (i * 9973L) % math.max(1L, keys - range)
@@ -66,7 +73,7 @@ object PerfEval {
     // global-page semantics, PageFilter(120) on a start-row scan IS
     // "the next 120 rows after the seek" — the WhileMatch wrapper only
     // exists in the reference to stop its per-region scanners early.
-    results("randomSeekScan") = timed {
+    results("randomSeekScan") = timedMin2 {
       var i = 0L
       while (i < 10) {
         val start = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
@@ -78,7 +85,7 @@ object PerfEval {
 
     // randomRead: 20 point Gets at hash-scrambled keys
     t.get(Get(Bytes.toBytes(1L))).count() // warm footers outside timing
-    results("randomRead") = timed {
+    results("randomRead") = timedMin2 {
       var i = 0L
       while (i < 20) {
         val k = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
@@ -89,7 +96,7 @@ object PerfEval {
 
     // sequentialRead: point Gets at sequential keys (PE's
     // SequentialReadTest, `PerformanceEvaluation.java:978-990`)
-    results("sequentialRead") = timed {
+    results("sequentialRead") = timedMin2 {
       var i = 1L
       while (i <= 20) {
         t.get(Get(Bytes.toBytes(i))).count()
@@ -98,7 +105,7 @@ object PerfEval {
     }
 
     // multiGet20: the same 20 keys as ONE batch job (HTable.get(List<Get>))
-    results("multiGet20") = timed {
+    results("multiGet20") = timedMin2 {
       val batch = (0L until 20L).map(i =>
         Bytes.toBytes(1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)))
       graft.read.ScanExec.multiGet(t.cells, batch).count(): Unit
@@ -113,7 +120,7 @@ object PerfEval {
       CellCodec.encode(orders, "o", Seq("o_orderkey")), nowMs = 1L)
     val tb = g.table("pe_bloom")
     tb.get(Get(Bytes.toBytes(1L))).count() // warm footers outside timing
-    results("randomReadBloom") = timed {
+    results("randomReadBloom") = timedMin2 {
       var i = 0L
       while (i < 20) {
         val k = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
@@ -131,7 +138,7 @@ object PerfEval {
       CellCodec.encode(orders, "o", Seq("o_orderkey")), nowMs = 1L)
     val trc = g.table("pe_rowcol")
     trc.get(Get(Bytes.toBytes(1L))).count() // warm footers outside timing
-    results("randomReadRowCol") = timed {
+    results("randomReadRowCol") = timedMin2 {
       var i = 0L
       while (i < 20) {
         val k = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
@@ -142,7 +149,7 @@ object PerfEval {
     }
 
     // filterScan: scan + SingleColumnValueFilter (PE's filterScan)
-    results("filterScan") = timed {
+    results("filterScan") = timedMin2 {
       t.scan(Scan().setFilter(SingleColumnValueFilter(
         "o", Bytes.toBytes("o_orderstatus"),
         CompareOp.EQUAL, BinaryComparator(Bytes.toBytes("F"))))).count(): Unit
@@ -177,7 +184,7 @@ object PerfEval {
     // DuckDB cannot recompute xxhash64 buckets, so the battery carries the
     // md5-plane variant (full oracle) and this workload keeps the fused
     // signature path's performance tracked round-over-round.
-    results("annLshHash") = timed {
+    results("annLshHash") = timedMin2 {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       graft.pipeline.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, bands = 16, bitsPerBand = 8)
@@ -189,7 +196,7 @@ object PerfEval {
     // re-rank). Like annLshHash, timed here rather than oracle-gated: the
     // k-means training has no tractable SQL replay; recall and the
     // native-expression parity are spec-asserted.
-    results("annPqAdc") = timed {
+    results("annPqAdc") = timedMin2 {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val books = graft.pipeline.Similarity.pqTrain(
         emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
@@ -202,7 +209,7 @@ object PerfEval {
     // lowercase + accent strip, native codegen'd kernels) over the whole
     // documents corpus — the normalization every hash-based dedup assumes
     // already ran at ingest, so its scan rate IS the ingest budget line.
-    results("canonicalFoldScan") = timed {
+    results("canonicalFoldScan") = timedMin2 {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       docs.select(graft.pipeline.Text.canonicalFold(col("text")).as("k"))
         .write.format("noop").mode("overwrite").save()
