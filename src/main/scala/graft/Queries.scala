@@ -1651,6 +1651,63 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // EVENT-time TTL for the streaming near-dup bucket state
+  // (StreamDedup.lshCandidatesEventTime), made oracle-discriminating by a
+  // GENERATION-crossing design: batch 1 streams the corpus (full banded
+  // candidates -> the batch jaccard pairs), two watermark-driver batches
+  // advance the data's clock past every batch-1 bucket's lastSeen+ttl
+  // (their own buckets are sentinel values no minhash band can hit), and
+  // batch 4 replays the SAME texts under offset ids. If eviction fires on
+  // the watermark rule, batch-4 docs pair only among THEMSELVES -> the
+  // verified output is exactly the jaccard pair set twice (original ids +
+  // offset ids). If eviction does NOT fire (or fires on the wrong clock),
+  // batch-4 docs also pair with the remembered batch-1 members -> CROSS-
+  // generation pairs of the same text (jaccard 1.0) survive verification
+  // and break rows+hash. If eviction over-fires (state dropped while the
+  // deadline is live), batch-1 pairs themselves go missing. Candidate
+  // recall is exact-verified through the same verifyJaccard arithmetic as
+  // every LSH gate, so the oracle stays pure SQL on `documents`.
+  private val streamLshEventTtl = Q("stream_lsh_event_ttl", Some(s"""
+    WITH p AS ($jaccardOracle)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b, jaccard FROM p
+      UNION ALL SELECT id_a + 1000000, id_b + 1000000, jaccard FROM p)
+    ORDER BY id_a, id_b""")) { (s, dir) =>
+    val hourNs = 3600L * 1000000000L
+    val t0 = graft.core.EventTime.nanosOf("2024-01-01")
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    def withBands(df: DataFrame): DataFrame =
+      graft.pipeline.Text.withShingles(df, "text", 3)
+        .select(col("doc_id"), graft.functions.VectorFunctions
+          .minHashBands(col("sh"), 32, 4).as("bands"))
+    val b1 = withBands(docs).withColumn("ts", lit(t0))
+    // sentinel buckets (min over non-empty xxhash64 mins never lands on
+    // Long.MinValue): drives the watermark without touching doc buckets
+    val b2 = s.range(1).select(lit(2000000000L).as("doc_id"),
+      array(lit(Long.MinValue)).as("bands"), lit(t0 + 30L * hourNs).as("ts"))
+    val b3 = s.range(1).select(lit(2000000001L).as("doc_id"),
+      array(lit(Long.MinValue + 1L)).as("bands"), lit(t0 + 40L * hourNs).as("ts"))
+    val b4 = withBands(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"))).withColumn("ts", lit(t0 + 50L * hourNs))
+    val work = java.nio.file.Files.createTempDirectory("graft-q-slet").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    stageBatch(work, b1, "a", 1000000L)
+    stageBatch(work, b2, "b", 2000000L)
+    stageBatch(work, b3, "c", 3000000L)
+    stageBatch(work, b4, "d", 4000000L)
+    val cands = runDirStreamSequenced(s, s"$work/in", b1.schema, work,
+      "slet")(stream => graft.streaming.StreamDedup.lshCandidatesEventTime(
+        stream, col("doc_id"), col("bands"), col("ts"),
+        ttl = java.time.Duration.ofHours(10),
+        watermarkDelay = java.time.Duration.ofHours(1),
+        maxBucketSize = 1000000))
+    val both = docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val sh2 = Dedup.shingled(both, "doc_id", "text", k = 3)
+    Dedup.verifyJaccard(cands.distinct(), sh2, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   // Near-dup clustering: connected components over the jaccard>=0.8 pair
   // graph; cluster id = min doc id of the component (singletons keep
   // their own id). Oracle: DuckDB recursive-CTE transitive closure over
@@ -2713,7 +2770,8 @@ object Queries {
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,
     streamDedupEventTtl,
     dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
-    dedupMinhashLsh, streamMinhashLsh, dedupClusters, dedupKeepCanonical,
+    dedupMinhashLsh, streamMinhashLsh, streamLshEventTtl,
+    dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textNormalize, textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,
     textTopNgrams, textBoilerplate, dedupContamination,
