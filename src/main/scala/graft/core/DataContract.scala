@@ -74,6 +74,10 @@ object DataContract {
     "embeddings" -> Seq(k("vec_id"),
       Col("embedding", floatVec, "array<float|double>")))
 
+  private def firstLine(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+      .takeWhile(_ != '\n').take(200)
+
   /** One actionable line per drifted column in `dir`'s parquet tables:
     * `table.column: TYPE not adaptable (expected CLASS) — fix: ...`.
     * Empty = the corpus is inside the engine's adaptable envelope. */
@@ -83,17 +87,36 @@ object DataContract {
       if (!new java.io.File(path).exists())
         Seq(s"$table: missing $path — regenerate the corpus or point at the right sf dir")
       else {
-        val schema = spark.read.parquet(path).schema
-        cols.flatMap { c =>
-          schema.fields.find(_.name == c.name) match {
-            case None => Some(s"$table.${c.name}: column absent " +
-              s"(schema has ${schema.fieldNames.mkString(", ")})")
-            case Some(f) if !c.ok(f.dataType) =>
-              Some(s"$table.${c.name}: ${f.dataType.simpleString} not adaptable " +
-                s"(expected ${c.expects}) — extend the ingest dispatch " +
-                "(graft.core.EventTime / CellCodec) or fix the generator")
-            case _ => None
-          }
+        val inferred =
+          try Right(spark.read.parquet(path).schema)
+          catch { case e: Throwable => Left(firstLine(e)) }
+        inferred match {
+          case Left(err) => Seq(s"$table: schema inference failed ($err)")
+          case Right(schema) =>
+            val colIssues = cols.flatMap { c =>
+              schema.fields.find(_.name == c.name) match {
+                case None => Some(s"$table.${c.name}: column absent " +
+                  s"(schema has ${schema.fieldNames.mkString(", ")})")
+                case Some(f) if !c.ok(f.dataType) =>
+                  Some(s"$table.${c.name}: ${f.dataType.simpleString} not adaptable " +
+                    s"(expected ${c.expects}) — extend the ingest dispatch " +
+                    "(graft.core.EventTime / CellCodec) or fix the generator")
+                case _ => None
+              }
+            }
+            // A type can pass the schema check and still be unreadable —
+            // e.g. parquet TIMESTAMP(NANOS) infers as timestamp_ntz on
+            // Spark 4.1 (even with the legacy nanosAsLong flag) and then
+            // dies inside the vectorized reader. The pre-flight exists to
+            // catch exactly this class before it becomes N mid-query
+            // failures, so probe one row for real.
+            if (colIssues.nonEmpty) colIssues
+            else try { spark.read.parquet(path).limit(1).collect(); Nil }
+            catch { case e: Throwable =>
+              Seq(s"$table: types adaptable but file UNREADABLE at row level " +
+                s"(${firstLine(e)}) — fix the generator's physical encoding " +
+                "(e.g. TIMESTAMP(NANOS) -> plain int64 or TIMESTAMP(MICROS))")
+            }
         }
       }
     }

@@ -152,6 +152,29 @@ class DataContractSpec extends SparkSpec {
     assert(v.exists(_.startsWith("region: missing")))
   }
 
+  test("contract read-probe flags a schema-adaptable but unreadable file") {
+    // The failure class the probe exists for: inference succeeds (types
+    // all adaptable) but row-level read dies — e.g. TIMESTAMP(NANOS)
+    // parquet on Spark 4.1, or a corrupt data page. Fabricated here by
+    // corrupting data-page bytes while leaving the footer (and thus the
+    // schema) intact.
+    val dir = Files.createTempDirectory("graft-contract-probe").toString
+    (1L to 200L).map(i => (i, s"text body $i", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val part = new java.io.File(s"$dir/documents.parquet").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val raf = new java.io.RandomAccessFile(part, "rw")
+    try {
+      raf.seek(50) // inside the first data page, far from the footer
+      raf.write(Array.fill[Byte](64)(0x5a))
+    } finally raf.close()
+    val v = DataContract.violations(spark, dir)
+    val line = v.find(_.startsWith("documents:"))
+    assert(line.isDefined, s"expected documents read-probe violation in: $v")
+    assert(line.get.contains("UNREADABLE"))
+  }
+
   test("contract flags an absent column") {
     val dir = Files.createTempDirectory("graft-contract-col").toString
     Seq((1L, 1L)).toDF("event_id", "user_id").write.parquet(s"$dir/events.parquet")

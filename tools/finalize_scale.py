@@ -1,7 +1,18 @@
 """Convert graft.ScaleData output (a directory of part files per table)
-into the driver's testdata layout (ONE parquet FILE per table, events.ts
-restored to timestamp[ns]) so tools/oracle_check.py and exact_diff.py
-run against scaled corpora unchanged.
+into the driver's testdata layout (ONE parquet FILE per table) so
+tools/oracle_check.py and exact_diff.py run against scaled corpora
+unchanged.
+
+events.ts handling tracks the DRIVER corpus convention:
+- modern corpus (r05+): timestamp[us] (TIMESTAMP_NTZ in Spark) — keep
+  as-is. Do NOT up-convert to timestamp[ns]: Spark 4.1 infers
+  TIMESTAMP(NANOS) parquet as timestamp_ntz even with the legacy
+  nanosAsLong flag and then fails in the vectorized reader, so an
+  ns-annotated file is unreadable by the engine (DataContract's
+  read-probe flags it).
+- legacy ns-as-long corpus: Spark wrote the nanos back as PLAIN INT64
+  (no logical type); restore TIMESTAMP_NS so DuckDB's timestamp-literal
+  oracles parse. Only this int64 case is converted.
 
 Usage: python3 tools/finalize_scale.py /tmp/sf1 /tmp/sf1f
 """
@@ -16,12 +27,11 @@ for d in sorted(glob.glob(f"{src}/*.parquet")):
     name = os.path.basename(d)[: -len(".parquet")]
     t = ds.dataset(d, format="parquet").to_table()
     if name == "events":
-        # Spark wrote the nanos as plain INT64 (it reads ns-parquet via
-        # nanosAsLong); restore the driver's physical type so DuckDB sees
-        # TIMESTAMP_NS again and the timestamp-literal oracles parse.
         i = t.schema.get_field_index("ts")
-        ns = t.column(i).cast(pa.timestamp("ns"))
-        t = t.set_column(i, pa.field("ts", pa.timestamp("ns")), ns)
+        if pa.types.is_int64(t.schema.field(i).type):
+            # legacy ns-as-long layout only (see module docstring)
+            ns = t.column(i).cast(pa.timestamp("ns"))
+            t = t.set_column(i, pa.field("ts", pa.timestamp("ns")), ns)
     pq.write_table(t, f"{dst}/{name}.parquet", version="2.6",
                    coerce_timestamps=None)
     print(f"[finalize] {name}: {t.num_rows} rows")
