@@ -53,6 +53,19 @@ class BoundedSeekSpec extends SparkSpec {
     assert(visibleKeys(out) == (0L until 12L))
   }
 
+  test("probe budget exhausted: capped escalation falls back to the distributed pass") {
+    // page=1 -> probes 8, 32, 128, 512 cells (initial + 3 widenings, the
+    // cap). Row 0 carries 600 fully-tombstoned cells, so every capped
+    // probe sees only row 0 and masks to nothing; the answer (row 1) is
+    // found by the distributed masked-pass fallback — and driver traffic
+    // stayed O(page) the whole way, the ADVICE-r6 property.
+    val wide = (0 until 600).map(q => put(0, s"q$q", s"v$q"))
+    val tomb = Seq(Cell.deleteFamily(key(0), "f", 9L))
+    val fx = cells(wide ++ tomb ++ Seq(put(1, "q", "win"))).toDF()
+    val out = ScanExec(fx, Scan().setFilter(PageFilter(1)))
+    assert(visibleKeys(out) == Seq(1L))
+  }
+
   test("boundary row keeps all its cells (no partial-row page)") {
     val fx = cells(for (i <- 0 until 10; q <- 0 until 6)
       yield put(i, s"q$q", s"v$i-$q")).toDF()
