@@ -145,8 +145,11 @@ object Queries {
     * schema dispatch (ns-as-long, us/ms NTZ, instant timestamps all land
     * identically). Every consumer reads through here — an upstream unit
     * change is one adapted branch, not ten broken queries. */
+  // readAdaptive: a TIMESTAMP(NANOS)-annotated regen (unreadable under
+  // Spark 4.1's inferred NTZ) reads as epoch-nanos longs instead — the
+  // same shape the normalize seam already dispatches on LongType
   private def eventsNs(s: SparkSession, dir: String): DataFrame =
-    EventTime.normalize(t(s, dir, "events"))
+    EventTime.normalize(EventTime.readAdaptive(s, s"$dir/events.parquet"))
 
   // ----------------------------------------------------------------------
   // Aggregation surface (RowCounter/GroupingTableMapper analogs — SURVEY

@@ -87,8 +87,12 @@ object DataContract {
       if (!new java.io.File(path).exists())
         Seq(s"$table: missing $path — regenerate the corpus or point at the right sf dir")
       else {
+        // The ADAPTIVE read is the schema the engine actually ingests:
+        // TIMESTAMP(NANOS) columns (unreadable under the inferred NTZ on
+        // Spark 4.1) surface here as LongType epoch-nanos — adaptable —
+        // exactly as EventTime.readAdaptive will hand them to queries.
         val inferred =
-          try Right(spark.read.parquet(path).schema)
+          try Right(EventTime.readAdaptive(spark, path).schema)
           catch { case e: Throwable => Left(firstLine(e)) }
         inferred match {
           case Left(err) => Seq(s"$table: schema inference failed ($err)")
@@ -104,18 +108,17 @@ object DataContract {
                 case _ => None
               }
             }
-            // A type can pass the schema check and still be unreadable —
-            // e.g. parquet TIMESTAMP(NANOS) infers as timestamp_ntz on
-            // Spark 4.1 (even with the legacy nanosAsLong flag) and then
-            // dies inside the vectorized reader. The pre-flight exists to
-            // catch exactly this class before it becomes N mid-query
-            // failures, so probe one row for real.
+            // A type can pass the schema check and still be unreadable
+            // (page corruption; an encoding the reader rejects). The
+            // pre-flight exists to catch exactly this class before it
+            // becomes N mid-query failures, so probe one row for real —
+            // through the same adaptive reader the engine ingests with.
             if (colIssues.nonEmpty) colIssues
-            else try { spark.read.parquet(path).limit(1).collect(); Nil }
+            else try { EventTime.readAdaptive(spark, path).limit(1).collect(); Nil }
             catch { case e: Throwable =>
               Seq(s"$table: types adaptable but file UNREADABLE at row level " +
                 s"(${firstLine(e)}) — fix the generator's physical encoding " +
-                "(e.g. TIMESTAMP(NANOS) -> plain int64 or TIMESTAMP(MICROS))")
+                "or repair the file")
             }
         }
       }

@@ -49,4 +49,64 @@ object EventTime {
     * bounds, as-of points) in the same unit as [[nanos]] output. */
   def nanosOf(isoDate: String): Long =
     java.time.Instant.parse(isoDate + "T00:00:00Z").toEpochMilli * 1000000L
+
+  /** Columns of `path`'s parquet whose logical type is TIMESTAMP(NANOS)
+    * (any adjustment), read from the FIRST footer — one metadata read, no
+    * data scan. The footer ANNOTATION is the physical truth a reader can
+    * rely on; embedded key-value schema metadata can lie (see
+    * [[readAdaptive]]). */
+  def nanosAnnotated(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isFile) Some(p)
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
+    file.fold(Set.empty[String]) { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        import scala.jdk.CollectionConverters._
+        schema.getFields.asScala.collect {
+          case g if Option(g.getLogicalTypeAnnotation).exists {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          } => g.getName
+        }.toSet
+      } finally reader.close()
+    }
+  }
+
+  /** `spark.read.parquet` hardened against STALE EMBEDDED SCHEMAS on
+    * TIMESTAMP(NANOS) columns. A clean ns-annotated file infers LongType
+    * via `nanosAsLong` and needs no help. But when a rewriting tool casts
+    * a Spark-written column to ns while PRESERVING the file's key-value
+    * metadata (pyarrow does), the footer keeps an
+    * `org.apache.spark.sql.parquet.row.metadata` entry still claiming
+    * `timestamp_ntz` — Spark trusts that embedded schema over the
+    * footer's physical annotation, infers NTZ, and the vectorized reader
+    * then dies on the nanos column mid-query. (tools/finalize_scale.py
+    * shipped exactly this shape for two rounds before the r07 sweep
+    * caught it.) This reader keys on the ANNOTATION instead: any NANOS
+    * column is overridden to LongType — the exact epoch-nanos form
+    * [[nanos]] dispatches — and the raw INT64 reads fine under the
+    * explicit schema. No-op (plain inference) when the file has no nanos
+    * column. */
+  def readAdaptive(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val nano = nanosAnnotated(spark, path)
+    if (nano.isEmpty) spark.read.parquet(path)
+    else {
+      val inferred = spark.read.parquet(path).schema
+      val overridden = org.apache.spark.sql.types.StructType(inferred.map(f =>
+        if (nano(f.name)) f.copy(dataType = LongType) else f))
+      spark.read.schema(overridden).parquet(path)
+    }
+  }
 }

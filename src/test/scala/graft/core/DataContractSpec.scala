@@ -152,6 +152,69 @@ class DataContractSpec extends SparkSpec {
     assert(v.exists(_.startsWith("region: missing")))
   }
 
+  test("readAdaptive: ns-annotated parquet reads as nanos longs, even with stale embedded schema") {
+    // TIMESTAMP(NANOS) parquet comes in two flavors (both written with
+    // parquet-hadoop's low-level writer — Spark cannot produce either):
+    //  (a) CLEAN: inference maps it to LongType via nanosAsLong — always
+    //      readable, and readAdaptive is an identity on it;
+    //  (b) STALE-METADATA: the footer also carries an embedded
+    //      `org.apache.spark.sql.parquet.row.metadata` key claiming the
+    //      column is timestamp_ntz (what you get when a rewriting tool
+    //      casts a Spark-written us column to ns but PRESERVES key-value
+    //      metadata — pyarrow does, and tools/finalize_scale.py shipped
+    //      exactly this for two rounds). Spark trusts the embedded schema
+    //      over the footer's physical truth, infers NTZ, and the
+    //      vectorized reader then dies on the nanos column. readAdaptive
+    //      keys on the footer ANNOTATION instead, overrides to LongType,
+    //      and reads the raw nanos — the engine ingests the file the
+    //      embedded lie would otherwise brick.
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+    val dir = Files.createTempDirectory("graft-et-ns").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = Types.buildMessage()
+      .addField(Types.required(INT64).named("id"))
+      .addField(Types.required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts"))
+      .named("events")
+    val gf = new SimpleGroupFactory(schema)
+    def write(file: String, extra: Map[String, String]): Unit = {
+      import scala.jdk.CollectionConverters._
+      val w = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file), conf))
+        .withType(schema).withExtraMetaData(extra.asJava).build()
+      try {
+        w.write(gf.newGroup().append("id", 1L).append("ts", microsA * 1000L))
+        w.write(gf.newGroup().append("id", 2L).append("ts", microsB * 1000L))
+      } finally w.close()
+    }
+    val clean = s"$dir/clean.parquet"
+    write(clean, Map.empty)
+    assert(spark.read.parquet(clean).schema("ts").dataType == LongType,
+      "clean ns-annotated parquet should infer long via nanosAsLong")
+    val staleSchema = StructType(Seq(StructField("id", LongType),
+      StructField("ts", TimestampNTZType)))
+    val stale = s"$dir/stale.parquet"
+    write(stale, Map("org.apache.spark.sql.parquet.row.metadata" -> staleSchema.json))
+    // the embedded lie wins at inference and bricks the plain read path
+    assert(spark.read.parquet(stale).schema("ts").dataType == TimestampNTZType)
+    intercept[Exception] {
+      spark.read.parquet(stale).select("ts").collect()
+    }
+    for (file <- Seq(clean, stale)) {
+      assert(EventTime.nanosAnnotated(spark, file) == Set("ts"))
+      val adaptive = EventTime.readAdaptive(spark, file)
+      assert(adaptive.schema("ts").dataType == LongType)
+      val out = EventTime.normalize(adaptive)
+        .orderBy("id").select("ts").as[Long].collect().toSeq
+      assert(out == Seq(microsA * 1000L, microsB * 1000L), s"file $file")
+    }
+  }
+
   test("contract read-probe flags a schema-adaptable but unreadable file") {
     // The failure class the probe exists for: inference succeeds (types
     // all adaptable) but row-level read dies — e.g. TIMESTAMP(NANOS)

@@ -5,11 +5,14 @@ unchanged.
 
 events.ts handling tracks the DRIVER corpus convention:
 - modern corpus (r05+): timestamp[us] (TIMESTAMP_NTZ in Spark) — keep
-  as-is. Do NOT up-convert to timestamp[ns]: Spark 4.1 infers
-  TIMESTAMP(NANOS) parquet as timestamp_ntz even with the legacy
-  nanosAsLong flag and then fails in the vectorized reader, so an
-  ns-annotated file is unreadable by the engine (DataContract's
-  read-probe flags it).
+  as-is. Do NOT up-convert to timestamp[ns]: pyarrow preserves the
+  source files' embedded `org.apache.spark.sql.parquet.row.metadata`
+  key, which then claims timestamp_ntz over a NANOS column — Spark
+  trusts the embedded schema at inference and the vectorized reader
+  dies on the nanos data (the r05-r06 sf1f corpora shipped exactly
+  this; caught by the r07 sweep). The engine side survives it now via
+  EventTime.readAdaptive + DataContract's read probe, but emitting a
+  self-consistent file is still the right thing.
 - legacy ns-as-long corpus: Spark wrote the nanos back as PLAIN INT64
   (no logical type); restore TIMESTAMP_NS so DuckDB's timestamp-literal
   oracles parse. Only this int64 case is converted.
