@@ -365,9 +365,24 @@ object Dedup {
     * partially-propagated labels, splitting clusters): raise `maxIters`
     * for adversarial chain-shaped graphs — near-dup graphs converge in a
     * handful of iterations. `checkpointDir` selects reliable checkpoints
-    * for the per-iteration materialization (see [[materialize]]). */
+    * for the per-iteration materialization (see [[materialize]]).
+    *
+    * SMALL-GRAPH FAST PATH: when the verified edge set is at most
+    * `driverCloseMaxEdges` (counted on the already-materialized edges —
+    * one cheap checkpoint-read job) and the id type carries a driver-side
+    * ordering, the closure runs as a driver union-find over the EDGE ids
+    * only (nodes in no pair never leave the cluster), then one broadcast
+    * join labels the corpus. Near-dup graphs after exact verification
+    * are almost always tiny relative to the corpus, and the iterative
+    * path's cost there is pure per-job scheduling floor (the same lesson
+    * as PQ codebook training: a driver loop over a BOUNDED set beats a
+    * distributed loop whose per-iteration cost is planning, measured in
+    * BENCHNOTES). The bound is explicit — 2M edges = ~32 MB of longs —
+    * and anything larger takes the unchanged distributed fixpoint, so
+    * the 100 TB posture is intact. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 20, checkpointDir: Option[String] = None,
+      driverCloseMaxEdges: Long = 2000000L): DataFrame = {
     // Materialize the edge list ONCE (eager checkpoint): `pairs` is
     // usually the tail of an expensive candidate-generation + verify
     // pipeline (LSH join, Jaccard verification), and every propagation
@@ -379,6 +394,51 @@ object Dedup {
       pairs.select(col("id_a").as("a"), col("id_b").as("b"))
         .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b"))),
       checkpointDir)
+
+    val idOrd: Option[Ordering[Any]] = ids.schema("id").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        Some(Ordering.by(_.asInstanceOf[Long]))
+      case org.apache.spark.sql.types.IntegerType =>
+        Some(Ordering.by(_.asInstanceOf[Int]))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by(_.asInstanceOf[String]))
+      case _ => None
+    }
+    // edges is doubled (both directions); the gate bounds the COLLECT
+    if (idOrd.isDefined && edges.count() <= driverCloseMaxEdges * 2) {
+      val ord = idOrd.get
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != null && parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != null && parent.get(c) != c) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        if (parent.get(r) == null) parent.put(r, r)
+        r
+      }
+      edges.select("a", "b").collect().foreach { row =>
+        val ra = find(row.get(0))
+        val rb = find(row.get(1))
+        if (ra != rb) { // min id becomes the root = the cluster label
+          if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val dt = ids.schema("id").dataType
+      val spark = ids.sparkSession
+      val mapped = parent.keySet().asScala.toSeq
+        .map(k => org.apache.spark.sql.Row(k, find(k)))
+      val mapDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(mapped, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", dt),
+          org.apache.spark.sql.types.StructField("_mc", dt))))
+      return ids.join(broadcast(mapDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("_mc"), col("id")).as("cluster"))
+    }
+
     var labels = ids.select(col("id"), col("id").as("cluster"))
     def propagate(ls: DataFrame): DataFrame = {
       // each node adopts the min cluster among itself and its neighbors;

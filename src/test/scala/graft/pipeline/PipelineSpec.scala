@@ -335,10 +335,17 @@ class PipelineSpec extends SparkSpec {
     // components: {1,2,3,4} via chain, {5,6}, singletons 7, 8
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
       .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L)
+    // default: small graph -> driver union-find fast path
     val out = Dedup.connectedComponents(ids, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+    assert(out == expected)
+    // driverCloseMaxEdges = 0 pins the distributed fixpoint: both paths
+    // must label identically
+    val dist = Dedup.connectedComponents(ids, pairs, driverCloseMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("connectedComponents: reliable checkpoint dir gives identical labels") {
@@ -357,23 +364,33 @@ class PipelineSpec extends SparkSpec {
 
   test("connectedComponents: non-convergence throws instead of truncating") {
     // a 12-node chain has diameter 11; label propagation moves the min
-    // one hop per iteration, so maxIters = 3 cannot close it
+    // one hop per iteration, so maxIters = 3 cannot close it. All calls
+    // pin driverCloseMaxEdges = 0: the maxIters contract belongs to the
+    // DISTRIBUTED fixpoint (the driver union-find is exact in one pass
+    // and never throws — asserted last).
     val ids = (1L to 12L).toDF("id")
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(ids, pairs, maxIters = 3).collect()
+      Dedup.connectedComponents(ids, pairs, maxIters = 3,
+        driverCloseMaxEdges = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
     // and a sufficient budget closes the same chain
-    val ok = Dedup.connectedComponents(ids, pairs, maxIters = 12)
+    val ok = Dedup.connectedComponents(ids, pairs, maxIters = 12,
+      driverCloseMaxEdges = 0L)
       .collect().map(r => r.getLong(1)).toSet
     assert(ok == Set(1L))
     // boundary: the final permitted iteration makes the last change
     // (diameter == maxIters) — the verification pass must accept the
     // now-correct labels instead of throwing
-    val boundary = Dedup.connectedComponents(ids, pairs, maxIters = 11)
+    val boundary = Dedup.connectedComponents(ids, pairs, maxIters = 11,
+      driverCloseMaxEdges = 0L)
       .collect().map(r => r.getLong(1)).toSet
     assert(boundary == Set(1L))
+    // the fast path closes the same chain exactly regardless of maxIters
+    val fast = Dedup.connectedComponents(ids, pairs, maxIters = 3)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(fast == Set(1L))
   }
 
   test("capBuckets: a degenerate hot bucket is dropped, cost stays bounded") {
