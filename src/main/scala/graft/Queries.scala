@@ -1265,6 +1265,50 @@ object Queries {
       .orderBy("_k").drop("_k")
   }
 
+  // MultiTableOutputFormat (`MultiTableOutputFormat.java:58`): ONE cell
+  // frame carrying a table-name column routes into two catalog tables in
+  // a single `Jobs.multiTableWrite` call; the gate scans BOTH tables back
+  // and re-labels each row with its table, so a row landing in the wrong
+  // table, a lost slice, or a routing dup all break the oracle, which
+  // recomputes the per-table content relationally from events.
+  private val multiTableWriteQ = Q("multi_table_write", Some("""
+    SELECT tbl, user_id, cnt FROM (
+      SELECT CASE WHEN event_type IN ('click', 'view') THEN 'hot'
+                  ELSE 'cold' END AS tbl,
+             user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2)
+    ORDER BY tbl, user_id""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val root = java.nio.file.Files.createTempDirectory("graft-q-mtw").toString
+    val g = graft.Graft(s, root)
+    Seq("hot", "cold").foreach(tn =>
+      g.createTable(TableDescriptor(tn, Seq(FamilyDescriptor("c")),
+        splitKeys = 4), nowMs = 1L))
+    val agg = eventsNs(s, dir)
+      .groupBy(when(col("event_type").isin("click", "view"), "hot")
+        .otherwise("cold").as("_tbl"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val cells = agg.select(
+      col("_tbl"),
+      CellCodec.rowKey(agg, Seq("user_id")).as("row"),
+      lit("c").as("family"),
+      lit("cnt").cast(BinaryType).as("qualifier"),
+      lit(1L).as("ts"),
+      lit(graft.core.CellKind.Put).as("kind"),
+      CellCodec.encodeValue(col("cnt"), LongType).as("value"),
+      lit(0L).as("seq"))
+    val routed = graft.jobs.Jobs.multiTableWrite(g, cells, "_tbl", nowMs = 2L)
+    require(routed.sorted == Seq("cold", "hot"), s"unexpected routing: $routed")
+    Seq("cold", "hot").map { tn =>
+      CellCodec.decode(g.table(tn).scan(Scan()),
+        StructType(Seq(StructField("cnt", LongType))),
+        key = Seq("user_id" -> LongType))
+        .withColumn("tbl", lit(tn))
+    }.reduce(_ unionByName _)
+      .select("tbl", "user_id", "cnt")
+      .orderBy("tbl", "user_id")
+  }
+
   // Watermarked event-time windowed aggregation over a table's OWN change
   // feed (Structured Streaming end-to-end in the gate, not just specs):
   // daily edit counts per family, AvailableNow over the append history,
@@ -1793,6 +1837,38 @@ object Queries {
     Dedup.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text",
       k = 8, window = 4)
       .orderBy("id", "fp")
+  }
+
+  // Exact duplicate-substring spans (ExactSubstr, Lee et al. 2022,
+  // `Dedup.duplicateSpans`): every maximal >= 12-token span occurring
+  // verbatim in MORE THAN ONE document, reduced to per-doc span count +
+  // duplicated-token coverage. The oracle replays positional 12-grams,
+  // cross-doc duplicate-gram detection (min(doc) <> max(doc)), and the
+  // gaps-and-islands interval merge in SQL on the raw gram strings; the
+  // Spark side detects duplicates on xxhash64 gram hashes and re-verifies
+  // every candidate position on the actual string, so the two engines
+  // agree exactly even though the corpus-wide pass only shuffles hashes.
+  private val dedupSpanExact = Q("dedup_span_exact", bench = true, oracle = Some(s"""
+    WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(ts[i:i+11], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 11, 0))) AS g(i)),
+    dup AS (SELECT gram FROM grams GROUP BY gram
+            HAVING min(doc_id) <> max(doc_id)),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+    lagged AS (SELECT doc_id, pos,
+        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits),
+    isl AS (SELECT doc_id, pos,
+        sum(CASE WHEN prev IS NULL OR pos - prev > 12 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagged),
+    spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 11 AS e
+              FROM isl GROUP BY 1, 2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 12)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
   }
 
   // Boilerplate spans: per-document fraction of winnowing fingerprints
@@ -2768,11 +2844,12 @@ object Queries {
     asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
-    copyTableScan, importTsvScan, replicationStream, streamWindowAgg,
+    copyTableScan, importTsvScan, multiTableWriteQ, replicationStream,
+    streamWindowAgg,
     asOfJoinQ,
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,
     streamDedupEventTtl,
-    dedupFingerprint, dedupWinnowing, dedupNgramJaccard,
+    dedupFingerprint, dedupWinnowing, dedupSpanExact, dedupNgramJaccard,
     dedupMinhashLsh, streamMinhashLsh, streamLshEventTtl,
     dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textNormalize, textRepetition, textRedact, textBm25,

@@ -610,4 +610,72 @@ object Dedup {
       embeddingNearDupPairsPlanes(df, idCol, vecCol, threshold, planes, bands,
         maxBucketSize, checkpointDir),
       maxIters, checkpointDir)
+
+  /** Exact duplicate-SUBSTRING detection (ExactSubstr, Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"): find
+    * every maximal token span of length >= `k` that also occurs verbatim
+    * elsewhere in the corpus, and report each document's span count and
+    * duplicated-token coverage `(id, n_spans, dup_tokens)`. Set-level
+    * near-dup ([[ngramJaccardPairs]], MinHash) misses exactly this case —
+    * two long documents sharing one boilerplate paragraph — and span-level
+    * exact dedup is the published remedy. The paper's shared suffix array
+    * collapses relationally to: positional k-grams -> duplicated-gram
+    * detection -> per-doc interval merge.
+    *
+    * Scale shape: the corpus-wide shuffle carries `(xxhash64, id, pos)`
+    * triples — ~20 B per gram, never the gram text (a k=50 gram would be
+    * ~300 B). "Duplicated" needs no distinct count: a hash is kept when
+    * `min(id) != max(id)` (cross-doc) or `count > 1` (any re-occurrence).
+    * Only CANDIDATE positions (the duplicated minority) re-derive their
+    * gram string — via a key-equality join back to the token arrays — and
+    * re-group on the actual string, so a 64-bit collision can never
+    * manufacture a span: the output is exact at any corpus size while the
+    * full-corpus pass stays constant-width. The interval merge is
+    * gaps-and-islands over one window (one exchange on id): successive
+    * starts p1 < p2 cover contiguous tokens iff p2 - p1 <= k, because all
+    * intervals have identical length k, so ends are sorted with starts
+    * and a lag(1) chain test is exact.
+    *
+    * The token arrays are persisted (memory-and-disk) because both the
+    * hash pass and the candidate re-check read them; same session-lifetime
+    * lifecycle as [[shingled]] (`spark.catalog.clearCache()` between
+    * corpora). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, crossDocOnly: Boolean = true): DataFrame = {
+    require(k >= 2, s"span length must be >= 2, got $k")
+    val toks = df
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("_ts"))
+      .filter(size(col("_ts")) >= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hash array computed in ONE codegen'd projection (gram strings exist
+    // only transiently inside the expression), then exploded to narrow
+    // (id, pos, h) rows; pos is the 1-based start token index.
+    val hashes = toks.select(col("id"),
+      posexplode(transform(sequence(lit(1), size(col("_ts")) - (k - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("_ts"), i, lit(k)))))))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    def dupKeys(g: DataFrame, key: String): DataFrame = {
+      val agg = g.groupBy(key).agg(count(lit(1)).as("_c"),
+        min("id").as("_i1"), max("id").as("_i2"))
+      val keep = if (crossDocOnly) col("_i1") =!= col("_i2")
+      else col("_c") > 1 || col("_i1") =!= col("_i2")
+      agg.filter(keep).select(key)
+    }
+    val candPos = hashes.join(dupKeys(hashes, "h"), "h").select("id", "pos")
+    // exact re-check: candidates only, actual gram strings
+    val candGrams = candPos.join(toks, "id").select(col("id"), col("pos"),
+      concat_ws(" ", slice(col("_ts"), col("pos"), lit(k))).as("g"))
+    val dupPos = candGrams.join(dupKeys(candGrams, "g"), "g").select("id", "pos")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val islands = dupPos
+      .withColumn("_prev", lag("pos", 1).over(w))
+      .withColumn("_isl", sum(
+        when(col("_prev").isNull || col("pos") - col("_prev") > k, 1L)
+          .otherwise(0L)).over(w))
+    islands.groupBy("id", "_isl")
+      .agg(min("pos").as("_s"), (max("pos") + lit(k.toLong - 1L)).as("_e"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("_e") - col("_s") + 1L).as("dup_tokens"))
+  }
 }

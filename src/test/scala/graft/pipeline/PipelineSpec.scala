@@ -1134,4 +1134,44 @@ class PipelineSpec extends SparkSpec {
     // n larger than some strata: those strata return whole
     assert(fast(60, 4.0) == naive(60))
   }
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame,
+      k: Int, crossDocOnly: Boolean = true): Map[Long, (Long, Long)] =
+    Dedup.duplicateSpans(df, "doc_id", "text", k, crossDocOnly)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("duplicateSpans: shared run -> one maximal span, exact coverage") {
+    // d1/d2 share the 6-token run s1..s6; grams straddling the run
+    // boundary include doc-unique tokens, so exactly the 3 fully-interior
+    // 4-grams are duplicated -> ONE merged span covering 6 tokens in each
+    // doc. d3 has no duplicates and a doc shorter than k must be skipped
+    // without error.
+    val df = Seq(
+      (1L, "u1 u2 s1 s2 s3 s4 s5 s6 u3 u4"),
+      (2L, "v1 s1 s2 s3 s4 s5 s6 v2"),
+      (3L, "w1 w2 w3 w4 w5"),
+      (4L, "q1 q2")).toDF("doc_id", "text")
+    assert(spansOf(df, k = 4) == Map(1L -> (1L, 6L), 2L -> (1L, 6L)))
+  }
+
+  test("duplicateSpans: interval merge at gap == k, split at gap > k") {
+    // d1/d2 share runs s1-s3 and t1-t3 but with DIFFERENT separations:
+    // in d1 the duplicated grams sit at positions 1 and 4 (gap == k) so
+    // their covered tokens are contiguous -> one 6-token span; in d2 the
+    // extra token makes the gap k+1 -> two 3-token spans. Same duplicated
+    // content, different island structure — the merge rule itself is
+    // what's under test.
+    val df = Seq(
+      (1L, "s1 s2 s3 t1 t2 t3"),
+      (2L, "s1 s2 s3 z1 t1 t2 t3")).toDF("doc_id", "text")
+    assert(spansOf(df, k = 3) == Map(1L -> (1L, 6L), 2L -> (2L, 6L)))
+  }
+
+  test("duplicateSpans: same-doc repeats only count when crossDocOnly=false") {
+    val df = Seq(
+      (1L, "r1 r2 r3 x1 x2 r1 r2 r3"),
+      (2L, "y1 y2 y3 y4 y5 y6")).toDF("doc_id", "text")
+    assert(spansOf(df, k = 3) == Map.empty[Long, (Long, Long)])
+    assert(spansOf(df, k = 3, crossDocOnly = false) == Map(1L -> (2L, 6L)))
+  }
 }
