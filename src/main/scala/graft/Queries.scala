@@ -2514,6 +2514,45 @@ object Queries {
   // contribute no candidates) — so what the driver hash-verifies is the
   // reliability-and-skew-capped path a 100 TB run would use, not the
   // defaults.
+  // Embedding-space decontamination (`Dedup.crossContaminationPlanes`):
+  // probe set = vec_id < 100 (the "benchmark"), corpus = the rest; 32
+  // bands x 4 bits over the shared md5 plane matrix, exact cosine >=
+  // 0.35 verify, distinct-probe count per corpus row. The oracle
+  // rebuilds the planes, BOTH sides' signatures, the asymmetric band
+  // join, the cosine verify, and the count — so a bucket-derivation or
+  // verify drift on either side breaks the hash.
+  private val contaminationSemantic = Q("contamination_semantic", bench = true,
+    oracle = Some(s"""
+    WITH planes AS (
+      SELECT j, [ (CAST(('0x' || substring(md5('hp_' || j || '_' || (i-1)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0
+                  for i in generate_series(1, (SELECT len(embedding) FROM embeddings LIMIT 1)) ] AS pv
+      FROM generate_series(0, 127) t(j)),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 100),
+    probe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100),
+    csigs AS (SELECT vec_id, j // 4 AS band,
+        bit_or(CASE WHEN list_dot_product(v, pv) > 0 THEN (CAST(1 AS BIGINT) << (j % 4)) ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM corpus CROSS JOIN planes GROUP BY vec_id, j // 4),
+    psigs AS (SELECT vec_id, j // 4 AS band,
+        bit_or(CASE WHEN list_dot_product(v, pv) > 0 THEN (CAST(1 AS BIGINT) << (j % 4)) ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM probe CROSS JOIN planes GROUP BY vec_id, j // 4),
+    cand AS (SELECT DISTINCT c.vec_id AS cid, p.vec_id AS pid
+      FROM csigs c JOIN psigs p ON c.band = p.band AND c.bucket = p.bucket),
+    hits AS (SELECT cid, pid FROM cand
+      JOIN corpus a ON a.vec_id = cand.cid
+      JOIN probe b ON b.vec_id = cand.pid
+      WHERE $duckCos >= 0.35)
+    SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS hits
+    FROM hits GROUP BY cid ORDER BY vec_id""")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    Dedup.crossContaminationPlanes(
+      emb.filter(col("vec_id") >= 100), emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", threshold = 0.35,
+      planes = Similarity.md5Planes(128, dim), bands = 32)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  }
+
   private val dedupSemantic = Q("dedup_semantic", bench = true, oracle = Some(s"""
     WITH RECURSIVE
     planes AS (
@@ -2855,6 +2894,7 @@ object Queries {
     dedupSimhash, textQuality, textLangid, textNormalize, textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,
     textTopNgrams, textBoilerplate, dedupContamination,
+    contaminationSemantic,
     similarityTopk, similarityIvf, clusterKmeans, sampleClusterBalanced,
     similarityLshPlanes, similarityQuantized, similarityPq,
     dedupEmbedding, dedupSemantic, multimodalFeatures, multimodalMixed, sampleSplit,

@@ -611,6 +611,52 @@ object Dedup {
         maxBucketSize, checkpointDir),
       maxIters, checkpointDir)
 
+  /** Embedding-space benchmark decontamination — the semantic analog of
+    * [[contaminationHits]]: for each corpus row, the number of PROBE rows
+    * (an eval/benchmark set) whose embedding cosine >= `threshold`,
+    * discovered through the same banded random-hyperplane LSH as
+    * [[embeddingNearDupPairsLsh]] but as an ASYMMETRIC join. The probe
+    * side is tiny by construction (an eval set), so its banded form is
+    * BROADCAST and the corpus is touched in ONE narrow pass — signature
+    * projection, broadcast band join, inline exact cosine verify — before
+    * a distinct-probe count keyed on corpus id. The corpus never shuffles
+    * its vectors: the only exchange in the plan carries the (id,
+    * probe_id) survivors. A same-pair re-collision in a second band
+    * re-verifies the same pair (dedup happens in the count-distinct AFTER
+    * the threshold filter, not before the verify) — a bounded recompute
+    * traded for never widening a shuffle with vector payloads, the
+    * opposite choice from the self-join in [[bandedNearDupPairs]] where
+    * both sides are corpus-sized. */
+  def crossContaminationLsh(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 16, bitsPerBand: Int = 8): DataFrame =
+    crossContamination(corpus, probes, idCol, vecCol, threshold,
+      v => array((0 until bands).map(b =>
+        Similarity.hyperplaneBand(v, b, bitsPerBand)): _*))
+
+  /** [[crossContaminationLsh]] under an explicit md5-derived plane
+    * matrix — the oracle-replayable variant (same trade as
+    * [[embeddingNearDupPairsPlanes]]). */
+  def crossContaminationPlanes(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      planes: Seq[Seq[Double]], bands: Int): DataFrame =
+    crossContamination(corpus, probes, idCol, vecCol, threshold,
+      v => Similarity.planeBandsAll(v, planes, bands))
+
+  private def crossContamination(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      bandsOf: Column => Column): DataFrame = {
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(bandsOf(col(vecCol))))
+        .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
+    banded(corpus, "id", "_cv")
+      .join(broadcast(banded(probes, "_pid", "_pv")), Seq("_band", "_bucket"))
+      .filter(Similarity.cosine(col("_cv"), col("_pv")) >= threshold)
+      .groupBy("id")
+      .agg(countDistinct(col("_pid")).as("hits"))
+  }
+
   /** Exact duplicate-SUBSTRING detection (ExactSubstr, Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better"): find
     * every maximal token span of length >= `k` that also occurs verbatim

@@ -1140,6 +1140,32 @@ class PipelineSpec extends SparkSpec {
     Dedup.duplicateSpans(df, "doc_id", "text", k, crossDocOnly)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+  test("crossContamination: exact verify, distinct-probe counting") {
+    // c101 is identical to probes p1 AND p2 (identical vectors share
+    // every band bucket -> 8 collision rows per probe, but hits counts
+    // DISTINCT probes: 2, not 16); c103 is p3 scaled (cosine exactly
+    // 1.0); c102 is orthogonal to every probe — any chance band
+    // collision (orthogonal vectors CAN share sign buckets) must be
+    // removed by the exact cosine verify, so it may not appear at all.
+    val corpus = Seq(
+      (101L, Array(1.0, 0.0, 0.0, 0.0)),
+      (102L, Array(0.0, 1.0, 0.0, 0.0)),
+      (103L, Array(0.0, 0.0, 3.0, 4.0))).toDF("id", "v")
+    val probes = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.0, 0.0, 0.0)),
+      (3L, Array(0.0, 0.0, 6.0, 8.0))).toDF("id", "v")
+    val got = Dedup.crossContaminationLsh(corpus, probes, "id", "v",
+      threshold = 0.9, bands = 8, bitsPerBand = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(101L -> 2L, 103L -> 1L))
+    // planes variant: identical result under an explicit matrix
+    val gotPlanes = Dedup.crossContaminationPlanes(corpus, probes, "id", "v",
+      threshold = 0.9, planes = Similarity.md5Planes(32, 4), bands = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPlanes == Map(101L -> 2L, 103L -> 1L))
+  }
+
   test("duplicateSpans: shared run -> one maximal span, exact coverage") {
     // d1/d2 share the 6-token run s1..s6; grams straddling the run
     // boundary include doc-unique tokens, so exactly the 3 fully-interior
