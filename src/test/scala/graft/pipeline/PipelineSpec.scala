@@ -1140,6 +1140,36 @@ class PipelineSpec extends SparkSpec {
     Dedup.duplicateSpans(df, "doc_id", "text", k, crossDocOnly)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString("UTF-8")
+  }
+
+  test("crossContamination plan: broadcast band join, no cartesian/SMJ") {
+    // the 100 TB posture of the operator IS this plan shape: the corpus
+    // side must meet the probe bands through a broadcast hash join (no
+    // corpus shuffle before the verify), and nothing may plan as a
+    // cartesian product
+    val corpus = (1 to 50).map(i => (i.toLong, Array(i.toDouble, 1.0, 0.0)))
+      .toDF("id", "v")
+    val probes = Seq((900L, Array(1.0, 1.0, 0.0))).toDF("id", "v")
+    val plan = planOf(Dedup.crossContaminationLsh(corpus, probes, "id", "v",
+      threshold = 0.9, bands = 4, bitsPerBand = 4))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      plan)
+  }
+
+  test("duplicateSpans plan: no cartesian, corpus-wide exchanges on hash/id") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val plan = planOf(Dedup.duplicateSpans(df, "doc_id", "text", k = 3))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the full-corpus aggregation must key on the gram HASH (narrow
+    // shuffle), never on a gram string column
+    assert(plan.contains("hashpartitioning(h"), plan)
+  }
+
   test("crossContamination: exact verify, distinct-probe counting") {
     // c101 is identical to probes p1 AND p2 (identical vectors share
     // every band bucket -> 8 collision rows per probe, but hits counts
