@@ -1671,6 +1671,59 @@ object Queries {
       k = 3, threshold = 0.8).orderBy("id_a", "id_b")
   }
 
+  // INCREMENTAL dedup — the crawl-pipeline shape: the kept corpus is
+  // frozen (doc_id % 3 != 0 stands in for it), a fresh batch arrives
+  // (doc_id % 3 == 0), and only batch docs unseen in the corpus AND first
+  // of their content within the batch are admitted. The mod-3 split puts
+  // the corpus copy of the generator's duplicate groups on one side and
+  // batch re-sightings on the other, so both drop reasons fire. Exact
+  // variant: md5 content keys both ways.
+  private val dedupIncremental = Q("dedup_incremental", Some("""
+    WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         corp AS (SELECT text FROM documents WHERE doc_id % 3 <> 0)
+    SELECT doc_id, text FROM inc i
+    WHERE doc_id IN (SELECT min(doc_id) FROM inc GROUP BY text)
+      AND NOT EXISTS (SELECT 1 FROM corp c WHERE c.text = i.text)
+    ORDER BY doc_id""")) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalKeepNew(
+      corpus = docs.filter(col("doc_id") % 3 =!= 0),
+      incoming = docs.filter(col("doc_id") % 3 === 0),
+      on = col("text"), idCol = "doc_id")
+      .select("doc_id", "text").orderBy("doc_id")
+  }
+
+  // Near-dup variant of the incremental admit: a batch doc is dropped iff
+  // it has a DIRECT Jaccard>=0.8 match in the corpus or among ANY earlier
+  // (lower-id) batch docs — the order-free relational rule (see
+  // Dedup.incrementalNearDupNew), exactly SQL-expressible, so the oracle
+  // recomputes it with the same exact-Jaccard arithmetic as the proven
+  // pair oracles. The Spark
+  // side goes through the full LSH candidate path (band index on the
+  // corpus, probe join, exact verification), so a recall hole or a broken
+  // probe join surfaces as a kept-vs-dropped hash mismatch.
+  private val dedupIncrementalNear = Q("dedup_incremental_near", Some(s"""
+    WITH sh AS $duckShingles,
+         inc AS (SELECT doc_id, sg FROM sh WHERE doc_id % 3 = 0),
+         corp AS (SELECT doc_id, sg FROM sh WHERE doc_id % 3 <> 0)
+    SELECT i.doc_id FROM inc i
+    WHERE NOT EXISTS (
+        SELECT 1 FROM corp c
+        WHERE len(list_intersect(i.sg, c.sg))::DOUBLE /
+          (len(i.sg) + len(c.sg) - len(list_intersect(i.sg, c.sg))) >= 0.8)
+      AND NOT EXISTS (
+        SELECT 1 FROM inc p WHERE p.doc_id < i.doc_id
+          AND len(list_intersect(i.sg, p.sg))::DOUBLE /
+            (len(i.sg) + len(p.sg) - len(list_intersect(i.sg, p.sg))) >= 0.8)
+    ORDER BY doc_id""")) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalNearDupNew(
+      corpus = docs.filter(col("doc_id") % 3 =!= 0),
+      incoming = docs.filter(col("doc_id") % 3 === 0),
+      idCol = "doc_id", textCol = "text", k = 3, threshold = 0.8)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   // STREAMING near-dup over a file-arrival stream: shingle + MinHash
   // bands computed per arriving doc (narrow compiled expressions,
   // streaming-safe), candidate pairs emitted by per-bucket GroupState
@@ -2889,7 +2942,8 @@ object Queries {
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,
     streamDedupEventTtl,
     dedupFingerprint, dedupWinnowing, dedupSpanExact, dedupNgramJaccard,
-    dedupMinhashLsh, streamMinhashLsh, streamLshEventTtl,
+    dedupMinhashLsh, dedupIncremental, dedupIncrementalNear,
+    streamMinhashLsh, streamLshEventTtl,
     dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textNormalize, textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,

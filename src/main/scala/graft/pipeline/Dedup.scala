@@ -724,4 +724,100 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"),
         sum(col("_e") - col("_s") + 1L).as("dup_tokens"))
   }
+
+  // ------------------------------------------------------------------
+  // Incremental (batch-vs-frozen-corpus) dedup — the standing shape of a
+  // crawl pipeline: the kept corpus is frozen, a fresh batch arrives, and
+  // only batch rows with no duplicate in the corpus (and none earlier in
+  // the batch) are admitted. Distinct from the whole-corpus operators
+  // above: the corpus is NEVER re-deduplicated, only probed — at 100 TB
+  // the corpus side reduces to a pruned-column index read (16-byte hashes
+  // or band buckets), never the documents themselves.
+  // ------------------------------------------------------------------
+
+  /** Incremental EXACT dedup: admit incoming rows that are (a) first of
+    * their content within the batch (lowest `idCol`) and (b) unseen in
+    * the corpus. Both checks run on md5 of `on`, so the anti-join
+    * shuffles constant-width 16-byte keys and the corpus scan prunes to
+    * the single hashed column. Returns surviving incoming rows
+    * unchanged. */
+  def incrementalKeepNew(corpus: DataFrame, incoming: DataFrame,
+      on: Column, idCol: String): DataFrame = {
+    val key = md5(on.cast("string"))
+    val seen = corpus.select(key.as("_seen")).distinct()
+    keepFirst(incoming, key, idCol)
+      .withColumn("_k", key)
+      .join(seen, col("_k") === col("_seen"), "left_anti")
+      .drop("_k")
+  }
+
+  /** Exact-Jaccard verification where the pair sides come from DIFFERENT
+    * shingle frames (incoming probe vs corpus index). Same arithmetic as
+    * [[verifyJaccard]] so emitted doubles are bit-identical to the batch
+    * path's. */
+  private def verifyJaccardAcross(cands: DataFrame, shI: DataFrame,
+      shC: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(shI.withColumnsRenamed(Map("id" -> "id_i", "sh" -> "sh_i")), "id_i")
+      .join(shC.withColumnsRenamed(Map("id" -> "id_c", "sh" -> "sh_c")), "id_c")
+      .withColumn("_inter", size(array_intersect(col("sh_i"), col("sh_c"))))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("sh_i")) + size(col("sh_c")) - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_i", "id_c", "jaccard")
+
+  /** Incremental NEAR-dup dedup: admit incoming docs with no n-gram
+    * Jaccard >= `threshold` match in the frozen corpus and none among
+    * EARLIER incoming rows (lower id). Candidates come from MinHash-LSH
+    * band buckets (the corpus side is an index any run can rebuild or
+    * persist); every candidate is verified with exact Jaccard, so false
+    * positives are impossible and the miss probability is the banding
+    * bound ((1-t^rows)^bands ~ 5e-8 at the defaults).
+    *
+    * The drop rule is deliberately order-free: a doc is dropped iff it
+    * has a DIRECT verified match in {corpus} ∪ {ALL earlier batch rows,
+    * admitted or not}. That is a pure relational predicate (one pass, no
+    * sequential state), so it parallelizes and is exactly recomputable in
+    * SQL; the alternative admitted-only sequential rule (check against
+    * corpus + previously ADMITTED docs) is inherently order-dependent —
+    * under it a chain a~b, b~c, a!~c keeps c because b was never indexed,
+    * while this rule drops c (direct match with earlier b). The order-free
+    * rule is the stricter of the two and errs toward dropping borderline
+    * chain members — the safe direction for training data. (Whole-corpus
+    * cluster semantics live in [[keepCanonical]].)
+    *
+    * Scale shape: two band-bucket equi-joins (incoming x corpus-index,
+    * incoming x incoming) + bounded verification joins; `maxBucketSize`
+    * caps degenerate hot buckets on BOTH sides (see [[capBuckets]] — a
+    * hot bucket present in corpus and batch makes the probe join
+    * quadratic in its occupancy). */
+  def incrementalNearDupNew(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, threshold: Double = 0.8,
+      bands: Int = 32, rows: Int = 4,
+      maxBucketSize: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val shC = shingled(corpus, idCol, textCol, k)
+    val shI = shingled(incoming, idCol, textCol, k)
+    def bandsOf(sh: DataFrame): DataFrame =
+      sh.select(col("id"), posexplode(
+          graft.functions.VectorFunctions.minHashBands(col("sh"), bands, rows)))
+        .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    // materialized once each: the corpus index feeds one join, the batch
+    // bands feed three (cross probe + both self-join sides)
+    val bC = capBuckets(materialize(bandsOf(shC), checkpointDir), maxBucketSize)
+    val bI = capBuckets(materialize(bandsOf(shI), checkpointDir), maxBucketSize)
+    val crossCands = bI.as("a").join(bC.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_i"), col("b.id").as("id_c")).distinct()
+    val dupVsCorpus = verifyJaccardAcross(crossCands, shI, shC, threshold)
+      .select(col("id_i").as("_dup"))
+    val selfCands = bI.as("a").join(bI.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") > col("b.id"))
+      .select(col("a.id").as("id_i"), col("b.id").as("id_c")).distinct()
+    val dupInBatch = verifyJaccardAcross(selfCands, shI, shI, threshold)
+      .select(col("id_i").as("_dup"))
+    incoming.join(dupVsCorpus.unionByName(dupInBatch).distinct(),
+      col(idCol) === col("_dup"), "left_anti")
+  }
 }

@@ -1146,6 +1146,63 @@ class PipelineSpec extends SparkSpec {
     out.toString("UTF-8")
   }
 
+  test("incrementalKeepNew: corpus-seen and batch-repeat rows dropped, rest intact") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha"),  // seen in corpus -> dropped
+      (11L, "gamma"),  // fresh -> kept
+      (12L, "gamma"),  // batch repeat of 11 -> dropped
+      (13L, "delta"))  // fresh -> kept
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalKeepNew(corpus, incoming, col("text"), "doc_id")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((11L, "gamma"), (13L, "delta")))
+  }
+
+  test("incrementalNearDupNew: order-free direct-match rule incl. chains") {
+    // 12 distinct tokens -> 10 trigram shingles; one changed END token
+    // flips exactly one shingle (J = 9/11 ~ 0.818 >= 0.8), changing BOTH
+    // end tokens flips two (J = 8/12 ~ 0.67 < 0.8). Chain: a~b, b~c,
+    // a!~c — the order-free rule drops both b AND c (c has a direct
+    // match with the earlier b, admitted or not).
+    val base = (1 to 12).map(i => s"w$i")
+    def doc(repl: (Int, String)*): String =
+      repl.foldLeft(base) { case (ts, (i, w)) => ts.updated(i - 1, w) }
+        .mkString(" ")
+    val corpus = Seq((1L, doc()), (2L, "totally unrelated content here okay"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, doc(12 -> "x12")),             // ~corpus doc 1 -> dropped
+      (11L, doc(1 -> "y1", 12 -> "y12")),  // a: !~corpus (2 shingles off) -> kept
+      (12L, doc(1 -> "y1", 12 -> "z12")),  // b: ~a (end shingle) -> dropped
+      (13L, doc(1 -> "q1", 12 -> "z12")),  // c: ~b only -> dropped (order-free)
+      (14L, "another fresh island of words never seen before at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupNew(corpus, incoming, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 14L))
+    // sanity on the constructed similarities: a!~corpus, c!~a
+    val j = Dedup.ngramJaccardPairs(
+      Seq((1L, doc()), (11L, doc(1 -> "y1", 12 -> "y12")),
+        (13L, doc(1 -> "q1", 12 -> "z12"))).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, threshold = 0.8).count()
+    assert(j == 0L)
+  }
+
+  test("incremental dedup plans: anti-joins, no cartesian") {
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val exact = planOf(
+      Dedup.incrementalKeepNew(corpus, incoming, col("text"), "doc_id"))
+    assert(exact.contains("LeftAnti"), exact)
+    assert(!exact.contains("CartesianProduct"), exact)
+    val near = planOf(
+      Dedup.incrementalNearDupNew(corpus, incoming, "doc_id", "text"))
+    assert(near.contains("LeftAnti"), near)
+    assert(!near.contains("CartesianProduct"), near)
+  }
+
   test("crossContamination plan: broadcast band join, no cartesian/SMJ") {
     // the 100 TB posture of the operator IS this plan shape: the corpus
     // side must meet the probe bands through a broadcast hash join (no
