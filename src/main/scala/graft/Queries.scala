@@ -1383,6 +1383,39 @@ object Queries {
       .orderBy("probe_id")
   }
 
+  // Interval (point-in-range) join — the time-window companion of the
+  // as-of join: every click inside the 1-hour window opened by a purchase
+  // of the same user. The Spark side runs the BINNED equi-join
+  // formulation (Jobs.intervalJoin: hot keys split across (key, bin)
+  // shuffle partitions, no per-key quadratic residual), the oracle is the
+  // plain range predicate — value equality proves the binning rewrite
+  // changes nothing. binWidth = the window length (24h): each purchase
+  // explodes to at most 2 bins. (24h gives 84 pairs at sf0.001 / 922 at
+  // sf0.01 — dense enough that a boundary or binning drift shows.)
+  private val intervalJoinQ = Q("interval_join", Some("""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR
+    ORDER BY click_id, purchase_id""")) { (s, dir) =>
+    val winNs = 24L * 3600L * 1000000000L
+    val ev = eventsNs(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withColumn("p_end", col("p_ts") + winNs)
+    graft.jobs.Jobs.intervalJoin(clicks, purchases,
+      leftKey = col("user_id"), rightKey = col("p_user"),
+      leftTs = col("ts"), rightStart = col("p_ts"), rightEnd = col("p_end"),
+      binWidth = winNs)
+      .select(col("_l.click_id").as("click_id"),
+        col("_r.purchase_id").as("purchase_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   private val replicationStream = Q("replication_stream", Some("""
     SELECT user_id, event_type, value FROM (
       SELECT user_id, event_type, value,
@@ -2938,7 +2971,7 @@ object Queries {
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, multiTableWriteQ, replicationStream,
     streamWindowAgg,
-    asOfJoinQ,
+    asOfJoinQ, intervalJoinQ,
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,
     streamDedupEventTtl,
     dedupFingerprint, dedupWinnowing, dedupSpanExact, dedupNgramJaccard,

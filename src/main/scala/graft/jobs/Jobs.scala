@@ -101,6 +101,56 @@ object Jobs {
     tables
   }
 
+  /** Interval (range) join: every (left, right) pair with equal keys and
+    * `leftTs` inside `[rightStart, rightEnd]` — the time-window companion
+    * of [[asOfJoin]] (point-in-range rather than latest-at-or-before).
+    *
+    * Catalyst plans a raw `l.key = r.key AND l.ts BETWEEN r.s AND r.e`
+    * join as an equi-join on the key with the range as a residual filter,
+    * which is quadratic per key — a hot key (one user, one tenant) makes
+    * that pairing explode. This formulation bins time at `binWidth`:
+    * right intervals explode to the bins they overlap, left points map to
+    * their single bin, and the join is a pure equi-join on (key, bin)
+    * with the exact range refine on top. Each qualifying pair meets in
+    * exactly one bin — the left point's — so no dedup pass is needed.
+    * Per-key cost drops from |L_k| x |R_k| to the per-bin co-occupancy,
+    * and the shuffle key (key, bin) splits hot keys across partitions.
+    *
+    * `binWidth` (in `leftTs` units) should be near the typical interval
+    * length: much smaller multiplies the right side's bin fan-out
+    * (`maxBinsPerRow` bounds it — an interval wider than
+    * `binWidth * maxBinsPerRow` throws rather than silently exploding),
+    * much larger re-creates per-bin hot spots. Intervals with
+    * `end < start` yield no pairs, like SQL BETWEEN. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTs: Column, rightStart: Column, rightEnd: Column,
+      binWidth: Long, maxBinsPerRow: Int = 4096): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // `div` (integral), never `/`: Column `/` on longs is DOUBLE division,
+    // and epoch-nanos exceed 2^53 — boundary bins would misalign between
+    // the two sides. Truncating div is monotonic, so an interval's bin
+    // range [div(s), div(e)] always covers div(ts) for ts in [s, e].
+    def binOf(c: String): Column = expr(s"$c div ${binWidth}L")
+    val l = left.select(leftKey.as("_k"), leftTs.as("_lts"),
+        struct(left.columns.map(col): _*).as("_l"))
+      .withColumn("_lbin", binOf("_lts"))
+    val r = right.select(rightKey.as("_rk"), rightStart.as("_s"), rightEnd.as("_e"),
+        struct(right.columns.map(col): _*).as("_r"))
+      .filter(col("_s") <= col("_e"))
+      .withColumn("_nb", binOf("_e") - binOf("_s") + 1)
+      // assert_true returns NULL on success, so the filter keeps every row
+      // and an over-wide interval fails the job with a labeled error
+      // instead of silently exploding the bin fan-out
+      .filter(assert_true(col("_nb") <= maxBinsPerRow,
+        lit(s"intervalJoin: interval spans more than maxBinsPerRow=" +
+          s"$maxBinsPerRow bins; widen binWidth")).isNull)
+      .withColumn("_rbin", explode(sequence(binOf("_s"), binOf("_e"))))
+    l.join(r, col("_k") === col("_rk") && col("_lbin") === col("_rbin") &&
+        col("_lts") >= col("_s") && col("_lts") <= col("_e"))
+      .select(col("_l"), col("_r"))
+  }
+
   /** As-of join — the reference's closest-row-before lookup
     * (`Store.getRowKeyAtOrBefore:980`, `GetClosestRowBeforeTracker`)
     * generalized to a relational operator: for every left row, the latest

@@ -64,6 +64,48 @@ class JobsSpec extends SparkSpec {
     assert(out == Set(("o1", "e10"), ("o2", "e20"), ("o3", null)))
   }
 
+  test("intervalJoin: inclusive bounds, multi-bin intervals, hot-key plan") {
+    import org.apache.spark.sql.functions.col
+    // intervals span several bins (binWidth=10 vs width-25 interval) and
+    // points sit exactly ON both bounds — the binned rewrite must agree
+    // with the plain range predicate everywhere, including boundaries
+    val pts = Seq((1L, 0L, "p0"), (1L, 10L, "p10"), (1L, 35L, "p35"),
+      (1L, 36L, "p36"), (2L, 10L, "q10"), (3L, 50L, "x50"))
+      .toDF("k", "t", "name")
+    val ivs = Seq((1L, 10L, 35L, "A"), (2L, 0L, 100L, "B"), (2L, 11L, 12L, "C"),
+      (3L, 60L, 40L, "rev")) // end < start -> no pairs
+      .toDF("rk", "s", "e", "iv")
+    val joined = Jobs.intervalJoin(pts, ivs, col("k"), col("rk"),
+      col("t"), col("s"), col("e"), binWidth = 10L)
+    val out = joined.collect()
+      .map(r => (r.getStruct(0).getAs[String]("name"),
+        r.getStruct(1).getAs[String]("iv"))).toSet
+    assert(out == Set(("p10", "A"), ("p35", "A"), ("q10", "B")))
+    // naive-equivalence on the same data
+    val naive = pts.join(ivs, col("k") === col("rk") &&
+        col("t") >= col("s") && col("t") <= col("e"))
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[String]("iv"))).toSet
+    assert(out == naive)
+    // the join must be a pure equi-join on (key, bin): no cartesian, no
+    // broadcast-nested-loop (the shapes a residual range join degrades to)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // epoch-nanos magnitudes: bin arithmetic must be integral (no double
+    // rounding) — a point on an interval bound at ~1.7e18 still matches
+    val bigT = 1704067200L * 1000000000L
+    val bigOut = Jobs.intervalJoin(
+      Seq((1L, bigT, "bp")).toDF("k", "t", "name"),
+      Seq((1L, bigT, bigT + 3600L * 1000000000L, "BW")).toDF("rk", "s", "e", "iv"),
+      col("k"), col("rk"), col("t"), col("s"), col("e"),
+      binWidth = 3600L * 1000000000L).count()
+    assert(bigOut == 1L)
+    // over-wide interval fails loudly, not silently exploding
+    val wide = Jobs.intervalJoin(pts, ivs, col("k"), col("rk"),
+      col("t"), col("s"), col("e"), binWidth = 10L, maxBinsPerRow = 2)
+    intercept[Exception] { wide.count() }
+  }
+
   test("groupingKey concatenates chosen column values space-joined") {
     val resolved = Resolve(fixture())
     val keys = Jobs.groupingKey(resolved, "f", Seq(b("a"), b("b")))
