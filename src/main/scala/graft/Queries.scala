@@ -1383,6 +1383,24 @@ object Queries {
       .orderBy("probe_id")
   }
 
+  // Stream-static enrichment: the events firehose joined per-micro-batch
+  // against the customer dimension (broadcast — the stream side never
+  // shuffles). Stateless streaming: no watermark, no state store; the
+  // oracle is the plain batch join, which stream-static semantics must
+  // equal exactly for an append-only source.
+  private val streamEnrich = Q("stream_enrich", Some("""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY event_id""")) { (s, dir) =>
+    val dim = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment")
+    runFileStream(s, s"$dir/events.parquet", "senr")(stream =>
+      graft.streaming.StreamEnrich.enrich(
+        stream, dim, col("user_id"), col("c_custkey"))
+        .select("event_id", "user_id", "c_name", "c_mktsegment", "value"))
+      .orderBy("event_id")
+  }
+
   // Interval (point-in-range) join — the time-window companion of the
   // as-of join: every click inside the 1-hour window opened by a purchase
   // of the same user. The Spark side runs the BINNED equi-join
@@ -2970,7 +2988,7 @@ object Queries {
     sqlCatalogScan, sqlAggPushdown,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, multiTableWriteQ, replicationStream,
-    streamWindowAgg,
+    streamWindowAgg, streamEnrich,
     asOfJoinQ, intervalJoinQ,
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,
     streamDedupEventTtl,

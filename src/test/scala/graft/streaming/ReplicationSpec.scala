@@ -257,6 +257,43 @@ class ReplicationSpec extends SparkSpec {
       Set(("r1", "v1"), ("r2", "v2"), ("r3", "v3")))
   }
 
+  test("StreamEnrich: per-batch static join, broadcast side, inner/left semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "bronze")).toDF("k", "tier")
+    val ms = MemoryStream[(Long, Long)]
+    val out = StreamEnrich.enrich(
+      ms.toDF().toDF("ev", "user"), dim, col("user"), col("k"))
+    // the stream-static join must plan the dimension broadcast (stream
+    // side un-shuffled); assert on the streaming logical plan pre-start
+    assert(out.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      out.queryExecution.analyzed.toString)
+    val q = out.writeStream.format("memory").queryName("senrich")
+      .outputMode("append").start()
+    try {
+      ms.addData((100L, 1L), (101L, 3L)) // 3 has no dim row -> dropped (inner)
+      q.processAllAvailable()
+      ms.addData((102L, 2L))
+      q.processAllAvailable()
+      val got = spark.table("senrich").select("ev", "tier")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((100L, "gold"), (102L, "bronze")))
+    } finally q.stop()
+    // left-outer keeps unmatched stream rows with null attributes
+    val ms2 = MemoryStream[(Long, Long)]
+    val lo = StreamEnrich.enrich(ms2.toDF().toDF("ev", "user"), dim,
+      col("user"), col("k"), joinType = "left_outer")
+    val q2 = lo.writeStream.format("memory").queryName("senrich_lo")
+      .outputMode("append").start()
+    try {
+      ms2.addData((200L, 9L))
+      q2.processAllAvailable()
+      val r = spark.table("senrich_lo").select("ev", "tier").collect()
+      assert(r.length == 1 && r(0).getLong(0) == 200L && r(0).isNullAt(1))
+    } finally q2.stop()
+  }
+
   test("StreamDedup.firstSeen: min id of the first batch wins; re-sightings suppressed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, md5}
