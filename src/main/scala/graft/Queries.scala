@@ -1410,7 +1410,7 @@ object Queries {
   // changes nothing. binWidth = the window length (24h): each purchase
   // explodes to at most 2 bins. (24h gives 84 pairs at sf0.001 / 922 at
   // sf0.01 — dense enough that a boundary or binning drift shows.)
-  private val intervalJoinQ = Q("interval_join", Some("""
+  private val intervalJoinQ = Q("interval_join", bench = true, oracle = Some("""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id
     FROM events c JOIN events p
       ON c.user_id = p.user_id
@@ -1753,7 +1753,8 @@ object Queries {
   // side goes through the full LSH candidate path (band index on the
   // corpus, probe join, exact verification), so a recall hole or a broken
   // probe join surfaces as a kept-vs-dropped hash mismatch.
-  private val dedupIncrementalNear = Q("dedup_incremental_near", Some(s"""
+  private val dedupIncrementalNear = Q("dedup_incremental_near", bench = true,
+    oracle = Some(s"""
     WITH sh AS $duckShingles,
          inc AS (SELECT doc_id, sg FROM sh WHERE doc_id % 3 = 0),
          corp AS (SELECT doc_id, sg FROM sh WHERE doc_id % 3 <> 0)
