@@ -2806,6 +2806,32 @@ object Queries {
   // md5 rank. The engine runs the candidate-prefilter + verify-exact
   // shape (Sampling.stratifiedTopN — the ranked sort touches ~4n rows
   // per stratum, not the stratum); the oracle ranks every row.
+  // Token-budget mixing — per-source token TARGETS (the "mix 5k en tokens
+  // with 2k de" step), kept rows = salted-rank prefix of each group whose
+  // inclusive token sum fits the budget. Budgets cut mid-group for
+  // en/de/es, keep zh whole, and omit fr entirely — all three admit
+  // regimes in one gate. The oracle replays the single-window rule; the
+  // Spark side runs the two-pass distributed prefix sum (fixed rank-range
+  // buckets, driver sees groups x buckets longs) — value equality proves
+  // the decomposition exact.
+  private val sampleTokenBudgetQ = Q("sample_token_budget", Some(s"""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+        sum(n_tok) OVER (PARTITION BY lang ORDER BY rk, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT lang, doc_id, len($duckToks)::BIGINT AS n_tok,
+        CAST(('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk
+        FROM documents))
+    WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+      WHEN 'es' THEN 2000 WHEN 'zh' THEN 100000 END
+    ORDER BY lang, doc_id""")) { (s, dir) =>
+    Sampling.sampleTokenBudget(t(s, dir, "documents"), col("doc_id"),
+      col("lang"), Text.tokenCount(col("text")),
+      budgets = Map("en" -> 5000L, "de" -> 2000L, "es" -> 2000L,
+        "zh" -> 100000L))
+      .select("lang", "doc_id").orderBy("lang", "doc_id")
+  }
+
   private val sampleStratified = Q("sample_stratified", Some("""
     SELECT lang, doc_id FROM (
       SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
@@ -3005,7 +3031,7 @@ object Queries {
     similarityLshPlanes, similarityQuantized, similarityPq,
     dedupEmbedding, dedupSemantic, multimodalFeatures, multimodalMixed, sampleSplit,
     sampleWeighted, sampleUpsampled, sampleShardShuffle,
-    packSequences, sampleStratified,
+    packSequences, sampleStratified, sampleTokenBudgetQ,
     curationPipeline)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

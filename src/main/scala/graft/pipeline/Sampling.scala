@@ -187,6 +187,66 @@ object Sampling {
     * top-n whenever the pool is big enough, so the composed result is
     * identical to the naive global ranking (spec-asserted, including a
     * forced-fallback run). */
+  /** Token-budget mixing: for each group (source/domain), keep documents
+    * in deterministic salted-[[hashRank]] order until the group's token
+    * budget is exhausted — the "mix N billion tokens of source A with M
+    * of source B" step that turns per-source keep FRACTIONS
+    * ([[weightedSample]]) into per-source token TARGETS. A row is kept
+    * iff its inclusive running token sum (in rank order within its
+    * group) fits the budget; the first row crossing the line and
+    * everything after it drop, so kept tokens never exceed the target.
+    * Groups absent from `budgets` are dropped (the mix spec is
+    * explicit). Pure function of the data: RNG-free, partitioner-free,
+    * identical across engines and retries.
+    *
+    * Scale shape (same two-pass distributed prefix sum as
+    * [[Pack.packSequences]], per group): the naive formulation is one
+    * window over each whole group — a single-partition sort per source,
+    * the 100 TB killer for the usual few-huge-sources mix. Instead the
+    * 60-bit rank space is cut into `buckets` FIXED equal-width ranges
+    * (rank is md5-uniform, so occupancy balances whp, and the bucket is
+    * a pure function of the row — no quantile collection, no partition
+    * id); each (group, bucket) runs a local pre-sum, the groups×buckets
+    * bucket totals (the only thing that visits the driver) prefix into
+    * broadcast offsets, and the keep test is offset + local-pre +
+    * n_tok <= budget. Equal to the single-window rule by construction:
+    * rank ties share a bucket, so bucket order extends rank order. */
+  def sampleTokenBudget(df: DataFrame, key: Column, group: Column,
+      tokens: Column, budgets: Map[String, Long], salt: String = "mix",
+      buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(budgets.nonEmpty, "budgets must name at least one group")
+    require(df.columns.forall(!_.startsWith("_m_")),
+      "sampleTokenBudget uses _m_* working columns; rename the input's")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bucketW = math.max(1L, (1L << 60) / buckets)
+    val base = df.withColumn("_m_g", group.cast("string"))
+      .withColumn("_m_tok", tokens.cast("long"))
+      .withColumn("_m_rk", hashRank(key, salt))
+      .withColumn("_m_b", expr(s"_m_rk div ${bucketW}L"))
+    val scoped = base.join(
+      broadcast(budgets.toSeq.toDF("_m_g", "_m_budget")), "_m_g")
+    val w = Window.partitionBy("_m_g", "_m_b").orderBy(col("_m_rk"), key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = scoped.withColumn("_m_pre",
+      coalesce(sum("_m_tok").over(w), lit(0L)))
+    val totals = local.groupBy("_m_g", "_m_b").agg(sum("_m_tok").as("_m_tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (g, ts) =>
+      var acc = 0L
+      ts.sortBy(_._2).map { case (_, b, tot) =>
+        val o = (g, b, acc); acc += tot; o
+      }
+    }
+    local.join(broadcast(offsets.toDF("_m_g", "_m_b", "_m_off")),
+        Seq("_m_g", "_m_b"))
+      .filter(col("_m_off") + col("_m_pre") + col("_m_tok") <= col("_m_budget"))
+      .drop("_m_g", "_m_tok", "_m_rk", "_m_b", "_m_budget", "_m_pre", "_m_off")
+  }
+
   def stratifiedTopN(df: DataFrame, key: Column, stratum: Column, n: Int,
       salt: String = "stratn", oversample: Double = 4.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

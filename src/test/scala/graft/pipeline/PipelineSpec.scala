@@ -1146,6 +1146,40 @@ class PipelineSpec extends SparkSpec {
     out.toString("UTF-8")
   }
 
+  test("sampleTokenBudget: equals the naive single-window rule; budget regimes") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", 10L + i % 7))
+    val df = rows.toDF("id", "src", "n")
+    val budgets = Map("a" -> 300L, "b" -> 5L, "c" -> 1000000L) // mid-cut, sub-first-doc, keep-all
+    // naive: one window per whole group, inclusive cumsum <= budget
+    val rk = Sampling.hashRank(col("id"), "mix")
+    val w = Window.partitionBy("src").orderBy(rk, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("_cum", sum("n").over(w))
+      .withColumn("_bud",
+        budgets.foldLeft(lit(null).cast("long")) { case (acc, (g, b)) =>
+          when(col("src") === g, lit(b)).otherwise(acc) })
+      .filter(col("_cum") <= col("_bud"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // buckets=7 forces a real multi-bucket decomposition on 200 rows
+    val got = Sampling.sampleTokenBudget(df, col("id"), col("src"), col("n"),
+      budgets, buckets = 7).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == naive)
+    assert(got.nonEmpty)
+    // group "c" kept whole; a group not in budgets would vanish
+    val cAll = rows.filter(_._2 == "c").map(_._1).toSet
+    assert(cAll.subsetOf(got))
+    val noB = Sampling.sampleTokenBudget(df, col("id"), col("src"), col("n"),
+      Map("a" -> 300L), buckets = 7).select("src").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(noB == Set("a"))
+    // deterministic across runs
+    val again = Sampling.sampleTokenBudget(df, col("id"), col("src"), col("n"),
+      budgets, buckets = 7).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
   test("incrementalKeepNew: corpus-seen and batch-repeat rows dropped, rest intact") {
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val incoming = Seq(
