@@ -1434,6 +1434,36 @@ object Queries {
       .orderBy("click_id", "purchase_id")
   }
 
+  // STREAM-STREAM event-time interval join — both sides unbounded (two
+  // filtered branches of the event stream), matches inside the 24h
+  // purchase window, state bounded by watermark + the range condition.
+  // Same oracle as the batch `interval_join`: the two execution models
+  // must produce the identical pair set.
+  private val streamIntervalJoin = Q("stream_interval_join", Some("""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR
+    ORDER BY click_id, purchase_id""")) { (s, dir) =>
+    val ev = eventsNs(s, dir).select("event_id", "user_id", "event_type", "ts")
+    val work = java.nio.file.Files.createTempDirectory("graft-q-ssij").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    stageBatch(work, ev, "a", 1000000L)
+    runDirStream(s, s"$work/in", ev.schema, work, "ssij") { stream =>
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      graft.streaming.StreamJoin.intervalJoin(clicks, purchases,
+        col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+        window = java.time.Duration.ofHours(24),
+        watermarkDelay = java.time.Duration.ofHours(1))
+        .select("click_id", "purchase_id")
+    }.orderBy("click_id", "purchase_id")
+  }
+
   private val replicationStream = Q("replication_stream", Some("""
     SELECT user_id, event_type, value FROM (
       SELECT user_id, event_type, value,
@@ -3015,7 +3045,7 @@ object Queries {
     sqlCatalogScan, sqlAggPushdown,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, multiTableWriteQ, replicationStream,
-    streamWindowAgg, streamEnrich,
+    streamWindowAgg, streamEnrich, streamIntervalJoin,
     asOfJoinQ, intervalJoinQ,
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,
     streamDedupEventTtl,

@@ -294,6 +294,41 @@ class ReplicationSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("StreamJoin.intervalJoin: cross-batch matches both directions, bounds inclusive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val secNs = 1000000000L
+    val t0 = 1704067200L * secNs
+    val msL = MemoryStream[(Long, Long, Long)] // (id, key, ts)
+    val msR = MemoryStream[(Long, Long, Long)]
+    val out = StreamJoin.intervalJoin(
+      msL.toDF().toDF("lid", "lk", "lts"), msR.toDF().toDF("rid", "rk", "rts"),
+      col("lk"), col("rk"), col("lts"), col("rts"),
+      window = java.time.Duration.ofSeconds(10),
+      watermarkDelay = java.time.Duration.ofSeconds(5))
+    val q = out.select("lid", "rid").writeStream.format("memory")
+      .queryName("ssij").outputMode("append").start()
+    try {
+      // batch 1: a right interval-opener and a left point that precedes
+      // any right arrival for key 2
+      msR.addData((100L, 1L, t0))
+      msL.addData((200L, 2L, t0 + 3 * secNs))
+      q.processAllAvailable()
+      // batch 2: lefts matching the buffered right — exactly ON both
+      // bounds (ts = rts and ts = rts + 10s) and one outside; plus the
+      // right that retroactively matches batch-1's left (right arrives
+      // AFTER the left — state must have buffered the left side too)
+      msL.addData((101L, 1L, t0), (102L, 1L, t0 + 10 * secNs),
+        (103L, 1L, t0 + 11 * secNs))
+      msR.addData((201L, 2L, t0 + 1 * secNs))
+      q.processAllAvailable()
+      val got = spark.table("ssij").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((101L, 100L), (102L, 100L), (200L, 201L)))
+    } finally q.stop()
+  }
+
   test("StreamDedup.firstSeen: min id of the first batch wins; re-sightings suppressed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, md5}
