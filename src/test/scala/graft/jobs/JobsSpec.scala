@@ -106,6 +106,36 @@ class JobsSpec extends SparkSpec {
     intercept[Exception] { wide.count() }
   }
 
+  test("intervalJoin property: binned == naive on random data, varied binWidths") {
+    import org.apache.spark.sql.functions.col
+    // collision-rich random keyspace; negative times included (truncating
+    // div bins differ from floor bins there — correctness must not depend
+    // on the bin function beyond monotonicity)
+    for (seed <- Seq(3L, 99L, 2024L)) {
+      val rnd = new scala.util.Random(seed)
+      val pts = (1 to 120).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.between(-100L, 100L)))
+        .toDF("id", "k", "t")
+      val ivs = (1 to 60).map(i =>
+        { val s = rnd.between(-100L, 100L)
+          (i.toLong, rnd.nextInt(5).toLong, s, s + rnd.between(0L, 40L)) })
+        .toDF("iid", "rk", "s", "e")
+      val naive = pts.join(ivs, col("k") === col("rk") &&
+          col("t") >= col("s") && col("t") <= col("e"))
+        .select("id", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (bw <- Seq(3L, 17L, 1000L)) {
+        val binned = Jobs.intervalJoin(pts, ivs, col("k"), col("rk"),
+          col("t"), col("s"), col("e"), binWidth = bw)
+          .select(col("_l.id"), col("_r.iid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        // exact multiset equality: no missed pairs AND no bin-overlap dups
+        assert(binned.length == binned.toSet.size, s"seed=$seed bw=$bw dup pairs")
+        assert(binned.toSet == naive, s"seed=$seed bw=$bw")
+      }
+    }
+  }
+
   test("groupingKey concatenates chosen column values space-joined") {
     val resolved = Resolve(fixture())
     val keys = Jobs.groupingKey(resolved, "f", Seq(b("a"), b("b")))
