@@ -1434,6 +1434,49 @@ object Queries {
       .orderBy("click_id", "purchase_id")
   }
 
+  // STREAMING event-time as-of join — the streaming face of the
+  // reference's closest-row-before lookup (Jobs.asOfJoin's twin; Spark's
+  // built-in stream-stream joins cannot express "latest before", so this
+  // is the custom-state seam). Same fixture and DuckDB ASOF JOIN oracle
+  // as the batch `as_of_join` gate: the two execution models must
+  // produce the identical match set. Two far-future sentinel PURCHASE
+  // batches drive the watermark past every real event so all lefts seal
+  // (rights emit nothing; the sentinel key is filtered defensively).
+  private val streamAsofJoin = Q("stream_asof_join", Some("""
+    SELECT probe_id, user_id, match_id FROM (
+      SELECT l.event_id AS probe_id, l.user_id AS user_id,
+        r.event_id AS match_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') l
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts)
+    ORDER BY probe_id""")) { (s, dir) =>
+    val ev = eventsNs(s, dir).select("event_id", "user_id", "event_type", "ts")
+    val sentKey = 888888888L
+    def sentinel(tsNs: Long) = s.range(1).select(
+      lit(sentKey).as("event_id"), lit(sentKey).as("user_id"),
+      lit("purchase").as("event_type"), lit(tsNs).as("ts"))
+    val y2100 = 4102444800L * 1000000000L
+    val work = java.nio.file.Files.createTempDirectory("graft-q-sasof").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    stageBatch(work, ev, "a", 1000000L)
+    stageBatch(work, sentinel(y2100), "b", 2000000L)
+    stageBatch(work, sentinel(y2100 + 3600L * 1000000000L), "c", 3000000L)
+    runDirStreamSequenced(s, s"$work/in", ev.schema, work, "sasof") { stream =>
+      val clicks = stream.filter(col("event_type") === "click")
+      val purchases = stream.filter(col("event_type") === "purchase")
+      graft.streaming.StreamJoin.asOfJoinEventTime(
+        clicks, purchases,
+        leftKey = col("user_id"), rightKey = col("user_id"),
+        leftTs = col("ts"), rightTs = col("ts"),
+        leftId = col("event_id"), rightId = col("event_id"),
+        watermarkDelay = java.time.Duration.ofHours(1))
+    }
+      .filter(col("match_id").isNotNull && col("key") =!= sentKey)
+      .select(col("left_id").as("probe_id"), col("key").as("user_id"),
+        col("match_id"))
+      .orderBy("probe_id")
+  }
+
   // STREAM-STREAM event-time interval join — both sides unbounded (two
   // filtered branches of the event stream), matches inside the 24h
   // purchase window, state bounded by watermark + the range condition.
@@ -3045,7 +3088,7 @@ object Queries {
     sqlCatalogScan, sqlAggPushdown,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, multiTableWriteQ, replicationStream,
-    streamWindowAgg, streamEnrich, streamIntervalJoin,
+    streamWindowAgg, streamEnrich, streamIntervalJoin, streamAsofJoin,
     asOfJoinQ, intervalJoinQ,
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,
     streamDedupEventTtl,

@@ -329,6 +329,55 @@ class ReplicationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamJoin.asOfJoinEventTime: out-of-order seal, compaction, null match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val secNs = 1000000000L
+    val t0 = 1704067200L * secNs
+    def at(s: Long) = t0 + s * secNs
+    val msL = MemoryStream[(Long, Long, Long)] // (key, ts, id)
+    val msR = MemoryStream[(Long, Long, Long)]
+    val out = StreamJoin.asOfJoinEventTime(
+      msL.toDF().toDF("k", "ts", "id"), msR.toDF().toDF("rk", "rts", "rid"),
+      col("k"), col("rk"), col("ts"), col("rts"), col("id"), col("rid"),
+      watermarkDelay = java.time.Duration.ofSeconds(30))
+    val q = out.writeStream.format("memory").queryName("sasof")
+      .outputMode("append").start()
+    try {
+      // batch 1: lefts arrive BEFORE the rights that will match them
+      // (out-of-order across sides, inside the 30s delay); left 11 has no
+      // preceding right
+      msL.addData((1L, at(0), 11L), (1L, at(20), 12L))
+      q.processAllAvailable()
+      // batch 2: rights at 10 and 15 — both before left 12's ts, so the
+      // LATEST (15) must win even though the lefts arrived first; plus a
+      // watermark driver on another key (wm after this batch: 70s)
+      msR.addData((1L, at(10), 91L), (1L, at(15), 92L), (9L, at(100), 99L))
+      q.processAllAvailable()
+      // batch 3: wm=70s during processing -> key 1's timer fires, sealing
+      // both lefts and both rights; rights compact to (15, 92)
+      msR.addData((9L, at(200), 98L))
+      q.processAllAvailable()
+      // batch 4: a left arriving LONG after right 92 sealed — must match
+      // via the COMPACTED latest, exercising the 2-long steady state
+      msL.addData((1L, at(400), 13L))
+      q.processAllAvailable()
+      // drive the watermark past 400s so left 13 seals (two steps: the
+      // timer re-arms at 400s+1ms, fires once wm exceeds it)
+      msR.addData((9L, at(500), 97L))
+      q.processAllAvailable()
+      msR.addData((9L, at(600), 96L))
+      q.processAllAvailable()
+      val got = spark.table("sasof")
+        .select("left_id", "match_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got(11L) == -1L)  // nothing at-or-before t0
+      assert(got(12L) == 92L)  // latest of the two preceding rights
+      assert(got(13L) == 92L)  // matched via compacted state long after seal
+    } finally q.stop()
+  }
+
   test("StreamDedup.firstSeen: min id of the first batch wins; re-sightings suppressed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, md5}
