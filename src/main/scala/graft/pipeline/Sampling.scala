@@ -222,8 +222,12 @@ object Sampling {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val bucketW = math.max(1L, (1L << 60) / buckets)
+    // null token counts count as 0, matching SQL window-sum semantics
+    // (sum skips nulls, so the row's inclusive cum equals its
+    // predecessor's) — without this the keep filter's null arithmetic
+    // would silently drop the row instead
     val base = df.withColumn("_m_g", group.cast("string"))
-      .withColumn("_m_tok", tokens.cast("long"))
+      .withColumn("_m_tok", coalesce(tokens.cast("long"), lit(0L)))
       .withColumn("_m_rk", hashRank(key, salt))
       .withColumn("_m_b", expr(s"_m_rk div ${bucketW}L"))
     val scoped = base.join(
