@@ -215,6 +215,37 @@ object PerfEval {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // intervalJoinSkew: the binned equi-join vs the naive residual range
+    // join on a DELIBERATELY hot-keyed copy of the events table
+    // (user_id % 8 — each key holds ~1/8 of all clicks and purchases).
+    // The naive plan pairs every (click, purchase) of a key before the
+    // range filter runs — quadratic per key — while the binned plan only
+    // pairs within (key, 24h-bin) co-occupancy. Both counted to force the
+    // full join; the pair counts are identical (spec-proven operator
+    // equality), so the delta is pure plan shape.
+    {
+      val ev = graft.core.EventTime.normalize(
+        graft.core.EventTime.readAdaptive(spark, s"$sfDir/events.parquet"))
+        .withColumn("hk", col("user_id") % 8)
+      val winNs = 24L * 3600L * 1000000000L
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("hk"), col("ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("hk").as("phk"),
+          col("ts").as("pts"))
+      results("intervalJoinBinned") = timedMin2 {
+        graft.jobs.Jobs.intervalJoin(clicks, purch,
+          col("hk"), col("phk"), col("ts"), col("pts"),
+          rightEnd = col("pts") + winNs, binWidth = winNs)
+          .count(): Unit
+      }
+      results("intervalJoinNaive") = timedMin2 {
+        clicks.join(purch, col("hk") === col("phk") &&
+            col("ts") >= col("pts") && col("ts") <= col("pts") + winNs)
+          .count(): Unit
+      }
+    }
+
     val json = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val line =
       s"""{"metric":"pe_total","value":${results.values.sum},"unit":"sec","workloads":{$json},"sf":"$sfDir"}"""
