@@ -56,6 +56,7 @@ final case class Graft(spark: SparkSession, root: String) {
     snapshots.clone(name, newTable, nowMs)
   def deleteSnapshot(name: String): Unit = snapshots.deleteSnapshot(name)
   def readSnapshot(name: String): DataFrame = snapshots.read(name)
+  def diffSnapshots(a: String, b: String): DataFrame = snapshots.diff(a, b)
   def exportSnapshot(name: String, targetDir: String): Unit =
     snapshots.exportSnapshot(name, targetDir)
   def importSnapshot(name: String, exportedDir: String): Unit =

@@ -943,6 +943,57 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  // Snapshot DIFF — the corpus-versioning audit: snapshot v1, apply
+  // three disjoint-key-range damages (delete < 200, overwrite c_name on
+  // [200, 400), append 50 fresh keys at +1e7), snapshot v2, diff. The
+  // oracle reconstructs the expected change set from the SAME ranges in
+  // SQL: removed rows contribute one row per encoded qualifier, the
+  // overwrite contributes exactly the c_name coordinate, appends
+  // contribute all qualifiers of the new keys. Wrong tombstone handling,
+  // a version cap leak, or a join-side mixup each produce a different
+  // change multiset.
+  private val snapshotDiffScan = Q("snapshot_diff", Some("""
+    SELECT k, q, change FROM (
+      SELECT c_custkey AS k,
+        unnest(['c_acctbal','c_custkey','c_mktsegment','c_name','c_nationkey']) AS q,
+        'removed' AS change
+      FROM customer WHERE c_custkey < 200
+      UNION ALL
+      SELECT c_custkey, 'c_name', 'changed'
+      FROM customer WHERE c_custkey >= 200 AND c_custkey < 400
+      UNION ALL
+      SELECT c_custkey + 10000000,
+        unnest(['c_acctbal','c_custkey','c_mktsegment','c_name','c_nationkey']), 'added'
+      FROM customer WHERE c_custkey < 50)
+    ORDER BY k, q""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val root = java.nio.file.Files.createTempDirectory("graft-q-snapdiff").toString
+    val g = graft.Graft(s, root)
+    g.createTable(TableDescriptor("cust", Seq(FamilyDescriptor("c")),
+      splitKeys = 8), nowMs = 1L)
+    val cust = t(s, dir, "customer")
+    g.table("cust").mutate(
+      CellCodec.encode(cust, "c", Seq("c_custkey")), nowMs = 1L)
+    g.snapshot("v1", "cust", nowMs = 2L)
+    val lowKeys = cust.filter(col("c_custkey") < 200)
+    g.table("cust").mutate(Mutations.deleteFamilyCells(
+      lowKeys, CellCodec.rowKey(lowKeys, Seq("c_custkey")), "c", ts = 3L), nowMs = 3L)
+    g.table("cust").mutate(CellCodec.encode(
+      cust.filter(col("c_custkey") >= 200 && col("c_custkey") < 400)
+        .withColumn("c_name", lit("DAMAGED")), "c", Seq("c_custkey"),
+      batchTs = 3L), nowMs = 4L)
+    g.table("cust").mutate(CellCodec.encode(
+      cust.filter(col("c_custkey") < 50)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L),
+      "c", Seq("c_custkey"), batchTs = 3L), nowMs = 5L)
+    g.snapshot("v2", "cust", nowMs = 6L)
+    g.diffSnapshots("v1", "v2")
+      .select(
+        graft.functions.VectorFunctions.bitsToLong(col("row")).as("k"),
+        col("qualifier").cast("string").as("q"), col("change"))
+      .orderBy("k", "q")
+  }
+
   // Export -> import across CATALOGS, then prove the copy is self-
   // contained: the source root is deleted outright before the imported
   // snapshot is read (`ExportSnapshot.java:53` — the MR distcp whose
@@ -3084,6 +3135,7 @@ object Queries {
     streamSessionizeLate,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, snapshotRestoreScan, snapshotGcScan, snapshotExportScan,
+    snapshotDiffScan,
     asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,

@@ -144,6 +144,40 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
     finally out.close()
   }
 
+  /** Snapshot DIFF — what changed between two snapshots of one table,
+    * the audit primitive of a VERSIONED corpus (which documents entered,
+    * left, or changed between corpus v1 and v2; the natural extension of
+    * the reference's snapshot surface for data-pipeline use). One row per
+    * visible (row, family, qualifier) whose latest value differs:
+    * `change` ∈ added (in `b`, not `a`) / removed / changed, with both
+    * value sides carried for inspection.
+    *
+    * Both sides resolve through the normal scan path (tombstones, version
+    * caps — `scan` must keep maxVersions=1 so the cell coordinate is
+    * unique), then meet in ONE full-outer hash join on the coordinate —
+    * two snapshot scans + one shuffle, no driver materialization, so the
+    * diff of two 100 TB snapshots is an ordinary distributed join. Equal
+    * coordinates with equal bytes drop out early (the common case: most
+    * of a corpus is unchanged between versions). */
+  def diff(a: String, b: String, scan: graft.read.Scan = graft.read.Scan()):
+      DataFrame = {
+    require(scan.maxVersions == 1,
+      "diff compares the single visible version per coordinate")
+    import org.apache.spark.sql.functions._
+    def visible(name: String, vCol: String) =
+      graft.read.ScanExec(read(name), scan)
+        .select(col("row"), col("family"), col("qualifier"),
+          col("value").as(vCol))
+    visible(a, "value_a").join(visible(b, "value_b"),
+        Seq("row", "family", "qualifier"), "full_outer")
+      .withColumn("change",
+        when(col("value_a").isNull, lit("added"))
+          .when(col("value_b").isNull, lit("removed"))
+          .when(col("value_a") =!= col("value_b"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select("row", "family", "qualifier", "change", "value_a", "value_b")
+  }
+
   /** `ImportSnapshot`: register an exported snapshot dir as a local
     * snapshot (data stays where it is — reference files). */
   def importSnapshot(name: String, exportedDir: String): Unit = {

@@ -107,6 +107,35 @@ class SnapshotSpec extends SparkSpec {
     assert(snapRows == Set("r1"))
   }
 
+  test("diff: change kinds, tombstone visibility, empty on identical snapshots") {
+    val g = freshGraft()
+    g.createTable(desc, 1L)
+    g.table("t").put(Seq(
+      Put(b("r1")).add("f", b("q"), b("v1")),
+      Put(b("r2")).add("f", b("q"), b("v2")),
+      Put(b("r3")).add("f", b("q"), b("v3"))), 2L)
+    g.snapshot("a", "t", 3L)
+    g.snapshot("a2", "t", 3L)
+    // identical snapshots diff to nothing
+    assert(g.diffSnapshots("a", "a2").count() == 0L)
+    // change r2, tombstone r3, add r4
+    g.table("t").put(Seq(Put(b("r2")).add("f", b("q"), b("V2"))), 4L)
+    g.table("t").delete(Seq(Delete(b("r3")).deleteFamily("f")), 5L)
+    g.table("t").put(Seq(Put(b("r4")).add("f", b("q"), b("v4"))), 6L)
+    g.snapshot("b", "t", 7L)
+    val d = g.diffSnapshots("a", "b").collect().map { r =>
+      (new String(r.getAs[Array[Byte]]("row"), "UTF-8"), r.getAs[String]("change"),
+        Option(r.getAs[Array[Byte]]("value_b")).map(new String(_, "UTF-8")).orNull)
+    }.toSet
+    assert(d == Set(("r2", "changed", "V2"), ("r3", "removed", null),
+      ("r4", "added", "v4")))
+    // reversed direction flips kinds
+    val rev = g.diffSnapshots("b", "a").collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("row"), "UTF-8"),
+        r.getAs[String]("change"))).toSet
+    assert(rev == Set(("r2", "changed"), ("r3", "added"), ("r4", "removed")))
+  }
+
   test("restore repoints the table; clone shares files zero-copy") {
     val g = freshGraft()
     g.createTable(desc, 1L)
