@@ -2930,6 +2930,29 @@ object Queries {
   // md5 rank. The engine runs the candidate-prefilter + verify-exact
   // shape (Sampling.stratifiedTopN — the ranked sort touches ~4n rows
   // per stratum, not the stratum); the oracle ranks every row.
+  // Corpus audit stats — per-language doc counts, token sums, and EXACT
+  // lower-quantile token counts (rank ceil(q*n) in (tok, doc_id) order:
+  // a data value, no interpolation, so both engines agree bit-for-bit
+  // where interpolated percentile arithmetic is implementation-defined).
+  private val corpusStatsQ = Q("corpus_stats", Some(s"""
+    WITH b AS (SELECT lang, doc_id, len($duckToks)::BIGINT AS tok FROM documents),
+    s AS (SELECT lang, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS tok_sum,
+                 min(tok) AS tok_min, max(tok) AS tok_max FROM b GROUP BY lang),
+    r AS (SELECT lang, tok,
+          row_number() OVER (PARTITION BY lang ORDER BY tok, doc_id) AS rn FROM b)
+    SELECT s.lang AS "group", n_docs, tok_sum, tok_min, tok_max,
+      p50.tok AS tok_p50, p90.tok AS tok_p90
+    FROM s
+    JOIN (SELECT r.lang, r.tok FROM r JOIN s ON r.lang = s.lang
+          WHERE r.rn = CAST(ceil(0.5 * s.n_docs) AS BIGINT)) p50 ON p50.lang = s.lang
+    JOIN (SELECT r.lang, r.tok FROM r JOIN s ON r.lang = s.lang
+          WHERE r.rn = CAST(ceil(0.9 * s.n_docs) AS BIGINT)) p90 ON p90.lang = s.lang
+    ORDER BY "group"""")) { (s, dir) =>
+    Text.corpusStats(t(s, dir, "documents"), col("lang"),
+      Text.tokenCount(col("text")), col("doc_id"))
+      .orderBy("group")
+  }
+
   // Token-budget mixing — per-source token TARGETS (the "mix 5k en tokens
   // with 2k de" step), kept rows = salted-rank prefix of each group whose
   // inclusive token sum fits the budget. Budgets cut mid-group for
@@ -3156,7 +3179,7 @@ object Queries {
     similarityLshPlanes, similarityQuantized, similarityPq,
     dedupEmbedding, dedupSemantic, multimodalFeatures, multimodalMixed, sampleSplit,
     sampleWeighted, sampleUpsampled, sampleShardShuffle,
-    packSequences, sampleStratified, sampleTokenBudgetQ,
+    packSequences, sampleStratified, sampleTokenBudgetQ, corpusStatsQ,
     curationPipeline)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -473,4 +473,36 @@ object Text {
         (sum(col("_q")) / 1048576.0 / n).as("predictability"),
         exp(-(sum(log(col("_p"))) / n)).as("perplexity"))
   }
+
+  /** Per-group corpus audit: doc count, token sum/min/max, and EXACT
+    * lower-quantile token counts (p50/p90) — the "what is actually in
+    * this corpus, per language/source" report every curation decision
+    * starts from. Quantiles are LOWER quantiles (the data value at rank
+    * ceil(q*n), ties broken by `key`): a value picked from the data, no
+    * interpolation arithmetic — so any engine reproduces it bit-for-bit,
+    * unlike interpolated `percentile`/`quantile_cont` whose double math
+    * is implementation-defined at the last ulp.
+    *
+    * Shape: one map-side-combined aggregate for the scalar stats + one
+    * per-group rank window for the quantile picks. The window sorts each
+    * group — right for audit-scale group counts (languages, sources); at
+    * 100 TB with pathological group sizes swap the picks for
+    * `approxQuantile` and keep this as the exactness anchor. */
+  def corpusStats(df: DataFrame, group: Column, tokens: Column,
+      key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.cast("string").as("_g"),
+      coalesce(tokens.cast("long"), lit(0L)).as("_tok"), key.as("_k"))
+    val scalar = base.groupBy("_g").agg(
+      count(lit(1)).as("n_docs"), sum("_tok").as("tok_sum"),
+      min("_tok").as("tok_min"), max("_tok").as("tok_max"))
+    val w = Window.partitionBy("_g").orderBy(col("_tok"), col("_k"))
+    val ranked = base.withColumn("_rn", row_number().over(w))
+    def pick(q: Double, name: String) =
+      ranked.join(scalar.select(col("_g"), col("n_docs")), "_g")
+        .filter(col("_rn") === ceil(lit(q) * col("n_docs")).cast("long"))
+        .select(col("_g"), col("_tok").as(name))
+    scalar.join(pick(0.5, "tok_p50"), "_g").join(pick(0.9, "tok_p90"), "_g")
+      .withColumnRenamed("_g", "group")
+  }
 }

@@ -1146,6 +1146,20 @@ class PipelineSpec extends SparkSpec {
     out.toString("UTF-8")
   }
 
+  test("corpusStats: exact lower quantiles, ties stable, singleton group") {
+    // group a: toks [2,4,4,6,8] -> p50 = rank ceil(2.5)=3 -> 4; p90 =
+    // rank ceil(4.5)=5 -> 8. Ties (two 4s) break by key. group b:
+    // singleton -> every stat is the one value.
+    val df = Seq((1L, "a", 2L), (2L, "a", 4L), (3L, "a", 4L), (4L, "a", 6L),
+      (5L, "a", 8L), (6L, "b", 7L)).toDF("id", "g", "n")
+    val got = Text.corpusStats(df, col("g"), col("n"), col("id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got("a") == ((5L, 24L, 2L, 8L, 4L, 8L)))
+    assert(got("b") == ((1L, 7L, 7L, 7L, 7L, 7L)))
+  }
+
   test("sampleTokenBudget: equals the naive single-window rule; budget regimes") {
     import org.apache.spark.sql.expressions.Window
     val rows = (1L to 200L).map(i =>
