@@ -2953,6 +2953,26 @@ object Queries {
       .orderBy("group")
   }
 
+  // The PERSISTED-index form of the incremental near-dup admit: the
+  // corpus band index + shingle sets are built once, written to disk
+  // (range-partitioned/sorted for row-group pruning), read back, and
+  // probed — the production loop where the frozen corpus is never
+  // re-processed per batch. Same oracle as dedup_incremental_near: the
+  // disk round-trip must change nothing.
+  private val dedupIncrementalIndexed = Q("dedup_incremental_indexed",
+    oracle = dedupIncrementalNear.oracle) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-q-ndix").toString
+    Dedup.writeNearDupIndex(
+      Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text"), ixDir)
+    Dedup.incrementalNearDupNewFromIndex(
+      Dedup.readNearDupIndex(s, ixDir),
+      incoming = docs.filter(col("doc_id") % 3 === 0),
+      idCol = "doc_id", textCol = "text", threshold = 0.8)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   // Token-budget mixing — per-source token TARGETS (the "mix 5k en tokens
   // with 2k de" step), kept rows = salted-rank prefix of each group whose
   // inclusive token sum fits the budget. Budgets cut mid-group for
@@ -3169,6 +3189,7 @@ object Queries {
     streamDedupEventTtl,
     dedupFingerprint, dedupWinnowing, dedupSpanExact, dedupNgramJaccard,
     dedupMinhashLsh, dedupIncremental, dedupIncrementalNear,
+    dedupIncrementalIndexed,
     streamMinhashLsh, streamLshEventTtl,
     dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textNormalize, textRepetition, textRedact, textBm25,

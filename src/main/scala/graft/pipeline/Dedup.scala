@@ -791,25 +791,81 @@ object Dedup {
     * caps degenerate hot buckets on BOTH sides (see [[capBuckets]] — a
     * hot bucket present in corpus and batch makes the probe join
     * quadratic in its occupancy). */
+  private def bandsOf(sh: DataFrame, bands: Int, rows: Int): DataFrame =
+    sh.select(col("id"), posexplode(
+        graft.functions.VectorFunctions.minHashBands(col("sh"), bands, rows)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+
   def incrementalNearDupNew(corpus: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, k: Int = 3, threshold: Double = 0.8,
       bands: Int = 32, rows: Int = 4,
       maxBucketSize: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame =
+    incrementalNearDupNewFromIndex(
+      buildNearDupIndex(corpus, idCol, textCol, k, bands, rows),
+      incoming, idCol, textCol, threshold, maxBucketSize, checkpointDir)
+
+  /** Persisted corpus near-dup index: the band buckets + shingle sets of
+    * the FROZEN kept corpus, computed once and reused by every arriving
+    * batch — the production form of [[incrementalNearDupNew]] (whose
+    * whole point is to never re-process the corpus per batch; without
+    * the persisted artifact the corpus side still re-shingles each run).
+    * Same pattern as [[Text.InvertedIndex]]. `k`/`numBands`/`rowsPerBand`
+    * travel with the artifact so a probe can never silently use
+    * mismatched parameters. */
+  final case class NearDupIndex(bands: DataFrame, shingles: DataFrame,
+      k: Int, numBands: Int, rowsPerBand: Int)
+
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 32, rows: Int = 4): NearDupIndex = {
+    val sh = shingled(corpus, idCol, textCol, k)
+    NearDupIndex(bandsOf(sh, bands, rows), sh, k, bands, rows)
+  }
+
+  /** Bands land RANGE-PARTITIONED AND SORTED BY (band, bucket): row-group
+    * min/max stats then prune a probe batch's bucket join to the file
+    * slices actually holding its buckets. Shingles sort by id for the
+    * same pruning on the verification join's id_c side. */
+  def writeNearDupIndex(ix: NearDupIndex, dir: String): Unit = {
+    ix.bands.repartitionByRange(col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket")
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    ix.shingles.repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/params.json"),
+      s"""{"k":${ix.k},"bands":${ix.numBands},"rows":${ix.rowsPerBand}}"""
+        .getBytes("UTF-8"))
+  }
+
+  def readNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): NearDupIndex = {
+    val p = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/params.json")), "UTF-8")
+    def field(n: String): Int =
+      s""""$n":(\\d+)""".r.findFirstMatchIn(p).get.group(1).toInt
+    NearDupIndex(spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"),
+      field("k"), field("bands"), field("rows"))
+  }
+
+  /** [[incrementalNearDupNew]] against a prebuilt [[NearDupIndex]] —
+    * identical admit set (shared core), but the only corpus-sized work
+    * is reading the index artifact. */
+  def incrementalNearDupNewFromIndex(ix: NearDupIndex, incoming: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None,
       checkpointDir: Option[String] = None): DataFrame = {
-    val shC = shingled(corpus, idCol, textCol, k)
-    val shI = shingled(incoming, idCol, textCol, k)
-    def bandsOf(sh: DataFrame): DataFrame =
-      sh.select(col("id"), posexplode(
-          graft.functions.VectorFunctions.minHashBands(col("sh"), bands, rows)))
-        .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val shI = shingled(incoming, idCol, textCol, ix.k)
     // materialized once each: the corpus index feeds one join, the batch
     // bands feed three (cross probe + both self-join sides)
-    val bC = capBuckets(materialize(bandsOf(shC), checkpointDir), maxBucketSize)
-    val bI = capBuckets(materialize(bandsOf(shI), checkpointDir), maxBucketSize)
+    val bC = capBuckets(materialize(ix.bands, checkpointDir), maxBucketSize)
+    val bI = capBuckets(
+      materialize(bandsOf(shI, ix.numBands, ix.rowsPerBand), checkpointDir),
+      maxBucketSize)
     val crossCands = bI.as("a").join(bC.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_i"), col("b.id").as("id_c")).distinct()
-    val dupVsCorpus = verifyJaccardAcross(crossCands, shI, shC, threshold)
+    val dupVsCorpus = verifyJaccardAcross(crossCands, shI, ix.shingles, threshold)
       .select(col("id_i").as("_dup"))
     val selfCands = bI.as("a").join(bI.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

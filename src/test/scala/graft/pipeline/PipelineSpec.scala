@@ -1238,6 +1238,29 @@ class PipelineSpec extends SparkSpec {
     assert(j == 0L)
   }
 
+  test("nearDupIndex: disk round-trip reproduces the direct admit set; params travel") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and shuffles"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // ~corpus -> dropped
+      (11L, "an island of fresh words never seen in any corpus before"),
+      (12L, "an island of fresh words never seen in any corpus before")) // ~11 -> dropped
+      .toDF("doc_id", "text")
+    val direct = Dedup.incrementalNearDupNew(corpus, incoming, "doc_id", "text",
+      k = 3, threshold = 0.8).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ndix").toString
+    Dedup.writeNearDupIndex(
+      Dedup.buildNearDupIndex(corpus, "doc_id", "text", k = 3), dir)
+    val ix = Dedup.readNearDupIndex(spark, dir)
+    assert((ix.k, ix.numBands, ix.rowsPerBand) == ((3, 32, 4)))
+    val viaIndex = Dedup.incrementalNearDupNewFromIndex(ix, incoming,
+      "doc_id", "text", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == direct)
+    assert(viaIndex == Set(11L))
+  }
+
   test("incremental dedup plans: anti-joins, no cartesian") {
     val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val incoming = Seq((10L, "epsilon zeta eta theta")).toDF("doc_id", "text")
