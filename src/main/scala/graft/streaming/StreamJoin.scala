@@ -25,12 +25,19 @@ object StreamJoin {
     * `watermarkDelay` is the out-of-orderness tolerated on each side;
     * state per side is O(rows inside watermark + window horizon), not the
     * stream. Self-joins (two filtered branches of one source) are fine —
-    * the usual "action within N hours of trigger" correlation. */
+    * the usual "action within N hours of trigger" correlation.
+    *
+    * `joinType` accepts Spark's stream-stream-supported outer forms
+    * (`left_outer`/`right_outer`/`full_outer`): an unmatched row emits
+    * with nulls only once the other side's watermark proves no match can
+    * still arrive — i.e. outer results are delayed by the watermark,
+    * inner results are not. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTs: Column, rightTs: Column,
       window: java.time.Duration,
-      watermarkDelay: java.time.Duration): DataFrame = {
+      watermarkDelay: java.time.Duration,
+      joinType: String = "inner"): DataFrame = {
     val delay = s"${watermarkDelay.toMillis} milliseconds"
     val l = left.withColumn("_lts", leftTs)
       .withColumn("_levt", timestamp_micros(expr("_lts div 1000")))
@@ -42,7 +49,8 @@ object StreamJoin {
         leftKey === rightKey &&
           col("_levt") >= col("_revt") &&
           col("_levt") <= col("_revt") +
-            expr(s"INTERVAL ${window.toMillis} MILLISECONDS"))
+            expr(s"INTERVAL ${window.toMillis} MILLISECONDS"),
+        joinType)
       .drop("_lts", "_levt", "_rts", "_revt")
   }
 

@@ -329,6 +329,43 @@ class ReplicationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamJoin.intervalJoin left_outer: unmatched lefts emit nulls after watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val secNs = 1000000000L
+    val t0 = 1704067200L * secNs
+    val msL = MemoryStream[(Long, Long, Long)]
+    val msR = MemoryStream[(Long, Long, Long)]
+    val out = StreamJoin.intervalJoin(
+      msL.toDF().toDF("lid", "lk", "lts"), msR.toDF().toDF("rid", "rk", "rts"),
+      col("lk"), col("rk"), col("lts"), col("rts"),
+      window = java.time.Duration.ofSeconds(10),
+      watermarkDelay = java.time.Duration.ofSeconds(5),
+      joinType = "left_outer")
+    val q = out.select("lid", "rid").writeStream.format("memory")
+      .queryName("ssij_lo").outputMode("append").start()
+    try {
+      msR.addData((100L, 1L, t0))
+      msL.addData((201L, 1L, t0 + 3 * secNs), // matches 100
+        (202L, 2L, t0 + 3 * secNs))           // no right for key 2 ever
+      q.processAllAvailable()
+      // drive BOTH sides' watermarks far past 202's horizon (the global
+      // watermark is the MIN across inputs — advancing only the right
+      // stream would hold eviction back forever) so its null emits
+      msR.addData((900L, 9L, t0 + 1000 * secNs))
+      msL.addData((900L, 9L, t0 + 1000 * secNs))
+      q.processAllAvailable()
+      msR.addData((901L, 9L, t0 + 2000 * secNs))
+      msL.addData((901L, 9L, t0 + 2000 * secNs))
+      q.processAllAvailable()
+      val got = spark.table("ssij_lo").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got.contains((201L, 100L)))
+      assert(got.contains((202L, -1L)), got.toString) // outer null, post-watermark
+    } finally q.stop()
+  }
+
   test("StreamJoin.asOfJoinEventTime: out-of-order seal, compaction, null match") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
