@@ -49,6 +49,28 @@ object CrossCheck {
         println(s"[crosscheck] incremental_near: lsh=${l.size} exact=${e.size} " +
           s"symdiff=${sym.size}${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
         if (sym.nonEmpty) sys.exit(1)
+      case "incremental_near_indexed" =>
+        // the persisted-index path (build -> write -> read -> probe) must
+        // reproduce the direct path's admit set at 10x corpus scale —
+        // exercises parquet round-trip of 50k shingle sets + band layout
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val incoming = docs.filter(col("doc_id") % 3 === 0)
+        val direct = Dedup.incrementalNearDupNew(corpus, incoming,
+          "doc_id", "text").select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        val ixDir = java.nio.file.Files.createTempDirectory("graft-ndix").toString
+        Dedup.writeNearDupIndex(
+          Dedup.buildNearDupIndex(corpus, "doc_id", "text"), ixDir)
+        val viaIx = Dedup.incrementalNearDupNewFromIndex(
+          Dedup.readNearDupIndex(spark, ixDir), incoming, "doc_id", "text")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val sym = (direct diff viaIx) ++ (viaIx diff direct)
+        println(s"[crosscheck] incremental_near_indexed: direct=${direct.size} " +
+          s"indexed=${viaIx.size} symdiff=${sym.size}" +
+          s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
+        if (sym.nonEmpty) sys.exit(1)
       case other => sys.error(s"unknown check: $other")
     }
     spark.stop()
