@@ -57,8 +57,9 @@ final case class Graft(spark: SparkSession, root: String) {
   def deleteSnapshot(name: String): Unit = snapshots.deleteSnapshot(name)
   def readSnapshot(name: String): DataFrame = snapshots.read(name)
   def diffSnapshots(a: String, b: String): DataFrame = snapshots.diff(a, b)
-  def exportSnapshot(name: String, targetDir: String): Unit =
-    snapshots.exportSnapshot(name, targetDir)
+  def exportSnapshot(name: String, targetDir: String,
+      baseExportDir: Option[String] = None): Unit =
+    snapshots.exportSnapshot(name, targetDir, baseExportDir = baseExportDir)
   def importSnapshot(name: String, exportedDir: String): Unit =
     snapshots.importSnapshot(name, exportedDir)
 

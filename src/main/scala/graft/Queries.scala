@@ -1024,6 +1024,59 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  // INCREMENTAL export: export snapshot s1 in full, append a delta,
+  // snapshot s2, export s2 AGAINST the first export — only the delta's
+  // data dir may ship (asserted below: the incremental target holds
+  // strictly fewer leaf dirs than s2 references, and none of s1's).
+  // The imported s2 stands on (incremental dir + base export chain); the
+  // SOURCE catalog is deleted before the verifying scan, so a dir that
+  // silently resolved back to the source would fail the read. Reference:
+  // `ExportSnapshot.java:53` ships reference-files for HFiles the target
+  // already holds — successive exports cost only the delta.
+  private val snapshotExportIncremental = Q("snapshot_export_incremental",
+      Some(s"""
+    SELECT $customerCols FROM (
+      SELECT $customerCols FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+        c_mktsegment FROM customer WHERE c_custkey < 50)
+    ORDER BY c_custkey""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val rootA = java.nio.file.Files.createTempDirectory("graft-q-snapincA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-q-snapincB").toString
+    val exp1 = java.nio.file.Files.createTempDirectory("graft-q-snapincE1").toString
+    val exp2 = java.nio.file.Files.createTempDirectory("graft-q-snapincE2").toString
+    val gA = graft.Graft(s, rootA)
+    gA.createTable(TableDescriptor("cust", Seq(FamilyDescriptor("c")),
+      splitKeys = 8), nowMs = 1L)
+    val cust = t(s, dir, "customer")
+    gA.table("cust").mutate(
+      CellCodec.encode(cust, "c", Seq("c_custkey")), nowMs = 1L)
+    gA.snapshot("s1", "cust", nowMs = 2L)
+    gA.exportSnapshot("s1", exp1)
+    gA.table("cust").mutate(CellCodec.encode(
+      cust.filter(col("c_custkey") < 50)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L),
+      "c", Seq("c_custkey"), batchTs = 3L), nowMs = 3L)
+    gA.snapshot("s2", "cust", nowMs = 4L)
+    gA.exportSnapshot("s2", exp2, baseExportDir = Some(exp1))
+    // the incremental target must hold ONLY the delta: no leaf of the
+    // base export's layout may have been re-shipped
+    val e1Leaves = new java.io.File(exp1).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    val e2Leaves = new java.io.File(exp2).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    require(e2Leaves.nonEmpty && (e2Leaves & e1Leaves).isEmpty,
+      s"incremental export re-shipped base dirs: ${e2Leaves & e1Leaves}")
+    val gB = graft.Graft(s, rootB)
+    gB.importSnapshot("s2", exp2)
+    val fsA = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsA.delete(new org.apache.hadoop.fs.Path(rootA), true)
+    CellCodec.decode(ScanExec(gB.readSnapshot("s2"), Scan()), customerSchema)
+      .orderBy("c_custkey")
+  }
+
   private val bulkLoadScan = Q("bulk_load_scan", Some(s"""
     SELECT $customerCols FROM customer ORDER BY c_custkey""")) { (s, dir) =>
     import graft.catalog.{FamilyDescriptor, TableDescriptor}
@@ -3178,6 +3231,7 @@ object Queries {
     streamSessionizeLate,
     deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
     snapshotScan, snapshotRestoreScan, snapshotGcScan, snapshotExportScan,
+    snapshotExportIncremental,
     snapshotDiffScan,
     asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown,

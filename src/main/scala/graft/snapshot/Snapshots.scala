@@ -84,24 +84,51 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
   def protectedDirs(): Set[String] =
     listSnapshots().flatMap(n => manifest(n).dataDirs).toSet
 
+  // Leaf dirs are data-{v}/_fam={f}: keep the version component in the
+  // exported layout or same-named family leaves of different versions
+  // would collide. Idempotent on the exported layout itself (the parent
+  // of an exported leaf is again `data-{v}`), which is what lets an
+  // incremental export chain off a previous one.
+  private def relOf(dp: Path): String = {
+    val parent = Option(dp.getParent).map(_.getName).getOrElse("")
+    if (parent.startsWith("data-") || parent.startsWith("compact-"))
+      s"$parent/${dp.getName}"
+    else dp.getName
+  }
+
   /** `ExportSnapshot` (745 LoC MR distcp): copy a snapshot's files to
     * another filesystem/dir as a size-balanced distributed Spark job over
     * the file list (`SnapshotInputFormat:388` splits by size; here we
-    * repartition the file list and copy per-partition). */
-  def exportSnapshot(name: String, targetDir: String, parallelism: Int = 16): Unit = {
+    * repartition the file list and copy per-partition).
+    *
+    * `baseExportDir` makes the export INCREMENTAL: data dirs already
+    * shipped by that earlier export of the same table are not copied
+    * again — the new manifest references them in place (the reference's
+    * `ExportSnapshot` ships reference-files for HFiles the target
+    * already holds, so successive snapshot exports cost only the delta).
+    * Data dirs are immutable once referenced and their `data-{v}/_fam`
+    * names are version-scoped within a table, so leaf-name equality is
+    * content equality. The exported snapshot then stands on
+    * (targetDir + the base export chain); the SOURCE catalog can die. */
+  def exportSnapshot(name: String, targetDir: String, parallelism: Int = 16,
+      baseExportDir: Option[String] = None): Unit = {
     val snap = manifest(name)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    // Leaf dirs are data-{v}/_fam={f}: keep the version component in the
-    // exported layout or same-named family leaves of different versions
-    // would collide.
-    def relOf(dp: Path): String = {
-      val parent = Option(dp.getParent).map(_.getName).getOrElse("")
-      if (parent.startsWith("data-") || parent.startsWith("compact-"))
-        s"$parent/${dp.getName}"
-      else dp.getName
+    // relName -> absolute dir in the base export (or ITS base, if the
+    // base manifest already references further back)
+    val shared: Map[String, String] = baseExportDir match {
+      case None => Map.empty
+      case Some(b) =>
+        val mp = new Path(b, "snapshotinfo.json")
+        val bm = ManifestJson.read(readFile(mp))
+        require(bm.table == snap.table,
+          s"base export is of table ${bm.table}, not ${snap.table}")
+        bm.dataDirs.map(d => relOf(new Path(d)) -> d).toMap
     }
-    val files: Seq[(String, String, Long)] = snap.dataDirs.flatMap { d =>
+    val copyDirs =
+      snap.dataDirs.filterNot(d => shared.contains(relOf(new Path(d))))
+    val files: Seq[(String, String, Long)] = copyDirs.flatMap { d =>
       val dp = new Path(d)
       val dfs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!dfs.exists(dp)) Seq.empty
@@ -134,9 +161,12 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
           org.apache.hadoop.fs.FileUtil.copy(srcFs, srcP, dstFs, dstP, false, true, c)
         }
       }
-    // snapshot manifest, rewritten to the exported layout
-    val exported = snap.copy(dataDirs =
-      snap.dataDirs.map(d => new Path(target, relOf(new Path(d))).toString))
+    // snapshot manifest, rewritten to the exported layout; dirs the base
+    // export already holds point there instead of being re-shipped
+    val exported = snap.copy(dataDirs = snap.dataDirs.map { d =>
+      shared.getOrElse(relOf(new Path(d)),
+        new Path(target, relOf(new Path(d))).toString)
+    })
     val mp = new Path(target, "snapshotinfo.json")
     val tfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = tfs.create(mp, true)

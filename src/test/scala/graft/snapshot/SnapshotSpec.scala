@@ -194,6 +194,46 @@ class SnapshotSpec extends SparkSpec {
     assert(got == Set("v1", "v2"))
   }
 
+  test("incremental export ships only the delta and chains off the base") {
+    val g = freshGraft()
+    g.createTable(desc, 1L)
+    g.table("t").put(Seq(Put(b("r1")).add("f", b("q"), b("v1"))), 2L)
+    g.snapshot("s1", "t", 3L)
+    val e1 = Files.createTempDirectory("graft-exp1").toString
+    g.exportSnapshot("s1", e1)
+    g.table("t").put(Seq(Put(b("r2")).add("f", b("q"), b("v2"))), 4L)
+    g.snapshot("s2", "t", 5L)
+    val e2 = Files.createTempDirectory("graft-exp2").toString
+    g.exportSnapshot("s2", e2, baseExportDir = Some(e1))
+    def leaves(d: String) = new java.io.File(d).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    // s2 references both data versions but the incremental target holds
+    // ONLY dirs the base export lacks
+    assert(leaves(e2).nonEmpty && (leaves(e2) & leaves(e1)).isEmpty)
+    // a third export chained off the INCREMENTAL one resolves through to
+    // the full chain (shared map carries the base's own back-references)
+    g.snapshot("s3", "t", 6L)
+    val e3 = Files.createTempDirectory("graft-exp3").toString
+    g.exportSnapshot("s3", e3, baseExportDir = Some(e2))
+    assert((leaves(e3) & (leaves(e1) ++ leaves(e2))).isEmpty)
+    // imported s2 reads the full state, standing on e2 + e1 only
+    val g2 = freshGraft()
+    g2.importSnapshot("s2i", e2)
+    val got = graft.read.Resolve(g2.readSnapshot("s2i")).collect().map { r =>
+      new String(r.getAs[Array[Byte]]("value"), "UTF-8")
+    }.toSet
+    assert(got == Set("v1", "v2"))
+    // wrong-table base is rejected
+    val gOther = freshGraft()
+    gOther.createTable(TableDescriptor("u", Seq(FamilyDescriptor("f"))), 1L)
+    gOther.table("u").put(Seq(Put(b("x")).add("f", b("q"), b("v"))), 2L)
+    gOther.snapshot("su", "u", 3L)
+    val eU = Files.createTempDirectory("graft-expU").toString
+    intercept[IllegalArgumentException] {
+      gOther.exportSnapshot("su", eU, baseExportDir = Some(e1))
+    }
+  }
+
   test("bulkLoad adopts a pre-written cell dir by reference (no rewrite)") {
     val g = freshGraft()
     g.createTable(desc, 1L)
