@@ -255,6 +255,27 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  // Salted-key scatter-gather (core/Salt.scala): the monotonic
+  // o_orderkey is stored under a 16-bucket salted layout (the HBase
+  // hotspot-mitigation key design — writes spread over all ranges
+  // instead of hammering the tail region), and the logical range scan
+  // fans out to 16 salted sub-ranges, merges, strips the salt, and
+  // resolves normally. Oracle is the plain unsalted range — salting
+  // must be invisible to query semantics.
+  private val saltedScan = Q("salted_scan", Some(s"""
+    SELECT $ordersCols FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 5000
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    import graft.core.Salt
+    val cells = storedCells(s, dir, "orders", "orders_salted16")(
+      Salt.saltCells(
+        CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey")), 16))
+    val gathered = Salt.scanRange(cells, 16,
+      start = Some(Bytes.toBytes(1000L)), stop = Some(Bytes.toBytes(5000L)))
+    CellCodec.decode(ScanExec(gathered, Scan().addFamily("o")), ordersSchema)
+      .orderBy("o_orderkey")
+  }
+
   private val getPoint = Q("get_point", Some(s"""
     SELECT $ordersCols FROM orders WHERE o_orderkey = 100""")) { (s, dir) =>
     val g = Get(CellCodec.rowKeyOf(100L))
@@ -3219,7 +3240,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     dataContract,
     q1Agg, q3Join,
-    scanRange, getPoint, getRowOrBefore, rowCounter, existsGet,
+    scanRange, saltedScan, getPoint, getRowOrBefore, rowCounter, existsGet,
     dependentColumn, exportImport, multiGet, ttlScan,
     prefixFilter, columnPrefixFilter, valueFilterSubstr, valueFilterRegex,
     inclusiveStop, pageFilter, columnPagination,
