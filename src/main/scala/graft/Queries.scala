@@ -276,6 +276,26 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  // Secondary-index lookup (read/Index.scala): "orders of customer k"
+  // without a full scan — the index table (value-prefix row keys) is
+  // range-probed per key, hit row keys broadcast into the main scan,
+  // and the verifying SingleColumnValueFilter re-checks the current
+  // visible value. Oracle is the plain predicate — the index must be
+  // invisible to semantics.
+  private val indexLookup = Q("index_lookup", Some(s"""
+    SELECT $ordersCols FROM orders WHERE o_custkey IN (7, 37, 73)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val main = ordersCells(s, dir)
+    val idx = storedCells(s, dir, "orders", "orders_custkey_idx")(
+      SecondaryIndex.indexCells(
+        CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey")),
+        "o", Bytes.toBytes("o_custkey")))
+    val parts = Seq(7L, 37L, 73L).map(k => SecondaryIndex.lookup(
+      main, idx, "o", Bytes.toBytes("o_custkey"), Bytes.toBytes(k)))
+    CellCodec.decode(parts.reduce(_ unionByName _), ordersSchema)
+      .orderBy("o_orderkey")
+  }
+
   private val getPoint = Q("get_point", Some(s"""
     SELECT $ordersCols FROM orders WHERE o_orderkey = 100""")) { (s, dir) =>
     val g = Get(CellCodec.rowKeyOf(100L))
@@ -3240,7 +3260,8 @@ object Queries {
   val all: Seq[Q] = Seq(
     dataContract,
     q1Agg, q3Join,
-    scanRange, saltedScan, getPoint, getRowOrBefore, rowCounter, existsGet,
+    scanRange, saltedScan, indexLookup, getPoint, getRowOrBefore, rowCounter,
+    existsGet,
     dependentColumn, exportImport, multiGet, ttlScan,
     prefixFilter, columnPrefixFilter, valueFilterSubstr, valueFilterRegex,
     inclusiveStop, pageFilter, columnPagination,
