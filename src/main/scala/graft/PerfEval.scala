@@ -155,6 +155,43 @@ object PerfEval {
         CompareOp.EQUAL, BinaryComparator(Bytes.toBytes("F"))))).count(): Unit
     }
 
+    // indexBuild / indexLookup5 / fullScanLookup5: the secondary-index
+    // trade. Build is the one-pass per-cell transform + commit (the
+    // write-side cost); lookup5 runs 5 scrambled o_custkey equality
+    // queries through the index (range probe + broadcast gather +
+    // verify); fullScanLookup5 answers the SAME 5 queries the only way
+    // the primary-key-only reference can — full scan +
+    // SingleColumnValueFilter. The ratio is the 100 TB argument: probe
+    // cost is O(hits), full scan is O(table).
+    val custMax = orders.select(max("o_custkey")).collect()(0).getLong(0)
+    def custKey(i: Long): Array[Byte] =
+      Bytes.toBytes(1L + (i * 6364136223846793005L >>> 33) % math.max(1L, custMax))
+    val custQ = Bytes.toBytes("o_custkey")
+    g.createTable(TableDescriptor("pe_idx",
+      Seq(FamilyDescriptor(graft.read.SecondaryIndex.IndexFamily))), 1L)
+    results("indexBuild") = timed {
+      g.table("pe_idx").mutate(
+        graft.read.SecondaryIndex.indexCells(t.cells, "o", custQ), nowMs = 1L)
+    }
+    val ti = g.table("pe_idx")
+    results("indexLookup5") = timedMin2 {
+      var i = 0L
+      while (i < 5) {
+        graft.read.SecondaryIndex.lookup(t.cells, ti.cells, "o", custQ,
+          custKey(i)).count()
+        i += 1
+      }
+    }
+    results("fullScanLookup5") = timedMin2 {
+      var i = 0L
+      while (i < 5) {
+        t.scan(Scan().setFilter(SingleColumnValueFilter("o", custQ,
+          CompareOp.EQUAL, BinaryComparator(custKey(i)),
+          filterIfMissing = true))).count()
+        i += 1
+      }
+    }
+
     // randomWrite: a 10% mutation batch appended as a delta
     results("randomWrite") = timed {
       val batch = CellCodec.encode(

@@ -1410,6 +1410,36 @@ object Queries {
       .orderBy("_k").drop("_k")
   }
 
+  // JSON-lines ingestion (Jobs.importJson — the document pipeline's
+  // ImportTsv): documents -> JSONL -> schema-on-read ingest -> cell
+  // table -> scan. A deliberately corrupt line and a keyless line are
+  // appended and must be COUNTED, not ingested; the oracle is the
+  // source table (string-typed, as JSON ingestion is schema-on-read).
+  private val importJsonScan = Q("import_json_scan", Some("""
+    SELECT CAST(doc_id AS VARCHAR) AS rowkey, lang, source,
+      CAST(n_chars AS VARCHAR) AS n_chars
+    FROM documents ORDER BY CAST(rowkey AS BIGINT)""")) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-q-json").toString
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").json(s"$work/json")
+    // two bad lines: unparseable JSON, and a parseable object with no key
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$work/json/zz_bad.json"),
+      "{not json at all\n{\"lang\": \"xx\", \"source\": \"orphan\"}\n"
+        .getBytes("UTF-8"))
+    val (cells, bad) = graft.jobs.Jobs.importJson(
+      s, s"$work/json", family = "d", rowKeyField = "doc_id", ts = 1L)
+    require(bad == 2L, s"expected 2 bad JSON lines, counted $bad")
+    CellCodec.decode(ScanExec(cells, Scan()),
+      StructType(Seq(StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", StringType))),
+      key = Seq("rowkey" -> StringType))
+      .withColumn("_k", col("rowkey").cast(LongType))
+      .orderBy("_k").drop("_k")
+  }
+
   // MultiTableOutputFormat (`MultiTableOutputFormat.java:58`): ONE cell
   // frame carrying a table-name column routes into two catalog tables in
   // a single `Jobs.multiTableWrite` call; the gate scans BOTH tables back
@@ -3278,7 +3308,8 @@ object Queries {
     asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
-    copyTableScan, importTsvScan, multiTableWriteQ, replicationStream,
+    copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
+    replicationStream,
     streamWindowAgg, streamEnrich, streamIntervalJoin, streamAsofJoin,
     asOfJoinQ, intervalJoinQ,
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,

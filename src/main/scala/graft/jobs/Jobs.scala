@@ -87,6 +87,54 @@ object Jobs {
     (cells, bad)
   }
 
+  /** JSON-lines bulk ingestion — the document-pipeline analog of
+    * `ImportTsv` (`ImportTsv.java:57`): one JSON object per line,
+    * `rowKeyField` names the key field, every other top-level field
+    * becomes a cell in `family` under its field name (values serialized
+    * as their string form; nested values as canonical JSON via to_json).
+    * Corrupt lines and lines missing the key are counted, not fatal —
+    * the same bad-line counter contract as importTsv, in one counting
+    * pass. Pass `schema` to skip the sampled inference pass at scale. */
+  def importJson(spark: SparkSession, path: String, family: String,
+      rowKeyField: String, ts: Long,
+      schema: Option[StructType] = None): (DataFrame, Long) = {
+    val corrupt = "_corrupt_record"
+    val reader = spark.read
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", corrupt)
+    val raw = schema.fold(reader)(sc => reader.schema(
+        if (sc.fieldNames.contains(corrupt)) sc
+        else sc.add(StructField(corrupt, StringType))))
+      .json(path)
+    // PERMISSIVE mode only materializes the corrupt column if the scan
+    // selects it; inferred schemas omit it when every line parsed clean
+    val hasCorrupt = raw.columns.contains(corrupt)
+    require(raw.columns.contains(rowKeyField),
+      s"row-key field $rowKeyField absent from JSON schema")
+    val okCol = (if (hasCorrupt) col(corrupt).isNull else lit(true)) &&
+      col(rowKeyField).isNotNull
+    val counts = raw.agg(
+      count(lit(1)).as("_total"), count(when(okCol, 1)).as("_good")).head()
+    val bad = counts.getLong(0) - counts.getLong(1)
+    val good = raw.filter(okCol)
+    def asText(f: StructField): Column = f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name))
+      case _ => col(f.name).cast(StringType)
+    }
+    val entries = raw.schema.fields
+      .filter(f => f.name != rowKeyField && f.name != corrupt)
+      .map(f => struct(lit(Bytes.toBytes(f.name)).as("qualifier"),
+        asText(f).cast(BinaryType).as("value")))
+    val cells = good
+      .select(col(rowKeyField).cast(StringType).cast(BinaryType).as("row"),
+        explode(array(entries.toIndexedSeq: _*)).as("_e"))
+      .select(col("row"), lit(family).as("family"),
+        col("_e.qualifier").as("qualifier"), lit(ts).as("ts"),
+        lit(CellKind.Put).as("kind"), col("_e.value").as("value"),
+        lit(0L).as("seq"))
+      .filter(col("value").isNotNull)
+    (cells, bad)
+  }
+
   /** `MultiTableOutputFormat` (`MultiTableOutputFormat.java:58`): route a
     * cell batch carrying a table-name column into multiple catalog
     * tables. Only the table-name list (small by construction) crosses the

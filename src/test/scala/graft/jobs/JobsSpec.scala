@@ -50,6 +50,35 @@ class JobsSpec extends SparkSpec {
       ("row3", "f", "c1", 7L, "v3"), ("row3", "g", "c2", 7L, "w3")))
   }
 
+  test("importJson: key field, nested values as JSON, bad-line counting") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    val p = java.nio.file.Paths.get(dir, "in.json")
+    java.nio.file.Files.writeString(p,
+      """{"id": "a", "name": "x", "meta": {"k": 1}}
+        |{"id": "b", "name": "y", "tags": ["t1", "t2"]}
+        |{"name": "keyless"}
+        |not json
+        |""".stripMargin)
+    val (cellsDf, bad) = Jobs.importJson(spark, p.toString,
+      family = "d", rowKeyField = "id", ts = 5L)
+    assert(bad == 2L)
+    val out = collectCells(cellsDf)
+    assert(out == Set(
+      ("a", "d", "name", 5L, "x"), ("a", "d", "meta", 5L, """{"k":1}"""),
+      ("b", "d", "name", 5L, "y"), ("b", "d", "tags", 5L, """["t1","t2"]""")))
+    // explicit schema: inference pass skipped, absent fields -> no cells
+    val sc = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val (cells2, bad2) = Jobs.importJson(spark, p.toString,
+      family = "d", rowKeyField = "id", ts = 5L, schema = Some(sc))
+    assert(bad2 == 2L)
+    assert(collectCells(cells2) ==
+      Set(("a", "d", "name", 5L, "x"), ("b", "d", "name", 5L, "y")))
+  }
+
   test("asOfJoin picks latest right row with ts <= left ts, per key") {
     import org.apache.spark.sql.functions.col
     val left = Seq((1L, 10L, "o1"), (1L, 25L, "o2"), (2L, 5L, "o3"))
