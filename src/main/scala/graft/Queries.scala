@@ -290,10 +290,9 @@ object Queries {
       SecondaryIndex.indexCells(
         CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey")),
         "o", Bytes.toBytes("o_custkey")))
-    val parts = Seq(7L, 37L, 73L).map(k => SecondaryIndex.lookup(
-      main, idx, "o", Bytes.toBytes("o_custkey"), Bytes.toBytes(k)))
-    CellCodec.decode(parts.reduce(_ unionByName _), ordersSchema)
-      .orderBy("o_orderkey")
+    val hit = SecondaryIndex.lookupAll(main, idx, "o",
+      Bytes.toBytes("o_custkey"), Seq(7L, 37L, 73L).map(Bytes.toBytes))
+    CellCodec.decode(hit, ordersSchema).orderBy("o_orderkey")
   }
 
   private val getPoint = Q("get_point", Some(s"""

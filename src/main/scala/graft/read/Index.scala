@@ -79,4 +79,34 @@ object SecondaryIndex {
       SingleColumnValueFilter(family, qualifier,
         CompareOp.EQUAL, BinaryComparator(value), filterIfMissing = true)))
   }
+
+  /** Multi-value probe (`IN (v1..vk)`): ONE index pass with the k ranges
+    * OR'd — parquet prunes to the union of the value ranges — instead of
+    * k probe jobs. */
+  def probeAll(index: DataFrame, values: Seq[Array[Byte]]): DataFrame = {
+    require(values.nonEmpty, "probeAll needs at least one value")
+    val pred = values.map(v =>
+        col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte)))
+      .reduce(_ || _)
+    ScanExec(index.filter(pred), Scan())
+      .select(col("value").as("row")).distinct()
+  }
+
+  /** Multi-value lookup: one probe pass, one broadcast gather, one
+    * resolve; the verify step keeps rows whose CURRENT visible indexed
+    * value is in the set (the IN-generalization of `lookup`'s
+    * SingleColumnValueFilter, which is single-comparator). */
+  def lookupAll(mainCells: DataFrame, index: DataFrame, family: String,
+      qualifier: Array[Byte], values: Seq[Array[Byte]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = broadcast(probeAll(index, values))
+    val resolved = ScanExec(mainCells.join(hits, Seq("row"), "left_semi"),
+      Scan())
+    val isTest = col("family") === family && col("qualifier") === lit(qualifier)
+    val inSet = values.map(v => col("value") === lit(v)).reduce(_ || _)
+    resolved
+      .withColumn("_idx_ok", max(when(isTest && inSet, 1).otherwise(0))
+        .over(Window.partitionBy("row")))
+      .filter(col("_idx_ok") === 1).drop("_idx_ok")
+  }
 }

@@ -58,6 +58,23 @@ class IndexSpec extends SparkSpec {
     assert(rowsOf(SecondaryIndex.lookup(main, idx, "f", q, b("paris"))).isEmpty)
   }
 
+  test("lookupAll: one pass answers an IN-list with the same verify") {
+    val main = cells(Seq(
+      Cell.put(b("r1"), "f", q, 1L, b("paris")),
+      Cell.put(b("r2"), "f", q, 1L, b("tokyo")),
+      Cell.put(b("r3"), "f", q, 1L, b("oslo")),
+      // stale: was paris, now lima; only the lima probe may return it
+      Cell.put(b("r4"), "f", q, 1L, b("paris")),
+      Cell.put(b("r4"), "f", q, 2L, b("lima")))).toDF()
+    val idx = SecondaryIndex.indexCells(main, "f", q)
+    assert(rowsOf(SecondaryIndex.lookupAll(main, idx, "f", q,
+      Seq(b("paris"), b("oslo")))) == Set("r1", "r3"))
+    assert(rowsOf(SecondaryIndex.lookupAll(main, idx, "f", q,
+      Seq(b("paris"), b("lima")))) == Set("r1", "r4"))
+    assert(rowsOf(SecondaryIndex.lookupAll(main, idx, "f", q,
+      Seq(b("nowhere")))).isEmpty)
+  }
+
   test("probe hits are broadcast into the main-table gather") {
     val main = cells(Seq(
       Cell.put(b("r1"), "f", q, 1L, b("paris")))).toDF()
