@@ -77,4 +77,25 @@ object Salt {
   def scanRange(cells: DataFrame, n: Int, start: Option[Array[Byte]] = None,
       stop: Option[Array[Byte]] = None): DataFrame =
     stripCells(cells.filter(scatter(n, start, stop)))
+
+  /** JVM-side salt of a key — byte-identical to [[saltPrefix]] (same
+    * xxhash64, seed 42; parity is property-tested in SaltSpec). This is
+    * the property that makes salting viable for POINT access: a Get on a
+    * salted table computes its one salted key and stays a single
+    * parquet-pruned range, no scatter needed. */
+  def saltOf(key: Array[Byte], n: Int): Byte = {
+    checkN(n)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      key, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, key.length, 42L)
+    // pmod semantics (Spark's pmod: non-negative remainder)
+    (((h % n) + n) % n).toByte
+  }
+
+  def saltedKey(key: Array[Byte], n: Int): Array[Byte] =
+    Array(saltOf(key, n)) ++ key
+
+  /** Point read over salted cells: one range `[salted, succ(salted))`,
+    * prefix stripped for downstream resolve. */
+  def get(cells: DataFrame, n: Int, row: Array[Byte]): DataFrame =
+    stripCells(cells.filter(col("row") === lit(saltedKey(row, n))))
 }
