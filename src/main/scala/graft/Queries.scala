@@ -1704,6 +1704,50 @@ object Queries {
       .orderBy("user_id")
   }
 
+  // STREAMING index maintenance: the secondary index kept current from
+  // the table's own change feed — the per-cell index transform runs ON
+  // the CDC stream (indexCells is a filter+select, streaming-safe) and
+  // lands in the index table via the replication sink. The source gets
+  // two appends (initial load + a custkey reassignment), so the index
+  // holds entries under both old and new values; the post-stream lookup
+  // must return rows by their CURRENT custkey only (verified read), and
+  // the oracle recomputes the final state relationally.
+  private val streamIndexMaintain = Q("stream_index_maintain", Some(s"""
+    SELECT $ordersCols FROM (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey < 100 THEN 999999 ELSE o_custkey END
+          AS o_custkey,
+        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders)
+    WHERE o_custkey IN (999999, 37)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val work = java.nio.file.Files.createTempDirectory("graft-q-sidx").toString
+    val custQ = Bytes.toBytes("o_custkey")
+    val src = graft.Graft(s, s"$work/src")
+    src.createTable(TableDescriptor("t", Seq(FamilyDescriptor("o")),
+      splitKeys = 8), 1L)
+    val orders = t(s, dir, "orders")
+    src.table("t").mutate(
+      CellCodec.encode(orders, "o", Seq("o_orderkey")), nowMs = 1L)
+    src.table("t").mutate(CellCodec.encode(
+      orders.filter(col("o_orderkey") < 100)
+        .withColumn("o_custkey", lit(999999L)),
+      "o", Seq("o_orderkey"), batchTs = 2L), nowMs = 2L)
+    val idx = graft.Graft(s, s"$work/idx")
+    idx.createTable(TableDescriptor("idx",
+      Seq(FamilyDescriptor(SecondaryIndex.IndexFamily)), splitKeys = 8), 1L)
+    graft.streaming.Replication.replicate(
+      SecondaryIndex.indexCells(
+        graft.streaming.Replication.tableChangeFeed(s, s"$work/src", "t"),
+        "o", custQ),
+      idx.catalog, "idx", s"$work/ckpt", nowMsOf = _ + 10L).awaitTermination()
+    val hit = SecondaryIndex.lookupAll(src.table("t").cells,
+      idx.catalog.read("idx"), "o", custQ,
+      Seq(999999L, 37L).map(Bytes.toBytes))
+    CellCodec.decode(hit, ordersSchema).orderBy("o_orderkey")
+  }
+
   // ----------------------------------------------------------------------
   // Training-data pipeline (dedup / similarity / text / multimodal) over
   // the documents + embeddings tables. Oracles recompute the operator in
@@ -3308,7 +3352,7 @@ object Queries {
     sqlCatalogScan, sqlAggPushdown,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
-    replicationStream,
+    replicationStream, streamIndexMaintain,
     streamWindowAgg, streamEnrich, streamIntervalJoin, streamAsofJoin,
     asOfJoinQ, intervalJoinQ,
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,
