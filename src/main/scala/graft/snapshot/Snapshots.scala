@@ -89,11 +89,28 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
   // would collide. Idempotent on the exported layout itself (the parent
   // of an exported leaf is again `data-{v}`), which is what lets an
   // incremental export chain off a previous one.
-  private def relOf(dp: Path): String = {
+  //
+  // ONLY version-scoped dirs are shareable with a base export: for
+  // `data-{v}/...`/`compact-{v}/...` names, leaf-name equality IS content
+  // equality (versions are unique within a table, dirs immutable once
+  // referenced). Bulk-loaded dirs are adopted by `Catalog.bulkLoad` at
+  // ARBITRARY paths — two different bulk dirs can share a bare leaf name,
+  // so matching them against a base export by leaf name could silently
+  // skip a copy and point the new manifest at wrong-content data. They are
+  // never shared (always copied), under a rel name disambiguated by a
+  // hash of their full source path.
+  private def shareableRel(dp: Path): Option[String] = {
     val parent = Option(dp.getParent).map(_.getName).getOrElse("")
     if (parent.startsWith("data-") || parent.startsWith("compact-"))
-      s"$parent/${dp.getName}"
-    else dp.getName
+      Some(s"$parent/${dp.getName}")
+    else None
+  }
+
+  private def exportRel(dp: Path): String = shareableRel(dp).getOrElse {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dp.toString.getBytes(StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
+    s"adopted-$h/${dp.getName}"
   }
 
   /** `ExportSnapshot` (745 LoC MR distcp): copy a snapshot's files to
@@ -106,10 +123,11 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
     * again — the new manifest references them in place (the reference's
     * `ExportSnapshot` ships reference-files for HFiles the target
     * already holds, so successive snapshot exports cost only the delta).
-    * Data dirs are immutable once referenced and their `data-{v}/_fam`
-    * names are version-scoped within a table, so leaf-name equality is
-    * content equality. The exported snapshot then stands on
-    * (targetDir + the base export chain); the SOURCE catalog can die. */
+    * Sharing applies only to version-scoped `data-{v}`/`compact-{v}`
+    * dirs, where the name is content (see [[shareableRel]]); bulk-loaded
+    * dirs adopted at arbitrary paths are always copied. The exported
+    * snapshot then stands on (targetDir + the base export chain); the
+    * SOURCE catalog can die. */
   def exportSnapshot(name: String, targetDir: String, parallelism: Int = 16,
       baseExportDir: Option[String] = None): Unit = {
     val snap = manifest(name)
@@ -124,10 +142,11 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
         val bm = ManifestJson.read(readFile(mp))
         require(bm.table == snap.table,
           s"base export is of table ${bm.table}, not ${snap.table}")
-        bm.dataDirs.map(d => relOf(new Path(d)) -> d).toMap
+        bm.dataDirs.flatMap(d => shareableRel(new Path(d)).map(_ -> d)).toMap
     }
     val copyDirs =
-      snap.dataDirs.filterNot(d => shared.contains(relOf(new Path(d))))
+      snap.dataDirs.filterNot(d =>
+        shareableRel(new Path(d)).exists(shared.contains))
     val files: Seq[(String, String, Long)] = copyDirs.flatMap { d =>
       val dp = new Path(d)
       val dfs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,7 +160,7 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
         while (it.hasNext) {
           val st = it.next()
           val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
-          out += ((st.getPath.toString, s"${relOf(dp)}/$rel", st.getLen))
+          out += ((st.getPath.toString, s"${exportRel(dp)}/$rel", st.getLen))
         }
         out.result()
       }
@@ -164,8 +183,9 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
     // snapshot manifest, rewritten to the exported layout; dirs the base
     // export already holds point there instead of being re-shipped
     val exported = snap.copy(dataDirs = snap.dataDirs.map { d =>
-      shared.getOrElse(relOf(new Path(d)),
-        new Path(target, relOf(new Path(d))).toString)
+      val dp = new Path(d)
+      shareableRel(dp).flatMap(shared.get)
+        .getOrElse(new Path(target, exportRel(dp)).toString)
     })
     val mp = new Path(target, "snapshotinfo.json")
     val tfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -45,11 +45,19 @@ object StreamJoin {
     val r = right.withColumn("_rts", rightTs)
       .withColumn("_revt", timestamp_micros(expr("_rts div 1000")))
       .withWatermark("_revt", delay)
+    // State retention derives from the event-time (micros) conjuncts; the
+    // raw-nano conjuncts are residuals that make the match EXACTLY the
+    // batch `Jobs.intervalJoin` nanos semantics (the micro-truncated
+    // condition alone could match sub-microsecond deltas at window
+    // boundaries that batch rejects). The nano conjuncts imply the micro
+    // ones (window is whole millis), so they only tighten.
     l.join(r,
         leftKey === rightKey &&
           col("_levt") >= col("_revt") &&
           col("_levt") <= col("_revt") +
-            expr(s"INTERVAL ${window.toMillis} MILLISECONDS"),
+            expr(s"INTERVAL ${window.toMillis} MILLISECONDS") &&
+          col("_lts") >= col("_rts") &&
+          col("_lts") <= col("_rts") + lit(window.toNanos),
         joinType)
       .drop("_lts", "_levt", "_rts", "_revt")
   }
@@ -81,7 +89,16 @@ object StreamJoin {
     * stored table's latest version). Ties at equal right ts break to the
     * larger id — deterministic where the batch window's tie order is
     * not. Emits `(key, left_id, left_ts, match_id)` with a null match
-    * when no right precedes. */
+    * when no right precedes.
+    *
+    * COMPLETENESS CONTRACT: a left row at event time `t` seals (emits)
+    * only once the watermark strictly passes `t`. "Every left row emits
+    * exactly once" therefore requires the watermark to eventually advance
+    * past every left event time — in a live stream that happens as newer
+    * data arrives; at end of input the caller must push a final batch
+    * whose event times exceed max(left ts) + watermarkDelay (the gates'
+    * far-future sentinel pattern). Rows at or beyond a permanently
+    * stalled watermark stay pending in state and never emit. */
   def asOfJoinEventTime(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTs: Column, rightTs: Column,

@@ -234,6 +234,37 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("incremental export never leaf-name-matches bulk-loaded dirs") {
+    // Two DIFFERENT bulk dirs sharing the leaf name "prepared": the base
+    // export holds the first; the incremental export of a snapshot
+    // referencing the second must COPY it (version-scoped data-* names are
+    // content-addressed, bare bulk leaf names are not — matching by leaf
+    // would silently point the new manifest at the old content).
+    val g = freshGraft()
+    g.createTable(desc, 1L)
+    val extA = Files.createTempDirectory("graft-bulkA").toString + "/prepared"
+    cells(Seq(graft.core.Cell.put(b("rA"), "f", b("q"), 2L, b("vA"))))
+      .toDF().write.parquet(extA)
+    g.catalog.bulkLoad("t", extA, 2L)
+    g.snapshot("s1", "t", 3L)
+    val e1 = Files.createTempDirectory("graft-expb1").toString
+    g.exportSnapshot("s1", e1)
+    val extB = Files.createTempDirectory("graft-bulkB").toString + "/prepared"
+    cells(Seq(graft.core.Cell.put(b("rB"), "f", b("q"), 4L, b("vB"))))
+      .toDF().write.parquet(extB)
+    g.catalog.bulkLoad("t", extB, 4L)
+    g.snapshot("s2", "t", 5L)
+    val e2 = Files.createTempDirectory("graft-expb2").toString
+    g.exportSnapshot("s2", e2, baseExportDir = Some(e1))
+    val g2 = freshGraft()
+    g2.importSnapshot("s2i", e2)
+    val got = graft.read.Resolve(g2.readSnapshot("s2i")).collect().map { r =>
+      (new String(r.getAs[Array[Byte]]("row"), "UTF-8"),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+    }.toSet
+    assert(got == Set(("rA", "vA"), ("rB", "vB")))
+  }
+
   test("bulkLoad adopts a pre-written cell dir by reference (no rewrite)") {
     val g = freshGraft()
     g.createTable(desc, 1L)
