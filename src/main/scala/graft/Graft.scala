@@ -1,7 +1,8 @@
 package graft
 
-import graft.catalog.{Catalog, FamilyDescriptor, TableDescriptor}
-import graft.read.{Get, ReadView, Resolve, Scan, ScanExec}
+import graft.catalog.{Catalog, FamilyDescriptor, IndexDescriptor, TableDescriptor}
+import graft.core.{Bytes, Salt}
+import graft.read.{Get, ReadView, Resolve, Scan, ScanExec, SecondaryIndex}
 import graft.snapshot.Snapshots
 import graft.write.{Compact, Delete, Mutations, Put}
 import org.apache.spark.sql.DataFrame
@@ -77,9 +78,23 @@ final case class Graft(spark: SparkSession, root: String) {
     * absorbed by the ts/seq-idempotent sink contract); the
     * manifest-gated alternative is `spark.readStream.table` through
     * [[graft.sql.GraftSqlCatalog]]. */
-  def readStream(tableName: String, maxFilesPerTrigger: Int = 16): DataFrame =
-    graft.streaming.Replication.tableChangeFeed(
+  def readStream(tableName: String, maxFilesPerTrigger: Int = 16): DataFrame = {
+    val feed = graft.streaming.Replication.tableChangeFeed(
       spark, root, tableName, maxFilesPerTrigger)
+    // Salted tables store salted keys; the feed (like every read surface)
+    // emits LOGICAL keys, so replicating into another salted table
+    // re-salts cleanly through the append seam.
+    val n = catalog.currentManifest(tableName).descriptor.saltBuckets
+    if (n > 0) Salt.stripCells(feed) else feed
+  }
+
+  /** CREATE INDEX (Phoenix-style global secondary index): creates +
+    * registers + builds an index over `(family, qualifier)` of `table`;
+    * from then on `Catalog.append` maintains it and reads route through
+    * it ([[GraftTable.indexLookup]], the SQL door's pushdown). */
+  def createIndex(table: String, family: String, qualifier: Array[Byte],
+      nowMs: Long, indexTable: Option[String] = None): IndexDescriptor =
+    SecondaryIndex.create(catalog, table, family, qualifier, nowMs, indexTable)
 }
 
 /** Per-table operations (`HTable`). Reads honor the family descriptor's
@@ -88,14 +103,46 @@ final case class Graft(spark: SparkSession, root: String) {
 final case class GraftTable(g: Graft, name: String) {
   private def spark = g.spark
 
+  /** Raw STORAGE cells — on a salted table these carry the one-byte salt
+    * prefix (the physical sort order compaction preserves). */
   def cells: DataFrame = g.catalog.read(name)
   def descriptor: TableDescriptor = g.catalog.currentManifest(name).descriptor
+
+  /** Logical-key cell view: the salt prefix stripped on salted tables
+    * (identity otherwise). A filter on this view's `row` cannot prune the
+    * parquet scan (the column is computed) — range reads should go
+    * through [[scan]]/[[get]]/[[multiGet]], which scope the RAW salted
+    * order first and strip after. */
+  def logicalCells: DataFrame = {
+    val n = descriptor.saltBuckets
+    if (n > 0) Salt.stripCells(cells) else cells
+  }
+
+  /** Salt-aware scan scoping: on a salted table the LOGICAL `[start,
+    * stop)` bounds compile to the scatter-gather disjunction on the
+    * salted sort order (a point range `[k, succ(k))` to its ONE salted
+    * range), the prefix strips, and the Scan proceeds bound-free on
+    * logical keys; unsalted tables pass through untouched. */
+  private def scoped(s: Scan): (DataFrame, Scan) = {
+    val n = descriptor.saltBuckets
+    if (n <= 0) (cells, s)
+    else {
+      val frame = (s.startRow, s.stopRow) match {
+        case (Some(a), Some(b))
+            if java.util.Arrays.equals(Bytes.successor(a), b) =>
+          Salt.get(cells, n, a)
+        case _ => Salt.scanRange(cells, n, s.startRow, s.stopRow)
+      }
+      (frame, s.copy(startRow = None, stopRow = None))
+    }
+  }
 
   // ---- reads (per-family descriptor maxVersions/TTL applied, exactly
   // as ScanQueryMatcher reads them off the HColumnDescriptor)
   def scan(s: Scan, nowMs: Long = 0L): DataFrame = {
     val d = descriptor
-    ScanExec(cells, s, ttlMs = None, now = nowMs,
+    val (frame, s2) = scoped(s)
+    ScanExec(frame, s2, ttlMs = None, now = nowMs,
       familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
       familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
   }
@@ -106,20 +153,51 @@ final case class GraftTable(g: Graft, name: String) {
       family: Option[String] = None, nowMs: Long = 0L): DataFrame =
     graft.core.CellCodec.decode(scan(s, nowMs), schema, key, family)
 
-  def get(gt: Get): DataFrame = ScanExec.get(cells, gt)
+  def get(gt: Get): DataFrame = {
+    val n = descriptor.saltBuckets
+    // On a salted table the point read stays a SINGLE parquet-pruned
+    // range — the key salts JVM-side (Salt.saltOf parity), no scatter.
+    if (n <= 0) ScanExec.get(cells, gt)
+    else ScanExec.get(Salt.get(cells, n, gt.row), gt)
+  }
   /** Batch point reads (`HTable.get(List<Get>):692`) as one job, under
     * the family descriptor's maxVersions/TTL like [[scan]]. All gets
     * share `scan`'s projection/version options. */
   def multiGet(rows: Seq[Array[Byte]], s: Scan = Scan(),
       nowMs: Long = 0L): DataFrame = {
     val d = descriptor
-    ScanExec.multiGet(cells, rows, s, ttlMs = None, now = nowMs,
+    val frame =
+      if (d.saltBuckets <= 0 || rows.isEmpty) cells
+      else Salt.scopeKeys(cells, d.saltBuckets, rows)
+    ScanExec.multiGet(frame, rows, s, ttlMs = None, now = nowMs,
       familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
       familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
   }
-  def exists(gt: Get): Boolean = ScanExec.exists(cells, gt)
+  def exists(gt: Get): Boolean = !get(gt).isEmpty
+  /** On a salted table the at-or-before probe runs over the logical view
+    * (the salted order is not the logical order) — one narrow max-row
+    * pass instead of a pruned range; the reference's salted schemas have
+    * the same property (ordered scans forfeit the salt's locality). */
   def getRowOrBefore(row: Array[Byte], family: String): DataFrame =
-    ScanExec.getRowOrBefore(cells, row, family)
+    ScanExec.getRowOrBefore(logicalCells, row, family)
+
+  /** Index-backed equality/IN lookup over a REGISTERED index (see
+    * [[Graft.createIndex]]): O(hits) probe of the index table, size-gated
+    * gather, verified read. Composes with salting — the index stores
+    * logical keys, the gather semi-joins the logical view. */
+  def indexLookup(family: String, qualifier: Array[Byte],
+      values: Seq[Array[Byte]]): DataFrame = {
+    val ix = descriptor.indexOn(family, qualifier).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $name has no index on ($family, " +
+          s"${qualifier.map(b => f"$b%02x").mkString})"))
+    SecondaryIndex.lookupAll(logicalCells, g.catalog.read(ix.indexTable),
+      family, qualifier, values)
+  }
+
+  /** [[SecondaryIndex.rebuild]] of every registered index (index GC). */
+  def rebuildIndexes(nowMs: Long): Unit =
+    SecondaryIndex.rebuildAll(g.catalog, name, nowMs)
 
   // Family validation on client-built mutations — the reference rejects
   // unknown families per mutation (`HRegion.checkFamilies` via
@@ -145,15 +223,23 @@ final case class GraftTable(g: Graft, name: String) {
   def mutate(batch: DataFrame, nowMs: Long): Unit =
     g.catalog.append(name, batch, nowMs)
   def increment(increments: DataFrame, nowMs: Long): Unit =
-    g.catalog.append(name, Mutations.increment(cells, increments, nowMs), nowMs)
+    g.catalog.append(name,
+      Mutations.increment(logicalCells, increments, nowMs), nowMs)
   def checkAndMutate(checks: DataFrame, batch: DataFrame, nowMs: Long): Unit =
-    g.catalog.append(name, Mutations.checkAndMutate(cells, checks, batch), nowMs)
+    g.catalog.append(name,
+      Mutations.checkAndMutate(logicalCells, checks, batch), nowMs)
 
   /** Major compaction (`majorCompact:736`): rewrite to the resolved view
-    * under the family descriptor's maxVersions/TTL, dropping tombstones. */
-  def majorCompact(nowMs: Long): Unit =
+    * under the family descriptor's maxVersions/TTL, dropping tombstones.
+    * Runs on RAW storage cells (resolve groups per salted row = per
+    * logical row; the salted sort order is preserved through the
+    * rewrite). Registered indexes are rebuilt afterwards — the cells the
+    * compaction just dropped are exactly the stale index entries. */
+  def majorCompact(nowMs: Long): Unit = {
     g.catalog.replaceData(name,
       Compact.major(cells, descriptor.families, nowMs), nowMs)
+    SecondaryIndex.rebuildAll(g.catalog, name, nowMs)
+  }
 
   /** Minor compaction / `compact:714`: merge small deltas into one dir,
     * KEEPING tombstones (`MinorCompactingStoreScanner` semantics). */
@@ -176,6 +262,6 @@ final case class GraftTable(g: Graft, name: String) {
     * queryable with `spark.sql` (graft_* functions are registered by the
     * session extension): the relational face of the cell table. */
   def createTempView(viewName: String, maxVersions: Int = 1): Unit =
-    ScanExec(cells, Scan().setMaxVersions(maxVersions))
+    ScanExec(logicalCells, Scan().setMaxVersions(maxVersions))
       .createOrReplaceTempView(viewName)
 }

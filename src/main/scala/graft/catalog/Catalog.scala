@@ -32,6 +32,21 @@ final case class FamilyDescriptor(
     compression: Option[String] = None,
     inMemory: Boolean = false)
 
+/** One registered global secondary index: queries on `(family,
+  * qualifier)` equality route through `indexTable` (a normal cell table
+  * holding value-prefix keys — [[graft.read.SecondaryIndex]]).
+  * Registration makes the index a TABLE property, so maintenance
+  * (`Catalog.append` dual-writes the index delta) and query routing (the
+  * SQL door's pushdown hook, `GraftTable.indexLookup`) are automatic —
+  * the Phoenix property: users never address the index by hand. */
+final case class IndexDescriptor(
+    family: String,
+    qualifier: Array[Byte],
+    indexTable: String) {
+  def matches(f: String, q: Array[Byte]): Boolean =
+    family == f && java.util.Arrays.equals(qualifier, q)
+}
+
 /** Table shape — reference `HTableDescriptor.java` (698 LoC): name +
   * family set + attrs (`READONLY:65` kept; region-era attrs dropped).
   *
@@ -40,16 +55,28 @@ final case class FamilyDescriptor(
   * reference's `HBaseAdmin.createTable(desc, byte[][] splitKeys)`
   * (`HBaseAdmin.java:198,231`) pre-split for known-skewed keyspaces:
   * committed files never straddle a boundary (each boundary range gets
-  * its own file set, like a pre-split region's HFiles). */
+  * its own file set, like a pre-split region's HFiles).
+  *
+  * `saltBuckets` > 0 makes salting a TABLE property (the
+  * HBase-ecosystem SALT_BUCKETS attr): `append` salts row keys on write
+  * and every read path (facade scan/get, SQL door, change feed)
+  * scatter-gathers and strips automatically — callers only ever see
+  * logical keys. Immutable after creation (the physical sort order is
+  * baked into every committed file). `indexes` registers global
+  * secondary indexes (see [[IndexDescriptor]]). */
 final case class TableDescriptor(
     name: String,
     families: Seq[FamilyDescriptor],
     readOnly: Boolean = false,
     splitKeys: Int = 32,
-    splitBoundaries: Seq[Array[Byte]] = Nil) {
+    splitBoundaries: Seq[Array[Byte]] = Nil,
+    saltBuckets: Int = 0,
+    indexes: Seq[IndexDescriptor] = Nil) {
   def family(n: String): FamilyDescriptor =
     families.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"no family $n in table $name"))
+  def indexOn(f: String, q: Array[Byte]): Option[IndexDescriptor] =
+    indexes.find(_.matches(f, q))
 }
 
 /** One committed table version: the list of immutable data directories
@@ -81,9 +108,15 @@ object ManifestJson {
     }.mkString("[", ",", "]")
     val bounds = m.descriptor.splitBoundaries
       .map(b => esc(b.map(x => f"$x%02x").mkString)).mkString("[", ",", "]")
+    val ixs = m.descriptor.indexes.map { ix =>
+      s"""{"ixFamily":${esc(ix.family)},""" +
+        s""""ixQualifier":${esc(ix.qualifier.map(x => f"$x%02x").mkString)},""" +
+        s""""ixTable":${esc(ix.indexTable)}}"""
+    }.mkString("[", ",", "]")
     s"""{"table":${esc(m.table)},"version":${m.version},"createdMs":${m.createdMs},""" +
       s""""readOnly":${m.descriptor.readOnly},"splitKeys":${m.descriptor.splitKeys},""" +
-      s""""splitBoundaries":$bounds,""" +
+      s""""saltBuckets":${m.descriptor.saltBuckets},""" +
+      s""""splitBoundaries":$bounds,"indexes":$ixs,""" +
       s""""families":$fams,"dataDirs":${m.dataDirs.map(esc).mkString("[", ",", "]")}}"""
   }
 
@@ -135,9 +168,27 @@ object ManifestJson {
           .toSeq
       }
     }
+    // legacy manifests (pre-salt/index) default to 0 / none
+    val salt = "\"saltBuckets\":(\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(0)
+    val ixs = {
+      val i = s.indexOf("\"indexes\":[")
+      if (i < 0) Seq.empty[IndexDescriptor]
+      else {
+        val j = s.indexOf("]", i)
+        val block = s.substring(i + "\"indexes\":[".length, j)
+        "\\{[^}]*\\}".r.findAllIn(block).map { ix =>
+          IndexDescriptor(
+            "\"ixFamily\":\"([^\"]*)\"".r.findFirstMatchIn(ix).get.group(1),
+            "\"ixQualifier\":\"([0-9a-f]*)\"".r.findFirstMatchIn(ix).get.group(1)
+              .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+            "\"ixTable\":\"([^\"]*)\"".r.findFirstMatchIn(ix).get.group(1))
+        }.toSeq
+      }
+    }
     Manifest(str("table"), num("version"), num("createdMs"),
       TableDescriptor(str("table"), fams, bool("readOnly"),
-        num("splitKeys").toInt, bounds), dirs)
+        num("splitKeys").toInt, bounds, salt, ixs), dirs)
   }
 }
 
@@ -246,6 +297,8 @@ final class Catalog(spark: SparkSession, root: String) {
   /** `HBaseAdmin.createTable:169`. */
   def createTable(desc: TableDescriptor, nowMs: Long): Unit = {
     require(!tableExists(desc.name), s"table ${desc.name} exists")
+    require(desc.saltBuckets >= 0 && desc.saltBuckets <= 256,
+      s"saltBuckets must be in [0, 256], got ${desc.saltBuckets}")
     requireLegalFamilyNames(desc)
     fs.mkdirs(tableDir(desc.name))
     val m = Manifest(desc.name, 1L, nowMs, desc, Seq.empty)
@@ -264,6 +317,10 @@ final class Catalog(spark: SparkSession, root: String) {
   def alterTable(t: String, desc: TableDescriptor, nowMs: Long): Unit = {
     requireLegalFamilyNames(desc)
     val cur = currentManifest(t)
+    // The salt is baked into every committed file's sort order — changing
+    // it would silently mis-route every point read on existing data.
+    require(desc.saltBuckets == cur.descriptor.saltBuckets,
+      s"saltBuckets is immutable (table $t has ${cur.descriptor.saltBuckets})")
     val v = cur.version + 1
     val m = cur.copy(version = v, createdMs = nowMs, descriptor = desc)
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
@@ -399,13 +456,32 @@ final class Catalog(spark: SparkSession, root: String) {
   }
 
   /** Append a batch of cells as a new immutable data dir + manifest
-    * version — the LSM "flush" (layout: [[writeCells]]). */
+    * version — the LSM "flush" (layout: [[writeCells]]).
+    *
+    * `cells` carry LOGICAL row keys; on a salted table the salt prefix is
+    * applied HERE (the one write seam), so callers never salt by hand.
+    * Registered secondary indexes are dual-written FIRST (the
+    * Phoenix-style maintenance contract): a crash between the two commits
+    * then leaves only stale index entries — false positives the verified
+    * read eliminates — never unindexed puts (false negatives, which would
+    * be wrong answers). Tombstones produce no index entries by design
+    * (deletes are handled by read-time verification + `SecondaryIndex
+    * .rebuild`). */
   def append(t: String, cells: DataFrame, nowMs: Long): Manifest = {
     val cur = currentManifest(t)
     require(!cur.descriptor.readOnly, s"table $t is read-only")
+    cur.descriptor.indexes.foreach { ix =>
+      append(ix.indexTable,
+        graft.read.SecondaryIndex.indexCells(cells, ix.family, ix.qualifier),
+        nowMs): Unit
+    }
+    val storage =
+      if (cur.descriptor.saltBuckets > 0)
+        graft.core.Salt.saltCells(cells, cur.descriptor.saltBuckets)
+      else cells
     val v = cur.version + 1
     val leaves = writeCells(
-      new Path(tableDir(t), s"data-$v").toString, cells, cur.descriptor)
+      new Path(tableDir(t), s"data-$v").toString, storage, cur.descriptor)
     val m = cur.copy(version = v, createdMs = nowMs,
       dataDirs = cur.dataDirs ++ leaves)
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
@@ -416,6 +492,12 @@ final class Catalog(spark: SparkSession, root: String) {
 
   /** Replace all data dirs with one rewritten dir (compaction commit).
     * Old dirs stay on disk until `vacuum` — snapshots may reference them.
+    *
+    * `cells` here are STORAGE-order cells (a compaction reads the table
+    * raw and rewrites it — on a salted table the rows are already
+    * salted), so unlike [[append]] no salt is applied and no index
+    * maintenance runs: compactions never re-enter the WAL or the index
+    * feed; index GC after a compaction is `SecondaryIndex.rebuild`.
     *
     * The rewrite lands under `compact-{v}`, NOT `data-{v}`: `data-*` dirs
     * are exactly the append batches — the WAL analog that
@@ -441,7 +523,12 @@ final class Catalog(spark: SparkSession, root: String) {
     * caller promises the dir holds Cell-schema parquet (e.g. produced by
     * an `HFileOutputFormat`-style job via [[append]]'s layout on another
     * table, or an export). The reference splits straddling HFiles across
-    * regions; our range partitioning has no per-region files to straddle. */
+    * regions; our range partitioning has no per-region files to straddle.
+    *
+    * Like the reference's bulk load, this bypasses the WAL analog AND
+    * index maintenance: on a salted table the adopted dir must already be
+    * in salted storage order, and registered indexes must be brought
+    * current with `SecondaryIndex.rebuild` afterwards. */
   def bulkLoad(t: String, dataDir: String, nowMs: Long): Manifest = {
     val cur = currentManifest(t)
     require(!cur.descriptor.readOnly, s"table $t is read-only")

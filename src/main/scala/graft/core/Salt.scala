@@ -98,4 +98,23 @@ object Salt {
     * prefix stripped for downstream resolve. */
   def get(cells: DataFrame, n: Int, row: Array[Byte]): DataFrame =
     stripCells(cells.filter(col("row") === lit(saltedKey(row, n))))
+
+  /** Batch point-read scope over salted cells (the multiGet shape on the
+    * SALTED sort order): each key salts JVM-side to its one storage key,
+    * the batch's span bounds prune the parquet scan, a broadcast
+    * semi-join picks the exact keys, and the result strips back to
+    * logical rows. O(batch) driver-side, one distributed pass. */
+  def scopeKeys(cells: DataFrame, n: Int, rows: Seq[Array[Byte]]): DataFrame = {
+    require(rows.nonEmpty, "scopeKeys needs at least one key")
+    checkN(n)
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val salted = rows.map(saltedKey(_, n))
+    val ord: Ordering[Array[Byte]] = (a, b) => Bytes.compareTo(a, b)
+    val lo = salted.min(ord)
+    val hi = Bytes.successor(salted.max(ord))
+    stripCells(cells
+      .filter(col("row") >= lit(lo) && col("row") < lit(hi))
+      .join(broadcast(salted.toDF("row")), Seq("row"), "left_semi"))
+  }
 }

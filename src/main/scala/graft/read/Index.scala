@@ -1,6 +1,7 @@
 package graft.read
 
-import graft.core.{Bytes, CellKind}
+import graft.catalog.{Catalog, FamilyDescriptor, IndexDescriptor, TableDescriptor}
+import graft.core.{Bytes, CellKind, Salt}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
@@ -20,6 +21,15 @@ import org.apache.spark.sql.types.BinaryType
   * the index (parquet min/max pruned, O(hits) not O(table)), and the hits'
   * main-row keys gather the main table like a multiGet.
   *
+  * Registration ([[create]]) makes the index a catalog-level table
+  * property: `Catalog.append` dual-writes the index delta on every main
+  * append, `GraftTable.indexLookup` resolves the index by (family,
+  * qualifier), and the SQL door's pushdown hook routes qualifying
+  * equality/IN predicates through [[gather]] transparently — the Phoenix
+  * property: users never address the index table by hand. On a SALTED
+  * main table the index stores LOGICAL keys (append indexes the logical
+  * batch before salting), so the two key designs compose.
+  *
   * Consistency: the index transform is per-cell, so maintenance is "apply
   * the same transform to the delta and mutate the index table". Value
   * UPDATES leave the old value's entry in place and DELETES are not
@@ -28,13 +38,23 @@ import org.apache.spark.sql.types.BinaryType
   * on the MAIN table's resolved view, so stale index hits are false
   * positives that the filter eliminates (false negatives cannot happen:
   * every put is indexed). Same trade as Phoenix's non-transactional
-  * global indexes: cheap writes, verified reads.
+  * global indexes: cheap writes, verified reads. The stale entries are
+  * GARBAGE-COLLECTED by [[rebuild]] (the index table's major-compaction
+  * analog), wired into `GraftTable.majorCompact`.
   */
 object SecondaryIndex {
 
   val IndexFamily = "i"
   private val RowQualifier: Array[Byte] = Bytes.toBytes("r")
   private val Sep: Array[Byte] = Array(0.toByte)
+
+  /** Broadcast cap for the gather step: probes at or under this many hit
+    * keys broadcast into the main scan (the designed O(hits) plan); above
+    * it — the "index on a low-cardinality column, hot value" shape — the
+    * gather falls back to a shuffle semi-join, because a driver-built
+    * broadcast of millions of keys is exactly the scale-killer the
+    * size-gated union-find (`Dedup.connectedComponents`) refuses. */
+  val DefaultBroadcastMaxKeys = 1000000L
 
   /** The per-cell index transform: main-table cells (any mix of kinds) ->
     * index-table put-cells for one indexed (family, qualifier). Run it on
@@ -64,22 +84,6 @@ object SecondaryIndex {
         Scan(Some(value ++ Sep), Some(value ++ Array(1.toByte))))
       .select(col("value").as("row")).distinct()
 
-  /** Index-backed equality lookup: probe (small) -> broadcast the hit
-    * keys into the main cell scan -> resolve with the verifying
-    * `SingleColumnValueFilter`, which both re-checks the indexed value
-    * against the CURRENT visible version (stale-hit elimination) and
-    * keeps whole matching rows. Returns resolved main-table cells. */
-  def lookup(mainCells: DataFrame, index: DataFrame, family: String,
-      qualifier: Array[Byte], value: Array[Byte]): DataFrame = {
-    val hits = broadcast(probe(index, value))
-    val candidates = mainCells.join(hits, Seq("row"), "left_semi")
-    // filterIfMissing: a stale hit whose column was since deleted must
-    // not pass on the "missing column passes" default
-    ScanExec(candidates, Scan().setFilter(
-      SingleColumnValueFilter(family, qualifier,
-        CompareOp.EQUAL, BinaryComparator(value), filterIfMissing = true)))
-  }
-
   /** Multi-value probe (`IN (v1..vk)`): ONE index pass with the k ranges
     * OR'd — parquet prunes to the union of the value ranges — instead of
     * k probe jobs. */
@@ -92,16 +96,52 @@ object SecondaryIndex {
       .select(col("value").as("row")).distinct()
   }
 
-  /** Multi-value lookup: one probe pass, one broadcast gather, one
+  /** Candidate gather, SIZE-GATED: count the probe (one cheap job on the
+    * O(hits) parquet-pruned frame), broadcast the hit keys into the main
+    * scan when they fit, fall back to a shuffle left-semi join when a
+    * non-selective value returns millions (the join re-runs the probe —
+    * two pruned index scans, never a cached or driver-held key set).
+    * Returns candidate main-table CELLS (unresolved). */
+  def gather(mainCells: DataFrame, index: DataFrame,
+      values: Seq[Array[Byte]],
+      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame = {
+    val hits =
+      if (values.sizeIs == 1) probe(index, values.head) else probeAll(index, values)
+    val n = hits.count()
+    // Above the gate the shuffle-hash hint FORCES the non-broadcast plan:
+    // the count is exact, so no stats misestimate may re-introduce a
+    // driver-built broadcast of millions of keys.
+    val keyed =
+      if (n <= broadcastMaxKeys) broadcast(hits) else hits.hint("shuffle_hash")
+    mainCells.join(keyed, Seq("row"), "left_semi")
+  }
+
+  /** Index-backed equality lookup: probe (small) -> gather the hit keys
+    * into the main cell scan (size-gated broadcast) -> resolve with the
+    * verifying `SingleColumnValueFilter`, which both re-checks the indexed
+    * value against the CURRENT visible version (stale-hit elimination) and
+    * keeps whole matching rows. Returns resolved main-table cells. */
+  def lookup(mainCells: DataFrame, index: DataFrame, family: String,
+      qualifier: Array[Byte], value: Array[Byte],
+      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame = {
+    val candidates = gather(mainCells, index, Seq(value), broadcastMaxKeys)
+    // filterIfMissing: a stale hit whose column was since deleted must
+    // not pass on the "missing column passes" default
+    ScanExec(candidates, Scan().setFilter(
+      SingleColumnValueFilter(family, qualifier,
+        CompareOp.EQUAL, BinaryComparator(value), filterIfMissing = true)))
+  }
+
+  /** Multi-value lookup: one probe pass, one size-gated gather, one
     * resolve; the verify step keeps rows whose CURRENT visible indexed
     * value is in the set (the IN-generalization of `lookup`'s
     * SingleColumnValueFilter, which is single-comparator). */
   def lookupAll(mainCells: DataFrame, index: DataFrame, family: String,
-      qualifier: Array[Byte], values: Seq[Array[Byte]]): DataFrame = {
+      qualifier: Array[Byte], values: Seq[Array[Byte]],
+      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hits = broadcast(probeAll(index, values))
-    val resolved = ScanExec(mainCells.join(hits, Seq("row"), "left_semi"),
-      Scan())
+    val resolved = ScanExec(
+      gather(mainCells, index, values, broadcastMaxKeys), Scan())
     val isTest = col("family") === family && col("qualifier") === lit(qualifier)
     val inSet = values.map(v => col("value") === lit(v)).reduce(_ || _)
     resolved
@@ -109,4 +149,71 @@ object SecondaryIndex {
         .over(Window.partitionBy("row")))
       .filter(col("_idx_ok") === 1).drop("_idx_ok")
   }
+
+  /** Deterministic default index-table name for one indexed column. */
+  def defaultIndexTable(table: String, family: String,
+      qualifier: Array[Byte]): String =
+    s"${table}_idx_${family}_${qualifier.map(b => f"$b%02x").mkString}"
+
+  /** Logical-key view of a manifest's raw cells (salt stripped when the
+    * table is salted) — what the index transform and gather run over. */
+  private def logicalRead(catalog: Catalog,
+      m: graft.catalog.Manifest): DataFrame = {
+    val raw = catalog.readManifest(m)
+    if (m.descriptor.saltBuckets > 0) Salt.stripCells(raw) else raw
+  }
+
+  /** CREATE INDEX: create the index table, REGISTER it on the main
+    * table's descriptor (so `Catalog.append` maintains it from here on),
+    * then run the initial build over every existing put (logical keys on
+    * salted tables). Register-before-build means a put racing the build
+    * can be indexed twice — identical cells that resolve's duplicate
+    * dedup collapses — never missed; like Phoenix's CREATE INDEX, a
+    * concurrent DROP/bulk-load during the build still needs a rebuild. */
+  def create(catalog: Catalog, table: String, family: String,
+      qualifier: Array[Byte], nowMs: Long,
+      indexTable: Option[String] = None): IndexDescriptor = {
+    val cur = catalog.currentManifest(table)
+    require(cur.descriptor.indexOn(family, qualifier).isEmpty,
+      s"table $table already has an index on ($family, " +
+        s"${qualifier.map(b => f"$b%02x").mkString})")
+    val ixName = indexTable.getOrElse(defaultIndexTable(table, family, qualifier))
+    catalog.createTable(TableDescriptor(ixName,
+      Seq(FamilyDescriptor(IndexFamily, maxVersions = 1)),
+      splitKeys = cur.descriptor.splitKeys), nowMs)
+    val ix = IndexDescriptor(family, qualifier, ixName)
+    catalog.alterTable(table,
+      cur.descriptor.copy(indexes = cur.descriptor.indexes :+ ix), nowMs)
+    catalog.append(ixName,
+      indexCells(logicalRead(catalog, cur), family, qualifier), nowMs)
+    ix
+  }
+
+  /** Index GC — the index table's major-compaction analog: rewrite the
+    * index to entries whose main-table cell is CURRENTLY VISIBLE under
+    * the family descriptors (tombstoned, TTL-expired and over-version
+    * values drop out, so the index stops growing monotonically across
+    * updates/deletes). Lookups are unchanged before and after — stale
+    * entries were only ever false positives the verified read already
+    * eliminated. One distributed pass over the main table + one
+    * compaction commit on the index table. */
+  def rebuild(catalog: Catalog, table: String, ix: IndexDescriptor,
+      nowMs: Long): Unit = {
+    val m = catalog.currentManifest(table)
+    val d = m.descriptor
+    val visible = Resolve(logicalRead(catalog, m), ReadView(
+      maxVersions = Int.MaxValue,
+      familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
+      familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap,
+      now = nowMs))
+    catalog.replaceData(ix.indexTable,
+      indexCells(visible, ix.family, ix.qualifier), nowMs): Unit
+  }
+
+  /** [[rebuild]] every registered index of a table — wired into
+    * `GraftTable.majorCompact` (the cells a compaction just dropped are
+    * exactly the stale entries the rebuild removes). */
+  def rebuildAll(catalog: Catalog, table: String, nowMs: Long): Unit =
+    catalog.currentManifest(table).descriptor.indexes
+      .foreach(rebuild(catalog, table, _, nowMs))
 }

@@ -51,7 +51,8 @@ import org.apache.spark.util.SerializableConfiguration
   * committed batches (AvailableNow drains them to the prepared end). */
 class GraftMicroBatchStream(engine: Catalog, tableName: String,
     gscan: graft.read.Scan, required: StructType,
-    maxVersionsPerTrigger: Option[Long] = None) extends MicroBatchStream
+    maxVersionsPerTrigger: Option[Long] = None,
+    saltBuckets: Int = 0) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private case class GraftOffset(version: Long) extends Offset {
@@ -145,7 +146,8 @@ class GraftMicroBatchStream(engine: Catalog, tableName: String,
         files.result()
       }
     }.map(f => GraftFilePartition(f, required.fieldNames,
-      gscan.startRow, gscan.stopRow, gscan.families): InputPartition).toArray
+      gscan.startRow, gscan.stopRow, gscan.families,
+      saltBuckets): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -158,7 +160,8 @@ class GraftMicroBatchStream(engine: Catalog, tableName: String,
 
 case class GraftFilePartition(file: String, fields: Array[String],
     startRow: Option[Array[Byte]], stopRow: Option[Array[Byte]],
-    families: Option[Set[String]]) extends InputPartition
+    families: Option[Set[String]],
+    saltBuckets: Int = 0) extends InputPartition
 
 /** Carries the session's Hadoop configuration to executors — a default
   * `new Configuration()` would lose credentials/filesystem settings and
@@ -186,16 +189,29 @@ class GraftFileReader(p: GraftFilePartition,
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.io.api.Binary
 
-  private val rowPredicate: Option[FilterPredicate] = {
-    val col = FilterApi.binaryColumn("row")
-    val lo = p.startRow.map(b =>
-      FilterApi.gtEq(col, Binary.fromConstantByteArray(b)): FilterPredicate)
-    val hi = p.stopRow.map(b =>
-      FilterApi.lt(col, Binary.fromConstantByteArray(b)): FilterPredicate)
-    (lo, hi) match {
-      case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
-      case (a, b) => a.orElse(b)
+  // On a SALTED table the stored keys carry the salt prefix, so logical
+  // row bounds cannot push as one parquet range — bounds are re-checked
+  // per record on the STRIPPED key instead (append batches are small,
+  // bounded by maxVersionsPerTrigger; the batch read path keeps full
+  // scatter pruning).
+  private val rowPredicate: Option[FilterPredicate] =
+    if (p.saltBuckets > 0) None
+    else {
+      val col = FilterApi.binaryColumn("row")
+      val lo = p.startRow.map(b =>
+        FilterApi.gtEq(col, Binary.fromConstantByteArray(b)): FilterPredicate)
+      val hi = p.stopRow.map(b =>
+        FilterApi.lt(col, Binary.fromConstantByteArray(b)): FilterPredicate)
+      (lo, hi) match {
+        case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case (a, b) => a.orElse(b)
+      }
     }
+
+  /** Logical key of a stored record (salt stripped on salted tables). */
+  private def logicalRow(g: Group): Array[Byte] = {
+    val raw = g.getBinary("row", 0).getBytes
+    if (p.saltBuckets > 0) raw.drop(1) else raw
   }
 
   // Column projection: request only the pruned fields (plus row/family,
@@ -225,7 +241,7 @@ class GraftFileReader(p: GraftFilePartition,
   private var current: Group = _
 
   private def visible(g: Group): Boolean = {
-    val row = g.getBinary("row", 0).getBytes
+    val row = logicalRow(g)
     p.startRow.forall(s => Bytes.compareTo(row, s) >= 0) &&
       p.stopRow.forall(s => Bytes.compareTo(row, s) < 0) &&
       p.families.forall(_.contains(g.getString("family", 0)))
@@ -239,7 +255,8 @@ class GraftFileReader(p: GraftFilePartition,
   }
 
   private def fieldValue(g: Group, name: String): Any = name match {
-    case "row" | "qualifier" => g.getBinary(name, 0).getBytes
+    case "row" => logicalRow(g)
+    case "qualifier" => g.getBinary(name, 0).getBytes
     case "value" =>
       if (g.getFieldRepetitionCount("value") == 0) null
       else g.getBinary("value", 0).getBytes

@@ -96,22 +96,41 @@ class GraftSqlTable(engine: Catalog, tableName: String,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     import org.apache.spark.sql.functions.{col, lit, max}
     require(pinned.isEmpty, s"cannot DELETE from a time-travel view of $tableName")
-    var cells = engine.read(tableName)
+    // Collect the (logical) row bounds + family, then scope like any
+    // read: on a salted table the bounds scatter over the salted order
+    // and strip (filtering raw storage keys with logical bounds would
+    // delete the wrong rows), on an unsalted one they filter directly.
+    val d = engine.currentManifest(tableName).descriptor
+    var start: Option[Array[Byte]] = None
+    var stop: Option[Array[Byte]] = None
+    var fam: Option[String] = None
+    def tightenStart(b: Array[Byte]): Unit =
+      if (start.forall(cur => Bytes.compareTo(b, cur) > 0)) start = Some(b)
+    def tightenStop(b: Array[Byte]): Unit =
+      if (stop.forall(cur => Bytes.compareTo(b, cur) < 0)) stop = Some(b)
     filters.foreach {
       case sources.EqualTo("row", v: Array[Byte]) =>
-        cells = cells.filter(col("row") === lit(v))
-      case sources.GreaterThanOrEqual("row", v: Array[Byte]) =>
-        cells = cells.filter(col("row") >= lit(v))
+        tightenStart(v); tightenStop(Bytes.successor(v))
+      case sources.GreaterThanOrEqual("row", v: Array[Byte]) => tightenStart(v)
       case sources.GreaterThan("row", v: Array[Byte]) =>
-        cells = cells.filter(col("row") > lit(v))
-      case sources.LessThan("row", v: Array[Byte]) =>
-        cells = cells.filter(col("row") < lit(v))
+        tightenStart(Bytes.successor(v))
+      case sources.LessThan("row", v: Array[Byte]) => tightenStop(v)
       case sources.LessThanOrEqual("row", v: Array[Byte]) =>
-        cells = cells.filter(col("row") <= lit(v))
-      case sources.EqualTo("family", f: String) =>
-        cells = cells.filter(col("family") === f)
+        tightenStop(Bytes.successor(v))
+      case sources.EqualTo("family", f: String) => fam = Some(f)
       case _ => () // IsNotNull / AlwaysTrue — vetted by canDeleteWhere
     }
+    var cells =
+      if (d.saltBuckets > 0)
+        graft.core.Salt.scanRange(engine.read(tableName), d.saltBuckets,
+          start, stop)
+      else {
+        var c = engine.read(tableName)
+        start.foreach(b => c = c.filter(col("row") >= lit(b)))
+        stop.foreach(b => c = c.filter(col("row") < lit(b)))
+        c
+      }
+    fam.foreach(f => cells = cells.filter(col("family") === f))
     val tombs = cells
       .groupBy("row", "family").agg(max("ts").as("ts"))
       .select(col("row"), col("family"),
@@ -192,6 +211,7 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   private var scan: GScan = GScan()
   private var limit: Option[Int] = None
   private var aggSpec: Option[GraftAggSpec] = None
+  private var valueEq: Seq[Array[Byte]] = Nil
 
   /** Aggregate pushdown — COMPLETE (final values, not partial buffers):
     * the aggregation runs inside the inner resolved plan (hash aggregate
@@ -304,11 +324,39 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
             vs.forall(_.isInstanceOf[Array[Byte]]) =>
         addQualifiers(vs.toSeq.map(_.asInstanceOf[Array[Byte]]))
         qualTaken = true; accepted += f
+      // `value` equality/IN stays RESIDUAL (Spark re-applies it above the
+      // bridge — the index gather only produces a candidate superset),
+      // but is recorded: build() routes the scan through a registered
+      // secondary index when one covers the projected (family, qualifier).
+      case f @ sources.EqualTo("value", v: Array[Byte]) if valueEq.isEmpty =>
+        valueEq = Seq(v); residual += f
+      case f @ sources.In("value", vs)
+          if valueEq.isEmpty && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Array[Byte]]) =>
+        valueEq = vs.toSeq.map(_.asInstanceOf[Array[Byte]]); residual += f
       case other => residual += other
     }
     pushed = accepted.result()
     residual.result()
   }
+
+  /** Transparent index routing (the Phoenix property the index design
+    * cites): a scan projecting exactly ONE family and ONE qualifier with
+    * an equality/IN predicate on `value` routes through that column's
+    * registered index — probe O(hits), gather, resolve over candidates —
+    * instead of a full scan + residual filter. Correct by superset: the
+    * index holds every put of the column, so candidate rows cover every
+    * possibly-visible match; the residual value predicate (and normal
+    * resolution) make the result exact. Time-travel scans never route
+    * (a rebuilt index reflects the present, not the pinned version). */
+  private def indexProbe: Option[(String, Seq[Array[Byte]])] =
+    if (pinned.isDefined || valueEq.isEmpty) None
+    else for {
+      fams <- scan.families
+      if fams.size == 1 && scan.columns.get(fams.head).exists(_.size == 1)
+      ix <- engine.currentManifest(tableName).descriptor
+        .indexOn(fams.head, scan.columns(fams.head).head)
+    } yield (ix.indexTable, valueEq)
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -329,7 +377,7 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
 
   override def build(): V2Scan =
     new GraftV1Scan(engine, tableName, scan, required, pinned, limit,
-      maxVersionsPerTrigger, aggSpec)
+      maxVersionsPerTrigger, aggSpec, indexProbe)
 }
 
 /** One pushed aggregate column: `fn` in count | count_col | min | max,
@@ -371,20 +419,42 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     pinned: Option[graft.catalog.Manifest] = None,
     limit: Option[Int] = None,
     maxVersionsPerTrigger: Option[Long] = None,
-    aggSpec: Option[GraftAggSpec] = None) extends V1Scan {
+    aggSpec: Option[GraftAggSpec] = None,
+    indexProbe: Option[(String, Seq[Array[Byte]])] = None) extends V1Scan {
 
   override def readSchema(): StructType =
     aggSpec.fold(required)(_.schema)
+
+  /** The index table this scan routes through, if any — the plan-assert
+    * seam (SqlCatalogSpec checks routing fires for indexed predicates and
+    * stays off for unindexed ones). */
+  private[sql] def usedIndexTable: Option[String] = indexProbe.map(_._1)
 
   /** The resolved view this scan produces — also the seam SqlCatalogSpec
     * uses to assert that pushdown reached the inner parquet scan. */
   private[sql] def resolvedFrame(spark: SparkSession): DataFrame = {
     val m = pinned.getOrElse(engine.currentManifest(tableName))
     val d = m.descriptor
+    // Salt as a table property: logical row bounds compile to the
+    // scatter-gather disjunction on the salted storage order, then the
+    // prefix strips so everything downstream (resolution, residuals,
+    // the index gather) sees logical keys.
+    val (frame0, gs) =
+      if (d.saltBuckets > 0)
+        (graft.core.Salt.scanRange(engine.readManifest(m), d.saltBuckets,
+          gscan.startRow, gscan.stopRow),
+          gscan.copy(startRow = None, stopRow = None))
+      else (engine.readManifest(m), gscan)
+    // Transparent secondary-index routing: candidates = rows the index
+    // probe names (size-gated gather), a superset the residual value
+    // predicate reduces to the exact answer above the bridge.
+    val frame = indexProbe.fold(frame0) { case (ixTable, values) =>
+      graft.read.SecondaryIndex.gather(frame0, engine.read(ixTable), values)
+    }
     // Family TTLs evaluate against the SQL-surface clock (reference: TTL
     // uses server time, ScanQueryMatcher.java:56). A now of 0 would make
     // every TTL inert (cutoff = 0 - ttl < any ts).
-    val resolved = ScanExec(engine.readManifest(m), gscan,
+    val resolved = ScanExec(frame, gs,
       ttlMs = None, now = GraftSqlCatalog.nowMs(),
       familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
       familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
@@ -421,6 +491,7 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     require(pinned.isEmpty,
       s"cannot stream from a time-travel view of $tableName")
     new GraftMicroBatchStream(engine, tableName, gscan, required,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger,
+      saltBuckets = engine.currentManifest(tableName).descriptor.saltBuckets)
   }
 }

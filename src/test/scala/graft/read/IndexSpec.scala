@@ -84,4 +84,99 @@ class IndexSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       s"index gather is not a broadcast join:\n$plan")
   }
+
+  test("size gate: a hot value's gather falls back to a shuffle semi-join") {
+    // Low-cardinality indexed column (the classic "index on status"
+    // mistake): 400 of 500 rows share one value. With the gate forced
+    // low, the gather must NOT build a driver broadcast of the hit keys —
+    // and the results must be identical to the broadcast path.
+    val main = cells((0 until 500).map { i =>
+      Cell.put(Bytes.toBytes(i.toLong), "f", q, 1L,
+        if (i % 5 == 4) b("rare") else b("hot"))
+    }).toDF()
+    val idx = SecondaryIndex.indexCells(main, "f", q)
+    val gated = SecondaryIndex.lookup(main, idx, "f", q, b("hot"),
+      broadcastMaxKeys = 10L)
+    val gatedPlan = gated.queryExecution.executedPlan.toString
+    assert(!gatedPlan.contains("BroadcastHashJoin") &&
+      !gatedPlan.contains("BroadcastNestedLoop"),
+      s"hot-value gather still broadcasts:\n$gatedPlan")
+    val wide = SecondaryIndex.lookup(main, idx, "f", q, b("hot"))
+    assert(wide.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    def keysOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("row").distinct().collect()
+        .map(r => Bytes.toLong(r.getAs[Array[Byte]](0))).toSet
+    assert(keysOf(gated).size == 400 && keysOf(gated) == keysOf(wide))
+    // the selective value stays on the broadcast plan under the same gate
+    val rare = SecondaryIndex.lookup(main, idx, "f", q, b("rare"),
+      broadcastMaxKeys = 1000L)
+    assert(rare.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(keysOf(rare).size == 100)
+  }
+
+  test("registered index: create builds, append maintains, rebuild GCs") {
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    import graft.write.{Delete, Put}
+    val g = graft.Graft(spark,
+      java.nio.file.Files.createTempDirectory("graft-ixreg").toString)
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f", maxVersions = 1)), splitKeys = 2), 1L)
+    g.table("t").put(Seq(
+      Put(b("r1")).add("f", q, 2L, b("paris")),
+      Put(b("r2")).add("f", q, 2L, b("tokyo"))), 2L)
+    val ix = g.createIndex("t", "f", q, 3L)
+    assert(g.tableExists(ix.indexTable))
+    assert(rowsOf(g.table("t").indexLookup("f", q, Seq(b("paris")))) == Set("r1"))
+    // appends after registration maintain the index automatically
+    g.table("t").put(Seq(Put(b("r3")).add("f", q, 4L, b("paris"))), 4L)
+    assert(rowsOf(g.table("t").indexLookup("f", q, Seq(b("paris"))))
+      == Set("r1", "r3"))
+    // update + delete: stale entries are verified away on read...
+    g.table("t").put(Seq(Put(b("r1")).add("f", q, 5L, b("oslo"))), 5L)
+    g.table("t").delete(Seq(Delete(b("r3")).deleteFamily("f", 6L)), 6L)
+    assert(rowsOf(g.table("t").indexLookup("f", q, Seq(b("paris")))).isEmpty)
+    assert(rowsOf(g.table("t").indexLookup("f", q, Seq(b("oslo")))) == Set("r1"))
+    // ...and majorCompact's rebuild physically drops them (index GC)
+    val before = g.catalog.read(ix.indexTable).count()
+    g.table("t").majorCompact(7L)
+    val after = g.catalog.read(ix.indexTable).count()
+    assert(after < before, s"index did not shrink: $before -> $after")
+    // exactly the two live entries (r1=oslo, r2=tokyo) survive
+    assert(after == 2L)
+    assert(rowsOf(g.table("t").indexLookup("f", q, Seq(b("oslo")))) == Set("r1"))
+    assert(rowsOf(g.table("t").indexLookup("f", q, Seq(b("tokyo")))) == Set("r2"))
+    assert(rowsOf(g.table("t").indexLookup("f", q, Seq(b("paris")))).isEmpty)
+    // double registration is refused
+    intercept[IllegalArgumentException] { g.createIndex("t", "f", q, 8L) }
+  }
+
+  test("salted table + global index compose: logical keys, O(hits) probe") {
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    import graft.write.Put
+    val g = graft.Graft(spark,
+      java.nio.file.Files.createTempDirectory("graft-ixsalt").toString)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, saltBuckets = 8), 1L)
+    g.table("t").put((0 until 300).map(i =>
+      Put(Bytes.toBytes(i.toLong)).add("f", q, 2L,
+        b(if (i % 100 == 7) "paris" else "other"))), 2L)
+    g.createIndex("t", "f", q, 3L)
+    // the index stores LOGICAL keys: lookup returns unsalted 8-byte rows
+    val hit = g.table("t").indexLookup("f", q, Seq(b("paris")))
+    val keys = hit.select("row").distinct().collect()
+      .map(r => Bytes.toLong(r.getAs[Array[Byte]](0))).sorted.toSeq
+    assert(keys == Seq(7L, 107L, 207L))
+    // maintenance keeps composing after the fact
+    g.table("t").put(Seq(Put(Bytes.toBytes(777L)).add("f", q, 4L, b("paris"))), 4L)
+    assert(g.table("t").indexLookup("f", q, Seq(b("paris"))).select("row")
+      .distinct().count() == 4L)
+    // probe stays O(hits): the index scan pushes the value-range bounds
+    val idx = g.catalog.read(
+      g.table("t").descriptor.indexOn("f", q).get.indexTable)
+    val probePlan = SecondaryIndex.probe(idx, b("paris"))
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PushedFilters: [IsNotNull(row), " +
+      "GreaterThanOrEqual(row,") || probePlan.contains("GreaterThanOrEqual(row,"),
+      s"probe range not pushed:\n$probePlan")
+  }
 }

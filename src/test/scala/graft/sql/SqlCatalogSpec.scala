@@ -478,4 +478,105 @@ class SqlCatalogSpec extends SparkSpec {
     // scan default maxVersions=1 — the SQL view is the latest visible cell
     assert(got == Set(("k", "m", "q", 30L, "v3")))
   }
+
+  test("value equality routes through a registered index transparently") {
+    val r = Files.createTempDirectory("graft-sqlix").toString
+    val g = Graft(spark, r)
+    g.createTable(TableDescriptor("tix", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    g.table("tix").put((1 to 40).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("city"), 2L,
+          b(if (i % 10 == 3) "paris" else "other"))
+        .add("f", b("pop"), 2L, b(s"p$i"))), 2L)
+    g.createIndex("tix", "f", b("city"), 3L)
+    spark.conf.set("spark.sql.catalog.graft_ix", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ix.root", r)
+    // end-to-end: the query answers through the index, same result as the
+    // full-scan formulation (the oracle's semantics)
+    val out = spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_ix.tix " +
+        s"WHERE family = 'f' AND qualifier = ${hex("city")} " +
+        s"AND value = ${hex("paris")}")
+    assert(collectCells(out).map(_._1) == Set("r003", "r013", "r023", "r033"))
+
+    // the seam: a qualifying predicate set routes (usedIndexTable set and
+    // the inner plan probes the index table); near-misses do not
+    val engine = new graft.catalog.Catalog(spark, r)
+    import org.apache.spark.sql.sources
+    def built(filters: Array[sources.Filter]): GraftV1Scan = {
+      val builder = new GraftScanBuilder(engine, "tix")
+      builder.pushFilters(filters)
+      builder.build().asInstanceOf[GraftV1Scan]
+    }
+    val routed = built(Array(
+      sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.EqualTo("value", b("paris"))))
+    assert(routed.usedIndexTable.contains("tix_idx_f_63697479"))
+    val innerOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(innerOut)) {
+      routed.resolvedFrame(spark).explain("formatted")
+    }
+    val inner = innerOut.toString("UTF-8")
+    assert(inner.contains("tix_idx_f_63697479"),
+      s"index table not in the routed inner plan:\n$inner")
+    assert(inner.contains("LeftSemi"), s"no semi-join gather:\n$inner")
+    // IN-list routes too
+    assert(built(Array(
+      sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.In("value", Array(b("paris"), b("other")))))
+      .usedIndexTable.isDefined)
+    // no value predicate -> no routing
+    assert(built(Array(sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")))).usedIndexTable.isEmpty)
+    // unindexed qualifier -> no routing
+    assert(built(Array(sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("pop")),
+      sources.EqualTo("value", b("p7")))).usedIndexTable.isEmpty)
+    // no qualifier projection -> no routing (the index covers one column)
+    assert(built(Array(sources.EqualTo("family", "f"),
+      sources.EqualTo("value", b("paris")))).usedIndexTable.isEmpty)
+    // time travel never routes (the index reflects the present)
+    val pinnedBuilder = new GraftScanBuilder(engine, "tix",
+      pinned = Some(engine.currentManifest("tix")))
+    pinnedBuilder.pushFilters(Array(
+      sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.EqualTo("value", b("paris"))))
+    assert(pinnedBuilder.build().asInstanceOf[GraftV1Scan]
+      .usedIndexTable.isEmpty)
+  }
+
+  test("salted table through the SQL door: bounds, DELETE, INSERT") {
+    val r = Files.createTempDirectory("graft-sqlsalt").toString
+    val g = Graft(spark, r)
+    g.createTable(TableDescriptor("ts", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, saltBuckets = 8), 1L)
+    g.table("ts").put((1 to 40).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("q"), 2L, b(s"v$i"))), 2L)
+    spark.conf.set("spark.sql.catalog.graft_salt", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_salt.root", r)
+    // logical row bounds scatter over the salted layout; logical keys out
+    val sel = collectCells(spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_salt.ts " +
+        s"WHERE row >= ${hex("r010")} AND row < ${hex("r020")}"))
+    assert(sel.map(_._1) == (10 to 19).map(i => f"r$i%03d").toSet)
+    // DELETE with logical bounds tombstones exactly that logical range
+    spark.sql(s"DELETE FROM graft_salt.ts WHERE row >= ${hex("r010")} " +
+      s"AND row < ${hex("r020")}")
+    val after = collectCells(spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_salt.ts"))
+    assert(after.map(_._1).size == 30 &&
+      !after.exists(c => c._1 >= "r010" && c._1 < "r020"))
+    // INSERT of logical cells lands salted (storage) but reads logical
+    spark.sql("INSERT INTO graft_salt.ts VALUES " +
+      s"(${hex("r099")}, 'f', ${hex("q")}, 9, CAST(4 AS TINYINT), ${hex("v99")}, 0)")
+    assert(collectCells(spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_salt.ts " +
+        s"WHERE row = ${hex("r099")}")) == Set(("r099", "f", "q", 9L, "v99")))
+    val raw = g.table("ts").cells.select(org.apache.spark.sql.functions
+      .length(col("row"))).distinct().collect().map(_.getInt(0)).toSet
+    assert(raw == Set(5)) // 'rNNN' (4 bytes) + 1 salt byte
+  }
 }
