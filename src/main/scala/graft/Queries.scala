@@ -255,25 +255,60 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
-  // Salted-key scatter-gather (core/Salt.scala): the monotonic
-  // o_orderkey is stored under a 16-bucket salted layout (the HBase
-  // hotspot-mitigation key design — writes spread over all ranges
-  // instead of hammering the tail region), and the logical range scan
-  // fans out to 16 salted sub-ranges, merges, strips the salt, and
-  // resolves normally. Oracle is the plain unsalted range — salting
-  // must be invisible to query semantics.
+  // Salt + secondary index as TABLE properties (catalog/Catalog.scala):
+  // one catalog root holding `orders_s`, the orders table stored under a
+  // 16-bucket salted layout DECLARED IN THE DESCRIPTOR (Catalog.append
+  // salts on write) with a registered global index on o_custkey. The two
+  // appends split around CREATE INDEX so the index content covers both
+  // the initial build and the automatic append-time maintenance. Shared
+  // by salted_scan and salted_index_lookup.
+  private val saltedRoots = scala.collection.mutable.Map.empty[String, String]
+  private def saltedOrdersRoot(s: SparkSession, dir: String): String =
+    Queries.synchronized {
+      saltedRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-salted").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_s",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, saltBuckets = 16),
+          nowMs = 1L)
+        val cells = CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"))
+        val second = pmod(xxhash64(col("row")), lit(3)) === 0
+        g.table("orders_s").mutate(cells.filter(!second), nowMs = 1L)
+        g.createIndex("orders_s", "o", Bytes.toBytes("o_custkey"), nowMs = 2L)
+        g.table("orders_s").mutate(cells.filter(second), nowMs = 2L)
+        r
+      })
+    }
+
+  // Property-driven salted scan: a PLAIN facade range scan on the salted
+  // table — no Salt.* calls anywhere, the descriptor's saltBuckets makes
+  // the logical bounds compile to the scatter-gather on the salted sort
+  // order and strip back to logical keys. Oracle is the plain unsalted
+  // range — salting must be invisible to query semantics.
   private val saltedScan = Q("salted_scan", Some(s"""
     SELECT $ordersCols FROM orders
     WHERE o_orderkey >= 1000 AND o_orderkey < 5000
     ORDER BY o_orderkey""")) { (s, dir) =>
-    import graft.core.Salt
-    val cells = storedCells(s, dir, "orders", "orders_salted16")(
-      Salt.saltCells(
-        CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey")), 16))
-    val gathered = Salt.scanRange(cells, 16,
-      start = Some(Bytes.toBytes(1000L)), stop = Some(Bytes.toBytes(5000L)))
-    CellCodec.decode(ScanExec(gathered, Scan().addFamily("o")), ordersSchema)
-      .orderBy("o_orderkey")
+    val g = graft.Graft(s, saltedOrdersRoot(s, dir))
+    val res = g.table("orders_s").scan(
+      Scan(Some(Bytes.toBytes(1000L)), Some(Bytes.toBytes(5000L))))
+    CellCodec.decode(res, ordersSchema).orderBy("o_orderkey")
+  }
+
+  // Salted table + registered index COMPOSE (the hot-write +
+  // selective-read production shape): the facade lookup probes the
+  // index (logical keys — append indexes the batch before salting),
+  // gathers the logical view, verifies. Half the matching rows entered
+  // through the initial CREATE INDEX build, half through append-time
+  // maintenance. Oracle is the plain predicate.
+  private val saltedIndexLookup = Q("salted_index_lookup", Some(s"""
+    SELECT $ordersCols FROM orders WHERE o_custkey IN (7, 37, 73)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val g = graft.Graft(s, saltedOrdersRoot(s, dir))
+    val hit = g.table("orders_s").indexLookup("o", Bytes.toBytes("o_custkey"),
+      Seq(7L, 37L, 73L).map(Bytes.toBytes))
+    CellCodec.decode(hit, ordersSchema).orderBy("o_orderkey")
   }
 
   // Secondary-index lookup (read/Index.scala): "orders of customer k"
@@ -292,6 +327,85 @@ object Queries {
         "o", Bytes.toBytes("o_custkey")))
     val hit = SecondaryIndex.lookupAll(main, idx, "o",
       Bytes.toBytes("o_custkey"), Seq(7L, 37L, 73L).map(Bytes.toBytes))
+    CellCodec.decode(hit, ordersSchema).orderBy("o_orderkey")
+  }
+
+  // TRANSPARENT index routing through the SQL door (the Phoenix
+  // property): the user writes a plain value-equality SQL predicate over
+  // a table with a REGISTERED index on (o, o_custkey) and the scan
+  // builder rewrites it into an index probe + gather — SqlCatalogSpec
+  // asserts the plan seam (usedIndexTable + the index table's parquet in
+  // the inner plan); this gate proves the routed answer matches the
+  // full-scan oracle exactly.
+  private val sqlIndexRoots = scala.collection.mutable.Map.empty[String, String]
+  private val sqlIndexLookup = Q("sql_index_lookup", Some("""
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN (7, 37, 73)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlIndexRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sqlix").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_ix",
+          Seq(FamilyDescriptor("o")), splitKeys = 8), nowMs = 1L)
+        g.table("orders_ix").mutate(
+          CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey")),
+          nowMs = 1L)
+        g.createIndex("orders_ix", "o", Bytes.toBytes("o_custkey"), nowMs = 2L)
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_ix",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ix.root", root)
+    val qual = "X'" + Bytes.toBytes("o_custkey").map(b => f"$b%02x").mkString + "'"
+    val vals = Seq(7L, 37L, 73L)
+      .map(k => "X'" + Bytes.toBytes(k).map(b => f"$b%02x").mkString + "'")
+      .mkString(", ")
+    val cells = s.sql(
+      s"""SELECT row, family, qualifier, ts, kind, value, seq
+          FROM graft_ix.orders_ix
+          WHERE family = 'o' AND qualifier = $qual AND value IN ($vals)""")
+    CellCodec.decode(cells,
+      StructType(Seq(StructField("o_custkey", LongType))),
+      key = Seq("o_orderkey" -> LongType))
+      .orderBy("o_orderkey")
+  }
+
+  // Index GC end-to-end: tombstone a key range, majorCompact (which
+  // rebuilds registered indexes to currently-visible entries — the
+  // monotonic-growth fix; IndexSpec asserts the physical shrink), then
+  // answer through the rebuilt index. Oracle = the predicate minus the
+  // deleted range.
+  private val indexGcRoots = scala.collection.mutable.Map.empty[String, String]
+  private val indexGcLookup = Q("index_gc_lookup", Some(s"""
+    SELECT $ordersCols FROM orders WHERE o_custkey IN (7, 37, 73)
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      indexGcRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-ixgc").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_gc",
+          Seq(FamilyDescriptor("o")), splitKeys = 8), nowMs = 1L)
+        val cells = CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"))
+        g.table("orders_gc").mutate(cells, nowMs = 1L)
+        g.createIndex("orders_gc", "o", Bytes.toBytes("o_custkey"), nowMs = 2L)
+        val doomed = cells
+          .filter(col("row") >= lit(Bytes.toBytes(1000L)) &&
+            col("row") < lit(Bytes.toBytes(30000L)))
+          .select("row").distinct()
+        g.table("orders_gc").mutate(
+          Mutations.deleteFamilyCells(doomed, col("row"), "o", ts = 3L),
+          nowMs = 3L)
+        g.table("orders_gc").majorCompact(nowMs = 4L)
+        r
+      })
+    }
+    val g = graft.Graft(s, root)
+    val hit = g.table("orders_gc").indexLookup("o", Bytes.toBytes("o_custkey"),
+      Seq(7L, 37L, 73L).map(Bytes.toBytes))
     CellCodec.decode(hit, ordersSchema).orderBy("o_orderkey")
   }
 
@@ -3333,7 +3447,8 @@ object Queries {
   val all: Seq[Q] = Seq(
     dataContract,
     q1Agg, q3Join,
-    scanRange, saltedScan, indexLookup, getPoint, getRowOrBefore, rowCounter,
+    scanRange, saltedScan, saltedIndexLookup, indexLookup, sqlIndexLookup,
+    indexGcLookup, getPoint, getRowOrBefore, rowCounter,
     existsGet,
     dependentColumn, exportImport, multiGet, ttlScan,
     prefixFilter, columnPrefixFilter, valueFilterSubstr, valueFilterRegex,
