@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   * order-free drop rule applied relationally to its pair set. Agreement
   * at 10x occupancy is direct evidence the banding recall holds as
   * buckets fill.
+  *
+  * `secondary_index`: the registered-index read path against a full
+  * resolved scan + relational predicate on a salted + indexed table,
+  * with updates/deletes injected so stale index entries exist — direct
+  * evidence the verified read eliminates them at sf1 row counts.
   */
 object CrossCheck {
 
@@ -69,6 +74,56 @@ object CrossCheck {
         val sym = (direct diff viaIx) ++ (viaIx diff direct)
         println(s"[crosscheck] incremental_near_indexed: direct=${direct.size} " +
           s"indexed=${viaIx.size} symdiff=${sym.size}" +
+          s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
+        if (sym.nonEmpty) sys.exit(1)
+      case "secondary_index" =>
+        // The registered-index read path (probe -> size-gated gather ->
+        // verified read) against the reference-shaped direct path (full
+        // resolved scan -> relational predicate) on a SALTED + INDEXED
+        // catalog table at this sf — with 1% custkey UPDATES and 1%
+        // family DELETES injected first, so the index carries stale
+        // entries and the check validates exactly the stale-hit
+        // elimination DuckDB can't reach at this scale.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{Bytes, CellCodec}
+        import graft.read.Scan
+        import graft.write.Mutations
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-ixcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32, saltBuckets = 16), nowMs = 1L)
+        val cells = CellCodec.encode(orders, "o", Seq("o_orderkey"))
+        g.table("o").mutate(cells, nowMs = 1L)
+        g.createIndex("o", "o", Bytes.toBytes("o_custkey"), nowMs = 2L)
+        val custCells = cells
+          .filter(col("qualifier") === lit(Bytes.toBytes("o_custkey")))
+        val updates = custCells
+          .filter(pmod(xxhash64(col("row")), lit(100)) === 1)
+          .withColumn("ts", lit(5L))
+          .withColumn("value",
+            CellCodec.longBytes(Bytes.asLong(col("value")) + 1))
+        val deletes = Mutations.deleteFamilyCells(
+          custCells.filter(pmod(xxhash64(col("row")), lit(100)) === 2)
+            .select("row").distinct(),
+          col("row"), "o", ts = 5L)
+        g.table("o").mutate(updates.unionByName(deletes), nowMs = 5L)
+        val keys = (1L to 50L).toSeq
+        val custQ = Bytes.toBytes("o_custkey")
+        val schema = StructType(Seq(StructField("o_custkey", LongType)))
+        val viaIndex = CellCodec.decode(
+          g.table("o").indexLookup("o", custQ, keys.map(Bytes.toBytes)),
+          schema, key = Seq("o_orderkey" -> LongType))
+          .select("o_orderkey").collect().map(_.getLong(0)).toSet
+        val direct = CellCodec.decode(
+          g.table("o").scan(Scan().addColumn("o", custQ)),
+          schema, key = Seq("o_orderkey" -> LongType))
+          .filter(col("o_custkey").isin(keys: _*))
+          .select("o_orderkey").collect().map(_.getLong(0)).toSet
+        val sym = (viaIndex diff direct) ++ (direct diff viaIndex)
+        println(s"[crosscheck] secondary_index: index=${viaIndex.size} " +
+          s"direct=${direct.size} symdiff=${sym.size}" +
           s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
         if (sym.nonEmpty) sys.exit(1)
       case other => sys.error(s"unknown check: $other")
