@@ -306,9 +306,15 @@ final class Catalog(spark: SparkSession, root: String) {
     commitCurrent(desc.name, 1L)
   }
 
-  /** `HBaseAdmin.deleteTable:299` — drops the catalog entry and data. */
+  /** `HBaseAdmin.deleteTable:299` — drops the catalog entry and data.
+    * Registered secondary indexes cascade (Phoenix drops a data table's
+    * indexes with it): an orphaned index table would silently keep its
+    * last state and mislead a later same-named registration. */
   def deleteTable(t: String): Unit = {
     require(tableExists(t), s"no table $t")
+    currentManifest(t).descriptor.indexes
+      .filter(ix => tableExists(ix.indexTable))
+      .foreach(ix => deleteTable(ix.indexTable))
     fs.delete(tableDir(t), true)
   }
 

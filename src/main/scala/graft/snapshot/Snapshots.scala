@@ -65,10 +65,15 @@ final class Snapshots(spark: SparkSession, catalog: Catalog, root: String) {
   }
 
   /** Clone: new table over the SAME data dirs (zero copy) — the restore
-    * path applied to a fresh name (`RestoreSnapshot.java:97-133`). */
+    * path applied to a fresh name (`RestoreSnapshot.java:97-133`).
+    * Index registrations are NOT cloned: they name the SOURCE table's
+    * index tables, and a clone appending through them would pollute the
+    * source's index (Phoenix likewise scopes an index to its one data
+    * table). A clone starts index-less; create fresh indexes on it. */
   def clone(name: String, newTable: String, nowMs: Long): Unit = {
     val snap = manifest(name)
-    catalog.createTable(snap.descriptor.copy(name = newTable), nowMs)
+    catalog.createTable(
+      snap.descriptor.copy(name = newTable, indexes = Nil), nowMs)
     catalog.commitDataDirs(newTable, snap.dataDirs, nowMs)
   }
 

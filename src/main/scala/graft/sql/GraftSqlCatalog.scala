@@ -32,7 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * DDL carries the family descriptors in the `families` table property:
   * `name[:maxVersions=N][:ttlMs=N](;next)*` — the `HColumnDescriptor`
-  * surface (`HBaseAdmin.createTable:198`).
+  * surface (`HBaseAdmin.createTable:198`) — and the salted layout in
+  * `saltBuckets` (immutable, like the Scala descriptor's).
   */
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -97,11 +98,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     if (engine.tableExists(t)) throw new TableAlreadyExistsException(ident)
     val fams = GraftSqlCatalog.parseFamilies(
       Option(properties.get("families")).getOrElse("f"))
+    // 'saltBuckets' makes the salted layout declarable from SQL DDL —
+    // the same immutable table property the Scala descriptor carries.
+    val salt = Option(properties.get("saltBuckets")).map(_.toInt).getOrElse(0)
     // SQL has no caller-supplied clock; stamp DDL like the insert path
     // does (a 0 here would poison TIMESTAMP AS OF: the created manifest
     // would sort before every real commit while carrying the newest
     // version number).
-    engine.createTable(TableDescriptor(t, fams), nowMs = GraftSqlCatalog.nowMs())
+    engine.createTable(TableDescriptor(t, fams, saltBuckets = salt),
+      nowMs = GraftSqlCatalog.nowMs())
     new GraftSqlTable(engine, t)
   }
 

@@ -179,4 +179,31 @@ class IndexSpec extends SparkSpec {
       "GreaterThanOrEqual(row,") || probePlan.contains("GreaterThanOrEqual(row,"),
       s"probe range not pushed:\n$probePlan")
   }
+
+  test("index lifecycle: clone never shares an index; deleteTable cascades") {
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    import graft.write.Put
+    val g = graft.Graft(spark,
+      java.nio.file.Files.createTempDirectory("graft-ixlife").toString)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    g.table("t").put(Seq(Put(b("r1")).add("f", q, 2L, b("paris"))), 2L)
+    val ix = g.createIndex("t", "f", q, 3L)
+    g.snapshot("s", "t", 4L)
+    // a clone starts INDEX-LESS (its appends must never dual-write into
+    // the source's index table)
+    g.cloneSnapshot("s", "t2", 5L)
+    assert(g.table("t2").descriptor.indexes.isEmpty)
+    val idxCellsBefore = g.catalog.read(ix.indexTable).count()
+    g.table("t2").put(Seq(Put(b("r9")).add("f", q, 6L, b("lima"))), 6L)
+    assert(g.catalog.read(ix.indexTable).count() == idxCellsBefore,
+      "a clone append leaked into the source's index table")
+    // source lookups are unaffected by clone writes
+    assert(rowsOf(g.table("t").indexLookup("f", q, Seq(b("paris")))) == Set("r1"))
+    assert(rowsOf(g.table("t").indexLookup("f", q, Seq(b("lima")))).isEmpty)
+    // dropping the data table cascades to its registered index tables
+    g.deleteTable("t")
+    assert(!g.tableExists(ix.indexTable))
+    assert(g.tableExists("t2")) // unrelated tables untouched
+  }
 }

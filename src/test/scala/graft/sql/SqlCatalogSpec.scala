@@ -579,4 +579,22 @@ class SqlCatalogSpec extends SparkSpec {
       .length(col("row"))).distinct().collect().map(_.getInt(0)).toSet
     assert(raw == Set(5)) // 'rNNN' (4 bytes) + 1 salt byte
   }
+
+  test("CREATE TABLE declares saltBuckets from SQL DDL") {
+    val r = Files.createTempDirectory("graft-sqlddlsalt").toString
+    spark.conf.set("spark.sql.catalog.graft_dsalt", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dsalt.root", r)
+    spark.sql("CREATE TABLE graft_dsalt.td " +
+      "TBLPROPERTIES('families'='f', 'saltBuckets'='8')")
+    val g = Graft(spark, r)
+    assert(g.table("td").descriptor.saltBuckets == 8)
+    spark.sql("INSERT INTO graft_dsalt.td VALUES " +
+      s"(${hex("k1")}, 'f', ${hex("q")}, 1, CAST(4 AS TINYINT), ${hex("v1")}, 0)")
+    // stored salted (3-byte keys), read logical
+    assert(g.table("td").cells.select(org.apache.spark.sql.functions
+      .length(col("row"))).collect().map(_.getInt(0)).toSet == Set(3))
+    assert(collectCells(spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_dsalt.td"))
+      == Set(("k1", "f", "q", 1L, "v1")))
+  }
 }
