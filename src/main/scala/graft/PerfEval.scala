@@ -192,6 +192,52 @@ object PerfEval {
       }
     }
 
+    // --- property-driven paths (r08): salt + registered index as TABLE
+    // properties, same workload shapes as their manual twins above so the
+    // numbers answer "what does the transparent layer cost":
+    // saltedWrite vs sequentialWrite (one extra codegen'd hash-prefix
+    // column in the layout job), saltedScanRange1000 vs scanRange1000
+    // (16-way scatter OR vs one range, both parquet-pruned),
+    // saltedRandomRead vs randomRead (a single salted range each — the
+    // JVM-side salt keeps point reads O(1)), registeredIndexLookup5 vs
+    // indexLookup5 (the facade route over the SALTED table: registered
+    // probe + size-gated gather + verified read on the logical view).
+    g.createTable(TableDescriptor("pe_salt",
+      Seq(FamilyDescriptor("o")), saltBuckets = 16), 1L)
+    results("saltedWrite") = timed {
+      g.table("pe_salt").mutate(
+        CellCodec.encode(orders, "o", Seq("o_orderkey")), nowMs = 1L)
+    }
+    val tsalt = g.table("pe_salt")
+    tsalt.get(Get(Bytes.toBytes(1L))).count() // warm footers outside timing
+    results("saltedScanRange1000") = timedMin2 {
+      var i = 0L
+      while (i < 20) {
+        val start = (i * 9973L) % math.max(1L, keys - 1000L)
+        tsalt.scan(Scan().setStartRow(Bytes.toBytes(start))
+          .setStopRow(Bytes.toBytes(start + 1000L))).count()
+        i += 1
+      }
+    }
+    results("saltedRandomRead") = timedMin2 {
+      var i = 0L
+      while (i < 20) {
+        val k = 1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys)
+        tsalt.get(Get(Bytes.toBytes(k))).count()
+        i += 1
+      }
+    }
+    results("registeredIndexBuild") = timed {
+      g.createIndex("pe_salt", "o", custQ, nowMs = 2L): Unit
+    }
+    results("registeredIndexLookup5") = timedMin2 {
+      var i = 0L
+      while (i < 5) {
+        tsalt.indexLookup("o", custQ, Seq(custKey(i))).count()
+        i += 1
+      }
+    }
+
     // randomWrite: a 10% mutation batch appended as a delta
     results("randomWrite") = timed {
       val batch = CellCodec.encode(

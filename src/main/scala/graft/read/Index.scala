@@ -96,24 +96,35 @@ object SecondaryIndex {
       .select(col("value").as("row")).distinct()
   }
 
-  /** Candidate gather, SIZE-GATED: count the probe (one cheap job on the
-    * O(hits) parquet-pruned frame), broadcast the hit keys into the main
-    * scan when they fit, fall back to a shuffle left-semi join when a
-    * non-selective value returns millions (the join re-runs the probe —
-    * two pruned index scans, never a cached or driver-held key set).
-    * Returns candidate main-table CELLS (unresolved). */
+  /** Candidate gather, SIZE-GATED and SPAN-BOUNDED: one cheap stats job
+    * on the O(hits) parquet-pruned probe yields (count, min key, max
+    * key); the hit-key SPAN `[min, succ(max))` then bounds the main scan
+    * — parquet min/max pruning reads only the candidates' key range, the
+    * multiGet shape, instead of the whole table feeding the semi-join
+    * (at 100 TB the gather's scan cost is the span, not the table; a
+    * scattered hit set degrades to the full span, never worse than an
+    * unbounded scan). Below `broadcastMaxKeys` hits broadcast into that
+    * scan; above it — a hot value on a low-cardinality column — the
+    * shuffle-hash hint FORCES the non-broadcast semi-join (the count is
+    * exact, so no stats misestimate may re-introduce a driver-built
+    * broadcast of millions of keys). The join re-runs the probe: two
+    * pruned index scans, never a cached or driver-held key set. Returns
+    * candidate main-table CELLS (unresolved). */
   def gather(mainCells: DataFrame, index: DataFrame,
       values: Seq[Array[Byte]],
       broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame = {
     val hits =
       if (values.sizeIs == 1) probe(index, values.head) else probeAll(index, values)
-    val n = hits.count()
-    // Above the gate the shuffle-hash hint FORCES the non-broadcast plan:
-    // the count is exact, so no stats misestimate may re-introduce a
-    // driver-built broadcast of millions of keys.
+    val stats = hits.agg(count(lit(1)), min(col("row")), max(col("row")))
+      .collect()(0)
+    val n = stats.getLong(0)
+    if (n == 0) return mainCells.limit(0)
+    val lo = stats.getAs[Array[Byte]](1)
+    val hi = Bytes.successor(stats.getAs[Array[Byte]](2))
+    val span = mainCells.filter(col("row") >= lit(lo) && col("row") < lit(hi))
     val keyed =
       if (n <= broadcastMaxKeys) broadcast(hits) else hits.hint("shuffle_hash")
-    mainCells.join(keyed, Seq("row"), "left_semi")
+    span.join(keyed, Seq("row"), "left_semi")
   }
 
   /** Index-backed equality lookup: probe (small) -> gather the hit keys
