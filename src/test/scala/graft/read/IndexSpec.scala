@@ -180,6 +180,27 @@ class IndexSpec extends SparkSpec {
       s"probe range not pushed:\n$probePlan")
   }
 
+  test("gather span-bounds the main scan: hit-key range pushed to parquet") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ixspan")
+      .toString + "/cells"
+    cells((0 until 1000).map { i =>
+      Cell.put(Bytes.toBytes(i.toLong), "f", q, 1L,
+        b(if (i == 400 || i == 600) "paris" else "other"))
+    }).toDF().write.parquet(dir)
+    val main = spark.read.schema(graft.core.Cell.schema).parquet(dir)
+    val idx = SecondaryIndex.indexCells(main, "f", q)
+    val hit = SecondaryIndex.lookup(main, idx, "f", q, b("paris"))
+    // correctness: exactly the two matching rows, all their cells
+    assert(hit.select("row").distinct().collect()
+      .map(r => Bytes.toLong(r.getAs[Array[Byte]](0))).toSet == Set(400L, 600L))
+    // the span [min(hit), succ(max(hit))) reached the MAIN parquet scan:
+    // row-group pruning bounds the gather to the candidates' key range
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(row") && plan.contains("LessThan(row"),
+      s"hit-key span not pushed into the main scan:\n$plan")
+  }
+
   test("index lifecycle: clone never shares an index; deleteTable cascades") {
     import graft.catalog.{FamilyDescriptor, TableDescriptor}
     import graft.write.Put
