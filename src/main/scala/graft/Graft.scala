@@ -93,8 +93,10 @@ final case class Graft(spark: SparkSession, root: String) {
     * from then on `Catalog.append` maintains it and reads route through
     * it ([[GraftTable.indexLookup]], the SQL door's pushdown). */
   def createIndex(table: String, family: String, qualifier: Array[Byte],
-      nowMs: Long, indexTable: Option[String] = None): IndexDescriptor =
-    SecondaryIndex.create(catalog, table, family, qualifier, nowMs, indexTable)
+      nowMs: Long, indexTable: Option[String] = None,
+      covered: Seq[(String, Array[Byte])] = Nil): IndexDescriptor =
+    SecondaryIndex.create(catalog, table, family, qualifier, nowMs,
+      indexTable, covered)
 }
 
 /** Per-table operations (`HTable`). Reads honor the family descriptor's
@@ -193,6 +195,24 @@ final case class GraftTable(g: Graft, name: String) {
           s"${qualifier.map(b => f"$b%02x").mkString})"))
     SecondaryIndex.lookupAll(logicalCells, g.catalog.read(ix.indexTable),
       family, qualifier, values)
+  }
+
+  /** COVERED equality/IN lookup ([[SecondaryIndex.lookupCovered]]): the
+    * result — matching rows projected to the indexed + covered columns —
+    * is assembled from the index table ALONE, zero main-table touch.
+    * O(hits), no gather. Requires the index to declare covered columns
+    * (and therefore the table to declare immutableRows). */
+  def indexLookupCovered(family: String, qualifier: Array[Byte],
+      values: Seq[Array[Byte]]): DataFrame = {
+    val ix = descriptor.indexOn(family, qualifier).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $name has no index on ($family, " +
+          s"${qualifier.map(b => f"$b%02x").mkString})"))
+    require(ix.covered.nonEmpty,
+      s"index on ($family, ...) of table $name has no covered columns; " +
+        "use indexLookup (verified read) instead")
+    SecondaryIndex.lookupCovered(g.catalog.read(ix.indexTable),
+      family, qualifier, values, ix.covered)
   }
 
   /** [[SecondaryIndex.rebuild]] of every registered index (index GC). */

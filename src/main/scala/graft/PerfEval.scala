@@ -238,6 +238,29 @@ object PerfEval {
       }
     }
 
+    // coveredIndexBuild / coveredIndexLookup5: the COVERED-column trade
+    // (Phoenix INCLUDE on an immutableRows table). Build pays the
+    // resolve + within-batch covered join; lookup5 answers the same 5
+    // equality queries from the index table ALONE — no gather, no span,
+    // no main-table scan. The spread vs registeredIndexLookup5 prices
+    // what covering buys: the read cost is the hit set, full stop.
+    g.createTable(TableDescriptor("pe_cov",
+      Seq(FamilyDescriptor("o")), immutableRows = true), 1L)
+    g.table("pe_cov").mutate(
+      CellCodec.encode(orders, "o", Seq("o_orderkey")), nowMs = 1L)
+    results("coveredIndexBuild") = timed {
+      g.createIndex("pe_cov", "o", custQ, nowMs = 2L,
+        covered = Seq("o" -> Bytes.toBytes("o_totalprice"))): Unit
+    }
+    val tcov = g.table("pe_cov")
+    results("coveredIndexLookup5") = timedMin2 {
+      var i = 0L
+      while (i < 5) {
+        tcov.indexLookupCovered("o", custQ, Seq(custKey(i))).count()
+        i += 1
+      }
+    }
+
     // randomWrite: a 10% mutation batch appended as a delta
     results("randomWrite") = timed {
       val batch = CellCodec.encode(

@@ -409,6 +409,59 @@ object Queries {
     CellCodec.decode(hit, ordersSchema).orderBy("o_orderkey")
   }
 
+  // COVERED index columns (Phoenix INCLUDE, read/Index.scala
+  // lookupCovered): the index on o_custkey additionally stores
+  // o_totalprice and o_orderdate, so this projection is answered from
+  // the index table ALONE — zero main-table touch (CoveredIndexSpec
+  // asserts the plan reads no main-table files). The table declares
+  // immutableRows; batches split around CREATE INDEX so entries come
+  // through both the initial covered build and append-time covered
+  // maintenance; a key-range DELETE lands as synchronously-translated
+  // index tombstones and the lookup runs WITHOUT any rebuild — deletes
+  // must reach covered reads at write time. Oracle = plain predicate
+  // minus the deleted range.
+  private val coveredIndexRoots = scala.collection.mutable.Map.empty[String, String]
+  private val coveredIndexLookup = Q("index_covered_lookup", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+    WHERE o_custkey IN (7, 37, 73)
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      coveredIndexRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-ixcov").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_cov",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, immutableRows = true),
+          nowMs = 1L)
+        val cells = CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"))
+        val second = pmod(xxhash64(col("row")), lit(3)) === 0
+        g.table("orders_cov").mutate(cells.filter(!second), nowMs = 1L)
+        g.createIndex("orders_cov", "o", Bytes.toBytes("o_custkey"), nowMs = 2L,
+          covered = Seq("o" -> Bytes.toBytes("o_totalprice"),
+            "o" -> Bytes.toBytes("o_orderdate")))
+        g.table("orders_cov").mutate(cells.filter(second), nowMs = 2L)
+        val doomed = cells
+          .filter(col("row") >= lit(Bytes.toBytes(1000L)) &&
+            col("row") < lit(Bytes.toBytes(30000L)))
+          .select("row").distinct()
+        g.table("orders_cov").mutate(
+          Mutations.deleteFamilyCells(doomed, col("row"), "o", ts = 3L),
+          nowMs = 3L)
+        r
+      })
+    }
+    val g = graft.Graft(s, root)
+    val hit = g.table("orders_cov").indexLookupCovered("o",
+      Bytes.toBytes("o_custkey"), Seq(7L, 37L, 73L).map(Bytes.toBytes))
+    CellCodec.decode(hit, StructType(Seq(
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampNTZType))),
+      key = Seq("o_orderkey" -> LongType))
+      .orderBy("o_orderkey")
+  }
+
   private val getPoint = Q("get_point", Some(s"""
     SELECT $ordersCols FROM orders WHERE o_orderkey = 100""")) { (s, dir) =>
     val g = Get(CellCodec.rowKeyOf(100L))
@@ -3448,7 +3501,7 @@ object Queries {
     dataContract,
     q1Agg, q3Join,
     scanRange, saltedScan, saltedIndexLookup, indexLookup, sqlIndexLookup,
-    indexGcLookup, getPoint, getRowOrBefore, rowCounter,
+    indexGcLookup, coveredIndexLookup, getPoint, getRowOrBefore, rowCounter,
     existsGet,
     dependentColumn, exportImport, multiGet, ttlScan,
     prefixFilter, columnPrefixFilter, valueFilterSubstr, valueFilterRegex,

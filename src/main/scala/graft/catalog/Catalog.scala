@@ -42,9 +42,22 @@ final case class FamilyDescriptor(
 final case class IndexDescriptor(
     family: String,
     qualifier: Array[Byte],
-    indexTable: String) {
+    indexTable: String,
+    /** Covered (INCLUDE) columns — the Phoenix covered-column design: the
+      * index table also stores these columns' values, so a lookup whose
+      * projection is within `indexed + covered + row key` is answered
+      * from the index ALONE, zero main-table touch (`SecondaryIndex
+      * .lookupCovered`). Requires the main table to declare
+      * `immutableRows` (no value overwrites) — deletes are maintained
+      * synchronously as index tombstones, updates would leave the old
+      * entry live with no read-time verification to catch it. */
+    covered: Seq[(String, Array[Byte])] = Nil) {
   def matches(f: String, q: Array[Byte]): Boolean =
     family == f && java.util.Arrays.equals(qualifier, q)
+  def coversColumn(f: String, q: Array[Byte]): Boolean =
+    covered.exists { case (cf, cq) =>
+      cf == f && java.util.Arrays.equals(cq, q)
+    }
 }
 
 /** Table shape — reference `HTableDescriptor.java` (698 LoC): name +
@@ -63,7 +76,15 @@ final case class IndexDescriptor(
   * scatter-gathers and strips automatically — callers only ever see
   * logical keys. Immutable after creation (the physical sort order is
   * baked into every committed file). `indexes` registers global
-  * secondary indexes (see [[IndexDescriptor]]). */
+  * secondary indexes (see [[IndexDescriptor]]).
+  *
+  * `immutableRows` declares the Phoenix IMMUTABLE_ROWS contract: rows
+  * are written once and never get value overwrites (deletes are still
+  * allowed). The declaration is what makes COVERED index columns sound —
+  * a covered read never re-verifies against the main table, so an
+  * overwrite would leave a stale covered entry undetected. Advisory on
+  * writes (batch appends can't cheaply prove an overwrite), enforced at
+  * covered-index creation. */
 final case class TableDescriptor(
     name: String,
     families: Seq[FamilyDescriptor],
@@ -71,7 +92,8 @@ final case class TableDescriptor(
     splitKeys: Int = 32,
     splitBoundaries: Seq[Array[Byte]] = Nil,
     saltBuckets: Int = 0,
-    indexes: Seq[IndexDescriptor] = Nil) {
+    indexes: Seq[IndexDescriptor] = Nil,
+    immutableRows: Boolean = false) {
   def family(n: String): FamilyDescriptor =
     families.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"no family $n in table $name"))
@@ -109,13 +131,20 @@ object ManifestJson {
     val bounds = m.descriptor.splitBoundaries
       .map(b => esc(b.map(x => f"$x%02x").mkString)).mkString("[", ",", "]")
     val ixs = m.descriptor.indexes.map { ix =>
+      // covered list kept FLAT (one string, no nested arrays/objects) so
+      // the minimal per-object parser below stays valid
+      val cov = ix.covered.map { case (f, q) =>
+        f + ":" + q.map(x => f"$x%02x").mkString
+      }.mkString(";")
       s"""{"ixFamily":${esc(ix.family)},""" +
         s""""ixQualifier":${esc(ix.qualifier.map(x => f"$x%02x").mkString)},""" +
+        s""""ixCovered":${esc(cov)},""" +
         s""""ixTable":${esc(ix.indexTable)}}"""
     }.mkString("[", ",", "]")
     s"""{"table":${esc(m.table)},"version":${m.version},"createdMs":${m.createdMs},""" +
       s""""readOnly":${m.descriptor.readOnly},"splitKeys":${m.descriptor.splitKeys},""" +
       s""""saltBuckets":${m.descriptor.saltBuckets},""" +
+      s""""immutableRows":${m.descriptor.immutableRows},""" +
       s""""splitBoundaries":$bounds,"indexes":$ixs,""" +
       s""""families":$fams,"dataDirs":${m.dataDirs.map(esc).mkString("[", ",", "]")}}"""
   }
@@ -178,17 +207,29 @@ object ManifestJson {
         val j = s.indexOf("]", i)
         val block = s.substring(i + "\"indexes\":[".length, j)
         "\\{[^}]*\\}".r.findAllIn(block).map { ix =>
+          // legacy (pre-covered) index objects have no ixCovered → Nil
+          val cov = "\"ixCovered\":\"([^\"]*)\"".r.findFirstMatchIn(ix)
+            .map(_.group(1)).filter(_.nonEmpty).fold(
+              Seq.empty[(String, Array[Byte])]) {
+              _.split(';').toSeq.map { e =>
+                val c = e.lastIndexOf(':')
+                (e.substring(0, c), e.substring(c + 1).grouped(2)
+                  .map(Integer.parseInt(_, 16).toByte).toArray)
+              }
+            }
           IndexDescriptor(
             "\"ixFamily\":\"([^\"]*)\"".r.findFirstMatchIn(ix).get.group(1),
             "\"ixQualifier\":\"([0-9a-f]*)\"".r.findFirstMatchIn(ix).get.group(1)
               .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
-            "\"ixTable\":\"([^\"]*)\"".r.findFirstMatchIn(ix).get.group(1))
+            "\"ixTable\":\"([^\"]*)\"".r.findFirstMatchIn(ix).get.group(1),
+            cov)
         }.toSeq
       }
     }
     Manifest(str("table"), num("version"), num("createdMs"),
       TableDescriptor(str("table"), fams, bool("readOnly"),
-        num("splitKeys").toInt, bounds, salt, ixs), dirs)
+        num("splitKeys").toInt, bounds, salt, ixs,
+        immutableRows = bool("immutableRows")), dirs)
   }
 }
 
@@ -477,8 +518,15 @@ final class Catalog(spark: SparkSession, root: String) {
     val cur = currentManifest(t)
     require(!cur.descriptor.readOnly, s"table $t is read-only")
     cur.descriptor.indexes.foreach { ix =>
+      // Pre-append logical view, read only by covered-index tombstone
+      // maintenance (and only when the batch actually has tombstones).
+      lazy val pre = {
+        val raw = readManifest(cur)
+        if (cur.descriptor.saltBuckets > 0) graft.core.Salt.stripCells(raw)
+        else raw
+      }
       append(ix.indexTable,
-        graft.read.SecondaryIndex.indexCells(cells, ix.family, ix.qualifier),
+        graft.read.SecondaryIndex.maintenanceDelta(pre, cells, ix),
         nowMs): Unit
     }
     val storage =

@@ -48,6 +48,15 @@ object SecondaryIndex {
   private val RowQualifier: Array[Byte] = Bytes.toBytes("r")
   private val Sep: Array[Byte] = Array(0.toByte)
 
+  /** Index-table qualifier under which a covered column's value is
+    * stored: `"c:" ++ family ++ ":" ++ qualifier`. Family names are
+    * `:`-free (directory-safe, like the reference's
+    * `HColumnDescriptor.isLegalFamilyName`), so the encoding is
+    * prefix-free against the pointer qualifier `"r"` and unambiguous
+    * per covered column. */
+  def coveredQualifier(family: String, qualifier: Array[Byte]): Array[Byte] =
+    Bytes.toBytes("c:" + family + ":") ++ qualifier
+
   /** Broadcast cap for the gather step: probes at or under this many hit
     * keys broadcast into the main scan (the designed O(hits) plan); above
     * it — the "index on a low-cardinality column, hot value" shape — the
@@ -74,6 +83,117 @@ object SecondaryIndex {
         lit(CellKind.Put).as("kind"),
         col("row").as("value"),
         col("seq"))
+
+  /** Covered variant of [[indexCells]]: besides the pointer entry, emit
+    * one index cell per covered column value of each indexed row, keyed
+    * at the SAME index row (`value ++ 0x00 ++ mainRow`), qualifier
+    * [[coveredQualifier]], carrying the covered cell's own ts/seq — so
+    * index-side tombstone masking and duplicate dedup transfer exactly.
+    *
+    * The covered cells need the row's indexed value for the index row
+    * key, so unlike the base projection this is a JOIN — but only WITHIN
+    * the batch (anchors × covered cells on `row`), never against the
+    * main table: on an `immutableRows` table every row's cells arrive in
+    * one batch, which is exactly the contract that makes covered indexes
+    * sound (Phoenix's IMMUTABLE_ROWS precondition for its client-side
+    * covered maintenance). O(batch) shuffle, independent of table size. */
+  def indexCellsCovered(cells: DataFrame, family: String,
+      qualifier: Array[Byte],
+      covered: Seq[(String, Array[Byte])]): DataFrame = {
+    val base = indexCells(cells, family, qualifier)
+    if (covered.isEmpty) return base
+    val anchors = cells
+      .filter(col("family") === family &&
+        col("qualifier") === lit(qualifier) &&
+        col("kind") === CellKind.Put && col("value").isNotNull)
+      .select(col("row"),
+        concat(col("value"), lit(Sep), col("row")).as("_ixRow"))
+    val covPred = covered.map { case (cf, cq) =>
+      col("family") === cf && col("qualifier") === lit(cq)
+    }.reduce(_ || _)
+    val covCells = cells
+      .filter(col("kind") === CellKind.Put && col("value").isNotNull && covPred)
+      .join(anchors, "row")
+      .select(
+        col("_ixRow").as("row"),
+        lit(IndexFamily).as("family"),
+        concat(lit(Bytes.toBytes("c:")), encode(col("family"), "UTF-8"),
+          lit(Bytes.toBytes(":")), col("qualifier")).as("qualifier"),
+        col("ts"),
+        lit(CellKind.Put).as("kind"),
+        col("value"),
+        col("seq"))
+    base.unionByName(covCells)
+  }
+
+  /** Synchronous DELETE maintenance for a covered index: translate the
+    * batch's tombstones into index-table tombstones, so covered reads
+    * (which never verify against the main table) see deletes
+    * immediately. The tombstoned rows' CURRENT indexed values locate the
+    * index rows — one SPAN-BOUNDED read of the pre-append main table
+    * (`[min(tombRow), succ(max))`, parquet-pruned like the gather), the
+    * batch analog of Phoenix's read-before-write index delete. Skipped
+    * entirely (one cheap agg on the delta) for pure-put batches — the
+    * common shape on an immutable-rows table.
+    *
+    * The translation is kind-exact: a tombstone masking the INDEXED
+    * column (DeleteFamily on its family, DeleteColumn, or exact-version
+    * Delete) becomes the SAME-shaped tombstone on the index row's
+    * POINTER qualifier (`DeleteColumn` for the `<= ts` kinds, `Delete`
+    * for the exact kind), and a tombstone masking a covered column
+    * becomes the same-shaped tombstone on that covered qualifier
+    * (a DeleteFamily fans out to each covered column of its family).
+    * Index cells carry main-cell timestamps, so the reference's masking
+    * rules (`ScanDeleteTracker`: `ts <= T` for family/column kinds,
+    * `ts == T` for the point kind, delete-wins at equal ts) transfer
+    * verbatim through the index table's own resolve. [[lookupCovered]]
+    * gates covered cells on a LIVE POINTER, so killing the pointer kills
+    * the whole logical match without touching the covered entries. */
+  def deleteIndexCells(mainPre: DataFrame, delta: DataFrame, family: String,
+      qualifier: Array[Byte],
+      covered: Seq[(String, Array[Byte])]): DataFrame = {
+    val k = col("kind")
+    val killsIndexed =
+      (k === CellKind.DeleteFamily && col("family") === family) ||
+        ((k === CellKind.DeleteColumn || k === CellKind.Delete) &&
+          col("family") === family && col("qualifier") === lit(qualifier))
+    def killsCovered(cf: String, cq: Array[Byte]) =
+      (k === CellKind.DeleteFamily && col("family") === cf) ||
+        ((k === CellKind.DeleteColumn || k === CellKind.Delete) &&
+          col("family") === cf && col("qualifier") === lit(cq))
+    val relevant = covered.map((killsCovered _).tupled)
+      .foldLeft(killsIndexed)(_ || _)
+    val tombs = delta.filter(k =!= CellKind.Put && relevant)
+      .select("row", "family", "qualifier", "ts", "kind", "seq")
+    val stats = tombs.agg(count(lit(1)), min(col("row")), max(col("row")))
+      .collect()(0)
+    if (stats.getLong(0) == 0) return delta.limit(0)
+    val lo = stats.getAs[Array[Byte]](1)
+    val hi = Bytes.successor(stats.getAs[Array[Byte]](2))
+    val span = mainPre.filter(col("row") >= lit(lo) && col("row") < lit(hi))
+    val cur = Resolve(span)
+      .filter(col("family") === family && col("qualifier") === lit(qualifier))
+      .select(col("row"), col("value").as("_ixVal"))
+    val joined = tombs.join(cur, "row")
+    val ixRow = concat(col("_ixVal"), lit(Sep), col("row"))
+    // exact-version main tombstones stay exact-version on the index side
+    val kindOut = when(k === CellKind.Delete, lit(CellKind.Delete))
+      .otherwise(lit(CellKind.DeleteColumn))
+    def emit(cond: org.apache.spark.sql.Column,
+        ixQual: Array[Byte]): DataFrame =
+      joined.filter(cond).select(
+        ixRow.as("row"),
+        lit(IndexFamily).as("family"),
+        lit(ixQual).as("qualifier"),
+        col("ts"),
+        kindOut.as("kind"),
+        lit(null).cast(BinaryType).as("value"),
+        col("seq"))
+    val delPointer = emit(killsIndexed, RowQualifier)
+    covered.map { case (cf, cq) =>
+      emit(killsCovered(cf, cq), coveredQualifier(cf, cq))
+    }.foldLeft(delPointer)(_ unionByName _)
+  }
 
   /** Probe the index for an exact value: a range scan over
     * `[v ++ 0x00, v ++ 0x01)` returning the distinct candidate main-row
@@ -161,6 +281,68 @@ object SecondaryIndex {
       .filter(col("_idx_ok") === 1).drop("_idx_ok")
   }
 
+  /** The per-append index delta `Catalog.append` dual-writes: the plain
+    * per-cell projection for a pointer-only index (cheap writes, verified
+    * reads); for a COVERED index additionally the within-batch covered
+    * join plus synchronous tombstone translation (covered reads skip
+    * verification, so deletes must reach the index at write time).
+    * `mainPre` is the LOGICAL pre-append view, only read when the batch
+    * contains relevant tombstones. */
+  def maintenanceDelta(mainPre: => DataFrame, delta: DataFrame,
+      ix: graft.catalog.IndexDescriptor): DataFrame =
+    if (ix.covered.isEmpty) indexCells(delta, ix.family, ix.qualifier)
+    else indexCellsCovered(delta, ix.family, ix.qualifier, ix.covered)
+      .unionByName(
+        deleteIndexCells(mainPre, delta, ix.family, ix.qualifier, ix.covered))
+
+  /** COVERED lookup — the whole point of covered columns: the query is
+    * answered from the index table ALONE, zero main-table touch. One
+    * resolved index pass over the probe ranges (index-side tombstones
+    * and version caps applied by the normal scan), then the index cells
+    * are re-shaped into main-table cells: the pointer entry becomes the
+    * indexed column's cell, each covered entry becomes its column's
+    * cell, and the main row key is the index row key minus the
+    * `value ++ 0x00` prefix. O(hits) index scan, O(1) driver work, no
+    * gather, no span, no semi-join — at 100 TB the read cost is the hit
+    * set, full stop. Sound only under the `immutableRows` contract
+    * (enforced at [[create]]). */
+  def lookupCovered(index: DataFrame, family: String,
+      qualifier: Array[Byte], values: Seq[Array[Byte]],
+      covered: Seq[(String, Array[Byte])]): DataFrame = {
+    require(values.nonEmpty, "lookupCovered needs at least one value")
+    val pred = values.map(v =>
+        col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte)))
+      .reduce(_ || _)
+    // Covered cells are visible only under a LIVE POINTER in the same
+    // index row: delete maintenance kills the pointer, and this gate
+    // makes the whole logical match disappear with it — one window over
+    // the O(hits) frame, still zero main-table touch.
+    val resolved = ScanExec(index.filter(pred), Scan())
+    val wIxRow = org.apache.spark.sql.expressions.Window.partitionBy("row")
+    val vis = resolved
+      .withColumn("_ptr",
+        max(when(col("qualifier") === lit(RowQualifier), 1).otherwise(0))
+          .over(wIxRow))
+      .filter(col("_ptr") === 1).drop("_ptr")
+    val perValue = values.map { v =>
+      val inRange = col("row") >= lit(v ++ Sep) &&
+        col("row") < lit(v ++ Array(1.toByte))
+      // 1-based substring past `value ++ 0x00` = the logical main row key
+      val mainRow = expr(s"substring(row, ${v.length + 2}, 2147483647)")
+      val ptr = vis.filter(inRange && col("qualifier") === lit(RowQualifier))
+        .select(mainRow.as("row"), lit(family).as("family"),
+          lit(qualifier).as("qualifier"), col("ts"),
+          lit(CellKind.Put).as("kind"), lit(v).as("value"), col("seq"))
+      covered.map { case (cf, cq) =>
+        vis.filter(inRange && col("qualifier") === lit(coveredQualifier(cf, cq)))
+          .select(mainRow.as("row"), lit(cf).as("family"),
+            lit(cq).as("qualifier"), col("ts"),
+            lit(CellKind.Put).as("kind"), col("value"), col("seq"))
+      }.foldLeft(ptr)(_ unionByName _)
+    }
+    perValue.reduce(_ unionByName _)
+  }
+
   /** Deterministic default index-table name for one indexed column. */
   def defaultIndexTable(table: String, family: String,
       qualifier: Array[Byte]): String =
@@ -183,21 +365,48 @@ object SecondaryIndex {
     * concurrent DROP/bulk-load during the build still needs a rebuild. */
   def create(catalog: Catalog, table: String, family: String,
       qualifier: Array[Byte], nowMs: Long,
-      indexTable: Option[String] = None): IndexDescriptor = {
+      indexTable: Option[String] = None,
+      covered: Seq[(String, Array[Byte])] = Nil): IndexDescriptor = {
     val cur = catalog.currentManifest(table)
     require(cur.descriptor.indexOn(family, qualifier).isEmpty,
       s"table $table already has an index on ($family, " +
         s"${qualifier.map(b => f"$b%02x").mkString})")
+    // Covered columns are sound only when rows never get value
+    // overwrites — the covered read path skips the main-table verify.
+    require(covered.isEmpty || cur.descriptor.immutableRows,
+      s"covered index columns require table $table to declare " +
+        "immutableRows (Phoenix IMMUTABLE_ROWS): covered reads are not " +
+        "verified against the main table, so value overwrites would go " +
+        "undetected")
     val ixName = indexTable.getOrElse(defaultIndexTable(table, family, qualifier))
     catalog.createTable(TableDescriptor(ixName,
       Seq(FamilyDescriptor(IndexFamily, maxVersions = 1)),
       splitKeys = cur.descriptor.splitKeys), nowMs)
-    val ix = IndexDescriptor(family, qualifier, ixName)
+    val ix = IndexDescriptor(family, qualifier, ixName, covered)
     catalog.alterTable(table,
       cur.descriptor.copy(indexes = cur.descriptor.indexes :+ ix), nowMs)
+    // Pointer-only indexes build from RAW puts (stale entries are
+    // verified away on read); a covered build must start from the
+    // VISIBLE view — pre-existing deletes have no read-time safety net
+    // on the covered path.
+    val src =
+      if (covered.isEmpty) logicalRead(catalog, cur)
+      else visibleCells(catalog, cur, nowMs)
     catalog.append(ixName,
-      indexCells(logicalRead(catalog, cur), family, qualifier), nowMs)
+      indexCellsCovered(src, family, qualifier, covered), nowMs)
     ix
+  }
+
+  /** The CURRENTLY VISIBLE cells of a manifest under its family
+    * descriptors — what covered builds and [[rebuild]] index. */
+  private def visibleCells(catalog: Catalog, m: graft.catalog.Manifest,
+      nowMs: Long): DataFrame = {
+    val d = m.descriptor
+    Resolve(logicalRead(catalog, m), ReadView(
+      maxVersions = Int.MaxValue,
+      familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
+      familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap,
+      now = nowMs))
   }
 
   /** Index GC — the index table's major-compaction analog: rewrite the
@@ -211,14 +420,11 @@ object SecondaryIndex {
   def rebuild(catalog: Catalog, table: String, ix: IndexDescriptor,
       nowMs: Long): Unit = {
     val m = catalog.currentManifest(table)
-    val d = m.descriptor
-    val visible = Resolve(logicalRead(catalog, m), ReadView(
-      maxVersions = Int.MaxValue,
-      familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
-      familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap,
-      now = nowMs))
+    // visible cells carry no tombstones, so the covered rebuild needs no
+    // delete translation — stale/deleted entries drop out wholesale
     catalog.replaceData(ix.indexTable,
-      indexCells(visible, ix.family, ix.qualifier), nowMs): Unit
+      indexCellsCovered(visibleCells(catalog, m, nowMs),
+        ix.family, ix.qualifier, ix.covered), nowMs): Unit
   }
 
   /** [[rebuild]] every registered index of a table — wired into

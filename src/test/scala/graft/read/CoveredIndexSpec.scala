@@ -1,0 +1,155 @@
+package graft.read
+
+import graft.SparkSpec
+import graft.catalog.{FamilyDescriptor, TableDescriptor}
+import graft.core.Bytes
+import graft.write.{Delete, Put}
+
+/** Covered (INCLUDE) index columns — the Phoenix covered-column design
+  * on immutable-rows tables: lookups whose projection is within
+  * indexed + covered + row key are answered from the index table ALONE,
+  * with deletes maintained synchronously as index tombstones. */
+class CoveredIndexSpec extends SparkSpec {
+
+  private def b(s: String) = Bytes.toBytes(s)
+  private val q = b("city")
+  private val popQ = b("pop")
+  private val zipQ = b("zip")
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select("row").distinct().collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet
+
+  private def freshGraft(tag: String): graft.Graft = graft.Graft(spark,
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString)
+
+  private def coveredTable(g: graft.Graft): graft.GraftTable = {
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f", maxVersions = 1),
+        FamilyDescriptor("m", maxVersions = 1)),
+      splitKeys = 2, immutableRows = true), 1L)
+    val t = g.table("t")
+    t.put(Seq(
+      Put(b("r1")).add("f", q, 2L, b("paris")).add("f", popQ, 2L, b("2m"))
+        .add("m", zipQ, 2L, b("75")),
+      Put(b("r2")).add("f", q, 2L, b("tokyo")).add("f", popQ, 2L, b("14m"))
+        .add("m", zipQ, 2L, b("100")),
+      Put(b("r3")).add("f", q, 2L, b("paris")).add("f", popQ, 2L, b("2m"))
+        .add("m", zipQ, 2L, b("75"))), 2L)
+    g.createIndex("t", "f", q, 3L,
+      covered = Seq("f" -> popQ, "m" -> zipQ))
+    t
+  }
+
+  test("covered lookup answers from the index alone — zero main-table touch") {
+    val g = freshGraft("cov")
+    val t = coveredTable(g)
+    val hit = t.indexLookupCovered("f", q, Seq(b("paris")))
+    assert(rowsOf(hit) == Set("r1", "r3"))
+    // the full covering set comes back: indexed column + both covered
+    // columns, with the right values
+    val cellsBack = collectCells(hit)
+    assert(cellsBack.map(_._3) == Set("city", "pop", "zip"))
+    assert(cellsBack.filter(_._1 == "r1").map(c => (c._2, c._3, c._5)) ==
+      Set(("f", "city", "paris"), ("f", "pop", "2m"), ("m", "zip", "75")))
+    // THE covering property: the plan reads only the index table's files
+    val mainDir = g.root + "/t/"
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(!plan.contains(mainDir),
+      s"covered lookup touched the main table:\n$plan")
+    val ixDir = g.root + "/" +
+      t.descriptor.indexOn("f", q).get.indexTable + "/"
+    assert(plan.contains(ixDir), s"covered lookup read no index files:\n$plan")
+  }
+
+  test("IN-list covered lookup, probe ranges pushed to the index scan") {
+    val g = freshGraft("covin")
+    val t = coveredTable(g)
+    val hit = t.indexLookupCovered("f", q, Seq(b("paris"), b("tokyo")))
+    assert(rowsOf(hit) == Set("r1", "r2", "r3"))
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(row"),
+      s"probe value ranges not pushed into the index scan:\n$plan")
+  }
+
+  test("deletes reach covered reads synchronously — no rebuild needed") {
+    val g = freshGraft("covdel")
+    val t = coveredTable(g)
+    // whole-row delete: DeleteFamily on the indexed family kills the
+    // index row via the synchronously-written index DeleteFamily
+    t.delete(Seq(Delete(b("r1")).deleteFamily("f", 3L)
+      .deleteFamily("m", 3L)), 3L)
+    assert(rowsOf(t.indexLookupCovered("f", q, Seq(b("paris")))) == Set("r3"))
+    // covered-column-only delete in the other family: r3 stays matching
+    // but its zip covered cell disappears
+    t.delete(Seq(Delete(b("r3")).deleteColumns("m", zipQ, 4L)), 4L)
+    val after = t.indexLookupCovered("f", q, Seq(b("paris")))
+    assert(rowsOf(after) == Set("r3"))
+    assert(collectCells(after).map(_._3) == Set("city", "pop"))
+    // the verified (non-covered) path agrees with the covered path
+    assert(rowsOf(t.indexLookup("f", q, Seq(b("paris")))) == Set("r3"))
+  }
+
+  test("rebuild (index GC) preserves covered answers and drops dead entries") {
+    val g = freshGraft("covgc")
+    val t = coveredTable(g)
+    t.delete(Seq(Delete(b("r1")).deleteFamily("f", 3L)
+      .deleteFamily("m", 3L)), 3L)
+    val ixTable = t.descriptor.indexOn("f", q).get.indexTable
+    val before = g.catalog.read(ixTable).count()
+    t.majorCompact(4L)
+    val after = g.catalog.read(ixTable).count()
+    assert(after < before, s"covered index did not shrink: $before -> $after")
+    // 2 live rows x (pointer + 2 covered cells)
+    assert(after == 6L)
+    val hit = t.indexLookupCovered("f", q, Seq(b("paris")))
+    assert(rowsOf(hit) == Set("r3"))
+    assert(collectCells(hit).map(_._3) == Set("city", "pop", "zip"))
+  }
+
+  test("covered index on a salted table returns logical keys") {
+    val g = freshGraft("covsalt")
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, saltBuckets = 8, immutableRows = true), 1L)
+    val t = g.table("t")
+    t.put((0 until 200).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", q, 2L, b(if (i % 50 == 7) "paris" else "other"))
+        .add("f", popQ, 2L, Bytes.toBytes(i.toLong * 10))), 2L)
+    g.createIndex("t", "f", q, 3L, covered = Seq("f" -> popQ))
+    val hit = t.indexLookupCovered("f", q, Seq(b("paris")))
+    val keys = hit.select("row").distinct().collect()
+      .map(r => Bytes.toLong(r.getAs[Array[Byte]](0))).sorted.toSeq
+    assert(keys == Seq(7L, 57L, 107L, 157L))
+    // covered values decode against the logical key
+    val pops = hit.filter(org.apache.spark.sql.functions.col("qualifier")
+        === org.apache.spark.sql.functions.lit(popQ))
+      .collect().map(r => Bytes.toLong(r.getAs[Array[Byte]]("row")) ->
+        Bytes.toLong(r.getAs[Array[Byte]]("value"))).toMap
+    assert(pops == Map(7L -> 70L, 57L -> 570L, 107L -> 1070L, 157L -> 1570L))
+  }
+
+  test("covered creation requires the immutableRows declaration") {
+    val g = freshGraft("covreq")
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    intercept[IllegalArgumentException] {
+      g.createIndex("t", "f", q, 2L, covered = Seq("f" -> popQ))
+    }
+    // pointer-only indexes never need it
+    g.createIndex("t", "f", q, 3L)
+  }
+
+  test("covered registration survives the manifest JSON roundtrip") {
+    val g = freshGraft("covjson")
+    coveredTable(g)
+    // a FRESH engine instance re-reads the descriptor from disk
+    val g2 = graft.Graft(spark, g.root)
+    val ix = g2.table("t").descriptor.indexOn("f", q).get
+    assert(g2.table("t").descriptor.immutableRows)
+    assert(ix.covered.map { case (f, cq) => (f, new String(cq, "UTF-8")) } ==
+      Seq("f" -> "pop", "m" -> "zip"))
+    assert(rowsOf(g2.table("t").indexLookupCovered("f", q, Seq(b("tokyo"))))
+      == Set("r2"))
+  }
+}
