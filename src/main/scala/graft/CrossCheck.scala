@@ -126,6 +126,53 @@ object CrossCheck {
           s"direct=${direct.size} symdiff=${sym.size}" +
           s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
         if (sym.nonEmpty) sys.exit(1)
+      case "covered_index" =>
+        // The COVERED read path (index table alone, no main-table touch,
+        // delete tombstones translated synchronously — no rebuild run)
+        // against the direct path (full resolved scan -> relational
+        // predicate) on an immutableRows table at this sf, with 1%
+        // family DELETES injected after the index build. Tuples compare
+        // (key, custkey, totalprice), not just ids — the covered VALUES
+        // themselves are what the no-verify path must get right.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{Bytes, CellCodec}
+        import graft.read.Scan
+        import graft.write.Mutations
+        import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-covcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32, immutableRows = true), nowMs = 1L)
+        val cells = CellCodec.encode(orders, "o", Seq("o_orderkey"))
+        g.table("o").mutate(cells, nowMs = 1L)
+        val custQ = Bytes.toBytes("o_custkey")
+        g.createIndex("o", "o", custQ, nowMs = 2L,
+          covered = Seq("o" -> Bytes.toBytes("o_totalprice")))
+        val deletes = Mutations.deleteFamilyCells(
+          cells.filter(pmod(xxhash64(col("row")), lit(100)) === 2)
+            .select("row").distinct(),
+          col("row"), "o", ts = 5L)
+        g.table("o").mutate(deletes, nowMs = 5L)
+        val keys = (1L to 50L).toSeq
+        val schema = StructType(Seq(StructField("o_custkey", LongType),
+          StructField("o_totalprice", DoubleType)))
+        def tuples(df: org.apache.spark.sql.DataFrame) =
+          df.select("o_orderkey", "o_custkey", "o_totalprice").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val viaCovered = tuples(CellCodec.decode(
+          g.table("o").indexLookupCovered("o", custQ, keys.map(Bytes.toBytes)),
+          schema, key = Seq("o_orderkey" -> LongType)))
+        val direct = tuples(CellCodec.decode(
+          g.table("o").scan(Scan().addColumn("o", custQ)
+            .addColumn("o", Bytes.toBytes("o_totalprice"))),
+          schema, key = Seq("o_orderkey" -> LongType))
+          .filter(col("o_custkey").isin(keys: _*)))
+        val sym = (viaCovered diff direct) ++ (direct diff viaCovered)
+        println(s"[crosscheck] covered_index: covered=${viaCovered.size} " +
+          s"direct=${direct.size} symdiff=${sym.size}" +
+          s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
+        if (sym.nonEmpty) sys.exit(1)
       case other => sys.error(s"unknown check: $other")
     }
     spark.stop()

@@ -188,13 +188,43 @@ final case class GraftTable(g: Graft, name: String) {
     * gather, verified read. Composes with salting — the index stores
     * logical keys, the gather semi-joins the logical view. */
   def indexLookup(family: String, qualifier: Array[Byte],
-      values: Seq[Array[Byte]]): DataFrame = {
+      values: Seq[Array[Byte]]): DataFrame =
+    indexLookup(family, qualifier, values, Nil)
+
+  /** Projected index lookup with the Phoenix planner's route choice:
+    * when `project` (the requested (family, qualifier) columns) is
+    * non-empty and lies within this index's covered set + the indexed
+    * column itself, the query is served from the index table ALONE
+    * ([[SecondaryIndex.lookupCovered]] — zero main-table touch);
+    * otherwise the verified route runs (probe, size-gated gather,
+    * re-verify) and the projection is applied to its whole-row result.
+    * Empty `project` = whole rows, always the verified route. */
+  def indexLookup(family: String, qualifier: Array[Byte],
+      values: Seq[Array[Byte]],
+      project: Seq[(String, Array[Byte])]): DataFrame = {
     val ix = descriptor.indexOn(family, qualifier).getOrElse(
       throw new IllegalArgumentException(
         s"table $name has no index on ($family, " +
           s"${qualifier.map(b => f"$b%02x").mkString})"))
-    SecondaryIndex.lookupAll(logicalCells, g.catalog.read(ix.indexTable),
-      family, qualifier, values)
+    val coveredRoute = project.nonEmpty && project.forall { case (f, q2) =>
+      ix.matches(f, q2) || ix.coversColumn(f, q2)
+    }
+    if (coveredRoute)
+      projectCells(SecondaryIndex.lookupCovered(g.catalog.read(ix.indexTable),
+        family, qualifier, values, ix.covered), project)
+    else {
+      val full = SecondaryIndex.lookupAll(logicalCells,
+        g.catalog.read(ix.indexTable), family, qualifier, values)
+      if (project.isEmpty) full else projectCells(full, project)
+    }
+  }
+
+  private def projectCells(cells: DataFrame,
+      project: Seq[(String, Array[Byte])]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    cells.filter(project.map { case (f, q2) =>
+      col("family") === f && col("qualifier") === lit(q2)
+    }.reduce(_ || _))
   }
 
   /** COVERED equality/IN lookup ([[SecondaryIndex.lookupCovered]]): the

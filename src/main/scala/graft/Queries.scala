@@ -462,6 +462,54 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  // STREAMING covered-index maintenance: the peer table carries a
+  // REGISTERED covered index, and the CDC replication sink goes through
+  // Catalog.append — so covered entries AND synchronous delete
+  // tombstones are maintained per micro-batch with zero extra wiring
+  // (the registered-property composition). Source history: two put
+  // batches + a range-delete batch; the feed may fold them into one
+  // micro-batch, exercising the same-batch put+delete translation. The
+  // covered lookup runs on the PEER with no rebuild; oracle = the final
+  // relational state.
+  private val streamCoveredMaintain = Q("stream_covered_maintain", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+    WHERE o_custkey IN (7, 37, 73)
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val work = java.nio.file.Files.createTempDirectory("graft-q-scov").toString
+    val src = graft.Graft(s, s"$work/src")
+    src.createTable(TableDescriptor("t", Seq(FamilyDescriptor("o")),
+      splitKeys = 8), 1L)
+    val cells = CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"))
+    val second = pmod(xxhash64(col("row")), lit(3)) === 0
+    src.table("t").mutate(cells.filter(!second), nowMs = 1L)
+    src.table("t").mutate(cells.filter(second), nowMs = 2L)
+    src.table("t").mutate(
+      Mutations.deleteFamilyCells(
+        cells.filter(col("row") >= lit(Bytes.toBytes(1000L)) &&
+          col("row") < lit(Bytes.toBytes(30000L))).select("row").distinct(),
+        col("row"), "o", ts = 3L),
+      nowMs = 3L)
+    val peer = graft.Graft(s, s"$work/peer")
+    peer.createTable(TableDescriptor("t", Seq(FamilyDescriptor("o")),
+      splitKeys = 8, immutableRows = true), 1L)
+    peer.createIndex("t", "o", Bytes.toBytes("o_custkey"), nowMs = 1L,
+      covered = Seq("o" -> Bytes.toBytes("o_totalprice"),
+        "o" -> Bytes.toBytes("o_orderdate")))
+    graft.streaming.Replication.replicate(
+      graft.streaming.Replication.tableChangeFeed(s, s"$work/src", "t"),
+      peer.catalog, "t", s"$work/ckpt", nowMsOf = _ + 10L).awaitTermination()
+    val hit = peer.table("t").indexLookupCovered("o",
+      Bytes.toBytes("o_custkey"), Seq(7L, 37L, 73L).map(Bytes.toBytes))
+    CellCodec.decode(hit, StructType(Seq(
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampNTZType))),
+      key = Seq("o_orderkey" -> LongType))
+      .orderBy("o_orderkey")
+  }
+
   private val getPoint = Q("get_point", Some(s"""
     SELECT $ordersCols FROM orders WHERE o_orderkey = 100""")) { (s, dir) =>
     val g = Get(CellCodec.rowKeyOf(100L))
@@ -3501,7 +3549,8 @@ object Queries {
     dataContract,
     q1Agg, q3Join,
     scanRange, saltedScan, saltedIndexLookup, indexLookup, sqlIndexLookup,
-    indexGcLookup, coveredIndexLookup, getPoint, getRowOrBefore, rowCounter,
+    indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
+    getPoint, getRowOrBefore, rowCounter,
     existsGet,
     dependentColumn, exportImport, multiGet, ttlScan,
     prefixFilter, columnPrefixFilter, valueFilterSubstr, valueFilterRegex,

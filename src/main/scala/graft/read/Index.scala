@@ -171,9 +171,24 @@ object SecondaryIndex {
     val lo = stats.getAs[Array[Byte]](1)
     val hi = Bytes.successor(stats.getAs[Array[Byte]](2))
     val span = mainPre.filter(col("row") >= lit(lo) && col("row") < lit(hi))
-    val cur = Resolve(span)
+    // The row's indexed value may live in the PRE-state or in THIS batch
+    // (put + delete in one batch — e.g. a replayed change feed folding
+    // several appends into one micro-batch). Resolve the pre-state span,
+    // then let a same-row batch put (strictly newer under immutableRows)
+    // supersede it; the batch's own tombstones must NOT participate in
+    // this resolve — they are what we're translating.
+    val preIx = Resolve(span)
       .filter(col("family") === family && col("qualifier") === lit(qualifier))
-      .select(col("row"), col("value").as("_ixVal"))
+      .select(col("row"), col("value").as("_ixVal"), col("ts").as("_ixTs"))
+    val deltaIx = delta
+      .filter(col("family") === family && col("qualifier") === lit(qualifier) &&
+        col("kind") === CellKind.Put && col("value").isNotNull)
+      .select(col("row"), col("value").as("_ixVal"), col("ts").as("_ixTs"))
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy("row").orderBy(col("_ixTs").desc)
+    val cur = preIx.unionByName(deltaIx)
+      .withColumn("_rn", row_number().over(wRow))
+      .filter(col("_rn") === 1).select(col("row"), col("_ixVal"))
     val joined = tombs.join(cur, "row")
     val ixRow = concat(col("_ixVal"), lit(Sep), col("row"))
     // exact-version main tombstones stay exact-version on the index side

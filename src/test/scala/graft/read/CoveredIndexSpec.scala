@@ -129,6 +129,54 @@ class CoveredIndexSpec extends SparkSpec {
     assert(pops == Map(7L -> 70L, 57L -> 570L, 107L -> 1070L, 157L -> 1570L))
   }
 
+  test("projected lookup picks the covered or verified route like Phoenix") {
+    val g = freshGraft("covroute")
+    val t = coveredTable(g)
+    val mainDir = g.root + "/t/"
+    // projection within the covering set -> index-only plan
+    val covered = t.indexLookup("f", q, Seq(b("paris")),
+      project = Seq("f" -> q, "m" -> zipQ))
+    assert(!covered.queryExecution.executedPlan.toString.contains(mainDir),
+      "covered projection still touched the main table")
+    assert(rowsOf(covered) == Set("r1", "r3"))
+    assert(collectCells(covered).map(_._3) == Set("city", "zip"))
+    // projection naming a NON-covered column -> verified route on main
+    val extraQ = Bytes.toBytes("extra")
+    val fallback = t.indexLookup("f", q, Seq(b("paris")),
+      project = Seq("f" -> q, "f" -> extraQ))
+    assert(fallback.queryExecution.executedPlan.toString.contains(mainDir),
+      "uncovered projection did not fall back to the verified route")
+    assert(rowsOf(fallback) == Set("r1", "r3"))
+    // both routes agree on the shared projected column
+    def cityVals(df: org.apache.spark.sql.DataFrame) =
+      collectCells(df).filter(_._3 == "city").map(c => (c._1, c._5))
+    assert(cityVals(covered) == cityVals(fallback))
+  }
+
+  test("put + delete folded into ONE batch: covered read sees the delete") {
+    // a replayed change feed can fold several source appends into one
+    // micro-batch — the tombstone's indexed value then lives in the SAME
+    // delta, not the pre-state
+    val g = freshGraft("covfold")
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f", maxVersions = 1)),
+      splitKeys = 2, immutableRows = true), 1L)
+    g.createIndex("t", "f", q, 2L, covered = Seq("f" -> popQ))
+    val t = g.table("t")
+    import graft.core.Cell
+    t.mutate(cells(Seq(
+      Cell.put(b("r1"), "f", q, 3L, b("lyon")),
+      Cell.put(b("r1"), "f", popQ, 3L, b("500k")),
+      Cell.deleteFamily(b("r1"), "f", 4L),
+      Cell.put(b("r2"), "f", q, 3L, b("lyon")),
+      Cell.put(b("r2"), "f", popQ, 3L, b("520k")))).toDF(), 4L)
+    val hit = t.indexLookupCovered("f", q, Seq(b("lyon")))
+    assert(rowsOf(hit) == Set("r2"),
+      "same-batch delete leaked through the covered read")
+    assert(collectCells(hit).map(c => (c._3, c._5)) ==
+      Set(("city", "lyon"), ("pop", "520k")))
+  }
+
   test("covered creation requires the immutableRows declaration") {
     val g = freshGraft("covreq")
     g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
