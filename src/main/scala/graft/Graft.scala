@@ -291,10 +291,36 @@ final case class GraftTable(g: Graft, name: String) {
     SecondaryIndex.rebuildAll(g.catalog, name, nowMs)
   }
 
-  /** Minor compaction / `compact:714`: merge small deltas into one dir,
-    * KEEPING tombstones (`MinorCompactingStoreScanner` semantics). */
-  def minorCompact(nowMs: Long): Unit =
-    g.catalog.replaceData(name, cells, nowMs)
+  /** Minor compaction / `compact:714`: fold the accumulating SMALL
+    * append batches into one dir, KEEPING tombstones
+    * (`MinorCompactingStoreScanner` semantics), with the reference's
+    * size-ratio batch selection (`Compact.selectMinor` ← `Store.java:
+    * 739-745`): batches larger than `ratio ×` everything newer are left
+    * untouched, so maintenance cost tracks the small-delta tail — at
+    * 100 TB the big old batches are never re-read. Fewer than
+    * `minBatches` qualifying deltas = no-op (the compaction threshold).
+    * Returns the leaf dirs that were folded (empty on no-op). */
+  def minorCompact(nowMs: Long, ratio: Double = 1.2, minBatches: Int = 3,
+      maxBatches: Int = 10): Seq[String] = {
+    val m = g.catalog.currentManifest(name)
+    // leaf dirs grouped into their commit batches (data-{v}/compact-{v}/
+    // bulk parents), first-occurrence order = commit order, oldest first
+    val batches = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+    m.dataDirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d).getParent.toString
+      batches(p) = batches.getOrElse(p, Vector.empty) :+ d
+    }
+    val ordered = batches.values.toVector
+    val sizes = ordered.map(_.map(g.catalog.leafSize).sum)
+    write.Compact.selectMinor(sizes, ratio, minBatches, maxBatches) match {
+      case None => Nil
+      case Some(r) =>
+        val doomed = r.flatMap(ordered(_)).toSeq
+        g.catalog.replaceDirs(name, doomed,
+          g.catalog.readLeafDirs(doomed), nowMs)
+        doomed
+    }
+  }
 
   /** Shell `truncate` parity (disable+drop+recreate in the reference):
     * a compaction-to-empty commit — schema kept, data gone, old manifest

@@ -875,6 +875,37 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  // SELECTIVE minor compaction end-to-end (write/Mutations.scala
+  // Compact.selectMinor <- Store.java:739-745): one big append + four
+  // small deltas (one of them tombstones) on a catalog table; the
+  // size-ratio rule folds ONLY the small tail (CompactionPolicySpec
+  // asserts the big batch's leaves survive untouched), tombstones are
+  // KEPT through the fold (minor semantics) and still mask at read
+  // time. Oracle = the final visible state.
+  private val minorCompactionScan = Q("minor_compaction_scan", Some(s"""
+    SELECT $customerCols FROM customer WHERE c_acctbal >= 0
+    ORDER BY c_custkey""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val work = java.nio.file.Files.createTempDirectory("graft-q-minor").toString
+    val g = graft.Graft(s, work)
+    g.createTable(TableDescriptor("c",
+      Seq(FamilyDescriptor("c", maxVersions = 1)), splitKeys = 8), 1L)
+    val cust = t(s, dir, "customer")
+    val cells = CellCodec.encode(cust, "c", Seq("c_custkey"))
+    val small = pmod(xxhash64(col("row")), lit(3)) === 0
+    g.table("c").mutate(cells.filter(!small), nowMs = 1L)
+    for (k <- 0 until 3)
+      g.table("c").mutate(cells.filter(small &&
+        pmod(xxhash64(col("row"), lit(7)), lit(3)) === k), nowMs = 2L + k)
+    val victims = cust.filter(col("c_acctbal") < 0)
+    g.table("c").mutate(Mutations.deleteFamilyCells(
+      victims, CellCodec.rowKey(victims, Seq("c_custkey")), "c", ts = 9L),
+      nowMs = 9L)
+    g.table("c").minorCompact(10L)
+    CellCodec.decode(g.table("c").scan(Scan()), customerSchema)
+      .orderBy("c_custkey")
+  }
+
   private val incrementCounters = Q("increment_counters", Some("""
     SELECT user_id, 100 + count(*) AS clicks FROM events
     GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
@@ -3400,7 +3431,9 @@ object Queries {
   // precedence as text_langid, same md5 split arithmetic as
   // sample_split). Scale shape: three narrow passes + one fingerprint
   // groupBy + one split agg — no all-pairs anything.
-  private val curationPipeline = Q("curation_pipeline", bench = true, oracle = Some(s"""
+  // Shared by the batch gate and its STREAMING twin — the two must match
+  // the same relational oracle.
+  private lazy val curationOracleSql = s"""
     WITH sig AS (
       SELECT doc_id, text, len($duckToks)::BIGINT AS n_tokens,
         len(list_filter($duckToks, x -> lower(x) IN
@@ -3429,7 +3462,10 @@ object Queries {
       FROM d))
     SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
       min(doc_id) AS min_id, max(doc_id) AS max_id
-    FROM s GROUP BY split ORDER BY split""")) { (s, dir) =>
+    FROM s GROUP BY split ORDER BY split"""
+
+  private val curationPipeline = Q("curation_pipeline", bench = true,
+      oracle = Some(curationOracleSql)) { (s, dir) =>
     val quality = Text.qualitySignals(t(s, dir, "documents"))
       .filter(col("n_tokens") >= 30 && col("stopword_ratio") > 0)
     val english = Text.withLangId(quality, "text")
@@ -3439,6 +3475,36 @@ object Queries {
       fp.groupBy("_fp").agg(min("doc_id").as("doc_id")),
       Seq("_fp", "doc_id"), "left_semi")
     canon
+      .withColumn("split", Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split")
+  }
+
+  // STREAMING curation twin: the same stage composition running as ONE
+  // structured stream — quality scoring and langid are stateless per-row
+  // expressions (streaming-safe by construction, no rewrite), exact
+  // dedup is the stateful firstSeen operator. Winner ids come off the
+  // stream; the split/agg summary is computed batch-side over them (the
+  // stream decides membership, exactly like stream_dedup). Same oracle
+  // as curation_pipeline — a corpus curated incrementally off a feed
+  // must equal the batch curation of the same corpus.
+  private val streamCuration = Q("stream_curation",
+      Some(curationOracleSql)) { (s, dir) =>
+    val winners = runFileStream(s, s"$dir/documents.parquet", "scur") {
+      stream =>
+        val quality = Text.qualitySignals(stream)
+          .filter(col("n_tokens") >= 30 && col("stopword_ratio") > 0)
+        val english = Text.withLangId(quality, "text")
+          .filter(col("lang_guess") === "en")
+        graft.streaming.StreamDedup.firstSeen(english,
+          key = md5(col("text")), id = col("doc_id"))
+    }
+    Text.qualitySignals(
+        t(s, dir, "documents")
+          .join(winners.select(col("id").as("doc_id")), "doc_id"))
       .withColumn("split", Sampling.splitLabel(col("doc_id"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
       .groupBy("split")
@@ -3561,7 +3627,8 @@ object Queries {
     versionsLatest, timeRangeScan, jsonPropsAgg, resultFamilyMap,
     familyMapCollision, sessionize, streamSessionize,
     streamSessionizeLate,
-    deleteFamilyScan, compactionScan, incrementCounters, checkAndPut,
+    deleteFamilyScan, compactionScan, minorCompactionScan,
+    incrementCounters, checkAndPut,
     snapshotScan, snapshotRestoreScan, snapshotGcScan, snapshotExportScan,
     snapshotExportIncremental,
     snapshotDiffScan,
@@ -3588,7 +3655,7 @@ object Queries {
     dedupEmbedding, dedupSemantic, multimodalFeatures, multimodalMixed, sampleSplit,
     sampleWeighted, sampleUpsampled, sampleShardShuffle,
     packSequences, sampleStratified, sampleTokenBudgetQ, corpusStatsQ,
-    curationPipeline)
+    curationPipeline, streamCuration)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -571,6 +571,39 @@ final class Catalog(spark: SparkSession, root: String) {
     m
   }
 
+  /** PARTIAL compaction commit: replace only `removedLeaves` (a subset of
+    * the current manifest's data dirs) with one rewritten `compact-{v}`
+    * dir holding `cells`; every other leaf stays referenced UNTOUCHED.
+    * This is what a selective minor compaction commits (`Store.java:739`
+    * folds a file subset) — the large old batches are never re-read or
+    * re-written, so maintenance cost tracks the small-delta tail, not
+    * the table. Replaced dirs stay on disk until `vacuum`, exactly like
+    * [[replaceData]]. */
+  def replaceDirs(t: String, removedLeaves: Seq[String], cells: DataFrame,
+      nowMs: Long): Manifest = {
+    val cur = currentManifest(t)
+    val gone = removedLeaves.toSet
+    val unknown = gone -- cur.dataDirs.toSet
+    require(unknown.isEmpty,
+      s"replaceDirs: not in the current manifest of $t: ${unknown.take(3)}")
+    val v = cur.version + 1
+    val leaves = writeCells(
+      new Path(tableDir(t), s"compact-$v").toString, cells, cur.descriptor)
+    val m = cur.copy(version = v, createdMs = nowMs,
+      dataDirs = cur.dataDirs.filterNot(gone) ++ leaves)
+    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
+    commitCurrent(t, v)
+    uncacheHot(cur)
+    m
+  }
+
+  /** Total byte size of one committed leaf dir (compaction selection
+    * input). One FS listing per leaf — driver-side metadata, O(batches). */
+  private[graft] def leafSize(dir: String): Long =
+    fs.getContentSummary(new Path(dir)).getLength
+
+  private[graft] def readLeafDirs(dirs: Seq[String]): DataFrame = readDirs(dirs)
+
   /** `LoadIncrementalHFiles` analog (`LoadIncrementalHFiles.java:59`):
     * adopt an already-written parquet cell directory into the table by
     * reference — a manifest append, no data read, copy, or rewrite. The

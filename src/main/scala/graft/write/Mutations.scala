@@ -172,4 +172,28 @@ object Compact {
       familyMaxVersions = families.map(f => f.name -> f.maxVersions).toMap,
       familyTtlMs = families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap,
       now = now))
+
+  /** Minor-compaction BATCH SELECTION — the reference's size-ratio rule
+    * (`Store.java:739-745`: walk store files oldest → newest, skip each
+    * file larger than `ratio ×` the total size of the files newer than
+    * it, compact the remaining newest suffix). This is the piece that
+    * makes LSM maintenance affordable at scale: a minor compaction folds
+    * the accumulating SMALL deltas and never re-touches the large old
+    * batches — at 100 TB "rewrite everything" is not a maintenance plan.
+    *
+    * `sizes` are per-batch byte sizes OLDEST FIRST. Returns the selected
+    * index range, or None when fewer than `minBatches` qualify (the
+    * compaction-threshold no-op); a selection longer than `maxBatches`
+    * keeps its OLDEST `maxBatches` (the `hbase.hstore.compaction.max`
+    * cap — bounding one compaction's I/O while still folding the oldest
+    * qualifying deltas first). */
+  def selectMinor(sizes: Seq[Long], ratio: Double = 1.2,
+      minBatches: Int = 3, maxBatches: Int = 10): Option[Range] = {
+    val n = sizes.length
+    val newerSum = sizes.scanRight(0L)(_ + _).tail // newerSum(i) = Σ sizes(i+1..)
+    var i = 0
+    while (i < n && sizes(i) > ratio * newerSum(i)) i += 1
+    if (n - i < minBatches) None
+    else Some(i until math.min(n, i + maxBatches))
+  }
 }
