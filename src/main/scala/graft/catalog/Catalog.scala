@@ -507,24 +507,38 @@ final class Catalog(spark: SparkSession, root: String) {
     *
     * `cells` carry LOGICAL row keys; on a salted table the salt prefix is
     * applied HERE (the one write seam), so callers never salt by hand.
-    * Registered secondary indexes are dual-written FIRST (the
-    * Phoenix-style maintenance contract): a crash between the two commits
-    * then leaves only stale index entries — false positives the verified
-    * read eliminates — never unindexed puts (false negatives, which would
-    * be wrong answers). Tombstones produce no index entries by design
-    * (deletes are handled by read-time verification + `SecondaryIndex
-    * .rebuild`). */
+    *
+    * Registered index maintenance orders around the main commit BY INDEX
+    * KIND, because the two read paths tolerate opposite crash residues
+    * (the same split Phoenix makes between its mutable and
+    * immutable-rows global indexes):
+    *
+    *  - POINTER-ONLY indexes dual-write BEFORE the main commit: a crash
+    *    between the two leaves only stale index entries — false
+    *    positives the VERIFIED read eliminates — never unindexed puts
+    *    (false negatives, which would be silently wrong answers).
+    *  - COVERED indexes dual-write AFTER the main commit (data-first):
+    *    their read path never verifies, so an index-first crash residue
+    *    would be PHANTOM rows returned as real data. Data-first flips
+    *    the residue to missing index entries — committed rows
+    *    temporarily invisible through the index, healed by
+    *    `SecondaryIndex.rebuild` (or replaying the append) — an
+    *    availability gap, never an integrity violation. */
   def append(t: String, cells: DataFrame, nowMs: Long): Manifest = {
     val cur = currentManifest(t)
     require(!cur.descriptor.readOnly, s"table $t is read-only")
-    cur.descriptor.indexes.foreach { ix =>
-      // Pre-append logical view, read only by covered-index tombstone
-      // maintenance (and only when the batch actually has tombstones).
-      lazy val pre = {
-        val raw = readManifest(cur)
-        if (cur.descriptor.saltBuckets > 0) graft.core.Salt.stripCells(raw)
-        else raw
-      }
+    // Pre-append logical view, read only by covered-index tombstone
+    // maintenance (and only when the batch actually has tombstones).
+    // Captured from `cur`, so it stays the PRE-state even when the
+    // covered maintenance runs after the main commit below.
+    lazy val pre = {
+      val raw = readManifest(cur)
+      if (cur.descriptor.saltBuckets > 0) graft.core.Salt.stripCells(raw)
+      else raw
+    }
+    val (coveredIxs, pointerIxs) =
+      cur.descriptor.indexes.partition(_.covered.nonEmpty)
+    pointerIxs.foreach { ix =>
       append(ix.indexTable,
         graft.read.SecondaryIndex.maintenanceDelta(pre, cells, ix),
         nowMs): Unit
@@ -541,6 +555,11 @@ final class Catalog(spark: SparkSession, root: String) {
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
     commitCurrent(t, v)
     uncacheHot(cur)
+    coveredIxs.foreach { ix =>
+      append(ix.indexTable,
+        graft.read.SecondaryIndex.maintenanceDelta(pre, cells, ix),
+        nowMs): Unit
+    }
     m
   }
 

@@ -188,6 +188,47 @@ class CoveredIndexSpec extends SparkSpec {
     g.createIndex("t", "f", q, 3L)
   }
 
+  test("crash residue: covered is data-first (no phantoms), pointer is index-first") {
+    // Fault injection through the read-only latch: disabling the INDEX
+    // table makes its maintenance append throw, splitting the dual-write
+    // exactly at the crash window the ordering is designed around.
+    val g = freshGraft("covcrash")
+    val t = coveredTable(g)
+    val ixTable = t.descriptor.indexOn("f", q).get.indexTable
+    g.disableTable(ixTable, 10L)
+    intercept[IllegalArgumentException] {
+      t.put(Seq(Put(b("r9")).add("f", q, 11L, b("oslo"))
+        .add("f", popQ, 11L, b("1m"))), 11L)
+    }
+    // COVERED = data-first: the main commit happened (the row is real)...
+    assert(rowsOf(t.scan(graft.read.Scan(
+      Some(b("r9")), Some(Bytes.successor(b("r9")))))) == Set("r9"))
+    // ...and the covered read MISSES it (availability gap), never a
+    // phantom of a row that failed to commit
+    assert(rowsOf(t.indexLookupCovered("f", q, Seq(b("oslo")))).isEmpty)
+    // heal: re-enable + rebuild brings the index current
+    g.enableTable(ixTable, 12L)
+    t.rebuildIndexes(13L)
+    assert(rowsOf(t.indexLookupCovered("f", q, Seq(b("oslo")))) == Set("r9"))
+
+    // POINTER-ONLY = index-first: the same failure aborts BEFORE the
+    // main commit — no partial main state, a retry re-runs cleanly
+    val g2 = freshGraft("ptrcrash")
+    g2.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    g2.createIndex("t", "f", q, 2L)
+    val ix2 = g2.table("t").descriptor.indexOn("f", q).get.indexTable
+    g2.disableTable(ix2, 3L)
+    intercept[IllegalArgumentException] {
+      g2.table("t").put(Seq(Put(b("r1")).add("f", q, 4L, b("rome"))), 4L)
+    }
+    assert(rowsOf(g2.table("t").scan(graft.read.Scan())).isEmpty,
+      "pointer-index failure leaked a main-table commit")
+    g2.enableTable(ix2, 5L)
+    g2.table("t").put(Seq(Put(b("r1")).add("f", q, 6L, b("rome"))), 6L)
+    assert(rowsOf(g2.table("t").indexLookup("f", q, Seq(b("rome")))) == Set("r1"))
+  }
+
   test("covered registration survives the manifest JSON roundtrip") {
     val g = freshGraft("covjson")
     coveredTable(g)
