@@ -372,6 +372,57 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  // COVERED transparent SQL routing — the strongest form of the Phoenix
+  // route: the table declares immutableRows, the registered index covers
+  // (so its content is exact: synchronous deletes, data-first commits),
+  // and the SQL door reconstructs the answer's cells from the index
+  // table ALONE — zero main-table touch, no gather (SqlCatalogSpec
+  // asserts the plan seam). A range DELETE lands before the query and
+  // must be visible through the route with no rebuild. Oracle = the
+  // full-scan formulation.
+  private val sqlCoveredRoots = scala.collection.mutable.Map.empty[String, String]
+  private val sqlCoveredLookup = Q("sql_covered_lookup", Some("""
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN (7, 37, 73)
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlCoveredRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sqlcov").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_cv",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, immutableRows = true),
+          nowMs = 1L)
+        val cells = CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"))
+        g.table("orders_cv").mutate(cells, nowMs = 1L)
+        g.createIndex("orders_cv", "o", Bytes.toBytes("o_custkey"), nowMs = 2L,
+          covered = Seq("o" -> Bytes.toBytes("o_totalprice")))
+        g.table("orders_cv").mutate(
+          Mutations.deleteFamilyCells(
+            cells.filter(col("row") >= lit(Bytes.toBytes(1000L)) &&
+              col("row") < lit(Bytes.toBytes(30000L))).select("row").distinct(),
+            col("row"), "o", ts = 3L),
+          nowMs = 3L)
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_cv",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_cv.root", root)
+    val qual = "X'" + Bytes.toBytes("o_custkey").map(b => f"$b%02x").mkString + "'"
+    val vals = Seq(7L, 37L, 73L)
+      .map(k => "X'" + Bytes.toBytes(k).map(b => f"$b%02x").mkString + "'")
+      .mkString(", ")
+    val cellsOut = s.sql(
+      s"""SELECT row, family, qualifier, ts, kind, value, seq
+          FROM graft_cv.orders_cv
+          WHERE family = 'o' AND qualifier = $qual AND value IN ($vals)""")
+    CellCodec.decode(cellsOut,
+      StructType(Seq(StructField("o_custkey", LongType))),
+      key = Seq("o_orderkey" -> LongType))
+      .orderBy("o_orderkey")
+  }
+
   // Index GC end-to-end: tombstone a key range, majorCompact (which
   // rebuilds registered indexes to currently-visible entries — the
   // monotonic-growth fix; IndexSpec asserts the physical shrink), then
@@ -3615,6 +3666,7 @@ object Queries {
     dataContract,
     q1Agg, q3Join,
     scanRange, saltedScan, saltedIndexLookup, indexLookup, sqlIndexLookup,
+    sqlCoveredLookup,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
     getPoint, getRowOrBefore, rowCounter,
     existsGet,

@@ -99,13 +99,18 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     val fams = GraftSqlCatalog.parseFamilies(
       Option(properties.get("families")).getOrElse("f"))
     // 'saltBuckets' makes the salted layout declarable from SQL DDL —
-    // the same immutable table property the Scala descriptor carries.
+    // the same immutable table property the Scala descriptor carries —
+    // and 'immutableRows' the Phoenix IMMUTABLE_ROWS declaration that
+    // covered indexes require.
     val salt = Option(properties.get("saltBuckets")).map(_.toInt).getOrElse(0)
+    val immutable = Option(properties.get("immutableRows"))
+      .exists(_.toBoolean)
     // SQL has no caller-supplied clock; stamp DDL like the insert path
     // does (a 0 here would poison TIMESTAMP AS OF: the created manifest
     // would sort before every real commit while carrying the newest
     // version number).
-    engine.createTable(TableDescriptor(t, fams, saltBuckets = salt),
+    engine.createTable(TableDescriptor(t, fams, saltBuckets = salt,
+      immutableRows = immutable),
       nowMs = GraftSqlCatalog.nowMs())
     new GraftSqlTable(engine, t)
   }

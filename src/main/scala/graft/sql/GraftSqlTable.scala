@@ -349,14 +349,14 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
     * possibly-visible match; the residual value predicate (and normal
     * resolution) make the result exact. Time-travel scans never route
     * (a rebuilt index reflects the present, not the pinned version). */
-  private def indexProbe: Option[(String, Seq[Array[Byte]])] =
+  private def indexProbe: Option[(graft.catalog.IndexDescriptor, Seq[Array[Byte]])] =
     if (pinned.isDefined || valueEq.isEmpty) None
     else for {
       fams <- scan.families
       if fams.size == 1 && scan.columns.get(fams.head).exists(_.size == 1)
       ix <- engine.currentManifest(tableName).descriptor
         .indexOn(fams.head, scan.columns(fams.head).head)
-    } yield (ix.indexTable, valueEq)
+    } yield (ix, valueEq)
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -420,7 +420,8 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     limit: Option[Int] = None,
     maxVersionsPerTrigger: Option[Long] = None,
     aggSpec: Option[GraftAggSpec] = None,
-    indexProbe: Option[(String, Seq[Array[Byte]])] = None) extends V1Scan {
+    indexProbe: Option[(graft.catalog.IndexDescriptor, Seq[Array[Byte]])] = None)
+    extends V1Scan {
 
   override def readSchema(): StructType =
     aggSpec.fold(required)(_.schema)
@@ -428,7 +429,8 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
   /** The index table this scan routes through, if any — the plan-assert
     * seam (SqlCatalogSpec checks routing fires for indexed predicates and
     * stays off for unindexed ones). */
-  private[sql] def usedIndexTable: Option[String] = indexProbe.map(_._1)
+  private[sql] def usedIndexTable: Option[String] =
+    indexProbe.map(_._1.indexTable)
 
   /** The resolved view this scan produces — also the seam SqlCatalogSpec
     * uses to assert that pushdown reached the inner parquet scan. */
@@ -447,9 +449,20 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       else (engine.readManifest(m), gscan)
     // Transparent secondary-index routing: candidates = rows the index
     // probe names (size-gated gather), a superset the residual value
-    // predicate reduces to the exact answer above the bridge.
-    val frame = indexProbe.fold(frame0) { case (ixTable, values) =>
-      graft.read.SecondaryIndex.gather(frame0, engine.read(ixTable), values)
+    // predicate reduces to the exact answer above the bridge. When the
+    // routed index is COVERED (immutableRows + synchronous deletes +
+    // data-first commits — the index content is exact), the candidate
+    // cells are RECONSTRUCTED from the index table alone (the pointer
+    // entry carries (mainRow, ts, seq); the probed value is the cell
+    // value), so the whole SQL answer is index-only: zero main-table
+    // touch, no gather — the strongest form of the Phoenix route.
+    val frame = indexProbe.fold(frame0) { case (ix, values) =>
+      if (ix.covered.nonEmpty)
+        graft.read.SecondaryIndex.lookupCovered(engine.read(ix.indexTable),
+          ix.family, ix.qualifier, values, covered = Nil)
+      else
+        graft.read.SecondaryIndex.gather(frame0, engine.read(ix.indexTable),
+          values)
     }
     // Family TTLs evaluate against the SQL-surface clock (reference: TTL
     // uses server time, ScanQueryMatcher.java:56). A now of 0 would make

@@ -548,6 +548,57 @@ class SqlCatalogSpec extends SparkSpec {
       .usedIndexTable.isEmpty)
   }
 
+  test("a COVERED index answers the SQL route index-only — no main scan") {
+    val r = Files.createTempDirectory("graft-sqlcov").toString
+    val g = Graft(spark, r)
+    g.createTable(TableDescriptor("tcov", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, immutableRows = true), 1L)
+    g.table("tcov").put((1 to 40).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("city"), 2L,
+          b(if (i % 10 == 3) "paris" else "other"))
+        .add("f", b("pop"), 2L, b(s"p$i"))), 2L)
+    g.createIndex("tcov", "f", b("city"), 3L, covered = Seq("f" -> b("pop")))
+    spark.conf.set("spark.sql.catalog.graft_cv", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cv.root", r)
+    val out = spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_cv.tcov " +
+        s"WHERE family = 'f' AND qualifier = ${hex("city")} " +
+        s"AND value = ${hex("paris")}")
+    assert(collectCells(out).map(_._1) == Set("r003", "r013", "r023", "r033"))
+    // the seam: the route fires AND the inner plan is index-only — the
+    // candidate cells are reconstructed from the pointer entries, so no
+    // main-table file and no gather join appear anywhere
+    val engine = new graft.catalog.Catalog(spark, r)
+    import org.apache.spark.sql.sources
+    val builder = new GraftScanBuilder(engine, "tcov")
+    builder.pushFilters(Array(
+      sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.EqualTo("value", b("paris"))))
+    val routed = builder.build().asInstanceOf[GraftV1Scan]
+    assert(routed.usedIndexTable.exists(_.startsWith("tcov_idx_f_")))
+    val innerOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(innerOut)) {
+      routed.resolvedFrame(spark).explain("formatted")
+    }
+    val inner = innerOut.toString("UTF-8")
+    assert(inner.contains("tcov_idx_f_"),
+      s"index table not in the covered inner plan:\n$inner")
+    assert(!inner.contains("tcov/data-"),
+      s"covered SQL route still scans the main table:\n$inner")
+    assert(!inner.contains("LeftSemi"),
+      s"covered SQL route still gathers:\n$inner")
+    // a DELETE is visible through the covered route with no rebuild
+    // (synchronous tombstone translation behind the SQL door)
+    import graft.write.Delete
+    g.table("tcov").delete(Seq(Delete(b("r013")).deleteFamily("f", 4L)), 4L)
+    assert(collectCells(spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_cv.tcov " +
+        s"WHERE family = 'f' AND qualifier = ${hex("city")} " +
+        s"AND value = ${hex("paris")}")).map(_._1)
+      == Set("r003", "r023", "r033"))
+  }
+
   test("salted table through the SQL door: bounds, DELETE, INSERT") {
     val r = Files.createTempDirectory("graft-sqlsalt").toString
     val g = Graft(spark, r)
