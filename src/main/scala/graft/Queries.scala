@@ -311,6 +311,28 @@ object Queries {
     CellCodec.decode(hit, ordersSchema).orderBy("o_orderkey")
   }
 
+  // The multiGet shape through the SQL door: `row IN (keys)` over the
+  // SALTED catalog table — each key salts JVM-side, the span bounds
+  // prune the parquet scan, a broadcast semi-join picks the exact keys,
+  // logical rows come back (sql/GraftSqlTable.scala rowKeys push;
+  // SqlCatalogSpec asserts the pushed key disjunction). Oracle = the
+  // plain IN predicate.
+  private val sqlMultiGet = Q("sql_multi_get", Some(s"""
+    SELECT $ordersCols FROM orders WHERE o_orderkey IN (100, 101, 4000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = saltedOrdersRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_s",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_s.root", root)
+    val keys = Seq(100L, 101L, 4000L)
+      .map(k => "X'" + CellCodec.rowKeyOf(k).map(b => f"$b%02x").mkString + "'")
+      .mkString(", ")
+    val cells = s.sql(
+      s"""SELECT row, family, qualifier, ts, kind, value, seq
+          FROM graft_s.orders_s WHERE row IN ($keys)""")
+    CellCodec.decode(cells, ordersSchema).orderBy("o_orderkey")
+  }
+
   // Secondary-index lookup (read/Index.scala): "orders of customer k"
   // without a full scan — the index table (value-prefix row keys) is
   // range-probed per key, hit row keys broadcast into the main scan,
@@ -3666,7 +3688,7 @@ object Queries {
     dataContract,
     q1Agg, q3Join,
     scanRange, saltedScan, saltedIndexLookup, indexLookup, sqlIndexLookup,
-    sqlCoveredLookup,
+    sqlCoveredLookup, sqlMultiGet,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
     getPoint, getRowOrBefore, rowCounter,
     existsGet,

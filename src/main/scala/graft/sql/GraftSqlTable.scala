@@ -212,6 +212,7 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   private var limit: Option[Int] = None
   private var aggSpec: Option[GraftAggSpec] = None
   private var valueEq: Seq[Array[Byte]] = Nil
+  private var rowKeys: Seq[Array[Byte]] = Nil
 
   /** Aggregate pushdown — COMPLETE (final values, not partial buffers):
     * the aggregation runs inside the inner resolved plan (hash aggregate
@@ -302,6 +303,16 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
         tightenStop(v); accepted += f
       case f @ sources.LessThanOrEqual("row", v: Array[Byte]) =>
         tightenStop(succ(v)); accepted += f
+      // The multiGet shape: `row IN (k1..kn)` scopes the scan to the
+      // exact key set (per-key equality disjunction pushed to parquet;
+      // JVM-side salted keys + span bounds on a salted table — see
+      // resolvedFrame). Kept RESIDUAL for exactness like `value`; the
+      // pruning happens below the bridge.
+      case f @ sources.In("row", ks)
+          if rowKeys.isEmpty && ks.nonEmpty &&
+            ks.forall(_.isInstanceOf[Array[Byte]]) =>
+        rowKeys = ks.toSeq.map(_.asInstanceOf[Array[Byte]])
+        residual += f
       case f @ sources.EqualTo("family", fam: String) if !famTaken =>
         scan = scan.addFamily(fam); famTaken = true; accepted += f
       case f @ sources.In("family", fs)
@@ -377,7 +388,7 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
 
   override def build(): V2Scan =
     new GraftV1Scan(engine, tableName, scan, required, pinned, limit,
-      maxVersionsPerTrigger, aggSpec, indexProbe)
+      maxVersionsPerTrigger, aggSpec, indexProbe, rowKeys)
 }
 
 /** One pushed aggregate column: `fn` in count | count_col | min | max,
@@ -420,8 +431,8 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     limit: Option[Int] = None,
     maxVersionsPerTrigger: Option[Long] = None,
     aggSpec: Option[GraftAggSpec] = None,
-    indexProbe: Option[(graft.catalog.IndexDescriptor, Seq[Array[Byte]])] = None)
-    extends V1Scan {
+    indexProbe: Option[(graft.catalog.IndexDescriptor, Seq[Array[Byte]])] = None,
+    rowKeys: Seq[Array[Byte]] = Nil) extends V1Scan {
 
   override def readSchema(): StructType =
     aggSpec.fold(required)(_.schema)
@@ -442,11 +453,26 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     // prefix strips so everything downstream (resolution, residuals,
     // the index gather) sees logical keys.
     val (frame0, gs) =
-      if (d.saltBuckets > 0)
-        (graft.core.Salt.scanRange(engine.readManifest(m), d.saltBuckets,
-          gscan.startRow, gscan.stopRow),
-          gscan.copy(startRow = None, stopRow = None))
-      else (engine.readManifest(m), gscan)
+      if (d.saltBuckets > 0) {
+        if (rowKeys.nonEmpty)
+          // multiGet scope on the salted order: JVM-side salted keys +
+          // span bounds + broadcast semi-join, stripped back to logical
+          // rows; any logical bounds still apply in ScanExec below
+          (graft.core.Salt.scopeKeys(engine.readManifest(m), d.saltBuckets,
+            rowKeys), gscan)
+        else
+          (graft.core.Salt.scanRange(engine.readManifest(m), d.saltBuckets,
+            gscan.startRow, gscan.stopRow),
+            gscan.copy(startRow = None, stopRow = None))
+      } else {
+        val base = engine.readManifest(m)
+        val keyed =
+          if (rowKeys.isEmpty) base
+          else base.filter(rowKeys.map(k =>
+            org.apache.spark.sql.functions.col("row") ===
+              org.apache.spark.sql.functions.lit(k)).reduce(_ || _))
+        (keyed, gscan)
+      }
     // Transparent secondary-index routing: candidates = rows the index
     // probe names (size-gated gather), a superset the residual value
     // predicate reduces to the exact answer above the bridge. When the

@@ -548,6 +548,48 @@ class SqlCatalogSpec extends SparkSpec {
       .usedIndexTable.isEmpty)
   }
 
+  test("row IN pushes the multiGet scope to the parquet scan") {
+    val r = Files.createTempDirectory("graft-sqlmget").toString
+    val g = Graft(spark, r)
+    g.createTable(TableDescriptor("tm", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    g.table("tm").put((1 to 50).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("q"), 2L, b(s"v$i"))), 2L)
+    spark.conf.set("spark.sql.catalog.graft_mg", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mg.root", r)
+    val out = spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_mg.tm " +
+        s"WHERE row IN (${hex("r007")}, ${hex("r031")}, ${hex("r999")})")
+    assert(collectCells(out).map(_._1) == Set("r007", "r031"))
+    // the seam: the key disjunction reaches the inner parquet scan
+    val engine = new graft.catalog.Catalog(spark, r)
+    import org.apache.spark.sql.sources
+    val builder = new GraftScanBuilder(engine, "tm")
+    builder.pushFilters(Array(
+      sources.In("row", Array(b("r007"), b("r031")))))
+    val keyed = builder.build().asInstanceOf[GraftV1Scan]
+    val innerOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(innerOut)) {
+      keyed.resolvedFrame(spark).explain("formatted")
+    }
+    val inner = innerOut.toString("UTF-8")
+    assert(inner.contains("EqualTo(row") || inner.contains("In(row"),
+      s"row keys not pushed into the scan:\n$inner")
+    // salted table: the same IN scopes via JVM-side salted keys and
+    // returns logical rows
+    val g2 = Graft(spark, Files.createTempDirectory("graft-sqlmgs").toString)
+    g2.createTable(TableDescriptor("tms", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, saltBuckets = 8), 1L)
+    g2.table("tms").put((1 to 50).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("q"), 2L, b(s"v$i"))), 2L)
+    spark.conf.set("spark.sql.catalog.graft_mgs", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mgs.root", g2.root)
+    val outS = spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_mgs.tms " +
+        s"WHERE row IN (${hex("r007")}, ${hex("r031")})")
+    assert(collectCells(outS).map(_._1) == Set("r007", "r031"))
+  }
+
   test("a COVERED index answers the SQL route index-only — no main scan") {
     val r = Files.createTempDirectory("graft-sqlcov").toString
     val g = Graft(spark, r)
