@@ -78,6 +78,35 @@ class CompactionPolicySpec extends SparkSpec {
     assert(rawDeletes == 1L, s"tombstone not preserved: $rawDeletes")
   }
 
+  test("folded dirs vacuum away once history is pruned; survivors stay") {
+    import graft.write.Put
+    val g = graft.Graft(spark,
+      java.nio.file.Files.createTempDirectory("graft-minor3").toString)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    val t = g.table("t")
+    t.put((0 until 2000).map(i =>
+      Put(Bytes.toBytes(i.toLong)).add("f", q, 2L, b(s"v$i"))), 2L)
+    for (k <- 0 until 3)
+      t.put(Seq(Put(Bytes.toBytes(9000L + k)).add("f", q, 3L + k, b("x"))),
+        3L + k)
+    val folded = t.minorCompact(9L)
+    assert(folded.nonEmpty)
+    // folded dirs are still referenced by OLD manifest versions — a
+    // vacuum with history retained must NOT delete them...
+    assert(g.vacuum("t").isEmpty)
+    // ...pruning history releases them; the surviving big batch and the
+    // compacted dir stay, and the view is unchanged
+    g.catalog.expireVersions("t", keep = 1)
+    val dead = g.vacuum("t")
+    assert(dead.nonEmpty, "pruned fold did not free space")
+    val live = g.catalog.currentManifest("t").dataDirs
+    assert(live.forall(d => new java.io.File(
+      new java.net.URI("file://" + d).getPath).exists() ||
+      new java.io.File(d.stripPrefix("file:")).exists()))
+    assert(t.scan(graft.read.Scan()).count() == 2003L)
+  }
+
   test("minorCompact is a no-op below the compaction threshold") {
     import graft.write.Put
     val g = graft.Graft(spark,
