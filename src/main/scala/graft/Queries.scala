@@ -2067,6 +2067,35 @@ object Queries {
     CellCodec.decode(hit, ordersSchema).orderBy("o_orderkey")
   }
 
+  // Flush-triggered maintenance on a streaming sink: the change feed is
+  // throttled to 2 files/trigger so the replay arrives as MANY small
+  // micro-batches; replicateMaintained folds the accumulating tail via the
+  // size-ratio minor-compaction check after each commit and (keepVersions)
+  // prunes+vacuums released history. The verifying scan must see the same
+  // latest-state view as a plain replicate — maintenance is invisible to
+  // readers. Oracle = latest cell per user_id, same as replication_stream.
+  private val streamAutoCompact = Q("stream_auto_compact", Some("""
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1 ORDER BY user_id""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val work = java.nio.file.Files.createTempDirectory("graft-q-autoc").toString
+    val src = graft.Graft(s, s"$work/src")
+    src.createTable(TableDescriptor("t", Seq(FamilyDescriptor("e")), splitKeys = 8), 1L)
+    src.table("t").mutate(eventsCells(s, dir), nowMs = 1L)
+    val peer = graft.Graft(s, s"$work/peer")
+    peer.createTable(TableDescriptor("t", Seq(FamilyDescriptor("e")), splitKeys = 8), 1L)
+    graft.streaming.Replication.replicateMaintained(
+      graft.streaming.Replication.tableChangeFeed(s, s"$work/src", "t",
+        maxFilesPerTrigger = 2),
+      peer.table("t"), s"$work/ckpt", nowMsOf = _ + 10L,
+      minBatches = 3, keepVersions = 2).awaitTermination()
+    CellCodec.decode(ScanExec(peer.catalog.read("t"), Scan()), eventsValSchema,
+      key = Seq("user_id" -> LongType))
+      .orderBy("user_id")
+  }
+
   // ----------------------------------------------------------------------
   // Training-data pipeline (dedup / similarity / text / multimodal) over
   // the documents + embeddings tables. Oracles recompute the operator in
@@ -3710,7 +3739,7 @@ object Queries {
     sqlCatalogScan, sqlAggPushdown,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
-    replicationStream, streamIndexMaintain,
+    replicationStream, streamIndexMaintain, streamAutoCompact,
     streamWindowAgg, streamEnrich, streamIntervalJoin, streamAsofJoin,
     asOfJoinQ, intervalJoinQ,
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,

@@ -71,6 +71,47 @@ object Replication {
       }
       .start()
 
+  /** [[replicate]] with the reference's flush-triggered maintenance loop:
+    * after every flush the region server asks for a compaction check
+    * (`MemStoreFlusher.java:215,250,328` →
+    * `CompactSplitThread.compactionRequested`), so a continuously-ingesting
+    * region never accumulates an unbounded tail of small store files. Here
+    * each committed micro-batch is the flush; after the append the sink
+    * runs the size-ratio minor-compaction check on the TARGET table
+    * ([[graft.GraftTable.minorCompact]] — a no-op until `minBatches` small
+    * deltas qualify, so steady state pays one fold per ~`minBatches`
+    * batches and big old batches are never re-read).
+    *
+    * `keepVersions > 0` additionally prunes manifest history to that many
+    * versions and vacuums unreferenced dirs after each fold — bounded
+    * storage for an unbounded stream. That is WAL/HFile cleanup
+    * (`CleanerChore` semantics): snapshots stay protected (the vacuum
+    * respects the snapshot reference set), but a NEW change-feed tailer of
+    * the target can no longer replay folded-away `data-*` history, exactly
+    * as replication cannot start from before the reference's log cleanup.
+    * `keepVersions = 0` (default) compacts without vacuuming — time travel
+    * over the stream's whole history stays available until an explicit
+    * vacuum. */
+  def replicateMaintained(feed: DataFrame, target: graft.GraftTable,
+      checkpointDir: String, nowMsOf: Long => Long = identity,
+      ratio: Double = 1.2, minBatches: Int = 3, maxBatches: Int = 10,
+      keepVersions: Int = 0): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val now = nowMsOf(batchId)
+          target.g.catalog.append(target.name, batch, now): Unit
+          val folded = target.minorCompact(now, ratio, minBatches, maxBatches)
+          if (folded.nonEmpty && keepVersions > 0) {
+            target.g.catalog.expireVersions(target.name, keepVersions)
+            target.g.vacuum(target.name): Unit
+          }
+        }
+      }
+      .start()
+
   /** Streaming per-key latest-state view — emits an UPDATE row for a
     * (row, family, qualifier) whenever a newer (ts, seq) Put arrives,
     * via `flatMapGroupsWithState` in Update mode (the memstore re-homed as

@@ -102,6 +102,51 @@ class ReplicationSpec extends SparkSpec {
     assert(state(peer) == Set(("r2", "v2"), ("r3", "v3")))
   }
 
+  test("replicateMaintained folds the small-batch tail and bounds history; view unchanged") {
+    import graft.write.Put
+    val work = Files.createTempDirectory("graft-replm").toString
+    val src = Graft(spark, s"$work/src")
+    src.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")), splitKeys = 4), 1L)
+    // 6 separate appends × 4 files each; maxFilesPerTrigger=1 makes every
+    // FILE its own micro-batch on the sink — the worst-case small-files
+    // ingest shape
+    for (batch <- 0 until 6)
+      src.table("t").put((0 until 40).map(i =>
+        Put(Bytes.toBytes(batch * 1000L + i)).add("f", b("q"),
+          batch + 1L, b(s"v$batch-$i"))), nowMs = batch + 1L)
+    val peer = Graft(spark, s"$work/peer")
+    peer.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")), splitKeys = 4), 1L)
+    val q = Replication.replicateMaintained(
+      Replication.tableChangeFeed(spark, s"$work/src", "t", maxFilesPerTrigger = 1),
+      peer.table("t"), s"$work/ckpt", nowMsOf = _ + 100L, keepVersions = 1)
+    q.awaitTermination()
+    val microBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(microBatches >= 6, s"expected many micro-batches, got $microBatches")
+    // the folded tail: far fewer physical commit batches than micro-batches
+    val parents = peer.catalog.currentManifest("t").dataDirs
+      .map(d => new org.apache.hadoop.fs.Path(d).getParent.toString).distinct
+    assert(parents.size < microBatches / 2,
+      s"maintenance did not fold: ${parents.size} parents / $microBatches batches")
+    // keepVersions=1 prunes+vacuums released fold inputs immediately (a
+    // keep of k>1 lags by one fold generation: the retained older
+    // manifests still reference the folded dirs until the next fold's
+    // vacuum): the table dir holds no data-*/compact-* parents beyond the
+    // live manifest's
+    val live = parents.map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val onDisk = new java.io.File(s"$work/peer/t").listFiles().toSeq
+      .map(_.getName).filter(n => n.startsWith("data-") || n.startsWith("compact-"))
+    assert(onDisk.toSet == live,
+      s"vacuum left orphans: disk=$onDisk live=$live")
+    // maintenance is invisible to readers: peer view == source view
+    def state(g: Graft): Set[(Long, String)] =
+      g.table("t").scan(Scan()).collect().map { r =>
+        (Bytes.toLong(r.getAs[Array[Byte]]("row")),
+          new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+      }.toSet
+    assert(state(peer) == state(src))
+    assert(state(peer).size == 240)
+  }
+
   test("windowed edit counts with watermark; stateful running counters") {
     val work = Files.createTempDirectory("graft-repl3").toString
     cells(Seq(
