@@ -3386,6 +3386,37 @@ object Queries {
       .select("doc_id", "source", "replica").orderBy("doc_id", "replica")
   }
 
+  // Temperature-scaled source mixing (q_g ∝ p_g^0.5, token-weighted,
+  // target 60k tokens): the oracle independently recomputes the whole
+  // weight derivation — per-source token masses, the 2^20-QUANTIZED sqrt
+  // masses (integer normalizing sum, so aggregation order cannot perturb
+  // the weights on either engine), the fixed-association-order weight
+  // arithmetic, and the same salted-md5 replica buckets as
+  // sample_upsampled. sqrt is correctly rounded per IEEE-754, so every
+  // intermediate double is bit-identical across Spark and DuckDB.
+  private val sampleTemperature = Q("sample_temperature", Some(s"""
+    WITH d AS (SELECT doc_id, source, len($duckToks)::BIGINT AS n_tok FROM documents),
+    g AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n FROM d GROUP BY source),
+    m AS (SELECT source, n,
+      CAST(round(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS s FROM g),
+    z AS (SELECT CAST(sum(s) AS BIGINT) AS z FROM m),
+    w AS (SELECT source,
+      CAST(s AS DOUBLE) / CAST(z.z AS DOUBLE) * 60000.0 / CAST(n AS DOUBLE) AS wt
+      FROM m, z),
+    c AS (SELECT d.doc_id, d.source,
+      CAST(floor(wt) AS BIGINT) +
+      CASE WHEN CAST(('0x' || substring(md5('tmix|' || d.source || '|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+        < CAST(round((wt - floor(wt)) * 1000) AS BIGINT) THEN 1 ELSE 0 END AS copies
+      FROM d JOIN w ON w.source = d.source)
+    SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS replica
+    FROM c WHERE copies > 0
+    ORDER BY doc_id, replica""")) { (s, dir) =>
+    Sampling.mixByTemperature(t(s, dir, "documents"),
+      col("doc_id"), col("source"), Text.tokenCount(col("text")),
+      alpha = 0.5, targetTotal = 60000L)
+      .select("doc_id", "source", "replica").orderBy("doc_id", "replica")
+  }
+
   // Deterministic train/val/test split: salted-md5 bucket assignment,
   // reproducible across engines (the DuckDB oracle recomputes the same
   // md5 arithmetic).
@@ -3756,7 +3787,7 @@ object Queries {
     similarityTopk, similarityIvf, clusterKmeans, sampleClusterBalanced,
     similarityLshPlanes, similarityQuantized, similarityPq,
     dedupEmbedding, dedupSemantic, multimodalFeatures, multimodalMixed, sampleSplit,
-    sampleWeighted, sampleUpsampled, sampleShardShuffle,
+    sampleWeighted, sampleUpsampled, sampleTemperature, sampleShardShuffle,
     packSequences, sampleStratified, sampleTokenBudgetQ, corpusStatsQ,
     curationPipeline, streamCuration)
 

@@ -251,6 +251,58 @@ object Sampling {
       .drop("_m_g", "_m_tok", "_m_rk", "_m_b", "_m_budget", "_m_pre", "_m_off")
   }
 
+  /** Temperature-scaled source mixing — the multilingual-pretraining
+    * recipe (sample source g with probability q_g ∝ p_g^α; α < 1
+    * flattens the source distribution, upweighting low-resource sources
+    * and downsampling dominant ones). Returns the per-source mix WEIGHT
+    * w_g = q_g · targetTotal / n_g for [[upsampleWeighted]] (w > 1
+    * duplicates, w < 1 membership-samples), where n_g is the group's
+    * total `sizeCol` mass (tokens for token-weighted mixing, `lit(1)`
+    * for doc-weighted).
+    *
+    * Cross-engine / cross-run determinism: each group's mass n_g^α is
+    * quantized to an INTEGER (round(n_g^α · 2^20)) before normalization,
+    * so the normalizing sum is an integer sum — independent of
+    * aggregation order (a float sum over groups is not, and at scale
+    * aggregation order is nondeterministic). Every later step is a
+    * correctly-rounded IEEE op in one fixed association order, so an
+    * independent engine reproduces the weights bit-for-bit when the mass
+    * function is correctly rounded — α = 0.5 routes through `sqrt`
+    * (correctly rounded per IEEE-754) for exactly this reason; other α
+    * go through `pow`, deterministic within the JVM but last-ulp
+    * libm-dependent across engines.
+    *
+    * Scale: one groupBy whose result is one row per SOURCE — bounded by
+    * the mix spec, never by the corpus. */
+  def temperatureWeights(df: DataFrame, group: Column, sizeCol: Column,
+      alpha: Double, targetTotal: Long): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    require(targetTotal > 0, "targetTotal must be positive")
+    val totals = df.groupBy(group.cast("string").as("_g"))
+      .agg(sum(sizeCol.cast("long")).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def mass(n: Long): Long = {
+      val m = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      math.round(m * (1L << 20))
+    }
+    val masses = totals.map { case (g, n) => (g, n, mass(n)) }
+    val z = masses.map(_._3).sum
+    masses.map { case (g, n, s) =>
+      g -> s.toDouble / z.toDouble * targetTotal.toDouble / n.toDouble
+    }.toMap
+  }
+
+  /** [[temperatureWeights]] fed straight into [[upsampleWeighted]]: the
+    * whole temperature-mix in one call. Output carries the `replica`
+    * column; expected output mass ≈ `targetTotal` in `sizeCol` units. */
+  def mixByTemperature(df: DataFrame, key: Column, group: Column,
+      sizeCol: Column, alpha: Double, targetTotal: Long,
+      salt: String = "tmix"): DataFrame =
+    upsampleWeighted(df, key, group,
+      temperatureWeights(df, group, sizeCol, alpha, targetTotal),
+      defaultWeight = 0.0, salt = salt)
+
   def stratifiedTopN(df: DataFrame, key: Column, stratum: Column, n: Int,
       salt: String = "stratn", oversample: Double = 4.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -532,6 +532,32 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap == byGrp)
   }
 
+  test("temperatureWeights: alpha=1 proportional, alpha<1 flattens, mass hits target") {
+    // skewed sources: g0 has 4x the docs of g2
+    val rows = ((1L to 800L).map(i => (i, "g0")) ++
+      (801L to 1200L).map(i => (i, "g1")) ++
+      (1201L to 1400L).map(i => (i, "g2"))).toDF("id", "grp")
+    // alpha = 1: q_g = p_g, so w_g = target/N uniformly — pure scaling
+    val w1 = Sampling.temperatureWeights(rows, col("grp"), lit(1L),
+      alpha = 1.0, targetTotal = 2800L)
+    w1.values.foreach(w => assert(math.abs(w - 2.0) < 1e-9, w1))
+    // alpha = 0.5: low-resource sources upweighted RELATIVE to big ones
+    val w5 = Sampling.temperatureWeights(rows, col("grp"), lit(1L),
+      alpha = 0.5, targetTotal = 1400L)
+    assert(w5("g2") > w5("g1") && w5("g1") > w5("g0"), w5)
+    // expected output mass sums to the target: sum_g w_g * n_g == T
+    val mass = w5("g0") * 800 + w5("g1") * 400 + w5("g2") * 200
+    assert(math.abs(mass - 1400.0) < 1e-6, mass)
+    // end-to-end: realized output count concentrates near the target
+    val out = Sampling.mixByTemperature(rows, col("id"), col("grp"),
+      lit(1L), alpha = 0.5, targetTotal = 1400L)
+    val n = out.count()
+    assert(math.abs(n - 1400L) < 120, s"mixed $n rows for target 1400")
+    // deterministic
+    assert(Sampling.mixByTemperature(rows, col("id"), col("grp"),
+      lit(1L), alpha = 0.5, targetTotal = 1400L).count() == n)
+  }
+
   test("shardAndShuffle: permutation per shard, deterministic, salt-independent") {
     val rows = (1L to 2000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
     val out = Sampling.shardAndShuffle(rows, col("id"), nShards = 8)
