@@ -2806,6 +2806,33 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Model-based quality scoring: a fastText-style linear classifier over
+  // unigrams. The operator quantizes weights to 1e-6 fixed point so the
+  // dot product is an INTEGER sum — the oracle re-derives every score
+  // from the hardcoded fixed-point weights with order-free integer
+  // aggregation, then both sides make the identical single float op
+  // (int→double cast + one division). Both engine paths (inlined HOF map
+  // walk and explode+broadcast-join) are spec-asserted identical; the
+  // gate runs the HOF path.
+  private val textClassifier = Q("text_classifier", Some(s"""
+    WITH w(term, wt) AS (VALUES
+      ('fast', 800000), ('slow', -600000), ('merge', 250000),
+      ('hash', 100000), ('filter', -150000)),
+    d AS (SELECT doc_id, $duckToks AS ts FROM documents),
+    e AS (SELECT doc_id, unnest(ts) AS term FROM d),
+    s AS (SELECT e.doc_id, CAST(sum(w.wt) AS BIGINT) AS fp
+          FROM e JOIN w USING (term) GROUP BY e.doc_id)
+    SELECT d.doc_id,
+      CAST(50000 + COALESCE(s.fp, 0) AS DOUBLE) / 1000000.0 AS score
+    FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""")) { (s, dir) =>
+    val weights = Map("fast" -> 0.8, "slow" -> -0.6, "merge" -> 0.25,
+      "hash" -> 0.1, "filter" -> -0.15)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Text.linearScore(col("text"), weights, bias = 0.05).as("score"))
+      .orderBy("doc_id")
+  }
+
   // Corpus statistics: global top-N word bigrams by occurrence count
   // (vocabulary / boilerplate / stop-phrase mining). The cut is
   // total-ordered (occurrences desc, then the gram), so LIMIT is
@@ -3782,7 +3809,7 @@ object Queries {
     dedupClusters, dedupKeepCanonical,
     dedupSimhash, textQuality, textLangid, textNormalize, textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,
-    textTopNgrams, textBoilerplate, dedupContamination,
+    textTopNgrams, textBoilerplate, textClassifier, dedupContamination,
     contaminationSemantic,
     similarityTopk, similarityIvf, clusterKmeans, sampleClusterBalanced,
     similarityLshPlanes, similarityQuantized, similarityPq,

@@ -505,4 +505,55 @@ object Text {
     scalar.join(pick(0.5, "tok_p50"), "_g").join(pick(0.9, "tok_p90"), "_g")
       .withColumnRenamed("_g", "group")
   }
+
+  /** fastText-style linear classifier scoring — the model-based quality
+    * filter of large-corpus curation: score = bias + Σ_t w(t) over the
+    * document's tokens (multiplicity counts); callers threshold or
+    * sigmoid downstream.
+    *
+    * Weights are quantized to 1e-6 fixed point INSIDE the operator, so
+    * the dot product is a pure integer sum — reproducible across
+    * engines, summation orders, retries, and partitionings (a float sum
+    * is none of those, and a filtering decision that flips between
+    * reruns corrupts dataset lineage); the ≤ 5e-7-per-term quantization
+    * error is far below any meaningful decision boundary. One narrow
+    * codegen'd pass: the token walk is a higher-order `aggregate` over
+    * the split array with the weight map inlined as a literal — no
+    * explode, no shuffle, no UDF. Fits model-sized unigram vocabularies
+    * (the plan carries the map literal); for vocabularies too large to
+    * inline use [[linearScoreJoin]]. */
+  def linearScore(text: Column, weights: Map[String, Double],
+      bias: Double = 0.0): Column = {
+    require(weights.nonEmpty, "empty weight vocabulary")
+    val fp = weights.map { case (t, w) => t -> math.round(w * 1e6) }
+    val m = typedlit(fp)
+    (lit(math.round(bias * 1e6)) +
+      aggregate(tokens(text), lit(0L),
+        (acc, t) => acc + coalesce(element_at(m, t), lit(0L))))
+      .cast("double") / lit(1e6)
+  }
+
+  /** [[linearScore]] for vocabularies too large to inline as a literal:
+    * explode tokens, broadcast-join the weights table, integer-sum per
+    * document (map-side partial combine — the shuffle carries one
+    * (id, partial) row per doc per partition, not per token). Weight
+    * quantization uses floor(w·1e6 + 0.5), bit-matching
+    * [[linearScore]]'s `math.round` for every weight including negative
+    * halves. Docs with no in-vocab token score exactly `bias`. Output =
+    * the input plus a `score` column. */
+  def linearScoreJoin(df: DataFrame, idCol: String, textCol: String,
+      weightsDf: DataFrame, bias: Double = 0.0): DataFrame = {
+    require(!df.columns.contains("score"),
+      "linearScoreJoin emits a 'score' column; rename the input's")
+    val fp = weightsDf.select(col("term"),
+      floor(col("weight") * 1e6 + 0.5).cast("long").as("_w_fp"))
+    val hits = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(fp), "term")
+      .groupBy(idCol).agg(sum("_w_fp").as("_fp"))
+    df.join(hits, Seq(idCol), "left")
+      .withColumn("score",
+        (lit(math.round(bias * 1e6)) + coalesce(col("_fp"), lit(0L)))
+          .cast("double") / lit(1e6))
+      .drop("_fp")
+  }
 }

@@ -532,6 +532,38 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap == byGrp)
   }
 
+  test("linearScore: multiplicity-weighted dot product; join path bit-identical") {
+    val docs = Seq(
+      (1L, "fast fast slow other"), // 2*0.8 - 0.6 = 1.0 (+bias)
+      (2L, "nothing matches here"), // bias only
+      (3L, ""),                     // empty text -> bias only
+      (4L, "slow slow slow")        // -1.8 (+bias)
+    ).toDF("doc_id", "text")
+    val w = Map("fast" -> 0.8, "slow" -> -0.6)
+    val scored = docs.select(col("doc_id"),
+      Text.linearScore(col("text"), w, bias = 0.05).as("score"))
+    val got = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 1.05) < 1e-9, got)
+    assert(got(2L) == 0.05 && got(3L) == 0.05)
+    assert(math.abs(got(4L) - (-1.75)) < 1e-9, got)
+    // the broadcast-join path (big-vocab form) is BIT-identical: same
+    // fixed-point quantization (incl. a negative-half weight, where
+    // Spark round() would diverge from math.round), same final float op
+    val wdf = Seq(("fast", 0.8), ("slow", -0.6), ("neghalf", -0.0000005))
+      .toDF("term", "weight")
+    val joined = Text.linearScoreJoin(docs, "doc_id", "text", wdf, bias = 0.05)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(joined.forall { case (k, v) =>
+      java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(got(k)) }, (joined, got))
+    // math.round(-0.5) == 0; the join path's floor(x+0.5) must agree
+    val nh = Text.linearScoreJoin(
+      Seq((9L, "neghalf")).toDF("doc_id", "text"), "doc_id", "text", wdf)
+      .select("score").first().getDouble(0)
+    assert(nh == 0.0, s"negative-half weight quantized to $nh")
+  }
+
   test("temperatureWeights: alpha=1 proportional, alpha<1 flattens, mass hits target") {
     // skewed sources: g0 has 4x the docs of g2
     val rows = ((1L to 800L).map(i => (i, "g0")) ++
