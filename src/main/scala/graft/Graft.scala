@@ -227,6 +227,39 @@ final case class GraftTable(g: Graft, name: String) {
     }.reduce(_ || _))
   }
 
+  /** Index-backed RANGE lookup over a REGISTERED index: rows whose
+    * CURRENT visible `(family, qualifier)` value lies in `[lo, hi)`
+    * (bounds optional; VALUE space, lo inclusive / hi exclusive —
+    * binary successor `v ++ 0x00` converts the other inclusivities
+    * exactly). One pruned range probe of the value-prefix index layout
+    * (O(hits), not O(table)) + size-gated gather + verified read — the
+    * index answer to the reference's comparison-filter surface
+    * (`SingleColumnValueFilter` with the non-equality
+    * `CompareFilter.java:49-64` ops). Routes through the index-only
+    * reshape instead when the index covers and `project` lies within
+    * the covering set. */
+  def indexLookupRange(family: String, qualifier: Array[Byte],
+      lo: Option[Array[Byte]], hi: Option[Array[Byte]],
+      project: Seq[(String, Array[Byte])] = Nil): DataFrame = {
+    val ix = descriptor.indexOn(family, qualifier).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $name has no index on ($family, " +
+          s"${qualifier.map(b => f"$b%02x").mkString})"))
+    val coveredRoute = ix.covered.nonEmpty && project.nonEmpty &&
+      project.forall { case (f, q2) =>
+        ix.matches(f, q2) || ix.coversColumn(f, q2)
+      }
+    if (coveredRoute)
+      projectCells(SecondaryIndex.lookupCoveredRange(
+        g.catalog.read(ix.indexTable), family, qualifier, lo, hi,
+        ix.covered), project)
+    else {
+      val full = SecondaryIndex.lookupRange(logicalCells,
+        g.catalog.read(ix.indexTable), family, qualifier, lo, hi)
+      if (project.isEmpty) full else projectCells(full, project)
+    }
+  }
+
   /** COVERED equality/IN lookup ([[SecondaryIndex.lookupCovered]]): the
     * result — matching rows projected to the indexed + covered columns —
     * is assembled from the index table ALONE, zero main-table touch.

@@ -360,10 +360,10 @@ object Queries {
   // the inner plan); this gate proves the routed answer matches the
   // full-scan oracle exactly.
   private val sqlIndexRoots = scala.collection.mutable.Map.empty[String, String]
-  private val sqlIndexLookup = Q("sql_index_lookup", Some("""
-    SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN (7, 37, 73)
-    ORDER BY o_orderkey""")) { (s, dir) =>
-    val root = Queries.synchronized {
+  /** One registered-index fixture per sf dir (table `orders_ix`, index on
+    * (o, o_custkey)), shared by the equality, IN, and range gates. */
+  private def sqlIndexRoot(s: SparkSession, dir: String): String =
+    Queries.synchronized {
       sqlIndexRoots.getOrElseUpdate(dir, {
         val r = java.nio.file.Files.createTempDirectory("graft-q-sqlix").toString
         import graft.catalog.{FamilyDescriptor, TableDescriptor}
@@ -377,6 +377,10 @@ object Queries {
         r
       })
     }
+  private val sqlIndexLookup = Q("sql_index_lookup", Some("""
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN (7, 37, 73)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = sqlIndexRoot(s, dir)
     s.conf.set("spark.sql.catalog.graft_ix",
       classOf[graft.sql.GraftSqlCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_ix.root", root)
@@ -388,6 +392,49 @@ object Queries {
       s"""SELECT row, family, qualifier, ts, kind, value, seq
           FROM graft_ix.orders_ix
           WHERE family = 'o' AND qualifier = $qual AND value IN ($vals)""")
+    CellCodec.decode(cells,
+      StructType(Seq(StructField("o_custkey", LongType))),
+      key = Seq("o_orderkey" -> LongType))
+      .orderBy("o_orderkey")
+  }
+
+  // Index-backed RANGE lookup (read/Index.scala probeRange): comparison
+  // predicates on the indexed value — the reference's dominant filter
+  // surface (CompareFilter LESS/GREATER... via SingleColumnValueFilter)
+  // — served as ONE pruned range scan of the value-prefix index layout
+  // plus the verified re-check. Oracle is the plain interval predicate —
+  // the index must be invisible to semantics.
+  private val indexRangeLookup = Q("index_range_lookup", Some(s"""
+    SELECT $ordersCols FROM orders WHERE o_custkey >= 40 AND o_custkey < 60
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = sqlIndexRoot(s, dir)
+    val g = graft.Graft(s, root)
+    val hit = g.table("orders_ix").indexLookupRange("o",
+      Bytes.toBytes("o_custkey"),
+      Some(Bytes.toBytes(40L)), Some(Bytes.toBytes(60L)))
+    CellCodec.decode(hit, ordersSchema).orderBy("o_orderkey")
+  }
+
+  // The same interval through the SQL door: plain `value >= .. AND
+  // value < ..` comparisons on the indexed column route through the
+  // registered index transparently (GraftScanBuilder records the
+  // interval; SqlCatalogSpec asserts the route seam). Oracle = the
+  // full-scan formulation.
+  private val sqlIndexRange = Q("sql_index_range", Some("""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey >= 40 AND o_custkey < 60
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = sqlIndexRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_ixr",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ixr.root", root)
+    val qual = "X'" + Bytes.toBytes("o_custkey").map(b => f"$b%02x").mkString + "'"
+    def h(v: Long) = "X'" + Bytes.toBytes(v).map(b => f"$b%02x").mkString + "'"
+    val cells = s.sql(
+      s"""SELECT row, family, qualifier, ts, kind, value, seq
+          FROM graft_ixr.orders_ix
+          WHERE family = 'o' AND qualifier = $qual
+            AND value >= ${h(40L)} AND value < ${h(60L)}""")
     CellCodec.decode(cells,
       StructType(Seq(StructField("o_custkey", LongType))),
       key = Seq("o_orderkey" -> LongType))
@@ -3775,6 +3822,7 @@ object Queries {
     dataContract,
     q1Agg, q3Join,
     scanRange, saltedScan, saltedIndexLookup, indexLookup, sqlIndexLookup,
+    indexRangeLookup, sqlIndexRange,
     sqlCoveredLookup, sqlMultiGet,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
     getPoint, getRowOrBefore, rowCounter,

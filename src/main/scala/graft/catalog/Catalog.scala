@@ -93,7 +93,17 @@ final case class TableDescriptor(
     splitBoundaries: Seq[Array[Byte]] = Nil,
     saltBuckets: Int = 0,
     indexes: Seq[IndexDescriptor] = Nil,
-    immutableRows: Boolean = false) {
+    immutableRows: Boolean = false,
+    /** Declared RELATIONAL view of the cell table (the Phoenix
+      * CREATE VIEW analog): `wideKey` names the typed row-key parts
+      * (`name:type(,name:type)*`, row-key order), `wideSchema` the typed
+      * columns (`family:qualifier:type(;...)`). When set, the SQL door
+      * serves `<table>$wide` as a wide table ([[graft.sql.GraftWideTable]])
+      * whose predicates route through registered indexes — including the
+      * covered-projection and composite forms the cell schema cannot
+      * express. Schema-on-declare: no scan ever derives the column set. */
+    wideKey: Option[String] = None,
+    wideSchema: Option[String] = None) {
   def family(n: String): FamilyDescriptor =
     families.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"no family $n in table $name"))
@@ -141,10 +151,14 @@ object ManifestJson {
         s""""ixCovered":${esc(cov)},""" +
         s""""ixTable":${esc(ix.indexTable)}}"""
     }.mkString("[", ",", "]")
+    val wide = m.descriptor.wideKey.map(k => s""""wideKey":${esc(k)},""")
+      .getOrElse("") +
+      m.descriptor.wideSchema.map(w => s""""wideSchema":${esc(w)},""")
+        .getOrElse("")
     s"""{"table":${esc(m.table)},"version":${m.version},"createdMs":${m.createdMs},""" +
       s""""readOnly":${m.descriptor.readOnly},"splitKeys":${m.descriptor.splitKeys},""" +
       s""""saltBuckets":${m.descriptor.saltBuckets},""" +
-      s""""immutableRows":${m.descriptor.immutableRows},""" +
+      s""""immutableRows":${m.descriptor.immutableRows},""" + wide +
       s""""splitBoundaries":$bounds,"indexes":$ixs,""" +
       s""""families":$fams,"dataDirs":${m.dataDirs.map(esc).mkString("[", ",", "]")}}"""
   }
@@ -226,10 +240,13 @@ object ManifestJson {
         }.toSeq
       }
     }
+    def optStr(k: String): Option[String] =
+      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(s).map(_.group(1))
     Manifest(str("table"), num("version"), num("createdMs"),
       TableDescriptor(str("table"), fams, bool("readOnly"),
         num("splitKeys").toInt, bounds, salt, ixs,
-        immutableRows = bool("immutableRows")), dirs)
+        immutableRows = bool("immutableRows"),
+        wideKey = optStr("wideKey"), wideSchema = optStr("wideSchema")), dirs)
   }
 }
 
@@ -524,9 +541,19 @@ final class Catalog(spark: SparkSession, root: String) {
     *    temporarily invisible through the index, healed by
     *    `SecondaryIndex.rebuild` (or replaying the append) — an
     *    availability gap, never an integrity violation. */
-  def append(t: String, cells: DataFrame, nowMs: Long): Manifest = {
+  def append(t: String, cells0: DataFrame, nowMs: Long): Manifest = {
     val cur = currentManifest(t)
     require(!cur.descriptor.readOnly, s"table $t is read-only")
+    // With registered indexes the batch is evaluated MORE THAN ONCE
+    // (index delta + main write, and again for covered deltas). A
+    // nondeterministic plan (rand-salted ids, current_timestamp, a
+    // re-executed shuffle after executor loss) would then write
+    // different cells to the main table than to its indexes — a silent
+    // desync a covered read never detects. Pin the batch to one
+    // evaluation before fanning out; index-free appends (the common
+    // path) evaluate once anyway and skip the materialization.
+    val cells =
+      if (cur.descriptor.indexes.isEmpty) cells0 else cells0.localCheckpoint()
     // Pre-append logical view, read only by covered-index tombstone
     // maintenance (and only when the batch actually has tombstones).
     // Captured from `cur`, so it stays the PRE-state even when the

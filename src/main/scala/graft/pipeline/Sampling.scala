@@ -287,9 +287,17 @@ object Sampling {
       math.round(m * (1L << 20))
     }
     val masses = totals.map { case (g, n) => (g, n, mass(n)) }
-    val z = masses.map(_._3).sum
+    // BigInt normalizer: per-group quantized masses reach ~2^63 around
+    // n ≈ 8e12 at α = 1, so a Long SUM over many groups wraps negative
+    // at exactly the corpus scale this targets. Integer sums stay
+    // order-independent at any width, and BigInt.doubleValue is
+    // correctly rounded — determinism is unchanged (and bit-identical
+    // to the Long path whenever the sum fits, which is what the oracle
+    // exercises). Per-group masses themselves saturate (math.round caps
+    // at Long.MaxValue) rather than wrap.
+    val z = masses.foldLeft(BigInt(0))(_ + _._3).toDouble
     masses.map { case (g, n, s) =>
-      g -> s.toDouble / z.toDouble * targetTotal.toDouble / n.toDouble
+      g -> s.toDouble / z * targetTotal.toDouble / n.toDouble
     }.toMap
   }
 

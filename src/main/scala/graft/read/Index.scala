@@ -210,13 +210,23 @@ object SecondaryIndex {
     }.foldLeft(delPointer)(_ unionByName _)
   }
 
+  /** Reconstructed indexed VALUE of a pointer entry: the pointer cell's
+    * value IS the main row, so the value prefix is the index row key
+    * minus `0x00 ++ mainRow` — exact even when the value itself embeds
+    * 0x00 bytes (a raw prefix-range parse is ambiguous there: value
+    * `v ++ 0x00 ++ x` lands inside v's probe range; deriving the split
+    * point from the pointer's own payload disambiguates). */
+  private def pointerIxVal: org.apache.spark.sql.Column =
+    expr("substring(row, 1, length(row) - length(value) - 1)")
+
   /** Probe the index for an exact value: a range scan over
     * `[v ++ 0x00, v ++ 0x01)` returning the distinct candidate main-row
     * keys. O(index hits) rows — at 100 TB this is the whole point: the
     * scan touches only the index files whose min/max overlap the value. */
   def probe(index: DataFrame, value: Array[Byte]): DataFrame =
     ScanExec(index,
-        Scan(Some(value ++ Sep), Some(value ++ Array(1.toByte))))
+        Scan(Some(value ++ Sep), Some(value ++ Array(1.toByte)))
+          .addColumn(IndexFamily, RowQualifier))
       .select(col("value").as("row")).distinct()
 
   /** Multi-value probe (`IN (v1..vk)`): ONE index pass with the k ranges
@@ -227,8 +237,42 @@ object SecondaryIndex {
     val pred = values.map(v =>
         col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte)))
       .reduce(_ || _)
-    ScanExec(index.filter(pred), Scan())
+    ScanExec(index.filter(pred), Scan().addColumn(IndexFamily, RowQualifier))
       .select(col("value").as("row")).distinct()
+  }
+
+  /** Sound index-row-space upper bound for "indexed value < hi": rows of
+    * every value `< hi` sort below it, rows of every value `>= hi` sort
+    * at or above it. For a 0x00-free `hi` that is exactly `hi ++ 0x00`;
+    * when `hi` embeds 0x00, entries of values that are proper prefixes
+    * of `hi` sprawl past it (their rows continue with `0x00 ++ mainRow`
+    * where the main row compares above hi's next bytes), so the bound
+    * widens to the shortest such prefix + 0x01 — still a pruned range,
+    * made exact by the reconstructed-value residual in every caller. */
+  private def valueRangeStop(hi: Array[Byte]): Array[Byte] = {
+    val j = hi.indexOf(0.toByte)
+    if (j < 0) hi ++ Sep else hi.take(j) :+ 1.toByte
+  }
+
+  /** RANGE probe — the index answer to the reference's comparison
+    * filters (`CompareFilter.java:49-64` LESS/GREATER...; the dominant
+    * `SingleColumnValueFilter` surface): distinct candidate main-row
+    * keys whose indexed value lies in `[lo, hi)` (each bound optional;
+    * VALUE space, lo inclusive / hi exclusive — binary successor
+    * `v ++ 0x00` converts the other inclusivities exactly). The
+    * value-prefix index layout makes this ONE pruned range scan of the
+    * index — O(hits), not O(table); the reconstructed-value residual
+    * keeps the range exact even for 0x00-embedding bounds. */
+  def probeRange(index: DataFrame, lo: Option[Array[Byte]],
+      hi: Option[Array[Byte]]): DataFrame = {
+    require(lo.isDefined || hi.isDefined, "probeRange needs a bound")
+    val scanned = ScanExec(index,
+      Scan(lo.map(_ ++ Sep), hi.map(valueRangeStop))
+        .addColumn(IndexFamily, RowQualifier))
+      .withColumn("_ixv", pointerIxVal)
+    val exact = (lo.map(b => col("_ixv") >= lit(b)) ++
+        hi.map(b => col("_ixv") < lit(b))).reduce(_ && _)
+    scanned.filter(exact).select(col("value").as("row")).distinct()
   }
 
   /** Candidate gather, SIZE-GATED and SPAN-BOUNDED: one cheap stats job
@@ -247,9 +291,17 @@ object SecondaryIndex {
     * candidate main-table CELLS (unresolved). */
   def gather(mainCells: DataFrame, index: DataFrame,
       values: Seq[Array[Byte]],
+      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame =
+    gatherHits(mainCells,
+      if (values.sizeIs == 1) probe(index, values.head)
+      else probeAll(index, values),
+      broadcastMaxKeys)
+
+  /** [[gather]] generalized over any probe result (`hits`: distinct
+    * candidate main-row keys from [[probe]]/[[probeAll]]/[[probeRange]]),
+    * with the same size gate and span bound. */
+  def gatherHits(mainCells: DataFrame, hits: DataFrame,
       broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame = {
-    val hits =
-      if (values.sizeIs == 1) probe(index, values.head) else probeAll(index, values)
     val stats = hits.agg(count(lit(1)), min(col("row")), max(col("row")))
       .collect()(0)
     val n = stats.getLong(0)
@@ -284,15 +336,44 @@ object SecondaryIndex {
     * SingleColumnValueFilter, which is single-comparator). */
   def lookupAll(mainCells: DataFrame, index: DataFrame, family: String,
       qualifier: Array[Byte], values: Seq[Array[Byte]],
-      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame = {
+      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame =
+    verifiedRows(
+      gather(mainCells, index, values, broadcastMaxKeys), family, qualifier,
+      values.map(v => (c: org.apache.spark.sql.Column) => c === lit(v))
+        .reduce((a, b) => c => a(c) || b(c)))
+
+  /** Index-backed RANGE lookup (`value in [lo, hi)`, bounds optional,
+    * VALUE space, lo inclusive / hi exclusive): one [[probeRange]] pass,
+    * one size-gated span-bounded gather, then the verifying re-check of
+    * the CURRENT visible value against the interval — the index answer
+    * to the reference's comparison-filter surface
+    * (`SingleColumnValueFilter` with LESS/GREATER..., the non-equality
+    * `CompareFilter.java:49-64` ops the equality probe can't serve). */
+  def lookupRange(mainCells: DataFrame, index: DataFrame, family: String,
+      qualifier: Array[Byte], lo: Option[Array[Byte]],
+      hi: Option[Array[Byte]],
+      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame =
+    verifiedRows(
+      gatherHits(mainCells, probeRange(index, lo, hi), broadcastMaxKeys),
+      family, qualifier,
+      c => (lo.map(b => c >= lit(b)) ++ hi.map(b => c < lit(b))).reduce(_ && _))
+
+  /** Shared verify step of the non-covered lookups: resolve the gathered
+    * candidate cells, keep whole rows whose CURRENT visible indexed value
+    * satisfies `valuePred` — stale index hits (updates, deletes) are
+    * false positives this eliminates; false negatives cannot happen
+    * (every put is indexed). */
+  private def verifiedRows(candidates: DataFrame, family: String,
+      qualifier: Array[Byte],
+      valuePred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val resolved = ScanExec(
-      gather(mainCells, index, values, broadcastMaxKeys), Scan())
+    val resolved = ScanExec(candidates, Scan())
     val isTest = col("family") === family && col("qualifier") === lit(qualifier)
-    val inSet = values.map(v => col("value") === lit(v)).reduce(_ || _)
     resolved
-      .withColumn("_idx_ok", max(when(isTest && inSet, 1).otherwise(0))
-        .over(Window.partitionBy("row")))
+      .withColumn("_idx_ok",
+        max(when(isTest && valuePred(col("value")), 1).otherwise(0))
+          .over(Window.partitionBy("row")))
       .filter(col("_idx_ok") === 1).drop("_idx_ok")
   }
 
@@ -325,37 +406,64 @@ object SecondaryIndex {
       qualifier: Array[Byte], values: Seq[Array[Byte]],
       covered: Seq[(String, Array[Byte])]): DataFrame = {
     require(values.nonEmpty, "lookupCovered needs at least one value")
-    val pred = values.map(v =>
-        col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte)))
-      .reduce(_ || _)
-    // Covered cells are visible only under a LIVE POINTER in the same
-    // index row: delete maintenance kills the pointer, and this gate
-    // makes the whole logical match disappear with it — one window over
-    // the O(hits) frame, still zero main-table touch.
-    val resolved = ScanExec(index.filter(pred), Scan())
+    coveredRead(index, family, qualifier, covered,
+      rowPred = values.map(v =>
+          col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte)))
+        .reduce(_ || _),
+      valuePred = values.map(v => col("_ixVal") === lit(v)).reduce(_ || _))
+  }
+
+  /** Covered RANGE lookup (`value in [lo, hi)`, bounds optional, VALUE
+    * space, lo inclusive / hi exclusive): the [[probeRange]] pruning +
+    * the covered reshape — a comparison predicate answered from the
+    * index table ALONE. */
+  def lookupCoveredRange(index: DataFrame, family: String,
+      qualifier: Array[Byte], lo: Option[Array[Byte]],
+      hi: Option[Array[Byte]],
+      covered: Seq[(String, Array[Byte])]): DataFrame = {
+    require(lo.isDefined || hi.isDefined, "lookupCoveredRange needs a bound")
+    var rowPred = lit(true)
+    lo.foreach(b => rowPred = rowPred && col("row") >= lit(b ++ Sep))
+    hi.foreach(b => rowPred = rowPred && col("row") < lit(valueRangeStop(b)))
+    coveredRead(index, family, qualifier, covered, rowPred,
+      valuePred = (lo.map(b => col("_ixVal") >= lit(b)) ++
+        hi.map(b => col("_ixVal") < lit(b))).reduce(_ && _))
+  }
+
+  /** The covered read core: one resolved pass over the probe row ranges,
+    * then a GENERIC reshape whose plan width is O(covered columns) —
+    * independent of how many probe values/bounds the predicate has.
+    * Per index row: the live POINTER cell's value is the true main row
+    * (covered cells are visible only under a live pointer — delete
+    * maintenance kills the pointer and the whole logical match
+    * disappears with it), and the indexed value is the row key minus
+    * `0x00 ++ mainRow` — exact even for values embedding 0x00 bytes
+    * (`valuePred` on the reconstruction rejects the prefix-range
+    * misparses a raw substring split would admit). */
+  private def coveredRead(index: DataFrame, family: String,
+      qualifier: Array[Byte], covered: Seq[(String, Array[Byte])],
+      rowPred: org.apache.spark.sql.Column,
+      valuePred: org.apache.spark.sql.Column): DataFrame = {
+    val resolved = ScanExec(index.filter(rowPred), Scan())
     val wIxRow = org.apache.spark.sql.expressions.Window.partitionBy("row")
     val vis = resolved
-      .withColumn("_ptr",
-        max(when(col("qualifier") === lit(RowQualifier), 1).otherwise(0))
+      .withColumn("_mainRow",
+        max(when(col("qualifier") === lit(RowQualifier), col("value")))
           .over(wIxRow))
-      .filter(col("_ptr") === 1).drop("_ptr")
-    val perValue = values.map { v =>
-      val inRange = col("row") >= lit(v ++ Sep) &&
-        col("row") < lit(v ++ Array(1.toByte))
-      // 1-based substring past `value ++ 0x00` = the logical main row key
-      val mainRow = expr(s"substring(row, ${v.length + 2}, 2147483647)")
-      val ptr = vis.filter(inRange && col("qualifier") === lit(RowQualifier))
-        .select(mainRow.as("row"), lit(family).as("family"),
-          lit(qualifier).as("qualifier"), col("ts"),
-          lit(CellKind.Put).as("kind"), lit(v).as("value"), col("seq"))
-      covered.map { case (cf, cq) =>
-        vis.filter(inRange && col("qualifier") === lit(coveredQualifier(cf, cq)))
-          .select(mainRow.as("row"), lit(cf).as("family"),
-            lit(cq).as("qualifier"), col("ts"),
-            lit(CellKind.Put).as("kind"), col("value"), col("seq"))
-      }.foldLeft(ptr)(_ unionByName _)
-    }
-    perValue.reduce(_ unionByName _)
+      .filter(col("_mainRow").isNotNull)
+      .withColumn("_ixVal",
+        expr("substring(row, 1, length(row) - length(_mainRow) - 1)"))
+      .filter(valuePred)
+    val ptr = vis.filter(col("qualifier") === lit(RowQualifier))
+      .select(col("_mainRow").as("row"), lit(family).as("family"),
+        lit(qualifier).as("qualifier"), col("ts"),
+        lit(CellKind.Put).as("kind"), col("_ixVal").as("value"), col("seq"))
+    covered.map { case (cf, cq) =>
+      vis.filter(col("qualifier") === lit(coveredQualifier(cf, cq)))
+        .select(col("_mainRow").as("row"), lit(cf).as("family"),
+          lit(cq).as("qualifier"), col("ts"),
+          lit(CellKind.Put).as("kind"), col("value"), col("seq"))
+    }.foldLeft(ptr)(_ unionByName _)
   }
 
   /** Deterministic default index-table name for one indexed column. */

@@ -60,6 +60,16 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val t = ident.name()
+    // `t$wide` resolves the declared relational view of table t (wideKey
+    // + wideSchema properties — see GraftWideTable). Quoted in SQL:
+    // SELECT ... FROM graft.`t$wide` ...
+    if (t.endsWith(WideSpec.Suffix)) {
+      val base = t.stripSuffix(WideSpec.Suffix)
+      if (!engine.tableExists(base)) throw new NoSuchTableException(ident)
+      val d = engine.currentManifest(base).descriptor
+      if (d.wideSchema.isEmpty) throw new NoSuchTableException(ident)
+      return new GraftWideTable(engine, base)
+    }
     if (!engine.tableExists(t)) throw new NoSuchTableException(ident)
     new GraftSqlTable(engine, t)
   }
@@ -105,12 +115,19 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     val salt = Option(properties.get("saltBuckets")).map(_.toInt).getOrElse(0)
     val immutable = Option(properties.get("immutableRows"))
       .exists(_.toBoolean)
+    // 'wideKey'/'wideSchema' declare the relational view `t$wide`
+    // (validated eagerly so a bad declaration fails the DDL, not the
+    // first query)
+    val wideKey = Option(properties.get("wideKey"))
+    val wideSchema = Option(properties.get("wideSchema"))
+    if (wideKey.isDefined || wideSchema.isDefined)
+      WideSpec.parse(wideKey, wideSchema): Unit
     // SQL has no caller-supplied clock; stamp DDL like the insert path
     // does (a 0 here would poison TIMESTAMP AS OF: the created manifest
     // would sort before every real commit while carrying the newest
     // version number).
     engine.createTable(TableDescriptor(t, fams, saltBuckets = salt,
-      immutableRows = immutable),
+      immutableRows = immutable, wideKey = wideKey, wideSchema = wideSchema),
       nowMs = GraftSqlCatalog.nowMs())
     new GraftSqlTable(engine, t)
   }
@@ -124,8 +141,19 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
         engine.alterTable(t,
           cur.copy(families = GraftSqlCatalog.parseFamilies(p.value())),
           nowMs = GraftSqlCatalog.nowMs())
+      case p: TableChange.SetProperty
+          if p.property() == "wideKey" || p.property() == "wideSchema" =>
+        val cur = engine.currentManifest(t).descriptor
+        val next =
+          if (p.property() == "wideKey") cur.copy(wideKey = Some(p.value()))
+          else cur.copy(wideSchema = Some(p.value()))
+        // validate once both halves are present
+        if (next.wideKey.isDefined && next.wideSchema.isDefined)
+          WideSpec.parse(next.wideKey, next.wideSchema): Unit
+        engine.alterTable(t, next, nowMs = GraftSqlCatalog.nowMs())
       case other => throw new UnsupportedOperationException(
-        s"graft catalog supports only SET TBLPROPERTIES('families'=...), got $other")
+        "graft catalog supports only SET TBLPROPERTIES('families'=..., " +
+          s"'wideKey'=..., 'wideSchema'=...), got $other")
     }
     new GraftSqlTable(engine, t)
   }

@@ -212,6 +212,11 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   private var limit: Option[Int] = None
   private var aggSpec: Option[GraftAggSpec] = None
   private var valueEq: Seq[Array[Byte]] = Nil
+  // recorded `value` interval (VALUE space, lo inclusive / hi exclusive —
+  // binary successor `v ++ 0x00` converts the other inclusivities
+  // exactly); routes comparison predicates through a registered index
+  private var valueLo: Option[Array[Byte]] = None
+  private var valueHi: Option[Array[Byte]] = None
   private var rowKeys: Seq[Array[Byte]] = Nil
 
   /** Aggregate pushdown — COMPLETE (final values, not partial buffers):
@@ -279,6 +284,10 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   private def tightenStop(b: Array[Byte]): Unit =
     if (scan.stopRow.forall(cur => Bytes.compareTo(b, cur) < 0))
       scan = scan.setStopRow(b)
+  private def tightenValueLo(b: Array[Byte]): Unit =
+    if (valueLo.forall(cur => Bytes.compareTo(b, cur) > 0)) valueLo = Some(b)
+  private def tightenValueHi(b: Array[Byte]): Unit =
+    if (valueHi.forall(cur => Bytes.compareTo(b, cur) < 0)) valueHi = Some(b)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = Array.newBuilder[Filter]
@@ -345,6 +354,20 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
           if valueEq.isEmpty && vs.nonEmpty &&
             vs.forall(_.isInstanceOf[Array[Byte]]) =>
         valueEq = vs.toSeq.map(_.asInstanceOf[Array[Byte]]); residual += f
+      // `value` comparisons — the reference's dominant filter surface
+      // (CompareFilter.java:49-64 LESS/GREATER... via
+      // SingleColumnValueFilter) — record an INTERVAL; each conjunct only
+      // tightens it, so all are sound together. RESIDUAL like equality:
+      // the value-prefix index layout serves the interval as one pruned
+      // range probe, Spark's re-application keeps exactness.
+      case f @ sources.GreaterThan("value", v: Array[Byte]) =>
+        tightenValueLo(Bytes.successor(v)); residual += f
+      case f @ sources.GreaterThanOrEqual("value", v: Array[Byte]) =>
+        tightenValueLo(v); residual += f
+      case f @ sources.LessThan("value", v: Array[Byte]) =>
+        tightenValueHi(v); residual += f
+      case f @ sources.LessThanOrEqual("value", v: Array[Byte]) =>
+        tightenValueHi(Bytes.successor(v)); residual += f
       case other => residual += other
     }
     pushed = accepted.result()
@@ -353,21 +376,31 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
 
   /** Transparent index routing (the Phoenix property the index design
     * cites): a scan projecting exactly ONE family and ONE qualifier with
-    * an equality/IN predicate on `value` routes through that column's
-    * registered index — probe O(hits), gather, resolve over candidates —
-    * instead of a full scan + residual filter. Correct by superset: the
-    * index holds every put of the column, so candidate rows cover every
-    * possibly-visible match; the residual value predicate (and normal
-    * resolution) make the result exact. Time-travel scans never route
-    * (a rebuilt index reflects the present, not the pinned version). */
-  private def indexProbe: Option[(graft.catalog.IndexDescriptor, Seq[Array[Byte]])] =
-    if (pinned.isDefined || valueEq.isEmpty) None
+    * an equality/IN predicate — or a comparison INTERVAL — on `value`
+    * routes through that column's registered index: probe O(hits) (the
+    * value-prefix layout serves an interval as ONE pruned range scan),
+    * gather, resolve over candidates — instead of a full scan + residual
+    * filter. Correct by superset: the index holds every put of the
+    * column, so candidate rows cover every possibly-visible match; the
+    * residual value predicate (and normal resolution) make the result
+    * exact. Time-travel scans never route (a rebuilt index reflects the
+    * present, not the pinned version). Covered-PROJECTION routing (a
+    * predicate on the indexed column with covered columns projected)
+    * has no faithful rendering in the cell schema — that query is
+    * relational, and routes through [[GraftWideTable]]'s wide view. */
+  private def indexProbe: Option[GraftIndexRoute] =
+    if (pinned.isDefined) None
     else for {
       fams <- scan.families
       if fams.size == 1 && scan.columns.get(fams.head).exists(_.size == 1)
       ix <- engine.currentManifest(tableName).descriptor
         .indexOn(fams.head, scan.columns(fams.head).head)
-    } yield (ix, valueEq)
+      pred <-
+        if (valueEq.nonEmpty) Some(GraftValueIn(valueEq))
+        else if (valueLo.isDefined || valueHi.isDefined)
+          Some(GraftValueRange(valueLo, valueHi))
+        else None
+    } yield GraftIndexRoute(ix, pred, Nil)
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -390,6 +423,20 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
     new GraftV1Scan(engine, tableName, scan, required, pinned, limit,
       maxVersionsPerTrigger, aggSpec, indexProbe, rowKeys)
 }
+
+/** The index-routable `value` predicate the scan builder recorded. */
+private[sql] sealed trait GraftValuePred
+private[sql] case class GraftValueIn(values: Seq[Array[Byte]])
+    extends GraftValuePred
+/** VALUE-space interval, lo inclusive / hi exclusive. */
+private[sql] case class GraftValueRange(lo: Option[Array[Byte]],
+    hi: Option[Array[Byte]]) extends GraftValuePred
+
+/** One resolved index route: the registered index, the recorded value
+  * predicate, and the covered columns the query projects (empty = only
+  * the indexed column's cells are wanted). */
+private[sql] case class GraftIndexRoute(ix: graft.catalog.IndexDescriptor,
+    pred: GraftValuePred, covered: Seq[(String, Array[Byte])])
 
 /** One pushed aggregate column: `fn` in count | count_col | min | max,
   * `col` absent only for COUNT(*). */
@@ -431,7 +478,7 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     limit: Option[Int] = None,
     maxVersionsPerTrigger: Option[Long] = None,
     aggSpec: Option[GraftAggSpec] = None,
-    indexProbe: Option[(graft.catalog.IndexDescriptor, Seq[Array[Byte]])] = None,
+    indexProbe: Option[GraftIndexRoute] = None,
     rowKeys: Seq[Array[Byte]] = Nil) extends V1Scan {
 
   override def readSchema(): StructType =
@@ -441,7 +488,7 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     * seam (SqlCatalogSpec checks routing fires for indexed predicates and
     * stays off for unindexed ones). */
   private[sql] def usedIndexTable: Option[String] =
-    indexProbe.map(_._1.indexTable)
+    indexProbe.map(_.ix.indexTable)
 
   /** The resolved view this scan produces — also the seam SqlCatalogSpec
     * uses to assert that pushdown reached the inner parquet scan. */
@@ -479,16 +526,36 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     // routed index is COVERED (immutableRows + synchronous deletes +
     // data-first commits — the index content is exact), the candidate
     // cells are RECONSTRUCTED from the index table alone (the pointer
-    // entry carries (mainRow, ts, seq); the probed value is the cell
-    // value), so the whole SQL answer is index-only: zero main-table
-    // touch, no gather — the strongest form of the Phoenix route.
-    val frame = indexProbe.fold(frame0) { case (ix, values) =>
-      if (ix.covered.nonEmpty)
-        graft.read.SecondaryIndex.lookupCovered(engine.read(ix.indexTable),
-          ix.family, ix.qualifier, values, covered = Nil)
-      else
-        graft.read.SecondaryIndex.gather(frame0, engine.read(ix.indexTable),
-          values)
+    // entry carries (mainRow, ts, seq); covered-projection queries get
+    // their covered columns' cells the same way), so the whole SQL
+    // answer is index-only: zero main-table touch, no gather — the
+    // strongest form of the Phoenix route.
+    val frame = indexProbe.fold(frame0) { route =>
+      import graft.read.SecondaryIndex
+      val ixCells = engine.read(route.ix.indexTable)
+      if (route.ix.covered.nonEmpty) {
+        var cov = route.pred match {
+          case GraftValueIn(vs) => SecondaryIndex.lookupCovered(ixCells,
+            route.ix.family, route.ix.qualifier, vs, route.covered)
+          case GraftValueRange(lo, hi) => SecondaryIndex.lookupCoveredRange(
+            ixCells, route.ix.family, route.ix.qualifier, lo, hi,
+            route.covered)
+        }
+        // Pushed row bounds were ACCEPTED (Spark will not re-apply them)
+        // and compiled into frame0 on a salted table — which the covered
+        // answer bypasses entirely. Re-apply the ORIGINAL logical bounds
+        // on the reconstructed rows (idempotent on unsalted tables,
+        // where `gs` still carries them into ScanExec below).
+        import org.apache.spark.sql.functions.{col => c, lit => l}
+        gscan.startRow.foreach(b => cov = cov.filter(c("row") >= l(b)))
+        gscan.stopRow.foreach(b => cov = cov.filter(c("row") < l(b)))
+        cov
+      } else route.pred match {
+        case GraftValueIn(vs) => SecondaryIndex.gather(frame0, ixCells, vs)
+        case GraftValueRange(lo, hi) =>
+          SecondaryIndex.gatherHits(frame0,
+            SecondaryIndex.probeRange(ixCells, lo, hi))
+      }
     }
     // Family TTLs evaluate against the SQL-surface clock (reference: TTL
     // uses server time, ScanQueryMatcher.java:56). A now of 0 would make

@@ -1,0 +1,356 @@
+package graft.sql
+
+import graft.catalog.{Catalog, IndexDescriptor}
+import graft.core.{Bytes, CellCodec}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan => V2Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The declared WIDE (relational) view of a cell table — what the HBase
+  * ecosystem layers on top of the cell model when queries are relational
+  * (Phoenix tables/views, the Hive HBase handler): one row per row key,
+  * one typed column per declared qualifier, decoded through the SAME
+  * codec the facade uses (`CellCodec`, FIXTURES.md F6).
+  *
+  * This is the surface where covered-column and multi-column index
+  * queries are EXPRESSIBLE: `SELECT k, pop FROM t$wide WHERE city = 'x'`
+  * has no faithful single-scan rendering in the cell schema (a value
+  * predicate there constrains the same cell it returns), but here it is
+  * the natural form — and routes through the registered covered index
+  * with zero main-table touch.
+  *
+  * Declaration is schema-on-declare (`wideKey` / `wideSchema` table
+  * properties — no scan ever derives a column set at 100 TB). The view
+  * is read-only: writes go through the cell door (`INSERT INTO graft.t`)
+  * or the facade, exactly like Phoenix views over existing HBase tables.
+  *
+  * Pushdown strategy: every filter is reported RESIDUAL (Spark
+  * re-applies it on the decoded output — exactness is structural), and
+  * the recorded predicates drive pruning below the bridge:
+  *  - first-key-part bounds → parquet row-range pruning (salt-aware);
+  *  - equality/IN/interval on an INDEXED column → the Phoenix route
+  *    (probe + gather + verify), index-only when the index covers every
+  *    scanned column;
+  *  - column pruning → the scan projects only the needed qualifiers
+  *    (when a recorded predicate implies a needed column is non-null;
+  *    otherwise all declared columns are scanned so the row SET does not
+  *    depend on the projection).
+  */
+class GraftWideTable(engine: Catalog, baseTable: String) extends Table
+    with SupportsRead {
+
+  private[sql] def spec: WideSpec = {
+    val d = engine.currentManifest(baseTable).descriptor
+    WideSpec.parse(d.wideKey, d.wideSchema)
+  }
+
+  override def name(): String = baseTable + WideSpec.Suffix
+  override def schema(): StructType = spec.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftWideScanBuilder(engine, baseTable, spec)
+}
+
+/** One declared wide column: `name` IS the qualifier string. */
+private[sql] case class WideCol(family: String, name: String, dt: DataType) {
+  def qualifier: Array[Byte] = Bytes.toBytes(name)
+}
+
+private[sql] case class WideSpec(key: Seq[(String, DataType)],
+    cols: Seq[WideCol]) {
+  def schema: StructType = StructType(
+    key.map { case (n, dt) => StructField(n, dt) } ++
+      cols.map(c => StructField(c.name, c.dt)))
+  def col(name: String): Option[WideCol] = cols.find(_.name == name)
+}
+
+private[sql] object WideSpec {
+  /** SQL-door name suffix resolving a declared wide view:
+    * `graft.\`t\$wide\``. */
+  val Suffix = "$wide"
+
+  private val types: Map[String, DataType] = Map(
+    "long" -> LongType, "int" -> IntegerType, "string" -> StringType,
+    "double" -> DoubleType, "float" -> FloatType,
+    "timestamp" -> TimestampType, "timestamp_ntz" -> TimestampNTZType,
+    "date" -> DateType, "boolean" -> BooleanType, "binary" -> BinaryType)
+
+  private def parseType(t: String): DataType = types.getOrElse(t.trim,
+    throw new IllegalArgumentException(
+      s"unsupported wide column type '$t' (one of ${types.keys.toSeq.sorted.mkString(", ")})"))
+
+  /** `wideKey`: `name:type(,name:type)*` — typed row-key parts in
+    * row-key order (decodable types only: the fixed-width numerics first,
+    * at most one string/binary tail — `CellCodec.decode`'s contract).
+    * `wideSchema`: `family:qualifier:type(;...)` — column name = the
+    * qualifier; names must be unique across families (column identity). */
+  def parse(wideKey: Option[String], wideSchema: Option[String]): WideSpec = {
+    val key = wideKey.getOrElse(throw new IllegalArgumentException(
+        "wide view needs the 'wideKey' table property"))
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
+        val Array(n, t) = s.split(':')
+        val dt = parseType(t)
+        require(Seq(LongType, IntegerType, StringType, BinaryType).contains(dt),
+          s"wideKey part '$n' has undecodable type $t (long/int/string/binary)")
+        (n, dt)
+      }
+    val cols = wideSchema.getOrElse(throw new IllegalArgumentException(
+        "wide view needs the 'wideSchema' table property"))
+      .split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
+        val Array(f, q, t) = s.split(':')
+        WideCol(f, q, parseType(t))
+      }
+    val names = key.map(_._1) ++ cols.map(_.name)
+    require(names.distinct.size == names.size,
+      s"wide view column names collide: ${names.mkString(", ")}")
+    require(key.nonEmpty && cols.nonEmpty, "wide view needs key and columns")
+    WideSpec(key, cols)
+  }
+
+  /** JVM-side literal encoding matching `CellCodec.encodeValue` — None
+    * when the literal's type has no JVM-side encoder (those predicates
+    * stay residual-only, never pruning). */
+  def encodeLit(dt: DataType, v: Any): Option[Array[Byte]] = (dt, v) match {
+    case (LongType, l: java.lang.Long) => Some(Bytes.toBytes(l.longValue))
+    case (LongType, i: java.lang.Integer) => Some(Bytes.toBytes(i.longValue))
+    case (IntegerType, i: java.lang.Integer) => Some(Bytes.toBytes(i.intValue))
+    case (StringType, s: String) => Some(Bytes.toBytes(s))
+    case (BinaryType, b: Array[Byte]) => Some(b)
+    case (BooleanType, b: java.lang.Boolean) =>
+      Some(Array(if (b.booleanValue) 1.toByte else 0.toByte))
+    case (DoubleType, d: java.lang.Double) => Some(Bytes.toBytes(d.doubleValue))
+    case (FloatType, f: java.lang.Float) =>
+      Some(Bytes.toBytes(f.doubleValue))
+    case _ => None
+  }
+
+  /** Whether the encoding of `dt` is ORDER-preserving for this literal
+    * (the condition for turning a comparison into a byte range): the
+    * unsigned-lex order of the encoding must match the column order.
+    * Big-endian integrals qualify for non-negative values only; UTF-8
+    * strings always (Spark's UTF8String comparison is byte-wise);
+    * IEEE-754 doubles never (sign bit inverts the order). */
+  def rangeEncodable(dt: DataType, v: Any): Boolean = dt match {
+    case LongType | IntegerType => v.asInstanceOf[Number].longValue >= 0L
+    case StringType | BinaryType => true
+    case _ => false
+  }
+}
+
+/** Records predicates (everything stays residual — see
+  * [[GraftWideTable]]) and prunes columns for the wide scan. */
+class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var required: StructType = spec.schema
+  private var limit: Option[Int] = None
+  private var startRow: Option[Array[Byte]] = None
+  private var stopRow: Option[Array[Byte]] = None
+  // recorded per-column value predicates (encoded); intervals are VALUE
+  // space, lo inclusive / hi exclusive
+  private var colEq = Map.empty[String, Seq[Array[Byte]]]
+  private var colLo = Map.empty[String, Array[Byte]]
+  private var colHi = Map.empty[String, Array[Byte]]
+
+  private def tightenStart(b: Array[Byte]): Unit =
+    if (startRow.forall(cur => Bytes.compareTo(b, cur) > 0)) startRow = Some(b)
+  private def tightenStop(b: Array[Byte]): Unit =
+    if (stopRow.forall(cur => Bytes.compareTo(b, cur) < 0)) stopRow = Some(b)
+  private def tightenLo(c: String, b: Array[Byte]): Unit =
+    if (colLo.get(c).forall(cur => Bytes.compareTo(b, cur) > 0))
+      colLo += c -> b
+  private def tightenHi(c: String, b: Array[Byte]): Unit =
+    if (colHi.get(c).forall(cur => Bytes.compareTo(b, cur) < 0))
+      colHi += c -> b
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val keyHead = spec.key.head
+    def keyEnc(v: Any): Option[Array[Byte]] =
+      Option(v).flatMap(WideSpec.encodeLit(keyHead._2, _))
+    def valCol(c: String): Option[WideCol] = spec.col(c)
+    def valEnc(c: String, v: Any): Option[Array[Byte]] =
+      Option(v).flatMap(x => valCol(c).flatMap(w => WideSpec.encodeLit(w.dt, x)))
+    def valRangeable(c: String, v: Any): Boolean =
+      v != null && valCol(c).exists(w => WideSpec.rangeEncodable(w.dt, v))
+    filters.foreach {
+      // first-key-part bounds: equality is a prefix range for any
+      // encodable literal; comparisons only when the encoding preserves
+      // order for the literal
+      case sources.EqualTo(c, v) if c == keyHead._1 =>
+        keyEnc(v).foreach { b =>
+          tightenStart(b)
+          Bytes.prefixSuccessor(b).foreach(tightenStop)
+        }
+      case sources.GreaterThanOrEqual(c, v)
+          if c == keyHead._1 && WideSpec.rangeEncodable(keyHead._2, v) =>
+        keyEnc(v).foreach(tightenStart)
+      case sources.GreaterThan(c, v)
+          if c == keyHead._1 && WideSpec.rangeEncodable(keyHead._2, v) =>
+        keyEnc(v).flatMap(Bytes.prefixSuccessor).foreach(tightenStart)
+      case sources.LessThan(c, v)
+          if c == keyHead._1 && WideSpec.rangeEncodable(keyHead._2, v) =>
+        keyEnc(v).foreach(tightenStop)
+      case sources.LessThanOrEqual(c, v)
+          if c == keyHead._1 && WideSpec.rangeEncodable(keyHead._2, v) =>
+        keyEnc(v).flatMap(Bytes.prefixSuccessor).foreach(tightenStop)
+      // value-column predicates: recorded for index routing / projection
+      // pruning; conjuncts only tighten
+      case sources.EqualTo(c, v) if valCol(c).isDefined =>
+        valEnc(c, v).foreach(b => if (!colEq.contains(c)) colEq += c -> Seq(b))
+      case sources.In(c, vs)
+          if valCol(c).isDefined && vs.nonEmpty && vs.forall(_ != null) =>
+        val enc = vs.toSeq.map(valEnc(c, _))
+        if (enc.forall(_.isDefined) && !colEq.contains(c))
+          colEq += c -> enc.flatten
+      case sources.GreaterThanOrEqual(c, v) if valRangeable(c, v) =>
+        valEnc(c, v).foreach(tightenLo(c, _))
+      case sources.GreaterThan(c, v) if valRangeable(c, v) =>
+        valEnc(c, v).foreach(b => tightenLo(c, Bytes.successor(b)))
+      case sources.LessThan(c, v) if valRangeable(c, v) =>
+        valEnc(c, v).foreach(tightenHi(c, _))
+      case sources.LessThanOrEqual(c, v) if valRangeable(c, v) =>
+        valEnc(c, v).foreach(b => tightenHi(c, Bytes.successor(b)))
+      case _ => ()
+    }
+    filters // everything residual — recorded predicates only PRUNE
+  }
+
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): V2Scan =
+    new GraftWideScan(engine, baseTable, spec, required, startRow, stopRow,
+      colEq, colLo, colHi, limit)
+}
+
+class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
+    required: StructType,
+    startRow: Option[Array[Byte]], stopRow: Option[Array[Byte]],
+    colEq: Map[String, Seq[Array[Byte]]],
+    colLo: Map[String, Array[Byte]], colHi: Map[String, Array[Byte]],
+    limit: Option[Int]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  /** Predicate columns in declaration order (deterministic route pick). */
+  private def predCols: Seq[String] =
+    spec.cols.map(_.name)
+      .filter(c => colEq.contains(c) || colLo.contains(c) || colHi.contains(c))
+
+  /** The chosen index route, if any: the FIRST declared predicate column
+    * with a registered index on its (family, qualifier). */
+  private[sql] def route: Option[(WideCol, IndexDescriptor, GraftValuePred)] = {
+    val d = engine.currentManifest(baseTable).descriptor
+    predCols.iterator.flatMap { cn =>
+      val c = spec.col(cn).get
+      d.indexOn(c.family, c.qualifier).map { ix =>
+        val pred = colEq.get(cn).map(GraftValueIn)
+          .getOrElse(GraftValueRange(colLo.get(cn), colHi.get(cn)))
+        (c, ix, pred)
+      }
+    }.take(1).toSeq.headOption
+  }
+
+  /** The plan-assert seams (WideViewSpec): which index table the scan
+    * routes through, and whether the answer is index-only. */
+  private[sql] def usedIndexTable: Option[String] = route.map(_._2.indexTable)
+  private[sql] def indexOnly: Boolean = route.exists { case (c, ix, _) =>
+    ix.covered.nonEmpty && scanCols.forall(sc =>
+      sc.name == c.name || ix.coversColumn(sc.family, sc.qualifier))
+  }
+
+  /** Declared columns the cell scan must read: the needed set (required
+    * projection + predicate columns) when a recorded predicate implies
+    * some needed column is non-null; ALL declared columns otherwise, so
+    * the row set never depends on the projection (a row exists when any
+    * declared column has a visible cell). */
+  private def scanCols: Seq[WideCol] =
+    if (predCols.nonEmpty)
+      spec.cols.filter(c => required.fieldNames.contains(c.name) ||
+        predCols.contains(c.name))
+    else spec.cols
+
+  private[sql] def resolvedFrame(spark: SparkSession): DataFrame = {
+    import graft.read.{Scan => GScan, ScanExec, SecondaryIndex}
+    val m = engine.currentManifest(baseTable)
+    val d = m.descriptor
+    val wanted = scanCols
+    def logical: DataFrame = {
+      val raw = engine.readManifest(m)
+      if (d.saltBuckets > 0) graft.core.Salt.stripCells(raw) else raw
+    }
+    def boundsFilter(df: DataFrame): DataFrame = {
+      var out = df
+      startRow.foreach(b => out = out.filter(col("row") >= lit(b)))
+      stopRow.foreach(b => out = out.filter(col("row") < lit(b)))
+      out
+    }
+    def keepWanted(df: DataFrame): DataFrame =
+      df.filter(wanted.map(c =>
+        col("family") === c.family && col("qualifier") === lit(c.qualifier))
+        .reduce(_ || _))
+    val cells = route match {
+      case Some((c, ix, pred)) if indexOnly =>
+        // covered (index-only) answer; row bounds re-applied on the
+        // reconstructed logical rows — same rule as the cell door
+        val others = wanted.filter(_.name != c.name)
+          .map(w => (w.family, w.qualifier))
+        boundsFilter(pred match {
+          case GraftValueIn(vs) => SecondaryIndex.lookupCovered(
+            engine.read(ix.indexTable), c.family, c.qualifier, vs, others)
+          case GraftValueRange(lo, hi) => SecondaryIndex.lookupCoveredRange(
+            engine.read(ix.indexTable), c.family, c.qualifier, lo, hi, others)
+        })
+      case Some((c, ix, pred)) =>
+        // verified route over the logical view, projected to the scanned
+        // columns after the whole-row verify
+        val hit = pred match {
+          case GraftValueIn(vs) => SecondaryIndex.lookupAll(logical,
+            engine.read(ix.indexTable), c.family, c.qualifier, vs)
+          case GraftValueRange(lo, hi) => SecondaryIndex.lookupRange(logical,
+            engine.read(ix.indexTable), c.family, c.qualifier, lo, hi)
+        }
+        keepWanted(boundsFilter(hit))
+      case None =>
+        // plain scan: salt-aware bounds + qualifier projection + resolve
+        val (frame, gs) =
+          if (d.saltBuckets > 0)
+            (graft.core.Salt.scanRange(engine.readManifest(m), d.saltBuckets,
+              startRow, stopRow), GScan())
+          else (engine.readManifest(m), GScan(startRow, stopRow))
+        val projected = wanted.foldLeft(gs)((s, c) =>
+          s.addColumn(c.family, c.qualifier))
+        ScanExec(frame, projected,
+          ttlMs = None, now = GraftSqlCatalog.nowMs(),
+          familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
+          familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
+    }
+    val decoded = CellCodec.decode(cells,
+      StructType(wanted.map(c => StructField(c.name, c.dt))), key = spec.key)
+      .select(required.fieldNames.map(col).toIndexedSeq: _*)
+    limit.fold(decoded)(decoded.limit)
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = readSchema()
+      override def buildScan(): RDD[Row] =
+        resolvedFrame(context.sparkSession).rdd
+    }.asInstanceOf[T]
+}

@@ -229,6 +229,66 @@ class CoveredIndexSpec extends SparkSpec {
     assert(rowsOf(g2.table("t").indexLookup("f", q, Seq(b("rome")))) == Set("r1"))
   }
 
+  test("0x00-embedding indexed values never alias into phantom covered matches") {
+    // value [5,0,7] begins with [5] ++ 0x00, so its index rows land
+    // INSIDE [5]'s probe range; the covered path has no main-table
+    // verify, so the reshape itself (pointer-anchored split) must reject
+    // the alias instead of emitting a phantom row with a fabricated value
+    val g = freshGraft("covzero")
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f", maxVersions = 1)),
+      splitKeys = 2, immutableRows = true), 1L)
+    val t = g.table("t")
+    val v = Array[Byte](5)
+    val vz = Array[Byte](5, 0, 7)
+    t.put(Seq(
+      Put(b("r1")).add("f", q, 2L, v).add("f", popQ, 2L, b("one")),
+      Put(b("r2")).add("f", q, 2L, vz).add("f", popQ, 2L, b("two"))), 2L)
+    g.createIndex("t", "f", q, 3L, covered = Seq("f" -> popQ))
+    val hit = t.indexLookupCovered("f", q, Seq(v))
+    assert(rowsOf(hit) == Set("r1"),
+      "0x00-prefix value aliased into the covered probe range")
+    assert(collectCells(hit).map(c => (c._1, c._3, c._5)).contains(
+      ("r1", "pop", "one")))
+    assert(rowsOf(t.indexLookupCovered("f", q, Seq(vz))) == Set("r2"))
+    // covered RANGE with a 0x00-embedding hi bound: [v, vz) = {v} only
+    val ixT = t.descriptor.indexOn("f", q).get.indexTable
+    assert(rowsOf(SecondaryIndex.lookupCoveredRange(g.catalog.read(ixT),
+      "f", q, Some(v), Some(vz), Seq("f" -> popQ))) == Set("r1"))
+  }
+
+  test("covered IN-list plan width is independent of the value count") {
+    val g = freshGraft("covwide")
+    val t = coveredTable(g)
+    val two = t.indexLookupCovered("f", q, Seq(b("paris"), b("tokyo")))
+    val many = t.indexLookupCovered("f", q,
+      (1 to 200).map(i => b(s"city$i")) ++ Seq(b("paris"), b("tokyo")))
+    assert(rowsOf(many) == rowsOf(two))
+    assert(collectCells(many) == collectCells(two))
+    def leaves(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves(many) == leaves(two),
+      s"plan branches scale with the IN list: ${leaves(two)} -> ${leaves(many)}")
+  }
+
+  test("covered range lookup answers comparison predicates index-only") {
+    val g = freshGraft("covrange")
+    val t = coveredTable(g)
+    // paris <= city < tokyo — r1/r3; reshaped from the index alone
+    val hit = t.indexLookupRange("f", q, Some(b("paris")), Some(b("tokyo")),
+      project = Seq("f" -> q, "f" -> popQ))
+    assert(rowsOf(hit) == Set("r1", "r3"))
+    assert(collectCells(hit).filter(_._1 == "r1").map(c => (c._3, c._5))
+      == Set(("city", "paris"), ("pop", "2m")))
+    val mainDir = g.root + "/t/"
+    assert(!hit.queryExecution.executedPlan.toString.contains(mainDir),
+      "covered range lookup touched the main table")
+    // the verified (unprojected) route agrees
+    val verified = t.indexLookupRange("f", q, Some(b("paris")), Some(b("tokyo")))
+    assert(rowsOf(verified) == Set("r1", "r3"))
+    assert(verified.queryExecution.executedPlan.toString.contains(mainDir))
+  }
+
   test("covered registration survives the manifest JSON roundtrip") {
     val g = freshGraft("covjson")
     coveredTable(g)

@@ -227,4 +227,67 @@ class IndexSpec extends SparkSpec {
     assert(!g.tableExists(ix.indexTable))
     assert(g.tableExists("t2")) // unrelated tables untouched
   }
+
+  test("probeRange / lookupRange serve comparison predicates from the index") {
+    val main = cells(Seq(
+      Cell.put(b("r1"), "f", q, 1L, b("lyon")),
+      Cell.put(b("r2"), "f", q, 1L, b("oslo")),
+      Cell.put(b("r3"), "f", q, 1L, b("paris")),
+      Cell.put(b("r4"), "f", q, 1L, b("tokyo")),
+      Cell.put(b("r3"), "f", b("pop"), 1L, b("2m")))).toDF()
+    val idx = SecondaryIndex.indexCells(main, "f", q)
+    // oslo <= v < tokyo
+    assert(rowsOf(SecondaryIndex.probeRange(idx, Some(b("oslo")),
+      Some(b("tokyo")))) == Set("r2", "r3"))
+    // unbounded sides
+    assert(rowsOf(SecondaryIndex.probeRange(idx, Some(b("paris")), None))
+      == Set("r3", "r4"))
+    // hi = successor(oslo) in VALUE space = inclusive upper bound
+    assert(rowsOf(SecondaryIndex.probeRange(idx, None,
+      Some(Bytes.successor(b("oslo"))))) == Set("r1", "r2"))
+    // lookupRange returns whole verified rows
+    val hit = SecondaryIndex.lookupRange(main, idx, "f", q,
+      Some(b("oslo")), Some(b("tokyo")))
+    assert(rowsOf(hit) == Set("r2", "r3"))
+    assert(collectCells(hit).filter(_._1 == "r3").map(_._3)
+      == Set("city", "pop"))
+  }
+
+  test("range lookup verifies away stale entries inside the interval") {
+    // r2 was oslo (in range) but updated to zurich (out of range); the
+    // stale index entry names it as a candidate — the verify step must
+    // re-check the CURRENT value against the interval
+    val main = cells(Seq(
+      Cell.put(b("r1"), "f", q, 1L, b("oslo")),
+      Cell.put(b("r2"), "f", q, 1L, b("oslo")),
+      Cell.put(b("r2"), "f", q, 2L, b("zurich")))).toDF()
+    val idx = SecondaryIndex.indexCells(main, "f", q)
+    assert(rowsOf(SecondaryIndex.lookupRange(main, idx, "f", q,
+      Some(b("a")), Some(b("paris")))) == Set("r1"))
+  }
+
+  test("range probe stays exact when values and bounds embed 0x00 bytes") {
+    val v1 = Array[Byte](5)
+    val v2 = Array[Byte](5, 0, 3)
+    val v3 = Array[Byte](5, 0, 7)
+    val v4 = Array[Byte](6)
+    val main = cells(Seq(
+      Cell.put(b("r1"), "f", q, 1L, v1),
+      Cell.put(b("r2"), "f", q, 1L, v2),
+      Cell.put(b("r3"), "f", q, 1L, v3),
+      Cell.put(b("r4"), "f", q, 1L, v4))).toDF()
+    val idx = SecondaryIndex.indexCells(main, "f", q)
+    // hi embeds 0x00 ([5,0,3]): entries of the prefix value [5] sprawl
+    // past it in index-row order — the reconstructed-value residual must
+    // keep exactly {v1}, not leak v3 or lose v1
+    assert(rowsOf(SecondaryIndex.probeRange(idx, Some(v1), Some(v2)))
+      == Set("r1"))
+    assert(rowsOf(SecondaryIndex.probeRange(idx, Some(v2), Some(v4)))
+      == Set("r2", "r3"))
+    // equality around the prefix boundary: the probe legitimately
+    // over-approximates ([5,0,...] rows land inside [5]'s range), and
+    // the VERIFIED lookup reduces it to the exact answer
+    assert(rowsOf(SecondaryIndex.lookup(main, idx, "f", q, v1)) == Set("r1"))
+    assert(rowsOf(SecondaryIndex.lookup(main, idx, "f", q, v2)) == Set("r2"))
+  }
 }

@@ -720,6 +720,93 @@ class SqlCatalogSpec extends SparkSpec {
       .length(col("row"))).distinct().collect().map(_.getInt(0)).toSet == Set(3))
   }
 
+  test("value comparisons route through the index as one range probe") {
+    val r = Files.createTempDirectory("graft-sqlrange").toString
+    val g = Graft(spark, r)
+    g.createTable(TableDescriptor("tr", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    g.table("tr").put((1 to 40).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("city"), 2L, b(f"c$i%03d"))
+        .add("f", b("pop"), 2L, b(s"p$i"))), 2L)
+    g.createIndex("tr", "f", b("city"), 3L)
+    spark.conf.set("spark.sql.catalog.graft_rg", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rg.root", r)
+    // end-to-end: c010 <= city <= c013 through plain SQL comparisons
+    val out = spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_rg.tr " +
+        s"WHERE family = 'f' AND qualifier = ${hex("city")} " +
+        s"AND value >= ${hex("c010")} AND value <= ${hex("c013")}")
+    assert(collectCells(out).map(_._1)
+      == Set("r010", "r011", "r012", "r013"))
+    // the seam: comparisons alone (no equality) fire the route
+    val engine = new graft.catalog.Catalog(spark, r)
+    import org.apache.spark.sql.sources
+    def built(filters: Array[sources.Filter]): GraftV1Scan = {
+      val builder = new GraftScanBuilder(engine, "tr")
+      builder.pushFilters(filters)
+      builder.build().asInstanceOf[GraftV1Scan]
+    }
+    val routed = built(Array(
+      sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.GreaterThanOrEqual("value", b("c010")),
+      sources.LessThan("value", b("c014"))))
+    assert(routed.usedIndexTable.exists(_.startsWith("tr_idx_f_")))
+    val innerOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(innerOut)) {
+      routed.resolvedFrame(spark).explain("formatted")
+    }
+    val inner = innerOut.toString("UTF-8")
+    assert(inner.contains("tr_idx_f_"),
+      s"index table not in the range-routed inner plan:\n$inner")
+    assert(inner.contains("LeftSemi"), s"no semi-join gather:\n$inner")
+    // one-sided intervals route too
+    assert(built(Array(sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.GreaterThan("value", b("c035")))).usedIndexTable.isDefined)
+    // comparisons on an unindexed qualifier do not
+    assert(built(Array(sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("pop")),
+      sources.GreaterThan("value", b("p1")))).usedIndexTable.isEmpty)
+  }
+
+  test("covered route keeps pushed row bounds on a salted table") {
+    // regression: on a salted table the pushed row bounds compile into
+    // the scatter-gather frame, which the covered (index-only) route
+    // bypasses — the bounds must be re-applied on the reconstructed
+    // rows, or the route returns rows outside the requested key range
+    val r = Files.createTempDirectory("graft-sqlcovsalt").toString
+    val g = Graft(spark, r)
+    g.createTable(TableDescriptor("tcs", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, saltBuckets = 8, immutableRows = true), 1L)
+    g.table("tcs").put((1 to 40).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("city"), 2L,
+          b(if (i % 10 == 3) "paris" else "other"))
+        .add("f", b("pop"), 2L, b(s"p$i"))), 2L)
+    g.createIndex("tcs", "f", b("city"), 3L, covered = Seq("f" -> b("pop")))
+    spark.conf.set("spark.sql.catalog.graft_cs", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cs.root", r)
+    val out = spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_cs.tcs " +
+        s"WHERE family = 'f' AND qualifier = ${hex("city")} " +
+        s"AND value = ${hex("paris")} " +
+        s"AND row >= ${hex("r010")} AND row < ${hex("r030")}")
+    assert(collectCells(out).map(_._1) == Set("r013", "r023"),
+      "covered route dropped the pushed row bounds")
+    // and the route did fire (this is not the full-scan fallback)
+    val engine = new graft.catalog.Catalog(spark, r)
+    import org.apache.spark.sql.sources
+    val builder = new GraftScanBuilder(engine, "tcs")
+    builder.pushFilters(Array(
+      sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.EqualTo("value", b("paris")),
+      sources.GreaterThanOrEqual("row", b("r010")),
+      sources.LessThan("row", b("r030"))))
+    assert(builder.build().asInstanceOf[GraftV1Scan]
+      .usedIndexTable.exists(_.startsWith("tcs_idx_f_")))
+  }
+
   test("CREATE TABLE declares saltBuckets from SQL DDL") {
     val r = Files.createTempDirectory("graft-sqlddlsalt").toString
     spark.conf.set("spark.sql.catalog.graft_dsalt", classOf[GraftSqlCatalog].getName)
