@@ -173,6 +173,85 @@ object CrossCheck {
           s"direct=${direct.size} symdiff=${sym.size}" +
           s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
         if (sym.nonEmpty) sys.exit(1)
+        // phase 2: covered vs the VERIFIED gather route (independent
+        // in-engine machinery end to end: reshape-from-index vs
+        // probe+gather+main-table verify) on the same post-delete state
+        val viaVerified = tuples(CellCodec.decode(
+          g.table("o").indexLookup("o", custQ, keys.map(Bytes.toBytes)),
+          schema, key = Seq("o_orderkey" -> LongType)))
+        val sym2 = (viaCovered diff viaVerified) ++ (viaVerified diff viaCovered)
+        println(s"[crosscheck] covered_vs_verified: covered=${viaCovered.size} " +
+          s"verified=${viaVerified.size} symdiff=${sym2.size}" +
+          s"${if (sym2.nonEmpty) " MISMATCH " + sym2.take(20) else " OK"}")
+        if (sym2.nonEmpty) sys.exit(1)
+        // phase 3: REBUILD (majorCompact -> index GC), another delete
+        // batch on top, then covered vs direct again — the delete
+        // translation must stay exact across a rebuilt index
+        g.table("o").majorCompact(nowMs = 6L)
+        val deletes2 = Mutations.deleteFamilyCells(
+          cells.filter(pmod(xxhash64(col("row")), lit(100)) === 3)
+            .select("row").distinct(),
+          col("row"), "o", ts = 7L)
+        g.table("o").mutate(deletes2, nowMs = 7L)
+        val viaCovered3 = tuples(CellCodec.decode(
+          g.table("o").indexLookupCovered("o", custQ, keys.map(Bytes.toBytes)),
+          schema, key = Seq("o_orderkey" -> LongType)))
+        val direct3 = tuples(CellCodec.decode(
+          g.table("o").scan(Scan().addColumn("o", custQ)
+            .addColumn("o", Bytes.toBytes("o_totalprice"))),
+          schema, key = Seq("o_orderkey" -> LongType))
+          .filter(col("o_custkey").isin(keys: _*)))
+        val sym3 = (viaCovered3 diff direct3) ++ (direct3 diff viaCovered3)
+        println(s"[crosscheck] covered_post_rebuild: covered=${viaCovered3.size} " +
+          s"direct=${direct3.size} symdiff=${sym3.size}" +
+          s"${if (sym3.nonEmpty) " MISMATCH " + sym3.take(20) else " OK"}")
+        if (sym3.nonEmpty) sys.exit(1)
+      case "composite_index" =>
+        // Composite (o_custkey, o_orderstatus) lookup vs the direct
+        // two-predicate relational path at this sf, with deletes injected
+        // so stale tuple entries exist for the verify to eliminate.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{Bytes, CellCodec}
+        import graft.read.Scan
+        import graft.write.Mutations
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-cixcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32, immutableRows = true), nowMs = 1L)
+        val cells = CellCodec.encode(orders, "o", Seq("o_orderkey"))
+        g.table("o").mutate(cells, nowMs = 1L)
+        val cols = Seq("o" -> Bytes.toBytes("o_custkey"),
+          "o" -> Bytes.toBytes("o_orderstatus"))
+        g.createCompositeIndex("o", cols, nowMs = 2L)
+        val deletes = Mutations.deleteFamilyCells(
+          cells.filter(pmod(xxhash64(col("row")), lit(100)) === 2)
+            .select("row").distinct(),
+          col("row"), "o", ts = 5L)
+        g.table("o").mutate(deletes, nowMs = 5L)
+        val keys = (1L to 10L).toSeq
+        val schema = StructType(Seq(StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType)))
+        val viaIx = keys.flatMap { k =>
+          CellCodec.decode(
+            g.table("o").indexLookupComposite(cols,
+              Seq(Bytes.toBytes(k), Bytes.toBytes("O"))),
+            schema, key = Seq("o_orderkey" -> LongType))
+            .select("o_orderkey").collect().map(_.getLong(0))
+        }.toSet
+        val direct = CellCodec.decode(
+          g.table("o").scan(Scan().addColumn("o", Bytes.toBytes("o_custkey"))
+            .addColumn("o", Bytes.toBytes("o_orderstatus"))),
+          schema, key = Seq("o_orderkey" -> LongType))
+          .filter(col("o_custkey").isin(keys: _*) &&
+            col("o_orderstatus") === "O")
+          .select("o_orderkey").collect().map(_.getLong(0)).toSet
+        val sym = (viaIx diff direct) ++ (direct diff viaIx)
+        println(s"[crosscheck] composite_index: index=${viaIx.size} " +
+          s"direct=${direct.size} symdiff=${sym.size}" +
+          s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
+        if (sym.nonEmpty) sys.exit(1)
       case other => sys.error(s"unknown check: $other")
     }
     spark.stop()

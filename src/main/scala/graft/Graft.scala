@@ -97,6 +97,14 @@ final case class Graft(spark: SparkSession, root: String) {
       covered: Seq[(String, Array[Byte])] = Nil): IndexDescriptor =
     SecondaryIndex.create(catalog, table, family, qualifier, nowMs,
       indexTable, covered)
+
+  /** CREATE a COMPOSITE (multi-column) index
+    * ([[SecondaryIndex.createComposite]]): conjunctive equality over the
+    * member columns probes ONE blob key range. Requires immutableRows. */
+  def createCompositeIndex(table: String,
+      columns: Seq[(String, Array[Byte])], nowMs: Long,
+      indexTable: Option[String] = None): IndexDescriptor =
+    SecondaryIndex.createComposite(catalog, table, columns, nowMs, indexTable)
 }
 
 /** Per-table operations (`HTable`). Reads honor the family descriptor's
@@ -276,6 +284,26 @@ final case class GraftTable(g: Graft, name: String) {
         "use indexLookup (verified read) instead")
     SecondaryIndex.lookupCovered(g.catalog.read(ix.indexTable),
       family, qualifier, values, ix.covered)
+  }
+
+  /** COMPOSITE equality lookup over a REGISTERED composite index
+    * ([[SecondaryIndex.lookupComposite]]): `values` pairs positionally
+    * with `columns` (any order — reordered into the index's key order),
+    * one value per member column. One blob range probe, size-gated
+    * gather, every member equality re-verified. */
+  def indexLookupComposite(columns: Seq[(String, Array[Byte])],
+      values: Seq[Array[Byte]]): DataFrame = {
+    require(columns.size == values.size,
+      "indexLookupComposite needs one value per column")
+    val ix = descriptor.compositeIndexOn(columns).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $name has no composite index on these columns"))
+    val ordered = ix.columns.map { case (f, q) =>
+      values(columns.indexWhere(c =>
+        c._1 == f && java.util.Arrays.equals(c._2, q)))
+    }
+    SecondaryIndex.lookupComposite(logicalCells,
+      g.catalog.read(ix.indexTable), ix.columns, ordered)
   }
 
   /** [[SecondaryIndex.rebuild]] of every registered index (index GC). */

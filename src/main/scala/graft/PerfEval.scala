@@ -261,6 +261,26 @@ object PerfEval {
       }
     }
 
+    // coveredWrite / pointerWrite / plainWrite: the covered WRITE tax in
+    // steady state — the same 10% delta batch appended to (a) the
+    // covered-indexed table (dual-write + within-batch covered join +
+    // tombstone pre-check + localCheckpoint pin), (b) a pointer-only
+    // indexed table (projection dual-write + pin), (c) the plain table
+    // below (no index). The (a)-(c) spread prices what covered reads
+    // cost at write time, the way saltedWrite prices the salt.
+    // key-shifted so the delta is genuinely NEW rows — the append shape
+    // the immutableRows contract describes (never value overwrites)
+    val writeBatch = CellCodec.encode(
+      orders.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)),
+      "o", Seq("o_orderkey"), batchTs = 3L)
+    results("coveredWrite") = timed {
+      g.table("pe_cov").mutate(writeBatch, nowMs = 3L)
+    }
+    results("pointerWrite") = timed {
+      g.table("pe_salt").mutate(writeBatch, nowMs = 3L)
+    }
+
     // randomWrite: a 10% mutation batch appended as a delta
     results("randomWrite") = timed {
       val batch = CellCodec.encode(

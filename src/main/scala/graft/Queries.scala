@@ -492,6 +492,100 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  // The WIDE (relational) view through the SQL door (sql/GraftWideTable):
+  // typed decode of the declared wideKey/wideSchema, key bounds pruning
+  // the scan. Oracle = the plain relational projection — the cell
+  // round-trip and the view must be invisible to semantics.
+  private val wideRoots = scala.collection.mutable.Map.empty[String, String]
+  private def wideRoot(s: SparkSession, dir: String): String =
+    Queries.synchronized {
+      wideRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-wide").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_w",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, immutableRows = true,
+          wideKey = Some("o_orderkey:long"),
+          wideSchema = Some(
+            "o:o_custkey:long;o:o_totalprice:double;o:o_orderstatus:string")),
+          nowMs = 1L)
+        val cells = CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey"))
+        g.table("orders_w").mutate(cells, nowMs = 1L)
+        g.createIndex("orders_w", "o", Bytes.toBytes("o_custkey"), nowMs = 2L,
+          covered = Seq("o" -> Bytes.toBytes("o_totalprice")))
+        g.createCompositeIndex("orders_w",
+          Seq("o" -> Bytes.toBytes("o_custkey"),
+            "o" -> Bytes.toBytes("o_orderstatus")), nowMs = 2L)
+        // a range delete AFTER the covered build: reaches the wide view
+        // through synchronous tombstone translation, no rebuild
+        g.table("orders_w").mutate(
+          Mutations.deleteFamilyCells(
+            cells.filter(col("row") >= lit(Bytes.toBytes(1000L)) &&
+              col("row") < lit(Bytes.toBytes(30000L))).select("row").distinct(),
+            col("row"), "o", ts = 3L),
+          nowMs = 3L)
+        r
+      })
+    }
+  private val sqlWideScan = Q("sql_wide_scan", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey >= 1 AND o_orderkey < 1000
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_w",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_w.root", root)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+             FROM graft_w.`orders_w$wide`
+             WHERE o_orderkey >= 1 AND o_orderkey < 1000
+             ORDER BY o_orderkey""")
+  }
+
+  // The covered-PROJECTION query through the wide view — the exact query
+  // covered columns exist for (Phoenix INCLUDE: predicate on the indexed
+  // column, projection within indexed + covered + key), which the cell
+  // schema cannot express as one scan. Routes index-only (WideViewSpec
+  // asserts zero main-table touch); a post-build range DELETE is visible
+  // through synchronously-translated index tombstones, no rebuild.
+  // Oracle = the plain relational formulation.
+  private val sqlCoveredProjection = Q("sql_covered_projection", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey IN (7, 37, 73)
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wc",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wc.root", root)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+             FROM graft_wc.`orders_w$wide`
+             WHERE o_custkey IN (7, 37, 73)
+             ORDER BY o_orderkey""")
+  }
+
+  // COMPOSITE index through the wide view: conjunctive equality over
+  // (o_custkey, o_orderstatus) becomes ONE blob range probe of the
+  // composite key (read/Index.scala lookupComposite; WideViewSpec
+  // asserts the route seam), every member re-verified on the main
+  // table. Oracle = the plain two-predicate formulation.
+  private val sqlIndexComposite = Q("sql_index_composite", Some("""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_custkey IN (7, 37, 73, 103, 133) AND o_orderstatus = 'O'
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wx",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wx.root", root)
+    // one composite probe per custkey value (single-value members); the
+    // union mirrors a small IN over the leading member
+    Seq(7L, 37L, 73L, 103L, 133L).map { k =>
+      s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM graft_wx.`orders_w$$wide`
+                WHERE o_custkey = $k AND o_orderstatus = 'O'""")
+    }.reduce(_ unionByName _).orderBy("o_orderkey")
+  }
+
   // Index GC end-to-end: tombstone a key range, majorCompact (which
   // rebuilds registered indexes to currently-visible entries — the
   // monotonic-growth fix; IndexSpec asserts the physical shrink), then
@@ -3823,7 +3917,8 @@ object Queries {
     q1Agg, q3Join,
     scanRange, saltedScan, saltedIndexLookup, indexLookup, sqlIndexLookup,
     indexRangeLookup, sqlIndexRange,
-    sqlCoveredLookup, sqlMultiGet,
+    sqlCoveredLookup, sqlMultiGet, sqlWideScan, sqlCoveredProjection,
+    sqlIndexComposite,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
     getPoint, getRowOrBefore, rowCounter,
     existsGet,

@@ -51,13 +51,35 @@ final case class IndexDescriptor(
       * `immutableRows` (no value overwrites) — deletes are maintained
       * synchronously as index tombstones, updates would leave the old
       * entry live with no read-time verification to catch it. */
-    covered: Seq[(String, Array[Byte])] = Nil) {
+    covered: Seq[(String, Array[Byte])] = Nil,
+    /** COMPOSITE members beyond `(family, qualifier)` (the Phoenix
+      * multi-column index key): the index key is the 0x00-separated
+      * concatenation of the member values in this declared order.
+      * Composite indexes are pointer-only with VERIFIED reads (every
+      * member equality is re-checked on the main table — no covered
+      * variant, no delete translation needed) and require
+      * `immutableRows` (a row's member cells must arrive in one batch
+      * for the within-batch tuple join to see them all). */
+    moreColumns: Seq[(String, Array[Byte])] = Nil) {
+  /** Single-column match — never a composite (its first member alone
+    * cannot serve a one-column probe: the index key continues with the
+    * other members' values). */
   def matches(f: String, q: Array[Byte]): Boolean =
-    family == f && java.util.Arrays.equals(qualifier, q)
+    moreColumns.isEmpty && family == f &&
+      java.util.Arrays.equals(qualifier, q)
   def coversColumn(f: String, q: Array[Byte]): Boolean =
     covered.exists { case (cf, cq) =>
       cf == f && java.util.Arrays.equals(cq, q)
     }
+  /** All indexed member columns, key order. */
+  def columns: Seq[(String, Array[Byte])] = (family -> qualifier) +: moreColumns
+  /** Whether this composite's member SET equals the queried set (the
+    * probe reorders values into key order). */
+  def matchesComposite(cols: Seq[(String, Array[Byte])]): Boolean =
+    moreColumns.nonEmpty && columns.size == cols.size &&
+      columns.forall { case (f, q) =>
+        cols.exists(c => c._1 == f && java.util.Arrays.equals(c._2, q))
+      }
 }
 
 /** Table shape — reference `HTableDescriptor.java` (698 LoC): name +
@@ -109,6 +131,9 @@ final case class TableDescriptor(
       throw new IllegalArgumentException(s"no family $n in table $name"))
   def indexOn(f: String, q: Array[Byte]): Option[IndexDescriptor] =
     indexes.find(_.matches(f, q))
+  /** Registered COMPOSITE index whose member set equals `cols`. */
+  def compositeIndexOn(cols: Seq[(String, Array[Byte])]): Option[IndexDescriptor] =
+    indexes.find(_.matchesComposite(cols))
 }
 
 /** One committed table version: the list of immutable data directories
@@ -141,14 +166,16 @@ object ManifestJson {
     val bounds = m.descriptor.splitBoundaries
       .map(b => esc(b.map(x => f"$x%02x").mkString)).mkString("[", ",", "]")
     val ixs = m.descriptor.indexes.map { ix =>
-      // covered list kept FLAT (one string, no nested arrays/objects) so
-      // the minimal per-object parser below stays valid
-      val cov = ix.covered.map { case (f, q) =>
-        f + ":" + q.map(x => f"$x%02x").mkString
-      }.mkString(";")
+      // covered/member lists kept FLAT (one string, no nested arrays or
+      // objects) so the minimal per-object parser below stays valid
+      def flat(cols: Seq[(String, Array[Byte])]): String =
+        cols.map { case (f, q) =>
+          f + ":" + q.map(x => f"$x%02x").mkString
+        }.mkString(";")
       s"""{"ixFamily":${esc(ix.family)},""" +
         s""""ixQualifier":${esc(ix.qualifier.map(x => f"$x%02x").mkString)},""" +
-        s""""ixCovered":${esc(cov)},""" +
+        s""""ixCovered":${esc(flat(ix.covered))},""" +
+        s""""ixMore":${esc(flat(ix.moreColumns))},""" +
         s""""ixTable":${esc(ix.indexTable)}}"""
     }.mkString("[", ",", "]")
     val wide = m.descriptor.wideKey.map(k => s""""wideKey":${esc(k)},""")
@@ -221,22 +248,23 @@ object ManifestJson {
         val j = s.indexOf("]", i)
         val block = s.substring(i + "\"indexes\":[".length, j)
         "\\{[^}]*\\}".r.findAllIn(block).map { ix =>
-          // legacy (pre-covered) index objects have no ixCovered → Nil
-          val cov = "\"ixCovered\":\"([^\"]*)\"".r.findFirstMatchIn(ix)
-            .map(_.group(1)).filter(_.nonEmpty).fold(
-              Seq.empty[(String, Array[Byte])]) {
-              _.split(';').toSeq.map { e =>
-                val c = e.lastIndexOf(':')
-                (e.substring(0, c), e.substring(c + 1).grouped(2)
-                  .map(Integer.parseInt(_, 16).toByte).toArray)
+          // legacy objects lack ixCovered/ixMore → Nil
+          def flatCols(key: String): Seq[(String, Array[Byte])] =
+            ("\"" + key + "\":\"([^\"]*)\"").r.findFirstMatchIn(ix)
+              .map(_.group(1)).filter(_.nonEmpty).fold(
+                Seq.empty[(String, Array[Byte])]) {
+                _.split(';').toSeq.map { e =>
+                  val c = e.lastIndexOf(':')
+                  (e.substring(0, c), e.substring(c + 1).grouped(2)
+                    .map(Integer.parseInt(_, 16).toByte).toArray)
+                }
               }
-            }
           IndexDescriptor(
             "\"ixFamily\":\"([^\"]*)\"".r.findFirstMatchIn(ix).get.group(1),
             "\"ixQualifier\":\"([0-9a-f]*)\"".r.findFirstMatchIn(ix).get.group(1)
               .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
             "\"ixTable\":\"([^\"]*)\"".r.findFirstMatchIn(ix).get.group(1),
-            cov)
+            flatCols("ixCovered"), flatCols("ixMore"))
         }.toSeq
       }
     }

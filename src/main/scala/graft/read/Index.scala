@@ -379,17 +379,82 @@ object SecondaryIndex {
 
   /** The per-append index delta `Catalog.append` dual-writes: the plain
     * per-cell projection for a pointer-only index (cheap writes, verified
-    * reads); for a COVERED index additionally the within-batch covered
-    * join plus synchronous tombstone translation (covered reads skip
-    * verification, so deletes must reach the index at write time).
-    * `mainPre` is the LOGICAL pre-append view, only read when the batch
-    * contains relevant tombstones. */
+    * reads); the within-batch tuple join for a COMPOSITE index (also
+    * pointer-only/verified — no delete translation); for a COVERED index
+    * additionally the within-batch covered join plus synchronous
+    * tombstone translation (covered reads skip verification, so deletes
+    * must reach the index at write time). `mainPre` is the LOGICAL
+    * pre-append view, only read when the batch contains relevant
+    * tombstones. */
   def maintenanceDelta(mainPre: => DataFrame, delta: DataFrame,
       ix: graft.catalog.IndexDescriptor): DataFrame =
-    if (ix.covered.isEmpty) indexCells(delta, ix.family, ix.qualifier)
+    if (ix.moreColumns.nonEmpty) indexCellsComposite(delta, ix.columns)
+    else if (ix.covered.isEmpty) indexCells(delta, ix.family, ix.qualifier)
     else indexCellsCovered(delta, ix.family, ix.qualifier, ix.covered)
       .unionByName(
         deleteIndexCells(mainPre, delta, ix.family, ix.qualifier, ix.covered))
+
+  /** COMPOSITE key blob: member values joined by the 0x00 separator, in
+    * the index's declared column order. Prefix-free under the same
+    * constraint as composite row keys (members must not embed 0x00
+    * unless fixed-width — all the numeric codecs are); the verified read
+    * re-checks every member equality, so even a 0x00 aliasing collision
+    * is a false positive the verify eliminates. */
+  def compositeBlob(values: Seq[Array[Byte]]): Array[Byte] =
+    values.reduce((a, b) => a ++ Sep ++ b)
+
+  /** The composite index transform: one within-batch inner JOIN of the
+    * member columns' put cells per row (O(batch) shuffle, never against
+    * the main table — sound under the `immutableRows` contract, where a
+    * row's cells arrive in one batch), emitting one pointer entry keyed
+    * `blob ++ 0x00 ++ mainRow`. The entry's ts/seq is the NEWEST member
+    * cell's — the tuple's version stamp. */
+  def indexCellsComposite(cells: DataFrame,
+      columns: Seq[(String, Array[Byte])]): DataFrame = {
+    require(columns.sizeIs >= 2, "composite index needs at least 2 columns")
+    val members = columns.zipWithIndex.map { case ((f, q), i) =>
+      cells.filter(col("family") === f && col("qualifier") === lit(q) &&
+          col("kind") === CellKind.Put && col("value").isNotNull)
+        .select(col("row"), col("value").as(s"_v$i"),
+          col("ts").as(s"_t$i"), col("seq").as(s"_s$i"))
+    }
+    val joined = members.reduce(_.join(_, "row"))
+    val blob = columns.indices.map(i => col(s"_v$i"))
+      .reduce((a, b) => concat(a, lit(Sep), b))
+    joined.select(
+      concat(blob, lit(Sep), col("row")).as("row"),
+      lit(IndexFamily).as("family"),
+      lit(RowQualifier).cast(BinaryType).as("qualifier"),
+      greatest(columns.indices.map(i => col(s"_t$i")): _*).as("ts"),
+      lit(CellKind.Put).as("kind"),
+      col("row").as("value"),
+      greatest(columns.indices.map(i => col(s"_s$i")): _*).as("seq"))
+  }
+
+  /** Composite equality lookup: ONE probe of the blob's value range
+    * (conjunctive equality over k columns = one O(hits) range scan — the
+    * whole point of the composite key), size-gated gather, then the
+    * verified re-check of EVERY member equality against the current
+    * visible row. Values in the index's declared column order. */
+  def lookupComposite(mainCells: DataFrame, index: DataFrame,
+      columns: Seq[(String, Array[Byte])], values: Seq[Array[Byte]],
+      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame = {
+    require(columns.size == values.size && columns.sizeIs >= 2,
+      "lookupComposite needs one value per composite column")
+    import org.apache.spark.sql.expressions.Window
+    val candidates =
+      gather(mainCells, index, Seq(compositeBlob(values)), broadcastMaxKeys)
+    val resolved = ScanExec(candidates, Scan())
+    val w = Window.partitionBy("row")
+    val flags = columns.zip(values).zipWithIndex.map { case (((f, q), v), i) =>
+      s"_cok$i" -> max(when(col("family") === f &&
+        col("qualifier") === lit(q) && col("value") === lit(v), 1)
+        .otherwise(0)).over(w)
+    }
+    flags.foldLeft(resolved) { case (df, (n, c)) => df.withColumn(n, c) }
+      .filter(flags.map(f => col(f._1) === 1).reduce(_ && _))
+      .drop(flags.map(_._1): _*)
+  }
 
   /** COVERED lookup — the whole point of covered columns: the query is
     * answered from the index table ALONE, zero main-table touch. One
@@ -520,6 +585,43 @@ object SecondaryIndex {
     ix
   }
 
+  /** CREATE a COMPOSITE (multi-column) index — the Phoenix multi-column
+    * index key: conjunctive equality over the member columns becomes ONE
+    * range probe of the blob key. Pointer-only with verified reads (no
+    * covered variant — the verify re-checks every member, so no delete
+    * translation is needed either); requires `immutableRows` so the
+    * within-batch tuple join sees every member cell of a row. */
+  def createComposite(catalog: Catalog, table: String,
+      columns: Seq[(String, Array[Byte])], nowMs: Long,
+      indexTable: Option[String] = None): IndexDescriptor = {
+    val cur = catalog.currentManifest(table)
+    require(columns.sizeIs >= 2, "composite index needs at least 2 columns")
+    require(cur.descriptor.immutableRows,
+      s"composite indexes require table $table to declare immutableRows: " +
+        "the within-batch tuple join must see every member cell of a row " +
+        "in one batch (partial-row re-puts would silently miss tuples)")
+    require(cur.descriptor.compositeIndexOn(columns).isEmpty,
+      s"table $table already has a composite index on these columns")
+    val ixName = indexTable.getOrElse(defaultCompositeTable(table, columns))
+    catalog.createTable(TableDescriptor(ixName,
+      Seq(FamilyDescriptor(IndexFamily, maxVersions = 1)),
+      splitKeys = cur.descriptor.splitKeys), nowMs)
+    val ix = IndexDescriptor(columns.head._1, columns.head._2, ixName,
+      covered = Nil, moreColumns = columns.tail)
+    catalog.alterTable(table,
+      cur.descriptor.copy(indexes = cur.descriptor.indexes :+ ix), nowMs)
+    catalog.append(ixName,
+      indexCellsComposite(logicalRead(catalog, cur), columns), nowMs)
+    ix
+  }
+
+  /** Deterministic default index-table name for a composite index. */
+  def defaultCompositeTable(table: String,
+      columns: Seq[(String, Array[Byte])]): String =
+    s"${table}_cidx_" + columns.map { case (f, q) =>
+      f + "_" + q.map(b => f"$b%02x").mkString
+    }.mkString("_")
+
   /** The CURRENTLY VISIBLE cells of a manifest under its family
     * descriptors — what covered builds and [[rebuild]] index. */
   private def visibleCells(catalog: Catalog, m: graft.catalog.Manifest,
@@ -545,9 +647,12 @@ object SecondaryIndex {
     val m = catalog.currentManifest(table)
     // visible cells carry no tombstones, so the covered rebuild needs no
     // delete translation — stale/deleted entries drop out wholesale
-    catalog.replaceData(ix.indexTable,
-      indexCellsCovered(visibleCells(catalog, m, nowMs),
-        ix.family, ix.qualifier, ix.covered), nowMs): Unit
+    val fresh =
+      if (ix.moreColumns.nonEmpty)
+        indexCellsComposite(visibleCells(catalog, m, nowMs), ix.columns)
+      else indexCellsCovered(visibleCells(catalog, m, nowMs),
+        ix.family, ix.qualifier, ix.covered)
+    catalog.replaceData(ix.indexTable, fresh, nowMs): Unit
   }
 
   /** [[rebuild]] every registered index of a table — wired into

@@ -64,6 +64,14 @@ private[sql] case class WideCol(family: String, name: String, dt: DataType) {
   def qualifier: Array[Byte] = Bytes.toBytes(name)
 }
 
+/** A wide scan's chosen index route. */
+private[sql] sealed trait WideRoute
+private[sql] case class WideSingle(c: WideCol, ix: IndexDescriptor,
+    pred: GraftValuePred) extends WideRoute
+/** Composite route: encoded member values in the index's KEY order. */
+private[sql] case class WideComposite(ix: IndexDescriptor,
+    values: Seq[Array[Byte]]) extends WideRoute
+
 private[sql] case class WideSpec(key: Seq[(String, DataType)],
     cols: Seq[WideCol]) {
   def schema: StructType = StructType(
@@ -251,26 +259,51 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     spec.cols.map(_.name)
       .filter(c => colEq.contains(c) || colLo.contains(c) || colHi.contains(c))
 
-  /** The chosen index route, if any: the FIRST declared predicate column
-    * with a registered index on its (family, qualifier). */
-  private[sql] def route: Option[(WideCol, IndexDescriptor, GraftValuePred)] = {
+  /** The chosen index route, if any — in precedence order:
+    *  1. a registered COMPOSITE index whose every member column has a
+    *     recorded single-value equality (conjunctive equality = one
+    *     blob range probe, the composite key's whole point);
+    *  2. the FIRST declared predicate column with a registered
+    *     single-column index. */
+  private[sql] def route: Option[WideRoute] = {
     val d = engine.currentManifest(baseTable).descriptor
-    predCols.iterator.flatMap { cn =>
+    val eqSingle = spec.cols.filter(c => colEq.get(c.name).exists(_.sizeIs == 1))
+    val composite: Option[WideRoute] =
+      if (eqSingle.sizeIs >= 2)
+        d.indexes.filter(_.moreColumns.nonEmpty)
+          .find(_.columns.forall { case (f, q) =>
+            eqSingle.exists(c => c.family == f &&
+              java.util.Arrays.equals(c.qualifier, q))
+          })
+          .map { ix =>
+            val values = ix.columns.map { case (f, q) =>
+              colEq(eqSingle.find(c => c.family == f &&
+                java.util.Arrays.equals(c.qualifier, q)).get.name).head
+            }
+            WideComposite(ix, values)
+          }
+      else None
+    composite.orElse(predCols.iterator.flatMap { cn =>
       val c = spec.col(cn).get
       d.indexOn(c.family, c.qualifier).map { ix =>
         val pred = colEq.get(cn).map(GraftValueIn)
           .getOrElse(GraftValueRange(colLo.get(cn), colHi.get(cn)))
-        (c, ix, pred)
+        WideSingle(c, ix, pred)
       }
-    }.take(1).toSeq.headOption
+    }.take(1).toSeq.headOption)
   }
 
   /** The plan-assert seams (WideViewSpec): which index table the scan
     * routes through, and whether the answer is index-only. */
-  private[sql] def usedIndexTable: Option[String] = route.map(_._2.indexTable)
-  private[sql] def indexOnly: Boolean = route.exists { case (c, ix, _) =>
-    ix.covered.nonEmpty && scanCols.forall(sc =>
-      sc.name == c.name || ix.coversColumn(sc.family, sc.qualifier))
+  private[sql] def usedIndexTable: Option[String] = route.map {
+    case WideSingle(_, ix, _) => ix.indexTable
+    case WideComposite(ix, _) => ix.indexTable
+  }
+  private[sql] def indexOnly: Boolean = route.exists {
+    case WideSingle(c, ix, _) =>
+      ix.covered.nonEmpty && scanCols.forall(sc =>
+        sc.name == c.name || ix.coversColumn(sc.family, sc.qualifier))
+    case _: WideComposite => false
   }
 
   /** Declared columns the cell scan must read: the needed set (required
@@ -304,7 +337,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         col("family") === c.family && col("qualifier") === lit(c.qualifier))
         .reduce(_ || _))
     val cells = route match {
-      case Some((c, ix, pred)) if indexOnly =>
+      case Some(WideSingle(c, ix, pred)) if indexOnly =>
         // covered (index-only) answer; row bounds re-applied on the
         // reconstructed logical rows — same rule as the cell door
         val others = wanted.filter(_.name != c.name)
@@ -315,7 +348,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           case GraftValueRange(lo, hi) => SecondaryIndex.lookupCoveredRange(
             engine.read(ix.indexTable), c.family, c.qualifier, lo, hi, others)
         })
-      case Some((c, ix, pred)) =>
+      case Some(WideSingle(c, ix, pred)) =>
         // verified route over the logical view, projected to the scanned
         // columns after the whole-row verify
         val hit = pred match {
@@ -325,6 +358,11 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
             engine.read(ix.indexTable), c.family, c.qualifier, lo, hi)
         }
         keepWanted(boundsFilter(hit))
+      case Some(WideComposite(ix, values)) =>
+        // conjunctive equality through the composite key: ONE blob range
+        // probe + gather + every-member verify
+        keepWanted(boundsFilter(SecondaryIndex.lookupComposite(logical,
+          engine.read(ix.indexTable), ix.columns, values)))
       case None =>
         // plain scan: salt-aware bounds + qualifier projection + resolve
         val (frame, gs) =

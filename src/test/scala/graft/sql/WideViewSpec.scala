@@ -1,0 +1,216 @@
+package graft.sql
+
+import graft.{Graft, SparkSpec}
+import graft.catalog.{FamilyDescriptor, TableDescriptor}
+import graft.core.Bytes
+import graft.write.{Delete, Put}
+import java.nio.file.Files
+import org.apache.spark.sql.functions.col
+
+/** The declared relational (wide) view `t$wide`: typed decode through
+  * the SQL door, with predicates routing through registered indexes —
+  * including the covered-projection form the cell schema cannot
+  * express. */
+class WideViewSpec extends SparkSpec {
+
+  private def b(s: String) = Bytes.toBytes(s)
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  /** orders-like fixture: key k:long, columns city:string, pop:long. */
+  private def mkTable(root: String, saltBuckets: Int = 0,
+      immutable: Boolean = true): Graft = {
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, saltBuckets = saltBuckets, immutableRows = immutable,
+      wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long")), 1L)
+    g.table("t").put((1 to 40).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("city"), 2L, b(if (i % 10 == 3) "paris" else s"other$i"))
+        .add("f", b("pop"), 2L, Bytes.toBytes(i.toLong * 10))), 2L)
+    g
+  }
+
+  private def register(cat: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("wide view decodes typed rows; key bounds prune the scan") {
+    val root = freshRoot("wide")
+    mkTable(root)
+    register("gw", root)
+    val all = spark.sql("SELECT k, city, pop FROM gw.`t$wide` ORDER BY k")
+    assert(all.count() == 40)
+    assert(rowsOf(all).contains((13L, "paris", 130L)))
+    // key range: bounds recorded below the bridge + residual exactness
+    val ranged = spark.sql(
+      "SELECT k, city, pop FROM gw.`t$wide` WHERE k >= 10 AND k < 20 ORDER BY k")
+    assert(ranged.collect().map(_.getLong(0)).toSeq == (10L until 20L))
+    // key equality
+    assert(rowsOf(spark.sql(
+      "SELECT k, city, pop FROM gw.`t$wide` WHERE k = 7"))
+      == Set((7L, "other7", 70L)))
+  }
+
+  test("undeclared wide view does not resolve; bad declarations fail DDL") {
+    val root = freshRoot("widenone")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("plain", Seq(FamilyDescriptor("f"))), 1L)
+    register("gwn", root)
+    intercept[Exception] { spark.sql("SELECT * FROM gwn.`plain$wide`") }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gwn.bad TBLPROPERTIES('families'='f', " +
+        "'wideKey'='k:long', 'wideSchema'='f:c:nosuchtype')")
+    }
+  }
+
+  test("an indexed predicate routes through the verified index path") {
+    val root = freshRoot("wideix")
+    val g = mkTable(root)
+    g.createIndex("t", "f", b("city"), 3L)
+    register("gwi", root)
+    val out = spark.sql(
+      "SELECT k, city, pop FROM gwi.`t$wide` WHERE city = 'paris' ORDER BY k")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(3L, 13L, 23L, 33L))
+    // seam: the route fires; a scan without predicates does not
+    val engine = new graft.catalog.Catalog(spark, root)
+    val spec = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
+    import org.apache.spark.sql.sources
+    def built(filters: Array[sources.Filter]): GraftWideScan = {
+      val bld = new GraftWideScanBuilder(engine, "t", spec)
+      bld.pushFilters(filters)
+      bld.build().asInstanceOf[GraftWideScan]
+    }
+    val routed = built(Array(sources.EqualTo("city", "paris")))
+    assert(routed.usedIndexTable.exists(_.startsWith("t_idx_f_")))
+    assert(!routed.indexOnly) // pop is not covered
+    assert(built(Array.empty).usedIndexTable.isEmpty)
+    // a range predicate on the indexed string column routes too
+    assert(built(Array(sources.GreaterThanOrEqual("city", "paris"),
+      sources.LessThan("city", "parit"))).usedIndexTable.isDefined)
+    // stale-entry safety comes from the verified read: delete a row,
+    // no rebuild — it must disappear from the wide answer
+    g.table("t").delete(Seq(Delete(Bytes.toBytes(13L)).deleteFamily("f", 4L)), 4L)
+    assert(spark.sql("SELECT k FROM gwi.`t$wide` WHERE city = 'paris'")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 23L, 33L))
+  }
+
+  test("covered index answers the wide covered-projection query index-only") {
+    val root = freshRoot("widecov")
+    val g = mkTable(root)
+    g.createIndex("t", "f", b("city"), 3L, covered = Seq("f" -> b("pop")))
+    register("gwc", root)
+    val q = "SELECT k, pop FROM gwc.`t$wide` WHERE city = 'paris' ORDER BY k"
+    val out = spark.sql(q)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq(3L -> 30L, 13L -> 130L, 23L -> 230L, 33L -> 330L))
+    // seam: index-only — zero main-table touch
+    val engine = new graft.catalog.Catalog(spark, root)
+    val spec = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
+    import org.apache.spark.sql.sources
+    val bld = new GraftWideScanBuilder(engine, "t", spec)
+    bld.pushFilters(Array(sources.EqualTo("city", "paris")))
+    bld.pruneColumns(org.apache.spark.sql.types.StructType(
+      spec.schema.filter(f => Seq("k", "pop", "city").contains(f.name))))
+    val scan = bld.build().asInstanceOf[GraftWideScan]
+    assert(scan.indexOnly, "covered projection did not go index-only")
+    val plan = scan.resolvedFrame(spark).queryExecution.executedPlan.toString
+    assert(!plan.contains(root + "/t/"),
+      s"wide covered projection scanned the main table:\n$plan")
+    // a synchronous delete is visible with no rebuild
+    g.table("t").delete(Seq(Delete(Bytes.toBytes(3L)).deleteFamily("f", 4L)), 4L)
+    assert(spark.sql(q).collect().map(_.getLong(0)).toSet == Set(13L, 23L, 33L))
+  }
+
+  test("row set does not depend on the projection (absent columns are null)") {
+    val root = freshRoot("widesparse")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long")), 1L)
+    // r1 has only city; r2 has only pop
+    g.table("t").put(Seq(
+      Put(Bytes.toBytes(1L)).add("f", b("city"), 2L, b("paris")),
+      Put(Bytes.toBytes(2L)).add("f", b("pop"), 2L, Bytes.toBytes(99L))), 2L)
+    register("gws", root)
+    // projecting ONLY pop must still return r1 (null pop), because no
+    // recorded predicate implies pop is non-null
+    val out = spark.sql("SELECT k, pop FROM gws.`t$wide` ORDER BY k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).isNullAt(1) && out(1).getLong(1) == 99L)
+    // a predicate on city legitimately drops r2 (null city never matches)
+    assert(spark.sql(
+      "SELECT k FROM gws.`t$wide` WHERE city = 'paris'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("wide view over a salted table: logical keys, bounds, index route") {
+    val root = freshRoot("widesalt")
+    val g = mkTable(root, saltBuckets = 8)
+    g.createIndex("t", "f", b("city"), 3L)
+    register("gwsl", root)
+    val ranged = spark.sql(
+      "SELECT k, city, pop FROM gwsl.`t$wide` WHERE k >= 10 AND k < 20 ORDER BY k")
+    assert(ranged.collect().map(_.getLong(0)).toSeq == (10L until 20L))
+    assert(spark.sql("SELECT k FROM gwsl.`t$wide` WHERE city = 'paris'")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 13L, 23L, 33L))
+  }
+
+  test("conjunctive equality picks the composite route over single-column") {
+    val root = freshRoot("widecomp")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f", maxVersions = 1)),
+      splitKeys = 2, immutableRows = true,
+      wideKey = Some("k:string"),
+      wideSchema = Some("f:city:string;f:tier:string;f:pop:string")), 1L)
+    g.table("t").put(Seq(
+      Put(b("r1")).add("f", b("city"), 2L, b("paris"))
+        .add("f", b("tier"), 2L, b("gold")).add("f", b("pop"), 2L, b("2m")),
+      Put(b("r2")).add("f", b("city"), 2L, b("paris"))
+        .add("f", b("tier"), 2L, b("iron"))), 2L)
+    val cols = Seq("f" -> b("city"), "f" -> b("tier"))
+    g.createCompositeIndex("t", cols, 3L)
+    g.createIndex("t", "f", b("city"), 4L) // a single-column rival
+    val engine = g.catalog
+    val spec = WideSpec.parse(Some("k:string"),
+      Some("f:city:string;f:tier:string;f:pop:string"))
+    import org.apache.spark.sql.sources
+    def built(filters: Array[sources.Filter]): GraftWideScan = {
+      val bld = new GraftWideScanBuilder(engine, "t", spec)
+      bld.pushFilters(filters)
+      bld.build().asInstanceOf[GraftWideScan]
+    }
+    // both equalities -> composite wins over the single-column index
+    val both = built(Array(sources.EqualTo("city", "paris"),
+      sources.EqualTo("tier", "gold")))
+    assert(both.usedIndexTable.exists(_.contains("_cidx_")))
+    val out = both.resolvedFrame(spark).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("pop"))).toSet
+    assert(out == Set(("r1", "2m")))
+    // one equality -> the single-column route
+    assert(built(Array(sources.EqualTo("city", "paris")))
+      .usedIndexTable.exists(_.contains("_idx_")))
+    // an IN-list member disqualifies the composite (blob needs one value)
+    assert(built(Array(sources.In("city", Array("paris", "tokyo")),
+      sources.EqualTo("tier", "gold")))
+      .usedIndexTable.exists(_.contains("_idx_")))
+  }
+
+  test("DDL declares the wide view; SHOW/DML still hit the cell table") {
+    val root = freshRoot("wideddl")
+    register("gwd", root)
+    spark.sql("CREATE TABLE gwd.td TBLPROPERTIES('families'='f', " +
+      "'wideKey'='k:long', 'wideSchema'='f:c:string')")
+    spark.sql("INSERT INTO gwd.td VALUES " +
+      s"(X'0000000000000007', 'f', X'63', 1, CAST(4 AS TINYINT), X'7878', 0)")
+    val out = spark.sql("SELECT k, c FROM gwd.`td$wide`").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 7L && out(0).getString(1) == "xx")
+  }
+}
