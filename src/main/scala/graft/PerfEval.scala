@@ -281,6 +281,26 @@ object PerfEval {
       g.table("pe_salt").mutate(writeBatch, nowMs = 3L)
     }
 
+
+    // compositeIndexBuild / compositeLookup5: the multi-column key —
+    // conjunctive equality over (o_custkey, o_orderstatus) as ONE blob
+    // range probe + gather + every-member verify. Probe cost = the hit
+    // set (the narrower tuple predicate), not the table: at a 10x
+    // scale-up the lookup should stay flat like the other probes while
+    // full scans grow.
+    val compCols = Seq("o" -> custQ, "o" -> Bytes.toBytes("o_orderstatus"))
+    results("compositeIndexBuild") = timed {
+      g.createCompositeIndex("pe_cov", compCols, nowMs = 2L): Unit
+    }
+    results("compositeLookup5") = timedMin2 {
+      var i = 0L
+      while (i < 5) {
+        tcov.indexLookupComposite(compCols,
+          Seq(custKey(i), Bytes.toBytes("O"))).count()
+        i += 1
+      }
+    }
+
     // randomWrite: a 10% mutation batch appended as a delta
     results("randomWrite") = timed {
       val batch = CellCodec.encode(

@@ -586,6 +586,50 @@ object Queries {
     }.reduce(_ unionByName _).orderBy("o_orderkey")
   }
 
+  // LEADING-member range through the composite index (the Phoenix
+  // leading-column rule): a table with ONLY a composite index on
+  // (o_custkey, o_orderstatus) serves `o_custkey ∈ [lo, hi)` via the
+  // LOOSE blob range probe — big-endian long bounds embed 0x00 bytes,
+  // exactly the case the loose probe's union-of-prefix-ranges covers —
+  // with the interval kept residual for exactness. Oracle = full scan.
+  private val sqlLeadingRoots = scala.collection.mutable.Map.empty[String, String]
+  private val sqlIndexLeadingRange = Q("sql_index_leading_range", Some("""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey >= 40 AND o_custkey < 60
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlLeadingRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sqllr").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_lc",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, immutableRows = true),
+          nowMs = 1L)
+        g.table("orders_lc").mutate(
+          CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey")),
+          nowMs = 1L)
+        g.createCompositeIndex("orders_lc",
+          Seq("o" -> Bytes.toBytes("o_custkey"),
+            "o" -> Bytes.toBytes("o_orderstatus")), nowMs = 2L)
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_lr",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lr.root", root)
+    val qual = "X'" + Bytes.toBytes("o_custkey").map(b => f"$b%02x").mkString + "'"
+    def h(v: Long) = "X'" + Bytes.toBytes(v).map(b => f"$b%02x").mkString + "'"
+    val cells = s.sql(
+      s"""SELECT row, family, qualifier, ts, kind, value, seq
+          FROM graft_lr.orders_lc
+          WHERE family = 'o' AND qualifier = $qual
+            AND value >= ${h(40L)} AND value < ${h(60L)}""")
+    CellCodec.decode(cells,
+      StructType(Seq(StructField("o_custkey", LongType))),
+      key = Seq("o_orderkey" -> LongType))
+      .orderBy("o_orderkey")
+  }
+
   // Index GC end-to-end: tombstone a key range, majorCompact (which
   // rebuilds registered indexes to currently-visible entries — the
   // monotonic-growth fix; IndexSpec asserts the physical shrink), then
@@ -3918,7 +3962,7 @@ object Queries {
     scanRange, saltedScan, saltedIndexLookup, indexLookup, sqlIndexLookup,
     indexRangeLookup, sqlIndexRange,
     sqlCoveredLookup, sqlMultiGet, sqlWideScan, sqlCoveredProjection,
-    sqlIndexComposite,
+    sqlIndexComposite, sqlIndexLeadingRange,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
     getPoint, getRowOrBefore, rowCounter,
     existsGet,

@@ -134,6 +134,13 @@ final case class TableDescriptor(
   /** Registered COMPOSITE index whose member set equals `cols`. */
   def compositeIndexOn(cols: Seq[(String, Array[Byte])]): Option[IndexDescriptor] =
     indexes.find(_.matchesComposite(cols))
+  /** Registered COMPOSITE index whose LEADING member is `(f, q)` — an
+    * equality on the leading member alone probes the composite's blob
+    * prefix range (the classic Phoenix leading-column rule; trailing
+    * members cannot be served: their values sit mid-key). */
+  def compositeLeadingOn(f: String, q: Array[Byte]): Option[IndexDescriptor] =
+    indexes.find(ix => ix.moreColumns.nonEmpty && ix.family == f &&
+      java.util.Arrays.equals(ix.qualifier, q))
 }
 
 /** One committed table version: the list of immutable data directories

@@ -262,17 +262,51 @@ object SecondaryIndex {
     * `v ++ 0x00` converts the other inclusivities exactly). The
     * value-prefix index layout makes this ONE pruned range scan of the
     * index — O(hits), not O(table); the reconstructed-value residual
-    * keeps the range exact even for 0x00-embedding bounds. */
+    * keeps the range exact even for 0x00-embedding bounds.
+    *
+    * `exactPrefix = false` is the LOOSE probe for a bound on the LEADING
+    * member of a COMPOSITE index, where the key prefix is the whole
+    * member blob, not the bounded value: the reconstructed-prefix
+    * residual would compare blob-vs-leading-bound and FALSE-NEGATIVE
+    * when a 0x00-embedding bound interleaves with the member separator.
+    * Instead the probe scans a UNION of pruned key ranges that is a
+    * proven superset of `leading ∈ [lo, hi)`:
+    *  - the main range `[lo ++ 0x00, hi ++ 0x00)` — complete except for
+    *    leadings that are proper prefixes of `hi` whose next `hi` byte
+    *    is 0x00 (their keys continue `0x00 ++ nextMember...` and can
+    *    sort past `hi ++ 0x00`);
+    *  - one exact-prefix range `[p ++ 0x00, p ++ 0x01)` per such prefix
+    *    `p` (at most one per 0x00 byte in `hi` — e.g. ≤ 8 for a
+    *    big-endian long bound, where embedded 0x00s are the norm).
+    * False positives only (blobs whose leading sorts outside the bound
+    * but whose tail crosses it); every caller re-checks the leading
+    * value (verify or residual), so the result stays exact and the scan
+    * stays O(hits). */
   def probeRange(index: DataFrame, lo: Option[Array[Byte]],
-      hi: Option[Array[Byte]]): DataFrame = {
+      hi: Option[Array[Byte]], exactPrefix: Boolean = true): DataFrame = {
     require(lo.isDefined || hi.isDefined, "probeRange needs a bound")
-    val scanned = ScanExec(index,
-      Scan(lo.map(_ ++ Sep), hi.map(valueRangeStop))
-        .addColumn(IndexFamily, RowQualifier))
-      .withColumn("_ixv", pointerIxVal)
-    val exact = (lo.map(b => col("_ixv") >= lit(b)) ++
-        hi.map(b => col("_ixv") < lit(b))).reduce(_ && _)
-    scanned.filter(exact).select(col("value").as("row")).distinct()
+    if (exactPrefix) {
+      val scanned = ScanExec(index,
+        Scan(lo.map(_ ++ Sep), hi.map(valueRangeStop))
+          .addColumn(IndexFamily, RowQualifier))
+        .withColumn("_ixv", pointerIxVal)
+      val exact = (lo.map(b => col("_ixv") >= lit(b)) ++
+          hi.map(b => col("_ixv") < lit(b))).reduce(_ && _)
+      scanned.filter(exact).select(col("value").as("row")).distinct()
+    } else {
+      val main = (lo.map(_ ++ Sep), hi.map(_ ++ Sep))
+      val prefixRanges = hi.toSeq.flatMap { h =>
+        h.indices.filter(h(_) == 0.toByte).map(h.take)
+          .filter(p => lo.forall(l => Bytes.compareTo(p, l) >= 0))
+          .map(p => (Some(p ++ Sep), Some(p ++ Array(1.toByte))))
+      }
+      val pred = (main +: prefixRanges).map { case (s, e) =>
+        (s.map(x => col("row") >= lit(x)) ++ e.map(x => col("row") < lit(x)))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      ScanExec(index.filter(pred), Scan().addColumn(IndexFamily, RowQualifier))
+        .select(col("value").as("row")).distinct()
+    }
   }
 
   /** Candidate gather, SIZE-GATED and SPAN-BOUNDED: one cheap stats job
@@ -348,13 +382,19 @@ object SecondaryIndex {
     * the CURRENT visible value against the interval — the index answer
     * to the reference's comparison-filter surface
     * (`SingleColumnValueFilter` with LESS/GREATER..., the non-equality
-    * `CompareFilter.java:49-64` ops the equality probe can't serve). */
+    * `CompareFilter.java:49-64` ops the equality probe can't serve).
+    * `exactPrefix = false` = the loose probe for a LEADING member of a
+    * composite index (see [[probeRange]]); the verify step here re-checks
+    * the member's CURRENT visible value against the interval either way,
+    * so loose candidates stay exact. */
   def lookupRange(mainCells: DataFrame, index: DataFrame, family: String,
       qualifier: Array[Byte], lo: Option[Array[Byte]],
       hi: Option[Array[Byte]],
-      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame =
+      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys,
+      exactPrefix: Boolean = true): DataFrame =
     verifiedRows(
-      gatherHits(mainCells, probeRange(index, lo, hi), broadcastMaxKeys),
+      gatherHits(mainCells, probeRange(index, lo, hi, exactPrefix),
+        broadcastMaxKeys),
       family, qualifier,
       c => (lo.map(b => c >= lit(b)) ++ hi.map(b => c < lit(b))).reduce(_ && _))
 
@@ -403,12 +443,19 @@ object SecondaryIndex {
   def compositeBlob(values: Seq[Array[Byte]]): Array[Byte] =
     values.reduce((a, b) => a ++ Sep ++ b)
 
-  /** The composite index transform: one within-batch inner JOIN of the
+  /** The composite index transform: a within-batch tuple join of the
     * member columns' put cells per row (O(batch) shuffle, never against
     * the main table — sound under the `immutableRows` contract, where a
     * row's cells arrive in one batch), emitting one pointer entry keyed
-    * `blob ++ 0x00 ++ mainRow`. The entry's ts/seq is the NEWEST member
-    * cell's — the tuple's version stamp. */
+    * `blob ++ 0x00 ++ mainRow`. The join is ANCHORED on the LEADING
+    * member and LEFT-OUTER to the trailing ones (the Phoenix shape):
+    * every row with a leading cell is indexed, a missing trailing member
+    * encoding as the empty blob slot. That keeps the index COMPLETE for
+    * leading-member routing (a sparse row matching only the leading
+    * predicate must still be findable); a sparse entry colliding with a
+    * genuinely-empty trailing value is a false positive the every-member
+    * verify eliminates, never a false negative. The entry's ts/seq is the
+    * NEWEST present member cell's — the tuple's version stamp. */
   def indexCellsComposite(cells: DataFrame,
       columns: Seq[(String, Array[Byte])]): DataFrame = {
     require(columns.sizeIs >= 2, "composite index needs at least 2 columns")
@@ -418,8 +465,9 @@ object SecondaryIndex {
         .select(col("row"), col("value").as(s"_v$i"),
           col("ts").as(s"_t$i"), col("seq").as(s"_s$i"))
     }
-    val joined = members.reduce(_.join(_, "row"))
-    val blob = columns.indices.map(i => col(s"_v$i"))
+    val joined = members.reduce(_.join(_, Seq("row"), "left_outer"))
+    val blob = columns.indices.map(i =>
+        coalesce(col(s"_v$i"), lit(Array.empty[Byte])))
       .reduce((a, b) => concat(a, lit(Sep), b))
     joined.select(
       concat(blob, lit(Sep), col("row")).as("row"),

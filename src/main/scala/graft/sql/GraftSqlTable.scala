@@ -393,13 +393,29 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
     else for {
       fams <- scan.families
       if fams.size == 1 && scan.columns.get(fams.head).exists(_.size == 1)
-      ix <- engine.currentManifest(tableName).descriptor
-        .indexOn(fams.head, scan.columns(fams.head).head)
-      pred <-
-        if (valueEq.nonEmpty) Some(GraftValueIn(valueEq))
+      desc = engine.currentManifest(tableName).descriptor
+      q = scan.columns(fams.head).head
+      (ix, pred) <- desc.indexOn(fams.head, q).flatMap { ix =>
+        if (valueEq.nonEmpty) Some((ix, GraftValueIn(valueEq)))
         else if (valueLo.isDefined || valueHi.isDefined)
-          Some(GraftValueRange(valueLo, valueHi))
+          Some((ix, GraftValueRange(valueLo, valueHi)))
         else None
+      }.orElse {
+        // leading member of a composite index (the Phoenix leading-column
+        // rule; the left-outer tuple join keeps the index COMPLETE for
+        // it): equality probes the blob's [v ++ 0x00, v ++ 0x01) prefix
+        // ranges directly; an interval routes through the LOOSE range
+        // probe (scan bounds only — the reconstructed-prefix residual
+        // would compare whole blobs and false-negative on 0x00-embedding
+        // bounds). Both yield a candidate superset the residual value
+        // predicate reduces exactly.
+        desc.compositeLeadingOn(fams.head, q).flatMap { ix =>
+          if (valueEq.nonEmpty) Some((ix, GraftValueIn(valueEq)))
+          else if (valueLo.isDefined || valueHi.isDefined)
+            Some((ix, GraftValueRange(valueLo, valueHi)))
+          else None
+        }
+      }
     } yield GraftIndexRoute(ix, pred, Nil)
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -554,7 +570,8 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
         case GraftValueIn(vs) => SecondaryIndex.gather(frame0, ixCells, vs)
         case GraftValueRange(lo, hi) =>
           SecondaryIndex.gatherHits(frame0,
-            SecondaryIndex.probeRange(ixCells, lo, hi))
+            SecondaryIndex.probeRange(ixCells, lo, hi,
+              exactPrefix = route.ix.moreColumns.isEmpty))
       }
     }
     // Family TTLs evaluate against the SQL-surface clock (reference: TTL

@@ -289,6 +289,16 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         val pred = colEq.get(cn).map(GraftValueIn)
           .getOrElse(GraftValueRange(colLo.get(cn), colHi.get(cn)))
         WideSingle(c, ix, pred)
+      }.orElse {
+        // leading member of a composite (Phoenix leading-column rule —
+        // complete thanks to the left-outer tuple join): equality via the
+        // blob prefix ranges, an interval via the loose range probe; the
+        // verified lookup re-checks the leading value either way
+        d.compositeLeadingOn(c.family, c.qualifier).map { ix =>
+          val pred = colEq.get(cn).map(GraftValueIn)
+            .getOrElse(GraftValueRange(colLo.get(cn), colHi.get(cn)))
+          WideSingle(c, ix, pred)
+        }
       }
     }.take(1).toSeq.headOption)
   }
@@ -355,7 +365,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           case GraftValueIn(vs) => SecondaryIndex.lookupAll(logical,
             engine.read(ix.indexTable), c.family, c.qualifier, vs)
           case GraftValueRange(lo, hi) => SecondaryIndex.lookupRange(logical,
-            engine.read(ix.indexTable), c.family, c.qualifier, lo, hi)
+            engine.read(ix.indexTable), c.family, c.qualifier, lo, hi,
+            exactPrefix = ix.moreColumns.isEmpty)
         }
         keepWanted(boundsFilter(hit))
       case Some(WideComposite(ix, values)) =>

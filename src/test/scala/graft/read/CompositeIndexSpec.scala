@@ -80,6 +80,57 @@ class CompositeIndexSpec extends SparkSpec {
       == Set("r1"))
   }
 
+  test("sparse rows (trailing member missing) stay visible to the leading member") {
+    val g = freshGraft("cidxsp")
+    val t = mk(g)
+    // r5 has a city but NO tier; maintenance must index it (left-outer
+    // tuple join — the Phoenix leading-column completeness rule), the
+    // full-tuple probe must not return it, not even for the EMPTY value
+    // (the sentinel slot is a false positive the verify eliminates)
+    t.put(Seq(Put(b("r5")).add("f", cityQ, 4L, b("paris"))), 4L)
+    val ixT = t.descriptor.indexes.find(_.moreColumns.nonEmpty).get.indexTable
+    assert(g.catalog.read(ixT).count() == 5)
+    assert(rowsOf(t.indexLookupComposite(cols, Seq(b("paris"), b("gold"))))
+      == Set("r1", "r4"))
+    assert(rowsOf(t.indexLookupComposite(cols,
+      Seq(b("paris"), Array.empty[Byte]))) == Set.empty)
+    // the rebuild (GC) path keeps the sparse entry too
+    t.majorCompact(5L)
+    assert(g.catalog.read(ixT)
+      .filter(org.apache.spark.sql.functions.col("value") === b("r5"))
+      .count() == 1)
+  }
+
+  test("loose leading range probe is exact for 0x00-embedding numeric bounds") {
+    val g = freshGraft("cidxnr")
+    g.createTable(TableDescriptor("n",
+      Seq(FamilyDescriptor("f", maxVersions = 1)),
+      splitKeys = 2, immutableRows = true), 1L)
+    val t = g.table("n")
+    val numQ = b("num")
+    // big-endian longs: every value and every bound embeds 0x00 bytes —
+    // the case the blob-residual probe would false-negative on
+    t.put((1 to 60).map(i =>
+      Put(b(f"r$i%03d")).add("f", numQ, 2L, Bytes.toBytes(i.toLong))
+        .add("f", tierQ, 2L, b(if (i % 2 == 0) "even" else "odd"))), 2L)
+    // a sparse row inside the interval
+    t.put(Seq(Put(b("r900")).add("f", numQ, 3L, Bytes.toBytes(25L))), 3L)
+    g.createCompositeIndex("n", Seq("f" -> numQ, "f" -> tierQ), 4L)
+    val ix = t.descriptor.indexes.find(_.moreColumns.nonEmpty).get
+    val hits = SecondaryIndex.probeRange(g.catalog.read(ix.indexTable),
+      Some(Bytes.toBytes(20L)), Some(Bytes.toBytes(40L)), exactPrefix = false)
+      .collect().map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet
+    assert(((20 to 39).map(i => f"r$i%03d").toSet + "r900").subsetOf(hits),
+      s"loose probe missed rows: ${hits.size} hits")
+    // end-to-end exactness through the verified lookup
+    val rows = rowsOf(SecondaryIndex.lookupRange(
+      g.catalog.readManifest(g.catalog.currentManifest("n")),
+      g.catalog.read(ix.indexTable), "f", numQ,
+      Some(Bytes.toBytes(20L)), Some(Bytes.toBytes(40L)),
+      exactPrefix = false))
+    assert(rows == (20 to 39).map(i => f"r$i%03d").toSet + "r900")
+  }
+
   test("composite registration survives the manifest JSON roundtrip") {
     val g = freshGraft("cidxj")
     mk(g)

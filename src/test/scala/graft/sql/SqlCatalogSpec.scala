@@ -770,6 +770,87 @@ class SqlCatalogSpec extends SparkSpec {
       sources.GreaterThan("value", b("p1")))).usedIndexTable.isEmpty)
   }
 
+  test("leading member of a composite index serves cell-door equality") {
+    val r = Files.createTempDirectory("graft-sqllead").toString
+    val g = Graft(spark, r)
+    g.createTable(TableDescriptor("tl",
+      Seq(FamilyDescriptor("f", maxVersions = 1)),
+      splitKeys = 2, immutableRows = true), 1L)
+    g.table("tl").put((1 to 40).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("city"), 2L,
+          b(if (i % 10 == 3) "paris" else "other"))
+        .add("f", b("tier"), 2L, b(if (i % 2 == 0) "gold" else "iron"))), 2L)
+    g.createCompositeIndex("tl",
+      Seq("f" -> b("city"), "f" -> b("tier")), 3L)
+    spark.conf.set("spark.sql.catalog.graft_ld", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ld.root", r)
+    // end-to-end exactness through the blob-prefix probe
+    val out = spark.sql(
+      "SELECT row, family, qualifier, ts, value FROM graft_ld.tl " +
+        s"WHERE family = 'f' AND qualifier = ${hex("city")} " +
+        s"AND value = ${hex("paris")}")
+    assert(collectCells(out).map(_._1) == Set("r003", "r013", "r023", "r033"))
+    // seams: leading equality routes; trailing member and ranges do not
+    val engine = new graft.catalog.Catalog(spark, r)
+    import org.apache.spark.sql.sources
+    def built(filters: Array[sources.Filter]): GraftV1Scan = {
+      val builder = new GraftScanBuilder(engine, "tl")
+      builder.pushFilters(filters)
+      builder.build().asInstanceOf[GraftV1Scan]
+    }
+    assert(built(Array(sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.EqualTo("value", b("paris"))))
+      .usedIndexTable.exists(_.contains("_cidx_")))
+    assert(built(Array(sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("tier")),
+      sources.EqualTo("value", b("gold")))).usedIndexTable.isEmpty)
+    // a RANGE on the leading member routes too (loose probe; the value
+    // conjuncts stay residual, so exactness is Spark's)
+    assert(built(Array(sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.GreaterThanOrEqual("value", b("paris"))))
+      .usedIndexTable.exists(_.contains("_cidx_")))
+  }
+
+  test("leading member of a composite serves cell-door ranges, sparse rows kept") {
+    val r = Files.createTempDirectory("graft-sqllr").toString
+    val g = Graft(spark, r)
+    g.createTable(TableDescriptor("nr",
+      Seq(FamilyDescriptor("f", maxVersions = 1)),
+      splitKeys = 2, immutableRows = true), 1L)
+    import graft.core.Bytes
+    val numQ = b("num")
+    // big-endian long values: bounds and values all embed 0x00 bytes
+    g.table("nr").put((1 to 50).map(i =>
+      Put(b(f"r$i%03d")).add("f", numQ, 2L, Bytes.toBytes(i.toLong))
+        .add("f", b("st"), 2L, b(if (i % 2 == 0) "E" else "O"))), 2L)
+    // sparse row inside the interval: no trailing member
+    g.table("nr").put(Seq(
+      Put(b("r900")).add("f", numQ, 3L, Bytes.toBytes(25L))), 3L)
+    g.createCompositeIndex("nr", Seq("f" -> numQ, "f" -> b("st")), 4L)
+    spark.conf.set("spark.sql.catalog.graft_lr", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_lr.root", r)
+    def h(v: Long) = "X'" + Bytes.toBytes(v).map(x => f"$x%02x").mkString + "'"
+    val qual = "X'" + numQ.map(x => f"$x%02x").mkString + "'"
+    val out = spark.sql(
+      s"""SELECT row, family, qualifier, ts, value FROM graft_lr.nr
+          WHERE family = 'f' AND qualifier = $qual
+            AND value >= ${h(20L)} AND value < ${h(40L)}""")
+    assert(collectCells(out).map(_._1)
+      == (20 to 39).map(i => f"r$i%03d").toSet + "r900")
+    // seam: the interval routed through the composite
+    val engine = new graft.catalog.Catalog(spark, r)
+    import org.apache.spark.sql.sources
+    val builder = new GraftScanBuilder(engine, "nr")
+    builder.pushFilters(Array(sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", numQ),
+      sources.GreaterThanOrEqual("value", Bytes.toBytes(20L)),
+      sources.LessThan("value", Bytes.toBytes(40L))))
+    assert(builder.build().asInstanceOf[GraftV1Scan]
+      .usedIndexTable.exists(_.contains("_cidx_")))
+  }
+
   test("covered route keeps pushed row bounds on a salted table") {
     // regression: on a salted table the pushed row bounds compile into
     // the scatter-gather frame, which the covered (index-only) route

@@ -201,6 +201,48 @@ class WideViewSpec extends SparkSpec {
     assert(built(Array(sources.In("city", Array("paris", "tokyo")),
       sources.EqualTo("tier", "gold")))
       .usedIndexTable.exists(_.contains("_idx_")))
+    // a TRAILING member alone routes nowhere (its value sits mid-key)
+    assert(built(Array(sources.EqualTo("tier", "gold")))
+      .usedIndexTable.isEmpty)
+  }
+
+  test("leading member of a composite serves equality alone (no single index)") {
+    val root = freshRoot("widelead")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f", maxVersions = 1)),
+      splitKeys = 2, immutableRows = true,
+      wideKey = Some("k:string"),
+      wideSchema = Some("f:city:string;f:tier:string")), 1L)
+    g.table("t").put(Seq(
+      Put(b("r1")).add("f", b("city"), 2L, b("paris"))
+        .add("f", b("tier"), 2L, b("gold")),
+      Put(b("r2")).add("f", b("city"), 2L, b("tokyo"))
+        .add("f", b("tier"), 2L, b("gold"))), 2L)
+    g.createCompositeIndex("t",
+      Seq("f" -> b("city"), "f" -> b("tier")), 3L)
+    val spec = WideSpec.parse(Some("k:string"), Some("f:city:string;f:tier:string"))
+    import org.apache.spark.sql.sources
+    val bld = new GraftWideScanBuilder(g.catalog, "t", spec)
+    bld.pushFilters(Array(sources.EqualTo("city", "paris")))
+    val scan = bld.build().asInstanceOf[GraftWideScan]
+    assert(scan.usedIndexTable.exists(_.contains("_cidx_")),
+      "leading-member equality did not reuse the composite index")
+    assert(scan.resolvedFrame(spark).collect().map(_.getString(0)).toSeq
+      == Seq("r1"))
+    // a RANGE on the leading member routes through the LOOSE probe (the
+    // verified lookup re-checks the interval); rows with the trailing
+    // member missing are still found (left-outer tuple join)
+    g.table("t").put(Seq(
+      Put(b("r3")).add("f", b("city"), 3L, b("rome"))), 3L)
+    val bld2 = new GraftWideScanBuilder(g.catalog, "t", spec)
+    bld2.pushFilters(Array(sources.GreaterThanOrEqual("city", "paris")))
+    val scan2 = bld2.build().asInstanceOf[GraftWideScan]
+    assert(scan2.usedIndexTable.exists(_.contains("_cidx_")),
+      "leading-member range did not reuse the composite index")
+    assert(scan2.resolvedFrame(spark).collect()
+      .map(r => (r.getString(0), Option(r.getString(2)))).toSet
+      == Set(("r1", Some("gold")), ("r2", Some("gold")), ("r3", None)))
   }
 
   test("DDL declares the wide view; SHOW/DML still hit the cell table") {
