@@ -268,6 +268,20 @@ final case class GraftTable(g: Graft, name: String) {
     }
   }
 
+  /** Index-backed PREFIX lookup — the reference's `PrefixFilter` /
+    * `BinaryPrefixComparator` surface (`hbase/filter/PrefixFilter.java:34`,
+    * `BinaryPrefixComparator.java:30`) served from the index instead of a
+    * full scan: `value startsWith p` IS the value range
+    * `[p, prefixSuccessor(p))` in the value-prefix index layout — ONE
+    * pruned probe (an all-0xff prefix has no upper bound and the range
+    * stays open above, still exact). Same covered/verified route choice
+    * as [[indexLookupRange]]. */
+  def indexLookupPrefix(family: String, qualifier: Array[Byte],
+      prefix: Array[Byte],
+      project: Seq[(String, Array[Byte])] = Nil): DataFrame =
+    indexLookupRange(family, qualifier, Some(prefix),
+      Bytes.prefixSuccessor(prefix), project)
+
   /** COVERED equality/IN lookup ([[SecondaryIndex.lookupCovered]]): the
     * result — matching rows projected to the indexed + covered columns —
     * is assembled from the index table ALONE, zero main-table touch.

@@ -563,11 +563,13 @@ object Queries {
              ORDER BY o_orderkey""")
   }
 
-  // COMPOSITE index through the wide view: conjunctive equality over
-  // (o_custkey, o_orderstatus) becomes ONE blob range probe of the
-  // composite key (read/Index.scala lookupComposite; WideViewSpec
-  // asserts the route seam), every member re-verified on the main
-  // table. Oracle = the plain two-predicate formulation.
+  // COMPOSITE index through the wide view: conjunctive equality/IN over
+  // (o_custkey, o_orderstatus) becomes ONE probe pass over the bounded
+  // blob cartesian of the composite key (read/Index.scala
+  // lookupCompositeAll; WideViewSpec asserts the route seam — including
+  // that this exact IN shape picks the composite), every member
+  // re-verified on the main table. ONE SQL statement — the query a real
+  // user writes. Oracle = the plain two-predicate formulation.
   private val sqlIndexComposite = Q("sql_index_composite", Some("""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
     WHERE o_custkey IN (7, 37, 73, 103, 133) AND o_orderstatus = 'O'
@@ -577,13 +579,11 @@ object Queries {
     s.conf.set("spark.sql.catalog.graft_wx",
       classOf[graft.sql.GraftSqlCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_wx.root", root)
-    // one composite probe per custkey value (single-value members); the
-    // union mirrors a small IN over the leading member
-    Seq(7L, 37L, 73L, 103L, 133L).map { k =>
-      s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-                FROM graft_wx.`orders_w$$wide`
-                WHERE o_custkey = $k AND o_orderstatus = 'O'""")
-    }.reduce(_ unionByName _).orderBy("o_orderkey")
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM graft_wx.`orders_w$$wide`
+              WHERE o_custkey IN (7, 37, 73, 103, 133)
+                AND o_orderstatus = 'O'
+              ORDER BY o_orderkey""")
   }
 
   // LEADING-member range through the composite index (the Phoenix
@@ -628,6 +628,84 @@ object Queries {
       StructType(Seq(StructField("o_custkey", LongType))),
       key = Seq("o_orderkey" -> LongType))
       .orderBy("o_orderkey")
+  }
+
+  // PREFIX-predicate routing (the reference's PrefixFilter /
+  // BinaryPrefixComparator surface, hbase/filter/PrefixFilter.java:34):
+  // `LIKE '1-%'` on an indexed string column records the value interval
+  // [p, prefixSuccessor(p)) on the wide view and is served as ONE pruned
+  // probe of the value-prefix index layout (WideViewSpec asserts the
+  // route seam). Oracle = the plain LIKE over the parquet table.
+  private val sqlPrefixRoots = scala.collection.mutable.Map.empty[String, String]
+  private val sqlPrefixRoute = Q("sql_prefix_route", Some("""
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    WHERE o_orderpriority LIKE '1-%'
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlPrefixRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sqlpfx").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_pf",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, immutableRows = true,
+          wideKey = Some("o_orderkey:long"),
+          wideSchema = Some(
+            "o:o_orderpriority:string;o:o_totalprice:double")), nowMs = 1L)
+        g.table("orders_pf").mutate(
+          CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey")),
+          nowMs = 1L)
+        g.createIndex("orders_pf", "o", Bytes.toBytes("o_orderpriority"),
+          nowMs = 2L)
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_pf",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_pf.root", root)
+    s.sql("""SELECT o_orderkey, o_orderpriority, o_totalprice
+             FROM graft_pf.`orders_pf$wide`
+             WHERE o_orderpriority LIKE '1-%'
+             ORDER BY o_orderkey""")
+  }
+
+  // ORDER-PRESERVING double encoding (odouble — Bytes.toBytesOrdered,
+  // the OrderedBytes/Phoenix sign-flip trick): a RANGE predicate on an
+  // indexed DOUBLE column routes through the index as one pruned probe.
+  // This closes the reference's documented Bytes.toBytes caveat (IEEE
+  // sign bit inverts byte order — SURVEY §7.5 risk 1) instead of
+  // inheriting it. Oracle = the plain interval over the parquet table.
+  private val sqlDoubleRoots = scala.collection.mutable.Map.empty[String, String]
+  private val sqlIndexDoubleRange = Q("sql_index_double_range", Some("""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1000.5 AND o_totalprice < 5000.25
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlDoubleRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sqlod").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_od",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, immutableRows = true,
+          wideKey = Some("o_orderkey:long"),
+          wideSchema = Some("o:o_totalprice:odouble;o:o_custkey:long")),
+          nowMs = 1L)
+        g.table("orders_od").mutate(
+          CellCodec.encode(
+            t(s, dir, "orders").select("o_orderkey", "o_totalprice", "o_custkey"),
+            "o", Seq("o_orderkey"), ordered = Set("o_totalprice")),
+          nowMs = 1L)
+        g.createIndex("orders_od", "o", Bytes.toBytes("o_totalprice"),
+          nowMs = 2L)
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_od",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_od.root", root)
+    s.sql("""SELECT o_orderkey, o_totalprice
+             FROM graft_od.`orders_od$wide`
+             WHERE o_totalprice > 1000.5 AND o_totalprice < 5000.25
+             ORDER BY o_orderkey""")
   }
 
   // Index GC end-to-end: tombstone a key range, majorCompact (which
@@ -3962,7 +4040,8 @@ object Queries {
     scanRange, saltedScan, saltedIndexLookup, indexLookup, sqlIndexLookup,
     indexRangeLookup, sqlIndexRange,
     sqlCoveredLookup, sqlMultiGet, sqlWideScan, sqlCoveredProjection,
-    sqlIndexComposite, sqlIndexLeadingRange,
+    sqlIndexComposite, sqlIndexLeadingRange, sqlPrefixRoute,
+    sqlIndexDoubleRange,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
     getPoint, getRowOrBefore, rowCounter,
     existsGet,

@@ -275,8 +275,17 @@ object ManifestJson {
         }.toSeq
       }
     }
-    def optStr(k: String): Option[String] =
-      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(s).map(_.group(1))
+    // wideKey/wideSchema are TOP-LEVEL scalars emitted before the
+    // splitBoundaries array — anchor their lookup to that prefix region so
+    // a family/index/dir string that happens to contain the property text
+    // can never be misparsed into the descriptor. (esc() already escapes
+    // quotes, so the full-string scan was only a latent hazard; the anchor
+    // removes the class.)
+    def optStr(k: String): Option[String] = {
+      val end = s.indexOf("\"splitBoundaries\":")
+      val top = if (end < 0) s else s.substring(0, end)
+      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(top).map(_.group(1))
+    }
     Manifest(str("table"), num("version"), num("createdMs"),
       TableDescriptor(str("table"), fams, bool("readOnly"),
         num("splitKeys").toInt, bounds, salt, ixs,

@@ -48,6 +48,40 @@ object Bytes {
 
   def toBytes(v: Float): Array[Byte] = toBytes(java.lang.Float.floatToIntBits(v))
 
+  // ---- ORDER-PRESERVING signed encodings (the HBase OrderedBytes /
+  // Phoenix sign-flip trick). The plain big-endian encodings above are
+  // order-preserving for NON-NEGATIVE integrals only, and never for
+  // IEEE-754 doubles (the sign bit inverts byte order) — the caveat the
+  // reference documents for `Bytes.toBytes` (SURVEY §7.5 risk 1). These
+  // opt-in variants close it: unsigned-lex order of the encoding equals
+  // numeric order over the FULL signed / IEEE range, so ordered-encoded
+  // row keys and indexed values serve range predicates exactly.
+  //  - integrals: flip the sign bit (two's-complement order + 2^63);
+  //  - doubles: flip the sign bit of non-negatives, ALL bits of
+  //    negatives (more-negative doubles have larger bit patterns, so the
+  //    inversion restores numeric order). NaN canonicalizes above +Inf;
+  //    -0.0 encodes just below +0.0 (numerically equal values stay
+  //    adjacent).
+
+  def toBytesOrdered(v: Long): Array[Byte] = toBytes(v ^ Long.MinValue)
+
+  def toBytesOrdered(v: Int): Array[Byte] = toBytes(v ^ Int.MinValue)
+
+  def toBytesOrdered(v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    toBytes(if (bits >= 0) bits ^ Long.MinValue else ~bits)
+  }
+
+  def toLongOrdered(b: Array[Byte]): Long = toLong(b) ^ Long.MinValue
+
+  def toIntOrdered(b: Array[Byte]): Int = toInt(b) ^ Int.MinValue
+
+  def toDoubleOrdered(b: Array[Byte]): Double = {
+    val ord = toLong(b)
+    java.lang.Double.longBitsToDouble(
+      if (ord < 0) ord ^ Long.MinValue else ~ord)
+  }
+
   // ---- JVM-side decoders (reference: Bytes.toLong:452, toString:249, ...)
 
   def toString(b: Array[Byte]): String =
@@ -132,4 +166,24 @@ object Bytes {
   def asBoolean(c: Column): Column =
     when(c.isNull, lit(null).cast("boolean"))
       .otherwise(length(c) > 0 && substring(hex(c), 1, 2) =!= "00")
+
+  // Column-side inverses of the ORDER-PRESERVING encodings above — all
+  // codegen'd builtins over the existing native bit expressions.
+
+  /** 8-byte ordered encoding -> signed long (inverse of toBytesOrdered). */
+  def asLongOrdered(c: Column): Column =
+    asLong(c).bitwiseXOR(lit(Long.MinValue))
+
+  /** 4-byte ordered encoding -> signed int. */
+  def asIntOrdered(c: Column): Column =
+    asInt(c).bitwiseXOR(lit(Int.MinValue))
+
+  /** 8-byte ordered encoding -> double. */
+  def asDoubleOrdered(c: Column): Column = {
+    val ord = asLong(c)
+    val bits = when(ord < 0, ord.bitwiseXOR(lit(Long.MinValue)))
+      .otherwise(bitwise_not(ord))
+    graft.functions.VectorFunctions.bitsToDouble(
+      unhex(lpad(hex(bits), 16, "0")))
+  }
 }

@@ -30,6 +30,56 @@ object CellCodec {
   /** Non-negative int -> 4-byte big-endian binary. */
   def intBytes(c: Column): Column = unhex(lpad(hex(c.cast("long")), 8, "0"))
 
+  // ORDER-PRESERVING signed variants (Bytes.toBytesOrdered parity — the
+  // OrderedBytes/Phoenix sign-flip trick): unsigned-lex order of the
+  // encoding == numeric order over the FULL signed / IEEE range. Opt-in
+  // via the `ordered` column sets of encode/decode/rowKey (wide-view
+  // types olong/oint/odouble). All codegen'd builtins.
+
+  /** Signed long -> 8-byte ordered binary (hex renders negatives as the
+    * full 16-nibble two's complement, so the sign-flipped value encodes
+    * exactly). */
+  def longBytesOrdered(c: Column): Column =
+    unhex(lpad(hex(c.cast("long").bitwiseXOR(lit(Long.MinValue))), 16, "0"))
+
+  /** Signed int -> 4-byte ordered binary: v + 2^31 in long space is the
+    * sign-flip within [0, 2^32), so hex stays within 8 nibbles. */
+  def intBytesOrdered(c: Column): Column =
+    unhex(lpad(hex(c.cast("long") + lit(2147483648L)), 8, "0"))
+
+  /** Double -> 8-byte ordered binary (sign bit flipped for non-negatives,
+    * all bits for negatives — Bytes.toBytesOrdered(Double) parity). */
+  def doubleBytesOrdered(c: Column): Column = {
+    val bits = graft.functions.VectorFunctions.bitsToLong(
+      doubleToBits(c.cast("double")))
+    val ord = when(bits >= 0, bits.bitwiseXOR(lit(Long.MinValue)))
+      .otherwise(bitwise_not(bits))
+    unhex(lpad(hex(ord), 16, "0"))
+  }
+
+  /** Typed column -> binary cell value. `ordered` selects the
+    * order-preserving signed encoding (long/int/double only). */
+  def encodeValue(c: Column, dt: DataType, ordered: Boolean): Column =
+    if (!ordered) encodeValue(c, dt)
+    else dt match {
+      case LongType => longBytesOrdered(c)
+      case IntegerType | ShortType => intBytesOrdered(c)
+      case DoubleType | FloatType => doubleBytesOrdered(c.cast("double"))
+      case other => throw new IllegalArgumentException(
+        s"no ordered encoding for cell type $other (long/int/double)")
+    }
+
+  /** binary ordered cell value -> typed column. */
+  def decodeValue(c: Column, dt: DataType, ordered: Boolean): Column =
+    if (!ordered) decodeValue(c, dt)
+    else dt match {
+      case LongType => Bytes.asLongOrdered(c)
+      case IntegerType | ShortType => Bytes.asIntOrdered(c).cast(dt)
+      case DoubleType | FloatType => Bytes.asDoubleOrdered(c).cast(dt)
+      case other => throw new IllegalArgumentException(
+        s"no ordered encoding for cell type $other (long/int/double)")
+    }
+
   /** Typed column -> binary cell value. */
   def encodeValue(c: Column, dt: DataType): Column = dt match {
     case LongType => longBytes(c)
@@ -65,9 +115,12 @@ object CellCodec {
     * big-endian for integral types, raw UTF-8 for strings (strings must be
     * the last key part, or prefix-free, for ordering to be exact —
     * same constraint as any byte-concatenated HBase composite key). */
-  def rowKey(df: DataFrame, keyCols: Seq[String]): Column = {
+  def rowKey(df: DataFrame, keyCols: Seq[String],
+      ordered: Set[String] = Set.empty): Column = {
     val parts = keyCols.map { k =>
       df.schema(k).dataType match {
+        case LongType if ordered(k) => longBytesOrdered(col(k))
+        case IntegerType if ordered(k) => intBytesOrdered(col(k))
         case LongType => longBytes(col(k))
         case IntegerType | ShortType => intBytes(col(k))
         case StringType => col(k).cast(BinaryType)
@@ -96,16 +149,17 @@ object CellCodec {
     * values produce no cell (HBase has no null cells; absence == null). */
   def encode(df: DataFrame, family: String, keyCols: Seq[String],
       batchTs: Long = 1L, tsCol: Option[Column] = None,
-      seq: Long = 0L, seqCol: Option[Column] = None): DataFrame = {
+      seq: Long = 0L, seqCol: Option[Column] = None,
+      ordered: Set[String] = Set.empty): DataFrame = {
     val ts = tsCol.getOrElse(lit(batchTs))
     val sq = seqCol.getOrElse(lit(seq))
     val entries = df.schema.fields.map { f =>
       struct(
         lit(f.name).cast(BinaryType).as("qualifier"),
-        encodeValue(col(f.name), f.dataType).as("value"))
+        encodeValue(col(f.name), f.dataType, ordered(f.name)).as("value"))
     }
     df.select(
-        rowKey(df, keyCols).as("row"),
+        rowKey(df, keyCols, ordered).as("row"),
         ts.cast(LongType).as("ts"),
         sq.cast(LongType).as("seq"),
         filter(array(entries: _*), e => e.getField("value").isNotNull).as("_es"))
@@ -128,7 +182,8 @@ object CellCodec {
     * tail — the same prefix-free constraint as `rowKey`. */
   def decode(cells: DataFrame, schema: StructType,
       key: Seq[(String, DataType)] = Nil,
-      family: Option[String] = None): DataFrame = {
+      family: Option[String] = None,
+      ordered: Set[String] = Set.empty): DataFrame = {
     // Column identity in the decoded view is the qualifier NAME — with
     // cells from several families sharing a qualifier, the per-row map
     // would hit duplicate keys (mapKeyDedupPolicy=EXCEPTION). Scope to
@@ -141,10 +196,14 @@ object CellCodec {
       key.map { case (name, dt) =>
         dt match {
           case LongType =>
-            val c = Bytes.asLong(substring(col("row"), off, 8)).as(name)
+            val part = substring(col("row"), off, 8)
+            val c = (if (ordered(name)) Bytes.asLongOrdered(part)
+                     else Bytes.asLong(part)).as(name)
             off += 8; c
           case IntegerType =>
-            val c = Bytes.asInt(substring(col("row"), off, 4)).as(name)
+            val part = substring(col("row"), off, 4)
+            val c = (if (ordered(name)) Bytes.asIntOrdered(part)
+                     else Bytes.asInt(part)).as(name)
             off += 4; c
           case StringType =>
             substring(col("row"), off, Int.MaxValue).cast(StringType).as(name)
@@ -159,7 +218,8 @@ object CellCodec {
       .groupBy(col("row"))
       .agg(m.as("_m"))
       .select(keyCols ++ schema.fields.toSeq.map { f =>
-        decodeValue(col("_m").getItem(f.name), f.dataType).as(f.name)
+        decodeValue(col("_m").getItem(f.name), f.dataType, ordered(f.name))
+          .as(f.name)
       }: _*)
   }
 

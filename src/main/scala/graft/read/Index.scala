@@ -486,18 +486,48 @@ object SecondaryIndex {
     * visible row. Values in the index's declared column order. */
   def lookupComposite(mainCells: DataFrame, index: DataFrame,
       columns: Seq[(String, Array[Byte])], values: Seq[Array[Byte]],
+      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame =
+    lookupCompositeAll(mainCells, index, columns, values.map(Seq(_)),
+      broadcastMaxKeys)
+
+  /** Cap on the expanded member-IN cartesian one composite probe pass
+    * accepts ([[lookupCompositeAll]]): each blob is one pruned range the
+    * probe's OR-predicate pushes to parquet, so the cost is O(blobs ×
+    * per-blob hits) — bounded and cheap up to here; past it a caller
+    * should fall back to the leading-member route (one range, residual
+    * re-check) rather than explode the probe predicate. */
+  val MaxCompositeProbes = 64
+
+  /** IN-generalized composite lookup: each member has a VALUE LIST
+    * (`IN (v1..vk)`; a single-value member is a 1-list), and the probed
+    * blobs are the lists' cartesian product in key order — `custkey IN
+    * (a, b) AND status = 'O'` is TWO pruned blob ranges in ONE probe
+    * pass, not two queries. Caller bounds the cartesian (≤
+    * [[MaxCompositeProbes]] is the routing contract); the verify step
+    * re-checks every member against ITS list on the current visible row,
+    * so stale hits and blob aliasing stay false positives. */
+  def lookupCompositeAll(mainCells: DataFrame, index: DataFrame,
+      columns: Seq[(String, Array[Byte])],
+      valueLists: Seq[Seq[Array[Byte]]],
       broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame = {
-    require(columns.size == values.size && columns.sizeIs >= 2,
-      "lookupComposite needs one value per composite column")
+    require(columns.size == valueLists.size && columns.sizeIs >= 2,
+      "lookupCompositeAll needs one value list per composite column")
+    require(valueLists.forall(_.nonEmpty),
+      "lookupCompositeAll needs at least one value per member")
     import org.apache.spark.sql.expressions.Window
-    val candidates =
-      gather(mainCells, index, Seq(compositeBlob(values)), broadcastMaxKeys)
+    val blobs = valueLists
+      .map(_.map(Seq(_)))
+      .reduce((as, bs) => for { a <- as; b <- bs } yield a ++ b)
+      .map(compositeBlob)
+    val candidates = gather(mainCells, index, blobs, broadcastMaxKeys)
     val resolved = ScanExec(candidates, Scan())
     val w = Window.partitionBy("row")
-    val flags = columns.zip(values).zipWithIndex.map { case (((f, q), v), i) =>
-      s"_cok$i" -> max(when(col("family") === f &&
-        col("qualifier") === lit(q) && col("value") === lit(v), 1)
-        .otherwise(0)).over(w)
+    val flags = columns.zip(valueLists).zipWithIndex.map {
+      case (((f, q), vs), i) =>
+        s"_cok$i" -> max(when(col("family") === f &&
+          col("qualifier") === lit(q) &&
+          vs.map(v => col("value") === lit(v)).reduce(_ || _), 1)
+          .otherwise(0)).over(w)
     }
     flags.foldLeft(resolved) { case (df, (n, c)) => df.withColumn(n, c) }
       .filter(flags.map(f => col(f._1) === 1).reduce(_ && _))

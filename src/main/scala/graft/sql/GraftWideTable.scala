@@ -59,8 +59,10 @@ class GraftWideTable(engine: Catalog, baseTable: String) extends Table
     new GraftWideScanBuilder(engine, baseTable, spec)
 }
 
-/** One declared wide column: `name` IS the qualifier string. */
-private[sql] case class WideCol(family: String, name: String, dt: DataType) {
+/** One declared wide column: `name` IS the qualifier string. `ordered`
+  * marks the order-preserving signed encoding (olong/oint/odouble). */
+private[sql] case class WideCol(family: String, name: String, dt: DataType,
+    ordered: Boolean = false) {
   def qualifier: Array[Byte] = Bytes.toBytes(name)
 }
 
@@ -68,16 +70,22 @@ private[sql] case class WideCol(family: String, name: String, dt: DataType) {
 private[sql] sealed trait WideRoute
 private[sql] case class WideSingle(c: WideCol, ix: IndexDescriptor,
     pred: GraftValuePred) extends WideRoute
-/** Composite route: encoded member values in the index's KEY order. */
+/** Composite route: encoded member VALUE LISTS (`IN` sets; single-value
+  * members are 1-lists) in the index's KEY order — the probed blobs are
+  * the lists' bounded cartesian. */
 private[sql] case class WideComposite(ix: IndexDescriptor,
-    values: Seq[Array[Byte]]) extends WideRoute
+    valueLists: Seq[Seq[Array[Byte]]]) extends WideRoute
 
 private[sql] case class WideSpec(key: Seq[(String, DataType)],
-    cols: Seq[WideCol]) {
+    cols: Seq[WideCol], orderedKey: Set[String] = Set.empty) {
   def schema: StructType = StructType(
     key.map { case (n, dt) => StructField(n, dt) } ++
       cols.map(c => StructField(c.name, c.dt)))
   def col(name: String): Option[WideCol] = cols.find(_.name == name)
+  /** All columns (key + value) declared with the ordered encoding — the
+    * set CellCodec's encode/decode take. */
+  def orderedNames: Set[String] =
+    orderedKey ++ cols.filter(_.ordered).map(_.name)
 }
 
 private[sql] object WideSpec {
@@ -85,13 +93,22 @@ private[sql] object WideSpec {
     * `graft.\`t\$wide\``. */
   val Suffix = "$wide"
 
-  private val types: Map[String, DataType] = Map(
-    "long" -> LongType, "int" -> IntegerType, "string" -> StringType,
-    "double" -> DoubleType, "float" -> FloatType,
-    "timestamp" -> TimestampType, "timestamp_ntz" -> TimestampNTZType,
-    "date" -> DateType, "boolean" -> BooleanType, "binary" -> BinaryType)
+  // (DataType, ordered-encoding flag); the o-prefixed types opt into the
+  // ORDER-PRESERVING signed encodings (Bytes.toBytesOrdered — the
+  // OrderedBytes/Phoenix sign-flip trick), making negative integrals and
+  // doubles range-encodable for key pruning and index routing.
+  private val types: Map[String, (DataType, Boolean)] = Map(
+    "long" -> (LongType, false), "int" -> (IntegerType, false),
+    "string" -> (StringType, false),
+    "double" -> (DoubleType, false), "float" -> (FloatType, false),
+    "timestamp" -> (TimestampType, false),
+    "timestamp_ntz" -> (TimestampNTZType, false),
+    "date" -> (DateType, false), "boolean" -> (BooleanType, false),
+    "binary" -> (BinaryType, false),
+    "olong" -> (LongType, true), "oint" -> (IntegerType, true),
+    "odouble" -> (DoubleType, true))
 
-  private def parseType(t: String): DataType = types.getOrElse(t.trim,
+  private def parseType(t: String): (DataType, Boolean) = types.getOrElse(t.trim,
     throw new IllegalArgumentException(
       s"unsupported wide column type '$t' (one of ${types.keys.toSeq.sorted.mkString(", ")})"))
 
@@ -100,57 +117,99 @@ private[sql] object WideSpec {
     * at most one string/binary tail — `CellCodec.decode`'s contract).
     * `wideSchema`: `family:qualifier:type(;...)` — column name = the
     * qualifier; names must be unique across families (column identity). */
+  private def parts(s: String, n: Int, what: String): Seq[String] = {
+    val p = s.split(':')
+    require(p.length == n && p.forall(_.trim.nonEmpty),
+      s"malformed $what declaration '$s' (expected ${
+        if (n == 2) "name:type" else "family:qualifier:type"})")
+    p.toSeq.map(_.trim)
+  }
+
   def parse(wideKey: Option[String], wideSchema: Option[String]): WideSpec = {
-    val key = wideKey.getOrElse(throw new IllegalArgumentException(
+    val keyParts = wideKey.getOrElse(throw new IllegalArgumentException(
         "wide view needs the 'wideKey' table property"))
       .split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
-        val Array(n, t) = s.split(':')
-        val dt = parseType(t)
+        val Seq(n, t) = parts(s, 2, "wideKey")
+        val (dt, ord) = parseType(t)
         require(Seq(LongType, IntegerType, StringType, BinaryType).contains(dt),
-          s"wideKey part '$n' has undecodable type $t (long/int/string/binary)")
-        (n, dt)
+          s"wideKey part '$n' has undecodable type $t " +
+            "(long/int/string/binary/olong/oint)")
+        (n, dt, ord)
       }
+    val key = keyParts.map(p => (p._1, p._2))
+    // Variable-length parts only as the TAIL: a mid-key string/binary part
+    // makes the concatenated row key non-prefix-free — CellCodec.decode
+    // would misparse it and first-key pruning would misprune (the same
+    // constraint CellCodec.rowKey documents).
+    key.dropRight(1).foreach { case (n, dt) =>
+      require(dt == LongType || dt == IntegerType,
+        s"wideKey part '$n' is variable-length ($dt): only the LAST key " +
+          "part may be string/binary (all others must be long/int)")
+    }
     val cols = wideSchema.getOrElse(throw new IllegalArgumentException(
         "wide view needs the 'wideSchema' table property"))
       .split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
-        val Array(f, q, t) = s.split(':')
-        WideCol(f, q, parseType(t))
+        val Seq(f, q, t) = parts(s, 3, "wideSchema")
+        val (dt, ord) = parseType(t)
+        WideCol(f, q, dt, ord)
       }
     val names = key.map(_._1) ++ cols.map(_.name)
     require(names.distinct.size == names.size,
       s"wide view column names collide: ${names.mkString(", ")}")
     require(key.nonEmpty && cols.nonEmpty, "wide view needs key and columns")
-    WideSpec(key, cols)
+    WideSpec(key, cols, keyParts.filter(_._3).map(_._1).toSet)
   }
 
   /** JVM-side literal encoding matching `CellCodec.encodeValue` — None
     * when the literal's type has no JVM-side encoder (those predicates
-    * stay residual-only, never pruning). */
-  def encodeLit(dt: DataType, v: Any): Option[Array[Byte]] = (dt, v) match {
-    case (LongType, l: java.lang.Long) => Some(Bytes.toBytes(l.longValue))
-    case (LongType, i: java.lang.Integer) => Some(Bytes.toBytes(i.longValue))
-    case (IntegerType, i: java.lang.Integer) => Some(Bytes.toBytes(i.intValue))
-    case (StringType, s: String) => Some(Bytes.toBytes(s))
-    case (BinaryType, b: Array[Byte]) => Some(b)
-    case (BooleanType, b: java.lang.Boolean) =>
-      Some(Array(if (b.booleanValue) 1.toByte else 0.toByte))
-    case (DoubleType, d: java.lang.Double) => Some(Bytes.toBytes(d.doubleValue))
-    case (FloatType, f: java.lang.Float) =>
-      Some(Bytes.toBytes(f.doubleValue))
-    case _ => None
-  }
+    * stay residual-only, never pruning). `ordered` selects the
+    * order-preserving signed encoding (must match the column's declared
+    * codec, or index probes would silently miss). */
+  def encodeLit(dt: DataType, v: Any, ordered: Boolean = false)
+      : Option[Array[Byte]] =
+    if (ordered) (dt, v) match {
+      case (LongType, l: java.lang.Long) =>
+        Some(Bytes.toBytesOrdered(l.longValue))
+      case (LongType, i: java.lang.Integer) =>
+        Some(Bytes.toBytesOrdered(i.longValue))
+      case (IntegerType, i: java.lang.Integer) =>
+        Some(Bytes.toBytesOrdered(i.intValue))
+      case (DoubleType, d: java.lang.Double) =>
+        Some(Bytes.toBytesOrdered(d.doubleValue))
+      case (DoubleType, f: java.lang.Float) =>
+        Some(Bytes.toBytesOrdered(f.doubleValue))
+      case _ => None
+    } else (dt, v) match {
+      case (LongType, l: java.lang.Long) => Some(Bytes.toBytes(l.longValue))
+      case (LongType, i: java.lang.Integer) => Some(Bytes.toBytes(i.longValue))
+      case (IntegerType, i: java.lang.Integer) => Some(Bytes.toBytes(i.intValue))
+      case (StringType, s: String) => Some(Bytes.toBytes(s))
+      case (BinaryType, b: Array[Byte]) => Some(b)
+      case (BooleanType, b: java.lang.Boolean) =>
+        Some(Array(if (b.booleanValue) 1.toByte else 0.toByte))
+      case (DoubleType, d: java.lang.Double) => Some(Bytes.toBytes(d.doubleValue))
+      case (FloatType, f: java.lang.Float) =>
+        Some(Bytes.toBytes(f.doubleValue))
+      case _ => None
+    }
 
   /** Whether the encoding of `dt` is ORDER-preserving for this literal
     * (the condition for turning a comparison into a byte range): the
     * unsigned-lex order of the encoding must match the column order.
     * Big-endian integrals qualify for non-negative values only; UTF-8
     * strings always (Spark's UTF8String comparison is byte-wise);
-    * IEEE-754 doubles never (sign bit inverts the order). */
-  def rangeEncodable(dt: DataType, v: Any): Boolean = dt match {
-    case LongType | IntegerType => v.asInstanceOf[Number].longValue >= 0L
-    case StringType | BinaryType => true
-    case _ => false
-  }
+    * IEEE-754 doubles never (sign bit inverts the order) — UNLESS the
+    * column declares the ordered codec (olong/oint/odouble), which is
+    * order-preserving over the full signed/IEEE range by construction. */
+  def rangeEncodable(dt: DataType, v: Any, ordered: Boolean = false): Boolean =
+    if (ordered) dt match {
+      case LongType | IntegerType | DoubleType => true
+      case _ => false
+    } else dt match {
+      case LongType | IntegerType => v.asInstanceOf[Number].longValue >= 0L
+      case StringType | BinaryType => true
+      case _ => false
+    }
 }
 
 /** Records predicates (everything stays residual — see
@@ -182,13 +241,18 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val keyHead = spec.key.head
+    val headOrdered = spec.orderedKey(keyHead._1)
     def keyEnc(v: Any): Option[Array[Byte]] =
-      Option(v).flatMap(WideSpec.encodeLit(keyHead._2, _))
+      Option(v).flatMap(WideSpec.encodeLit(keyHead._2, _, headOrdered))
+    def keyRangeable(v: Any): Boolean =
+      WideSpec.rangeEncodable(keyHead._2, v, headOrdered)
     def valCol(c: String): Option[WideCol] = spec.col(c)
     def valEnc(c: String, v: Any): Option[Array[Byte]] =
-      Option(v).flatMap(x => valCol(c).flatMap(w => WideSpec.encodeLit(w.dt, x)))
+      Option(v).flatMap(x =>
+        valCol(c).flatMap(w => WideSpec.encodeLit(w.dt, x, w.ordered)))
     def valRangeable(c: String, v: Any): Boolean =
-      v != null && valCol(c).exists(w => WideSpec.rangeEncodable(w.dt, v))
+      v != null && valCol(c).exists(w =>
+        WideSpec.rangeEncodable(w.dt, v, w.ordered))
     filters.foreach {
       // first-key-part bounds: equality is a prefix range for any
       // encodable literal; comparisons only when the encoding preserves
@@ -199,17 +263,34 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec)
           Bytes.prefixSuccessor(b).foreach(tightenStop)
         }
       case sources.GreaterThanOrEqual(c, v)
-          if c == keyHead._1 && WideSpec.rangeEncodable(keyHead._2, v) =>
+          if c == keyHead._1 && keyRangeable(v) =>
         keyEnc(v).foreach(tightenStart)
+      // strict GreaterThan start bound: the BINARY successor (v ++ 0x00),
+      // never the prefix successor — for a variable-length key head
+      // (string/binary tail) prefixSuccessor over-prunes: `k > 'a'` would
+      // set startRow to "b" and silently drop keys "a\x00..."/"ab", which
+      // satisfy the predicate but sort inside the pruned gap (rows a
+      // residual filter cannot resurrect). The binary successor is sound
+      // for fixed-width heads too (marginally looser; the residual keeps
+      // exactness).
       case sources.GreaterThan(c, v)
-          if c == keyHead._1 && WideSpec.rangeEncodable(keyHead._2, v) =>
-        keyEnc(v).flatMap(Bytes.prefixSuccessor).foreach(tightenStart)
+          if c == keyHead._1 && keyRangeable(v) =>
+        keyEnc(v).map(Bytes.successor).foreach(tightenStart)
       case sources.LessThan(c, v)
-          if c == keyHead._1 && WideSpec.rangeEncodable(keyHead._2, v) =>
+          if c == keyHead._1 && keyRangeable(v) =>
         keyEnc(v).foreach(tightenStop)
       case sources.LessThanOrEqual(c, v)
-          if c == keyHead._1 && WideSpec.rangeEncodable(keyHead._2, v) =>
+          if c == keyHead._1 && keyRangeable(v) =>
         keyEnc(v).flatMap(Bytes.prefixSuccessor).foreach(tightenStop)
+      // key-head prefix (LIKE 'p%'): a string head is necessarily the
+      // whole key (variable-length parts are tail-only), so the row range
+      // IS [p, prefixSuccessor(p)) — the PrefixFilter compilation
+      // (hbase/filter/PrefixFilter.java:34)
+      case sources.StringStartsWith(c, p)
+          if c == keyHead._1 && keyHead._2 == StringType && p != null =>
+        val b = Bytes.toBytes(p)
+        tightenStart(b)
+        Bytes.prefixSuccessor(b).foreach(tightenStop)
       // value-column predicates: recorded for index routing / projection
       // pruning; conjuncts only tighten
       case sources.EqualTo(c, v) if valCol(c).isDefined =>
@@ -227,6 +308,16 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec)
         valEnc(c, v).foreach(tightenHi(c, _))
       case sources.LessThanOrEqual(c, v) if valRangeable(c, v) =>
         valEnc(c, v).foreach(b => tightenHi(c, Bytes.successor(b)))
+      // value-column prefix (LIKE 'p%') on a string column: recorded as
+      // the value interval [p, prefixSuccessor(p)) — the existing range
+      // machinery then serves it as ONE index probe
+      // (BinaryPrefixComparator.java:30); an all-0xff prefix leaves the
+      // interval open above (still exact — residual re-applies)
+      case sources.StringStartsWith(c, p)
+          if p != null && valCol(c).exists(_.dt == StringType) =>
+        val b = Bytes.toBytes(p)
+        tightenLo(c, b)
+        Bytes.prefixSuccessor(b).foreach(tightenHi(c, _))
       case _ => ()
     }
     filters // everything residual — recorded predicates only PRUNE
@@ -261,27 +352,45 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
 
   /** The chosen index route, if any — in precedence order:
     *  1. a registered COMPOSITE index whose every member column has a
-    *     recorded single-value equality (conjunctive equality = one
-    *     blob range probe, the composite key's whole point);
+    *     recorded equality or bounded IN list (conjunctive equality =
+    *     one probe pass over ≤MaxCompositeProbes blob ranges, the
+    *     composite key's whole point);
     *  2. the FIRST declared predicate column with a registered
-    *     single-column index. */
+    *     single-column index.
+    *
+    * Routing is DISABLED when any family declares a TTL: the routed
+    * lookups resolve index/candidate cells under default visibility,
+    * while the plain scan path resolves under the family TTL — the same
+    * query must never return different rows depending on whether a
+    * predicate happened to route (family maxVersions caps are harmless
+    * here: a wide read decodes one version per column either way). */
   private[sql] def route: Option[WideRoute] = {
     val d = engine.currentManifest(baseTable).descriptor
-    val eqSingle = spec.cols.filter(c => colEq.get(c.name).exists(_.sizeIs == 1))
+    if (d.families.exists(_.ttlMs.isDefined)) return None
+    // Composite eligibility: every member has a recorded equality or IN
+    // list, and the lists' cartesian stays within one probe pass's blob
+    // budget — `custkey IN (..) AND status = 'O'` is ONE composite route,
+    // not a per-value union. Over-budget IN lists fall through to the
+    // single-column / leading-member path below.
+    val eqCols = spec.cols.filter(c => colEq.get(c.name).exists(_.nonEmpty))
     val composite: Option[WideRoute] =
-      if (eqSingle.sizeIs >= 2)
+      if (eqCols.sizeIs >= 2)
         d.indexes.filter(_.moreColumns.nonEmpty)
-          .find(_.columns.forall { case (f, q) =>
-            eqSingle.exists(c => c.family == f &&
+          .filter(_.columns.forall { case (f, q) =>
+            eqCols.exists(c => c.family == f &&
               java.util.Arrays.equals(c.qualifier, q))
           })
           .map { ix =>
-            val values = ix.columns.map { case (f, q) =>
-              colEq(eqSingle.find(c => c.family == f &&
-                java.util.Arrays.equals(c.qualifier, q)).get.name).head
+            ix -> ix.columns.map { case (f, q) =>
+              colEq(eqCols.find(c => c.family == f &&
+                java.util.Arrays.equals(c.qualifier, q)).get.name)
             }
-            WideComposite(ix, values)
           }
+          .find { case (_, lists) =>
+            lists.map(_.size.toLong).product <=
+              graft.read.SecondaryIndex.MaxCompositeProbes
+          }
+          .map { case (ix, lists) => WideComposite(ix, lists) }
       else None
     composite.orElse(predCols.iterator.flatMap { cn =>
       val c = spec.col(cn).get
@@ -369,11 +478,12 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
             exactPrefix = ix.moreColumns.isEmpty)
         }
         keepWanted(boundsFilter(hit))
-      case Some(WideComposite(ix, values)) =>
-        // conjunctive equality through the composite key: ONE blob range
-        // probe + gather + every-member verify
-        keepWanted(boundsFilter(SecondaryIndex.lookupComposite(logical,
-          engine.read(ix.indexTable), ix.columns, values)))
+      case Some(WideComposite(ix, valueLists)) =>
+        // conjunctive equality/IN through the composite key: ONE probe
+        // pass over the bounded blob cartesian + gather + every-member
+        // verify against each member's list
+        keepWanted(boundsFilter(SecondaryIndex.lookupCompositeAll(logical,
+          engine.read(ix.indexTable), ix.columns, valueLists)))
       case None =>
         // plain scan: salt-aware bounds + qualifier projection + resolve
         val (frame, gs) =
@@ -389,7 +499,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
     }
     val decoded = CellCodec.decode(cells,
-      StructType(wanted.map(c => StructField(c.name, c.dt))), key = spec.key)
+      StructType(wanted.map(c => StructField(c.name, c.dt))), key = spec.key,
+      ordered = spec.orderedNames)
       .select(required.fieldNames.map(col).toIndexedSeq: _*)
     limit.fold(decoded)(decoded.limit)
   }

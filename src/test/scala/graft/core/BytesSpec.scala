@@ -42,6 +42,78 @@ class BytesSpec extends SparkSpec {
     assert(sparkSorted == ourSorted)
   }
 
+  test("ordered encodings: round-trip + order-preserving over the FULL range") {
+    // signed longs/ints — including both signs and the extremes
+    val longs = Seq(Long.MinValue, -256L, -1L, 0L, 1L, 255L, Long.MaxValue) ++
+      Seq.fill(200)(rnd.nextLong())
+    for (a <- longs; b <- longs.take(25)) {
+      assert(Bytes.toLongOrdered(Bytes.toBytesOrdered(a)) == a)
+      assert(math.signum(Bytes.compareTo(
+        Bytes.toBytesOrdered(a), Bytes.toBytesOrdered(b))) ==
+        math.signum(java.lang.Long.compare(a, b)))
+    }
+    val ints = Seq(Int.MinValue, -1, 0, 1, Int.MaxValue) ++
+      Seq.fill(100)(rnd.nextInt())
+    for (a <- ints; b <- ints.take(20)) {
+      assert(Bytes.toIntOrdered(Bytes.toBytesOrdered(a)) == a)
+      assert(math.signum(Bytes.compareTo(
+        Bytes.toBytesOrdered(a), Bytes.toBytesOrdered(b))) ==
+        math.signum(Integer.compare(a, b)))
+    }
+    // doubles — negatives, fractions, zeros, infinities (the IEEE sign
+    // bit is exactly what the plain encoding gets wrong)
+    val doubles = Seq(Double.NegativeInfinity, -1e300, -2.5, -0.5, -0.0,
+      0.0, 0.25, 1.0, 1e300, Double.PositiveInfinity) ++
+      Seq.fill(200)(rnd.nextDouble() * rnd.nextLong())
+    for (a <- doubles; b <- doubles.take(25)) {
+      assert(Bytes.toDoubleOrdered(Bytes.toBytesOrdered(a)) == a ||
+        (a == 0.0 && Bytes.toDoubleOrdered(Bytes.toBytesOrdered(a)) == 0.0))
+      if (java.lang.Double.compare(a, b) != 0 && !(a == b))
+        assert(math.signum(Bytes.compareTo(
+          Bytes.toBytesOrdered(a), Bytes.toBytesOrdered(b))) ==
+          math.signum(java.lang.Double.compare(a, b)).toInt)
+    }
+  }
+
+  test("column-side ordered codecs match the JVM-side encodings bit-exactly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val longs = Seq(Long.MinValue, -256L, -1L, 0L, 1L, Long.MaxValue) ++
+      Seq.fill(50)(rnd.nextLong())
+    val encL = longs.toDF("v")
+      .select(CellCodec.longBytesOrdered(col("v")).as("b"),
+        col("v")).collect()
+    encL.foreach { r =>
+      assert(r.getAs[Array[Byte]]("b").toSeq ==
+        Bytes.toBytesOrdered(r.getLong(1)).toSeq)
+    }
+    assert(longs.toDF("v")
+      .select(Bytes.asLongOrdered(CellCodec.longBytesOrdered(col("v"))))
+      .collect().map(_.getLong(0)).toSeq == longs)
+    val ints = Seq(Int.MinValue, -1, 0, 1, Int.MaxValue) ++
+      Seq.fill(50)(rnd.nextInt())
+    ints.toDF("v")
+      .select(CellCodec.intBytesOrdered(col("v")).as("b"), col("v"))
+      .collect().foreach { r =>
+        assert(r.getAs[Array[Byte]]("b").toSeq ==
+          Bytes.toBytesOrdered(r.getInt(1)).toSeq)
+      }
+    assert(ints.toDF("v")
+      .select(Bytes.asIntOrdered(CellCodec.intBytesOrdered(col("v"))))
+      .collect().map(_.getInt(0)).toSeq == ints)
+    val doubles = Seq(-1e300, -2.5, -0.5, 0.0, 0.25, 1.0, 1e300) ++
+      Seq.fill(50)(rnd.nextDouble() * rnd.nextLong())
+    doubles.toDF("v")
+      .select(CellCodec.doubleBytesOrdered(col("v")).as("b"), col("v"))
+      .collect().foreach { r =>
+        assert(r.getAs[Array[Byte]]("b").toSeq ==
+          Bytes.toBytesOrdered(r.getDouble(1)).toSeq)
+      }
+    assert(doubles.toDF("v")
+      .select(Bytes.asDoubleOrdered(CellCodec.doubleBytesOrdered(col("v"))))
+      .collect().map(_.getDouble(0)).toSeq == doubles)
+  }
+
   test("prefixSuccessor produces tight sargable ranges") {
     assert(Bytes.prefixSuccessor("abc".getBytes).get.toSeq == "abd".getBytes.toSeq)
     assert(Bytes.prefixSuccessor(Array(0x61.toByte, 0xff.toByte)).get.toSeq == Seq(0x62.toByte))

@@ -54,6 +54,26 @@ class CompositeIndexSpec extends SparkSpec {
     assert(t.descriptor.compositeIndexOn(cols).isDefined)
   }
 
+  test("lookupCompositeAll: member IN lists probe the bounded cartesian") {
+    val g = freshGraft("cidxin")
+    val t = mk(g)
+    val ix = t.descriptor.compositeIndexOn(cols).get
+    val main = t.logicalCells
+    val ixCells = g.catalog.read(ix.indexTable)
+    // city IN (paris, tokyo) AND tier = gold -> 2 blobs, one probe pass
+    assert(rowsOf(SecondaryIndex.lookupCompositeAll(main, ixCells, ix.columns,
+      Seq(Seq(b("paris"), b("tokyo")), Seq(b("gold")))))
+      == Set("r1", "r3", "r4"))
+    // per-member verify: a value present in the list but absent as a
+    // TUPLE never leaks ((tokyo, iron) has no row)
+    assert(rowsOf(SecondaryIndex.lookupCompositeAll(main, ixCells, ix.columns,
+      Seq(Seq(b("tokyo")), Seq(b("iron"))))).isEmpty)
+    // IN on both members: full cartesian
+    assert(rowsOf(SecondaryIndex.lookupCompositeAll(main, ixCells, ix.columns,
+      Seq(Seq(b("paris"), b("tokyo")), Seq(b("gold"), b("iron")))))
+      == Set("r1", "r2", "r3", "r4"))
+  }
+
   test("append-time maintenance keeps the tuple index current") {
     val g = freshGraft("cidxm")
     val t = mk(g)

@@ -266,6 +266,58 @@ class IndexSpec extends SparkSpec {
       Some(b("a")), Some(b("paris")))) == Set("r1"))
   }
 
+  test("ordered-encoded doubles serve negative and fractional range probes") {
+    // values stored in the ORDER-PRESERVING encoding (Bytes.toBytesOrdered
+    // — the OrderedBytes/Phoenix sign-flip trick): byte ranges on the
+    // index now mean numeric ranges, including negatives — the case the
+    // plain IEEE-754 big-endian encoding inverts
+    def ob(d: Double) = Bytes.toBytesOrdered(d)
+    val main = cells(Seq(
+      Cell.put(b("r1"), "f", q, 1L, ob(-2.5)),
+      Cell.put(b("r2"), "f", q, 1L, ob(-0.5)),
+      Cell.put(b("r3"), "f", q, 1L, ob(0.25)),
+      Cell.put(b("r4"), "f", q, 1L, ob(3.5)))).toDF()
+    val idx = SecondaryIndex.indexCells(main, "f", q)
+    // [-1.0, 1.0): straddles zero — both signs on both sides
+    assert(rowsOf(SecondaryIndex.probeRange(idx, Some(ob(-1.0)),
+      Some(ob(1.0)))) == Set("r2", "r3"))
+    // (-inf, -0.5 inclusive] via successor
+    assert(rowsOf(SecondaryIndex.probeRange(idx, None,
+      Some(Bytes.successor(ob(-0.5))))) == Set("r1", "r2"))
+    // verified whole-row lookup over the same interval
+    assert(rowsOf(SecondaryIndex.lookupRange(main, idx, "f", q,
+      Some(ob(-3.0)), Some(ob(0.0)))) == Set("r1", "r2"))
+  }
+
+  test("indexLookupPrefix serves a value prefix as one probe range") {
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    import graft.write.Put
+    val g = graft.Graft(spark,
+      java.nio.file.Files.createTempDirectory("graft-ixpfx").toString)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    g.table("t").put(Seq(
+      Put(b("r1")).add("f", q, 2L, b("paris")),
+      Put(b("r2")).add("f", q, 2L, b("parma")),
+      Put(b("r3")).add("f", q, 2L, b("par")),
+      Put(b("r4")).add("f", q, 2L, b("pa")),
+      Put(b("r5")).add("f", q, 2L, b("tokyo"))), 2L)
+    g.createIndex("t", "f", q, 3L)
+    // startsWith "par": the exact-boundary cases — "par" itself in,
+    // "pa" out, successors of the prefix range out
+    assert(rowsOf(g.table("t").indexLookupPrefix("f", q, b("par")))
+      == Set("r1", "r2", "r3"))
+    assert(rowsOf(g.table("t").indexLookupPrefix("f", q, b("pa")))
+      == Set("r1", "r2", "r3", "r4"))
+    assert(rowsOf(g.table("t").indexLookupPrefix("f", q, b("part"))).isEmpty)
+    // an all-0xff prefix leaves the range open above, still exact
+    g.table("t").put(Seq(
+      Put(b("r6")).add("f", q, 4L, Array(0xff.toByte, 0xff.toByte, 1.toByte)),
+      Put(b("r7")).add("f", q, 4L, Array(0xff.toByte, 0xfe.toByte))), 4L)
+    assert(rowsOf(g.table("t").indexLookupPrefix("f", q,
+      Array(0xff.toByte, 0xff.toByte))) == Set("r6"))
+  }
+
   test("range probe stays exact when values and bounds embed 0x00 bytes") {
     val v1 = Array[Byte](5)
     val v2 = Array[Byte](5, 0, 3)

@@ -197,8 +197,18 @@ class WideViewSpec extends SparkSpec {
     // one equality -> the single-column route
     assert(built(Array(sources.EqualTo("city", "paris")))
       .usedIndexTable.exists(_.contains("_idx_")))
-    // an IN-list member disqualifies the composite (blob needs one value)
-    assert(built(Array(sources.In("city", Array("paris", "tokyo")),
+    // a BOUNDED IN-list member routes through the composite too: the
+    // probed blobs are the lists' cartesian in ONE probe pass
+    val inBoth = built(Array(sources.In("city", Array("paris", "tokyo")),
+      sources.EqualTo("tier", "gold")))
+    assert(inBoth.usedIndexTable.exists(_.contains("_cidx_")),
+      "IN-list member did not route through the composite")
+    assert(inBoth.resolvedFrame(spark).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("pop"))).toSet
+      == Set(("r1", "2m")))
+    // an OVER-BUDGET IN cartesian falls back to the single-column route
+    val big = (1 to 100).map(i => s"c$i").toArray[Any] :+ "paris"
+    assert(built(Array(sources.In("city", big),
       sources.EqualTo("tier", "gold")))
       .usedIndexTable.exists(_.contains("_idx_")))
     // a TRAILING member alone routes nowhere (its value sits mid-key)
@@ -243,6 +253,178 @@ class WideViewSpec extends SparkSpec {
     assert(scan2.resolvedFrame(spark).collect()
       .map(r => (r.getString(0), Option(r.getString(2)))).toSet
       == Set(("r1", Some("gold")), ("r2", Some("gold")), ("r3", None)))
+  }
+
+  test("odouble: a range on an indexed double column routes and is exact") {
+    val root = freshRoot("wideod")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:price:odouble;f:city:string")), 1L)
+    val prices = Seq(1L -> -2.5, 2L -> -0.5, 3L -> 0.25, 4L -> 3.5, 5L -> 99.0)
+    g.table("t").put(prices.map { case (k, p) =>
+      Put(Bytes.toBytes(k)).add("f", b("price"), 2L, Bytes.toBytesOrdered(p))
+        .add("f", b("city"), 2L, b(s"c$k"))
+    }, 2L)
+    g.createIndex("t", "f", b("price"), 3L)
+    register("gwod", root)
+    // negative + fractional bounds — exactly what the plain IEEE encoding
+    // cannot range-serve; decode must round-trip the ordered bytes
+    val out = spark.sql("SELECT k, price FROM gwod.`t$wide` " +
+      "WHERE price > -1.0 AND price < 1.0 ORDER BY k").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq(2L -> -0.5, 3L -> 0.25))
+    // seam: the interval routes through the index
+    val spec = WideSpec.parse(Some("k:long"),
+      Some("f:price:odouble;f:city:string"))
+    import org.apache.spark.sql.sources
+    val bld = new GraftWideScanBuilder(g.catalog, "t", spec)
+    bld.pushFilters(Array(sources.GreaterThan("price", -1.0),
+      sources.LessThan("price", 1.0)))
+    assert(bld.build().asInstanceOf[GraftWideScan]
+      .usedIndexTable.exists(_.startsWith("t_idx_f_")),
+      "odouble interval did not route through the index")
+    // a plain (non-ordered) double column must NOT route a range
+    val plainSpec = WideSpec.parse(Some("k:long"),
+      Some("f:price:double;f:city:string"))
+    val bld2 = new GraftWideScanBuilder(g.catalog, "t", plainSpec)
+    bld2.pushFilters(Array(sources.GreaterThan("price", -1.0)))
+    assert(bld2.build().asInstanceOf[GraftWideScan].usedIndexTable.isEmpty)
+  }
+
+  test("olong key: negative key ranges prune and stay exact") {
+    val root = freshRoot("wideol")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:olong"),
+      wideSchema = Some("f:city:string")), 1L)
+    val keys = Seq(-10L, -3L, -1L, 0L, 2L, 7L)
+    g.table("t").put(keys.map(k =>
+      Put(Bytes.toBytesOrdered(k)).add("f", b("city"), 2L, b(s"c$k"))), 2L)
+    register("gwol", root)
+    assert(spark.sql("SELECT k FROM gwol.`t$wide` WHERE k >= -3 AND k < 2 " +
+      "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(-3L, -1L, 0L))
+    assert(spark.sql("SELECT k FROM gwol.`t$wide` WHERE k > -11 AND k <= -1 " +
+      "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(-10L, -3L, -1L))
+  }
+
+  test("a LIKE prefix on an indexed string column routes as one probe") {
+    val root = freshRoot("widepfx")
+    val g = mkTable(root)
+    g.createIndex("t", "f", b("city"), 3L)
+    register("gwpf", root)
+    // 'par%' matches the four paris rows and nothing else; exactness
+    // includes the boundary (prefix range [par, pas))
+    assert(spark.sql("SELECT k FROM gwpf.`t$wide` WHERE city LIKE 'par%'")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 13L, 23L, 33L))
+    // seam: the recorded [p, prefixSuccessor(p)) interval routes
+    val spec = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
+    import org.apache.spark.sql.sources
+    val bld = new GraftWideScanBuilder(g.catalog, "t", spec)
+    bld.pushFilters(Array(sources.StringStartsWith("city", "par")))
+    assert(bld.build().asInstanceOf[GraftWideScan]
+      .usedIndexTable.exists(_.startsWith("t_idx_f_")),
+      "prefix predicate did not route through the index")
+  }
+
+  test("a LIKE prefix on a string key head prunes the row range") {
+    val root = freshRoot("widekpfx")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:string"),
+      wideSchema = Some("f:city:string")), 1L)
+    g.table("t").put(Seq(
+      Put(b("pa")).add("f", b("city"), 2L, b("x")),
+      Put(b("par")).add("f", b("city"), 2L, b("x")),
+      Put(b("paris")).add("f", b("city"), 2L, b("x")),
+      Put(b("pb")).add("f", b("city"), 2L, b("x"))), 2L)
+    register("gwkp", root)
+    assert(spark.sql("SELECT k FROM gwkp.`t$wide` WHERE k LIKE 'par%'")
+      .collect().map(_.getString(0)).toSet == Set("par", "paris"))
+  }
+
+  test("strict GreaterThan on a string key head does not over-prune") {
+    val root = freshRoot("widegt")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:string"),
+      wideSchema = Some("f:city:string")), 1L)
+    g.table("t").put(Seq(
+      Put(b("a")).add("f", b("city"), 2L, b("x1")),
+      Put(b("ab")).add("f", b("city"), 2L, b("x2")),
+      Put(b("b")).add("f", b("city"), 2L, b("x3"))), 2L)
+    register("gwgt", root)
+    // "ab" satisfies k > 'a' but sorts inside [prefixSuccessor('a'), ...) —
+    // the old start bound silently dropped it
+    assert(spark.sql("SELECT k FROM gwgt.`t$wide` WHERE k > 'a' ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("ab", "b"))
+    assert(spark.sql("SELECT k FROM gwgt.`t$wide` WHERE k >= 'a' AND k <= 'ab'")
+      .collect().map(_.getString(0)).toSet == Set("a", "ab"))
+  }
+
+  test("families with a TTL disable index routing; expiry is honored") {
+    val root = freshRoot("widettl")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f", ttlMs = Some(60000L))),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long")), 1L)
+    val now = System.currentTimeMillis()
+    g.table("t").put(Seq(
+      Put(Bytes.toBytes(1L)).add("f", b("city"), now, b("paris"))
+        .add("f", b("pop"), now, Bytes.toBytes(10L)),
+      // expired: far older than the 60 s TTL against the SQL-surface clock
+      Put(Bytes.toBytes(2L)).add("f", b("city"), 5L, b("paris"))
+        .add("f", b("pop"), 5L, Bytes.toBytes(20L))), 2L)
+    g.createIndex("t", "f", b("city"), 3L)
+    // seam: an indexed predicate does NOT route (the routed resolve would
+    // bypass the family TTL and resurrect the expired row)
+    val spec = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
+    import org.apache.spark.sql.sources
+    val bld = new GraftWideScanBuilder(g.catalog, "t", spec)
+    bld.pushFilters(Array(sources.EqualTo("city", "paris")))
+    assert(bld.build().asInstanceOf[GraftWideScan].usedIndexTable.isEmpty,
+      "TTL'd family must not index-route")
+    register("gwttl", root)
+    assert(spark.sql("SELECT k FROM gwttl.`t$wide` WHERE city = 'paris'")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("wideKey/wideSchema declarations are validated with clear errors") {
+    // mid-key variable-length part: non-prefix-free row key
+    intercept[IllegalArgumentException] {
+      WideSpec.parse(Some("s:string,n:long"), Some("f:c:long"))
+    }
+    // malformed entries fail with IllegalArgumentException, not MatchError
+    intercept[IllegalArgumentException] {
+      WideSpec.parse(Some("k"), Some("f:c:long"))
+    }
+    intercept[IllegalArgumentException] {
+      WideSpec.parse(Some("k:long"), Some("f:c"))
+    }
+    // fixed-width parts + one variable tail is the legal shape
+    val ok = WideSpec.parse(Some("n:long,s:string"), Some("f:c:long"))
+    assert(ok.key.map(_._1) == Seq("n", "s"))
+  }
+
+  test("manifest wideKey/wideSchema parse is anchored to the top level") {
+    import graft.catalog.{Manifest, ManifestJson}
+    // a dataDir whose PATH contains the property text must not leak into
+    // the descriptor (and the real properties still round-trip)
+    val desc = TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      wideKey = Some("k:long"), wideSchema = Some("f:c:string"))
+    val m = Manifest("t", 3L, 9L, desc,
+      Seq("/data/wideKey/x", "/tmp/has_wideSchema_text/_fam=f"))
+    val back = ManifestJson.read(ManifestJson.write(m))
+    assert(back.descriptor.wideKey.contains("k:long"))
+    assert(back.descriptor.wideSchema.contains("f:c:string"))
+    assert(back.dataDirs == m.dataDirs)
+    // absent properties stay absent even when array content mentions them
+    val plain = Manifest("t", 1L, 9L,
+      TableDescriptor("t", Seq(FamilyDescriptor("f"))),
+      Seq("/data/wideKey-lookalike"))
+    val pb = ManifestJson.read(ManifestJson.write(plain))
+    assert(pb.descriptor.wideKey.isEmpty && pb.descriptor.wideSchema.isEmpty)
   }
 
   test("DDL declares the wide view; SHOW/DML still hit the cell table") {
