@@ -252,6 +252,167 @@ object CrossCheck {
           s"direct=${direct.size} symdiff=${sym.size}" +
           s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
         if (sym.nonEmpty) sys.exit(1)
+      case "composite_in" =>
+        // r10: the IN-list composite route (ONE lookupCompositeAll pass
+        // over the member cartesian) against BOTH the per-value probe
+        // loop (independent probe machinery: k single-blob gathers) and
+        // the direct relational path, with deletes injected. Three-way
+        // agreement at this sf is the evidence that the cartesian probe
+        // + per-member-list verify is exactly the union of single-value
+        // probes.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{Bytes, CellCodec}
+        import graft.read.{Scan, SecondaryIndex}
+        import graft.write.Mutations
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-cincc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32, immutableRows = true), nowMs = 1L)
+        val cells = CellCodec.encode(orders, "o", Seq("o_orderkey"))
+        g.table("o").mutate(cells, nowMs = 1L)
+        val cols = Seq("o" -> Bytes.toBytes("o_custkey"),
+          "o" -> Bytes.toBytes("o_orderstatus"))
+        val ix = g.createCompositeIndex("o", cols, nowMs = 2L)
+        g.table("o").mutate(Mutations.deleteFamilyCells(
+          cells.filter(pmod(xxhash64(col("row")), lit(100)) === 2)
+            .select("row").distinct(),
+          col("row"), "o", ts = 5L), nowMs = 5L)
+        val keys = (1L to 20L).toSeq
+        val schema = StructType(Seq(StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType)))
+        def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+          df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+        val viaIn = ids(CellCodec.decode(
+          SecondaryIndex.lookupCompositeAll(g.table("o").logicalCells,
+            g.catalog.read(ix.indexTable), ix.columns,
+            Seq(keys.map(Bytes.toBytes), Seq(Bytes.toBytes("O")))),
+          schema, key = Seq("o_orderkey" -> LongType)))
+        val viaLoop = keys.flatMap { k =>
+          ids(CellCodec.decode(
+            g.table("o").indexLookupComposite(cols,
+              Seq(Bytes.toBytes(k), Bytes.toBytes("O"))),
+            schema, key = Seq("o_orderkey" -> LongType)))
+        }.toSet
+        val direct = ids(CellCodec.decode(
+          g.table("o").scan(Scan().addColumn("o", Bytes.toBytes("o_custkey"))
+            .addColumn("o", Bytes.toBytes("o_orderstatus"))),
+          schema, key = Seq("o_orderkey" -> LongType))
+          .filter(col("o_custkey").isin(keys: _*) &&
+            col("o_orderstatus") === "O"))
+        val symA = (viaIn diff viaLoop) ++ (viaLoop diff viaIn)
+        val symB = (viaIn diff direct) ++ (direct diff viaIn)
+        println(s"[crosscheck] composite_in: in=${viaIn.size} " +
+          s"loop=${viaLoop.size} direct=${direct.size} " +
+          s"symdiff=${symA.size + symB.size}" +
+          s"${if (symA.nonEmpty || symB.nonEmpty)
+            " MISMATCH " + (symA ++ symB).take(20) else " OK"}")
+        if (symA.nonEmpty || symB.nonEmpty) sys.exit(1)
+      case "double_range" =>
+        // r10: the ordered-double (odouble) range route — values stored
+        // in the sign-flip encoding, an interval served by the index
+        // range probe — against the direct path (full resolved scan,
+        // decode, relational double predicate), with 1% updates and 1%
+        // deletes injected so stale entries exist inside the interval.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{Bytes, CellCodec}
+        import graft.read.Scan
+        import graft.write.Mutations
+        import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-odcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32), nowMs = 1L)
+        val priceQ = Bytes.toBytes("o_totalprice")
+        val cells = CellCodec.encode(orders, "o", Seq("o_orderkey"),
+          ordered = Set("o_totalprice"))
+        g.table("o").mutate(cells, nowMs = 1L)
+        g.createIndex("o", "o", priceQ, nowMs = 2L)
+        val priceCells = cells
+          .filter(col("qualifier") === lit(priceQ))
+        val updates = priceCells
+          .filter(pmod(xxhash64(col("row")), lit(100)) === 1)
+          .withColumn("ts", lit(5L))
+          .withColumn("value",
+            CellCodec.doubleBytesOrdered(
+              graft.core.Bytes.asDoubleOrdered(col("value")) + lit(100000.0)))
+        val deletes = Mutations.deleteFamilyCells(
+          priceCells.filter(pmod(xxhash64(col("row")), lit(100)) === 2)
+            .select("row").distinct(),
+          col("row"), "o", ts = 5L)
+        g.table("o").mutate(updates.unionByName(deletes), nowMs = 5L)
+        val (lo, hi) = (10000.0, 20000.0)
+        val schema = StructType(Seq(StructField("o_totalprice", DoubleType)))
+        def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+          df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+        val viaIx = ids(CellCodec.decode(
+          g.table("o").indexLookupRange("o", priceQ,
+            Some(Bytes.toBytesOrdered(lo)), Some(Bytes.toBytesOrdered(hi))),
+          schema, key = Seq("o_orderkey" -> LongType),
+          ordered = Set("o_totalprice")))
+        val direct = ids(CellCodec.decode(
+          g.table("o").scan(Scan().addColumn("o", priceQ)),
+          schema, key = Seq("o_orderkey" -> LongType),
+          ordered = Set("o_totalprice"))
+          .filter(col("o_totalprice") >= lo && col("o_totalprice") < hi))
+        val sym = (viaIx diff direct) ++ (direct diff viaIx)
+        println(s"[crosscheck] double_range: index=${viaIx.size} " +
+          s"direct=${direct.size} symdiff=${sym.size}" +
+          s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
+        if (sym.nonEmpty) sys.exit(1)
+      case "prefix_route" =>
+        // r10: the value-prefix route (indexLookupPrefix — one
+        // [p, prefixSuccessor(p)) probe) against the direct path (full
+        // resolved scan + startsWith on the decoded string), on the
+        // customer table ('Customer#' + 9 digits: dropping the last
+        // digit makes each prefix a selective 10-customer decade), with
+        // 1% name updates injected so stale prefix entries exist.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{Bytes, CellCodec}
+        import graft.read.Scan
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val customer = spark.read.parquet(s"$dir/customer.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-pfcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("c", Seq(FamilyDescriptor("c")),
+          splitKeys = 32), nowMs = 1L)
+        val nameQ = Bytes.toBytes("c_name")
+        val cells = CellCodec.encode(customer, "c", Seq("c_custkey"))
+        g.table("c").mutate(cells, nowMs = 1L)
+        g.createIndex("c", "c", nameQ, nowMs = 2L)
+        // 1% name updates: stale prefix entries inside probed ranges
+        val nameCells = cells.filter(col("qualifier") === lit(nameQ))
+        val updates = nameCells
+          .filter(pmod(xxhash64(col("row")), lit(100)) === 1)
+          .withColumn("ts", lit(5L))
+          .withColumn("value", lit(Bytes.toBytes("Customer#999999999")))
+        g.table("c").mutate(updates, nowMs = 5L)
+        val nCust = customer.count()
+        val schema = StructType(Seq(StructField("c_name", StringType)))
+        def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+          df.select("c_custkey").collect().map(_.getLong(0)).toSet
+        var checked = 0L
+        (1 to 5).foreach { i =>
+          val base = (i * 6364136223846793005L >>> 33) % math.max(1L, nCust)
+          val p = f"Customer#$base%09d".dropRight(1)
+          val viaIx = ids(CellCodec.decode(
+            g.table("c").indexLookupPrefix("c", nameQ, Bytes.toBytes(p)),
+            schema, key = Seq("c_custkey" -> LongType)))
+          val direct = ids(CellCodec.decode(
+            g.table("c").scan(Scan().addColumn("c", nameQ)),
+            schema, key = Seq("c_custkey" -> LongType))
+            .filter(col("c_name").startsWith(p)))
+          val sym = (viaIx diff direct) ++ (direct diff viaIx)
+          checked += direct.size
+          println(s"[crosscheck] prefix_route '$p': index=${viaIx.size} " +
+            s"direct=${direct.size} symdiff=${sym.size}" +
+            s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
+          if (sym.nonEmpty) sys.exit(1)
+        }
+        // a zero-hit sweep would be a vacuous pass (wrong column/format)
+        require(checked > 0, "prefix_route probed nothing — fixture drift?")
       case other => sys.error(s"unknown check: $other")
     }
     spark.stop()

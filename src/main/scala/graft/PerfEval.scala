@@ -301,6 +301,67 @@ object PerfEval {
       }
     }
 
+    // doubleRangeLookup5 / doubleRangeFullScan5 (r10): range predicates
+    // on an ORDERED-encoded double column (odouble — the sign-flip codec)
+    // served by the index range probe vs the full scan + two comparison
+    // filters the reference would run. Same O(hits)-vs-O(table) argument
+    // as indexLookup5, now for a value class the plain IEEE encoding
+    // cannot range-serve at all.
+    val priceQ = Bytes.toBytes("o_totalprice")
+    g.createTable(TableDescriptor("pe_ord", Seq(FamilyDescriptor("o"))), 1L)
+    g.table("pe_ord").mutate(
+      CellCodec.encode(orders, "o", Seq("o_orderkey"),
+        ordered = Set("o_totalprice")), nowMs = 1L)
+    g.createIndex("pe_ord", "o", priceQ, nowMs = 2L)
+    val tord = g.table("pe_ord")
+    def priceLo(i: Long): Double = 1000.0 * (i * 37 + 3)
+    results("doubleRangeLookup5") = timedMin2 {
+      var i = 0L
+      while (i < 5) {
+        tord.indexLookupRange("o", priceQ,
+          Some(Bytes.toBytesOrdered(priceLo(i))),
+          Some(Bytes.toBytesOrdered(priceLo(i) + 500.0))).count()
+        i += 1
+      }
+    }
+    results("doubleRangeFullScan5") = timedMin2 {
+      var i = 0L
+      while (i < 5) {
+        tord.scan(Scan().setFilter(graft.read.FilterList.and(
+          SingleColumnValueFilter("o", priceQ, CompareOp.GREATER_OR_EQUAL,
+            BinaryComparator(Bytes.toBytesOrdered(priceLo(i))),
+            filterIfMissing = true),
+          SingleColumnValueFilter("o", priceQ, CompareOp.LESS,
+            BinaryComparator(Bytes.toBytesOrdered(priceLo(i) + 500.0)),
+            filterIfMissing = true)))).count()
+        i += 1
+      }
+    }
+
+    // prefixLookup5 (r10): value-prefix probes (indexLookupPrefix — the
+    // PrefixFilter/BinaryPrefixComparator surface) through a c_name
+    // index. Customer names are 'Customer#' + 9 digits; dropping the
+    // last digit makes each prefix a selective 10-customer decade — the
+    // shape the route exists for (a low-cardinality prefix would be the
+    // size-gated hot-value shape instead).
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val nameQ = Bytes.toBytes("c_name")
+    g.createTable(TableDescriptor("pe_cust", Seq(FamilyDescriptor("c"))), 1L)
+    g.table("pe_cust").mutate(
+      CellCodec.encode(customer, "c", Seq("c_custkey")), nowMs = 1L)
+    g.createIndex("pe_cust", "c", nameQ, nowMs = 2L)
+    val tcust = g.table("pe_cust")
+    val nCust = customer.count()
+    results("prefixLookup5") = timedMin2 {
+      var i = 0L
+      while (i < 5) {
+        val base = (i * 6364136223846793005L >>> 33) % math.max(1L, nCust)
+        val prefix = f"Customer#$base%09d".dropRight(1)
+        tcust.indexLookupPrefix("c", nameQ, Bytes.toBytes(prefix)).count()
+        i += 1
+      }
+    }
+
     // randomWrite: a 10% mutation batch appended as a delta
     results("randomWrite") = timed {
       val batch = CellCodec.encode(

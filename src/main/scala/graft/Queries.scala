@@ -563,6 +563,69 @@ object Queries {
              ORDER BY o_orderkey""")
   }
 
+  // Wide-view INSERT (GraftWideTable SupportsWrite): relational rows in
+  // through `INSERT INTO t$wide ... SELECT`, encoded to cells by the
+  // declared key/schema and committed through the SAME append seam as
+  // every write (salt, registered index dual-writes, manifest commit).
+  // Oracle = the inserted subset read straight off the parquet table.
+  private val sqlInsertRoots = scala.collection.mutable.Map.empty[String, String]
+  private val sqlWideInsert = Q("sql_wide_insert", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+    WHERE o_orderkey < 3000
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlInsertRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sqlwi").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_wi",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, immutableRows = true,
+          wideKey = Some("o_orderkey:long"),
+          wideSchema = Some("o:o_custkey:long;o:o_totalprice:double;" +
+            "o:o_orderstatus:string")), nowMs = 1L)
+        s.conf.set("spark.sql.catalog.graft_wi",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_wi.root", r)
+        t(s, dir, "orders").createOrReplaceTempView("graft_wi_src")
+        s.sql("""INSERT INTO graft_wi.`orders_wi$wide`
+                 SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                 FROM graft_wi_src WHERE o_orderkey < 3000""")
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_wi",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wi.root", root)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             FROM graft_wi.`orders_wi$wide`
+             ORDER BY o_orderkey""")
+  }
+
+  // Aggregate pushdown on the WIDE view (GraftWideScanBuilder
+  // SupportsPushDownAggregates): grouped COUNT/MIN/MAX runs inside the
+  // inner plan as a codegen'd hash aggregate over the decoded frame, so
+  // only |groups| rows cross the V1 bridge (WideViewSpec asserts the
+  // no-outer-Aggregate plan). Oracle = the same aggregation over the
+  // undeleted rows.
+  private val sqlWideAgg = Q("sql_wide_agg", Some("""
+    SELECT o_orderstatus, count(*) AS cnt,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+    FROM orders
+    WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wa",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wa.root", root)
+    s.sql("""SELECT o_orderstatus, count(*) AS cnt,
+                    min(o_totalprice) AS min_price,
+                    max(o_totalprice) AS max_price
+             FROM graft_wa.`orders_w$wide`
+             GROUP BY o_orderstatus
+             ORDER BY o_orderstatus""")
+  }
+
   // COMPOSITE index through the wide view: conjunctive equality/IN over
   // (o_custkey, o_orderstatus) becomes ONE probe pass over the bounded
   // blob cartesian of the composite key (read/Index.scala
@@ -4041,7 +4104,7 @@ object Queries {
     indexRangeLookup, sqlIndexRange,
     sqlCoveredLookup, sqlMultiGet, sqlWideScan, sqlCoveredProjection,
     sqlIndexComposite, sqlIndexLeadingRange, sqlPrefixRoute,
-    sqlIndexDoubleRange,
+    sqlIndexDoubleRange, sqlWideAgg, sqlWideInsert,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
     getPoint, getRowOrBefore, rowCounter,
     existsGet,

@@ -358,7 +358,13 @@ final class Catalog(spark: SparkSession, root: String) {
       .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "CURRENT")))
       .map(_.getPath.getName).sorted
 
+  /** Metadata-traffic seam: CURRENT-manifest reads performed through this
+    * catalog instance (tests assert planning costs, e.g. one read per
+    * wide scan build). */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong
+
   def currentManifest(t: String): Manifest = {
+    manifestReads.incrementAndGet()
     val v = readFile(currentPath(t)).trim.toLong
     ManifestJson.read(readFile(new Path(tableDir(t), s"manifest-$v.json")))
   }

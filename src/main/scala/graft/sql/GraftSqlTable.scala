@@ -458,12 +458,16 @@ private[sql] case class GraftIndexRoute(ix: graft.catalog.IndexDescriptor,
   * `col` absent only for COUNT(*). */
 private[sql] case class GraftAggCol(fn: String, col: Option[String])
 
-/** A completely-pushed aggregation: output = groupBy columns (cell
-  * types preserved) ++ aggregate columns, in Spark's declared order. */
-private[sql] case class GraftAggSpec(groupBy: Seq[String], aggs: Seq[GraftAggCol]) {
+/** A completely-pushed aggregation: output = groupBy columns (source
+  * types preserved) ++ aggregate columns, in Spark's declared order.
+  * `source` is the scanned view's schema the names resolve against —
+  * `Cell.schema` on the cell door, the declared wide schema on the wide
+  * view. */
+private[sql] case class GraftAggSpec(groupBy: Seq[String], aggs: Seq[GraftAggCol],
+    source: StructType = Cell.schema) {
   import org.apache.spark.sql.types.{LongType, StructField}
   def schema: StructType = {
-    val cellType = Cell.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cellType = source.fields.map(f => f.name -> f.dataType).toMap
     StructType(
       groupBy.map(g => StructField(g, cellType(g))) ++
         aggs.zipWithIndex.map { case (a, i) =>

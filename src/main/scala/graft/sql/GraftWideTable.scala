@@ -43,20 +43,57 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    depend on the projection).
   */
 class GraftWideTable(engine: Catalog, baseTable: String) extends Table
-    with SupportsRead {
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  private[sql] def spec: WideSpec = {
-    val d = engine.currentManifest(baseTable).descriptor
-    WideSpec.parse(d.wideKey, d.wideSchema)
-  }
+  private def specOf(m: graft.catalog.Manifest): WideSpec =
+    WideSpec.parse(m.descriptor.wideKey, m.descriptor.wideSchema)
+
+  private[sql] def spec: WideSpec = specOf(engine.currentManifest(baseTable))
 
   override def name(): String = baseTable + WideSpec.Suffix
   override def schema(): StructType = spec.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftWideScanBuilder(engine, baseTable, spec)
+  /** `INSERT INTO t$wide` — relational rows become Put cells through the
+    * SAME append seam as every other write (`Catalog.append`: salt
+    * applied, registered indexes dual-written, manifest committed), so a
+    * wide insert is indistinguishable from the facade's bulk put. Key
+    * parts must be non-null (they ARE the row key); a null value cell is
+    * simply absent (absence == null, `CellCodec.encode`'s rule), so a
+    * row whose declared columns are all null writes nothing. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val sp = spec
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: DataFrame, overwrite: Boolean) => {
+              require(!overwrite,
+                "INSERT OVERWRITE is not supported on a wide view; " +
+                  "use DELETE tombstones or replaceData (compaction)")
+              engine.append(baseTable,
+                WideSpec.encodeRows(data, sp, GraftSqlCatalog.nowMs()),
+                GraftSqlCatalog.nowMs()): Unit
+            }
+        }
+    }
+  }
+
+  /** ONE manifest read per scan build: the manifest is captured here and
+    * threaded through spec/route/resolution, so planning a wide query
+    * costs one metadata read instead of several (and the route decision,
+    * the data dirs, and the decode spec are guaranteed to agree on one
+    * table version — no torn read across a concurrent commit). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = engine.currentManifest(baseTable)
+    new GraftWideScanBuilder(engine, baseTable, specOf(m), m)
+  }
 }
 
 /** One declared wide column: `name` IS the qualifier string. `ordered`
@@ -193,6 +230,40 @@ private[sql] object WideSpec {
       case _ => None
     }
 
+  /** Relational rows (the wide view's schema) -> Put cells, the INSERT
+    * write path: row key from the typed key parts (ordered codecs
+    * honored), one cell per non-null declared column. A NULL key part is
+    * a runtime error (the key IS the row identity); null values produce
+    * no cell. All codegen'd builtins, one narrow projection + explode —
+    * the same shape as `CellCodec.encode`. */
+  def encodeRows(df: org.apache.spark.sql.DataFrame, spec: WideSpec,
+      batchTs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rk0 = CellCodec.rowKey(df, spec.key.map(_._1), spec.orderedKey)
+    // concat propagates null, so ANY null key part nulls the whole key
+    val rk = when(rk0.isNull,
+      raise_error(lit("wide INSERT: key parts must be non-null")))
+      .otherwise(rk0)
+    val entries = spec.cols.map { c =>
+      struct(
+        lit(c.family).as("family"),
+        lit(c.qualifier).as("qualifier"),
+        CellCodec.encodeValue(col(c.name), c.dt, c.ordered).as("value"))
+    }
+    df.select(rk.as("row"),
+        filter(array(entries: _*), e => e.getField("value").isNotNull)
+          .as("_es"))
+      .select(col("row"), explode(col("_es")).as("_e"))
+      .select(
+        col("row"),
+        col("_e.family").as("family"),
+        col("_e.qualifier").as("qualifier"),
+        lit(batchTs).as("ts"),
+        lit(graft.core.CellKind.Put).as("kind"),
+        col("_e.value").as("value"),
+        lit(0L).as("seq"))
+  }
+
   /** Whether the encoding of `dt` is ORDER-preserving for this literal
     * (the condition for turning a comparison into a byte range): the
     * unsigned-lex order of the encoding must match the column order.
@@ -213,13 +284,19 @@ private[sql] object WideSpec {
 }
 
 /** Records predicates (everything stays residual — see
-  * [[GraftWideTable]]) and prunes columns for the wide scan. */
-class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec)
+  * [[GraftWideTable]]), prunes columns, and accepts complete
+  * COUNT/MIN/MAX aggregate pushdown for the wide scan. `manifest` is the
+  * table version captured at scan build (one metadata read per planned
+  * query — see [[GraftWideTable.newScanBuilder]]). */
+class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
+    manifest: graft.catalog.Manifest)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = spec.schema
   private var limit: Option[Int] = None
+  private var aggSpec: Option[GraftAggSpec] = None
   private var startRow: Option[Array[Byte]] = None
   private var stopRow: Option[Array[Byte]] = None
   // recorded per-column value predicates (encoded); intervals are VALUE
@@ -239,9 +316,28 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec)
     if (colHi.get(c).forall(cur => Bytes.compareTo(b, cur) < 0))
       colHi += c -> b
 
+  /** Filters are residual BY DEFAULT (Spark re-applies them on the
+    * decoded output — exactness is structural) and the recorded
+    * predicates only PRUNE. A narrow, PROVABLY-EXACT subset of key-head
+    * filters is ACCEPTED instead (removed from Spark's re-apply):
+    *  - equality on a fixed-width (long/int) head — the byte-prefix range
+    *    `[enc(v), prefixSuccessor(enc(v)))` selects exactly the rows
+    *    whose head decodes to v (the encoding is bijective per width);
+    *  - comparisons on an ORDERED fixed-width head (olong/oint) — the
+    *    codec is order-preserving over the full signed range, so byte
+    *    bounds are value bounds (a PLAIN long head would leak negative
+    *    keys, whose two's-complement bytes sort above all positives —
+    *    those comparisons stay residual);
+    *  - IsNotNull on any key part — key parts decode from the row key
+    *    and are non-null by construction.
+    * Acceptance is what unlocks aggregate pushdown under a key-range
+    * WHERE: Spark only offers an Aggregation to the source when no
+    * residual filter sits between them. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val keyHead = spec.key.head
     val headOrdered = spec.orderedKey(keyHead._1)
+    val headFixed = keyHead._2 == LongType || keyHead._2 == IntegerType
+    val keyNames = spec.key.map(_._1).toSet
     def keyEnc(v: Any): Option[Array[Byte]] =
       Option(v).flatMap(WideSpec.encodeLit(keyHead._2, _, headOrdered))
     def keyRangeable(v: Any): Boolean =
@@ -253,87 +349,192 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec)
     def valRangeable(c: String, v: Any): Boolean =
       v != null && valCol(c).exists(w =>
         WideSpec.rangeEncodable(w.dt, v, w.ordered))
+    val acc = Array.newBuilder[Filter]
+    val res = Array.newBuilder[Filter]
     filters.foreach {
       // first-key-part bounds: equality is a prefix range for any
       // encodable literal; comparisons only when the encoding preserves
       // order for the literal
-      case sources.EqualTo(c, v) if c == keyHead._1 =>
-        keyEnc(v).foreach { b =>
-          tightenStart(b)
-          Bytes.prefixSuccessor(b).foreach(tightenStop)
+      case f @ sources.EqualTo(c, v) if c == keyHead._1 =>
+        keyEnc(v) match {
+          case Some(b) =>
+            tightenStart(b)
+            Bytes.prefixSuccessor(b).foreach(tightenStop)
+            // exact for fixed-width heads even when prefixSuccessor is
+            // None (an all-0xff head is the byte-maximum prefix)
+            if (headFixed) acc += f else res += f
+          case None => res += f
         }
-      case sources.GreaterThanOrEqual(c, v)
+      case f @ sources.GreaterThanOrEqual(c, v)
           if c == keyHead._1 && keyRangeable(v) =>
-        keyEnc(v).foreach(tightenStart)
-      // strict GreaterThan start bound: the BINARY successor (v ++ 0x00),
-      // never the prefix successor — for a variable-length key head
-      // (string/binary tail) prefixSuccessor over-prunes: `k > 'a'` would
-      // set startRow to "b" and silently drop keys "a\x00..."/"ab", which
-      // satisfy the predicate but sort inside the pruned gap (rows a
-      // residual filter cannot resurrect). The binary successor is sound
-      // for fixed-width heads too (marginally looser; the residual keeps
-      // exactness).
-      case sources.GreaterThan(c, v)
+        keyEnc(v) match {
+          case Some(b) =>
+            tightenStart(b)
+            if (headFixed && headOrdered) acc += f else res += f
+          case None => res += f
+        }
+      // strict GreaterThan start bound: prefixSuccessor for fixed-width
+      // heads (tight AND exact: it excludes every head == v row), the
+      // BINARY successor (v ++ 0x00) for variable-length heads —
+      // prefixSuccessor over-prunes there: `k > 'a'` would set startRow
+      // to "b" and silently drop keys "a\x00..."/"ab", which satisfy the
+      // predicate but sort inside the pruned gap (rows a residual filter
+      // cannot resurrect).
+      case f @ sources.GreaterThan(c, v)
           if c == keyHead._1 && keyRangeable(v) =>
-        keyEnc(v).map(Bytes.successor).foreach(tightenStart)
-      case sources.LessThan(c, v)
+        keyEnc(v) match {
+          case Some(b) if headFixed =>
+            Bytes.prefixSuccessor(b) match {
+              case Some(s) =>
+                tightenStart(s)
+                if (headOrdered) acc += f else res += f
+              case None => res += f // head > byte-max: no recordable bound
+            }
+          case Some(b) =>
+            tightenStart(Bytes.successor(b)); res += f
+          case None => res += f
+        }
+      case f @ sources.LessThan(c, v)
           if c == keyHead._1 && keyRangeable(v) =>
-        keyEnc(v).foreach(tightenStop)
-      case sources.LessThanOrEqual(c, v)
+        keyEnc(v) match {
+          case Some(b) =>
+            tightenStop(b)
+            if (headFixed && headOrdered) acc += f else res += f
+          case None => res += f
+        }
+      case f @ sources.LessThanOrEqual(c, v)
           if c == keyHead._1 && keyRangeable(v) =>
-        keyEnc(v).flatMap(Bytes.prefixSuccessor).foreach(tightenStop)
+        keyEnc(v).flatMap(Bytes.prefixSuccessor) match {
+          case Some(s) =>
+            tightenStop(s)
+            if (headFixed && headOrdered) acc += f else res += f
+          case None => res += f // head <= byte-max: unbounded, residual
+        }
+      // IsNotNull on a key part is vacuously true (key parts decode from
+      // the row key); accepting it keeps it from blocking agg pushdown
+      case f @ sources.IsNotNull(c) if keyNames(c) =>
+        acc += f
       // key-head prefix (LIKE 'p%'): a string head is necessarily the
       // whole key (variable-length parts are tail-only), so the row range
       // IS [p, prefixSuccessor(p)) — the PrefixFilter compilation
       // (hbase/filter/PrefixFilter.java:34)
-      case sources.StringStartsWith(c, p)
+      case f @ sources.StringStartsWith(c, p)
           if c == keyHead._1 && keyHead._2 == StringType && p != null =>
         val b = Bytes.toBytes(p)
         tightenStart(b)
         Bytes.prefixSuccessor(b).foreach(tightenStop)
+        res += f
       // value-column predicates: recorded for index routing / projection
       // pruning; conjuncts only tighten
-      case sources.EqualTo(c, v) if valCol(c).isDefined =>
+      case f @ sources.EqualTo(c, v) if valCol(c).isDefined =>
         valEnc(c, v).foreach(b => if (!colEq.contains(c)) colEq += c -> Seq(b))
-      case sources.In(c, vs)
+        res += f
+      case f @ sources.In(c, vs)
           if valCol(c).isDefined && vs.nonEmpty && vs.forall(_ != null) =>
         val enc = vs.toSeq.map(valEnc(c, _))
         if (enc.forall(_.isDefined) && !colEq.contains(c))
           colEq += c -> enc.flatten
-      case sources.GreaterThanOrEqual(c, v) if valRangeable(c, v) =>
+        res += f
+      case f @ sources.GreaterThanOrEqual(c, v) if valRangeable(c, v) =>
         valEnc(c, v).foreach(tightenLo(c, _))
-      case sources.GreaterThan(c, v) if valRangeable(c, v) =>
+        res += f
+      case f @ sources.GreaterThan(c, v) if valRangeable(c, v) =>
         valEnc(c, v).foreach(b => tightenLo(c, Bytes.successor(b)))
-      case sources.LessThan(c, v) if valRangeable(c, v) =>
+        res += f
+      case f @ sources.LessThan(c, v) if valRangeable(c, v) =>
         valEnc(c, v).foreach(tightenHi(c, _))
-      case sources.LessThanOrEqual(c, v) if valRangeable(c, v) =>
+        res += f
+      case f @ sources.LessThanOrEqual(c, v) if valRangeable(c, v) =>
         valEnc(c, v).foreach(b => tightenHi(c, Bytes.successor(b)))
+        res += f
       // value-column prefix (LIKE 'p%') on a string column: recorded as
       // the value interval [p, prefixSuccessor(p)) — the existing range
       // machinery then serves it as ONE index probe
       // (BinaryPrefixComparator.java:30); an all-0xff prefix leaves the
       // interval open above (still exact — residual re-applies)
-      case sources.StringStartsWith(c, p)
+      case f @ sources.StringStartsWith(c, p)
           if p != null && valCol(c).exists(_.dt == StringType) =>
         val b = Bytes.toBytes(p)
         tightenLo(c, b)
         Bytes.prefixSuccessor(b).foreach(tightenHi(c, _))
-      case _ => ()
+        res += f
+      case f => res += f
     }
-    filters // everything residual — recorded predicates only PRUNE
+    accepted = acc.result()
+    res.result()
   }
 
-  override def pushedFilters(): Array[Filter] = Array.empty
+  private var accepted: Array[Filter] = Array.empty
+  override def pushedFilters(): Array[Filter] = accepted
 
+  /** With an aggregate pushed, Spark's subsequent pruning call refers to
+    * the aggregate's output schema, not wide columns — the wide
+    * projection was already set from the aggregate's referenced set. */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    if (aggSpec.isEmpty) required = requiredSchema
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** COMPLETE aggregate pushdown (same contract as the cell door,
+    * [[GraftScanBuilder]]): group-bys on declared columns, COUNT(*),
+    * COUNT(col), MIN/MAX(col). The aggregation runs on the decoded wide
+    * frame INSIDE the inner plan (codegen'd hash aggregate), so an
+    * aggregate-only query converts |groups| rows through the V1 bridge
+    * instead of every decoded row — semantics are Spark's own min/max/
+    * count over exactly the frame a SELECT would return. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val s = translateAgg(agg)
+    s.foreach { a =>
+      aggSpec = Some(a)
+      // project the wide scan to the aggregate's referenced columns (the
+      // scanCols row-set rule still widens to ALL declared columns when
+      // no predicate implies a needed column is non-null)
+      val referenced =
+        (a.groupBy ++ a.aggs.flatMap(_.col)).toSet
+      required = StructType(spec.schema.filter(f => referenced(f.name)))
+    }
+    s.isDefined
+  }
+
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[GraftAggSpec] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def fieldName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    val names = spec.schema.fieldNames.toSet
+    val groups = agg.groupByExpressions.toSeq.map(fieldName)
+    val aggs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftAggCol("count", None))
+      case c: Count if !c.isDistinct =>
+        fieldName(c.column).filter(names).map(n => GraftAggCol("count_col", Some(n)))
+      case m: Min =>
+        fieldName(m.column).filter(names).map(n => GraftAggCol("min", Some(n)))
+      case m: Max =>
+        fieldName(m.column).filter(names).map(n => GraftAggCol("max", Some(n)))
+      case _ => None
+    }
+    if (groups.forall(_.isDefined) && aggs.forall(_.isDefined) &&
+        groups.flatten.forall(names) && aggs.nonEmpty)
+      Some(GraftAggSpec(groups.flatten, aggs.flatten, spec.schema))
+    else None
+  }
+
   override def build(): V2Scan =
     new GraftWideScan(engine, baseTable, spec, required, startRow, stopRow,
-      colEq, colLo, colHi, limit)
+      colEq, colLo, colHi, limit, manifest, aggSpec)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -341,9 +542,11 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     startRow: Option[Array[Byte]], stopRow: Option[Array[Byte]],
     colEq: Map[String, Seq[Array[Byte]]],
     colLo: Map[String, Array[Byte]], colHi: Map[String, Array[Byte]],
-    limit: Option[Int]) extends V1Scan {
+    limit: Option[Int],
+    manifest: graft.catalog.Manifest,
+    aggSpec: Option[GraftAggSpec] = None) extends V1Scan {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggSpec.fold(required)(_.schema)
 
   /** Predicate columns in declaration order (deterministic route pick). */
   private def predCols: Seq[String] =
@@ -365,7 +568,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     * predicate happened to route (family maxVersions caps are harmless
     * here: a wide read decodes one version per column either way). */
   private[sql] def route: Option[WideRoute] = {
-    val d = engine.currentManifest(baseTable).descriptor
+    val d = manifest.descriptor
     if (d.families.exists(_.ttlMs.isDefined)) return None
     // Composite eligibility: every member has a recorded equality or IN
     // list, and the lists' cartesian stays within one probe pass's blob
@@ -438,7 +641,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
 
   private[sql] def resolvedFrame(spark: SparkSession): DataFrame = {
     import graft.read.{Scan => GScan, ScanExec, SecondaryIndex}
-    val m = engine.currentManifest(baseTable)
+    val m = manifest
     val d = m.descriptor
     val wanted = scanCols
     def logical: DataFrame = {
@@ -501,8 +704,17 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     val decoded = CellCodec.decode(cells,
       StructType(wanted.map(c => StructField(c.name, c.dt))), key = spec.key,
       ordered = spec.orderedNames)
-      .select(required.fieldNames.map(col).toIndexedSeq: _*)
-    limit.fold(decoded)(decoded.limit)
+    aggSpec match {
+      case Some(a) =>
+        // pushed aggregation runs INSIDE the inner plan (codegen'd hash
+        // aggregate over the decoded wide frame); limit is never offered
+        // alongside an aggregate
+        a(decoded)
+      case None =>
+        val projected =
+          decoded.select(required.fieldNames.map(col).toIndexedSeq: _*)
+        limit.fold(projected)(projected.limit)
+    }
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -83,7 +83,7 @@ class WideViewSpec extends SparkSpec {
     val spec = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
     import org.apache.spark.sql.sources
     def built(filters: Array[sources.Filter]): GraftWideScan = {
-      val bld = new GraftWideScanBuilder(engine, "t", spec)
+      val bld = new GraftWideScanBuilder(engine, "t", spec, engine.currentManifest("t"))
       bld.pushFilters(filters)
       bld.build().asInstanceOf[GraftWideScan]
     }
@@ -114,7 +114,7 @@ class WideViewSpec extends SparkSpec {
     val engine = new graft.catalog.Catalog(spark, root)
     val spec = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
     import org.apache.spark.sql.sources
-    val bld = new GraftWideScanBuilder(engine, "t", spec)
+    val bld = new GraftWideScanBuilder(engine, "t", spec, engine.currentManifest("t"))
     bld.pushFilters(Array(sources.EqualTo("city", "paris")))
     bld.pruneColumns(org.apache.spark.sql.types.StructType(
       spec.schema.filter(f => Seq("k", "pop", "city").contains(f.name))))
@@ -183,7 +183,7 @@ class WideViewSpec extends SparkSpec {
       Some("f:city:string;f:tier:string;f:pop:string"))
     import org.apache.spark.sql.sources
     def built(filters: Array[sources.Filter]): GraftWideScan = {
-      val bld = new GraftWideScanBuilder(engine, "t", spec)
+      val bld = new GraftWideScanBuilder(engine, "t", spec, engine.currentManifest("t"))
       bld.pushFilters(filters)
       bld.build().asInstanceOf[GraftWideScan]
     }
@@ -233,7 +233,7 @@ class WideViewSpec extends SparkSpec {
       Seq("f" -> b("city"), "f" -> b("tier")), 3L)
     val spec = WideSpec.parse(Some("k:string"), Some("f:city:string;f:tier:string"))
     import org.apache.spark.sql.sources
-    val bld = new GraftWideScanBuilder(g.catalog, "t", spec)
+    val bld = new GraftWideScanBuilder(g.catalog, "t", spec, g.catalog.currentManifest("t"))
     bld.pushFilters(Array(sources.EqualTo("city", "paris")))
     val scan = bld.build().asInstanceOf[GraftWideScan]
     assert(scan.usedIndexTable.exists(_.contains("_cidx_")),
@@ -245,7 +245,7 @@ class WideViewSpec extends SparkSpec {
     // member missing are still found (left-outer tuple join)
     g.table("t").put(Seq(
       Put(b("r3")).add("f", b("city"), 3L, b("rome"))), 3L)
-    val bld2 = new GraftWideScanBuilder(g.catalog, "t", spec)
+    val bld2 = new GraftWideScanBuilder(g.catalog, "t", spec, g.catalog.currentManifest("t"))
     bld2.pushFilters(Array(sources.GreaterThanOrEqual("city", "paris")))
     val scan2 = bld2.build().asInstanceOf[GraftWideScan]
     assert(scan2.usedIndexTable.exists(_.contains("_cidx_")),
@@ -253,6 +253,99 @@ class WideViewSpec extends SparkSpec {
     assert(scan2.resolvedFrame(spark).collect()
       .map(r => (r.getString(0), Option(r.getString(2)))).toSet
       == Set(("r1", Some("gold")), ("r2", Some("gold")), ("r3", None)))
+  }
+
+  test("aggregate pushdown on the wide view runs inside the inner plan") {
+    val root = freshRoot("wideagg")
+    mkTable(root)
+    register("gwa", root)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def pushed(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty
+    // grouped COUNT over the whole table: no residual filters, pushes
+    val grouped = spark.sql("SELECT city, count(*) AS cnt " +
+      "FROM gwa.`t$wide` GROUP BY city ORDER BY city")
+    assert(pushed(grouped), s"unfiltered grouped agg was not pushed:\n${
+      grouped.queryExecution.optimizedPlan}")
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._1 == "paris").toSeq == Seq("paris" -> 4L))
+    // key EQUALITY on a fixed-width head is accepted (exact byte-prefix
+    // range), so the agg under it pushes too
+    val eq = spark.sql("SELECT count(*) AS cnt, min(pop) AS mn " +
+      "FROM gwa.`t$wide` WHERE k = 13")
+    assert(pushed(eq), s"agg under key equality was not pushed:\n${
+      eq.queryExecution.optimizedPlan}")
+    assert(eq.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 130L)))
+    // a RANGE on a plain long head stays residual (negative-key byte
+    // order) — the agg falls back above the bridge and stays correct
+    val ranged = spark.sql("SELECT count(*) AS cnt FROM gwa.`t$wide` " +
+      "WHERE k >= 10 AND k < 20")
+    assert(!pushed(ranged))
+    assert(ranged.collect()(0).getLong(0) == 10L)
+    // an unsupported aggregate (SUM) falls back and stays correct
+    val sum = spark.sql("SELECT sum(pop) AS s FROM gwa.`t$wide`")
+    assert(!pushed(sum))
+    assert(sum.collect()(0).getLong(0) == (1 to 40).map(_ * 10L).sum)
+  }
+
+  test("ordered key head: range-pruned aggregates push completely") {
+    val root = freshRoot("wideaggord")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:olong"),
+      wideSchema = Some("f:pop:long")), 1L)
+    g.table("t").put((-5L to 10L).map(k =>
+      Put(Bytes.toBytesOrdered(k)).add("f", b("pop"), 2L,
+        Bytes.toBytes(k * 10 + 1000))), 2L)
+    register("gwao", root)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // comparisons on an olong head are accepted (order-preserving over
+    // the full signed range) — the VERDICT ask: `count(*) WHERE
+    // key-range` converts ONE row through the bridge, key-range-pruned
+    val agg = spark.sql("SELECT count(*) AS cnt, min(pop) AS mn, " +
+      "max(pop) AS mx FROM gwao.`t$wide` WHERE k >= -3 AND k < 4")
+    assert(agg.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+      .isEmpty, s"range agg on ordered key was not pushed:\n${
+        agg.queryExecution.optimizedPlan}")
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((7L, 970L, 1030L)))
+    // exactness of the accepted bounds themselves (no residual safety
+    // net anymore): the plain SELECT under the same range
+    assert(spark.sql("SELECT k FROM gwao.`t$wide` WHERE k > -3 AND k <= 4 " +
+      "ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == (-2L to 4L))
+  }
+
+  test("planning a wide scan reads the manifest exactly once") {
+    val root = freshRoot("widemeta")
+    val g = mkTable(root)
+    val engine = g.catalog
+    val spec = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
+    import org.apache.spark.sql.sources
+    // plain scan: the capture at newScanBuilder is the ONLY read —
+    // spec/route/resolvedFrame all run off the captured manifest
+    val before = engine.manifestReads.get()
+    val m = engine.currentManifest("t")
+    val bld = new GraftWideScanBuilder(engine, "t", spec, m)
+    bld.pushFilters(Array(sources.GreaterThanOrEqual("k", 10L)))
+    val scan = bld.build().asInstanceOf[GraftWideScan]
+    scan.route; scan.usedIndexTable; scan.indexOnly
+    scan.resolvedFrame(spark)
+    assert(engine.manifestReads.get() - before == 1,
+      s"wide scan build read the manifest ${engine.manifestReads.get() - before} times")
+    // a routed scan adds exactly the index TABLE read (data access), not
+    // repeated base-table metadata reads
+    g.createIndex("t", "f", b("city"), 3L)
+    val before2 = engine.manifestReads.get()
+    val m2 = engine.currentManifest("t")
+    val bld2 = new GraftWideScanBuilder(engine, "t", spec, m2)
+    bld2.pushFilters(Array(sources.EqualTo("city", "paris")))
+    val scan2 = bld2.build().asInstanceOf[GraftWideScan]
+    assert(scan2.usedIndexTable.isDefined)
+    scan2.resolvedFrame(spark)
+    assert(engine.manifestReads.get() - before2 == 2,
+      s"routed wide scan read ${engine.manifestReads.get() - before2} manifests")
   }
 
   test("odouble: a range on an indexed double column routes and is exact") {
@@ -278,7 +371,7 @@ class WideViewSpec extends SparkSpec {
     val spec = WideSpec.parse(Some("k:long"),
       Some("f:price:odouble;f:city:string"))
     import org.apache.spark.sql.sources
-    val bld = new GraftWideScanBuilder(g.catalog, "t", spec)
+    val bld = new GraftWideScanBuilder(g.catalog, "t", spec, g.catalog.currentManifest("t"))
     bld.pushFilters(Array(sources.GreaterThan("price", -1.0),
       sources.LessThan("price", 1.0)))
     assert(bld.build().asInstanceOf[GraftWideScan]
@@ -287,7 +380,7 @@ class WideViewSpec extends SparkSpec {
     // a plain (non-ordered) double column must NOT route a range
     val plainSpec = WideSpec.parse(Some("k:long"),
       Some("f:price:double;f:city:string"))
-    val bld2 = new GraftWideScanBuilder(g.catalog, "t", plainSpec)
+    val bld2 = new GraftWideScanBuilder(g.catalog, "t", plainSpec, g.catalog.currentManifest("t"))
     bld2.pushFilters(Array(sources.GreaterThan("price", -1.0)))
     assert(bld2.build().asInstanceOf[GraftWideScan].usedIndexTable.isEmpty)
   }
@@ -320,7 +413,7 @@ class WideViewSpec extends SparkSpec {
     // seam: the recorded [p, prefixSuccessor(p)) interval routes
     val spec = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
     import org.apache.spark.sql.sources
-    val bld = new GraftWideScanBuilder(g.catalog, "t", spec)
+    val bld = new GraftWideScanBuilder(g.catalog, "t", spec, g.catalog.currentManifest("t"))
     bld.pushFilters(Array(sources.StringStartsWith("city", "par")))
     assert(bld.build().asInstanceOf[GraftWideScan]
       .usedIndexTable.exists(_.startsWith("t_idx_f_")),
@@ -381,7 +474,7 @@ class WideViewSpec extends SparkSpec {
     // bypass the family TTL and resurrect the expired row)
     val spec = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
     import org.apache.spark.sql.sources
-    val bld = new GraftWideScanBuilder(g.catalog, "t", spec)
+    val bld = new GraftWideScanBuilder(g.catalog, "t", spec, g.catalog.currentManifest("t"))
     bld.pushFilters(Array(sources.EqualTo("city", "paris")))
     assert(bld.build().asInstanceOf[GraftWideScan].usedIndexTable.isEmpty,
       "TTL'd family must not index-route")
@@ -426,6 +519,39 @@ class WideViewSpec extends SparkSpec {
     val pb = ManifestJson.read(ManifestJson.write(plain))
     assert(pb.descriptor.wideKey.isEmpty && pb.descriptor.wideSchema.isEmpty)
   }
+
+  test("INSERT INTO the wide view writes cells through the append seam") {
+    val root = freshRoot("wideins")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, immutableRows = true, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long")), 1L)
+    g.createIndex("t", "f", b("city"), 2L)
+    register("gwin", root)
+    spark.sql("INSERT INTO gwin.`t$wide` VALUES " +
+      "(1, 'paris', 10), (2, 'tokyo', NULL)")
+    val out = spark.sql("SELECT k, city, pop FROM gwin.`t$wide` ORDER BY k")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getString(1) == "paris" && out(0).getLong(2) == 10L)
+    assert(out(1).getString(1) == "tokyo" && out(1).isNullAt(2))
+    // the insert went through Catalog.append: the registered index was
+    // dual-written, so the route answers without a rebuild
+    assert(rowsOf2(spark.sql(
+      "SELECT k, city FROM gwin.`t$wide` WHERE city = 'paris'"))
+      == Set(1L -> "paris"))
+    val ixTable = g.table("t").descriptor.indexOn("f", b("city")).get.indexTable
+    assert(g.catalog.read(ixTable).count() == 2L)
+    // a null key part fails loudly, not silently
+    intercept[Exception] {
+      spark.sql("INSERT INTO gwin.`t$wide` VALUES (NULL, 'x', 1)")
+    }
+    // facade reads see the inserted cells (one write model)
+    assert(g.table("t").get(graft.read.Get(Bytes.toBytes(1L))).count() == 2L)
+  }
+
+  private def rowsOf2(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
 
   test("DDL declares the wide view; SHOW/DML still hit the cell table") {
     val root = freshRoot("wideddl")
