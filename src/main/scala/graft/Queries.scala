@@ -601,6 +601,115 @@ object Queries {
              ORDER BY o_orderkey""")
   }
 
+  // Relational DML on the WIDE view (GraftWideRowLevelOperation —
+  // SupportsDelta over the declared key): ONE scratch table, three SQL
+  // statements in a pinned order (UPDATE at ms 10, DELETE at ms 20,
+  // MERGE at ms 30 — the commit clock is pinned per statement so verdict
+  // cells never tie on ts), each statement's effect verified by its own
+  // gate against the plain relational rendering of the final state. A
+  // pointer index on o_custkey makes every statement exercise index
+  // maintenance through the same append seam.
+  private val wideDmlRoots = scala.collection.mutable.Map.empty[String, String]
+  private def wideDmlRoot(s: SparkSession, dir: String): String =
+    Queries.synchronized {
+      wideDmlRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-wdml").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_wm",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, immutableRows = true,
+          wideKey = Some("o_orderkey:long"),
+          wideSchema = Some("o:o_custkey:long;o:o_totalprice:double;" +
+            "o:o_orderstatus:string")), nowMs = 1L)
+        g.table("orders_wm").mutate(CellCodec.encode(
+          t(s, dir, "orders").where(col("o_orderkey") < 6000)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+          "o", Seq("o_orderkey")), nowMs = 1L)
+        g.createIndex("orders_wm", "o", Bytes.toBytes("o_custkey"), nowMs = 2L)
+        s.conf.set("spark.sql.catalog.graft_wm",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_wm.root", r)
+        def at(ms: Long)(sql: String): Unit = {
+          s.conf.set("spark.graft.sql.nowMs", ms.toString)
+          try s.sql(sql): Unit
+          finally s.conf.unset("spark.graft.sql.nowMs")
+        }
+        at(10L)("""UPDATE graft_wm.`orders_wm$wide`
+                   SET o_totalprice = o_totalprice + 1000
+                   WHERE o_orderstatus = 'O' AND o_orderkey < 3000""")
+        at(20L)("""DELETE FROM graft_wm.`orders_wm$wide`
+                   WHERE o_orderstatus = 'F' AND o_orderkey < 3000""")
+        t(s, dir, "orders").where(
+            col("o_orderkey") >= 3000 && col("o_orderkey") < 9000)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .createOrReplaceTempView("graft_wm_src")
+        at(30L)("""MERGE INTO graft_wm.`orders_wm$wide` t
+                   USING graft_wm_src s
+                   ON t.o_orderkey = s.o_orderkey
+                   WHEN MATCHED THEN UPDATE SET o_orderstatus = 'U'
+                   WHEN NOT MATCHED THEN INSERT
+                     (o_orderkey, o_custkey, o_totalprice, o_orderstatus)
+                     VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice,
+                       s.o_orderstatus)""")
+        r
+      })
+    }
+  private def wideDml(s: SparkSession, dir: String, sql: String): DataFrame = {
+    val root = wideDmlRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wm",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wm.root", root)
+    s.sql(sql)
+  }
+  // SQL UPDATE through the wide view: 'O' rows under 3000 carry the new
+  // price version; the matched-row scan and the write both went through
+  // the one append seam. (The k<3000 slice also reflects the later
+  // DELETE — the oracle is the final state.)
+  private val sqlWideUpdate = Q("sql_wide_update", Some("""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 1000
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey < 3000 AND o_orderstatus <> 'F'
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    wideDml(s, dir, """
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM graft_wm.`orders_wm$wide`
+      WHERE o_orderkey < 3000
+      ORDER BY o_orderkey""")
+  }
+  // SQL DELETE through the wide view: 'F' rows under 3000 resolve to
+  // nothing (DeleteFamily tombstones, nothing rewritten); the status
+  // histogram proves the row SET, not just a projection, changed.
+  private val sqlWideDelete = Q("sql_wide_delete", Some("""
+    SELECT o_orderstatus, count(*) AS cnt FROM orders
+    WHERE o_orderkey < 3000 AND o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus""")) { (s, dir) =>
+    wideDml(s, dir, """
+      SELECT o_orderstatus, count(*) AS cnt
+      FROM graft_wm.`orders_wm$wide`
+      WHERE o_orderkey < 3000
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")
+  }
+  // SQL MERGE through the wide view: matched rows (3000..6000) flipped
+  // to 'U', unmatched source rows (6000..9000) inserted verbatim.
+  private val sqlWideMerge = Q("sql_wide_merge", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_orderkey < 6000 THEN 'U' ELSE o_orderstatus END
+             AS o_orderstatus
+    FROM orders
+    WHERE o_orderkey >= 3000 AND o_orderkey < 9000
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    wideDml(s, dir, """
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM graft_wm.`orders_wm$wide`
+      WHERE o_orderkey >= 3000
+      ORDER BY o_orderkey""")
+  }
+
   // Aggregate pushdown on the WIDE view (GraftWideScanBuilder
   // SupportsPushDownAggregates): grouped COUNT/MIN/MAX runs inside the
   // inner plan as a codegen'd hash aggregate over the decoded frame, so
@@ -622,6 +731,33 @@ object Queries {
                     min(o_totalprice) AS min_price,
                     max(o_totalprice) AS max_price
              FROM graft_wa.`orders_w$wide`
+             GROUP BY o_orderstatus
+             ORDER BY o_orderstatus""")
+  }
+
+  // SUM/AVG pushdown on the WIDE view: exact-integral sums translate
+  // (float sums stay above the bridge — accumulation order), result
+  // types mirror Spark's own Sum/Average resolution, and only |groups|
+  // rows cross the V1 bridge. Oracle = the same aggregation over the
+  // undeleted rows (integer-valued partial sums stay exactly
+  // representable, so avg is bit-deterministic in both engines).
+  private val sqlWideSum = Q("sql_wide_sum", Some("""
+    SELECT o_orderstatus, CAST(sum(o_custkey) AS DOUBLE) AS sum_ck,
+           avg(o_custkey) AS avg_ck
+    FROM orders
+    WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_ws",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ws.root", root)
+    // the outer CAST stays in the Project above the pushed aggregate
+    // (exact for these magnitudes); DuckDB's int128 sum surfaces as
+    // float64 through pandas, so both sides land on DOUBLE
+    s.sql("""SELECT o_orderstatus, CAST(sum(o_custkey) AS DOUBLE) AS sum_ck,
+                    avg(o_custkey) AS avg_ck
+             FROM graft_ws.`orders_w$wide`
              GROUP BY o_orderstatus
              ORDER BY o_orderstatus""")
   }
@@ -4105,6 +4241,7 @@ object Queries {
     sqlCoveredLookup, sqlMultiGet, sqlWideScan, sqlCoveredProjection,
     sqlIndexComposite, sqlIndexLeadingRange, sqlPrefixRoute,
     sqlIndexDoubleRange, sqlWideAgg, sqlWideInsert,
+    sqlWideUpdate, sqlWideDelete, sqlWideMerge, sqlWideSum,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
     getPoint, getRowOrBefore, rowCounter,
     existsGet,

@@ -27,8 +27,15 @@ object CellCodec {
     * via builtins: hex -> zero-pad to 16 nibbles -> unhex. */
   def longBytes(c: Column): Column = unhex(lpad(hex(c.cast("long")), 16, "0"))
 
-  /** Non-negative int -> 4-byte big-endian binary. */
-  def intBytes(c: Column): Column = unhex(lpad(hex(c.cast("long")), 8, "0"))
+  /** Int -> 4-byte big-endian two's complement (order-preserving for
+    * non-negatives — `Bytes.toBytes(int)` parity). The low-32-bit mask
+    * matters: a NEGATIVE int cast to long sign-extends to 16 hex
+    * nibbles, and `lpad` keeps the LEFTMOST 8 (`0xFFFFFFFF` for every
+    * negative) — masking first makes the 8 nibbles the int's actual
+    * two's complement, so pre-1970 dates and negative int cells encode
+    * losslessly and byte-match the JVM-side `Bytes.toBytes(int)`. */
+  def intBytes(c: Column): Column =
+    unhex(lpad(hex(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0"))
 
   // ORDER-PRESERVING signed variants (Bytes.toBytesOrdered parity — the
   // OrderedBytes/Phoenix sign-flip trick): unsigned-lex order of the

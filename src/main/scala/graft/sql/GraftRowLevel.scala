@@ -85,13 +85,18 @@ class GraftDeltaWrite(engine: Catalog, tableName: String, commitMs: Long)
 case class GraftDeltaCommitMessage(path: String, cells: Long)
     extends WriterCommitMessage
 
-class GraftDeltaBatchWrite(engine: Catalog, tableName: String, commitMs: Long)
+/** `mkWriters` picks the per-task verdict→cell translation (cell-schema
+  * rows by default; the wide view substitutes its relational encoder) —
+  * staging format and the commit job are IDENTICAL either way. */
+class GraftDeltaBatchWrite(engine: Catalog, tableName: String, commitMs: Long,
+    mkWriters: (String, Long) => DeltaWriterFactory =
+      new GraftDeltaWriterFactory(_, _))
     extends DeltaBatchWrite {
 
   private val stagingDir: String = engine.newStagingDir(tableName)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftDeltaWriterFactory(stagingDir, commitMs)
+    mkWriters(stagingDir, commitMs)
 
   /** One distributed decode job over the staged files, then the ordinary
     * append commit (range-partitioned sorted parquet + manifest bump).
@@ -149,7 +154,7 @@ class GraftDeltaWriter(stagingDir: String, partitionId: Int, taskId: Long,
     out
   }
 
-  private def emit(row: Array[Byte], family: String, qualifier: Array[Byte],
+  protected def emit(row: Array[Byte], family: String, qualifier: Array[Byte],
       ts: Long, kind: Byte, value: Array[Byte]): Unit = {
     DeltaStage.writeCell(stream(), row, family, qualifier, ts, kind, value)
     count += 1

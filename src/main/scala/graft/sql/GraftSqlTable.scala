@@ -7,7 +7,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, FieldReference, NamedReference}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Scan => V2Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
@@ -268,6 +268,14 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
         fieldName(m.column)
           .filter(n => cellType.get(n).exists(_ != BinaryType))
           .map(n => GraftAggCol("max", Some(n)))
+      case s: Sum if !s.isDistinct =>
+        fieldName(s.column)
+          .filter(n => cellType.get(n).exists(GraftAggSpec.summable))
+          .map(n => GraftAggCol("sum", Some(n)))
+      case a: Avg if !a.isDistinct =>
+        fieldName(a.column)
+          .filter(n => cellType.get(n).exists(GraftAggSpec.summable))
+          .map(n => GraftAggCol("avg", Some(n)))
       case _ => None
     }
     if (groups.forall(_.isDefined) && aggs.forall(_.isDefined) &&
@@ -454,8 +462,8 @@ private[sql] case class GraftValueRange(lo: Option[Array[Byte]],
 private[sql] case class GraftIndexRoute(ix: graft.catalog.IndexDescriptor,
     pred: GraftValuePred, covered: Seq[(String, Array[Byte])])
 
-/** One pushed aggregate column: `fn` in count | count_col | min | max,
-  * `col` absent only for COUNT(*). */
+/** One pushed aggregate column: `fn` in count | count_col | min | max |
+  * sum | avg, `col` absent only for COUNT(*). */
 private[sql] case class GraftAggCol(fn: String, col: Option[String])
 
 /** A completely-pushed aggregation: output = groupBy columns (source
@@ -465,7 +473,7 @@ private[sql] case class GraftAggCol(fn: String, col: Option[String])
   * view. */
 private[sql] case class GraftAggSpec(groupBy: Seq[String], aggs: Seq[GraftAggCol],
     source: StructType = Cell.schema) {
-  import org.apache.spark.sql.types.{LongType, StructField}
+  import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField}
   def schema: StructType = {
     val cellType = source.fields.map(f => f.name -> f.dataType).toMap
     StructType(
@@ -474,21 +482,43 @@ private[sql] case class GraftAggSpec(groupBy: Seq[String], aggs: Seq[GraftAggCol
           val name = a.col.fold(s"agg_$i")(c => s"agg_${i}_$c")
           a.fn match {
             case "count" | "count_col" => StructField(name, LongType, nullable = false)
+            // result types mirror Spark's own Sum/Average resolution, so
+            // the completely-pushed schema is exactly what the replaced
+            // Aggregate would have produced
+            case "sum" => cellType(a.col.get) match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                StructField(name, LongType)
+              case _ => StructField(name, DoubleType)
+            }
+            case "avg" => StructField(name, DoubleType)
             case _ => StructField(name, cellType(a.col.get))
           }
         })
   }
   def apply(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.functions.{avg, col, count, lit, max, min, sum}
     val names = schema.fieldNames.drop(groupBy.length)
     val exprs = aggs.zip(names).map {
       case (GraftAggCol("count", _), n) => count(lit(1)).as(n)
       case (GraftAggCol("count_col", Some(c)), n) => count(col(c)).as(n)
       case (GraftAggCol("min", Some(c)), n) => min(col(c)).as(n)
       case (GraftAggCol("max", Some(c)), n) => max(col(c)).as(n)
+      case (GraftAggCol("sum", Some(c)), n) => sum(col(c)).as(n)
+      case (GraftAggCol("avg", Some(c)), n) => avg(col(c)).as(n)
       case (a, _) => throw new IllegalStateException(s"unreachable agg $a")
     }
     df.groupBy(groupBy.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+}
+
+private[sql] object GraftAggSpec {
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+  /** Sum/avg-able source types — float sums differ by accumulation
+    * ORDER, so only exact integrals are accepted; a double sum stays
+    * above the bridge where Spark owns the nondeterminism. */
+  def summable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
   }
 }
 

@@ -44,7 +44,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftWideTable(engine: Catalog, baseTable: String) extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `DELETE` / `MERGE INTO` on the wide view — the
+    * relational DML door (see [[GraftWideRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftWideRowLevelOperation(engine, baseTable, info.command)
 
   private def specOf(m: graft.catalog.Manifest): WideSpec =
     WideSpec.parse(m.descriptor.wideKey, m.descriptor.wideSchema)
@@ -115,8 +123,11 @@ private[sql] case class WideComposite(ix: IndexDescriptor,
 
 private[sql] case class WideSpec(key: Seq[(String, DataType)],
     cols: Seq[WideCol], orderedKey: Set[String] = Set.empty) {
+  // Key parts are non-nullable BY CONTRACT (they are the row key; a null
+  // key part fails any write loudly) — declared so, which is also what
+  // lets them serve as the row-level-operation rowId.
   def schema: StructType = StructType(
-    key.map { case (n, dt) => StructField(n, dt) } ++
+    key.map { case (n, dt) => StructField(n, dt, nullable = false) } ++
       cols.map(c => StructField(c.name, c.dt)))
   def col(name: String): Option[WideCol] = cols.find(_.name == name)
   /** All columns (key + value) declared with the ordered encoding — the
@@ -506,7 +517,7 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   private def translateAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[GraftAggSpec] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.connector.expressions.NamedReference
     def fieldName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -524,6 +535,16 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
         fieldName(m.column).filter(names).map(n => GraftAggCol("min", Some(n)))
       case m: Max =>
         fieldName(m.column).filter(names).map(n => GraftAggCol("max", Some(n)))
+      case s: Sum if !s.isDistinct =>
+        fieldName(s.column)
+          .filter(n => spec.schema.find(_.name == n)
+            .exists(f => GraftAggSpec.summable(f.dataType)))
+          .map(n => GraftAggCol("sum", Some(n)))
+      case a: Avg if !a.isDistinct =>
+        fieldName(a.column)
+          .filter(n => spec.schema.find(_.name == n)
+            .exists(f => GraftAggSpec.summable(f.dataType)))
+          .map(n => GraftAggCol("avg", Some(n)))
       case _ => None
     }
     if (groups.forall(_.isDefined) && aggs.forall(_.isDefined) &&

@@ -114,6 +114,34 @@ class BytesSpec extends SparkSpec {
       .collect().map(_.getDouble(0)).toSeq == doubles)
   }
 
+  test("column-side PLAIN int/long codecs match Bytes.toBytes for the FULL signed range") {
+    // The trap: a negative int cast to long sign-extends to 16 hex
+    // nibbles and lpad keeps the leftmost 8 — every negative int (and
+    // every pre-1970 DateType days value) used to encode as 0xFFFFFFFF.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ints = Seq(Int.MinValue, -86400, -256, -5, -1, 0, 1, Int.MaxValue) ++
+      Seq.fill(50)(rnd.nextInt())
+    ints.toDF("v")
+      .select(CellCodec.intBytes(col("v")).as("b"), col("v"))
+      .collect().foreach { r =>
+        assert(r.getAs[Array[Byte]]("b").toSeq == Bytes.toBytes(r.getInt(1)).toSeq)
+      }
+    assert(ints.toDF("v")
+      .select(Bytes.asInt(CellCodec.intBytes(col("v"))))
+      .collect().map(_.getInt(0)).toSeq == ints)
+    val longs = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue) ++
+      Seq.fill(50)(rnd.nextLong())
+    longs.toDF("v")
+      .select(CellCodec.longBytes(col("v")).as("b"), col("v"))
+      .collect().foreach { r =>
+        assert(r.getAs[Array[Byte]]("b").toSeq == Bytes.toBytes(r.getLong(1)).toSeq)
+      }
+    assert(longs.toDF("v")
+      .select(Bytes.asLong(CellCodec.longBytes(col("v"))))
+      .collect().map(_.getLong(0)).toSeq == longs)
+  }
+
   test("prefixSuccessor produces tight sargable ranges") {
     assert(Bytes.prefixSuccessor("abc".getBytes).get.toSeq == "abd".getBytes.toSeq)
     assert(Bytes.prefixSuccessor(Array(0x61.toByte, 0xff.toByte)).get.toSeq == Seq(0x62.toByte))

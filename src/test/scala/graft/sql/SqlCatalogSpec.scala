@@ -348,6 +348,15 @@ class SqlCatalogSpec extends SparkSpec {
     // post-tombstone visible cells: r1/h:q1 (ts 30) and r2/f:q1 (ts 40)
     assert(castAgg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("q1", 2L)))
+
+    // SUM/AVG on exact integral columns push completely too
+    val sumAgg = spark.sql(
+      "SELECT family, sum(ts) AS s, avg(ts) AS a " +
+        "FROM graft_sql.ag GROUP BY family ORDER BY family")
+    assert(sumAgg.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty,
+      sumAgg.queryExecution.optimizedPlan)
+    assert(sumAgg.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2))).toSeq == Seq(("f", 40L, 40.0), ("h", 30L, 30.0)))
   }
 
   test("maxVersionsPerTrigger bounds each micro-batch to n manifest versions") {
