@@ -762,6 +762,25 @@ object Queries {
              ORDER BY o_orderstatus""")
   }
 
+  // Top-k pushdown on the WIDE view (SupportsPushDownTopN): ORDER BY +
+  // LIMIT runs inside the inner plan as TakeOrderedAndProject
+  // (per-partition top-k + merge of k-row heads — no full sort), so k
+  // rows cross the V1 bridge instead of every decoded row. The second
+  // sort key makes the order TOTAL (price ties broken by unique key), so
+  // the row set is deterministic on both sides.
+  private val sqlWideTopN = Q("sql_wide_topn", Some("""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wt",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wt.root", root)
+    s.sql("""SELECT o_orderkey, o_totalprice
+             FROM graft_wt.`orders_w$wide`
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")
+  }
+
   // COMPOSITE index through the wide view: conjunctive equality/IN over
   // (o_custkey, o_orderstatus) becomes ONE probe pass over the bounded
   // blob cartesian of the composite key (read/Index.scala
@@ -4241,7 +4260,7 @@ object Queries {
     sqlCoveredLookup, sqlMultiGet, sqlWideScan, sqlCoveredProjection,
     sqlIndexComposite, sqlIndexLeadingRange, sqlPrefixRoute,
     sqlIndexDoubleRange, sqlWideAgg, sqlWideInsert,
-    sqlWideUpdate, sqlWideDelete, sqlWideMerge, sqlWideSum,
+    sqlWideUpdate, sqlWideDelete, sqlWideMerge, sqlWideSum, sqlWideTopN,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
     getPoint, getRowOrBefore, rowCounter,
     existsGet,

@@ -204,12 +204,14 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
     maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Cell.schema
   private var scan: GScan = GScan()
   private var limit: Option[Int] = None
+  private var topN: Option[(Seq[GraftSortCol], Int)] = None
   private var aggSpec: Option[GraftAggSpec] = None
   private var valueEq: Seq[Array[Byte]] = Nil
   // recorded `value` interval (VALUE space, lo inclusive / hi exclusive —
@@ -443,9 +445,24 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** ORDER BY + LIMIT (top-k) pushdown: sort+limit runs INSIDE the
+    * inner plan (planned as `TakeOrderedAndProject` — per-partition
+    * top-k + merge, no full sort), so k rows cross the V1 bridge
+    * instead of every resolved cell. Partial: Spark re-sorts the k
+    * survivors above the bridge, keeping exactness structural. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    val translated =
+      GraftSortCol.translate(orders, Cell.schema.fieldNames.toSet)
+    if (aggSpec.isEmpty && translated.isDefined) {
+      topN = Some((translated.get, n)); true
+    } else false
+  }
+
   override def build(): V2Scan =
     new GraftV1Scan(engine, tableName, scan, required, pinned, limit,
-      maxVersionsPerTrigger, aggSpec, indexProbe, rowKeys)
+      maxVersionsPerTrigger, aggSpec, indexProbe, rowKeys, topN)
 }
 
 /** The index-routable `value` predicate the scan builder recorded. */
@@ -465,6 +482,53 @@ private[sql] case class GraftIndexRoute(ix: graft.catalog.IndexDescriptor,
 /** One pushed aggregate column: `fn` in count | count_col | min | max |
   * sum | avg, `col` absent only for COUNT(*). */
 private[sql] case class GraftAggCol(fn: String, col: Option[String])
+
+/** One pushed top-k sort key: plain column + direction + null order. */
+private[sql] case class GraftSortCol(name: String, ascending: Boolean,
+    nullsFirst: Boolean) {
+  def toColumn: org.apache.spark.sql.Column = {
+    val c = org.apache.spark.sql.functions.col(name)
+    (ascending, nullsFirst) match {
+      case (true, true) => c.asc_nulls_first
+      case (true, false) => c.asc_nulls_last
+      case (false, true) => c.desc_nulls_first
+      case (false, false) => c.desc_nulls_last
+    }
+  }
+}
+
+private[sql] object GraftSortCol {
+  import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder}
+  /** All-or-nothing translation: every sort key must be a plain column
+    * of the scanned schema, or the top-k stays above the bridge. */
+  def translate(orders: Array[SortOrder], names: Set[String])
+      : Option[Seq[GraftSortCol]] = {
+    val ts = orders.toSeq.map { o =>
+      o.expression match {
+        case r: NamedReference
+            if r.fieldNames.length == 1 && names(r.fieldNames.head) =>
+          Some(GraftSortCol(r.fieldNames.head,
+            o.direction == SortDirection.ASCENDING,
+            o.nullOrdering == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (ts.nonEmpty && ts.forall(_.isDefined)) Some(ts.flatten) else None
+  }
+  /** Inner-plan top-k: the sort runs BEFORE `project` (every scanned
+    * column is still in scope), and Spark fuses Limit(Project(Sort))
+    * into one `TakeOrderedAndProject` — per-partition top-k + merge of
+    * k-row heads, never a full sort. Without a top-k, plain limit. */
+  def apply(df: DataFrame, topN: Option[(Seq[GraftSortCol], Int)],
+      limit: Option[Int], project: DataFrame => DataFrame): DataFrame =
+    topN match {
+      case Some((orders, n)) =>
+        project(df.sort(orders.map(_.toColumn): _*)).limit(n)
+      case None =>
+        val p = project(df)
+        limit.fold(p)(p.limit)
+    }
+}
 
 /** A completely-pushed aggregation: output = groupBy columns (source
   * types preserved) ++ aggregate columns, in Spark's declared order.
@@ -529,10 +593,14 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     maxVersionsPerTrigger: Option[Long] = None,
     aggSpec: Option[GraftAggSpec] = None,
     indexProbe: Option[GraftIndexRoute] = None,
-    rowKeys: Seq[Array[Byte]] = Nil) extends V1Scan {
+    rowKeys: Seq[Array[Byte]] = Nil,
+    topN: Option[(Seq[GraftSortCol], Int)] = None) extends V1Scan {
 
   override def readSchema(): StructType =
     aggSpec.fold(required)(_.schema)
+
+  /** Seam for plan asserts: the top-k this scan runs inner-side. */
+  private[sql] def pushedTopN: Option[(Seq[GraftSortCol], Int)] = topN
 
   /** The index table this scan routes through, if any — the plan-assert
     * seam (SqlCatalogSpec checks routing fires for indexed predicates and
@@ -624,8 +692,8 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
         // the bridge converts |groups| rows instead of every cell
         spec(resolved)
       case None =>
-        val projected = resolved.select(required.fieldNames.map(col).toIndexedSeq: _*)
-        limit.fold(projected)(projected.limit)
+        GraftSortCol(resolved, topN, limit,
+          _.select(required.fieldNames.map(col).toIndexedSeq: _*))
     }
   }
 

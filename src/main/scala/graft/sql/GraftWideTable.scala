@@ -303,10 +303,12 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
     manifest: graft.catalog.Manifest)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = spec.schema
   private var limit: Option[Int] = None
+  private var topN: Option[(Seq[GraftSortCol], Int)] = None
   private var aggSpec: Option[GraftAggSpec] = None
   private var startRow: Option[Array[Byte]] = None
   private var stopRow: Option[Array[Byte]] = None
@@ -487,6 +489,22 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** ORDER BY + LIMIT (top-k) pushdown: the sort+limit runs INSIDE the
+    * inner plan as a per-partition top-k + merge (Spark plans it as
+    * `TakeOrderedAndProject` — no full sort, no full shuffle), so only
+    * k rows cross the V1 bridge instead of every decoded row.
+    * `isPartiallyPushed` stays true: Spark re-sorts the k survivors
+    * above the bridge, which keeps exactness structural. Refused under
+    * a pushed aggregate (the sort would reference aggregate output). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    val translated = GraftSortCol.translate(orders, spec.schema.fieldNames.toSet)
+    if (aggSpec.isEmpty && translated.isDefined) {
+      topN = Some((translated.get, n)); true
+    } else false
+  }
+
   /** COMPLETE aggregate pushdown (same contract as the cell door,
     * [[GraftScanBuilder]]): group-bys on declared columns, COUNT(*),
     * COUNT(col), MIN/MAX(col). The aggregation runs on the decoded wide
@@ -555,7 +573,7 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
 
   override def build(): V2Scan =
     new GraftWideScan(engine, baseTable, spec, required, startRow, stopRow,
-      colEq, colLo, colHi, limit, manifest, aggSpec)
+      colEq, colLo, colHi, limit, manifest, aggSpec, topN)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -565,9 +583,13 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     colLo: Map[String, Array[Byte]], colHi: Map[String, Array[Byte]],
     limit: Option[Int],
     manifest: graft.catalog.Manifest,
-    aggSpec: Option[GraftAggSpec] = None) extends V1Scan {
+    aggSpec: Option[GraftAggSpec] = None,
+    topN: Option[(Seq[GraftSortCol], Int)] = None) extends V1Scan {
 
   override def readSchema(): StructType = aggSpec.fold(required)(_.schema)
+
+  /** Seam for plan asserts: the top-k this scan runs inner-side. */
+  private[sql] def pushedTopN: Option[(Seq[GraftSortCol], Int)] = topN
 
   /** Predicate columns in declaration order (deterministic route pick). */
   private def predCols: Seq[String] =
@@ -732,9 +754,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         // alongside an aggregate
         a(decoded)
       case None =>
-        val projected =
-          decoded.select(required.fieldNames.map(col).toIndexedSeq: _*)
-        limit.fold(projected)(projected.limit)
+        GraftSortCol(decoded, topN, limit,
+          _.select(required.fieldNames.map(col).toIndexedSeq: _*))
     }
   }
 

@@ -359,6 +359,28 @@ class SqlCatalogSpec extends SparkSpec {
       r.getDouble(2))).toSeq == Seq(("f", 40L, 40.0), ("h", 30L, 30.0)))
   }
 
+  test("ORDER BY + LIMIT runs as top-k inside the inner plan (cell door)") {
+    root
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("tk", Seq(FamilyDescriptor("f"))), 1L)
+    g.table("tk").put((1 to 20).map(i =>
+      Put(b(s"r%02d".format(i))).add("f", b("q"), i.toLong, b(s"v$i"))), 1L)
+    val q = spark.sql(
+      "SELECT ts, CAST(value AS STRING) AS v FROM graft_sql.tk " +
+        "ORDER BY ts DESC LIMIT 2")
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((20L, "v20"), (19L, "v19")))
+    // seam: builder-level translation + inner TakeOrderedAndProject
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val bld = new GraftScanBuilder(g.catalog, "tk")
+    assert(bld.pushTopN(
+      Array(Expressions.sort(Expressions.column("ts"), SortDirection.DESCENDING)), 2))
+    val scan = bld.build().asInstanceOf[GraftV1Scan]
+    assert(scan.pushedTopN.isDefined)
+    assert(scan.resolvedFrame(spark).queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch to n manifest versions") {
     root
     val g = Graft(spark, root)

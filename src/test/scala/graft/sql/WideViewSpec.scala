@@ -326,6 +326,33 @@ class WideViewSpec extends SparkSpec {
       == (-2L to 4L))
   }
 
+  test("ORDER BY + LIMIT runs as top-k inside the inner plan") {
+    val root = freshRoot("widetopn")
+    val g = mkTable(root)
+    register("gwt", root)
+    // end-to-end correctness through the SQL door
+    val q = spark.sql("SELECT k, pop FROM gwt.`t$wide` ORDER BY pop DESC LIMIT 3")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((40L, 400L), (39L, 390L), (38L, 380L)))
+    // seam: the builder accepts a plain-column top-k, and the inner plan
+    // is a TakeOrderedAndProject (per-partition top-k + merge — no full
+    // sort, k rows cross the bridge)
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val sp2 = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
+    val m = g.catalog.currentManifest("t")
+    val bld = new GraftWideScanBuilder(g.catalog, "t", sp2, m)
+    assert(bld.pushTopN(
+      Array(Expressions.sort(Expressions.column("pop"), SortDirection.DESCENDING)), 3))
+    val scan = bld.build().asInstanceOf[GraftWideScan]
+    assert(scan.pushedTopN.isDefined)
+    assert(scan.resolvedFrame(spark).queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    // a non-column sort key is refused (stays above the bridge)
+    val bld2 = new GraftWideScanBuilder(g.catalog, "t", sp2, m)
+    assert(!bld2.pushTopN(
+      Array(Expressions.sort(Expressions.column("nope"), SortDirection.ASCENDING)), 3))
+  }
+
   test("planning a wide scan reads the manifest exactly once") {
     val root = freshRoot("widemeta")
     val g = mkTable(root)
