@@ -1560,6 +1560,31 @@ object Queries {
              FROM graft.cust_sql GROUP BY qualifier ORDER BY q""")
   }
 
+  // Join THROUGH the SQL door: the scan reports manifest-size statistics
+  // (SupportsReportStatistics — live data-dir bytes, cached per table
+  // version), so Catalyst's join sizing sees the graft side's real size
+  // and auto-broadcasts it against the parquet fact table with no hint.
+  // Without stats a DSv2 V1 relation defaults to "unknown = huge" and
+  // every join against the door would shuffle both sides — at 100 TB the
+  // difference between shipping a dimension and shuffling a fact table.
+  // SqlCatalogSpec asserts the BroadcastHashJoin plan; this gate pins the
+  // answer.
+  private val sqlBroadcastJoin = Q("sql_broadcast_join", Some("""
+    SELECT c.c_mktsegment AS seg, count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 300
+    GROUP BY c.c_mktsegment ORDER BY seg""")) { (s, dir) =>
+    custSqlCatalog(s, dir)
+    val cells = s.sql(
+      s"""SELECT row, family, qualifier, ts, kind, value, seq
+          FROM graft.cust_sql WHERE row < ${hexKey(300L)}""")
+    val cust = CellCodec.decode(cells, customerSchema)
+    t(s, dir, "orders").join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("seg")
+  }
+
   // SQL DELETE end-to-end: tombstones written through the DSv2 door
   // (SupportsDelete -> DeleteFamily cells at each group's max ts), read
   // back resolved. Oracle = the source minus the deleted key range.
@@ -4279,7 +4304,7 @@ object Queries {
     snapshotExportIncremental,
     snapshotDiffScan,
     asofScan, bulkLoadScan,
-    sqlCatalogScan, sqlAggPushdown,
+    sqlCatalogScan, sqlAggPushdown, sqlBroadcastJoin,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

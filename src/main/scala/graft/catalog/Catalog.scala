@@ -372,6 +372,26 @@ final class Catalog(spark: SparkSession, root: String) {
   def manifestAt(t: String, v: Long): Manifest =
     ManifestJson.read(readFile(new Path(tableDir(t), s"manifest-$v.json")))
 
+  // Data dirs are immutable once a manifest references them, so the byte
+  // total of a manifest VERSION never changes — cache it forever, keyed
+  // by (table, version). One getContentSummary per dir on first ask
+  // (recursive on the namenode side, no client listing walk).
+  private val manifestBytesCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+
+  /** Summed on-disk bytes of a manifest's live data dirs — the planning
+    * statistic the DSv2 doors report (`SupportsReportStatistics`) so
+    * Catalyst's join sizing sees the table's real size instead of the
+    * "unknown = never broadcastable" default. The reference exposes the
+    * same signal as per-region HFile sizes (store file size in region
+    * metrics) that drive its balancer; here it drives join planning. */
+  def manifestBytes(m: Manifest): Long =
+    manifestBytesCache.getOrElseUpdate((m.table, m.version),
+      m.dataDirs.map { d =>
+        val p = new Path(d)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }.sum)
+
   /** [[manifestAt]] tolerating pruned history (`expireVersions`). */
   def tryManifestAt(t: String, v: Long): Option[Manifest] =
     if (fs.exists(new Path(tableDir(t), s"manifest-$v.json")))

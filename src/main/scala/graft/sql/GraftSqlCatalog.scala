@@ -51,6 +51,17 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name needs spark.sql.catalog.$name.root"))
+    // Wire the stats-forwarding rule into "User Provided Optimizers" —
+    // the only extension batch that runs AFTER V2 pushdown (which wraps
+    // V1 scans) and before join planning (which reads the stats). Done
+    // here so registering a graft catalog is all a user needs; idempotent
+    // across catalogs (the rule is a singleton).
+    val session = org.apache.spark.sql.SparkSession.active
+    session.experimental.synchronized {
+      if (!session.experimental.extraOptimizations.contains(GraftStatsRule))
+        session.experimental.extraOptimizations =
+          session.experimental.extraOptimizations :+ GraftStatsRule
+    }
   }
 
   override def name(): String = catalogName

@@ -594,10 +594,36 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     aggSpec: Option[GraftAggSpec] = None,
     indexProbe: Option[GraftIndexRoute] = None,
     rowKeys: Seq[Array[Byte]] = Nil,
-    topN: Option[(Seq[GraftSortCol], Int)] = None) extends V1Scan {
+    topN: Option[(Seq[GraftSortCol], Int)] = None) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType =
     aggSpec.fold(required)(_.schema)
+
+  /** The manifest this planned scan reads — captured once so statistics
+    * and execution see the SAME version (and planning costs one
+    * CURRENT read, not one per consumer). */
+  private lazy val plannedManifest: graft.catalog.Manifest =
+    pinned.getOrElse(engine.currentManifest(tableName))
+
+  /** Size statistics from the manifest's live data-dir bytes (cached per
+    * table version — dirs are immutable). With these, Catalyst's join
+    * sizing sees a small graft table as small and auto-broadcasts it;
+    * without them a DSv2 relation defaults to "unknown = huge" and every
+    * join against the door becomes a shuffle. A pushed top-k/limit also
+    * bounds the row count. Conservative by construction: bytes are an
+    * upper bound of what the scan emits (filters/limits only shrink). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = engine.manifestBytes(plannedManifest)
+    val rows = topN.map(_._2.toLong).orElse(limit.map(_.toLong))
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
 
   /** Seam for plan asserts: the top-k this scan runs inner-side. */
   private[sql] def pushedTopN: Option[(Seq[GraftSortCol], Int)] = topN
@@ -611,7 +637,7 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
   /** The resolved view this scan produces — also the seam SqlCatalogSpec
     * uses to assert that pushdown reached the inner parquet scan. */
   private[sql] def resolvedFrame(spark: SparkSession): DataFrame = {
-    val m = pinned.getOrElse(engine.currentManifest(tableName))
+    val m = plannedManifest
     val d = m.descriptor
     // Salt as a table property: logical row bounds compile to the
     // scatter-gather disjunction on the salted storage order, then the

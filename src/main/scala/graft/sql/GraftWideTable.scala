@@ -584,9 +584,26 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     limit: Option[Int],
     manifest: graft.catalog.Manifest,
     aggSpec: Option[GraftAggSpec] = None,
-    topN: Option[(Seq[GraftSortCol], Int)] = None) extends V1Scan {
+    topN: Option[(Seq[GraftSortCol], Int)] = None) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = aggSpec.fold(required)(_.schema)
+
+  /** Size statistics from the captured manifest's data-dir bytes (see
+    * [[GraftV1Scan.estimateStatistics]]): a small wide view joins as a
+    * BROADCAST side without hints. Cell bytes upper-bound the decoded
+    * wide rows (decode only drops cell framing). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = engine.manifestBytes(manifest)
+    val rows = topN.map(_._2.toLong).orElse(limit.map(_.toLong))
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
 
   /** Seam for plan asserts: the top-k this scan runs inner-side. */
   private[sql] def pushedTopN: Option[(Seq[GraftSortCol], Int)] = topN

@@ -381,6 +381,36 @@ class SqlCatalogSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("manifest-size statistics flow to Catalyst and auto-broadcast joins") {
+    root
+    val engine = new graft.catalog.Catalog(spark, root)
+    // the v2 scan reports the manifest's live data-dir bytes
+    val scan = new GraftScanBuilder(engine, "t").build().asInstanceOf[GraftV1Scan]
+    val st = scan.estimateStatistics()
+    assert(st.sizeInBytes.isPresent && st.sizeInBytes.getAsLong > 0)
+    assert(st.sizeInBytes.getAsLong ==
+      engine.manifestBytes(engine.currentManifest("t")))
+    // ... and reach the optimizer's sizing (not the huge DSv2 default)
+    val logical = spark.sql("SELECT row, value FROM graft_sql.t")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(logical > 0 && logical < 10L * 1024 * 1024, logical)
+    // a join against a frame too big to broadcast plans the graft side
+    // as the BROADCAST side with no hint — the stats did it
+    val big = spark.range(0, 20000000L).select(
+      col("id").cast("string").cast("binary").as("jk"))
+    val joined = spark.sql("SELECT row, value FROM graft_sql.t WHERE family='f'")
+      .join(big, col("row") === col("jk"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), joined.queryExecution.executedPlan)
+    // a pushed top-k also bounds the reported row count
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val bld2 = new GraftScanBuilder(engine, "t")
+    assert(bld2.pushTopN(
+      Array(Expressions.sort(Expressions.column("ts"), SortDirection.DESCENDING)), 7))
+    val st2 = bld2.build().asInstanceOf[GraftV1Scan].estimateStatistics()
+    assert(st2.numRows.isPresent && st2.numRows.getAsLong == 7L)
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch to n manifest versions") {
     root
     val g = Graft(spark, root)

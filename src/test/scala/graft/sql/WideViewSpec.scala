@@ -353,6 +353,24 @@ class WideViewSpec extends SparkSpec {
       Array(Expressions.sort(Expressions.column("nope"), SortDirection.ASCENDING)), 3))
   }
 
+  test("wide scans report manifest-size statistics to the optimizer") {
+    val root = freshRoot("widestats")
+    val g = mkTable(root)
+    register("gwst", root)
+    val sp2 = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
+    val m = g.catalog.currentManifest("t")
+    val scan = new GraftWideScanBuilder(g.catalog, "t", sp2, m)
+      .build().asInstanceOf[GraftWideScan]
+    val st = scan.estimateStatistics()
+    assert(st.sizeInBytes.isPresent &&
+      st.sizeInBytes.getAsLong == g.catalog.manifestBytes(m))
+    // the optimizer sees the small size (not the huge DSv2 default), so
+    // the wide view is a broadcast candidate in joins
+    val logical = spark.sql("SELECT k, pop FROM gwst.`t$wide`")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(logical > 0 && logical < 10L * 1024 * 1024, logical)
+  }
+
   test("planning a wide scan reads the manifest exactly once") {
     val root = freshRoot("widemeta")
     val g = mkTable(root)
