@@ -621,15 +621,14 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     *  2. the FIRST declared predicate column with a registered
     *     single-column index.
     *
-    * Routing is DISABLED when any family declares a TTL: the routed
-    * lookups resolve index/candidate cells under default visibility,
-    * while the plain scan path resolves under the family TTL — the same
-    * query must never return different rows depending on whether a
-    * predicate happened to route (family maxVersions caps are harmless
+    * Family TTLs stay honored on routed paths: the routed hit set is
+    * re-resolved under the family TTL map before decode (see
+    * `visible` in [[resolvedFrame]] — the same post-route re-scan the
+    * cell door does), so the same query returns the same rows whether
+    * or not a predicate routes (family maxVersions caps are harmless
     * here: a wide read decodes one version per column either way). */
   private[sql] def route: Option[WideRoute] = {
     val d = manifest.descriptor
-    if (d.families.exists(_.ttlMs.isDefined)) return None
     // Composite eligibility: every member has a recorded equality or IN
     // list, and the lists' cartesian stays within one probe pass's blob
     // budget — `custkey IN (..) AND status = 'O'` is ONE composite route,
@@ -718,18 +717,32 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       df.filter(wanted.map(c =>
         col("family") === c.family && col("qualifier") === lit(c.qualifier))
         .reduce(_ || _))
+    // Family-TTL visibility on ROUTED paths: re-resolve the routed hit
+    // set under the family TTL map (resolution is idempotent on resolved
+    // cells — the cell door relies on the same property for its covered
+    // reconstructions). An indexed value that matched but whose cell has
+    // since expired decodes to NULL, and the residual predicate (all
+    // wide filters stay residual) drops the row — exactly the plain
+    // path's answer. Skipped entirely when no family declares a TTL;
+    // the extra pass is O(hit set), not O(table).
+    val ttlMap = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap
+    def visible(c: DataFrame): DataFrame =
+      if (ttlMap.isEmpty) c
+      else ScanExec(c, GScan(), ttlMs = None, now = GraftSqlCatalog.nowMs(),
+        familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
+        familyTtlMs = ttlMap)
     val cells = route match {
       case Some(WideSingle(c, ix, pred)) if indexOnly =>
         // covered (index-only) answer; row bounds re-applied on the
         // reconstructed logical rows — same rule as the cell door
         val others = wanted.filter(_.name != c.name)
           .map(w => (w.family, w.qualifier))
-        boundsFilter(pred match {
+        visible(boundsFilter(pred match {
           case GraftValueIn(vs) => SecondaryIndex.lookupCovered(
             engine.read(ix.indexTable), c.family, c.qualifier, vs, others)
           case GraftValueRange(lo, hi) => SecondaryIndex.lookupCoveredRange(
             engine.read(ix.indexTable), c.family, c.qualifier, lo, hi, others)
-        })
+        }))
       case Some(WideSingle(c, ix, pred)) =>
         // verified route over the logical view, projected to the scanned
         // columns after the whole-row verify
@@ -740,13 +753,13 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
             engine.read(ix.indexTable), c.family, c.qualifier, lo, hi,
             exactPrefix = ix.moreColumns.isEmpty)
         }
-        keepWanted(boundsFilter(hit))
+        visible(keepWanted(boundsFilter(hit)))
       case Some(WideComposite(ix, valueLists)) =>
         // conjunctive equality/IN through the composite key: ONE probe
         // pass over the bounded blob cartesian + gather + every-member
         // verify against each member's list
-        keepWanted(boundsFilter(SecondaryIndex.lookupCompositeAll(logical,
-          engine.read(ix.indexTable), ix.columns, valueLists)))
+        visible(keepWanted(boundsFilter(SecondaryIndex.lookupCompositeAll(
+          logical, engine.read(ix.indexTable), ix.columns, valueLists))))
       case None =>
         // plain scan: salt-aware bounds + qualifier projection + resolve
         val (frame, gs) =

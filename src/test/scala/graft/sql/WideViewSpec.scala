@@ -509,7 +509,7 @@ class WideViewSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet == Set("a", "ab"))
   }
 
-  test("families with a TTL disable index routing; expiry is honored") {
+  test("family TTL is honored on index-routed wide reads") {
     val root = freshRoot("widettl")
     val g = Graft(spark, root)
     g.createTable(TableDescriptor("t",
@@ -524,17 +524,22 @@ class WideViewSpec extends SparkSpec {
       Put(Bytes.toBytes(2L)).add("f", b("city"), 5L, b("paris"))
         .add("f", b("pop"), 5L, Bytes.toBytes(20L))), 2L)
     g.createIndex("t", "f", b("city"), 3L)
-    // seam: an indexed predicate does NOT route (the routed resolve would
-    // bypass the family TTL and resurrect the expired row)
+    // seam: the indexed predicate ROUTES — and the routed hit set is
+    // re-resolved under the family TTL, so the expired row (a stale
+    // index hit whose cells are past the TTL) never resurrects
     val spec = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
     import org.apache.spark.sql.sources
     val bld = new GraftWideScanBuilder(g.catalog, "t", spec, g.catalog.currentManifest("t"))
     bld.pushFilters(Array(sources.EqualTo("city", "paris")))
-    assert(bld.build().asInstanceOf[GraftWideScan].usedIndexTable.isEmpty,
-      "TTL'd family must not index-route")
+    assert(bld.build().asInstanceOf[GraftWideScan].usedIndexTable.isDefined,
+      "TTL'd family must still index-route (TTL is threaded through)")
     register("gwttl", root)
     assert(spark.sql("SELECT k FROM gwttl.`t$wide` WHERE city = 'paris'")
       .collect().map(_.getLong(0)).toSet == Set(1L))
+    // same answer for a projected non-test column (the TTL re-resolve
+    // covers every gathered cell, not just the indexed one)
+    assert(spark.sql("SELECT k, pop FROM gwttl.`t$wide` WHERE city = 'paris'")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
   }
 
   test("wideKey/wideSchema declarations are validated with clear errors") {
