@@ -2573,6 +2573,49 @@ object Queries {
     CellCodec.decode(hit, ordersSchema).orderBy("o_orderkey")
   }
 
+  // STREAMING read of the WIDE view: the append feed decoded to
+  // relational UPSERT rows (GraftWideMicroBatchStream — per-file
+  // assembly over the sorted committed layout, no shuffle, no state).
+  // The source gets an initial load plus a partial update batch; the
+  // feed must ship one full-row upsert per customer and one
+  // segment-only upsert (untouched columns NULL — a change feed, not
+  // resolved state) per updated key. Oracle = the same union,
+  // recomputed relationally.
+  private val streamWideFeed = Q("stream_wide_feed", Some("""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+           CAST(NULL AS INTEGER) AS c_nationkey,
+           CAST(NULL AS DOUBLE) AS c_acctbal, 'UPDATED' AS c_mktsegment
+    FROM customer WHERE c_custkey < 300
+    ORDER BY c_custkey, c_mktsegment""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val work = java.nio.file.Files.createTempDirectory("graft-q-widefeed").toString
+    val g = graft.Graft(s, s"$work/src")
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("c")),
+      splitKeys = 8, wideKey = Some("c_custkey:long"),
+      wideSchema = Some("c:c_name:string;c:c_nationkey:int;" +
+        "c:c_acctbal:double;c:c_mktsegment:string")), 1L)
+    g.table("t").mutate(customerCells(s, dir), nowMs = 1L)
+    g.table("t").mutate(CellCodec.encode(
+      t(s, dir, "customer").filter(col("c_custkey") < 300)
+        .select(col("c_custkey"), lit("UPDATED").as("c_mktsegment")),
+      "c", Seq("c_custkey"), batchTs = 2L), nowMs = 2L)
+    s.conf.set("spark.sql.catalog.graft_wf",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wf.root", s"$work/src")
+    val q = s.readStream.table("graft_wf.`t$wide`")
+      .writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey", "c_mktsegment")
+  }
+
   // Flush-triggered maintenance on a streaming sink: the change feed is
   // throttled to 2 files/trigger so the replay arrives as MANY small
   // micro-batches; replicateMaintained folds the accumulating tail via the
@@ -4308,6 +4351,7 @@ object Queries {
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,
+    streamWideFeed,
     streamWindowAgg, streamEnrich, streamIntervalJoin, streamAsofJoin,
     asOfJoinQ, intervalJoinQ,
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,

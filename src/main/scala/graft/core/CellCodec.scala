@@ -99,7 +99,12 @@ object CellCodec {
     // keeps full precision.
     case TimestampNTZType => longBytes(unix_micros(c.cast(TimestampType)))
     case DateType => intBytes(datediff(c, lit("1970-01-01").cast(DateType)))
-    case BooleanType => c.cast(BinaryType)
+    // no boolean<->binary CAST exists in Spark — encode explicitly as the
+    // single byte Bytes.toBytes(Boolean) writes (null stays null = no cell)
+    case BooleanType =>
+      when(c.isNull, lit(null).cast(BinaryType))
+        .when(c.cast(BooleanType), lit(Array(1.toByte)))
+        .otherwise(lit(Array(0.toByte)))
     case BinaryType => c
     case other => throw new IllegalArgumentException(s"unsupported cell type: $other")
   }
@@ -113,7 +118,7 @@ object CellCodec {
     case TimestampType => timestamp_millis(Bytes.asLong(c))
     case TimestampNTZType => timestamp_micros(Bytes.asLong(c)).cast(TimestampNTZType)
     case DateType => date_add(lit("1970-01-01").cast(DateType), Bytes.asInt(c))
-    case BooleanType => c.cast(BooleanType)
+    case BooleanType => Bytes.asBoolean(c)
     case BinaryType => c
     case other => throw new IllegalArgumentException(s"unsupported cell type: $other")
   }

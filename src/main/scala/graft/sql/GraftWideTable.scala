@@ -63,7 +63,7 @@ class GraftWideTable(engine: Catalog, baseTable: String) extends Table
   override def schema(): StructType = spec.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   /** `INSERT INTO t$wide` — relational rows become Put cells through the
     * SAME append seam as every other write (`Catalog.append`: salt
@@ -100,7 +100,12 @@ class GraftWideTable(engine: Catalog, baseTable: String) extends Table
     * table version — no torn read across a concurrent commit). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = engine.currentManifest(baseTable)
-    new GraftWideScanBuilder(engine, baseTable, specOf(m), m)
+    val maxVersions = Option(options.get("maxVersionsPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
+    new GraftWideScanBuilder(engine, baseTable, specOf(m), m, maxVersions)
   }
 }
 
@@ -300,7 +305,8 @@ private[sql] object WideSpec {
   * table version captured at scan build (one metadata read per planned
   * query — see [[GraftWideTable.newScanBuilder]]). */
 class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
-    manifest: graft.catalog.Manifest)
+    manifest: graft.catalog.Manifest,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -573,7 +579,8 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
 
   override def build(): V2Scan =
     new GraftWideScan(engine, baseTable, spec, required, startRow, stopRow,
-      colEq, colLo, colHi, limit, manifest, aggSpec, topN)
+      colEq, colLo, colHi, limit, manifest, aggSpec, topN,
+      maxVersionsPerTrigger)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -584,7 +591,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     limit: Option[Int],
     manifest: graft.catalog.Manifest,
     aggSpec: Option[GraftAggSpec] = None,
-    topN: Option[(Seq[GraftSortCol], Int)] = None) extends V1Scan
+    topN: Option[(Seq[GraftSortCol], Int)] = None,
+    maxVersionsPerTrigger: Option[Long] = None) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = aggSpec.fold(required)(_.schema)
@@ -797,4 +805,19 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       override def buildScan(): RDD[Row] =
         resolvedFrame(context.sparkSession).rdd
     }.asInstanceOf[T]
+
+  /** Streaming read = the append feed decoded to relational UPSERT rows
+    * (see [[GraftWideMicroBatchStream]] for the semantics contract and
+    * the single-family constraint's why). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val fams = spec.cols.map(_.family).distinct
+    require(fams.size == 1,
+      s"streaming a wide view needs a single-family wideSchema (got " +
+        s"${fams.mkString(", ")}); stream the cell table and decode in " +
+        "foreachBatch instead")
+    new GraftWideMicroBatchStream(engine, baseTable, spec, required,
+      fams.head, startRow, stopRow, maxVersionsPerTrigger,
+      manifest.descriptor.saltBuckets)
+  }
 }

@@ -1,0 +1,126 @@
+package graft.sql
+
+import graft.{Graft, SparkSpec}
+import graft.catalog.{FamilyDescriptor, TableDescriptor}
+import graft.core.Bytes
+import graft.write.{Delete, Put}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming read of the wide view: the append feed decoded to
+  * relational upsert rows, byte-parity with the batch decode. */
+class WideStreamSpec extends SparkSpec {
+
+  private def b(s: String) = Bytes.toBytes(s)
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+  private def register(cat: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+  }
+
+  private def drain(table: String, work: String,
+      options: Map[String, String] = Map.empty): Seq[Seq[org.apache.spark.sql.Row]] = {
+    val batches = scala.collection.mutable.ListBuffer.empty[Seq[org.apache.spark.sql.Row]]
+    var r = spark.readStream
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.table(table)
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().toSeq
+        batches.synchronized { batches += rows }: Unit
+      }
+      .start()
+    q.awaitTermination()
+    batches.synchronized(batches.toList).filter(_.nonEmpty)
+  }
+
+  test("the wide stream ships per-version upserts; tombstones ship nothing") {
+    val root = freshRoot("widestream")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long")), 1L)
+    // version 2: two full rows
+    g.table("t").put(Seq(
+      Put(Bytes.toBytes(1L)).add("f", b("city"), 2L, b("paris"))
+        .add("f", b("pop"), 2L, Bytes.toBytes(10L)),
+      Put(Bytes.toBytes(2L)).add("f", b("city"), 2L, b("rome"))
+        .add("f", b("pop"), 2L, Bytes.toBytes(20L))), 2L)
+    // version 3: partial update of row 1 (city only) + a whole-row
+    // tombstone of row 2 — a delete is visibility, not an upsert
+    g.table("t").put(Seq(
+      Put(Bytes.toBytes(1L)).add("f", b("city"), 3L, b("lyon"))), 3L)
+    g.table("t").delete(Seq(Delete(Bytes.toBytes(2L)).deleteFamily("f", 3L)), 3L)
+    register("gws1", root)
+    val work = freshRoot("widestream-w")
+    val batches = drain("gws1.`t$wide`", work,
+      Map("maxVersionsPerTrigger" -> "1"))
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    // version 2's batch: both rows, all columns
+    assert(batches.head.map(tup).toSet ==
+      Set((1L, Some("paris"), Some(10L)), (2L, Some("rome"), Some(20L))),
+      batches.head)
+    // version 3's put: row 1 with the untouched column null (a CHANGE
+    // feed, not resolved state); the tombstone batch ships nothing
+    assert(batches.tail.flatten.map(tup) == Seq((1L, Some("lyon"), None)),
+      batches.tail)
+  }
+
+  test("streamed decode is value-parity with the batch wide SELECT (all types)") {
+    val root = freshRoot("widestream-types")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long,s:string"),
+      wideSchema = Some("f:il:long;f:ii:int;f:st:string;f:du:double;" +
+        "f:fl:float;f:ts:timestamp;f:tn:timestamp_ntz;f:dt:date;" +
+        "f:bo:boolean;f:bi:binary;f:ol:olong;f:oi:oint;f:od:odouble")), 1L)
+    register("gws2", root)
+    // typed rows (incl. negatives for the ordered codecs and a negative
+    // plain long — value round-trip does not need order preservation)
+    spark.sql("""SELECT * FROM VALUES
+        (1L, 'a', -5L, -7, 'x', 1.5D, CAST(2.5 AS FLOAT),
+         TIMESTAMP'2024-03-01 12:00:00', TIMESTAMP_NTZ'2024-03-01 13:00:00',
+         DATE'1969-07-20', true, X'DEADBEEF', -99L, -42, -0.25D),
+        (2L, 'b', 8L, 9, 'y', -3.25D, CAST(-1.5 AS FLOAT),
+         TIMESTAMP'1970-01-01 00:00:01', TIMESTAMP_NTZ'1969-12-31 23:59:59',
+         DATE'2030-01-02', false, X'00', 77L, 6, 1e300D)
+        AS t(k, s, il, ii, st, du, fl, ts, tn, dt, bo, bi, ol, oi, od)""")
+      .writeTo("gws2.`t$wide`").append()
+    val batch = spark.sql("SELECT * FROM gws2.`t$wide`").collect()
+      .map(_.toSeq.map {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      }).toSet
+    val work = freshRoot("widestream-types-w")
+    val streamed = drain("gws2.`t$wide`", work).flatten
+      .map(_.toSeq.map {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      }).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch.size == 2)
+  }
+
+  test("a multi-family wide view refuses to stream with a clear error") {
+    val root = freshRoot("widestream-mf")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f"), FamilyDescriptor("g")),
+      wideKey = Some("k:long"),
+      wideSchema = Some("f:a:long;g:b:long")), 1L)
+    val m = g.catalog.currentManifest("t")
+    val sp = WideSpec.parse(m.descriptor.wideKey, m.descriptor.wideSchema)
+    val scan = new GraftWideScanBuilder(g.catalog, "t", sp, m)
+      .build().asInstanceOf[GraftWideScan]
+    val e = intercept[IllegalArgumentException] {
+      scan.toMicroBatchStream("unused")
+    }
+    assert(e.getMessage.contains("single-family"), e.getMessage)
+  }
+}
