@@ -781,6 +781,40 @@ object Queries {
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")
   }
 
+  // TIME TRAVEL on the wide view: `VERSION AS OF v` pins spec, data dirs
+  // and decode to manifest v (index routing off — a live index reflects
+  // the present). The table gets an initial load (v2) plus a
+  // status-overwrite batch (v3); the pinned query must return the
+  // PRE-update rows, which the oracle recomputes from the source.
+  private val sqlWideTimeTravelRoots =
+    scala.collection.mutable.Map.empty[String, String]
+  private val sqlWideTimeTravel = Q("sql_wide_time_travel", Some("""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey < 5000 ORDER BY o_orderkey""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val root = Queries.synchronized {
+      sqlWideTimeTravelRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-wtt").toString
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("o")),
+          splitKeys = 8, wideKey = Some("o_orderkey:long"),
+          wideSchema = Some("o:o_orderstatus:string;o:o_totalprice:double")), 1L)
+        g.table("t").mutate(ordersCells(s, dir), nowMs = 1L) // v2
+        g.table("t").mutate(CellCodec.encode(
+          t(s, dir, "orders").filter(col("o_orderkey") < 1000)
+            .select(col("o_orderkey"), lit("X").as("o_orderstatus")),
+          "o", Seq("o_orderkey"), batchTs = 2L), nowMs = 2L) // v3
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_wtt",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wtt.root", root)
+    s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             FROM graft_wtt.`t$wide` VERSION AS OF 2
+             WHERE o_orderkey < 5000 ORDER BY o_orderkey""")
+  }
+
   // COMPOSITE index through the wide view: conjunctive equality/IN over
   // (o_custkey, o_orderstatus) becomes ONE probe pass over the bounded
   // blob cartesian of the composite key (read/Index.scala
@@ -4329,6 +4363,7 @@ object Queries {
     sqlIndexComposite, sqlIndexLeadingRange, sqlPrefixRoute,
     sqlIndexDoubleRange, sqlWideAgg, sqlWideInsert,
     sqlWideUpdate, sqlWideDelete, sqlWideMerge, sqlWideSum, sqlWideTopN,
+    sqlWideTimeTravel,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
     getPoint, getRowOrBefore, rowCounter,
     existsGet,

@@ -89,14 +89,31 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     * manifest history IS the version chain; the reference's snapshot
     * read, `SnapshotDescriptor` by name, maps to a frozen manifest the
     * same way). */
-  override def loadTable(ident: Identifier, version: String): Table = {
+  /** Time-travel resolution shared by the VERSION/TIMESTAMP overloads:
+    * `t$wide` pins the WIDE view to the manifest (its spec, data dirs,
+    * and decode all come from that version; index routing is off — a
+    * live index reflects the present). */
+  private def pinnedTable(ident: Identifier,
+      manifestOf: String => graft.catalog.Manifest): Table = {
     val t = ident.name()
-    if (!engine.tableExists(t)) throw new NoSuchTableException(ident)
+    if (t.endsWith(WideSpec.Suffix)) {
+      val base = t.stripSuffix(WideSpec.Suffix)
+      if (!engine.tableExists(base)) throw new NoSuchTableException(ident)
+      val m = manifestOf(base)
+      if (m.descriptor.wideSchema.isEmpty) throw new NoSuchTableException(ident)
+      new GraftWideTable(engine, base, Some(m))
+    } else {
+      if (!engine.tableExists(t)) throw new NoSuchTableException(ident)
+      new GraftSqlTable(engine, t, Some(manifestOf(t)))
+    }
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft VERSION AS OF takes a manifest version number, got '$version'")
     }
-    new GraftSqlTable(engine, t, Some(engine.manifestAt(t, v)))
+    pinnedTable(ident, t => engine.manifestAt(t, v))
   }
 
   /** `TIMESTAMP AS OF ts` — latest manifest committed at or before the
@@ -104,13 +121,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     * `createdMs`). Newest-first early-exit lookup: O(1) manifest reads
     * for recent timestamps, not O(history) JSON parses. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val t = ident.name()
-    if (!engine.tableExists(t)) throw new NoSuchTableException(ident)
     val ms = Math.floorDiv(timestampMicros, 1000L)
-    val m = engine.manifestAtOrBefore(t, ms).getOrElse(
+    pinnedTable(ident, t => engine.manifestAtOrBefore(t, ms).getOrElse(
       throw new IllegalArgumentException(
-        s"table $t has no manifest at or before ${ms}ms"))
-    new GraftSqlTable(engine, t, Some(m))
+        s"table $t has no manifest at or before ${ms}ms")))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

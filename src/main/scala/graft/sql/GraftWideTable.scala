@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    otherwise all declared columns are scanned so the row SET does not
   *    depend on the projection).
   */
-class GraftWideTable(engine: Catalog, baseTable: String) extends Table
+class GraftWideTable(engine: Catalog, baseTable: String,
+    pinned: Option[graft.catalog.Manifest] = None) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -51,13 +52,17 @@ class GraftWideTable(engine: Catalog, baseTable: String) extends Table
     * relational DML door (see [[GraftWideRowLevelOperation]]). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"cannot ${info.command} a time-travel view of $baseTable")
     () => new GraftWideRowLevelOperation(engine, baseTable, info.command)
+  }
 
   private def specOf(m: graft.catalog.Manifest): WideSpec =
     WideSpec.parse(m.descriptor.wideKey, m.descriptor.wideSchema)
 
-  private[sql] def spec: WideSpec = specOf(engine.currentManifest(baseTable))
+  private[sql] def spec: WideSpec =
+    specOf(pinned.getOrElse(engine.currentManifest(baseTable)))
 
   override def name(): String = baseTable + WideSpec.Suffix
   override def schema(): StructType = spec.schema
@@ -75,6 +80,8 @@ class GraftWideTable(engine: Catalog, baseTable: String) extends Table
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(pinned.isEmpty,
+      s"cannot write to a time-travel view of $baseTable")
     val sp = spec
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
@@ -99,13 +106,14 @@ class GraftWideTable(engine: Catalog, baseTable: String) extends Table
     * the data dirs, and the decode spec are guaranteed to agree on one
     * table version — no torn read across a concurrent commit). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val m = engine.currentManifest(baseTable)
+    val m = pinned.getOrElse(engine.currentManifest(baseTable))
     val maxVersions = Option(options.get("maxVersionsPerTrigger")).map { v =>
       val n = v.toLong
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
       n
     }
-    new GraftWideScanBuilder(engine, baseTable, specOf(m), m, maxVersions)
+    new GraftWideScanBuilder(engine, baseTable, specOf(m), m, maxVersions,
+      timeTravel = pinned.isDefined)
   }
 }
 
@@ -306,7 +314,8 @@ private[sql] object WideSpec {
   * query — see [[GraftWideTable.newScanBuilder]]). */
 class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
     manifest: graft.catalog.Manifest,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    timeTravel: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -580,7 +589,7 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   override def build(): V2Scan =
     new GraftWideScan(engine, baseTable, spec, required, startRow, stopRow,
       colEq, colLo, colHi, limit, manifest, aggSpec, topN,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, timeTravel)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -592,7 +601,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     manifest: graft.catalog.Manifest,
     aggSpec: Option[GraftAggSpec] = None,
     topN: Option[(Seq[GraftSortCol], Int)] = None,
-    maxVersionsPerTrigger: Option[Long] = None) extends V1Scan
+    maxVersionsPerTrigger: Option[Long] = None,
+    timeTravel: Boolean = false) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = aggSpec.fold(required)(_.schema)
@@ -636,6 +646,9 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     * or not a predicate routes (family maxVersions caps are harmless
     * here: a wide read decodes one version per column either way). */
   private[sql] def route: Option[WideRoute] = {
+    // Time-travel scans never route: a live index reflects the PRESENT
+    // table, not the pinned version (same rule as the cell door).
+    if (timeTravel) return None
     val d = manifest.descriptor
     // Composite eligibility: every member has a recorded equality or IN
     // list, and the lists' cartesian stays within one probe pass's blob
@@ -811,6 +824,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     * the single-family constraint's why). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!timeTravel,
+      s"cannot stream from a time-travel view of $baseTable")
     val fams = spec.cols.map(_.family).distinct
     require(fams.size == 1,
       s"streaming a wide view needs a single-family wideSchema (got " +

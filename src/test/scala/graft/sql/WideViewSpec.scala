@@ -371,6 +371,36 @@ class WideViewSpec extends SparkSpec {
     assert(logical > 0 && logical < 10L * 1024 * 1024, logical)
   }
 
+  test("VERSION AS OF pins the wide view; pinned views are read-only and unrouted") {
+    val root = freshRoot("widetravel")
+    val g = mkTable(root) // v2 = the initial 40 rows
+    register("gwtt", root)
+    // v3: overwrite row 7's city
+    g.table("t").put(Seq(Put(Bytes.toBytes(7L))
+      .add("f", b("city"), 3L, b("newtown"))), 3L)
+    assert(spark.sql("SELECT city FROM gwtt.`t$wide` WHERE k = 7")
+      .collect().head.getString(0) == "newtown")
+    assert(spark.sql("SELECT city FROM gwtt.`t$wide` VERSION AS OF 2 WHERE k = 7")
+      .collect().head.getString(0) == "other7")
+    // a pinned wide view never index-routes (live index, pinned data)
+    g.createIndex("t", "f", b("city"), 4L)
+    val sp = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
+    import org.apache.spark.sql.sources
+    val bld = new GraftWideScanBuilder(g.catalog, "t", sp,
+      g.catalog.manifestAt("t", 2L), timeTravel = true)
+    bld.pushFilters(Array(sources.EqualTo("city", "paris")))
+    assert(bld.build().asInstanceOf[GraftWideScan].usedIndexTable.isEmpty)
+    // ... while the live view does route, and writes to a pinned view fail
+    val bld2 = new GraftWideScanBuilder(g.catalog, "t", sp,
+      g.catalog.currentManifest("t"))
+    bld2.pushFilters(Array(sources.EqualTo("city", "paris")))
+    assert(bld2.build().asInstanceOf[GraftWideScan].usedIndexTable.isDefined)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gwtt.`t$wide` VERSION AS OF 2 VALUES (99, 'x', 1)")
+    }
+    assert(e.getMessage != null)
+  }
+
   test("planning a wide scan reads the manifest exactly once") {
     val root = freshRoot("widemeta")
     val g = mkTable(root)
