@@ -386,6 +386,45 @@ object PerfEval {
                     WHERE row >= $lo AND row < $hi AND qualifier = $q""")
     }
 
+    // statsJoin pair: the manifest-size statistics seam PRICED — a graft
+    // dim table (cell door, decoded) joined to the orders parquet fact.
+    // With statistics the dim side auto-broadcasts (GraftStatsRule, no
+    // hint — the require pins that the plan really is a broadcast); with
+    // the broadcast threshold disabled the SAME query is what every join
+    // against a stats-less V1 DSv2 source gets: both sides shuffled.
+    {
+      spark.conf.set("spark.sql.catalog.graft_pe",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_pe.root", work)
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+      g.createTable(TableDescriptor("dimc", Seq(FamilyDescriptor("c"))), 1L)
+      g.table("dimc").mutate(
+        CellCodec.encode(cust, "c", Seq("c_custkey")), nowMs = 1L)
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      def joined = {
+        val cells = spark.sql(
+          "SELECT row, qualifier, value FROM graft_pe.dimc")
+        val dim = CellCodec.decode(cells, StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_mktsegment", StringType))))
+        orders.join(dim, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment").count()
+      }
+      require(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "stats did not broadcast the dim")
+      results("statsJoinBroadcast") = timedMin2 { joined.collect(): Unit }
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        results("statsJoinShuffle") = timedMin2 { joined.collect(): Unit }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+
     // annLshHash: hash-derived-hyperplane ANN top-k (native HyperplaneBand
     // signatures). Timed here rather than in the correctness battery:
     // DuckDB cannot recompute xxhash64 buckets, so the battery carries the
