@@ -781,6 +781,44 @@ object Queries {
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")
   }
 
+  // Metadata DELETE on the wide view: a provably-exact key-range
+  // predicate (comparisons on an ORDERED key head) takes the cell door's
+  // tombstone path — O(matching keys) DeleteFamily cells, no
+  // read-modify-write delta. WideViewSpec pins the path (tombstones
+  // stamp max cell ts, not commit time); this gate pins the answer.
+  private val sqlWideMetaDeleteRoots =
+    scala.collection.mutable.Map.empty[String, String]
+  private val sqlWideMetaDelete = Q("sql_wide_meta_delete", Some(s"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 40000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val root = Queries.synchronized {
+      sqlWideMetaDeleteRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-wmd").toString
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("o")),
+          splitKeys = 8, wideKey = Some("o_orderkey:olong"),
+          wideSchema = Some("o:o_orderstatus:string;o:o_totalprice:double")), 1L)
+        g.table("t").mutate(CellCodec.encode(
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          "o", Seq("o_orderkey"), ordered = Set("o_orderkey")), nowMs = 1L)
+        s.conf.set("spark.sql.catalog.graft_wmd",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_wmd.root", r)
+        s.sql("""DELETE FROM graft_wmd.`t$wide`
+                 WHERE o_orderkey >= 2000 AND o_orderkey < 40000""")
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_wmd",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wmd.root", root)
+    s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             FROM graft_wmd.`t$wide` ORDER BY o_orderkey""")
+  }
+
   // TIME TRAVEL on the wide view: `VERSION AS OF v` pins spec, data dirs
   // and decode to manifest v (index routing off — a live index reflects
   // the present). The table gets an initial load (v2) plus a
@@ -4363,7 +4401,7 @@ object Queries {
     sqlIndexComposite, sqlIndexLeadingRange, sqlPrefixRoute,
     sqlIndexDoubleRange, sqlWideAgg, sqlWideInsert,
     sqlWideUpdate, sqlWideDelete, sqlWideMerge, sqlWideSum, sqlWideTopN,
-    sqlWideTimeTravel,
+    sqlWideTimeTravel, sqlWideMetaDelete,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,
     getPoint, getRowOrBefore, rowCounter,
     existsGet,

@@ -120,29 +120,7 @@ class GraftSqlTable(engine: Catalog, tableName: String,
       case sources.EqualTo("family", f: String) => fam = Some(f)
       case _ => () // IsNotNull / AlwaysTrue — vetted by canDeleteWhere
     }
-    var cells =
-      if (d.saltBuckets > 0)
-        graft.core.Salt.scanRange(engine.read(tableName), d.saltBuckets,
-          start, stop)
-      else {
-        var c = engine.read(tableName)
-        start.foreach(b => c = c.filter(col("row") >= lit(b)))
-        stop.foreach(b => c = c.filter(col("row") < lit(b)))
-        c
-      }
-    fam.foreach(f => cells = cells.filter(col("family") === f))
-    val tombs = cells
-      .groupBy("row", "family").agg(max("ts").as("ts"))
-      .select(col("row"), col("family"),
-        lit(Array.emptyByteArray).as("qualifier"), col("ts"),
-        lit(graft.core.CellKind.DeleteFamily).as("kind"),
-        lit(null).cast(org.apache.spark.sql.types.BinaryType).as("value"),
-        lit(0L).as("seq"))
-    // No isEmpty pre-check — that would execute the read+aggregate twice
-    // (once to count, once to write). An empty tombstone batch writes no
-    // leaf dirs and commits a data-less manifest version, which is
-    // harmless (the reference logs a WAL entry for a no-op Delete too).
-    engine.append(tableName, tombs, GraftSqlCatalog.nowMs()): Unit
+    GraftTombstones.write(engine, tableName, d, start, stop, fam)
   }
 
   /** `TRUNCATE TABLE` — a compaction-to-empty commit (history and
@@ -178,6 +156,45 @@ class GraftSqlTable(engine: Catalog, tableName: String,
           }
       }
     }
+  }
+}
+
+/** The shared SQL-DELETE body (cell door row-bounds deletes and the wide
+  * view's metadata deletes): one DeleteFamily tombstone per present
+  * (row, family) in `[start, stop) x fam` (all present families when
+  * None), stamped at that group's max cell ts — masking exactly the
+  * current contents (`HBase Delete`'s <=-ts rule; later writes with
+  * newer stamps survive, snapshots and time travel keep the pre-delete
+  * view). O(matching keys) appended, nothing rewritten. */
+private[sql] object GraftTombstones {
+  def write(engine: Catalog, tableName: String,
+      d: graft.catalog.TableDescriptor,
+      start: Option[Array[Byte]], stop: Option[Array[Byte]],
+      fam: Option[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    var cells =
+      if (d.saltBuckets > 0)
+        graft.core.Salt.scanRange(engine.read(tableName), d.saltBuckets,
+          start, stop)
+      else {
+        var c = engine.read(tableName)
+        start.foreach(b => c = c.filter(col("row") >= lit(b)))
+        stop.foreach(b => c = c.filter(col("row") < lit(b)))
+        c
+      }
+    fam.foreach(f => cells = cells.filter(col("family") === f))
+    val tombs = cells
+      .groupBy("row", "family").agg(max("ts").as("ts"))
+      .select(col("row"), col("family"),
+        lit(Array.emptyByteArray).as("qualifier"), col("ts"),
+        lit(graft.core.CellKind.DeleteFamily).as("kind"),
+        lit(null).cast(org.apache.spark.sql.types.BinaryType).as("value"),
+        lit(0L).as("seq"))
+    // No isEmpty pre-check — that would execute the read+aggregate twice
+    // (once to count, once to write). An empty tombstone batch writes no
+    // leaf dirs and commits a data-less manifest version, which is
+    // harmless (the reference logs a WAL entry for a no-op Delete too).
+    engine.append(tableName, tombs, GraftSqlCatalog.nowMs()): Unit
   }
 }
 

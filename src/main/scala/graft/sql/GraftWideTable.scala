@@ -46,7 +46,36 @@ class GraftWideTable(engine: Catalog, baseTable: String,
     pinned: Option[graft.catalog.Manifest] = None) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** Metadata DELETE on the wide view: a predicate set whose byte-range
+    * translation is PROVABLY EXACT (the same accepted subset as the agg
+    * pushdown — equality on fixed-width key heads, comparisons on
+    * ORDERED heads, key-part IsNotNull, AlwaysTrue) takes the cell
+    * door's tombstone path — O(matching keys) DeleteFamily cells, no
+    * read-modify-write. Everything else falls through to the row-level
+    * (delta) operation, which Spark consults next. Exactness matters
+    * here in the opposite direction from scans: a scan's recorded range
+    * may be a superset (the residual re-filters), a DELETE's range IS
+    * the delete. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty && {
+      val m = engine.currentManifest(baseTable)
+      val bld = new GraftWideScanBuilder(engine, baseTable, specOf(m), m)
+      bld.pushFilters(filters.filterNot(_.isInstanceOf[sources.AlwaysTrue]))
+        .isEmpty
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinned.isEmpty,
+      s"cannot DELETE from a time-travel view of $baseTable")
+    val m = engine.currentManifest(baseTable)
+    val bld = new GraftWideScanBuilder(engine, baseTable, specOf(m), m)
+    bld.pushFilters(filters.filterNot(_.isInstanceOf[sources.AlwaysTrue])): Unit
+    val (start, stop) = bld.rowBounds
+    GraftTombstones.write(engine, baseTable, m.descriptor, start, stop, None)
+  }
 
   /** SQL `UPDATE` / `DELETE` / `MERGE INTO` on the wide view — the
     * relational DML door (see [[GraftWideRowLevelOperation]]). */
@@ -494,6 +523,11 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
 
   private var accepted: Array[Filter] = Array.empty
   override def pushedFilters(): Array[Filter] = accepted
+
+  /** The recorded row-key byte range — exact when pushFilters accepted
+    * every filter (the metadata-DELETE seam). */
+  private[sql] def rowBounds: (Option[Array[Byte]], Option[Array[Byte]]) =
+    (startRow, stopRow)
 
   /** With an aggregate pushed, Spark's subsequent pruning call refers to
     * the aggregate's output schema, not wide columns — the wide

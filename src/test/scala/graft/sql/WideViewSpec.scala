@@ -401,6 +401,39 @@ class WideViewSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("sargable wide DELETEs take the metadata tombstone path") {
+    val root = freshRoot("widemdel")
+    val g = Graft(spark, root)
+    // olong key: range comparisons are provably exact, so they qualify
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:olong"),
+      wideSchema = Some("f:pop:long")), 1L)
+    g.table("t").put((-5 to 5).map(i =>
+      Put(Bytes.toBytesOrdered(i.toLong))
+        .add("f", b("pop"), 2L, Bytes.toBytes(i.toLong * 10))), 2L)
+    register("gwmd", root)
+    import org.apache.spark.sql.sources
+    val tbl = new GraftWideTable(g.catalog, "t")
+    // exact subsets qualify; a value-column predicate or a plain-long
+    // range (negative keys leak into the byte range) does not
+    assert(tbl.canDeleteWhere(Array[sources.Filter](
+      sources.GreaterThanOrEqual("k", java.lang.Long.valueOf(-2L)),
+      sources.LessThan("k", java.lang.Long.valueOf(3L)))))
+    assert(!tbl.canDeleteWhere(Array[sources.Filter](
+      sources.EqualTo("pop", java.lang.Long.valueOf(10L)))))
+    // end-to-end: the range delete tombstones exactly [-2, 3)
+    spark.sql("DELETE FROM gwmd.`t$wide` WHERE k >= -2 AND k < 3")
+    assert(spark.sql("SELECT k FROM gwmd.`t$wide` ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(-5L, -4L, -3L, 3L, 4L, 5L))
+    // path seam: metadata tombstones stamp each group's MAX CELL TS (2);
+    // the row-level fallback would stamp the wall-clock commitMs
+    val tombs = g.catalog.read("t")
+      .filter(org.apache.spark.sql.functions.col("kind") ===
+        graft.core.CellKind.DeleteFamily)
+      .select("ts").collect().map(_.getLong(0)).toSeq
+    assert(tombs.size == 5 && tombs.forall(_ == 2L), tombs)
+  }
+
   test("planning a wide scan reads the manifest exactly once") {
     val root = freshRoot("widemeta")
     val g = mkTable(root)
