@@ -2664,15 +2664,24 @@ object Queries {
     import graft.catalog.{FamilyDescriptor, TableDescriptor}
     val work = java.nio.file.Files.createTempDirectory("graft-q-widefeed").toString
     val g = graft.Graft(s, s"$work/src")
-    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("c")),
+    // TWO families: each initial row's cells split across sibling
+    // per-family files, so the feed's assembly must merge them back into
+    // ONE upsert (the k-way group merge, exercised at oracle scale)
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("c"), FamilyDescriptor("d")),
       splitKeys = 8, wideKey = Some("c_custkey:long"),
       wideSchema = Some("c:c_name:string;c:c_nationkey:int;" +
-        "c:c_acctbal:double;c:c_mktsegment:string")), 1L)
-    g.table("t").mutate(customerCells(s, dir), nowMs = 1L)
+        "d:c_acctbal:double;d:c_mktsegment:string")), 1L)
+    val cust = t(s, dir, "customer")
+    g.table("t").mutate(
+      CellCodec.encode(cust.select("c_custkey", "c_name", "c_nationkey"),
+        "c", Seq("c_custkey")).unionByName(
+        CellCodec.encode(cust.select("c_custkey", "c_acctbal", "c_mktsegment"),
+          "d", Seq("c_custkey"))), nowMs = 1L)
     g.table("t").mutate(CellCodec.encode(
-      t(s, dir, "customer").filter(col("c_custkey") < 300)
+      cust.filter(col("c_custkey") < 300)
         .select(col("c_custkey"), lit("UPDATED").as("c_mktsegment")),
-      "c", Seq("c_custkey"), batchTs = 2L), nowMs = 2L)
+      "d", Seq("c_custkey"), batchTs = 2L), nowMs = 2L)
     s.conf.set("spark.sql.catalog.graft_wf",
       classOf[graft.sql.GraftSqlCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_wf.root", s"$work/src")

@@ -2,6 +2,7 @@ package graft.sql
 
 import graft.catalog.Catalog
 import graft.core.{Bytes, Cell, CellKind}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
@@ -28,63 +29,179 @@ import org.apache.spark.util.SerializableConfiguration
   * peer, `Replication` here exposes them on the CELL feed for users who
   * need them).
   *
-  * Exactness of per-FILE assembly (no shuffle, no state): every
-  * committed `data-*` leaf file is range-partitioned by row and sorted
-  * by (row, family, qualifier, ts desc, seq desc) — `Catalog.writeCells`
-  * is the single append path — so one (version, family, row)'s cells are
-  * CONTIGUOUS in exactly one file, and first-seen-per-qualifier is the
-  * batch's newest version. This is also why the wide stream requires a
-  * SINGLE-family wideSchema: a second family's cells land in a sibling
-  * `_fam=` leaf dir, and assembling one row across two files would need
-  * a shuffle the streaming partition contract does not have. Multi-family
-  * views stream the cell door and decode in `foreachBatch`.
+  * Exactness of shuffle-free, state-free assembly: every committed
+  * `data-*` leaf file is range-partitioned by row and sorted by
+  * (row, family, qualifier, ts desc, seq desc) — `Catalog.writeCells` is
+  * the single append path, and ALL families of one batch share the SAME
+  * range partitioning (one write job splits per-family leaf dirs AFTER
+  * the range repartition). So within a version, the files holding one
+  * row's cells — at most one per family — cover row ranges that
+  * INTERSECT, while files of different range partitions are row-disjoint.
+  * Planning groups a version's files by that property (parquet footer
+  * min/max of `row` + interval union-find; any file without stats
+  * collapses the version to one conservative group), and each group is
+  * one InputPartition whose reader k-way-merges its ≤|families| sorted
+  * files back into full cell order before assembly. Single-family views
+  * degenerate to one file per group — zero merge overhead.
   */
 class GraftWideMicroBatchStream(engine: Catalog, tableName: String,
-    spec: WideSpec, required: StructType, family: String,
+    spec: WideSpec, required: StructType, families: Set[String],
     startRow: Option[Array[Byte]], stopRow: Option[Array[Byte]],
     maxVersionsPerTrigger: Option[Long], saltBuckets: Int)
     extends GraftMicroBatchStream(engine, tableName,
-      graft.read.Scan(startRow, stopRow).addFamily(family), Cell.schema,
-      maxVersionsPerTrigger, saltBuckets) {
+      families.foldLeft(graft.read.Scan(startRow, stopRow))(_.addFamily(_)),
+      Cell.schema, maxVersionsPerTrigger, saltBuckets) {
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    super.planInputPartitions(start, end).map { p =>
-      val fp = p.asInstanceOf[GraftFilePartition]
-      GraftWideFilePartition(fp.file, startRow, stopRow, family,
-        saltBuckets, spec, required.fieldNames): InputPartition
-    }
+  /** Version of a committed leaf file: the `data-{v}` ancestor (leaf dirs
+    * may nest `_bucket=` subdirs under the `_fam=` level). */
+  private def versionOf(file: String): Long = {
+    var p = new Path(file).getParent
+    while (p != null && !p.getName.startsWith("data-")) p = p.getParent
+    require(p != null, s"feed file outside a data-* dir: $file")
+    p.getName.stripPrefix("data-").toLong
+  }
+
+  /** Footer min/max of the `row` column, None when any block lacks
+    * usable stats. One footer read per file at PLANNING — the same
+    * metadata any splitter reads. */
+  private def rowBoundsOf(file: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Option[(Array[Byte], Array[Byte])] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val perBlock = r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == "row")
+          .map(_.getStatistics)
+          .filter(s => s != null && s.hasNonNullValue)
+          .map(s => (
+            s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .getBytes,
+            s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .getBytes))
+      }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+      else Some((
+        perBlock.flatten.map(_._1).min(Ordering.fromLessThan[Array[Byte]](
+          Bytes.compareTo(_, _) < 0)),
+        perBlock.flatten.map(_._2).max(Ordering.fromLessThan[Array[Byte]](
+          Bytes.compareTo(_, _) < 0))))
+    } finally r.close()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val files = super.planInputPartitions(start, end)
+      .map(_.asInstanceOf[GraftFilePartition].file)
+    files.groupBy(versionOf).toSeq.sortBy(_._1).flatMap { case (_, fs) =>
+      val bounds = fs.toSeq.map(f => f -> rowBoundsOf(f, conf))
+      val groups: Seq[Seq[String]] =
+        if (bounds.exists(_._2.isEmpty)) Seq(fs.toSeq)
+        else {
+          // interval union-find: sort by min; a file joins the open group
+          // while its min <= the group's running max (families share the
+          // batch's range boundaries, so intersect == same row range)
+          val sorted = bounds.map { case (f, b) => (f, b.get._1, b.get._2) }
+            .sortBy(_._2)(Ordering.fromLessThan(Bytes.compareTo(_, _) < 0))
+          val out = Seq.newBuilder[Seq[String]]
+          var cur = List.empty[String]
+          var curMax: Array[Byte] = null
+          sorted.foreach { case (f, lo, hi) =>
+            if (cur.nonEmpty && Bytes.compareTo(lo, curMax) <= 0) {
+              cur = f :: cur
+              if (Bytes.compareTo(hi, curMax) > 0) curMax = hi
+            } else {
+              if (cur.nonEmpty) out += cur.reverse
+              cur = List(f); curMax = hi
+            }
+          }
+          if (cur.nonEmpty) out += cur.reverse
+          out.result()
+        }
+      groups.map(g => GraftWideFilesPartition(g, startRow, stopRow,
+        families, saltBuckets, spec, required.fieldNames): InputPartition)
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftWideReaderFactory(new SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-case class GraftWideFilePartition(file: String,
+/** One version's row-range group: ≤|families| sorted cell files covering
+  * the same row range (single-family: exactly one file). */
+case class GraftWideFilesPartition(files: Seq[String],
     startRow: Option[Array[Byte]], stopRow: Option[Array[Byte]],
-    family: String, saltBuckets: Int,
+    families: Set[String], saltBuckets: Int,
     spec: WideSpec, fields: Array[String]) extends InputPartition
 
 class GraftWideReaderFactory(conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftWideFileReader(partition.asInstanceOf[GraftWideFilePartition],
+    new GraftWideFileReader(partition.asInstanceOf[GraftWideFilesPartition],
       conf.value)
 }
 
-/** Assembles one committed cell file (sorted by row — see the stream's
-  * class doc) into wide upsert rows. The JVM-side value decode MUST
-  * byte-match `CellCodec.decodeValue` — `WideStreamSpec` pins the parity
-  * by comparing a streamed batch against the batch wide SELECT of the
-  * same table across every declared type. */
-class GraftWideFileReader(p: GraftWideFilePartition,
+/** Assembles one row-range group of committed cell files (each sorted by
+  * full cell order — see the stream's class doc) into wide upsert rows:
+  * a k-way heap merge restores the global (row, family, qualifier,
+  * ts desc, seq desc) order across the group's per-family files, then
+  * first-seen-per-qualifier per row key is the batch's newest version.
+  * The JVM-side value decode MUST byte-match `CellCodec.decodeValue` —
+  * `WideStreamSpec` pins the parity by comparing a streamed batch
+  * against the batch wide SELECT of the same table across every declared
+  * type. */
+class GraftWideFileReader(p: GraftWideFilesPartition,
     conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val cellFields =
     Array("row", "family", "qualifier", "ts", "kind", "value", "seq")
-  private val cells = new GraftFileReader(
-    GraftFilePartition(p.file, cellFields, p.startRow, p.stopRow,
-      Some(Set(p.family)), p.saltBuckets), conf)
+
+  /** One file's sorted cell stream with a lookahead head. */
+  private class FileCells(file: String) {
+    val reader = new GraftFileReader(
+      GraftFilePartition(file, cellFields, p.startRow, p.stopRow,
+        Some(p.families), p.saltBuckets), conf)
+    var head: InternalRow = advance()
+    def advance(): InternalRow = {
+      head = if (reader.next()) reader.get() else null
+      head
+    }
+  }
+
+  /** Full cell order on the lookahead heads (ts/seq DESCENDING — newest
+    * first within a qualifier, matching the files' sort). */
+  private def cellLt(a: InternalRow, b: InternalRow): Boolean = {
+    val byRow = Bytes.compareTo(a.getBinary(0), b.getBinary(0))
+    if (byRow != 0) return byRow < 0
+    val byFam = a.getUTF8String(1).compareTo(b.getUTF8String(1))
+    if (byFam != 0) return byFam < 0
+    val byQual = Bytes.compareTo(a.getBinary(2), b.getBinary(2))
+    if (byQual != 0) return byQual < 0
+    if (a.getLong(3) != b.getLong(3)) return a.getLong(3) > b.getLong(3)
+    a.getLong(6) > b.getLong(6)
+  }
+
+  private val streams: Seq[FileCells] = p.files.map(new FileCells(_))
+
+  /** The merged stream's next cell, or null when drained. */
+  private def nextCell(): InternalRow = {
+    var best: FileCells = null
+    streams.foreach { s =>
+      if (s.head != null && (best == null || cellLt(s.head, best.head)))
+        best = s
+    }
+    if (best == null) null
+    else {
+      val out = best.head
+      best.advance()
+      out
+    }
+  }
 
   // qualifier name -> declared column index (column identity = qualifier)
   private val colOf: Map[String, Int] =
@@ -97,11 +214,8 @@ class GraftWideFileReader(p: GraftWideFilePartition,
       s"unknown wide field $f")))
   }
 
-  private var look: InternalRow = if (cells.next()) cells.get() else null
+  private var look: InternalRow = nextCell()
   private var out: InternalRow = _
-
-  private def advance(): Unit =
-    look = if (cells.next()) cells.get() else null
 
   /** Typed key parts from the (salt-stripped) row key — the JVM mirror of
     * `CellCodec.decode`'s key columns: fixed-width parts first, at most
@@ -160,20 +274,24 @@ class GraftWideFileReader(p: GraftWideFilePartition,
       val seen = new Array[Boolean](p.spec.cols.length)
       var anyPut = false
       while (look != null && java.util.Arrays.equals(look.getBinary(0), row)) {
+        val fam = look.getUTF8String(1).toString
         val qual = new String(look.getBinary(2),
           java.nio.charset.StandardCharsets.UTF_8)
-        colOf.get(qual).foreach { ci =>
-          // first-seen wins: the file sorts (ts desc, seq desc) within a
-          // qualifier, so this is the batch's newest version
-          if (!seen(ci)) {
-            seen(ci) = true
-            if (look.getByte(4) == CellKind.Put && !look.isNullAt(5)) {
-              slots(ci) = decodeVal(p.spec.cols(ci), look.getBinary(5))
-              anyPut = true
-            } // tombstone kinds leave the slot null
+        // column identity = (family, qualifier): two families may reuse a
+        // qualifier name only if the spec declares one of them
+        colOf.get(qual).filter(ci => p.spec.cols(ci).family == fam)
+          .foreach { ci =>
+            // first-seen wins: the merged stream sorts (ts desc, seq
+            // desc) within a qualifier — the batch's newest version
+            if (!seen(ci)) {
+              seen(ci) = true
+              if (look.getByte(4) == CellKind.Put && !look.isNullAt(5)) {
+                slots(ci) = decodeVal(p.spec.cols(ci), look.getBinary(5))
+                anyPut = true
+              } // tombstone kinds leave the slot null
+            }
           }
-        }
-        advance()
+        look = nextCell()
       }
       if (anyPut) {
         val keys = keyParts(row)
@@ -188,5 +306,5 @@ class GraftWideFileReader(p: GraftWideFilePartition,
 
   override def get(): InternalRow = out
 
-  override def close(): Unit = cells.close()
+  override def close(): Unit = streams.foreach(_.reader.close())
 }

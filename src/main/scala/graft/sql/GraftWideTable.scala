@@ -855,18 +855,13 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
 
   /** Streaming read = the append feed decoded to relational UPSERT rows
     * (see [[GraftWideMicroBatchStream]] for the semantics contract and
-    * the single-family constraint's why). */
+    * the shuffle-free assembly's exactness argument). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(!timeTravel,
       s"cannot stream from a time-travel view of $baseTable")
-    val fams = spec.cols.map(_.family).distinct
-    require(fams.size == 1,
-      s"streaming a wide view needs a single-family wideSchema (got " +
-        s"${fams.mkString(", ")}); stream the cell table and decode in " +
-        "foreachBatch instead")
     new GraftWideMicroBatchStream(engine, baseTable, spec, required,
-      fams.head, startRow, stopRow, maxVersionsPerTrigger,
-      manifest.descriptor.saltBuckets)
+      spec.cols.map(_.family).toSet, startRow, stopRow,
+      maxVersionsPerTrigger, manifest.descriptor.saltBuckets)
   }
 }

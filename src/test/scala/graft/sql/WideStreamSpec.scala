@@ -107,20 +107,34 @@ class WideStreamSpec extends SparkSpec {
     assert(batch.size == 2)
   }
 
-  test("a multi-family wide view refuses to stream with a clear error") {
+  test("multi-family wide views stream: assembly merges sibling family files") {
     val root = freshRoot("widestream-mf")
     val g = Graft(spark, root)
     g.createTable(TableDescriptor("t",
       Seq(FamilyDescriptor("f"), FamilyDescriptor("g")),
-      wideKey = Some("k:long"),
-      wideSchema = Some("f:a:long;g:b:long")), 1L)
-    val m = g.catalog.currentManifest("t")
-    val sp = WideSpec.parse(m.descriptor.wideKey, m.descriptor.wideSchema)
-    val scan = new GraftWideScanBuilder(g.catalog, "t", sp, m)
-      .build().asInstanceOf[GraftWideScan]
-    val e = intercept[IllegalArgumentException] {
-      scan.toMicroBatchStream("unused")
-    }
-    assert(e.getMessage.contains("single-family"), e.getMessage)
+      splitKeys = 4, wideKey = Some("k:long"),
+      wideSchema = Some("f:a:long;g:b:string")), 1L)
+    // 200 full rows (cells split across two per-family files per range
+    // partition), plus sparse rows living in only one family each
+    g.table("t").put(
+      (1 to 200).map(i => Put(Bytes.toBytes(i.toLong))
+        .add("f", b("a"), 2L, Bytes.toBytes(i.toLong * 2))
+        .add("g", b("b"), 2L, b(s"s$i"))) ++
+      (201 to 210).map(i => Put(Bytes.toBytes(i.toLong))
+        .add("f", b("a"), 2L, Bytes.toBytes(i.toLong * 2))) ++
+      (211 to 220).map(i => Put(Bytes.toBytes(i.toLong))
+        .add("g", b("b"), 2L, b(s"s$i"))), 2L)
+    register("gwsmf", root)
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        Option(r.getString(2)))
+    val work = freshRoot("widestream-mf-w")
+    val streamed = drain("gwsmf.`t$wide`", work).flatten.map(tup).toSet
+    val batch = spark.sql("SELECT k, a, b FROM gwsmf.`t$wide`")
+      .collect().map(tup).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 220)
+    // every full row arrived as ONE upsert with BOTH families' columns
+    assert(streamed.count(t => t._2.isDefined && t._3.isDefined) == 200)
   }
 }
