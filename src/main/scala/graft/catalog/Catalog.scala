@@ -550,11 +550,23 @@ final class Catalog(spark: SparkSession, root: String) {
     val partCols = if (bounds.isEmpty) Seq("_fam") else Seq("_fam", "_bucket")
     def write(df: DataFrame, compression: Option[String],
         bloom: BloomType.Value): Unit = {
+      // The sort MUST lead with the partitionBy columns: the dynamic-
+      // partition writer re-sorts any task whose rows are not already
+      // ordered by them, and that re-sort is NOT stable — it silently
+      // destroyed the within-file row order on multi-family batches once
+      // tasks outgrew small scale (caught by the wide stream's sf1
+      // re-verify; at driver scales the re-sort happened to preserve
+      // order). Leading with (_fam[, _bucket]) satisfies the writer's
+      // requirement by construction, so no re-sort runs and every
+      // committed file is genuinely sorted by (row, qualifier, ts desc,
+      // seq desc) within its family — the HFile layout the row-group
+      // pruning and the feed's merge assembly are designed around.
+      val sortCols = partCols.map(col) ++ Seq(col("row"), col("family"),
+        col("qualifier"), col("ts").desc, col("seq").desc)
       var w = withBucket(df)
         .withColumn("_fam", col("family")) // keep family IN the data files
         .repartitionByRange(desc.splitKeys, col("row"))
-        .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
-          col("ts").desc, col("seq").desc)
+        .sortWithinPartitions(sortCols: _*)
         .write.mode(SaveMode.Append).partitionBy(partCols: _*)
       compression.foreach(c => w = w.option("compression", c))
       // Bloom filters per BloomType: ROW = the reference's point-get

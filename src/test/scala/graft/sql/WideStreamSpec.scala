@@ -107,6 +107,57 @@ class WideStreamSpec extends SparkSpec {
     assert(batch.size == 2)
   }
 
+  test("committed files stay row-sorted at order-breaking scale") {
+    // Regression: the dynamic-partition writer re-sorts any task not
+    // already ordered by the partition columns, and that re-sort is NOT
+    // stable — with two families and enough rows per task it silently
+    // shuffled the within-file row order (invisible at driver scales,
+    // caught by the wide stream's sf1 sweep). writeCells now leads the
+    // sort with (_fam[, _bucket]); this pins it at a size where the old
+    // layout reliably broke.
+    val root = freshRoot("layoutsort")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f"), FamilyDescriptor("g")), splitKeys = 4,
+      wideKey = Some("k:long"), wideSchema = Some("f:a:long;g:b:long")), 1L)
+    import org.apache.spark.sql.functions.{col, lit, hex => _}
+    val src = spark.range(1, 60001).select(col("id").as("k"),
+      (col("id") * 2).as("a"), (col("id") * 3).as("b"))
+    g.table("t").mutate(
+      graft.core.CellCodec.encode(src.select("k", "a"), "f", Seq("k"))
+        .unionByName(
+          graft.core.CellCodec.encode(src.select("k", "b"), "g", Seq("k"))),
+      nowMs = 1L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = g.catalog.currentManifest("t").dataDirs
+    val files = dirs.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      val it = fs.listFiles(p, true)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) out += st.getPath.toString
+      }
+      out.result()
+    }
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val r = new GraftFileReader(GraftFilePartition(
+        f, Array("row"), None, None, None, 0), conf)
+      var prev: Array[Byte] = null
+      var n = 0
+      while (r.next()) {
+        val row = r.get().getBinary(0)
+        assert(prev == null || Bytes.compareTo(prev, row) <= 0,
+          s"unsorted rows in $f at record $n")
+        prev = row; n += 1
+      }
+      r.close()
+      assert(n > 0, f)
+    }
+  }
+
   test("multi-family wide views stream: assembly merges sibling family files") {
     val root = freshRoot("widestream-mf")
     val g = Graft(spark, root)
