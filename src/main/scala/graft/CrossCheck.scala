@@ -389,14 +389,20 @@ object CrossCheck {
           .withColumn("ts", lit(5L))
           .withColumn("value", lit(Bytes.toBytes("Customer#999999999")))
         g.table("c").mutate(updates, nowMs = 5L)
-        val nCust = customer.count()
+        // Probe prefixes come from the DATA (deterministic picks over a
+        // key-ordered bounded sample), not from a synthesized key format
+        // — scaled corpora shift keys into ranges where a formatted
+        // guess matches nothing and the sweep would die vacuous.
+        val names = customer.orderBy("c_custkey").select("c_name")
+          .limit(5000).collect().map(_.getString(0))
         val schema = StructType(Seq(StructField("c_name", StringType)))
         def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
           df.select("c_custkey").collect().map(_.getLong(0)).toSet
         var checked = 0L
         (1 to 5).foreach { i =>
-          val base = (i * 6364136223846793005L >>> 33) % math.max(1L, nCust)
-          val p = f"Customer#$base%09d".dropRight(1)
+          val pick = names(
+            ((i * 6364136223846793005L >>> 33) % names.length).toInt)
+          val p = pick.dropRight(1)
           val viaIx = ids(CellCodec.decode(
             g.table("c").indexLookupPrefix("c", nameQ, Bytes.toBytes(p)),
             schema, key = Seq("c_custkey" -> LongType)))
