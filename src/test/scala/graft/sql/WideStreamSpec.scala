@@ -107,6 +107,24 @@ class WideStreamSpec extends SparkSpec {
     assert(batch.size == 2)
   }
 
+  test("the wide stream strips salt: logical keys, assembled rows") {
+    val root = freshRoot("widestream-salt")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 4, saltBuckets = 8, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long")), 1L)
+    g.table("t").put((1 to 100).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("city"), 2L, b(s"c$i"))
+        .add("f", b("pop"), 2L, Bytes.toBytes(i.toLong * 10))), 2L)
+    register("gwss", root)
+    val work = freshRoot("widestream-salt-w")
+    val streamed = drain("gwss.`t$wide`", work).flatten
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == (1 to 100).map(i =>
+      (i.toLong, s"c$i", i.toLong * 10)).toSet)
+  }
+
   test("committed files stay row-sorted at order-breaking scale") {
     // Regression: the dynamic-partition writer re-sorts any task not
     // already ordered by the partition columns, and that re-sort is NOT
