@@ -563,6 +563,30 @@ object Queries {
              ORDER BY o_orderkey""")
   }
 
+  // The multiGet shape through the WIDE view (HTable.get(List<Get>) as
+  // SQL): `WHERE key IN (...)` becomes per-key row-prefix probes — the
+  // scan reads only the probed ranges, pushed to parquet as a range
+  // disjunction (GraftWideScanBuilder In-on-key-head case; ACCEPTED for
+  // the fixed-width long head, so Spark plans no re-filter). The list
+  // mixes live keys (7, 32, 517), keys masked by the fixture's range
+  // DELETE (1024, 2466 — tombstones must still win inside a probe), and
+  // a key that never existed. Oracle = the relational projection with
+  // the delete range applied.
+  private val sqlWideMultiGet = Q("sql_wide_multi_get", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (7, 32, 517, 1024, 2466, 999999)
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wmg",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wmg.root", root)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+             FROM graft_wmg.`orders_w$wide`
+             WHERE o_orderkey IN (7, 32, 517, 1024, 2466, 999999)
+             ORDER BY o_orderkey""")
+  }
+
   // Wide-view INSERT (GraftWideTable SupportsWrite): relational rows in
   // through `INSERT INTO t$wide ... SELECT`, encoded to cells by the
   // declared key/schema and committed through the SAME append seam as
@@ -4407,6 +4431,7 @@ object Queries {
     scanRange, saltedScan, saltedIndexLookup, indexLookup, sqlIndexLookup,
     indexRangeLookup, sqlIndexRange,
     sqlCoveredLookup, sqlMultiGet, sqlWideScan, sqlCoveredProjection,
+    sqlWideMultiGet,
     sqlIndexComposite, sqlIndexLeadingRange, sqlPrefixRoute,
     sqlIndexDoubleRange, sqlWideAgg, sqlWideInsert,
     sqlWideUpdate, sqlWideDelete, sqlWideMerge, sqlWideSum, sqlWideTopN,

@@ -170,17 +170,38 @@ private[sql] object GraftTombstones {
   def write(engine: Catalog, tableName: String,
       d: graft.catalog.TableDescriptor,
       start: Option[Array[Byte]], stop: Option[Array[Byte]],
+      fam: Option[String]): Unit =
+    writeRanges(engine, tableName, d, Seq((start, stop)), fam)
+
+  /** The multi-range form (the wide view's IN-list metadata DELETE): one
+    * tombstone batch covering the UNION of the ranges — one append, one
+    * manifest commit, however many probes. */
+  def writeRanges(engine: Catalog, tableName: String,
+      d: graft.catalog.TableDescriptor,
+      ranges: Seq[(Option[Array[Byte]], Option[Array[Byte]])],
       fam: Option[String]): Unit = {
     import org.apache.spark.sql.functions.{col, lit, max}
+    require(ranges.nonEmpty, "tombstone write needs at least one range")
     var cells =
       if (d.saltBuckets > 0)
-        graft.core.Salt.scanRange(engine.read(tableName), d.saltBuckets,
-          start, stop)
+        graft.core.Salt.stripCells(engine.read(tableName).filter(
+          ranges.map { case (s, e) =>
+            graft.core.Salt.scatter(d.saltBuckets, s, e)
+          }.reduce(_ || _)))
       else {
-        var c = engine.read(tableName)
-        start.foreach(b => c = c.filter(col("row") >= lit(b)))
-        stop.foreach(b => c = c.filter(col("row") < lit(b)))
-        c
+        def pred(s: Option[Array[Byte]], e: Option[Array[Byte]])
+            : org.apache.spark.sql.Column = {
+          val lo = s.map(b => col("row") >= lit(b))
+          val hi = e.map(b => col("row") < lit(b))
+          (lo, hi) match {
+            case (Some(a), Some(b)) => a && b
+            case (Some(a), None) => a
+            case (None, Some(b)) => b
+            case (None, None) => lit(true)
+          }
+        }
+        engine.read(tableName)
+          .filter(ranges.map((pred _).tupled).reduce(_ || _))
       }
     fam.foreach(f => cells = cells.filter(col("family") === f))
     val tombs = cells

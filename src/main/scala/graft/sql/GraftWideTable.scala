@@ -51,7 +51,7 @@ class GraftWideTable(engine: Catalog, baseTable: String,
 
   /** Metadata DELETE on the wide view: a predicate set whose byte-range
     * translation is PROVABLY EXACT (the same accepted subset as the agg
-    * pushdown — equality on fixed-width key heads, comparisons on
+    * pushdown — equality/IN on fixed-width key heads, comparisons on
     * ORDERED heads, key-part IsNotNull, AlwaysTrue) takes the cell
     * door's tombstone path — O(matching keys) DeleteFamily cells, no
     * read-modify-write. Everything else falls through to the row-level
@@ -73,8 +73,23 @@ class GraftWideTable(engine: Catalog, baseTable: String,
     val m = engine.currentManifest(baseTable)
     val bld = new GraftWideScanBuilder(engine, baseTable, specOf(m), m)
     bld.pushFilters(filters.filterNot(_.isInstanceOf[sources.AlwaysTrue])): Unit
-    val (start, stop) = bld.rowBounds
-    GraftTombstones.write(engine, baseTable, m.descriptor, start, stop, None)
+    // an accepted key-head IN deletes the per-probe prefix ranges, not
+    // the [min, succ(max)) envelope (see probeRanges) — each intersected
+    // with the range envelope, which other accepted conjuncts (ordered
+    // head comparisons) may have tightened past individual probes
+    val (es, ee) = bld.rowBounds
+    def maxLo(a: Option[Array[Byte]], b: Option[Array[Byte]]) = (a, b) match {
+      case (Some(x), Some(y)) => Some(if (Bytes.compareTo(x, y) >= 0) x else y)
+      case _ => a.orElse(b)
+    }
+    def minHi(a: Option[Array[Byte]], b: Option[Array[Byte]]) = (a, b) match {
+      case (Some(x), Some(y)) => Some(if (Bytes.compareTo(x, y) <= 0) x else y)
+      case _ => a.orElse(b)
+    }
+    val ranges = bld.probeRanges
+      .map(_.map { case (lo, hi) => (maxLo(lo, es), minHi(hi, ee)) })
+      .getOrElse(Seq(bld.rowBounds))
+    GraftTombstones.writeRanges(engine, baseTable, m.descriptor, ranges, None)
   }
 
   /** SQL `UPDATE` / `DELETE` / `MERGE INTO` on the wide view — the
@@ -356,6 +371,9 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   private var aggSpec: Option[GraftAggSpec] = None
   private var startRow: Option[Array[Byte]] = None
   private var stopRow: Option[Array[Byte]] = None
+  // key-head IN list (the multiGet shape): encoded head values, each a
+  // PREFIX of the full row key (the whole key when the key has one part)
+  private var keyProbes: Option[Seq[Array[Byte]]] = None
   // recorded per-column value predicates (encoded); intervals are VALUE
   // space, lo inclusive / hi exclusive
   private var colEq = Map.empty[String, Seq[Array[Byte]]]
@@ -467,6 +485,33 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
             if (headFixed && headOrdered) acc += f else res += f
           case None => res += f // head <= byte-max: unbounded, residual
         }
+      // key-head IN (the multiGet shape, HTable.get(List<Get>)): encoded
+      // values become row-key PREFIX probes — the scan reads only the
+      // probed ranges (one per value) instead of [min, max). Exact for a
+      // fixed-width head (each prefix range holds exactly the head == v
+      // rows — the same bijectivity as equality above), so it is ACCEPTED
+      // there and agg pushdown stays unlocked; residual otherwise.
+      // Over-budget lists keep only the [min, succ(max)) bounds.
+      case f @ sources.In(c, vs)
+          if c == keyHead._1 && vs.nonEmpty && vs.forall(_ != null) =>
+        val enc = vs.toSeq.map(keyEnc)
+        if (keyProbes.isEmpty && enc.forall(_.isDefined) &&
+            enc.size <= graft.read.SecondaryIndex.MaxCompositeProbes) {
+          val bs = enc.map(_.get)
+          keyProbes = Some(bs)
+          val ord: Ordering[Array[Byte]] = (a, b) => Bytes.compareTo(a, b)
+          tightenStart(bs.min(ord))
+          Bytes.prefixSuccessor(bs.max(ord)).foreach(tightenStop)
+          if (headFixed) acc += f else res += f
+        } else {
+          if (enc.forall(_.isDefined)) {
+            val bs = enc.map(_.get)
+            val ord: Ordering[Array[Byte]] = (a, b) => Bytes.compareTo(a, b)
+            tightenStart(bs.min(ord))
+            Bytes.prefixSuccessor(bs.max(ord)).foreach(tightenStop)
+          }
+          res += f
+        }
       // IsNotNull on a key part is vacuously true (key parts decode from
       // the row key); accepting it keeps it from blocking agg pushdown
       case f @ sources.IsNotNull(c) if keyNames(c) =>
@@ -528,6 +573,15 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
     * every filter (the metadata-DELETE seam). */
   private[sql] def rowBounds: (Option[Array[Byte]], Option[Array[Byte]]) =
     (startRow, stopRow)
+
+  /** The recorded key-head IN probes (the metadata-DELETE seam's
+    * multi-range form): when set AND every filter was accepted, the exact
+    * delete set is the UNION of the per-probe prefix ranges, NOT the
+    * [min, succ(max)) envelope in rowBounds — deleteWhere must consult
+    * this or it would delete the keys BETWEEN the IN values. */
+  private[sql] def probeRanges
+      : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] =
+    keyProbes.map(_.map(p => (Some(p), Bytes.prefixSuccessor(p))))
 
   /** With an aggregate pushed, Spark's subsequent pruning call refers to
     * the aggregate's output schema, not wide columns — the wide
@@ -623,7 +677,7 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   override def build(): V2Scan =
     new GraftWideScan(engine, baseTable, spec, required, startRow, stopRow,
       colEq, colLo, colHi, limit, manifest, aggSpec, topN,
-      maxVersionsPerTrigger, timeTravel)
+      maxVersionsPerTrigger, timeTravel, keyProbes)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -636,7 +690,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     aggSpec: Option[GraftAggSpec] = None,
     topN: Option[(Seq[GraftSortCol], Int)] = None,
     maxVersionsPerTrigger: Option[Long] = None,
-    timeTravel: Boolean = false) extends V1Scan
+    timeTravel: Boolean = false,
+    keyProbes: Option[Seq[Array[Byte]]] = None) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = aggSpec.fold(required)(_.schema)
@@ -659,6 +714,9 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
 
   /** Seam for plan asserts: the top-k this scan runs inner-side. */
   private[sql] def pushedTopN: Option[(Seq[GraftSortCol], Int)] = topN
+
+  /** Seam for plan asserts: the key-head IN probes scoping this scan. */
+  private[sql] def pushedKeyProbes: Option[Seq[Array[Byte]]] = keyProbes
 
   /** Predicate columns in declaration order (deterministic route pick). */
   private def predCols: Seq[String] =
@@ -762,11 +820,24 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       val raw = engine.readManifest(m)
       if (d.saltBuckets > 0) graft.core.Salt.stripCells(raw) else raw
     }
+    // key-head probe disjunction (the multiGet shape): one prefix range
+    // per IN value. Applied on LOGICAL rows (routed paths, salted plain
+    // path) or raw unsalted rows (where it pushes to parquet as a range
+    // disjunction). A prefix with no byte successor (all-0xff) keeps an
+    // open top — still a prune; exactness holds because a fixed-width
+    // head's prefix range contains exactly its head == v rows, and
+    // variable heads keep the IN residual.
+    def probeFilter(df: DataFrame): DataFrame = keyProbes.fold(df) { ps =>
+      df.filter(ps.map { p =>
+        val lo = col("row") >= lit(p)
+        Bytes.prefixSuccessor(p).fold(lo)(u => lo && col("row") < lit(u))
+      }.reduce(_ || _))
+    }
     def boundsFilter(df: DataFrame): DataFrame = {
       var out = df
       startRow.foreach(b => out = out.filter(col("row") >= lit(b)))
       stopRow.foreach(b => out = out.filter(col("row") < lit(b)))
-      out
+      probeFilter(out)
     }
     def keepWanted(df: DataFrame): DataFrame =
       df.filter(wanted.map(c =>
@@ -816,12 +887,22 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         visible(keepWanted(boundsFilter(SecondaryIndex.lookupCompositeAll(
           logical, engine.read(ix.indexTable), ix.columns, valueLists))))
       case None =>
-        // plain scan: salt-aware bounds + qualifier projection + resolve
+        // plain scan: salt-aware bounds + qualifier projection + resolve.
+        // Key probes: on a salted SINGLE-part key the head encoding IS
+        // the full logical key, so the multiGet scoping applies (JVM-side
+        // salted keys, one pruned span + broadcast semi-join); otherwise
+        // the probe disjunction filters — pushed to parquet when unsalted,
+        // on the stripped logical rows after the salted scatter.
         val (frame, gs) =
-          if (d.saltBuckets > 0)
-            (graft.core.Salt.scanRange(engine.readManifest(m), d.saltBuckets,
-              startRow, stopRow), GScan())
-          else (engine.readManifest(m), GScan(startRow, stopRow))
+          if (d.saltBuckets > 0) keyProbes match {
+            case Some(ps) if spec.key.sizeIs == 1 =>
+              (graft.core.Salt.scopeKeys(engine.readManifest(m),
+                d.saltBuckets, ps), GScan(startRow, stopRow))
+            case _ =>
+              (probeFilter(graft.core.Salt.scanRange(engine.readManifest(m),
+                d.saltBuckets, startRow, stopRow)), GScan())
+          }
+          else (probeFilter(engine.readManifest(m)), GScan(startRow, stopRow))
         val projected = wanted.foldLeft(gs)((s, c) =>
           s.addColumn(c.family, c.qualifier))
         ScanExec(frame, projected,

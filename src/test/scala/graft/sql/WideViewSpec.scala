@@ -434,6 +434,50 @@ class WideViewSpec extends SparkSpec {
     assert(tombs.size == 5 && tombs.forall(_ == 2L), tombs)
   }
 
+  test("key-head IN is the multiGet shape: probe scoping, exact delete set") {
+    val root = freshRoot("widemget")
+    val g = mkTable(root) // k:long, keys 1..40
+    register("gwmg", root)
+    import org.apache.spark.sql.sources
+    val engine = g.catalog
+    val spec = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
+    val bld = new GraftWideScanBuilder(engine, "t", spec,
+      engine.currentManifest("t"))
+    val residual = bld.pushFilters(Array[sources.Filter](
+      sources.In("k", Array(3L, 13L, 999L).map(java.lang.Long.valueOf))))
+    // ACCEPTED on the fixed-width head (each probe range holds exactly
+    // its head == v rows), so Spark plans no re-filter
+    assert(residual.isEmpty)
+    val scan = bld.build().asInstanceOf[GraftWideScan]
+    assert(scan.pushedKeyProbes.exists(_.size == 3))
+    // the per-probe range disjunction reaches the parquet scan
+    val plan = scan.resolvedFrame(spark).queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("Or(") && pushed.contains("row"), plan)
+    // end-to-end: the probe filter IS the only filter (no residual)
+    assert(spark.sql(
+      "SELECT k, city, pop FROM gwmg.`t$wide` WHERE k IN (3, 13, 999)")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 13L))
+    // salted single-part key: the multiGet scoping (JVM-side salted keys,
+    // one pruned span + broadcast semi-join) returns the same logical rows
+    val root2 = freshRoot("widemgets")
+    mkTable(root2, saltBuckets = 8)
+    register("gwmgs", root2)
+    assert(spark.sql("SELECT k FROM gwmgs.`t$wide` WHERE k IN (3, 13, 999)")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 13L))
+    // metadata DELETE with IN deletes the per-probe prefix ranges, NOT
+    // the [min, succ(max)) envelope: keys BETWEEN the IN values survive
+    val tbl = new GraftWideTable(engine, "t")
+    assert(tbl.canDeleteWhere(Array[sources.Filter](
+      sources.In("k",
+        Array(java.lang.Long.valueOf(3L), java.lang.Long.valueOf(13L))))))
+    spark.sql("DELETE FROM gwmg.`t$wide` WHERE k IN (3, 13)")
+    val left = spark.sql("SELECT k FROM gwmg.`t$wide`")
+      .collect().map(_.getLong(0)).toSet
+    assert(!left.contains(3L) && !left.contains(13L))
+    assert(left.contains(7L) && left.contains(10L) && left.size == 38, left)
+  }
+
   test("planning a wide scan reads the manifest exactly once") {
     val root = freshRoot("widemeta")
     val g = mkTable(root)
