@@ -4067,6 +4067,46 @@ object Queries {
       .select("doc_id", "source", "replica").orderBy("doc_id", "replica")
   }
 
+  // DSIR importance resampling (Xie et al. 2023): documents featurized
+  // as salted-md5-hashed token bigrams over 1024 buckets; target =
+  // source 'src0'; per-bucket add-one-smoothed likelihood ratios,
+  // 2^-20-quantized (integer counts in, IEEE-exact divisions, floor) so
+  // the per-doc mean — the affinity the selection ranks by — is
+  // bit-identical on any engine and combine-order-independent (the
+  // quantized-long sum). The oracle recomputes the whole pipeline:
+  // features, both count models, ratios, quantization, top-200 cut with
+  // the doc_id tie-break. The paper's log weight (transcendental) is
+  // spec-ranked, not hashed.
+  private val sampleDsir = Q("sample_dsir", Some(s"""
+    WITH f AS (
+      SELECT doc_id, source,
+        CAST(('0x' || substring(md5('dsir|' || b), 1, 15)) AS BIGINT)
+          % 1024 AS h
+      FROM (
+        SELECT doc_id, source,
+          unnest([ts[i] || ' ' || ts[i+1]
+                  for i in generate_series(1, len(ts)-1)]) AS b
+        FROM (SELECT doc_id, source, $duckToks AS ts FROM documents)
+        WHERE len(ts) >= 2)),
+    rawc AS (SELECT h, count(*) AS cr FROM f GROUP BY h),
+    tgtc AS (SELECT h, count(*) AS ct FROM f WHERE source = 'src0' GROUP BY h),
+    tot AS (SELECT (SELECT sum(cr) FROM rawc) AS r_tot,
+                   (SELECT coalesce(sum(ct), 0) FROM tgtc) AS t_tot),
+    lr AS (SELECT h,
+             floor((((coalesce(ct, 0) + 1) / (t_tot + 1024.0)) /
+                    ((cr + 1) / (r_tot + 1024.0))) * 1048576.0 + 0.5) AS q
+           FROM rawc LEFT JOIN tgtc USING (h), tot)
+    SELECT doc_id, count(*) AS n_feats,
+           SUM(q) / 1048576.0 / count(*) AS affinity
+    FROM f JOIN lr USING (h)
+    GROUP BY doc_id
+    ORDER BY affinity DESC, doc_id
+    LIMIT 200""")) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Sampling.dsirResample(docs, docs.filter(col("source") === "src0"), 200)
+      .select("doc_id", "n_feats", "affinity")
+  }
+
   // Temperature-scaled source mixing (q_g ∝ p_g^0.5, token-weighted,
   // target 60k tokens): the oracle independently recomputes the whole
   // weight derivation — per-source token masses, the 2^20-QUANTIZED sqrt
@@ -4475,7 +4515,8 @@ object Queries {
     similarityTopk, similarityIvf, clusterKmeans, sampleClusterBalanced,
     similarityLshPlanes, similarityQuantized, similarityPq,
     dedupEmbedding, dedupSemantic, multimodalFeatures, multimodalMixed, sampleSplit,
-    sampleWeighted, sampleUpsampled, sampleTemperature, sampleShardShuffle,
+    sampleWeighted, sampleUpsampled, sampleTemperature, sampleDsir,
+    sampleShardShuffle,
     packSequences, sampleStratified, sampleTokenBudgetQ, corpusStatsQ,
     curationPipeline, streamCuration)
 

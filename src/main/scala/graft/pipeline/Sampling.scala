@@ -340,4 +340,89 @@ object Sampling {
     val internal = Seq("_g_rk", "_g_st", "_g_cnt", "_g_thr", "_g_rn")
     kept.drop(internal: _*).unionByName(fallback.drop(internal: _*))
   }
+
+  /** One row per token-bigram occurrence, featurized as a salted-md5
+    * hash bucket in `[0, buckets)` — DSIR's hashed n-gram featurization.
+    * Same md5 arithmetic as [[bucket]] (first 60 bits mod buckets), so
+    * an independent engine replays it exactly. */
+  private def hashedBigramFeatures(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int, salt: String): DataFrame = {
+    val ts = graft.pipeline.Text.tokens(col(textCol))
+    df.select(col(idCol).as("id"), ts.as("_ts"))
+      .where(size(col("_ts")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("_ts"), lit(1), size(col("_ts")) - 1),
+        slice(col("_ts"), lit(2), size(col("_ts")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("_bg"))
+      .select(col("id"),
+        (conv(substring(md5(concat(lit(salt + "|"), col("_bg"))), 1, 15),
+          16, 10).cast("long") % buckets).as("h"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): documents are
+    * featurized as hashed token bigrams over `buckets` buckets; the
+    * TARGET sample and the RAW corpus each induce an add-one-smoothed
+    * multinomial over buckets; a document scores by how much more likely
+    * its features are under the target model than under the raw model.
+    *
+    * Emits `(idCol, n_feats, affinity, dsir_weight)`:
+    * `dsir_weight = sum_f ln(p_target(f) / p_raw(f))` is the paper's
+    * log importance weight (transcendental — ranking asserted in spec,
+    * not the oracle gate); `affinity = mean_f(p_target(f) / p_raw(f))`
+    * over the 2^-20 quantized grid is its rational twin — counts in,
+    * `+ - * /` and `floor` only, so an independent engine replays it
+    * bit-for-bit, and the quantized-long accumulation makes the mean
+    * combine-order-independent (the [[Text.perplexity]] contract).
+    *
+    * Distribution: the per-bucket likelihood-ratio table is at most
+    * `buckets` rows and BROADCASTS; scoring is one narrow bigram pass +
+    * one broadcast join + one `groupBy(id)` — no corpus-sized shuffle
+    * beyond the per-doc reduce. Model building is two bucket-count
+    * aggregates (map-side combined into `buckets` groups). At 100 TB the
+    * target side is a SAMPLE by construction (the method's premise), so
+    * both count tables stay tiny. */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 1024, salt: String = "dsir"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val fRaw = hashedBigramFeatures(raw, idCol, textCol, buckets, salt)
+    val fTgt = hashedBigramFeatures(target, idCol, textCol, buckets, salt)
+    val rawC = fRaw.groupBy("h").agg(count(lit(1)).as("_cr"))
+    val tgtC = fTgt.groupBy("h").agg(count(lit(1)).as("_ct"))
+    // totals fold exactly out of the bucket counts — no extra corpus pass
+    val rawTot = rawC.agg(sum(col("_cr")).as("_r_tot"))
+    val tgtTot = tgtC.agg(coalesce(sum(col("_ct")), lit(0L)).as("_t_tot"))
+    // smoothed likelihood ratio per bucket: integer counts divided in
+    // IEEE double (correctly rounded — engine-independent), then the
+    // 2^-20 quantization for the rational twin
+    val lr = rawC.join(tgtC, Seq("h"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .withColumn("_r",
+        ((coalesce(col("_ct"), lit(0L)) + lit(1L)) /
+          (col("_t_tot") + lit(buckets.toDouble))) /
+        ((col("_cr") + lit(1L)) / (col("_r_tot") + lit(buckets.toDouble))))
+      .select(col("h"), col("_r"),
+        floor(col("_r") * 1048576.0 + 0.5).cast("long").as("_q"))
+    val n = count(lit(1))
+    fRaw.join(broadcast(lr), Seq("h"))
+      .groupBy("id").agg(
+        n.as("n_feats"),
+        (sum(col("_q")) / 1048576.0 / n).as("affinity"),
+        sum(log(col("_r"))).as("dsir_weight"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** [[dsirWeights]] fed into a deterministic top-k selection: keep the
+    * `k` documents most target-like by the quantized affinity (doc id
+    * tie-break) — the resampling step with the paper's Gumbel draw
+    * replaced by the rank cut, so every engine picks the same set. */
+  def dsirResample(raw: DataFrame, target: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 1024, salt: String = "dsir"): DataFrame = {
+    require(k > 0, "k must be positive")
+    dsirWeights(raw, target, idCol, textCol, buckets, salt)
+      .orderBy(desc("affinity"), col(idCol))
+      .limit(k)
+  }
 }

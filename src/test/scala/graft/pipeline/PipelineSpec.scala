@@ -564,6 +564,50 @@ class PipelineSpec extends SparkSpec {
     assert(nh == 0.0, s"negative-half weight quantized to $nh")
   }
 
+  test("dsirWeights: target-like docs outrank off-target on weight AND twin") {
+    // the method's regime: target features RARE in the raw corpus (a
+    // tiny raw corpus makes add-one smoothing + the raw-frequency
+    // denominator flatten every ratio toward 1 — not a useful fixture)
+    val filler = (10L to 49L).map(i =>
+      (i, "cooking pasta tomato sauce basil herbs olive oil"))
+    val raw = (Seq(
+      (1L, "spark shuffle partition broadcast join codegen"),
+      (2L, "spark shuffle partition join broadcast plan"),
+      (3L, "spark shuffle partition broadcast join plan"),
+      (6L, "solo")) ++ filler).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "spark shuffle partition broadcast join codegen plan"),
+      (101L, "spark shuffle partition join broadcast codegen plan"))
+      .toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, target, buckets = 512)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // every doc with >= 2 tokens scores; 1-token docs have no features
+    assert(w.keySet == (Seq(1L, 2L, 3L) ++ (10L to 49L)).toSet)
+    // n_feats = bigram count = tokens - 1
+    assert(w(1L)._1 == 5 && w(10L)._1 == 7)
+    // target-like docs beat the filler on the paper's log weight (_3)
+    // and on the rational twin the oracle gate hashes (_2)
+    for (hi <- Seq(1L, 2L, 3L); lo <- Seq(10L, 30L)) {
+      assert(w(hi)._3 > w(lo)._3, s"dsir_weight $hi vs $lo: $w")
+      assert(w(hi)._2 > w(lo)._2, s"affinity $hi vs $lo: $w")
+    }
+    // resample: deterministic top-k by (affinity desc, id) — the picked
+    // set is exactly the target-like docs and stable across runs
+    val top = Sampling.dsirResample(raw, target, 3, buckets = 512)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 2L, 3L), top)
+    assert(Sampling.dsirResample(raw, target, 3, buckets = 512)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == top)
+    // 100 TB shape: the per-bucket ratio table broadcasts into the
+    // scoring join — the corpus-sized feature stream never shuffles for
+    // the join (only the per-doc reduce aggregates)
+    val plan = Sampling.dsirWeights(raw, target, buckets = 512)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("temperatureWeights: alpha=1 proportional, alpha<1 flattens, mass hits target") {
     // skewed sources: g0 has 4x the docs of g2
     val rows = ((1L to 800L).map(i => (i, "g0")) ++
