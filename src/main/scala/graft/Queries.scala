@@ -3460,6 +3460,64 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // The Gopher quality rules (Rae et al. 2021 Appendix A — the
+  // MassiveText heuristics RefinedWeb/Dolma reuse): word-count bounds,
+  // mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis line
+  // ratios, alphabetic-word fraction, stop-word containment. Every ratio
+  // threshold is CROSS-MULTIPLIED into integer arithmetic on both
+  // engines (5*alpha >= 4*words, never alpha/words >= 0.8), so each flag
+  // is exact — no boundary doc can flip on float rounding. On this
+  // synthetic corpus the word-count rule provides the variance ("the" is
+  // the only Gopher stop word in the vocabulary, so the stop rule is
+  // uniformly false — faithful to the published list; PipelineSpec
+  // exercises every rule's both sides on purpose-built docs).
+  private val textGopher = Q("text_gopher", Some(s"""
+    WITH s AS (SELECT doc_id, text, $duckToks AS ts,
+        list_filter(list_transform(string_split(text, chr(10)),
+          x -> trim(x)), x -> x <> '') AS ls
+      FROM documents),
+    m AS (SELECT doc_id,
+        CAST(len(ts) AS BIGINT) AS nw,
+        CAST(coalesce(list_sum(list_transform(ts, x -> length(x))), 0)
+          AS BIGINT) AS sum_len,
+        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+          AS hashes,
+        CAST(length(text) - length(replace(text, '...', '')) AS BIGINT)
+          AS ell3,
+        CAST(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]')))
+          AS BIGINT) AS alpha_w,
+        CAST(greatest(len(ls), 1) AS BIGINT) AS nl,
+        CAST(len(list_filter(ls, x -> x LIKE '•%' OR x LIKE '-%'
+          OR x LIKE '*%')) AS BIGINT) AS bullet_l,
+        CAST(len(list_filter(ls, x -> x LIKE '%...')) AS BIGINT) AS ell_l,
+        CAST(len(list_filter(
+          ['the','be','to','of','and','that','have','with'],
+          w -> list_contains(list_transform(ts, x -> lower(x)), w)))
+          AS BIGINT) AS stop_hits
+      FROM s)
+    SELECT doc_id, nw AS n_words,
+      (nw >= 50 AND nw <= 100000) AS rule_word_count,
+      (3*nw <= sum_len AND sum_len <= 10*nw) AS rule_mean_word_len,
+      (10*(3*hashes + ell3) <= 3*nw) AS rule_symbol_ratio,
+      (10*bullet_l <= 9*nl) AS rule_bullet_lines,
+      (10*ell_l <= 3*nl) AS rule_ellipsis_lines,
+      (5*alpha_w >= 4*nw) AS rule_alpha_words,
+      (stop_hits >= 2) AS rule_stop_words,
+      ((nw >= 50 AND nw <= 100000)
+        AND (3*nw <= sum_len AND sum_len <= 10*nw)
+        AND (10*(3*hashes + ell3) <= 3*nw)
+        AND (10*bullet_l <= 9*nl)
+        AND (10*ell_l <= 3*nl)
+        AND (5*alpha_w >= 4*nw)
+        AND (stop_hits >= 2)) AS gopher_pass
+    FROM m ORDER BY doc_id""")) { (s, dir) =>
+    Text.gopherRules(t(s, dir, "documents"))
+      .select("doc_id", "n_words", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_bullet_lines", "rule_ellipsis_lines",
+        "rule_alpha_words", "rule_stop_words", "gopher_pass")
+      .orderBy("doc_id")
+  }
+
   // Model-based quality scoring: a fastText-style linear classifier over
   // unigrams. The operator quantizes weights to 1e-6 fixed point so the
   // dot product is an INTEGER sum — the oracle re-derives every score
@@ -4508,7 +4566,8 @@ object Queries {
     dedupIncrementalIndexed,
     streamMinhashLsh, streamLshEventTtl,
     dedupClusters, dedupKeepCanonical,
-    dedupSimhash, textQuality, textLangid, textNormalize, textRepetition, textRedact, textBm25,
+    dedupSimhash, textQuality, textGopher, textLangid, textNormalize,
+    textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,
     textTopNgrams, textBoilerplate, textClassifier, dedupContamination,
     contaminationSemantic,

@@ -74,6 +74,68 @@ object Text {
       .drop("_ts")
   }
 
+  /** The Gopher quality rules (Rae et al. 2021, MassiveText filtering —
+    * the heuristic set RefinedWeb/Dolma reuse): per-document pass flags
+    * for each published rule plus the conjunction `gopher_pass`.
+    *
+    *   1. 50 <= word count <= 100,000
+    *   2. 3 <= mean word length <= 10
+    *   3. symbol-to-word ratio (# and ...) <= 0.1
+    *   4. <= 90% of lines start with a bullet (• - *)
+    *   5. <= 30% of lines end with an ellipsis
+    *   6. >= 80% of words contain an alphabetic character
+    *   7. contains >= 2 of the 8 Gopher stop words
+    *
+    * Every ratio threshold is CROSS-MULTIPLIED into integer arithmetic
+    * (e.g. rule 6 is `5*alpha_words >= 4*n_words`), so pass/fail
+    * decisions carry no float grid at all — an independent engine
+    * reproduces each flag exactly, and no boundary document can flip on
+    * rounding. One narrow codegen'd pass, no shuffle, no UDFs. */
+  def gopherRules(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = col("_g_ts")
+    val lines = col("_g_ls")
+    val nw = col("n_words")
+    val nl = greatest(size(lines).cast("long"), lit(1L))
+    val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x))
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    // non-overlapping "..." count, times 3 (avoids any division)
+    val ell3 = (length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))).cast("long")
+    val alphaW = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val bulletL = size(filter(lines, x =>
+      x.startsWith("•") || x.startsWith("-") || x.startsWith("*")))
+      .cast("long")
+    val ellipsisL = size(filter(lines, x => x.endsWith("..."))).cast("long")
+    val stopArr = array(GopherStopwords.map(lit): _*)
+    val stopHits = size(filter(stopArr, w =>
+      array_contains(transform(toks, x => lower(x)), w))).cast("long")
+    df.withColumn("_g_ts", tokens(t))
+      .withColumn("_g_ls", filter(
+        transform(split(t, "\n"), x => trim(x)), x => x =!= ""))
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("rule_word_count", nw >= 50L && nw <= 100000L)
+      .withColumn("rule_mean_word_len",
+        lit(3L) * nw <= sumLen && sumLen <= lit(10L) * nw)
+      // 10*(hashes + ell3/3) <= nw  <=>  10*(3*hashes + ell3) <= 3*nw
+      .withColumn("rule_symbol_ratio",
+        lit(10L) * (lit(3L) * hashes + ell3) <= lit(3L) * nw)
+      .withColumn("rule_bullet_lines", lit(10L) * bulletL <= lit(9L) * nl)
+      .withColumn("rule_ellipsis_lines", lit(10L) * ellipsisL <= lit(3L) * nl)
+      .withColumn("rule_alpha_words", lit(5L) * alphaW >= lit(4L) * nw)
+      .withColumn("rule_stop_words", stopHits >= 2L)
+      .withColumn("gopher_pass",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+        col("rule_symbol_ratio") && col("rule_bullet_lines") &&
+        col("rule_ellipsis_lines") && col("rule_alpha_words") &&
+        col("rule_stop_words"))
+      .drop("_g_ts", "_g_ls")
+  }
+
+  /** Rule 7's closed list (Rae et al. 2021 Appendix A). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Language ID via stopword-profile scoring — the classic trigram/
     * stopword heuristic (no model): score each language by the fraction
     * of tokens in its closed-class word list, pick the argmax, "und"

@@ -51,6 +51,37 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_token_len") - 14.0 / 4) < 1e-12)
   }
 
+  test("gopherRules: each published rule fires, boundaries are inclusive-exact") {
+    def rep(n: Int, w: String) = Seq.fill(n)(w).mkString(" ")
+    val good = "the cat and the dog be with that have of " + rep(45, "word")
+    val data = Seq(
+      (1L, good),                                   // 55 words, all rules pass
+      (2L, "the cat and dog"),                      // 4 words: fails count; mean EXACTLY 3 passes
+      (3L, rep(40, "word") + " " + rep(10, "#")),   // 10/50 symbols fail; alpha EXACTLY 80% passes
+      (4L, (1 to 10).map(i => s"- item $i").mkString("\n")),    // 100% bullets
+      (5L, ("- b\n" * 9) + "plain tail line"),      // EXACTLY 90% bullets: passes
+      (6L, (1 to 10).map(i => if (i <= 4) s"line $i..." else s"line $i").mkString("\n")), // 40% ellipsis
+      (7L, rep(50, "12345")),                       // zero alpha words
+      (8L, rep(60, "zebra")),                       // no stop words
+      (9L, "")).toDF("doc_id", "text")
+    val out = Text.gopherRules(data).collect().map { r =>
+      r.getLong(0) -> Seq("rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_bullet_lines", "rule_ellipsis_lines",
+        "rule_alpha_words", "rule_stop_words", "gopher_pass")
+        .map(c => c -> r.getBoolean(r.fieldIndex(c))).toMap
+    }.toMap
+    assert(out(1L).values.forall(identity), out(1L))
+    assert(!out(2L)("rule_word_count") && out(2L)("rule_mean_word_len"))
+    assert(!out(3L)("rule_symbol_ratio") && out(3L)("rule_alpha_words"))
+    assert(!out(4L)("rule_bullet_lines"))
+    assert(out(5L)("rule_bullet_lines")) // 9/10 == the 90% bound, kept
+    assert(!out(6L)("rule_ellipsis_lines"))
+    assert(!out(7L)("rule_alpha_words"))
+    assert(!out(8L)("rule_stop_words"))
+    assert(!out(9L)("rule_word_count") && !out(9L)("gopher_pass"))
+    assert(!out(2L)("gopher_pass") && !out(4L)("gopher_pass"))
+  }
+
   test("langId identifies real-language samples via stopword profiles") {
     val samples = Seq(
       (1L, "the cat sat on the mat and it is happy to be in the sun"),
