@@ -37,7 +37,13 @@ object PerfEval {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-    g.createTable(TableDescriptor("pe", Seq(FamilyDescriptor("o"))), 1L)
+    // the wide declaration costs nothing at write time (descriptor
+    // properties only) and lets wideMultiGet20 price the relational
+    // IN-probe path over the same cells every other workload reads
+    g.createTable(TableDescriptor("pe", Seq(FamilyDescriptor("o")),
+      wideKey = Some("o_orderkey:long"),
+      wideSchema = Some("o:o_custkey:long;o:o_totalprice:double;" +
+        "o:o_orderstatus:string")), 1L)
 
     // sequentialWrite: encode + total-order layout commit
     results("sequentialWrite") = timed {
@@ -386,6 +392,22 @@ object PerfEval {
                     WHERE row >= $lo AND row < $hi AND qualifier = $q""")
     }
 
+    // wideMultiGet20: the relational multiGet (r10) — the SAME 20
+    // scrambled keys as multiGet20, but as `key IN (...)` SQL through
+    // the wide view: per-key prefix probes pushed to parquet as a range
+    // disjunction, typed decode, no Spark re-filter (the IN is accepted
+    // on the fixed-width head). Comparable to multiGet20 — the spread is
+    // what the relational door (decode + V1 bridge) costs over the raw
+    // cell batch on an identical key set.
+    results("wideMultiGet20") = timedMin2 {
+      val inList = (0L until 20L).map(i =>
+        1L + (i * 6364136223846793005L >>> 33) % math.max(1L, keys))
+        .mkString(", ")
+      spark.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice
+                    FROM graft_pe.`pe$$wide`
+                    WHERE o_orderkey IN ($inList)""").count(): Unit
+    }
+
     // statsJoin pair: the manifest-size statistics seam PRICED — a graft
     // dim table (cell door, decoded) joined to the orders parquet fact.
     // With statistics the dim side auto-broadcasts (GraftStatsRule, no
@@ -459,6 +481,17 @@ object PerfEval {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       docs.select(graft.pipeline.Text.canonicalFold(col("text")).as("k"))
         .write.format("noop").mode("overwrite").save()
+    }
+
+    // dsirScore (r10): DSIR importance scoring end-to-end — bigram
+    // featurization of the full corpus AND the target sample, the two
+    // bucket-count models, the broadcast ratio join, the per-doc reduce.
+    // The cost should track corpus tokens linearly (one narrow explode +
+    // one broadcast join + one agg); the model side is buckets-bounded.
+    results("dsirScore") = timedMin2 {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.Sampling.dsirWeights(docs,
+        docs.filter(col("source") === "src0")).count(): Unit
     }
 
     // intervalJoinSkew: the binned equi-join vs the naive residual range
