@@ -324,6 +324,16 @@ class WideViewSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM gwao.`t$wide` WHERE k > -3 AND k <= 4 " +
       "ORDER BY k").collect().map(_.getLong(0)).toSeq
       == (-2L to 4L))
+    // an accepted key-head IN (the multiGet shape) leaves no residual, so
+    // aggregates still push — and the probes, not the [min, max]
+    // envelope, define the counted set (9 keys between -3 and 9 are
+    // outside the IN list and must not count)
+    val aggIn = spark.sql("SELECT count(*) AS cnt, min(pop) AS mn " +
+      "FROM gwao.`t$wide` WHERE k IN (-3, 0, 9, 77)")
+    assert(aggIn.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+      .isEmpty, s"IN agg was not pushed:\n${aggIn.queryExecution.optimizedPlan}")
+    assert(aggIn.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((3L, 970L)))
   }
 
   test("ORDER BY + LIMIT runs as top-k inside the inner plan") {
