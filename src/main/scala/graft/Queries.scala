@@ -3545,6 +3545,57 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // CCNet-style segment-level dedup: fixed 4-token windows stand in for
+  // lines on this single-line corpus; segments shared by >= 2 documents
+  // corpus-wide are boilerplate and drop; per-document remainders
+  // reassemble in original order. The oracle replays the identical
+  // window split, md5-keyed doc-frequency count, and ordered reassembly.
+  private val dedupSegments = Q("dedup_segments", bench = true, oracle = Some(s"""
+    WITH d AS (SELECT doc_id, $duckToks AS ts FROM documents),
+    segs AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+      SELECT doc_id, unnest([{'pos': i, 'seg': array_to_string(ts[(i*4+1):(i*4+4)], ' ')}
+        for i in range(0, CAST(ceil(len(ts)/4.0) AS BIGINT))]) AS u FROM d)),
+    freq AS (SELECT md5(seg) AS h, count(DISTINCT doc_id) AS df
+             FROM segs GROUP BY 1),
+    kept AS (SELECT s.doc_id, s.pos, s.seg
+             FROM segs s JOIN freq f ON md5(s.seg) = f.h WHERE f.df < 2),
+    re AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS td,
+           count(*) AS nk FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS ns FROM segs GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(re.td, '') AS text_deduped,
+      CAST(coalesce(tot.ns, 0) AS BIGINT) AS n_segments,
+      CAST(coalesce(re.nk, 0) AS BIGINT) AS n_kept
+    FROM d LEFT JOIN re USING (doc_id) LEFT JOIN tot USING (doc_id)
+    ORDER BY d.doc_id""")) { (s, dir) =>
+    Text.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+      windowTokens = 4, maxDocFreq = 2)
+      .orderBy("doc_id")
+  }
+
+  // URL-level dedup: a deliberately messy URL (uppercase scheme/host,
+  // default port, trailing slash, unsorted + tracking query params,
+  // fragment) is derived per document from its own columns; the
+  // canonicalizer must collapse it to the clean form the oracle
+  // constructs INDEPENDENTLY (direct string derivation, not a regex
+  // replay), then dedup keeps the lowest doc_id per canonical URL.
+  private val dedupUrl = Q("dedup_url_canonical", Some("""
+    WITH c AS (SELECT doc_id,
+      'https://www.' || source || '.example.com/' || lang || '/item/' ||
+        (doc_id % 5) || '?a=1&b=2' AS canonical_url
+      FROM documents)
+    SELECT min(doc_id) AS doc_id, canonical_url,
+      CAST(count(*) AS BIGINT) AS n_dups
+    FROM c GROUP BY canonical_url ORDER BY doc_id""")) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val messy = concat(lit("HTTPS://WWW."), col("source"),
+      lit(".Example.COM:443/"), col("lang"), lit("/item/"),
+      (col("doc_id") % 5).cast("string"),
+      lit("/?b=2&utm_source=feed&a=1&ref="), col("doc_id").cast("string"),
+      lit("#sec"))
+    Dedup.byCanonicalUrl(docs.withColumn("url", messy), "doc_id", "url")
+      .orderBy("doc_id")
+  }
+
   // Corpus statistics: global top-N word bigrams by occurrence count
   // (vocabulary / boilerplate / stop-phrase mining). The cut is
   // total-ordered (occurrences desc, then the gram), so LIMIT is
@@ -3801,6 +3852,35 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  // Matryoshka two-stage retrieval: prefix-16-dim cosine shortlist of 20,
+  // exact 64-dim re-rank to top-5. The oracle replays both stages —
+  // shortlist membership and the emitted full-dimension cosines are both
+  // exact, so this is an end-to-end machinery check, not a recall bound.
+  private val similarityMatryoshka = Q("similarity_matryoshka", Some(s"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+        list_dot_product(a.v[1:16], b.v[1:16]) /
+          (sqrt(list_dot_product(a.v[1:16], a.v[1:16])) *
+           sqrt(list_dot_product(b.v[1:16], b.v[1:16]))) AS pcos,
+        $duckCos AS cosine
+      FROM q a JOIN c b ON a.vec_id <> b.vec_id),
+    sl AS (SELECT query_id, nn_id, cosine, row_number() OVER (
+        PARTITION BY query_id ORDER BY pcos DESC, nn_id) AS prank FROM s)
+    SELECT query_id, rank, nn_id, cosine FROM (
+      SELECT query_id, nn_id, cosine, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+      FROM sl WHERE prank <= 20)
+    WHERE rank <= 5 ORDER BY query_id, rank""")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, prefixDim = 16, shortlist = 20)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("nn_id"), col("cosine"))
       .orderBy("query_id", "rank")
@@ -4573,7 +4653,8 @@ object Queries {
     contaminationSemantic,
     similarityTopk, similarityIvf, clusterKmeans, sampleClusterBalanced,
     similarityLshPlanes, similarityQuantized, similarityPq,
-    dedupEmbedding, dedupSemantic, multimodalFeatures, multimodalMixed, sampleSplit,
+    dedupEmbedding, dedupSemantic, dedupSegments, dedupUrl,
+    similarityMatryoshka, multimodalFeatures, multimodalMixed, sampleSplit,
     sampleWeighted, sampleUpsampled, sampleTemperature, sampleDsir,
     sampleShardShuffle,
     packSequences, sampleStratified, sampleTokenBudgetQ, corpusStatsQ,

@@ -61,6 +61,21 @@ object Dedup {
   def keepFirstByHash(df: DataFrame, on: Column, idCol: String): DataFrame =
     keepFirst(df, md5(on.cast("string")), idCol)
 
+  /** URL-level dedup — the first pass of every web-corpus pipeline
+    * (CCNet/C4/RefinedWeb dedup fetched pages by normalized URL before
+    * any content comparison): canonicalize with [[Text.canonicalUrl]]
+    * (case, default ports, trailing slashes, fragments, tracking
+    * params), keep the lowest id per canonical URL, report the collapse
+    * count. One shuffle, keyed on the canonical string. Output:
+    * `(idCol, canonical_url, n_dups)`, one row per canonical URL. */
+  def byCanonicalUrl(df: DataFrame, idCol: String, urlCol: String,
+      dropParamsPattern: String = Text.TrackingParamPattern): DataFrame =
+    df.select(col(idCol),
+        Text.canonicalUrl(col(urlCol), dropParamsPattern).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(col(idCol), col("canonical_url"), col("n_dups"))
+
   /** (id, shingleSet) prep shared by jaccard/minhash paths. Tokens are
     * materialized as an attribute before shingling (see
     * [[Text.shinglesOf]] PERF note).

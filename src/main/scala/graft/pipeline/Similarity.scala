@@ -70,6 +70,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Matryoshka (MRL) two-stage retrieval: shortlist on the embedding's
+    * leading `prefixDim` dimensions, then exact full-dimension re-rank
+    * within the shortlist — the standard adaptive-retrieval pattern for
+    * nested-prefix embeddings (Kusupati et al. 2022). The corpus-sized
+    * pass touches only `prefixDim/dim` of every vector's bytes; the full
+    * vectors are read again only for the `queries x shortlist` survivors.
+    *
+    * Approximate in recall only (a true neighbor whose prefix cosine
+    * falls outside the shortlist is missed); every EMITTED cosine is the
+    * exact full-dimension value, so downstream thresholds stay meaningful.
+    *
+    * Shuffle discipline: the shortlist window ranks `(query_id, nn_id,
+    * prefix_cosine)` rows only — full vectors are dropped BEFORE the
+    * rank shuffle and re-joined after, so the corpus-sized shuffle is
+    * three scalar columns wide regardless of embedding dimension. The
+    * shortlist itself (queries x shortlist rows) broadcasts back onto
+    * the corpus for the re-rank read. */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      prefixDim: Int, shortlist: Int): DataFrame = {
+    require(prefixDim >= 1, "prefixDim must be >= 1")
+    require(k <= shortlist,
+      s"k=$k exceeds shortlist=$shortlist — the re-rank cannot recover " +
+        "neighbors the shortlist already dropped")
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    // stage 1: prefix-cosine shortlist, ids + one score wide
+    val prefScore = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(slice(col("_qv"), 1, prefixDim),
+          slice(col("_cv"), 1, prefixDim)).as("_pcos"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("_pcos").desc, col("nn_id"))
+    val short = prefScore.withColumn("_prank", row_number().over(wp))
+      .filter(col("_prank") <= shortlist)
+      .select("query_id", "nn_id")
+    // stage 2: exact full-dim re-rank over the tiny survivor set
+    val re = c.join(broadcast(short), "nn_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("_qv"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("nn_id"))
+    re.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN: k-means-lite coarse quantizer + probed
     * buckets + exact re-rank — the other standard scale path besides LSH.
     *

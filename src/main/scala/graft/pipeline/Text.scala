@@ -568,6 +568,94 @@ object Text {
       .withColumnRenamed("_g", "group")
   }
 
+  /** CCNet-style segment-level deduplication (Wenzek et al. 2019 dedup
+    * lines across shards; RefinedWeb repeats it): documents keep only
+    * the segments that are NOT shared by `maxDocFreq`-or-more documents
+    * corpus-wide, so boilerplate (headers, footers, cookie banners,
+    * navigation) vanishes while each document's unique prose survives —
+    * finer-grained than whole-document dedup, which keeps or drops all
+    * of a page.
+    *
+    * A segment is `windowTokens` consecutive whitespace tokens (pass the
+    * corpus's natural line split upstream if it has one — this corpus is
+    * single-line, so fixed windows stand in for lines; the counting /
+    * filtering / reassembly machinery is identical either way). Segment
+    * identity is `md5(segment)` — 128 bits, collision-free in practice
+    * at any corpus size (CCNet itself hashes to 64-bit SHA-1 prefixes),
+    * and it caps the doc-frequency shuffle key at 32 bytes regardless of
+    * `windowTokens`.
+    *
+    * Three constant-width shuffles: doc-frequency groupBy on the hash,
+    * survivor join on the hash, ordered reassembly groupBy on the doc id
+    * (width bounded by document size). Deterministic: reassembly sorts
+    * `(position, segment)` structs, never relying on shuffle order.
+    *
+    * Output: one row per input document — `text_deduped` (`""` when
+    * every segment was boilerplate), `n_segments`, `n_kept`. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 4, maxDocFreq: Int = 2): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val ts = tokens(col(textCol))
+    // window starts 1, 1+w, ... (sequence is empty-UNSAFE: stop < start
+    // generates a DESCENDING range, so the empty document guards first)
+    val segsArr = when(size(ts) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts), lit(windowTokens)),
+        i => array_join(slice(ts, i, lit(windowTokens)), " ")))
+    val segs = df
+      .select(col(idCol).as("_id"), posexplode(segsArr).as(Seq("_pos", "_seg")))
+      .withColumn("_h", md5(col("_seg")))
+    val freq = segs.groupBy("_h")
+      .agg(countDistinct(col("_id")).as("_df"))
+    val kept = segs.join(freq.filter(col("_df") < maxDocFreq), "_h")
+    val re = kept.groupBy("_id").agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_seg")))),
+          s => s.getField("_seg")), " ").as("text_deduped"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("_id"),
+        size(segsArr).cast("long").as("n_segments"))
+      .join(re, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Tracking/session query parameters a canonical URL drops — the
+    * analytics decorations that make one page spell a thousand URLs. */
+  val TrackingParamPattern: String =
+    "^(?:utm_.*|ref|fbclid|gclid|igshid|mc_eid|mkt_tok)$"
+
+  /** Canonical URL — the dedup key of every web-corpus pipeline (CCNet,
+    * C4, RefinedWeb all dedup fetched pages by normalized URL before
+    * touching content). Normalization, all codegen'd builtins:
+    * scheme and host lowercase; default port stripped (`:443` on https,
+    * `:80` on http); trailing path slashes stripped (root stays `/`);
+    * fragment dropped; query parameters with tracking keys
+    * ([[TrackingParamPattern]]) dropped, survivors sorted bytewise and
+    * rejoined. Percent-encoding is NOT normalized (that needs a decode
+    * table; callers wanting it should decode at ingest). */
+  def canonicalUrl(url: Column,
+      dropParamsPattern: String = TrackingParamPattern): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .otherwise(auth)
+    val rawPath =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val strippedPath = regexp_replace(rawPath, "/+$", "")
+    val path = when(strippedPath === "", lit("/")).otherwise(strippedPath)
+    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptParams = array_sort(filter(split(rawQuery, "&"), p =>
+      p =!= "" && !split(p, "=", 2).getItem(0).rlike(dropParamsPattern)))
+    val query = array_join(keptParams, "&")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
   /** fastText-style linear classifier scoring — the model-based quality
     * filter of large-corpus curation: score = bias + Σ_t w(t) over the
     * document's tokens (multiplicity counts); callers threshold or

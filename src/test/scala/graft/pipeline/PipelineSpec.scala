@@ -1491,4 +1491,87 @@ class PipelineSpec extends SparkSpec {
     assert(spansOf(df, k = 3) == Map.empty[Long, (Long, Long)])
     assert(spansOf(df, k = 3, crossDocOnly = false) == Map(1L -> (2L, 6L)))
   }
+
+  test("segmentDedup: shared windows drop, unique prose survives in order") {
+    // w=2 windows. Docs 1 and 2 share window "b1 b2" (the boilerplate);
+    // doc 3 is entirely unique; doc 4 is an exact dup of doc 1 so EVERY
+    // one of its windows is shared and it empties. Doc 5 is empty text.
+    val df = Seq(
+      (1L, "b1 b2 u1 u2 u3"),
+      (2L, "b1 b2 v1 v2"),
+      (3L, "w1 w2 w3"),
+      (4L, "b1 b2 u1 u2 u3"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Text.segmentDedup(df, "doc_id", "text",
+        windowTokens = 2, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 windows [b1 b2][u1 u2][u3] all recur in doc 4 -> df=2 -> drop
+    assert(out(1L) == (("", 3L, 0L)))
+    assert(out(4L) == (("", 3L, 0L)))
+    // doc 2: [b1 b2] drops (df=3), [v1 v2] unique and kept
+    assert(out(2L) == (("v1 v2", 2L, 1L)))
+    // doc 3 untouched, window split preserved in order
+    assert(out(3L) == (("w1 w2 w3", 2L, 2L)))
+    // empty doc: zero segments, empty output, no crash
+    assert(out(5L) == (("", 0L, 0L)))
+  }
+
+  test("segmentDedup: reassembly is position-ordered, not shuffle-ordered") {
+    val many = (1L to 40L).map(i =>
+      (i, (0 until 12).map(j => s"tok_${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Text.segmentDedup(many, "doc_id", "text",
+      windowTokens = 3, maxDocFreq = 2)
+    // nothing shared -> every doc reassembles to exactly its input
+    val joined = out.join(many, "doc_id")
+      .filter(col("text_deduped") =!= col("text")).count()
+    assert(joined == 0L)
+  }
+
+  test("canonicalUrl: case, ports, slashes, fragments, tracking params") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(Text.canonicalUrl(col("u"))).head().getString(0)
+    assert(canon("HTTPS://Ex.COM:443/A/b/?z=1&utm_source=x&a=2#frag") ==
+      "https://ex.com/A/b?a=2&z=1")
+    assert(canon("http://ex.com:80/") == "http://ex.com/")
+    assert(canon("http://ex.com") == "http://ex.com/")
+    // non-default port survives; path case preserved
+    assert(canon("https://ex.com:8443/Path/") == "https://ex.com:8443/Path")
+    // ftp: unknown scheme — no port stripping
+    assert(canon("FTP://ex.com:21/f") == "ftp://ex.com:21/f")
+    // all params tracking -> no query at all
+    assert(canon("https://ex.com/p?utm_a=1&ref=2&gclid=3") ==
+      "https://ex.com/p")
+    // valueless and duplicate params survive sorted
+    assert(canon("https://ex.com/p?b&a=1&a=0") == "https://ex.com/p?a=0&a=1&b")
+  }
+
+  test("matryoshkaTopK: exact when shortlist covers the corpus; recall otherwise") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "nn_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+    // shortlist == corpus: the prefix stage cannot drop a true neighbor
+    val full = Similarity.matryoshkaTopK(emb, q, "vec_id", "embedding",
+      k = 5, prefixDim = 16, shortlist = n)
+    assert(key(full) == key(brute))
+    // recall bound: these synthetic embeddings are near-random, so the
+    // prefix carries only prefixDim/dim of the signal (real MRL models
+    // concentrate energy in the leading dims — recall there is far
+    // higher at the same prefix). 48-of-64 + shortlist 50 measures 24/25
+    // on this corpus; assert a margin under it.
+    val short = Similarity.matryoshkaTopK(emb, q, "vec_id", "embedding",
+      k = 5, prefixDim = 48, shortlist = 50)
+    val hit = key(short).map(t => (t._1, t._3))
+      .intersect(key(brute).map(t => (t._1, t._3))).size
+    assert(hit >= 20, s"matryoshka recall too low: $hit/25")
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(emb, q, "vec_id", "embedding",
+        k = 10, prefixDim = 16, shortlist = 5)
+    }
+  }
 }
