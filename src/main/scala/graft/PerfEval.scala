@@ -459,6 +459,19 @@ object PerfEval {
         .count(): Unit
     }
 
+    // annMatryoshka (r10): two-stage prefix-shortlist + full-dim re-rank.
+    // The corpus-sized pass reads prefixDim/dim of each vector and ranks
+    // an ids-only frame; re-rank touches queries x shortlist rows. The
+    // delta vs the brute window in similarity_topk is the shortlist
+    // effect; at 100 TB the prefix pass is the only corpus-wide stage.
+    results("annMatryoshka") = timedMin2 {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.pipeline.Similarity.matryoshkaTopK(
+        emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, prefixDim = 16, shortlist = 20)
+        .count(): Unit
+    }
+
     // annPqAdc: product-quantization ANN end-to-end (maximin-seeded L2
     // codebook training + PqEncode codes + ADC-table scan + exact
     // re-rank). Like annLshHash, timed here rather than oracle-gated: the
@@ -480,6 +493,40 @@ object PerfEval {
     results("canonicalFoldScan") = timedMin2 {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       docs.select(graft.pipeline.Text.canonicalFold(col("text")).as("k"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // auditExact vs auditApprox (r10): the corpus-audit cost cliff. The
+    // exact path pays a per-group sort (rank-pick quantiles) plus the
+    // distinct-count shuffle; the sketch path (HLL++ distinct,
+    // percentile_approx quantiles) is ONE partial-aggregating pass with
+    // constant per-group state — the shape that survives 100 TB. The
+    // sketch's error bounds are spec-pinned against the exact anchor.
+    {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      results("auditExact") = timedMin2 {
+        val exact = graft.pipeline.Text.corpusStats(docs, col("lang"),
+          graft.pipeline.Text.tokenCount(col("text")), col("doc_id"))
+        val distinct = docs.groupBy(col("lang").as("group"))
+          .agg(countDistinct(
+            graft.pipeline.Text.fingerprint(col("text"))).as("d"))
+        exact.join(distinct, "group").collect(): Unit
+      }
+      results("auditApprox") = timedMin2 {
+        graft.pipeline.Text.corpusStatsApprox(docs, col("lang"),
+          graft.pipeline.Text.tokenCount(col("text")), col("text"))
+          .collect(): Unit
+      }
+    }
+
+    // segmentDedup (r10): the CCNet segment-level dedup corpus pass —
+    // window split, md5-keyed doc-frequency count, survivor join,
+    // position-ordered reassembly, full result materialized. Cost should
+    // track corpus tokens linearly: all three shuffles are constant-width
+    // (32-byte hash keys; reassembly width bounded by document size).
+    results("segmentDedup") = timedMin2 {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.Text.segmentDedup(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
 

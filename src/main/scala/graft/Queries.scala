@@ -4331,6 +4331,27 @@ object Queries {
       .orderBy("seq_id")
   }
 
+  // Context-window chunking: 32-token windows advancing by 24 (8-token
+  // overlap) — the split-long-documents step before packing. Window
+  // starts cap at max(n - overlap, 1) so the last window reaches the end
+  // without emitting a pure-suffix chunk. Zero shuffles engine-side; the
+  // oracle replays the start arithmetic and slices in SQL.
+  private val packChunks = Q("pack_chunks", Some(s"""
+    WITH d AS (SELECT doc_id, $duckToks AS ts FROM documents),
+    e AS (SELECT doc_id, ts, len(ts) AS n FROM d WHERE len(ts) > 0),
+    ch AS (SELECT doc_id, u.i AS chunk_id,
+        array_to_string(ts[(1 + u.i*24):(1 + u.i*24 + 31)], ' ') AS chunk_text,
+        CAST(least(32, n - (1 + u.i*24) + 1) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, ts, n, unnest([{'i': i}
+          for i in range(0, ((greatest(n - 8, 1) - 1) // 24) + 1)]) AS u
+        FROM e))
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text, n_tokens
+    FROM ch ORDER BY doc_id, chunk_id""")) { (s, dir) =>
+    Pack.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+      maxTokens = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // Class-balanced sampling: exactly n docs per language, deterministic
   // md5 rank. The engine runs the candidate-prefilter + verify-exact
   // shape (Sampling.stratifiedTopN — the ranked sort touches ~4n rows
@@ -4657,7 +4678,7 @@ object Queries {
     similarityMatryoshka, multimodalFeatures, multimodalMixed, sampleSplit,
     sampleWeighted, sampleUpsampled, sampleTemperature, sampleDsir,
     sampleShardShuffle,
-    packSequences, sampleStratified, sampleTokenBudgetQ, corpusStatsQ,
+    packSequences, packChunks, sampleStratified, sampleTokenBudgetQ, corpusStatsQ,
     curationPipeline, streamCuration)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

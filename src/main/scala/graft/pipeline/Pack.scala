@@ -91,4 +91,44 @@ object Pack {
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("seq_tokens"),
         min("id").as("min_id"), max("id").as("max_id"))
+
+  /** Context-window chunking: split each document's token stream into
+    * windows of `maxTokens` advancing by `stride` tokens (stride <
+    * maxTokens overlaps consecutive chunks by `maxTokens - stride`) —
+    * the split-long-documents step that runs BEFORE [[packSequences]]
+    * in an LLM pipeline (a document longer than the context window must
+    * be cut; the overlap preserves cross-boundary context).
+    *
+    * Window starts are 1, 1+stride, …, capped at `max(n - overlap, 1)`
+    * so the final window reaches the document's end WITHOUT emitting a
+    * trailing chunk that is a pure suffix of its predecessor. Every
+    * token lands in at least one chunk; an empty document emits no
+    * chunks.
+    *
+    * Scale shape: zero shuffles — one codegen'd per-row pass
+    * (`sequence` of starts, `transform` + `slice` windows, `posexplode`).
+    * Output rows = chunk count, ~`n/stride` per document.
+    *
+    * Output: `(idCol, chunk_id, chunk_text, n_tokens)` with `chunk_id`
+    * 0-based in document order. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, stride: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(stride >= 1 && stride <= maxTokens,
+      s"stride must be in [1, maxTokens]; got stride=$stride max=$maxTokens")
+    val overlap = maxTokens - stride
+    val ts = graft.pipeline.Text.tokens(col(textCol))
+    val n = size(ts)
+    // sequence(start, stop) descends when stop < start — guard empties
+    val starts = when(n === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), greatest(n - lit(overlap), lit(1)),
+        lit(stride)))
+    val chunks = transform(starts, s => struct(
+      array_join(slice(ts, s, lit(maxTokens)), " ").as("chunk_text"),
+      least(lit(maxTokens), n - s + 1).cast("long").as("n_tokens")))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "_c")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("_c.chunk_text").as("chunk_text"),
+        col("_c.n_tokens").as("n_tokens"))
+  }
 }

@@ -568,6 +568,38 @@ object Text {
       .withColumnRenamed("_g", "group")
   }
 
+  /** Sketch-based corpus audit — the 100 TB form of [[corpusStats]]:
+    * HLL++ (`approx_count_distinct`) for distinct content fingerprints
+    * and KLL-style `percentile_approx` for token quantiles, all in ONE
+    * narrow partial-aggregating pass with CONSTANT memory per group.
+    * [[corpusStats]]'s exact rank pick needs a per-group sort (fine at
+    * audit scales, a full extra shuffle of the corpus at 100 TB) and
+    * exact distinct-counting needs a corpus-wide shuffle of the
+    * fingerprints; the sketches replace both with mergeable
+    * fixed-size state. Approximate by declared bounds only:
+    * `relativeSD` for the distinct count, rank error `1/accuracy` for
+    * the quantiles (the returned quantile is always a REAL data value).
+    * [[corpusStats]] is the exactness anchor — the spec pins this
+    * output against it on the same corpus. */
+  def corpusStatsApprox(df: DataFrame, group: Column, tokens: Column,
+      content: Column, relativeSD: Double = 0.05,
+      accuracy: Int = 10000): DataFrame =
+    df.select(group.cast("string").as("group"),
+        coalesce(tokens.cast("long"), lit(0L)).as("_tok"),
+        fingerprint(content).as("_fp"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("_fp"), relativeSD)
+          .as("distinct_docs_approx"),
+        sum("_tok").as("tok_sum"),
+        min("_tok").as("tok_min"), max("_tok").as("tok_max"),
+        percentile_approx(col("_tok"), array(lit(0.5), lit(0.9)),
+          lit(accuracy)).as("tok_q_approx"))
+      .select(col("group"), col("n_docs"), col("distinct_docs_approx"),
+        col("tok_sum"), col("tok_min"), col("tok_max"),
+        element_at(col("tok_q_approx"), 1).as("tok_p50_approx"),
+        element_at(col("tok_q_approx"), 2).as("tok_p90_approx"))
+
   /** CCNet-style segment-level deduplication (Wenzek et al. 2019 dedup
     * lines across shards; RefinedWeb repeats it): documents keep only
     * the segments that are NOT shared by `maxDocFreq`-or-more documents

@@ -1529,6 +1529,81 @@ class PipelineSpec extends SparkSpec {
     assert(joined == 0L)
   }
 
+  test("corpusStatsApprox: sketch audit within declared bounds of the exact anchor") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Text.corpusStats(real, col("lang"),
+        Text.tokenCount(col("text")), col("doc_id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6)))).toMap
+    val exactDistinct = real.groupBy("lang")
+      .agg(countDistinct(Text.fingerprint(col("text"))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Text.corpusStatsApprox(real, col("lang"),
+        Text.tokenCount(col("text")), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(approx.keySet == exact.keySet)
+    val tokRanks = real.select(col("lang"),
+        Text.tokenCount(col("text")).cast("long").as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    approx.foreach { case (g, (nDocs, dApprox, tokSum, p50a, p90a)) =>
+      val (nExact, sumExact, _, _) = exact(g)
+      // exact-by-construction fields agree exactly
+      assert(nDocs == nExact && tokSum == sumExact)
+      // HLL++ at relativeSD=0.05: allow 3 sigma
+      val dExact = exactDistinct(g)
+      assert(math.abs(dApprox - dExact) <= math.max(1L,
+        math.ceil(0.15 * dExact).toLong),
+        s"$g: distinct approx $dApprox vs exact $dExact")
+      // percentile_approx returns a real data value within rank error
+      // 1/accuracy — at these group sizes that is <= 1 rank position
+      val toks = tokRanks(g)
+      def rankWindow(p: Double, v: Long): Boolean = {
+        val target = math.ceil(p * toks.size).toInt
+        val lo = math.max(1, target - 1); val hi = math.min(toks.size, target + 1)
+        (lo to hi).exists(r => toks(r - 1) == v)
+      }
+      assert(toks.contains(p50a) && toks.contains(p90a),
+        s"$g: approx quantiles must be data values")
+      assert(rankWindow(0.5, p50a), s"$g: p50 approx $p50a off-rank")
+      assert(rankWindow(0.9, p90a), s"$g: p90 approx $p90a off-rank")
+    }
+  }
+
+  test("chunkDocuments: coverage, overlap, tail rule, empty doc") {
+    val df = Seq(
+      (1L, (1 to 13).map(i => s"t$i").mkString(" ")), // 13 tokens
+      (2L, "a b c"),                                  // shorter than max
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")), // exact cap boundary
+      (4L, "")).toDF("doc_id", "text")
+    val out = Pack.chunkDocuments(df, "doc_id", "text",
+        maxTokens = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // n=13, overlap=4: starts 1..max(13-4,1)=9 by 4 -> 1,5,9
+    assert(out((1L, 0L)) == (((1 to 8).map(i => s"t$i").mkString(" "), 8L)))
+    assert(out((1L, 1L)) == (((5 to 12).map(i => s"t$i").mkString(" "), 8L)))
+    assert(out((1L, 2L)) == (((9 to 13).map(i => s"t$i").mkString(" "), 5L)))
+    // n=3 < max: one chunk, the whole doc
+    assert(out((2L, 0L)) == (("a b c", 3L)))
+    assert(!out.contains((2L, 1L)))
+    // n=12: starts 1..8 -> 1,5; chunk at 9 would be a pure suffix of 5's
+    assert(out((3L, 0L)) == (((1 to 8).map(i => s"u$i").mkString(" "), 8L)))
+    assert(out((3L, 1L)) == (((5 to 12).map(i => s"u$i").mkString(" "), 8L)))
+    assert(!out.contains((3L, 2L)))
+    // empty doc: no chunks, no crash
+    assert(!out.keys.exists(_._1 == 4L))
+    // every token of doc 1 is covered by at least one chunk
+    val covered = out.collect { case ((1L, _), (txt, _)) => txt.split(" ") }
+      .flatten.toSet
+    assert(covered == (1 to 13).map(i => s"t$i").toSet)
+    intercept[IllegalArgumentException] {
+      Pack.chunkDocuments(df, "doc_id", "text", maxTokens = 4, stride = 5)
+    }
+  }
+
   test("canonicalUrl: case, ports, slashes, fragments, tracking params") {
     def canon(u: String): String =
       Seq(u).toDF("u").select(Text.canonicalUrl(col("u"))).head().getString(0)
