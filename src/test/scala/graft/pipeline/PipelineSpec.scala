@@ -1529,6 +1529,32 @@ class PipelineSpec extends SparkSpec {
     assert(joined == 0L)
   }
 
+  test("r10 plan shapes: chunking shuffle-free, segment/matryoshka scale-safe") {
+    // chunkDocuments: ZERO exchanges — one codegen'd per-row pass
+    val chunk = planOf(Pack.chunkDocuments(docs, "doc_id", "text",
+      maxTokens = 4, stride = 3))
+    assert(!chunk.contains("Exchange"), chunk)
+    // segmentDedup: no cartesian product; every exchange hashes a
+    // constant-width key (_h md5 or _id), never raw text
+    val seg = planOf(Text.segmentDedup(docs, "doc_id", "text",
+      windowTokens = 2, maxDocFreq = 2))
+    assert(!seg.contains("CartesianProduct") && !seg.contains("BroadcastNestedLoop"), seg)
+    assert(!"hashpartitioning\\([^)]*text".r.findFirstIn(seg).isDefined, seg)
+    // matryoshkaTopK: the query set broadcasts (corpus never shuffles
+    // for the score join), and the shortlist broadcasts back for the
+    // re-rank read
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mat = planOf(Similarity.matryoshkaTopK(emb,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, prefixDim = 16, shortlist = 10))
+    assert(mat.contains("BroadcastHashJoin") ||
+      mat.contains("BroadcastNestedLoopJoin"), mat)
+    // the rank window must shuffle ids+score only — no embedding column
+    // may appear in its exchange (hashpartitioning on query_id carries
+    // the projected narrow frame; the full vectors re-join afterwards)
+    assert(!"hashpartitioning\\(query_id[^)]*_qv".r.findFirstIn(mat).isDefined, mat)
+  }
+
   test("corpusStatsApprox: sketch audit within declared bounds of the exact anchor") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Text.corpusStats(real, col("lang"),
