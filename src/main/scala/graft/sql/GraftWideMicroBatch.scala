@@ -161,21 +161,35 @@ class GraftWideFileReader(p: GraftWideFilesPartition,
   private val cellFields =
     Array("row", "family", "qualifier", "ts", "kind", "value", "seq")
 
-  /** One file's sorted cell stream with a lookahead head. */
+  /** One file's sorted cell stream with a lookahead head. `headSalt`
+    * caches the head row's salt byte (the merge comparator's leading
+    * component on salted tables — one hash per cell, not per compare). */
   private class FileCells(file: String) {
     val reader = new GraftFileReader(
       GraftFilePartition(file, cellFields, p.startRow, p.stopRow,
         Some(p.families), p.saltBuckets), conf)
+    var headSalt: Int = 0
     var head: InternalRow = advance()
     def advance(): InternalRow = {
       head = if (reader.next()) reader.get() else null
+      if (head != null && p.saltBuckets > 0)
+        headSalt = graft.core.Salt.saltOf(head.getBinary(0), p.saltBuckets) & 0xff
       head
     }
   }
 
   /** Full cell order on the lookahead heads (ts/seq DESCENDING — newest
-    * first within a qualifier, matching the files' sort). */
-  private def cellLt(a: InternalRow, b: InternalRow): Boolean = {
+    * first within a qualifier, matching the files' sort). On a SALTED
+    * table the files sort by the SALTED key while the reader exposes the
+    * stripped key, so the comparator leads with the recomputed salt byte
+    * (`Salt.saltOf` is byte-identical to the write-side prefix) — a
+    * stripped-order heap would let a sparse family's stream run ahead
+    * across a bucket boundary and SPLIT a row into two upserts (pinned
+    * by WideStreamSpec's salted multi-family regression). */
+  private def cellLt(sa: FileCells, sb: FileCells): Boolean = {
+    if (sa.headSalt != sb.headSalt) return sa.headSalt < sb.headSalt
+    val a = sa.head
+    val b = sb.head
     val byRow = Bytes.compareTo(a.getBinary(0), b.getBinary(0))
     if (byRow != 0) return byRow < 0
     val byFam = a.getUTF8String(1).compareTo(b.getUTF8String(1))
@@ -192,7 +206,7 @@ class GraftWideFileReader(p: GraftWideFilesPartition,
   private def nextCell(): InternalRow = {
     var best: FileCells = null
     streams.foreach { s =>
-      if (s.head != null && (best == null || cellLt(s.head, best.head)))
+      if (s.head != null && (best == null || cellLt(s, best)))
         best = s
     }
     if (best == null) null

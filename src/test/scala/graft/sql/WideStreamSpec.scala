@@ -206,4 +206,35 @@ class WideStreamSpec extends SparkSpec {
     // every full row arrived as ONE upsert with BOTH families' columns
     assert(streamed.count(t => t._2.isDefined && t._3.isDefined) == 200)
   }
+
+  test("salted multi-family streams never split a row across upserts") {
+    // Regression: committed files sort by the SALTED key, but the merge
+    // comparator saw stripped keys — when a range partition spans a salt
+    // bucket boundary and the families' row sets differ, the sparse
+    // family's stream runs ahead in salted order, the stripped-order heap
+    // picks its row early, and the dense family's cells for the SAME row
+    // surface later as a second upsert (a split row). The comparator now
+    // orders by (salt byte, key), matching the files' physical order.
+    val root = freshRoot("widestream-saltmf")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f"), FamilyDescriptor("g")),
+      splitKeys = 4, saltBuckets = 8, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;g:pop:long")), 1L)
+    // f on every row, g only on a sparse subset — the desync shape
+    g.table("t").put((1 to 200).map { i =>
+      val p = Put(Bytes.toBytes(i.toLong)).add("f", b("city"), 2L, b(s"c$i"))
+      if (i % 7 == 0) p.add("g", b("pop"), 2L, Bytes.toBytes(i.toLong * 10))
+      else p
+    }, 2L)
+    register("gwssm", root)
+    val work = freshRoot("widestream-saltmf-w")
+    val rows = drain("gwssm.`t$wide`", work).flatten
+    val dup = rows.map(_.getLong(0)).groupBy(identity).filter(_._2.size > 1)
+    assert(dup.isEmpty, s"split upserts for keys ${dup.keys.toSeq.sorted}")
+    val tup = rows.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(tup == (1 to 200).map(i => (i.toLong, s"c$i",
+      if (i % 7 == 0) Some(i.toLong * 10) else None)).toSet)
+  }
 }
