@@ -3518,6 +3518,70 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // The C4 cleaning heuristics (Raffel et al. 2020 §2.2): line retention
+  // (terminal punctuation + >= 3 words + no "javascript") then page
+  // flags (>= 5 sentences on the CLEANED text, no lorem ipsum, no curly
+  // bracket). The synthetic corpus is single-line and punctuation-free
+  // (every rule would be vacuous), so BOTH engines first derive a
+  // structured corpus with the same deterministic string transforms:
+  // ' line ' becomes a sentence break (period + newline), every 7th doc
+  // swaps ' vector ' for ' javascript ', every 11th leads with
+  // 'lorem ipsum ', every 13th trails a curly brace — each rule then
+  // fires both ways on real data. Thresholds are integer counts; the
+  // cleaned text is compared verbatim.
+  private val textC4 = Q("text_c4", Some(s"""
+    WITH d AS (SELECT doc_id,
+        concat(
+          CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum ' ELSE '' END,
+          regexp_replace(
+            CASE WHEN doc_id % 7 = 0
+              THEN regexp_replace(text, ' vector ', ' javascript ', 'g')
+              ELSE text END,
+            ' line ', '.' || chr(10), 'g'),
+          CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END) AS text
+      FROM documents),
+    s AS (SELECT doc_id, text,
+        list_filter(list_transform(string_split(text, chr(10)),
+          x -> trim(x)), x -> x <> '') AS ls
+      FROM d),
+    k AS (SELECT doc_id, text, ls,
+        list_filter(ls, l ->
+          (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+          AND len(list_filter(string_split_regex(l, '\\s+'),
+            w -> w <> '')) >= 3
+          AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM s),
+    m AS (SELECT doc_id, text,
+        coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+        CAST(len(ls) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept_lines
+      FROM k)
+    SELECT doc_id, text_clean, n_lines, n_kept_lines,
+      (length(text_clean) - length(regexp_replace(text_clean, '[.!?]', '',
+        'g')) >= 5) AS rule_min_sentences,
+      (NOT contains(lower(text), 'lorem ipsum')) AS rule_no_lorem,
+      (NOT (contains(text, '{') OR contains(text, '}'))) AS rule_no_brace,
+      ((length(text_clean) - length(regexp_replace(text_clean, '[.!?]', '',
+         'g')) >= 5)
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT (contains(text, '{') OR contains(text, '}'))) AS c4_keep
+    FROM m ORDER BY doc_id""")) { (s, dir) =>
+    val derived = t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 11 === 0, lit("lorem ipsum ")).otherwise(lit("")),
+        regexp_replace(
+          when(col("doc_id") % 7 === 0,
+            regexp_replace(col("text"), " vector ", " javascript "))
+            .otherwise(col("text")),
+          " line ", ".\n"),
+        when(col("doc_id") % 13 === 0, lit(" {")).otherwise(lit("")))
+        .as("text"))
+    Text.c4Rules(derived)
+      .select("doc_id", "text_clean", "n_lines", "n_kept_lines",
+        "rule_min_sentences", "rule_no_lorem", "rule_no_brace", "c4_keep")
+      .orderBy("doc_id")
+  }
+
   // Model-based quality scoring: a fastText-style linear classifier over
   // unigrams. The operator quantizes weights to 1e-6 fixed point so the
   // dot product is an INTEGER sum — the oracle re-derives every score
@@ -4667,7 +4731,7 @@ object Queries {
     dedupIncrementalIndexed,
     streamMinhashLsh, streamLshEventTtl,
     dedupClusters, dedupKeepCanonical,
-    dedupSimhash, textQuality, textGopher, textLangid, textNormalize,
+    dedupSimhash, textQuality, textGopher, textC4, textLangid, textNormalize,
     textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,
     textTopNgrams, textBoilerplate, textClassifier, dedupContamination,

@@ -136,6 +136,52 @@ object Text {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the other
+    * canonical published rule set besides [[gopherRules]]; both C4 and
+    * its descendants apply line-level retention THEN page-level flags):
+    *
+    * Line retention (`text_clean` keeps a line iff all three hold):
+    *   - ends in a terminal punctuation mark (`.` `!` `?` or a closing
+    *     double quote — the paper's list);
+    *   - has at least 3 whitespace words;
+    *   - does not contain "javascript" (case-insensitive — the paper
+    *     drops lines with the word Javascript).
+    *
+    * Page flags (over the ORIGINAL text except where noted):
+    *   - `rule_min_sentences`: the CLEANED text carries >= 5 terminal
+    *     punctuation marks (the paper discards pages under 5 sentences);
+    *   - `rule_no_lorem`: no "lorem ipsum" (case-insensitive);
+    *   - `rule_no_brace`: no curly bracket (code, not prose);
+    *   - `c4_keep` = the conjunction.
+    *
+    * The paper's "bad words" list is licensing-encumbered and therefore
+    * NOT bundled; callers with a list compose [[linearScore]] or a plain
+    * `rlike` filter. Every threshold is an integer count — no float can
+    * flip a boundary page. One narrow codegen'd pass, no shuffle. */
+  def c4Rules(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def lineWords(x: Column): Column =
+      size(filter(split(x, "\\s+"), w => w =!= ""))
+    def keepLine(x: Column): Column =
+      (x.endsWith(".") || x.endsWith("!") || x.endsWith("?") ||
+        x.endsWith("\"")) &&
+      lineWords(x) >= 3 && !lower(x).contains("javascript")
+    val clean = col("text_clean")
+    val sentinels = length(clean) - length(regexp_replace(clean, "[.!?]", ""))
+    df.withColumn("_c4_ls", filter(
+        transform(split(t, "\n"), x => trim(x)), x => x =!= ""))
+      .withColumn("_c4_kept", filter(col("_c4_ls"), keepLine(_)))
+      .withColumn("text_clean", array_join(col("_c4_kept"), "\n"))
+      .withColumn("n_lines", size(col("_c4_ls")).cast("long"))
+      .withColumn("n_kept_lines", size(col("_c4_kept")).cast("long"))
+      .withColumn("rule_min_sentences", sentinels >= 5)
+      .withColumn("rule_no_lorem", !lower(t).contains("lorem ipsum"))
+      .withColumn("rule_no_brace", !(t.contains("{") || t.contains("}")))
+      .withColumn("c4_keep", col("rule_min_sentences") &&
+        col("rule_no_lorem") && col("rule_no_brace"))
+      .drop("_c4_ls", "_c4_kept")
+  }
+
   /** Language ID via stopword-profile scoring — the classic trigram/
     * stopword heuristic (no model): score each language by the fraction
     * of tokens in its closed-class word list, pick the argmax, "und"

@@ -82,6 +82,35 @@ class PipelineSpec extends SparkSpec {
     assert(!out(2L)("gopher_pass") && !out(4L)("gopher_pass"))
   }
 
+  test("c4Rules: line retention and page flags fire both ways") {
+    val good = (1 to 6).map(i => s"this is sentence number $i.").mkString("\n")
+    val data = Seq(
+      (1L, good),                                  // 6 kept lines, all pass
+      (2L, "no terminal punctuation here\nme neither"),  // all lines dropped
+      (3L, "one two.\n" + good),                   // 2-word line dropped
+      (4L, "enable javascript to view this page.\n" + good), // js line dropped
+      (5L, good + "\nlorem ipsum dolor sit amet."), // page flag fails
+      (6L, good + "\nvar f = function() { return 1; };"), // brace page flag
+      (7L, "just one sentence here."),             // kept but < 5 sentences
+      (8L, "")).toDF("doc_id", "text")
+    val out = Text.c4Rules(data).collect().map { r =>
+      r.getLong(0) -> ((r.getString(r.fieldIndex("text_clean")),
+        r.getLong(r.fieldIndex("n_lines")),
+        r.getLong(r.fieldIndex("n_kept_lines")),
+        Seq("rule_min_sentences", "rule_no_lorem", "rule_no_brace", "c4_keep")
+          .map(c => c -> r.getBoolean(r.fieldIndex(c))).toMap))
+    }.toMap
+    assert(out(1L)._4.values.forall(identity), out(1L))
+    assert(out(1L)._3 == 6L && out(1L)._1 == good)
+    assert(out(2L)._3 == 0L && out(2L)._1 == "")
+    assert(out(3L)._2 == 7L && out(3L)._3 == 6L) // the 2-word line dropped
+    assert(out(4L)._3 == 6L)                     // the javascript line dropped
+    assert(!out(5L)._4("rule_no_lorem") && !out(5L)._4("c4_keep"))
+    assert(!out(6L)._4("rule_no_brace") && out(6L)._3 == 6L)
+    assert(out(7L)._3 == 1L && !out(7L)._4("rule_min_sentences"))
+    assert(out(8L)._2 == 0L && !out(8L)._4("c4_keep"))
+  }
+
   test("langId identifies real-language samples via stopword profiles") {
     val samples = Seq(
       (1L, "the cat sat on the mat and it is happy to be in the sun"),
