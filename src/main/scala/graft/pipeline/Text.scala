@@ -726,7 +726,9 @@ object Text {
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val strippedPath = regexp_replace(rawPath, "/+$", "")
     val path = when(strippedPath === "", lit("/")).otherwise(strippedPath)
-    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    // the query must precede any fragment — a '?' appearing only INSIDE
+    // the fragment ("/p#frag?x") is fragment text, not a query
+    val rawQuery = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
     val keptParams = array_sort(filter(split(rawQuery, "&"), p =>
       p =!= "" && !split(p, "=", 2).getItem(0).rlike(dropParamsPattern)))
     val query = array_join(keptParams, "&")

@@ -1675,6 +1675,8 @@ class PipelineSpec extends SparkSpec {
       "https://ex.com/p")
     // valueless and duplicate params survive sorted
     assert(canon("https://ex.com/p?b&a=1&a=0") == "https://ex.com/p?a=0&a=1&b")
+    // a '?' appearing only inside the fragment is NOT a query
+    assert(canon("https://ex.com/p#frag?x=1") == "https://ex.com/p")
   }
 
   test("matryoshkaTopK: exact when shortlist covers the corpus; recall otherwise") {
