@@ -2721,6 +2721,63 @@ object Queries {
       .orderBy("c_custkey", "c_mktsegment")
   }
 
+  // The wide change feed WITH delete markers (withDeletes): a whole-row
+  // delete (DeleteFamily in every declared family, no Put) ships as one
+  // all-null marker row — unambiguous because upserts always carry >= 1
+  // non-null column. Three versions: full load, a partial update, a
+  // range delete; the feed must be exactly load-upserts ∪
+  // update-upserts ∪ markers. Oracle = the same union relationally.
+  private val streamWideDeletes = Q("stream_wide_deletes", Some("""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+           CAST(NULL AS INTEGER) AS c_nationkey,
+           CAST(NULL AS DOUBLE) AS c_acctbal, 'X' AS c_mktsegment
+    FROM customer WHERE c_custkey >= 300 AND c_custkey < 600
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+           CAST(NULL AS INTEGER) AS c_nationkey,
+           CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+    FROM customer WHERE c_custkey < 300
+    ORDER BY c_custkey, c_mktsegment""")) { (s, dir) =>
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    val work = java.nio.file.Files.createTempDirectory("graft-q-widedel").toString
+    val g = graft.Graft(s, s"$work/src")
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("c"), FamilyDescriptor("d")),
+      splitKeys = 8, wideKey = Some("c_custkey:long"),
+      wideSchema = Some("c:c_name:string;c:c_nationkey:int;" +
+        "d:c_acctbal:double;d:c_mktsegment:string")), 1L)
+    val cust = t(s, dir, "customer")
+    g.table("t").mutate(
+      CellCodec.encode(cust.select("c_custkey", "c_name", "c_nationkey"),
+        "c", Seq("c_custkey")).unionByName(
+        CellCodec.encode(cust.select("c_custkey", "c_acctbal", "c_mktsegment"),
+          "d", Seq("c_custkey"))), nowMs = 1L)
+    g.table("t").mutate(CellCodec.encode(
+      cust.filter(col("c_custkey") >= 300 && col("c_custkey") < 600)
+        .select(col("c_custkey"), lit("X").as("c_mktsegment")),
+      "d", Seq("c_custkey"), batchTs = 2L), nowMs = 2L)
+    s.conf.set("spark.sql.catalog.graft_wd",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wd.root", s"$work/src")
+    // whole-row range delete THROUGH the wide view's metadata-DELETE
+    // path — one DeleteFamily per (row, declared family), the exact
+    // shape the feed's marker contract keys on
+    s.sql("DELETE FROM graft_wd.`t$wide` WHERE c_custkey < 300")
+    val q = s.readStream.option("withDeletes", "true")
+      .table("graft_wd.`t$wide`")
+      .writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey", "c_mktsegment")
+  }
+
   // Flush-triggered maintenance on a streaming sink: the change feed is
   // throttled to 2 files/trigger so the replay arrives as MANY small
   // micro-batches; replicateMaintained folds the accumulating tail via the
@@ -4721,7 +4778,7 @@ object Queries {
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,
-    streamWideFeed,
+    streamWideFeed, streamWideDeletes,
     streamWindowAgg, streamEnrich, streamIntervalJoin, streamAsofJoin,
     asOfJoinQ, intervalJoinQ,
     dedupExact, dedupCanonical, streamDedup, streamDedupBatches,

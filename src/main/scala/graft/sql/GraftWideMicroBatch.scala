@@ -27,7 +27,13 @@ import org.apache.spark.util.SerializableConfiguration
   * and a row with only tombstones ships nothing (deletes are visibility,
   * not upserts — the reference's replication sink applies them on the
   * peer, `Replication` here exposes them on the CELL feed for users who
-  * need them).
+  * need them). OPT-IN `option("withDeletes", "true")`: a batch that
+  * whole-row-deletes a key (a DeleteFamily in EVERY declared family, no
+  * Put — the facade's `Delete(row)` and the wide DML DELETE shape) ships
+  * one marker row with every declared column null; upsert rows always
+  * carry >= 1 non-null column, so the marker is unambiguous and the
+  * schema unchanged — a CDC consumer merges upserts by key and removes
+  * keys on markers, which reconstructs exactly the resolved state.
   *
   * Exactness of shuffle-free, state-free assembly: every committed
   * `data-*` leaf file is range-partitioned by row and sorted by
@@ -47,7 +53,8 @@ import org.apache.spark.util.SerializableConfiguration
 class GraftWideMicroBatchStream(engine: Catalog, tableName: String,
     spec: WideSpec, required: StructType, families: Set[String],
     startRow: Option[Array[Byte]], stopRow: Option[Array[Byte]],
-    maxVersionsPerTrigger: Option[Long], saltBuckets: Int)
+    maxVersionsPerTrigger: Option[Long], saltBuckets: Int,
+    withDeletes: Boolean = false)
     extends GraftMicroBatchStream(engine, tableName,
       families.foldLeft(graft.read.Scan(startRow, stopRow))(_.addFamily(_)),
       Cell.schema, maxVersionsPerTrigger, saltBuckets) {
@@ -122,7 +129,8 @@ class GraftWideMicroBatchStream(engine: Catalog, tableName: String,
           out.result()
         }
       groups.map(g => GraftWideFilesPartition(g, startRow, stopRow,
-        families, saltBuckets, spec, required.fieldNames): InputPartition)
+        families, saltBuckets, spec, required.fieldNames,
+        withDeletes): InputPartition)
     }.toArray
   }
 
@@ -136,7 +144,8 @@ class GraftWideMicroBatchStream(engine: Catalog, tableName: String,
 case class GraftWideFilesPartition(files: Seq[String],
     startRow: Option[Array[Byte]], stopRow: Option[Array[Byte]],
     families: Set[String], saltBuckets: Int,
-    spec: WideSpec, fields: Array[String]) extends InputPartition
+    spec: WideSpec, fields: Array[String],
+    withDeletes: Boolean = false) extends InputPartition
 
 class GraftWideReaderFactory(conf: SerializableConfiguration)
     extends PartitionReaderFactory {
@@ -280,6 +289,13 @@ class GraftWideFileReader(p: GraftWideFilesPartition,
         throw new IllegalArgumentException(s"unsupported cell type: $other")
     }
 
+  // whole-row delete detection (withDeletes): the batch deletes a row
+  // iff it carries a DeleteFamily for EVERY family the view declares and
+  // no Put — exactly what the facade's Delete(row) and the wide DML
+  // DELETE emit. Partial-family and per-column tombstones stay
+  // unshipped (they are visibility, not relational deletes).
+  private val allFams: Set[String] = p.spec.cols.map(_.family).toSet
+
   override def next(): Boolean = {
     out = null
     while (out == null && look != null) {
@@ -287,10 +303,12 @@ class GraftWideFileReader(p: GraftWideFilesPartition,
       val slots = new Array[Any](p.spec.cols.length)
       val seen = new Array[Boolean](p.spec.cols.length)
       var anyPut = false
+      val famTombs = scala.collection.mutable.Set.empty[String]
       while (look != null && java.util.Arrays.equals(look.getBinary(0), row)) {
         val fam = look.getUTF8String(1).toString
         val qual = new String(look.getBinary(2),
           java.nio.charset.StandardCharsets.UTF_8)
+        if (look.getByte(4) == CellKind.DeleteFamily) famTombs += fam
         // column identity = (family, qualifier): two families may reuse a
         // qualifier name only if the spec declares one of them
         colOf.get(qual).filter(ci => p.spec.cols(ci).family == fam)
@@ -307,7 +325,9 @@ class GraftWideFileReader(p: GraftWideFilesPartition,
           }
         look = nextCell()
       }
-      if (anyPut) {
+      // upsert rows always carry >= 1 non-null declared column, so the
+      // all-null marker is unambiguous as "this key was deleted"
+      if (anyPut || (p.withDeletes && allFams.subsetOf(famTombs))) {
         val keys = keyParts(row)
         out = new GenericInternalRow(outFields.map {
           case (true, ki) => keys(ki)

@@ -156,8 +156,9 @@ class GraftWideTable(engine: Catalog, baseTable: String,
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
       n
     }
+    val withDeletes = Option(options.get("withDeletes")).exists(_.toBoolean)
     new GraftWideScanBuilder(engine, baseTable, specOf(m), m, maxVersions,
-      timeTravel = pinned.isDefined)
+      timeTravel = pinned.isDefined, withDeletes = withDeletes)
   }
 }
 
@@ -359,7 +360,8 @@ private[sql] object WideSpec {
 class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
     manifest: graft.catalog.Manifest,
     maxVersionsPerTrigger: Option[Long] = None,
-    timeTravel: Boolean = false)
+    timeTravel: Boolean = false,
+    withDeletes: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -677,7 +679,7 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   override def build(): V2Scan =
     new GraftWideScan(engine, baseTable, spec, required, startRow, stopRow,
       colEq, colLo, colHi, limit, manifest, aggSpec, topN,
-      maxVersionsPerTrigger, timeTravel, keyProbes)
+      maxVersionsPerTrigger, timeTravel, keyProbes, withDeletes)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -691,7 +693,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     topN: Option[(Seq[GraftSortCol], Int)] = None,
     maxVersionsPerTrigger: Option[Long] = None,
     timeTravel: Boolean = false,
-    keyProbes: Option[Seq[Array[Byte]]] = None) extends V1Scan
+    keyProbes: Option[Seq[Array[Byte]]] = None,
+    withDeletes: Boolean = false) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = aggSpec.fold(required)(_.schema)
@@ -926,13 +929,17 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T =
+      context: SQLContext): T = {
+    require(!withDeletes, "withDeletes applies to STREAMING wide reads " +
+      "(the change feed); a batch read returns resolved state, where " +
+      "deletes are already applied")
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = readSchema()
       override def buildScan(): RDD[Row] =
         resolvedFrame(context.sparkSession).rdd
     }.asInstanceOf[T]
+  }
 
   /** Streaming read = the append feed decoded to relational UPSERT rows
     * (see [[GraftWideMicroBatchStream]] for the semantics contract and
@@ -943,6 +950,6 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       s"cannot stream from a time-travel view of $baseTable")
     new GraftWideMicroBatchStream(engine, baseTable, spec, required,
       spec.cols.map(_.family).toSet, startRow, stopRow,
-      maxVersionsPerTrigger, manifest.descriptor.saltBuckets)
+      maxVersionsPerTrigger, manifest.descriptor.saltBuckets, withDeletes)
   }
 }

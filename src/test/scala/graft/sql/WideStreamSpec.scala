@@ -207,6 +207,46 @@ class WideStreamSpec extends SparkSpec {
     assert(streamed.count(t => t._2.isDefined && t._3.isDefined) == 200)
   }
 
+  test("withDeletes ships whole-row delete markers; default ships nothing") {
+    val root = freshRoot("widestream-del")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f"), FamilyDescriptor("g")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;g:pop:long")), 1L)
+    g.table("t").put(Seq(
+      Put(Bytes.toBytes(1L)).add("f", b("city"), 2L, b("paris"))
+        .add("g", b("pop"), 2L, Bytes.toBytes(10L)),
+      Put(Bytes.toBytes(2L)).add("f", b("city"), 2L, b("rome"))
+        .add("g", b("pop"), 2L, Bytes.toBytes(20L))), 2L)
+    // version 3: whole-row delete of key 2 (DeleteFamily in EVERY
+    // family), a PARTIAL family delete of key 1 (no marker — visibility,
+    // not a relational delete)
+    g.table("t").delete(Seq(
+      Delete(Bytes.toBytes(2L)).deleteFamily("f", 3L).deleteFamily("g", 3L),
+      Delete(Bytes.toBytes(1L)).deleteFamily("g", 3L)), 3L)
+    register("gwsd", root)
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    // default: the tombstone batch ships nothing
+    val plain = drain("gwsd.`t$wide`", freshRoot("widestream-del-w1"),
+      Map("maxVersionsPerTrigger" -> "1"))
+    assert(plain.size == 1 && plain.head.size == 2, plain)
+    // withDeletes: ONE all-null marker for key 2, nothing for key 1
+    val withDel = drain("gwsd.`t$wide`", freshRoot("widestream-del-w2"),
+      Map("maxVersionsPerTrigger" -> "1", "withDeletes" -> "true"))
+    assert(withDel.size == 2, withDel)
+    assert(withDel.head.map(tup).toSet ==
+      Set((1L, Some("paris"), Some(10L)), (2L, Some("rome"), Some(20L))))
+    assert(withDel(1).map(tup) == Seq((2L, None, None)), withDel(1))
+    // batch reads refuse the option — resolved state has no deletes
+    val err = intercept[Exception](
+      spark.read.option("withDeletes", "true").table("gwsd.`t$wide`")
+        .collect())
+    assert(err.getMessage.contains("withDeletes"), err.getMessage)
+  }
+
   test("salted multi-family streams never split a row across upserts") {
     // Regression: committed files sort by the SALTED key, but the merge
     // comparator saw stripped keys — when a range partition spans a salt
