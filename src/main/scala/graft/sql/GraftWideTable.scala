@@ -59,9 +59,17 @@ class GraftWideTable(engine: Catalog, baseTable: String,
     * here in the opposite direction from scans: a scan's recorded range
     * may be a superset (the residual re-filters), a DELETE's range IS
     * the delete. */
+  // The manifest canDeleteWhere vetted against, reused by the
+  // deleteWhere that follows on the same statement: vet and act see ONE
+  // table version (a commit racing between the two cannot slip a
+  // different index/salt/wide declaration under the delete), and the
+  // statement costs one CURRENT read instead of two.
+  @volatile private var vetted: Option[graft.catalog.Manifest] = None
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     pinned.isEmpty && {
       val m = engine.currentManifest(baseTable)
+      vetted = Some(m)
       val bld = new GraftWideScanBuilder(engine, baseTable, specOf(m), m)
       bld.pushFilters(filters.filterNot(_.isInstanceOf[sources.AlwaysTrue]))
         .isEmpty
@@ -70,7 +78,7 @@ class GraftWideTable(engine: Catalog, baseTable: String,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(pinned.isEmpty,
       s"cannot DELETE from a time-travel view of $baseTable")
-    val m = engine.currentManifest(baseTable)
+    val m = vetted.getOrElse(engine.currentManifest(baseTable))
     val bld = new GraftWideScanBuilder(engine, baseTable, specOf(m), m)
     bld.pushFilters(filters.filterNot(_.isInstanceOf[sources.AlwaysTrue])): Unit
     // an accepted key-head IN deletes the per-probe prefix ranges, not
