@@ -3270,6 +3270,41 @@ object Queries {
       .select("doc_id", "n_chars").orderBy("doc_id")
   }
 
+  // Cluster selection with a QUALITY preference: per near-dup cluster
+  // keep the member with the most characters (doc-id tie-break) instead
+  // of the arbitrary min id — what curation actually ships. Same pair
+  // machinery as dedup_clusters; the oracle re-runs the closure and
+  // picks per-cluster argmax with the identical deterministic ordering.
+  private val dedupKeepBest = Q("dedup_keep_best", Some(s"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      for i in generate_series(1, len(ts)-2)]) AS sg
+      FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sg, b.sg))::DOUBLE /
+        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lbl AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+    sel AS (SELECT d.doc_id, d.n_chars,
+        row_number() OVER (PARTITION BY lbl.cluster
+          ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM documents d JOIN lbl ON d.doc_id = lbl.id)
+    SELECT doc_id, n_chars FROM sel WHERE rn = 1 ORDER BY doc_id""")) {
+    (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.8)
+    Dedup.keepBest(docs, "doc_id", pairs, col("n_chars"))
+      .select("doc_id", "n_chars").orderBy("doc_id")
+  }
+
   // Winnowing (MOSS) fingerprints: the oracle replays char-8-gram
   // hashing and window-4 min selection in SQL (hashes are md5-derived
   // positive longs, identical on both engines; DuckDB list slices are
@@ -4787,7 +4822,7 @@ object Queries {
     dedupMinhashLsh, dedupIncremental, dedupIncrementalNear,
     dedupIncrementalIndexed,
     streamMinhashLsh, streamLshEventTtl,
-    dedupClusters, dedupKeepCanonical,
+    dedupClusters, dedupKeepCanonical, dedupKeepBest,
     dedupSimhash, textQuality, textGopher, textC4, textLangid, textNormalize,
     textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,

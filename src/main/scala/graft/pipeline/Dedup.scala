@@ -512,6 +512,29 @@ object Dedup {
       .select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** [[keepCanonical]] with a QUALITY preference: per near-dup cluster,
+    * keep the member maximizing `score` (ties broken by id — fully
+    * deterministic), not the arbitrary min-id one. This is what
+    * production curation actually ships — among near-duplicate pages
+    * keep the longest / highest-quality capture, e.g. `score =
+    * col("n_tokens")` or a [[Text.linearScore]] column. Cost shape: the
+    * same candidate-only component labeling plus ONE window shuffle
+    * keyed by cluster id (cluster widths are near-dup group sizes —
+    * bounded; a pathological mega-cluster is an input-quality signal,
+    * not a plan hazard). Rows in no pair are their own cluster and
+    * always survive. */
+  def keepBest(df: DataFrame, idCol: String, pairs: DataFrame, score: Column,
+      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val labels = connectedComponents(df.select(col(idCol).as("id")), pairs,
+      maxIters, checkpointDir)
+    val w = Window.partitionBy("_cluster").orderBy(score.desc, col(idCol))
+    df.join(labels.select(col("id").as(idCol), col("cluster").as("_cluster")),
+        Seq(idCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_cluster")
+  }
+
   /** Embedding-cosine near-dup pairs >= `threshold`, exact via the
     * all-pairs path of [[Similarity.cosinePairs]] — the correctness
     * baseline (quadratic; use the LSH variant at scale). */

@@ -82,6 +82,21 @@ class PipelineSpec extends SparkSpec {
     assert(!out(2L)("gopher_pass") && !out(4L)("gopher_pass"))
   }
 
+  test("keepBest keeps the highest-scoring cluster member, id tie-break") {
+    val data = Seq(
+      (1L, "a a a", 3L), (2L, "a a a b", 4L), (3L, "a a a", 3L), // cluster
+      (9L, "solo", 1L)).toDF("id", "text", "len")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // longest member (id 2) survives, not min id 1; singleton survives
+    val best = Dedup.keepBest(data, "id", pairs, col("len"))
+      .select("id").as[Long].collect().toSet
+    assert(best == Set(2L, 9L))
+    // tie on score -> lowest id wins
+    val tied = Dedup.keepBest(data.withColumn("len", lit(7L)), "id", pairs,
+      col("len")).select("id").as[Long].collect().toSet
+    assert(tied == Set(1L, 9L))
+  }
+
   test("c4Rules: line retention and page flags fire both ways") {
     val good = (1 to 6).map(i => s"this is sentence number $i.").mkString("\n")
     val data = Seq(
