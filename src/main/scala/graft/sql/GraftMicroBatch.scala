@@ -52,14 +52,32 @@ import org.apache.spark.util.SerializableConfiguration
 class GraftMicroBatchStream(engine: Catalog, tableName: String,
     gscan: graft.read.Scan, required: StructType,
     maxVersionsPerTrigger: Option[Long] = None,
-    saltBuckets: Int = 0) extends MicroBatchStream
+    saltBuckets: Int = 0,
+    startingVersion: Option[String] = None) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private case class GraftOffset(version: Long) extends Offset {
     override def json(): String = s"""{"version":$version}"""
   }
 
-  override def initialOffset(): Offset = GraftOffset(0L)
+  /** Where a FRESH checkpoint starts (Delta's `startingVersion` analog —
+    * an existing checkpoint's offset always wins, Spark never calls this
+    * again): absent = version 1, the full retained history (a backfill);
+    * `"latest"` = the version current AT QUERY START, so only future
+    * appends ship (the live-tail CDC consumer); `"<n>"` = ship version
+    * n's appends onward (offsets are exclusive starts, so n-1). */
+  override def initialOffset(): Offset = startingVersion match {
+    case None => GraftOffset(0L)
+    case Some(s) if s.equalsIgnoreCase("latest") =>
+      GraftOffset(engine.currentManifest(tableName).version)
+    case Some(s) =>
+      val n = try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"startingVersion must be 'latest' or a version number, got '$s'")
+      }
+      require(n >= 1, s"startingVersion must be >= 1, got $n")
+      GraftOffset(n - 1)
+  }
 
   /** Under the SupportsAdmissionControl / SupportsTriggerAvailableNow
     * contract Spark must call the (start, ReadLimit) overload below; the

@@ -66,7 +66,8 @@ class GraftSqlTable(engine: Catalog, tableName: String,
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
       n
     }
-    new GraftScanBuilder(engine, tableName, pinned, maxVersions)
+    new GraftScanBuilder(engine, tableName, pinned, maxVersions,
+      Option(options.get("startingVersion")))
   }
 
   /** Deletable predicates: row bounds and at most one family equality —
@@ -239,7 +240,8 @@ private[sql] object GraftTombstones {
   */
 class GraftScanBuilder(engine: Catalog, tableName: String,
     pinned: Option[graft.catalog.Manifest] = None,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -500,7 +502,8 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
 
   override def build(): V2Scan =
     new GraftV1Scan(engine, tableName, scan, required, pinned, limit,
-      maxVersionsPerTrigger, aggSpec, indexProbe, rowKeys, topN)
+      maxVersionsPerTrigger, aggSpec, indexProbe, rowKeys, topN,
+      startingVersion)
 }
 
 /** The index-routable `value` predicate the scan builder recorded. */
@@ -632,7 +635,8 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     aggSpec: Option[GraftAggSpec] = None,
     indexProbe: Option[GraftIndexRoute] = None,
     rowKeys: Seq[Array[Byte]] = Nil,
-    topN: Option[(Seq[GraftSortCol], Int)] = None) extends V1Scan
+    topN: Option[(Seq[GraftSortCol], Int)] = None,
+    startingVersion: Option[String] = None) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -781,6 +785,7 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       s"cannot stream from a time-travel view of $tableName")
     new GraftMicroBatchStream(engine, tableName, gscan, required,
       maxVersionsPerTrigger,
-      saltBuckets = engine.currentManifest(tableName).descriptor.saltBuckets)
+      saltBuckets = engine.currentManifest(tableName).descriptor.saltBuckets,
+      startingVersion = startingVersion)
   }
 }

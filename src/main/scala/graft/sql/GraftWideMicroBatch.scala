@@ -54,10 +54,11 @@ class GraftWideMicroBatchStream(engine: Catalog, tableName: String,
     spec: WideSpec, required: StructType, families: Set[String],
     startRow: Option[Array[Byte]], stopRow: Option[Array[Byte]],
     maxVersionsPerTrigger: Option[Long], saltBuckets: Int,
-    withDeletes: Boolean = false)
+    withDeletes: Boolean = false,
+    startingVersion: Option[String] = None)
     extends GraftMicroBatchStream(engine, tableName,
       families.foldLeft(graft.read.Scan(startRow, stopRow))(_.addFamily(_)),
-      Cell.schema, maxVersionsPerTrigger, saltBuckets) {
+      Cell.schema, maxVersionsPerTrigger, saltBuckets, startingVersion) {
 
   /** Version of a committed leaf file: the `data-{v}` ancestor (leaf dirs
     * may nest `_bucket=` subdirs under the `_fam=` level). */

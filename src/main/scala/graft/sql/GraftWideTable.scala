@@ -166,7 +166,8 @@ class GraftWideTable(engine: Catalog, baseTable: String,
     }
     val withDeletes = Option(options.get("withDeletes")).exists(_.toBoolean)
     new GraftWideScanBuilder(engine, baseTable, specOf(m), m, maxVersions,
-      timeTravel = pinned.isDefined, withDeletes = withDeletes)
+      timeTravel = pinned.isDefined, withDeletes = withDeletes,
+      startingVersion = Option(options.get("startingVersion")))
   }
 }
 
@@ -369,7 +370,8 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
     manifest: graft.catalog.Manifest,
     maxVersionsPerTrigger: Option[Long] = None,
     timeTravel: Boolean = false,
-    withDeletes: Boolean = false)
+    withDeletes: Boolean = false,
+    startingVersion: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -687,7 +689,8 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   override def build(): V2Scan =
     new GraftWideScan(engine, baseTable, spec, required, startRow, stopRow,
       colEq, colLo, colHi, limit, manifest, aggSpec, topN,
-      maxVersionsPerTrigger, timeTravel, keyProbes, withDeletes)
+      maxVersionsPerTrigger, timeTravel, keyProbes, withDeletes,
+      startingVersion)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -702,7 +705,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     maxVersionsPerTrigger: Option[Long] = None,
     timeTravel: Boolean = false,
     keyProbes: Option[Seq[Array[Byte]]] = None,
-    withDeletes: Boolean = false) extends V1Scan
+    withDeletes: Boolean = false,
+    startingVersion: Option[String] = None) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = aggSpec.fold(required)(_.schema)
@@ -958,6 +962,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       s"cannot stream from a time-travel view of $baseTable")
     new GraftWideMicroBatchStream(engine, baseTable, spec, required,
       spec.cols.map(_.family).toSet, startRow, stopRow,
-      maxVersionsPerTrigger, manifest.descriptor.saltBuckets, withDeletes)
+      maxVersionsPerTrigger, manifest.descriptor.saltBuckets, withDeletes,
+      startingVersion)
   }
 }

@@ -207,6 +207,33 @@ class WideStreamSpec extends SparkSpec {
     assert(streamed.count(t => t._2.isDefined && t._3.isDefined) == 200)
   }
 
+  test("startingVersion: a fresh stream can skip the backfill") {
+    val root = freshRoot("widestream-sv")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string")), 1L)   // version 1
+    g.table("t").put(Seq(
+      Put(Bytes.toBytes(1L)).add("f", b("city"), 2L, b("paris"))), 2L) // v2
+    g.table("t").put(Seq(
+      Put(Bytes.toBytes(2L)).add("f", b("city"), 3L, b("rome"))), 3L)  // v3
+    register("gwsv", root)
+    def keys(batches: Seq[Seq[org.apache.spark.sql.Row]]) =
+      batches.flatten.map(_.getLong(0)).sorted
+    // default: full retained history
+    assert(keys(drain("gwsv.`t$wide`", freshRoot("sv-w0"))) == Seq(1L, 2L))
+    // from version 3: only the second append ships
+    assert(keys(drain("gwsv.`t$wide`", freshRoot("sv-w1"),
+      Map("startingVersion" -> "3"))) == Seq(2L))
+    // latest: nothing already committed ships
+    assert(keys(drain("gwsv.`t$wide`", freshRoot("sv-w2"),
+      Map("startingVersion" -> "latest"))).isEmpty)
+    // malformed value fails loudly
+    val err = intercept[Exception](drain("gwsv.`t$wide`",
+      freshRoot("sv-w3"), Map("startingVersion" -> "nope")))
+    assert(err.getMessage != null)
+  }
+
   test("withDeletes ships whole-row delete markers; default ships nothing") {
     val root = freshRoot("widestream-del")
     val g = Graft(spark, root)
