@@ -3270,6 +3270,33 @@ object Queries {
       .select("doc_id", "n_chars").orderBy("doc_id")
   }
 
+  // WITHIN-document repeated-window removal: 2-token segments (the
+  // window width that actually repeats inside this corpus's docs —
+  // 181/500 reduce), first occurrence survives, position-ordered
+  // reassembly — all per-row (zero shuffles). Oracle replays the
+  // prefix-membership test with DuckDB's 1-based list comprehension
+  // (both engines' position functions return 0 for absent).
+  private val dedupWithinDoc = Q("dedup_within_doc", Some(s"""
+    WITH segd AS (SELECT doc_id,
+        [array_to_string(ts[i:least(i+1, len(ts))], ' ')
+         for i in generate_series(1, greatest(len(ts), 1), 2)
+         if len(ts) > 0] AS segs
+      FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
+    k AS (SELECT doc_id, segs,
+        [segs[i] for i in generate_series(1, len(segs))
+         if list_position(segs[1:i-1], segs[i]) = 0] AS kept
+      FROM segd)
+    SELECT doc_id,
+      coalesce(array_to_string(kept, ' '), '') AS text_deduped,
+      CAST(len(segs) AS BIGINT) AS n_segments,
+      CAST(len(kept) AS BIGINT) AS n_kept
+    FROM k ORDER BY doc_id""")) { (s, dir) =>
+    Text.dedupWithinDoc(t(s, dir, "documents"), "doc_id", "text",
+      windowTokens = 2)
+      .select("doc_id", "text_deduped", "n_segments", "n_kept")
+      .orderBy("doc_id")
+  }
+
   // Cluster selection with a QUALITY preference: per near-dup cluster
   // keep the member with the most characters (doc-id tie-break) instead
   // of the arbitrary min id — what curation actually ships. Same pair
@@ -4822,7 +4849,7 @@ object Queries {
     dedupMinhashLsh, dedupIncremental, dedupIncrementalNear,
     dedupIncrementalIndexed,
     streamMinhashLsh, streamLshEventTtl,
-    dedupClusters, dedupKeepCanonical, dedupKeepBest,
+    dedupClusters, dedupKeepCanonical, dedupKeepBest, dedupWithinDoc,
     dedupSimhash, textQuality, textGopher, textC4, textLangid, textNormalize,
     textRepetition, textRedact, textBm25,
     textPerplexity, textBm25Indexed,

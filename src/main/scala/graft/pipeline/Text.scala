@@ -700,6 +700,36 @@ object Text {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** WITHIN-document repeated-window removal — the intra-doc
+    * counterpart of [[segmentDedup]] (MassiveText-family pipelines drop
+    * repeated paragraphs inside a page before any corpus-wide pass;
+    * [[textRepetition]]'s signals MEASURE the repetition, this removes
+    * it): split into `windowTokens`-token segments, keep only the FIRST
+    * occurrence of each repeated segment, reassemble in position order.
+    *
+    * Scale shape: ZERO shuffles — entirely per-row HOFs (the dedup test
+    * is `array_position` over the segment prefix; quadratic in a
+    * document's SEGMENT count, which is bounded by document length — a
+    * per-row compute cost, never a plan hazard). Output:
+    * `(idCol, text_deduped, n_segments, n_kept)`. */
+  def dedupWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 4): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    val ts = tokens(col(textCol))
+    val segsArr = when(size(ts) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts), lit(windowTokens)),
+        i => array_join(slice(ts, i, lit(windowTokens)), " ")))
+    val segs = col("_dw_segs")
+    // keep segment i (0-based lambda index) iff absent from the prefix
+    val kept = filter(segs,
+      (s, i) => array_position(slice(segs, lit(1), i), s) === 0)
+    df.withColumn("_dw_segs", segsArr)
+      .withColumn("text_deduped", array_join(kept, " "))
+      .withColumn("n_segments", size(segs).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .drop("_dw_segs")
+  }
+
   /** Tracking/session query parameters a canonical URL drops — the
     * analytics decorations that make one page spell a thousand URLs. */
   val TrackingParamPattern: String =

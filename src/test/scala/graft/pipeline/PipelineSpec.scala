@@ -82,6 +82,22 @@ class PipelineSpec extends SparkSpec {
     assert(!out(2L)("gopher_pass") && !out(4L)("gopher_pass"))
   }
 
+  test("dedupWithinDoc keeps first occurrence of repeated windows") {
+    val data = Seq(
+      (1L, "a b c d a b c d e f g h a b c d"), // window 1 == 2 == 4
+      (2L, "x y z"),                            // one partial window
+      (3L, "")).toDF("id", "text")
+    val out = Text.dedupWithinDoc(data, "id", "text").collect().map { r =>
+      r.getLong(r.fieldIndex("id")) -> ((
+        r.getString(r.fieldIndex("text_deduped")),
+        r.getLong(r.fieldIndex("n_segments")),
+        r.getLong(r.fieldIndex("n_kept"))))
+    }.toMap
+    assert(out(1L) == (("a b c d e f g h", 4L, 2L)))
+    assert(out(2L) == (("x y z", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 0L)))
+  }
+
   test("keepBest keeps the highest-scoring cluster member, id tie-break") {
     val data = Seq(
       (1L, "a a a", 3L), (2L, "a a a b", 4L), (3L, "a a a", 3L), // cluster
