@@ -1022,6 +1022,47 @@ object Queries {
              ORDER BY o_orderkey""")
   }
 
+  // PLAIN signed semantics through the SQL door: a non-ordered long key
+  // and a non-ordered indexed long column, both holding NEGATIVE values
+  // (two's-complement big-endian byte-sorts negatives ABOVE positives).
+  // `k < 100` must keep the negative keys (the stop prune wraps the
+  // negative byte region — GraftWideScanBuilder.stopFromComparison), and
+  // `bal <= 50` must NOT route through bal's index (a byte-interval hit
+  // set would miss negative values; the route declines and the plain
+  // scan + residual answers). Oracle = the same intervals over parquet.
+  private val sqlSignedRoots = scala.collection.mutable.Map.empty[String, String]
+  private val sqlSignedRange = Q("sql_signed_range", Some("""
+    SELECT o_orderkey - 3000 AS k, o_custkey - 75 AS bal FROM orders
+    WHERE o_orderkey - 3000 < 100 AND o_custkey - 75 <= 50
+    ORDER BY k""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlSignedRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sqlsg").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_sg",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, immutableRows = true,
+          wideKey = Some("k:long"),
+          wideSchema = Some("o:bal:long")), nowMs = 1L)
+        g.table("orders_sg").mutate(
+          CellCodec.encode(
+            t(s, dir, "orders").select(
+              (col("o_orderkey") - 3000).as("k"),
+              (col("o_custkey") - 75).as("bal")),
+            "o", Seq("k")),
+          nowMs = 1L)
+        g.createIndex("orders_sg", "o", Bytes.toBytes("bal"), nowMs = 2L)
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_sg",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sg.root", root)
+    s.sql("""SELECT k, bal FROM graft_sg.`orders_sg$wide`
+             WHERE k < 100 AND bal <= 50
+             ORDER BY k""")
+  }
+
   // Index GC end-to-end: tombstone a key range, majorCompact (which
   // rebuilds registered indexes to currently-visible entries — the
   // monotonic-growth fix; IndexSpec asserts the physical shrink), then
@@ -4815,7 +4856,7 @@ object Queries {
     sqlCoveredLookup, sqlMultiGet, sqlWideScan, sqlCoveredProjection,
     sqlWideMultiGet,
     sqlIndexComposite, sqlIndexLeadingRange, sqlPrefixRoute,
-    sqlIndexDoubleRange, sqlWideAgg, sqlWideInsert,
+    sqlIndexDoubleRange, sqlSignedRange, sqlWideAgg, sqlWideInsert,
     sqlWideUpdate, sqlWideDelete, sqlWideMerge, sqlWideSum, sqlWideTopN,
     sqlWideTimeTravel, sqlWideMetaDelete,
     indexGcLookup, coveredIndexLookup, streamCoveredMaintain,

@@ -383,6 +383,13 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   private var aggSpec: Option[GraftAggSpec] = None
   private var startRow: Option[Array[Byte]] = None
   private var stopRow: Option[Array[Byte]] = None
+  // set when a </<= comparison tightened stopRow on a PLAIN (non-ordered)
+  // fixed-width head: two's-complement negatives byte-sort ABOVE all
+  // positives, so the scan must keep the negative region [0x80…, ∞) or a
+  // `k < 5` would silently drop k = -1 (a pruned row the residual filter
+  // cannot resurrect). Suppressed when a head equality pins the range.
+  private var stopFromComparison = false
+  private var headPinned = false
   // key-head IN list (the multiGet shape): encoded head values, each a
   // PREFIX of the full row key (the whole key when the key has one part)
   private var keyProbes: Option[Seq[Array[Byte]]] = None
@@ -447,6 +454,7 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
           case Some(b) =>
             tightenStart(b)
             Bytes.prefixSuccessor(b).foreach(tightenStop)
+            headPinned = true
             // exact for fixed-width heads even when prefixSuccessor is
             // None (an all-0xff head is the byte-maximum prefix)
             if (headFixed) acc += f else res += f
@@ -486,6 +494,7 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
         keyEnc(v) match {
           case Some(b) =>
             tightenStop(b)
+            if (headFixed && !headOrdered) stopFromComparison = true
             if (headFixed && headOrdered) acc += f else res += f
           case None => res += f
         }
@@ -494,6 +503,7 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
         keyEnc(v).flatMap(Bytes.prefixSuccessor) match {
           case Some(s) =>
             tightenStop(s)
+            if (headFixed && !headOrdered) stopFromComparison = true
             if (headFixed && headOrdered) acc += f else res += f
           case None => res += f // head <= byte-max: unbounded, residual
         }
@@ -690,7 +700,8 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
     new GraftWideScan(engine, baseTable, spec, required, startRow, stopRow,
       colEq, colLo, colHi, limit, manifest, aggSpec, topN,
       maxVersionsPerTrigger, timeTravel, keyProbes, withDeletes,
-      startingVersion)
+      startingVersion,
+      stopWraps = stopFromComparison && !headPinned)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -706,8 +717,26 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     timeTravel: Boolean = false,
     keyProbes: Option[Seq[Array[Byte]]] = None,
     withDeletes: Boolean = false,
-    startingVersion: Option[String] = None) extends V1Scan
+    startingVersion: Option[String] = None,
+    stopWraps: Boolean = false) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** The negative byte region of a PLAIN (non-ordered) fixed-width
+    * integral key head: two's-complement negatives byte-sort in
+    * [0x80 0*(w-1), ∞), ABOVE all non-negatives. When a </<= comparison
+    * set `stopRow` (and no accepted equality pinned the head), the scan
+    * must keep this region — those keys satisfy the `< v` predicate (for
+    * the v >= 0 literals rangeEncodable admits) and a pruned row is a
+    * false negative the residual filter cannot resurrect. Keeping the
+    * region as a range DISJUNCT preserves the prune of [stop, 0x80…):
+    * parquet row-group stats serve an Or of ranges on the sorted key. */
+  private val negStart: Array[Byte] = {
+    val w = spec.key.head._2 match {
+      case IntegerType => 4
+      case _ => 8
+    }
+    0x80.toByte +: Array.fill(w - 1)(0.toByte)
+  }
 
   override def readSchema(): StructType = aggSpec.fold(required)(_.schema)
 
@@ -784,7 +813,20 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       else None
     composite.orElse(predCols.iterator.flatMap { cn =>
       val c = spec.col(cn).get
-      d.indexOn(c.family, c.qualifier).map { ix =>
+      // A hi-bounded RANGE on a plain (non-ordered) signed integral
+      // column must not route: the byte interval [*, enc(v)) misses
+      // negative stored values (they byte-sort ABOVE all positives), and
+      // a routed hit set is the row set — the residual cannot resurrect
+      // rows the probe dropped. Equality/IN stay routable (bijective per
+      // width); lo-only bounds are byte-order SUPERSETS (negatives sort
+      // above the start and the residual drops them); ordered codecs
+      // (olong/oint/odouble) and strings/binary are order-preserving
+      // over their full domain. Declare the ordered codec to make signed
+      // ranges index-servable.
+      val hiUnsound = colEq.get(cn).isEmpty && colHi.contains(cn) &&
+        !(c.ordered || c.dt == StringType || c.dt == BinaryType)
+      if (hiUnsound) None
+      else d.indexOn(c.family, c.qualifier).map { ix =>
         val pred = colEq.get(cn).map(GraftValueIn)
           .getOrElse(GraftValueRange(colLo.get(cn), colHi.get(cn)))
         WideSingle(c, ix, pred)
@@ -848,10 +890,19 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         Bytes.prefixSuccessor(p).fold(lo)(u => lo && col("row") < lit(u))
       }.reduce(_ || _))
     }
+    // stop bound as a Column: wrapped with the negative key region when a
+    // plain signed head's </<= comparison set it (see negStart) — sound
+    // because every start bound here comes from residual-retained
+    // comparisons (an accepted equality suppresses the wrap), so Spark's
+    // re-apply keeps exactness over the widened row set.
+    def stopPred: Option[org.apache.spark.sql.Column] = stopRow.map { b =>
+      val lt = col("row") < lit(b)
+      if (stopWraps) lt || col("row") >= lit(negStart) else lt
+    }
     def boundsFilter(df: DataFrame): DataFrame = {
       var out = df
       startRow.foreach(b => out = out.filter(col("row") >= lit(b)))
-      stopRow.foreach(b => out = out.filter(col("row") < lit(b)))
+      stopPred.foreach(p => out = out.filter(p))
       probeFilter(out)
     }
     def keepWanted(df: DataFrame): DataFrame =
@@ -908,16 +959,25 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         // salted keys, one pruned span + broadcast semi-join); otherwise
         // the probe disjunction filters — pushed to parquet when unsalted,
         // on the stripped logical rows after the salted scatter.
+        // with a wrapped stop the bound leaves the GScan/scatter fast
+        // path (those express ONE range) and applies as the Or-of-ranges
+        // stopPred on logical rows — still parquet/row-group prunable on
+        // the unsalted path, an in-plan filter after the salted scatter
+        def wrapStop(df: DataFrame): DataFrame =
+          if (stopWraps) stopPred.fold(df)(df.filter) else df
+        val gsStop = if (stopWraps) None else stopRow
         val (frame, gs) =
           if (d.saltBuckets > 0) keyProbes match {
             case Some(ps) if spec.key.sizeIs == 1 =>
-              (graft.core.Salt.scopeKeys(engine.readManifest(m),
-                d.saltBuckets, ps), GScan(startRow, stopRow))
+              (wrapStop(graft.core.Salt.scopeKeys(engine.readManifest(m),
+                d.saltBuckets, ps)), GScan(startRow, gsStop))
             case _ =>
-              (probeFilter(graft.core.Salt.scanRange(engine.readManifest(m),
-                d.saltBuckets, startRow, stopRow)), GScan())
+              (probeFilter(wrapStop(graft.core.Salt.scanRange(
+                engine.readManifest(m), d.saltBuckets, startRow, gsStop))),
+                GScan())
           }
-          else (probeFilter(engine.readManifest(m)), GScan(startRow, stopRow))
+          else (probeFilter(wrapStop(engine.readManifest(m))),
+            GScan(startRow, gsStop))
         val projected = wanted.foldLeft(gs)((s, c) =>
           s.addColumn(c.family, c.qualifier))
         ScanExec(frame, projected,
@@ -960,8 +1020,12 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(!timeTravel,
       s"cannot stream from a time-travel view of $baseTable")
+    // a wrapped stop (plain signed head, see negStart) widens to unbounded
+    // here: the stream scan expresses one range, and the residual filter
+    // Spark re-applies above it keeps the answer exact either way
     new GraftWideMicroBatchStream(engine, baseTable, spec, required,
-      spec.cols.map(_.family).toSet, startRow, stopRow,
+      spec.cols.map(_.family).toSet, startRow,
+      if (stopWraps) None else stopRow,
       maxVersionsPerTrigger, manifest.descriptor.saltBuckets, withDeletes,
       startingVersion)
   }

@@ -806,6 +806,76 @@ class WideViewSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM gwm.`t$wide`").count() == 41)
   }
 
+  test("plain long key: upper-bounded ranges keep negative keys exact") {
+    // Two's-complement big-endian puts negative keys ABOVE all positives
+    // in unsigned byte order, so a recorded stop bound from `k < 5` must
+    // not prune them away (they satisfy the predicate; a pruned row is a
+    // silent false negative the residual filter cannot resurrect).
+    val root = freshRoot("widesk")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string")), 1L)
+    val keys = Seq(-10L, -3L, -1L, 0L, 2L, 7L, 40L)
+    g.table("t").put(keys.map(k =>
+      Put(Bytes.toBytes(k)).add("f", b("city"), 2L, b(s"c$k"))), 2L)
+    register("gwsk", root)
+    assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k < 5 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(-10L, -3L, -1L, 0L, 2L))
+    assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k <= 2 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(-10L, -3L, -1L, 0L, 2L))
+    // conjunct with a lower bound: byte range plus residual stays exact
+    assert(spark.sql(
+      "SELECT k FROM gwsk.`t$wide` WHERE k >= 0 AND k < 5 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 2L))
+    // equality on the head is bijective per width — negatives exact too
+    assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k = -3")
+      .collect().map(_.getLong(0)).toSeq == Seq(-3L))
+    // positive-only ranges still prune correctly
+    assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k >= 2 AND k < 40 " +
+      "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(2L, 7L))
+  }
+
+  test("plain long value column: hi-bounded ranges do not misroute") {
+    // An index range probe is byte-ordered; a plain signed long column
+    // stores negatives ABOVE positives, so `pop < 50` must not route as
+    // the byte interval [*, enc(50)) — that hit set misses negative
+    // values and the residual cannot resurrect rows the route dropped.
+    val root = freshRoot("widesv")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:pop:long")), 1L)
+    val rows = Seq(1L -> -20L, 2L -> -5L, 3L -> 0L, 4L -> 30L, 5L -> 70L)
+    g.table("t").put(rows.map { case (k, v) =>
+      Put(Bytes.toBytes(k)).add("f", b("pop"), 2L, Bytes.toBytes(v)) }, 2L)
+    g.createIndex("t", "f", b("pop"), 3L)
+    register("gwng", root)
+    assert(spark.sql("SELECT k FROM gwng.`t$wide` WHERE pop < 50 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(spark.sql("SELECT k FROM gwng.`t$wide` WHERE pop <= 30 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // lo-only bounds are a byte-order SUPERSET (negatives sort above the
+    // start and the residual drops them) — routing stays sound and the
+    // answer exact
+    assert(spark.sql("SELECT k FROM gwng.`t$wide` WHERE pop >= 0 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+    // seam: the hi-bounded range DECLINES the route; the lo-only range
+    // routes (byte-order superset, residual-exact)
+    import org.apache.spark.sql.sources
+    val spec = WideSpec.parse(Some("k:long"), Some("f:pop:long"))
+    val hiBld = new GraftWideScanBuilder(g.catalog, "t", spec,
+      g.catalog.currentManifest("t"))
+    hiBld.pushFilters(Array(sources.LessThan("pop", java.lang.Long.valueOf(50L))))
+    assert(hiBld.build().asInstanceOf[GraftWideScan].usedIndexTable.isEmpty,
+      "hi-bounded range on a plain signed column must not route")
+    val loBld = new GraftWideScanBuilder(g.catalog, "t", spec,
+      g.catalog.currentManifest("t"))
+    loBld.pushFilters(Array(sources.GreaterThanOrEqual("pop", java.lang.Long.valueOf(0L))))
+    assert(loBld.build().asInstanceOf[GraftWideScan].usedIndexTable.isDefined,
+      "lo-only range should still route (superset + residual)")
+  }
+
   test("DDL declares the wide view; SHOW/DML still hit the cell table") {
     val root = freshRoot("wideddl")
     register("gwd", root)
