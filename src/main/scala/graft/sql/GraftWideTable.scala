@@ -971,9 +971,20 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
             case Some(ps) if spec.key.sizeIs == 1 =>
               (wrapStop(graft.core.Salt.scopeKeys(engine.readManifest(m),
                 d.saltBuckets, ps)), GScan(startRow, gsStop))
+            case _ if stopWraps =>
+              // salted + wrapped stop: the wrap must stay on the RAW
+              // (pushable) salted column, so the scatter carries it as a
+              // second per-bucket range disjunct — [salt++start,
+              // salt++stop) ∪ [salt++negStart, nextSalt) — instead of a
+              // post-strip filter parquet cannot see
+              val sc = graft.core.Salt.scatter(d.saltBuckets, startRow,
+                  stopRow) ||
+                graft.core.Salt.scatter(d.saltBuckets, Some(negStart), None)
+              (probeFilter(graft.core.Salt.stripCells(
+                engine.readManifest(m).filter(sc))), GScan())
             case _ =>
-              (probeFilter(wrapStop(graft.core.Salt.scanRange(
-                engine.readManifest(m), d.saltBuckets, startRow, gsStop))),
+              (probeFilter(graft.core.Salt.scanRange(
+                engine.readManifest(m), d.saltBuckets, startRow, stopRow)),
                 GScan())
           }
           else (probeFilter(wrapStop(engine.readManifest(m))),

@@ -834,6 +834,21 @@ class WideViewSpec extends SparkSpec {
     // positive-only ranges still prune correctly
     assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k >= 2 AND k < 40 " +
       "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(2L, 7L))
+    // salted variant: the wrap rides the scatter as a second per-bucket
+    // range disjunct on the raw (pushable) salted column
+    val root2 = freshRoot("widesks")
+    val g2 = Graft(spark, root2)
+    g2.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, saltBuckets = 4, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string")), 1L)
+    g2.table("t").put(keys.map(k =>
+      Put(Bytes.toBytes(k)).add("f", b("city"), 2L, b(s"c$k"))), 2L)
+    register("gwsks", root2)
+    assert(spark.sql("SELECT k FROM gwsks.`t$wide` WHERE k < 5 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(-10L, -3L, -1L, 0L, 2L))
+    assert(spark.sql(
+      "SELECT k FROM gwsks.`t$wide` WHERE k >= 0 AND k <= 7 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 2L, 7L))
   }
 
   test("plain long value column: hi-bounded ranges do not misroute") {
