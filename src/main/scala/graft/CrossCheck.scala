@@ -76,6 +76,38 @@ object CrossCheck {
           s"indexed=${viaIx.size} symdiff=${sym.size}" +
           s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
         if (sym.nonEmpty) sys.exit(1)
+      case "keep_best" =>
+        // dedup_keep_best at scale: the gate's own path (size-gated
+        // DRIVER union-find labels + row_number window argmax) against an
+        // independent twin — the DISTRIBUTED label-propagation fixpoint
+        // (driverCloseMaxEdges = 0 forces it) + min_by-struct selection.
+        // Agreement verifies both cluster labelings AND both per-cluster
+        // argmax mechanisms pick identical survivors; the pair machinery
+        // is shared (its own gate + the incremental_near check cover it).
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 3, threshold = 0.8)
+        val viaGate = Dedup.keepBest(docs, "doc_id", pairs, col("n_chars"))
+          .select("doc_id")
+        val labels = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs,
+          driverCloseMaxEdges = 0L)
+        // winner = ORDER BY n_chars DESC, doc_id ASC == min of the
+        // (-n_chars, doc_id) struct (lexicographic struct ordering)
+        val viaTwin = docs
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+          .groupBy("cluster")
+          .agg(min_by(col("doc_id"),
+            struct((-col("n_chars")).as("s"), col("doc_id").as("i")))
+            .as("doc_id"))
+          .select("doc_id")
+        val gset = viaGate.collect().map(_.getLong(0)).toSet
+        val tset = viaTwin.collect().map(_.getLong(0)).toSet
+        val symKb = (gset diff tset) ++ (tset diff gset)
+        println(s"[crosscheck] keep_best: gate=${gset.size} twin=${tset.size} " +
+          s"symdiff=${symKb.size}${if (symKb.nonEmpty) " MISMATCH " + symKb.take(20) else " OK"}")
+        if (symKb.nonEmpty) sys.exit(1)
+
       case "secondary_index" =>
         // The registered-index read path (probe -> size-gated gather ->
         // verified read) against the reference-shaped direct path (full
