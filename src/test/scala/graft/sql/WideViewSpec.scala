@@ -834,6 +834,20 @@ class WideViewSpec extends SparkSpec {
     // positive-only ranges still prune correctly
     assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k >= 2 AND k < 40 " +
       "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(2L, 7L))
+    // plan seam: the wrapped stop reaches the parquet scan as a pushed
+    // Or of row ranges — the prune survives the wrap
+    import org.apache.spark.sql.sources
+    val spec = WideSpec.parse(Some("k:long"), Some("f:city:string"))
+    val bld = new GraftWideScanBuilder(g.catalog, "t", spec,
+      g.catalog.currentManifest("t"))
+    bld.pushFilters(Array(sources.LessThan("k", java.lang.Long.valueOf(5L))))
+    val plan = bld.build().asInstanceOf[GraftWideScan]
+      .resolvedFrame(spark).queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString(" | ")
+    assert(pushed.contains("Or(LessThan(row") ||
+      pushed.contains("Or(GreaterThanOrEqual(row"),
+      s"wrapped stop bound not pushed to parquet:\n$pushed")
     // salted variant: the wrap rides the scatter as a second per-bucket
     // range disjunct on the raw (pushable) salted column
     val root2 = freshRoot("widesks")
