@@ -76,6 +76,15 @@ class GraftMicroBatchStream(engine: Catalog, tableName: String,
           s"startingVersion must be 'latest' or a version number, got '$s'")
       }
       require(n >= 1, s"startingVersion must be >= 1, got $n")
+      // A start AHEAD of the table's head would make the first
+      // latestOffset(start, limit) return an offset BEHIND the initial
+      // one — Spark's offset-monotonicity checks can error or misbehave
+      // instead of waiting for version n. Fail loudly like the malformed
+      // string (Delta rejects a future startingVersion the same way).
+      val head = engine.currentManifest(tableName).version
+      require(n - 1 <= head,
+        s"startingVersion $n is ahead of table $tableName's current " +
+          s"version $head")
       GraftOffset(n - 1)
   }
 

@@ -28,8 +28,10 @@ import org.apache.spark.util.SerializableConfiguration
   * not upserts — the reference's replication sink applies them on the
   * peer, `Replication` here exposes them on the CELL feed for users who
   * need them). OPT-IN `option("withDeletes", "true")`: a batch that
-  * whole-row-deletes a key (a DeleteFamily in EVERY declared family, no
-  * Put — the facade's `Delete(row)` and the wide DML DELETE shape) ships
+  * whole-row-deletes a key (a DeleteFamily in EVERY declared family with
+  * no SURVIVING put — the facade's `Delete(row)` and the wide DML DELETE
+  * shape; a put masked by a same-batch newer DeleteFamily, ts <= the
+  * tombstone's, does not count as surviving) ships
   * one marker row with every declared column null; upsert rows always
   * carry >= 1 non-null column, so the marker is unambiguous and the
   * schema unchanged — a CDC consumer merges upserts by key and removes
@@ -305,11 +307,25 @@ class GraftWideFileReader(p: GraftWideFilesPartition,
       val seen = new Array[Boolean](p.spec.cols.length)
       var anyPut = false
       val famTombs = scala.collection.mutable.Set.empty[String]
+      // newest DeleteFamily ts per family in THIS batch: a Put the same
+      // batch also whole-row-deletes (one mutate mixing Put and a newer
+      // Delete for one key) must not ship as a stale upsert — the
+      // tombstone masks cells with ts <= its ts (the reference's
+      // DeleteFamily rule), including same-batch puts. Sound in one
+      // pass: DeleteFamily cells carry the EMPTY qualifier, which sorts
+      // FIRST within a family in the merged (row, family, qualifier,
+      // ts desc) order — every family's tombstones are seen before any
+      // of its puts.
+      val famTombTs = scala.collection.mutable.Map.empty[String, Long]
       while (look != null && java.util.Arrays.equals(look.getBinary(0), row)) {
         val fam = look.getUTF8String(1).toString
         val qual = new String(look.getBinary(2),
           java.nio.charset.StandardCharsets.UTF_8)
-        if (look.getByte(4) == CellKind.DeleteFamily) famTombs += fam
+        if (look.getByte(4) == CellKind.DeleteFamily) {
+          famTombs += fam
+          val ts = look.getLong(3)
+          if (famTombTs.get(fam).forall(_ < ts)) famTombTs(fam) = ts
+        }
         // column identity = (family, qualifier): two families may reuse a
         // qualifier name only if the spec declares one of them
         colOf.get(qual).filter(ci => p.spec.cols(ci).family == fam)
@@ -318,10 +334,11 @@ class GraftWideFileReader(p: GraftWideFilesPartition,
             // desc) within a qualifier — the batch's newest version
             if (!seen(ci)) {
               seen(ci) = true
-              if (look.getByte(4) == CellKind.Put && !look.isNullAt(5)) {
+              if (look.getByte(4) == CellKind.Put && !look.isNullAt(5) &&
+                  !famTombTs.get(fam).exists(look.getLong(3) <= _)) {
                 slots(ci) = decodeVal(p.spec.cols(ci), look.getBinary(5))
                 anyPut = true
-              } // tombstone kinds leave the slot null
+              } // tombstone kinds (and masked puts) leave the slot null
             }
           }
         look = nextCell()

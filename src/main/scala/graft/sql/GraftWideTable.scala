@@ -63,22 +63,29 @@ class GraftWideTable(engine: Catalog, baseTable: String,
   // deleteWhere that follows on the same statement: vet and act see ONE
   // table version (a commit racing between the two cannot slip a
   // different index/salt/wide declaration under the delete), and the
-  // statement costs one CURRENT read instead of two.
-  @volatile private var vetted: Option[graft.catalog.Manifest] = None
+  // statement costs one CURRENT read instead of two. Set only on a
+  // SUCCESSFUL vet and CONSUMED atomically by deleteWhere (getAndSet) —
+  // if this table instance is ever shared across statements, a stale or
+  // foreign manifest can't linger and serve a later delete.
+  private val vetted =
+    new java.util.concurrent.atomic.AtomicReference[graft.catalog.Manifest](null)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     pinned.isEmpty && {
       val m = engine.currentManifest(baseTable)
-      vetted = Some(m)
       val bld = new GraftWideScanBuilder(engine, baseTable, specOf(m), m)
-      bld.pushFilters(filters.filterNot(_.isInstanceOf[sources.AlwaysTrue]))
+      val ok = bld
+        .pushFilters(filters.filterNot(_.isInstanceOf[sources.AlwaysTrue]))
         .isEmpty
+      if (ok) vetted.set(m)
+      ok
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(pinned.isEmpty,
       s"cannot DELETE from a time-travel view of $baseTable")
-    val m = vetted.getOrElse(engine.currentManifest(baseTable))
+    val m = Option(vetted.getAndSet(null))
+      .getOrElse(engine.currentManifest(baseTable))
     val bld = new GraftWideScanBuilder(engine, baseTable, specOf(m), m)
     bld.pushFilters(filters.filterNot(_.isInstanceOf[sources.AlwaysTrue])): Unit
     // an accepted key-head IN deletes the per-probe prefix ranges, not
@@ -390,6 +397,14 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   // cannot resurrect). Suppressed when a head equality pins the range.
   private var stopFromComparison = false
   private var headPinned = false
+  // </<= stop candidates on a PLAIN head, DEFERRED until every filter is
+  // seen: an accepted head equality may pin the range to the negative
+  // byte region (enc(-3) = 0xFF…), where a byte-smaller non-negative
+  // stop (enc(5)) would INVERT the range and drop the pinned row with no
+  // residual to resurrect it (the equality was accepted). Once pinned,
+  // the equality's prefix range is already exact and these candidates
+  // are dropped entirely — the comparison stays residual either way.
+  private var plainStopCandidates: List[Array[Byte]] = Nil
   // key-head IN list (the multiGet shape): encoded head values, each a
   // PREFIX of the full row key (the whole key when the key has one part)
   private var keyProbes: Option[Seq[Array[Byte]]] = None
@@ -493,8 +508,8 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
           if c == keyHead._1 && keyRangeable(v) =>
         keyEnc(v) match {
           case Some(b) =>
-            tightenStop(b)
-            if (headFixed && !headOrdered) stopFromComparison = true
+            if (headFixed && !headOrdered) plainStopCandidates ::= b
+            else tightenStop(b)
             if (headFixed && headOrdered) acc += f else res += f
           case None => res += f
         }
@@ -502,8 +517,8 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
           if c == keyHead._1 && keyRangeable(v) =>
         keyEnc(v).flatMap(Bytes.prefixSuccessor) match {
           case Some(s) =>
-            tightenStop(s)
-            if (headFixed && !headOrdered) stopFromComparison = true
+            if (headFixed && !headOrdered) plainStopCandidates ::= s
+            else tightenStop(s)
             if (headFixed && headOrdered) acc += f else res += f
           case None => res += f // head <= byte-max: unbounded, residual
         }
@@ -583,6 +598,14 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
         Bytes.prefixSuccessor(b).foreach(tightenHi(c, _))
         res += f
       case f => res += f
+    }
+    // deferred plain-head stop bounds (see plainStopCandidates): applied
+    // only when NO equality pinned the head — filter arrival order must
+    // not matter (Spark's pushdown order is unspecified, and `k < 5` may
+    // precede `k = -3`)
+    if (!headPinned && plainStopCandidates.nonEmpty) {
+      plainStopCandidates.foreach(tightenStop)
+      stopFromComparison = true
     }
     accepted = acc.result()
     res.result()

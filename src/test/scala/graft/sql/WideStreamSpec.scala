@@ -232,6 +232,14 @@ class WideStreamSpec extends SparkSpec {
     val err = intercept[Exception](drain("gwsv.`t$wide`",
       freshRoot("sv-w3"), Map("startingVersion" -> "nope")))
     assert(err.getMessage != null)
+    // ADVICE r10: a start AHEAD of the table's head fails loudly too —
+    // the first latestOffset would otherwise land BEHIND the initial
+    // offset and break Spark's monotonicity handling
+    val ahead = intercept[Exception](drain("gwsv.`t$wide`",
+      freshRoot("sv-w4"), Map("startingVersion" -> "99")))
+    assert(ahead.getMessage.contains("ahead") ||
+      Option(ahead.getCause).exists(_.getMessage.contains("ahead")),
+      ahead.getMessage)
   }
 
   test("withDeletes ships whole-row delete markers; default ships nothing") {
@@ -272,6 +280,56 @@ class WideStreamSpec extends SparkSpec {
       spark.read.option("withDeletes", "true").table("gwsd.`t$wide`")
         .collect())
     assert(err.getMessage.contains("withDeletes"), err.getMessage)
+  }
+
+  test("withDeletes: a put masked by a same-batch newer DeleteFamily " +
+      "ships the marker, not a stale upsert") {
+    // ADVICE r10: one mutate mixing a Put and a NEWER whole-row delete
+    // for the same key — the resolved state deletes the row, so the CDC
+    // feed must ship the marker (shipping the put would break the
+    // 'merge reconstructs resolved state' contract). A put NEWER than
+    // the tombstone survives as a normal upsert.
+    import graft.write.Mutations
+    val root = freshRoot("widestream-mix")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t",
+      Seq(FamilyDescriptor("f"), FamilyDescriptor("g")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;g:pop:long")), 1L)
+    // version 2, ONE batch: key 1 put(ts=3) + DeleteFamily(ts=4) in every
+    // family (masked — marker); key 2 put(ts=5) + DeleteFamily(ts=4)
+    // (put survives — upsert); key 3 put(ts=3) + DeleteFamily(ts=4) in
+    // ONE family only (partial delete — upsert with that family nulled)
+    g.table("t").mutate(Mutations.toDF(spark, Seq(
+      Put(Bytes.toBytes(1L)).add("f", b("city"), 3L, b("paris"))
+        .add("g", b("pop"), 3L, Bytes.toBytes(10L)),
+      Delete(Bytes.toBytes(1L)).deleteFamily("f", 4L).deleteFamily("g", 4L),
+      Put(Bytes.toBytes(2L)).add("f", b("city"), 5L, b("rome"))
+        .add("g", b("pop"), 5L, Bytes.toBytes(20L)),
+      Delete(Bytes.toBytes(2L)).deleteFamily("f", 4L).deleteFamily("g", 4L),
+      Put(Bytes.toBytes(3L)).add("f", b("city"), 3L, b("oslo"))
+        .add("g", b("pop"), 3L, Bytes.toBytes(30L)),
+      Delete(Bytes.toBytes(3L)).deleteFamily("g", 4L)), 2L), 2L)
+    register("gwsm", root)
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    val withDel = drain("gwsm.`t$wide`", freshRoot("widestream-mix-w"),
+      Map("withDeletes" -> "true"))
+    assert(withDel.flatten.map(tup).toSet == Set(
+      (1L, None, None),                  // masked put -> marker
+      (2L, Some("rome"), Some(20L)),     // newer put survives the delete
+      (3L, Some("oslo"), None)),         // partial delete nulls g.pop only
+      withDel)
+    // CDC-merge parity: the batch read (resolved state) agrees
+    val resolved = spark.sql("SELECT k, city, pop FROM gwsm.`t$wide`")
+      .collect().map(tup).toSet
+    assert(resolved == Set(
+      (2L, Some("rome"), Some(20L)), (3L, Some("oslo"), None)), resolved)
+    // default (no withDeletes): key 1 ships NOTHING (no surviving put)
+    val plain = drain("gwsm.`t$wide`", freshRoot("widestream-mix-w2"))
+    assert(plain.flatten.map(tup).toSet == Set(
+      (2L, Some("rome"), Some(20L)), (3L, Some("oslo"), None)), plain)
   }
 
   test("salted multi-family streams never split a row across upserts") {

@@ -831,6 +831,23 @@ class WideViewSpec extends SparkSpec {
     // equality on the head is bijective per width — negatives exact too
     assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k = -3")
       .collect().map(_.getLong(0)).toSeq == Seq(-3L))
+    // ADVICE r10: negative equality + non-negative stop must not INVERT
+    // the range ([enc(-3), enc(5)) is byte-empty) — the deferred plain
+    // stop is dropped once the equality pins the head, whatever order
+    // the filters arrive in
+    assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k = -3 AND k < 5")
+      .collect().map(_.getLong(0)).toSeq == Seq(-3L))
+    assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k < 5 AND k = -3")
+      .collect().map(_.getLong(0)).toSeq == Seq(-3L))
+    assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k = -3 AND k <= 2")
+      .collect().map(_.getLong(0)).toSeq == Seq(-3L))
+    // and the unsatisfiable combination still returns empty
+    assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k = 7 AND k < 5")
+      .count() == 0L)
+    // the IN analog keeps working (IN never pins the head)
+    assert(spark.sql(
+      "SELECT k FROM gwsk.`t$wide` WHERE k IN (-3, -1) AND k < 5 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(-3L, -1L))
     // positive-only ranges still prune correctly
     assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k >= 2 AND k < 40 " +
       "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(2L, 7L))
