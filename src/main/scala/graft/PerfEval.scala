@@ -447,6 +447,34 @@ object PerfEval {
       }
     }
 
+    // runtimePrune pair (r11): join-driven key pruning PRICED — the wide
+    // fact joined to a small DATA-DERIVED dim (customer 7's order keys,
+    // ~constant count at any SF). Pruned: the scan reads O(|dim|) probed
+    // key ranges (GraftRuntimeFilterRule attaches the dim subtree; the
+    // scan collects its keys at execution — the dynamic multiGet).
+    // Unpruned (conf off): the same join scans the whole wide table.
+    // The pair's divergence across 10x is the design claim: probe cost
+    // tracks the dim, full-scan cost tracks the table.
+    {
+      spark.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+        (256L << 20).toString)
+      orders.filter(col("o_custkey") === 7L).select("o_orderkey")
+        .createOrReplaceTempView("pe_rt_dim")
+      def q = spark.sql(
+        """SELECT f.o_orderkey, f.o_totalprice
+           FROM graft_pe.`pe$wide` f
+           JOIN pe_rt_dim d ON f.o_orderkey = d.o_orderkey""")
+      // seam: the probe really attaches and applies on this plan shape
+      val probe = q
+      probe.collect(): Unit
+      require(graft.sql.GraftRuntimeFilter.pruned(probe),
+        "runtime filter did not attach/apply on the PE join")
+      results("runtimePrunedJoin") = timedMin2 { q.collect(): Unit }
+      spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+      try results("runtimeUnprunedJoin") = timedMin2 { q.collect(): Unit }
+      finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+    }
+
     // annLshHash: hash-derived-hyperplane ANN top-k (native HyperplaneBand
     // signatures). Timed here rather than in the correctness battery:
     // DuckDB cannot recompute xxhash64 buckets, so the battery carries the

@@ -1722,6 +1722,40 @@ object Queries {
       .orderBy("seg")
   }
 
+  // Runtime (join-driven) key pruning through the SQL door (r10 ask 1,
+  // sql/GraftRuntimeFilter.scala): `fact JOIN small-dim ON fact.key =
+  // dim.k` re-prunes the wide scan's key ranges with the dim's ACTUAL
+  // key values at execution — the dynamic twin of the static multiGet
+  // span prune (the reference's client routes a Get batch to only the
+  // regions owning those keys). The dim is DATA-DERIVED (customer 7's
+  // order keys), so the probe set exists only at runtime; the scan reads
+  // O(|dim|) probed ranges instead of the table. Results hash-match the
+  // plain relational join; the fixture's range DELETE stays applied.
+  private val sqlRuntimePrune = Q("sql_runtime_prune", Some("""
+    SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+    FROM orders f
+    JOIN (SELECT o_orderkey FROM orders WHERE o_custkey = 7) d
+      ON f.o_orderkey = d.o_orderkey
+    WHERE NOT (f.o_orderkey >= 1000 AND f.o_orderkey < 30000)
+    ORDER BY f.o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wrt",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wrt.root", root)
+    // the dim is small AFTER its filter; without CBO Spark's size
+    // estimate for it is the unfiltered file bytes, so raise the
+    // advisory byte gate — the HARD bound stays the runtime key-count
+    // cap (spark.graft.runtimeFilter.maxKeys), enforced at collect time
+    s.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+      (256L << 20).toString)
+    t(s, dir, "orders").filter(col("o_custkey") === 7L)
+      .select(col("o_orderkey")).createOrReplaceTempView("graft_rt_dim")
+    s.sql("""SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+             FROM graft_wrt.`orders_w$wide` f
+             JOIN graft_rt_dim d ON f.o_orderkey = d.o_orderkey
+             ORDER BY f.o_orderkey""")
+  }
+
   // SQL DELETE end-to-end: tombstones written through the DSv2 door
   // (SupportsDelete -> DeleteFamily cells at each group's max ts), read
   // back resolved. Oracle = the source minus the deleted key range.
@@ -4877,7 +4911,7 @@ object Queries {
     snapshotExportIncremental,
     snapshotDiffScan,
     asofScan, bulkLoadScan,
-    sqlCatalogScan, sqlAggPushdown, sqlBroadcastJoin,
+    sqlCatalogScan, sqlAggPushdown, sqlBroadcastJoin, sqlRuntimePrune,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -56,11 +56,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     // V1 scans) and before join planning (which reads the stats). Done
     // here so registering a graft catalog is all a user needs; idempotent
     // across catalogs (the rule is a singleton).
+    // GraftRuntimeFilterRule rides the same batch, AFTER the stats rule
+    // (it reads build-side sizes the stats rule restores).
     val session = org.apache.spark.sql.SparkSession.active
     session.experimental.synchronized {
-      if (!session.experimental.extraOptimizations.contains(GraftStatsRule))
-        session.experimental.extraOptimizations =
-          session.experimental.extraOptimizations :+ GraftStatsRule
+      Seq(GraftStatsRule, GraftRuntimeFilterRule).foreach { r =>
+        if (!session.experimental.extraOptimizations.contains(r))
+          session.experimental.extraOptimizations =
+            session.experimental.extraOptimizations :+ r
+      }
     }
   }
 

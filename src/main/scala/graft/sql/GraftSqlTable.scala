@@ -637,10 +637,25 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     rowKeys: Seq[Array[Byte]] = Nil,
     topN: Option[(Seq[GraftSortCol], Int)] = None,
     startingVersion: Option[String] = None) extends V1Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with GraftRuntimeFilterable {
 
   override def readSchema(): StructType =
     aggSpec.fold(required)(_.schema)
+
+  // ---- runtime (join-driven) key pruning — see GraftRuntimeFilterable.
+  // `row` is binary end-to-end; a pushed LIMIT/TopN declines (pruning
+  // would change WHICH k rows surface). Aggregates stay eligible: the
+  // join key only reaches the agg output as a GROUP column, and pruning
+  // whole head groups never changes a surviving group's value.
+  override def runtimeKeyAttribute: String = "row"
+  override protected def encodeRuntimeKey(v: Any): Option[Array[Byte]] =
+    v match {
+      case b: Array[Byte] => Some(b)
+      case _ => None
+    }
+  override private[sql] def runtimeFilterEligible: Boolean =
+    limit.isEmpty && topN.isEmpty
 
   /** The manifest this planned scan reads — captured once so statistics
     * and execution see the SAME version (and planning costs one
@@ -679,31 +694,51 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
   /** The resolved view this scan produces — also the seam SqlCatalogSpec
     * uses to assert that pushdown reached the inner parquet scan. */
   private[sql] def resolvedFrame(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
     val m = plannedManifest
     val d = m.descriptor
+    // Effective key scope: the static `row IN (...)` multiGet keys
+    // intersected with any runtime (join-driven) keys — byte-exact
+    // intersection, both are raw logical row keys. None = unscoped;
+    // Some(empty) = provably-empty scan (empty dim / empty intersection).
+    val effKeys: Option[Seq[Array[Byte]]] =
+      (rowKeys, currentRuntimeKeys(spark)) match {
+        case (Nil, None) => None
+        case (Nil, Some(r)) => Some(r)
+        case (ks, None) => Some(ks)
+        case (ks, Some(r)) =>
+          val set = r.map(java.nio.ByteBuffer.wrap).toSet
+          Some(ks.filter(k => set.contains(java.nio.ByteBuffer.wrap(k))))
+      }
     // Salt as a table property: logical row bounds compile to the
     // scatter-gather disjunction on the salted storage order, then the
     // prefix strips so everything downstream (resolution, residuals,
     // the index gather) sees logical keys.
     val (frame0, gs) =
       if (d.saltBuckets > 0) {
-        if (rowKeys.nonEmpty)
-          // multiGet scope on the salted order: JVM-side salted keys +
-          // span bounds + broadcast semi-join, stripped back to logical
-          // rows; any logical bounds still apply in ScanExec below
-          (graft.core.Salt.scopeKeys(engine.readManifest(m), d.saltBuckets,
-            rowKeys), gscan)
-        else
-          (graft.core.Salt.scanRange(engine.readManifest(m), d.saltBuckets,
-            gscan.startRow, gscan.stopRow),
-            gscan.copy(startRow = None, stopRow = None))
+        effKeys match {
+          case Some(ks) if ks.nonEmpty =>
+            // multiGet scope on the salted order: JVM-side salted keys +
+            // span bounds + broadcast semi-join, stripped back to logical
+            // rows; any logical bounds still apply in ScanExec below
+            (graft.core.Salt.scopeKeys(engine.readManifest(m), d.saltBuckets,
+              ks), gscan)
+          case Some(_) => // scoped to nothing: structurally empty
+            (graft.core.Salt.stripCells(engine.readManifest(m))
+              .filter(flit(false)), gscan)
+          case None =>
+            (graft.core.Salt.scanRange(engine.readManifest(m), d.saltBuckets,
+              gscan.startRow, gscan.stopRow),
+              gscan.copy(startRow = None, stopRow = None))
+        }
       } else {
         val base = engine.readManifest(m)
-        val keyed =
-          if (rowKeys.isEmpty) base
-          else base.filter(rowKeys.map(k =>
-            org.apache.spark.sql.functions.col("row") ===
-              org.apache.spark.sql.functions.lit(k)).reduce(_ || _))
+        val keyed = effKeys match {
+          case None => base
+          case Some(ks) =>
+            base.filter(ks.map(k => fcol("row") === flit(k))
+              .reduceOption(_ || _).getOrElse(flit(false)))
+        }
         (keyed, gscan)
       }
     // Transparent secondary-index routing: candidates = rows the index

@@ -742,7 +742,21 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     withDeletes: Boolean = false,
     startingVersion: Option[String] = None,
     stopWraps: Boolean = false) extends V1Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with GraftRuntimeFilterable {
+
+  // ---- runtime (join-driven) key pruning — see GraftRuntimeFilterable.
+  // The declared key HEAD is the prunable column; runtime values encode
+  // under its codec (ordered codecs honored) into the same prefix-probe
+  // shape the static IN takes. Probes are head-exact for fixed-width
+  // heads and prefix-supersets otherwise — either way the join above
+  // re-checks equality. A pushed LIMIT/TopN declines.
+  override def runtimeKeyAttribute: String = spec.key.head._1
+  override protected def encodeRuntimeKey(v: Any): Option[Array[Byte]] =
+    Option(v).flatMap(WideSpec.encodeLit(spec.key.head._2, _,
+      spec.orderedKey(spec.key.head._1)))
+  override private[sql] def runtimeFilterEligible: Boolean =
+    limit.isEmpty && topN.isEmpty
 
   /** The negative byte region of a PLAIN (non-ordered) fixed-width
     * integral key head: two's-complement negatives byte-sort in
@@ -896,6 +910,18 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     val m = manifest
     val d = m.descriptor
     val wanted = scanCols
+    // Effective head probes: the static IN probes intersected with any
+    // runtime (join-driven) key values — byte-exact intersection, both
+    // are head encodings. None = unscoped; Some(empty) = provably-empty.
+    val effProbes: Option[Seq[Array[Byte]]] =
+      (keyProbes, currentRuntimeKeys(spark)) match {
+        case (None, None) => None
+        case (Some(ks), None) => Some(ks)
+        case (None, Some(r)) => Some(r)
+        case (Some(ks), Some(r)) =>
+          val set = r.map(java.nio.ByteBuffer.wrap).toSet
+          Some(ks.filter(k => set.contains(java.nio.ByteBuffer.wrap(k))))
+      }
     def logical: DataFrame = {
       val raw = engine.readManifest(m)
       if (d.saltBuckets > 0) graft.core.Salt.stripCells(raw) else raw
@@ -907,11 +933,11 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     // open top — still a prune; exactness holds because a fixed-width
     // head's prefix range contains exactly its head == v rows, and
     // variable heads keep the IN residual.
-    def probeFilter(df: DataFrame): DataFrame = keyProbes.fold(df) { ps =>
+    def probeFilter(df: DataFrame): DataFrame = effProbes.fold(df) { ps =>
       df.filter(ps.map { p =>
         val lo = col("row") >= lit(p)
         Bytes.prefixSuccessor(p).fold(lo)(u => lo && col("row") < lit(u))
-      }.reduce(_ || _))
+      }.reduceOption(_ || _).getOrElse(lit(false)))
     }
     // stop bound as a Column: wrapped with the negative key region when a
     // plain signed head's </<= comparison set it (see negStart) — sound
@@ -990,10 +1016,13 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           if (stopWraps) stopPred.fold(df)(df.filter) else df
         val gsStop = if (stopWraps) None else stopRow
         val (frame, gs) =
-          if (d.saltBuckets > 0) keyProbes match {
-            case Some(ps) if spec.key.sizeIs == 1 =>
+          if (d.saltBuckets > 0) effProbes match {
+            case Some(ps) if spec.key.sizeIs == 1 && ps.nonEmpty =>
               (wrapStop(graft.core.Salt.scopeKeys(engine.readManifest(m),
                 d.saltBuckets, ps)), GScan(startRow, gsStop))
+            case Some(_) if spec.key.sizeIs == 1 => // empty scope
+              (graft.core.Salt.stripCells(engine.readManifest(m))
+                .filter(lit(false)), GScan())
             case _ if stopWraps =>
               // salted + wrapped stop: the wrap must stay on the RAW
               // (pushable) salted column, so the scatter carries it as a
