@@ -1756,6 +1756,32 @@ object Queries {
              ORDER BY f.o_orderkey""")
   }
 
+  // OR-of-probes routing (r10 ask 2, sql/GraftOrArms.scala +
+  // SecondaryIndex.probeOr): a one-column disjunction of equalities and
+  // bounded intervals — the reference's FilterList(MUST_PASS_ONE)
+  // evaluated server-side (hbase/filter/FilterList.java:47-49) — routes
+  // through o_custkey's covered index as ONE multi-arm probe pass
+  // (WideViewSpec holds the route seam assert), instead of a full scan.
+  // The single SQL statement keeps the OR residual, so exactness is
+  // structural; the fixture's range DELETE stays applied through the
+  // synchronously-translated index tombstones.
+  private val sqlOrRoute = Q("sql_or_route", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE (o_custkey = 7 OR (o_custkey >= 37 AND o_custkey < 40)
+           OR o_custkey IN (73, 88))
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wor",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wor.root", root)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+             FROM graft_wor.`orders_w$wide`
+             WHERE o_custkey = 7 OR (o_custkey >= 37 AND o_custkey < 40)
+                OR o_custkey IN (73, 88)
+             ORDER BY o_orderkey""")
+  }
+
   // SQL DELETE end-to-end: tombstones written through the DSv2 door
   // (SupportsDelete -> DeleteFamily cells at each group's max ts), read
   // back resolved. Oracle = the source minus the deleted key range.
@@ -4912,6 +4938,7 @@ object Queries {
     snapshotDiffScan,
     asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown, sqlBroadcastJoin, sqlRuntimePrune,
+    sqlOrRoute,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -309,6 +309,81 @@ object SecondaryIndex {
     }
   }
 
+  /** One disjunct of an OR-of-probes routing (`FilterList(MUST_PASS_ONE)`
+    * evaluated server-side in the reference, `hbase/filter/FilterList
+    * .java:47-49`): an equality/IN value set or a value-space interval
+    * (lo inclusive / hi exclusive). A bounded union of arms feeds ONE
+    * probe pass — see [[probeOr]]. */
+  sealed trait ValueArm
+  final case class ArmIn(values: Seq[Array[Byte]]) extends ValueArm
+  final case class ArmRange(lo: Option[Array[Byte]],
+      hi: Option[Array[Byte]]) extends ValueArm
+
+  /** Index-row-space predicate of one arm (probe ranges). */
+  private def armRowPred(arm: ValueArm): org.apache.spark.sql.Column =
+    arm match {
+      case ArmIn(vs) => vs.map(v =>
+          col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte)))
+        .reduce(_ || _)
+      case ArmRange(lo, hi) =>
+        (lo.map(b => col("row") >= lit(b ++ Sep)) ++
+          hi.map(b => col("row") < lit(valueRangeStop(b)))) match {
+          case Nil => lit(true)
+          case ps => ps.reduce(_ && _)
+        }
+    }
+
+  /** VALUE-space predicate of an arm union, applied to a column holding
+    * the (reconstructed or current) indexed value. */
+  def armsPred(c: org.apache.spark.sql.Column, arms: Seq[ValueArm])
+      : org.apache.spark.sql.Column =
+    arms.map {
+      case ArmIn(vs) => vs.map(v => c === lit(v)).reduce(_ || _)
+      case ArmRange(lo, hi) =>
+        (lo.map(b => c >= lit(b)) ++ hi.map(b => c < lit(b))) match {
+          case Nil => lit(true)
+          case ps => ps.reduce(_ && _)
+        }
+    }.reduce(_ || _)
+
+  /** OR-of-probes: distinct candidate main-row keys whose indexed value
+    * satisfies ANY arm — ONE index pass with the arms' probe ranges OR'd
+    * (parquet prunes to the union; cost is O(union of hits), not
+    * O(arms × passes)). The reconstructed-value residual keeps each
+    * range arm exact (0x00-embedding bounds included); equality arms are
+    * exact by the prefix-range bijection. */
+  def probeOr(index: DataFrame, arms: Seq[ValueArm]): DataFrame = {
+    require(arms.nonEmpty, "probeOr needs at least one arm")
+    val scanned = ScanExec(
+      index.filter(arms.map(armRowPred).reduce(_ || _)),
+      Scan().addColumn(IndexFamily, RowQualifier))
+      .withColumn("_ixv", pointerIxVal)
+    scanned.filter(armsPred(col("_ixv"), arms))
+      .select(col("value").as("row")).distinct()
+  }
+
+  /** Index-backed OR lookup: one [[probeOr]] pass, one size-gated
+    * span-bounded gather, then the verifying re-check of the CURRENT
+    * visible value against the arm union — the index answer to
+    * `FilterList(MUST_PASS_ONE)` over one column. */
+  def lookupOr(mainCells: DataFrame, index: DataFrame, family: String,
+      qualifier: Array[Byte], arms: Seq[ValueArm],
+      broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame =
+    verifiedRows(
+      gatherHits(mainCells, probeOr(index, arms), broadcastMaxKeys),
+      family, qualifier, c => armsPred(c, arms))
+
+  /** Covered OR lookup: the arm union answered from the index table
+    * ALONE (probe-range pruning + the covered reshape). */
+  def lookupCoveredOr(index: DataFrame, family: String,
+      qualifier: Array[Byte], arms: Seq[ValueArm],
+      covered: Seq[(String, Array[Byte])]): DataFrame = {
+    require(arms.nonEmpty, "lookupCoveredOr needs at least one arm")
+    coveredRead(index, family, qualifier, covered,
+      rowPred = arms.map(armRowPred).reduce(_ || _),
+      valuePred = armsPred(col("_ixVal"), arms))
+  }
+
   /** Candidate gather, SIZE-GATED and SPAN-BOUNDED: one cheap stats job
     * on the O(hits) parquet-pruned probe yields (count, min key, max
     * key); the hit-key SPAN `[min, succ(max))` then bounds the main scan

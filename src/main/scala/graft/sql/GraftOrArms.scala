@@ -1,0 +1,64 @@
+package graft.sql
+
+import graft.core.Bytes
+import graft.read.SecondaryIndex.{ArmIn, ArmRange, ValueArm}
+import org.apache.spark.sql.sources
+
+/** Normalizes a pushed `Or` tree into a bounded union of per-column
+  * probe ARMS — the routing form of the reference's
+  * `FilterList(MUST_PASS_ONE)` (`hbase/filter/FilterList.java:47-49`,
+  * evaluated server-side): a disjunction of equalities / IN lists /
+  * intervals on ONE column becomes a single OR-of-probes pass
+  * ([[graft.read.SecondaryIndex.probeOr]]) instead of a full scan.
+  *
+  * The tree parses when every disjunct is a leaf predicate (or an
+  * AND-conjunction of interval leaves, which intersects into one arm) on
+  * the SAME column, and the total arm count stays within `maxArms` —
+  * past the cap the disjunction falls back to the residual full scan
+  * (the probe predicate must stay bounded). Any unparseable shape
+  * returns None; the filter always STAYS residual either way, so parsing
+  * is pure routing, never semantics. */
+private[sql] object GraftOrArms {
+
+  private def maxLo(a: Option[Array[Byte]], b: Option[Array[Byte]]) =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (Bytes.compareTo(x, y) >= 0) x else y)
+      case _ => a.orElse(b)
+    }
+  private def minHi(a: Option[Array[Byte]], b: Option[Array[Byte]]) =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (Bytes.compareTo(x, y) <= 0) x else y)
+      case _ => a.orElse(b)
+    }
+
+  /** Parse `f` (an `Or` tree) into `(column, arms)`. `leaf` encodes one
+    * comparison leaf under the door's codec; None from it fails the
+    * whole parse. */
+  def parse(f: sources.Filter,
+      leaf: sources.Filter => Option[(String, ValueArm)],
+      maxArms: Int): Option[(String, Seq[ValueArm])] = {
+    def disj(g: sources.Filter): Option[Seq[(String, ValueArm)]] = g match {
+      case sources.Or(a, b) =>
+        for { x <- disj(a); y <- disj(b) } yield x ++ y
+      case sources.And(a, b) =>
+        // interval conjuncts intersect into one arm (`x >= 5 AND x < 9`);
+        // anything else inside an And bails the parse
+        (disj(a), disj(b)) match {
+          case (Some(Seq((c1, ArmRange(l1, h1)))),
+              Some(Seq((c2, ArmRange(l2, h2))))) if c1 == c2 =>
+            Some(Seq((c1, ArmRange(maxLo(l1, l2), minHi(h1, h2)))))
+          case _ => None
+        }
+      case other => leaf(other).map(Seq(_))
+    }
+    disj(f).flatMap { as =>
+      val cols = as.map(_._1).distinct
+      val armCount = as.map(_._2 match {
+        case ArmIn(vs) => vs.size
+        case _ => 1
+      }).sum
+      if (cols.sizeIs == 1 && armCount <= maxArms) Some((cols.head, as.map(_._2)))
+      else None
+    }
+  }
+}

@@ -260,6 +260,10 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   private var valueLo: Option[Array[Byte]] = None
   private var valueHi: Option[Array[Byte]] = None
   private var rowKeys: Seq[Array[Byte]] = Nil
+  // recorded OR-of-probes arms on `value` (FilterList(MUST_PASS_ONE) —
+  // see GraftOrArms): a bounded disjunction of equalities/intervals on
+  // the one projected column, routed as ONE probeOr pass
+  private var valueOr: Seq[graft.read.SecondaryIndex.ValueArm] = Nil
 
   /** Aggregate pushdown — COMPLETE (final values, not partial buffers):
     * the aggregation runs inside the inner resolved plan (hash aggregate
@@ -378,6 +382,17 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
           if !famTaken && fs.nonEmpty && fs.forall(_.isInstanceOf[String]) =>
         fs.foreach(x => scan = scan.addFamily(x.asInstanceOf[String]))
         famTaken = true; accepted += f
+      // `row = a OR row = b` — the multiGet shape via disjunction
+      // (FilterList(MUST_PASS_ONE) over row equalities): scoped exactly
+      // like `row IN (...)`, kept residual; non-row Or trees fall through
+      // to the value pass below
+      case f @ sources.Or(_, _) =>
+        rowOrKeys(f) match {
+          case Some(ks) if rowKeys.isEmpty &&
+              ks.size <= graft.read.SecondaryIndex.MaxCompositeProbes =>
+            rowKeys = ks; residual += f
+          case _ => rest += f
+        }
       case other => rest += other
     }
     var qualTaken = false
@@ -418,10 +433,55 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
         tightenValueHi(v); residual += f
       case f @ sources.LessThanOrEqual("value", v: Array[Byte]) =>
         tightenValueHi(Bytes.successor(v)); residual += f
+      // OR-of-probes on `value`: a bounded disjunction of equalities /
+      // IN lists / intervals records its arms for one probeOr routing
+      // pass; the filter stays residual (Spark re-applies it), so the
+      // parse is pure routing
+      case f @ sources.Or(_, _) =>
+        if (valueOr.isEmpty)
+          GraftOrArms.parse(f, cellValueLeaf,
+            graft.read.SecondaryIndex.MaxCompositeProbes) match {
+            case Some(("value", arms)) => valueOr = arms
+            case _ => ()
+          }
+        residual += f
       case other => residual += other
     }
     pushed = accepted.result()
     residual.result()
+  }
+
+  private def rowOrKeys(f: Filter): Option[Seq[Array[Byte]]] = f match {
+    case sources.Or(a, b) =>
+      for { x <- rowOrKeys(a); y <- rowOrKeys(b) } yield x ++ y
+    case sources.EqualTo("row", v: Array[Byte]) => Some(Seq(v))
+    case sources.In("row", vs)
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
+      Some(vs.toSeq.map(_.asInstanceOf[Array[Byte]]))
+    case _ => None
+  }
+
+  /** One comparison leaf on `value` -> a probe arm (binary order IS the
+    * cell door's value order, so every comparison shape is arm-sound). */
+  private def cellValueLeaf(f: Filter)
+      : Option[(String, graft.read.SecondaryIndex.ValueArm)] = {
+    import graft.read.SecondaryIndex.{ArmIn, ArmRange}
+    f match {
+      case sources.EqualTo("value", v: Array[Byte]) =>
+        Some(("value", ArmIn(Seq(v))))
+      case sources.In("value", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
+        Some(("value", ArmIn(vs.toSeq.map(_.asInstanceOf[Array[Byte]]))))
+      case sources.GreaterThan("value", v: Array[Byte]) =>
+        Some(("value", ArmRange(Some(Bytes.successor(v)), None)))
+      case sources.GreaterThanOrEqual("value", v: Array[Byte]) =>
+        Some(("value", ArmRange(Some(v), None)))
+      case sources.LessThan("value", v: Array[Byte]) =>
+        Some(("value", ArmRange(None, Some(v))))
+      case sources.LessThanOrEqual("value", v: Array[Byte]) =>
+        Some(("value", ArmRange(None, Some(Bytes.successor(v)))))
+      case _ => None
+    }
   }
 
   /** Transparent index routing (the Phoenix property the index design
@@ -449,6 +509,7 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
         if (valueEq.nonEmpty) Some((ix, GraftValueIn(valueEq)))
         else if (valueLo.isDefined || valueHi.isDefined)
           Some((ix, GraftValueRange(valueLo, valueHi)))
+        else if (valueOr.nonEmpty) Some((ix, GraftValueOr(valueOr)))
         else None
       }.orElse {
         // leading member of a composite index (the Phoenix leading-column
@@ -513,6 +574,11 @@ private[sql] case class GraftValueIn(values: Seq[Array[Byte]])
 /** VALUE-space interval, lo inclusive / hi exclusive. */
 private[sql] case class GraftValueRange(lo: Option[Array[Byte]],
     hi: Option[Array[Byte]]) extends GraftValuePred
+/** OR-of-probes: a bounded union of equality/interval arms on ONE
+  * column (`FilterList(MUST_PASS_ONE)` — see [[GraftOrArms]]), served
+  * as one [[graft.read.SecondaryIndex.probeOr]] pass. */
+private[sql] case class GraftValueOr(
+    arms: Seq[graft.read.SecondaryIndex.ValueArm]) extends GraftValuePred
 
 /** One resolved index route: the registered index, the recorded value
   * predicate, and the covered columns the query projects (empty = only
@@ -761,6 +827,9 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
           case GraftValueRange(lo, hi) => SecondaryIndex.lookupCoveredRange(
             ixCells, route.ix.family, route.ix.qualifier, lo, hi,
             route.covered)
+          case GraftValueOr(arms) => SecondaryIndex.lookupCoveredOr(
+            ixCells, route.ix.family, route.ix.qualifier, arms,
+            route.covered)
         }
         // Pushed row bounds were ACCEPTED (Spark will not re-apply them)
         // and compiled into frame0 on a salted table — which the covered
@@ -777,6 +846,9 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
           SecondaryIndex.gatherHits(frame0,
             SecondaryIndex.probeRange(ixCells, lo, hi,
               exactPrefix = route.ix.moreColumns.isEmpty))
+        case GraftValueOr(arms) =>
+          SecondaryIndex.gatherHits(frame0,
+            SecondaryIndex.probeOr(ixCells, arms))
       }
     }
     // Family TTLs evaluate against the SQL-surface clock (reference: TTL

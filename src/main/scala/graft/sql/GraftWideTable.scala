@@ -413,6 +413,10 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   private var colEq = Map.empty[String, Seq[Array[Byte]]]
   private var colLo = Map.empty[String, Array[Byte]]
   private var colHi = Map.empty[String, Array[Byte]]
+  // recorded OR-of-probes arms per column (FilterList(MUST_PASS_ONE) —
+  // see GraftOrArms): a bounded disjunction of equalities/intervals on
+  // ONE column, routable as a single probeOr pass
+  private var colOr = Map.empty[String, Seq[graft.read.SecondaryIndex.ValueArm]]
 
   private def tightenStart(b: Array[Byte]): Unit =
     if (startRow.forall(cur => Bytes.compareTo(b, cur) > 0)) startRow = Some(b)
@@ -597,6 +601,64 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
         tightenLo(c, b)
         Bytes.prefixSuccessor(b).foreach(tightenHi(c, _))
         res += f
+      // disjunctions (FilterList(MUST_PASS_ONE)): `k = a OR k = b` on the
+      // key head becomes the multiGet probe set (exactly the IN shape,
+      // same acceptance rule); a one-column value disjunction records its
+      // probe arms for OR-of-probes index routing. Always bounded
+      // (MaxCompositeProbes); anything unparseable stays residual-only.
+      case f @ sources.Or(_, _) =>
+        def keyOrVals(g: Filter): Option[Seq[Array[Byte]]] = g match {
+          case sources.Or(x, y) =>
+            for { a <- keyOrVals(x); b <- keyOrVals(y) } yield a ++ b
+          case sources.EqualTo(c, v) if c == keyHead._1 => keyEnc(v).map(Seq(_))
+          case sources.In(c, vs)
+              if c == keyHead._1 && vs.nonEmpty && vs.forall(_ != null) =>
+            val enc = vs.toSeq.map(keyEnc)
+            if (enc.forall(_.isDefined)) Some(enc.flatten) else None
+          case _ => None
+        }
+        def valueLeaf(g: Filter)
+            : Option[(String, graft.read.SecondaryIndex.ValueArm)] = {
+          import graft.read.SecondaryIndex.{ArmIn, ArmRange}
+          g match {
+            case sources.EqualTo(c, v) if valCol(c).isDefined =>
+              valEnc(c, v).map(b => (c, ArmIn(Seq(b))))
+            case sources.In(c, vs)
+                if valCol(c).isDefined && vs.nonEmpty && vs.forall(_ != null) =>
+              val enc = vs.toSeq.map(valEnc(c, _))
+              if (enc.forall(_.isDefined)) Some((c, ArmIn(enc.flatten)))
+              else None
+            case sources.GreaterThanOrEqual(c, v) if valRangeable(c, v) =>
+              valEnc(c, v).map(b => (c, ArmRange(Some(b), None)))
+            case sources.GreaterThan(c, v) if valRangeable(c, v) =>
+              valEnc(c, v).map(b => (c, ArmRange(Some(Bytes.successor(b)), None)))
+            case sources.LessThan(c, v) if valRangeable(c, v) =>
+              valEnc(c, v).map(b => (c, ArmRange(None, Some(b))))
+            case sources.LessThanOrEqual(c, v) if valRangeable(c, v) =>
+              valEnc(c, v).map(b => (c, ArmRange(None, Some(Bytes.successor(b)))))
+            case sources.StringStartsWith(c, p)
+                if p != null && valCol(c).exists(_.dt == StringType) =>
+              val b = Bytes.toBytes(p)
+              Some((c, ArmRange(Some(b), Bytes.prefixSuccessor(b))))
+            case _ => None
+          }
+        }
+        keyOrVals(f) match {
+          case Some(bs) if keyProbes.isEmpty &&
+              bs.size <= graft.read.SecondaryIndex.MaxCompositeProbes =>
+            keyProbes = Some(bs)
+            val ord: Ordering[Array[Byte]] = (a, b) => Bytes.compareTo(a, b)
+            tightenStart(bs.min(ord))
+            Bytes.prefixSuccessor(bs.max(ord)).foreach(tightenStop)
+            if (headFixed) acc += f else res += f
+          case _ =>
+            GraftOrArms.parse(f, valueLeaf,
+              graft.read.SecondaryIndex.MaxCompositeProbes) match {
+              case Some((c, arms)) if !colOr.contains(c) => colOr += c -> arms
+              case _ => ()
+            }
+            res += f
+        }
       case f => res += f
     }
     // deferred plain-head stop bounds (see plainStopCandidates): applied
@@ -724,7 +786,8 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
       colEq, colLo, colHi, limit, manifest, aggSpec, topN,
       maxVersionsPerTrigger, timeTravel, keyProbes, withDeletes,
       startingVersion,
-      stopWraps = stopFromComparison && !headPinned)
+      stopWraps = stopFromComparison && !headPinned,
+      colOr = colOr)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -741,7 +804,9 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     keyProbes: Option[Seq[Array[Byte]]] = None,
     withDeletes: Boolean = false,
     startingVersion: Option[String] = None,
-    stopWraps: Boolean = false) extends V1Scan
+    stopWraps: Boolean = false,
+    colOr: Map[String, Seq[graft.read.SecondaryIndex.ValueArm]] = Map.empty)
+    extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with GraftRuntimeFilterable {
 
@@ -799,10 +864,18 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
   /** Seam for plan asserts: the key-head IN probes scoping this scan. */
   private[sql] def pushedKeyProbes: Option[Seq[Array[Byte]]] = keyProbes
 
-  /** Predicate columns in declaration order (deterministic route pick). */
-  private def predCols: Seq[String] =
+  /** Columns with recorded CONJUNCT predicates, in declaration order
+    * (deterministic route pick). */
+  private def conjPredCols: Seq[String] =
     spec.cols.map(_.name)
       .filter(c => colEq.contains(c) || colLo.contains(c) || colHi.contains(c))
+
+  /** All predicate columns — conjuncts plus OR disjunctions. Every
+    * recorded predicate (each OR arm included) implies its column is
+    * non-null, which is exactly what [[scanCols]]' row-set rule needs. */
+  private def predCols: Seq[String] =
+    spec.cols.map(_.name).filter(c => colEq.contains(c) ||
+      colLo.contains(c) || colHi.contains(c) || colOr.contains(c))
 
   /** The chosen index route, if any — in precedence order:
     *  1. a registered COMPOSITE index whose every member column has a
@@ -848,20 +921,25 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           }
           .map { case (ix, lists) => WideComposite(ix, lists) }
       else None
-    composite.orElse(predCols.iterator.flatMap { cn =>
+    composite.orElse(conjPredCols.iterator.flatMap { cn =>
       val c = spec.col(cn).get
       // A hi-bounded RANGE on a plain (non-ordered) signed integral
-      // column must not route: the byte interval [*, enc(v)) misses
-      // negative stored values (they byte-sort ABOVE all positives), and
-      // a routed hit set is the row set — the residual cannot resurrect
-      // rows the probe dropped. Equality/IN stay routable (bijective per
-      // width); lo-only bounds are byte-order SUPERSETS (negatives sort
-      // above the start and the residual drops them); ordered codecs
-      // (olong/oint/odouble) and strings/binary are order-preserving
-      // over their full domain. Declare the ordered codec to make signed
-      // ranges index-servable.
+      // column must not route UNBOUNDED-BELOW: the byte interval
+      // [*, enc(v)) misses negative stored values (they byte-sort ABOVE
+      // all positives), and a routed hit set is the row set — the
+      // residual cannot resurrect rows the probe dropped. With a
+      // NON-NEGATIVE lo bound present (first encoded byte < 0x80; the
+      // only literals rangeEncodable admits on plain integrals) the byte
+      // interval [enc(lo), enc(hi)) holds exactly the value matches —
+      // negatives sort above BOTH bounds and the value interval contains
+      // none — so bounded ranges route even on plain columns.
+      // Equality/IN stay routable (bijective per width); lo-only bounds
+      // are byte-order SUPERSETS (negatives sort above the start and the
+      // residual drops them); ordered codecs (olong/oint/odouble) and
+      // strings/binary are order-preserving over their full domain.
       val hiUnsound = colEq.get(cn).isEmpty && colHi.contains(cn) &&
-        !(c.ordered || c.dt == StringType || c.dt == BinaryType)
+        !(c.ordered || c.dt == StringType || c.dt == BinaryType) &&
+        !colLo.get(cn).exists(b => (b(0) & 0x80) == 0)
       if (hiUnsound) None
       else d.indexOn(c.family, c.qualifier).map { ix =>
         val pred = colEq.get(cn).map(GraftValueIn)
@@ -878,7 +956,30 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           WideSingle(c, ix, pred)
         }
       }
-    }.take(1).toSeq.headOption)
+    }.take(1).toSeq.headOption).orElse {
+      // OR-of-probes fallback (FilterList(MUST_PASS_ONE)): a recorded
+      // disjunction on ONE directly-indexed column routes as a single
+      // probeOr pass — each arm must be probe-sound (equality/IN always;
+      // a hi-bounded range arm needs an order-preserving codec OR a
+      // non-negative lo bound, the same rule as hiUnsound above). The
+      // conjunct routes above take precedence (they constrain harder);
+      // composite leading members stay out (the loose-blob probe has no
+      // multi-arm form) — unrouted ORs are residual-only, never wrong.
+      import graft.read.SecondaryIndex.{ArmIn, ArmRange}
+      spec.cols.map(_.name).filter(colOr.contains).iterator.flatMap { cn =>
+        val c = spec.col(cn).get
+        val arms = colOr(cn)
+        val sound = arms.forall {
+          case ArmIn(_) => true
+          case ArmRange(lo, hi) =>
+            hi.isEmpty || c.ordered || c.dt == StringType ||
+              c.dt == BinaryType || lo.exists(b => (b(0) & 0x80) == 0)
+        }
+        if (!sound) None
+        else d.indexOn(c.family, c.qualifier)
+          .map(ix => WideSingle(c, ix, GraftValueOr(arms)))
+      }.take(1).toSeq.headOption
+    }
   }
 
   /** The plan-assert seams (WideViewSpec): which index table the scan
@@ -983,6 +1084,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
             engine.read(ix.indexTable), c.family, c.qualifier, vs, others)
           case GraftValueRange(lo, hi) => SecondaryIndex.lookupCoveredRange(
             engine.read(ix.indexTable), c.family, c.qualifier, lo, hi, others)
+          case GraftValueOr(arms) => SecondaryIndex.lookupCoveredOr(
+            engine.read(ix.indexTable), c.family, c.qualifier, arms, others)
         }))
       case Some(WideSingle(c, ix, pred)) =>
         // verified route over the logical view, projected to the scanned
@@ -993,6 +1096,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           case GraftValueRange(lo, hi) => SecondaryIndex.lookupRange(logical,
             engine.read(ix.indexTable), c.family, c.qualifier, lo, hi,
             exactPrefix = ix.moreColumns.isEmpty)
+          case GraftValueOr(arms) => SecondaryIndex.lookupOr(logical,
+            engine.read(ix.indexTable), c.family, c.qualifier, arms)
         }
         visible(keepWanted(boundsFilter(hit)))
       case Some(WideComposite(ix, valueLists)) =>

@@ -609,6 +609,63 @@ class SqlCatalogSpec extends SparkSpec {
       .usedIndexTable.isEmpty)
   }
 
+  test("value OR-of-probes routes as one pass; row OR scopes like IN") {
+    val r = Files.createTempDirectory("graft-sqlor").toString
+    val g = Graft(spark, r)
+    g.createTable(TableDescriptor("tor", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    g.table("tor").put((1 to 40).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("city"), 2L,
+        b(if (i % 10 == 3) "paris" else if (i % 10 == 7) "rome" else "other"))),
+      2L)
+    g.createIndex("tor", "f", b("city"), 3L)
+    spark.conf.set("spark.sql.catalog.graft_or", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_or.root", r)
+    // end-to-end: equality arm OR range arm, answered in one probe pass
+    val out = spark.sql(
+      "SELECT row, value FROM graft_or.tor " +
+        s"WHERE family = 'f' AND qualifier = ${hex("city")} " +
+        s"AND (value = ${hex("paris")} OR " +
+        s"(value >= ${hex("rome")} AND value < ${hex("romf")}))")
+    assert(out.collect().map(x =>
+      new String(x.getAs[Array[Byte]]("row"), "UTF-8")).toSet ==
+      (1 to 40).filter(i => i % 10 == 3 || i % 10 == 7)
+        .map(i => f"r$i%03d").toSet)
+    // seam: the OR routes through the index (one probeOr pass)
+    val engine = new graft.catalog.Catalog(spark, r)
+    import org.apache.spark.sql.sources
+    val bld = new GraftScanBuilder(engine, "tor")
+    bld.pushFilters(Array(
+      sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.Or(sources.EqualTo("value", b("paris")),
+        sources.And(sources.GreaterThanOrEqual("value", b("rome")),
+          sources.LessThan("value", b("romf"))))))
+    val routed = bld.build().asInstanceOf[GraftV1Scan]
+    assert(routed.usedIndexTable.contains("tor_idx_f_63697479"))
+    val innerOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(innerOut)) {
+      routed.resolvedFrame(spark).explain("formatted")
+    }
+    assert(innerOut.toString("UTF-8").contains("LeftSemi"))
+    // a conjunct predicate takes precedence over the OR for routing
+    val bld2 = new GraftScanBuilder(engine, "tor")
+    bld2.pushFilters(Array(
+      sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.EqualTo("value", b("paris")),
+      sources.Or(sources.EqualTo("value", b("paris")),
+        sources.EqualTo("value", b("rome")))))
+    assert(bld2.build().asInstanceOf[GraftV1Scan].usedIndexTable.isDefined)
+    // `row = a OR row = b` scopes the scan like the IN shape
+    val orRows = spark.sql(
+      "SELECT row, value FROM graft_or.tor " +
+        s"WHERE row = ${hex("r003")} OR row = ${hex("r017")}")
+    assert(orRows.collect().map(x =>
+      new String(x.getAs[Array[Byte]]("row"), "UTF-8")).toSet ==
+      Set("r003", "r017"))
+  }
+
   test("row IN pushes the multiGet scope to the parquet scan") {
     val r = Files.createTempDirectory("graft-sqlmget").toString
     val g = Graft(spark, r)

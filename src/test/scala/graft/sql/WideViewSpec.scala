@@ -920,6 +920,111 @@ class WideViewSpec extends SparkSpec {
     loBld.pushFilters(Array(sources.GreaterThanOrEqual("pop", java.lang.Long.valueOf(0L))))
     assert(loBld.build().asInstanceOf[GraftWideScan].usedIndexTable.isDefined,
       "lo-only range should still route (superset + residual)")
+    // r11: a BOUNDED range with a non-negative lo IS byte-exact on a
+    // plain signed column (negatives sort above both bounds and the
+    // value interval holds none) — it routes, and the answer stays exact
+    // with negatives stored
+    val bounded = new GraftWideScanBuilder(g.catalog, "t", spec,
+      g.catalog.currentManifest("t"))
+    bounded.pushFilters(Array(
+      sources.GreaterThanOrEqual("pop", java.lang.Long.valueOf(0L)),
+      sources.LessThan("pop", java.lang.Long.valueOf(50L))))
+    assert(bounded.build().asInstanceOf[GraftWideScan].usedIndexTable.isDefined,
+      "a non-negative-bounded range should route on a plain column")
+    assert(spark.sql(
+      "SELECT k FROM gwng.`t$wide` WHERE pop >= 0 AND pop < 50 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+  }
+
+  test("OR-of-probes: one-column disjunctions route as a single probe pass") {
+    // FilterList(MUST_PASS_ONE) shape: `pop = -5 OR (pop >= 0 AND
+    // pop < 50)` routes through pop's index as ONE probeOr pass (an
+    // equality arm + a bounded range arm); `pop = 70 OR pop < 0`
+    // carries a lo-less hi-bounded arm on a PLAIN signed column and must
+    // NOT route (negative stored values byte-sort above the range) —
+    // residual-only, still exact.
+    val root = freshRoot("wideor")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:pop:long;f:city:string")), 1L)
+    val rows = Seq(1L -> -20L, 2L -> -5L, 3L -> 0L, 4L -> 30L, 5L -> 70L)
+    g.table("t").put(rows.map { case (k, v) =>
+      Put(Bytes.toBytes(k)).add("f", b("pop"), 2L, Bytes.toBytes(v))
+        .add("f", b("city"), 2L, b(s"c$k")) }, 2L)
+    g.createIndex("t", "f", b("pop"), 3L)
+    register("gwor", root)
+    import org.apache.spark.sql.sources
+    val spec = WideSpec.parse(Some("k:long"), Some("f:pop:long;f:city:string"))
+    def built(fs: Array[sources.Filter]): GraftWideScan = {
+      val bld = new GraftWideScanBuilder(g.catalog, "t", spec,
+        g.catalog.currentManifest("t"))
+      bld.pushFilters(fs): Unit
+      bld.build().asInstanceOf[GraftWideScan]
+    }
+    // mixed equality + bounded-range arms: routes
+    val orMixed = sources.Or(
+      sources.EqualTo("pop", java.lang.Long.valueOf(-5L)),
+      sources.And(sources.GreaterThanOrEqual("pop", java.lang.Long.valueOf(0L)),
+        sources.LessThan("pop", java.lang.Long.valueOf(50L))))
+    assert(built(Array(orMixed)).usedIndexTable.isDefined,
+      "eq + bounded-range OR should route")
+    assert(spark.sql("SELECT k FROM gwor.`t$wide` " +
+      "WHERE pop = -5 OR (pop >= 0 AND pop < 50) ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    // a lo-less hi-bounded arm on a plain column: no route, exact answer
+    val orUnsound = sources.Or(
+      sources.EqualTo("pop", java.lang.Long.valueOf(70L)),
+      sources.LessThan("pop", java.lang.Long.valueOf(0L)))
+    assert(built(Array(orUnsound)).usedIndexTable.isEmpty,
+      "lo-less hi-bounded arm on a plain column must not route")
+    assert(spark.sql(
+      "SELECT k FROM gwor.`t$wide` WHERE pop = 70 OR pop < 0 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+    // a two-column disjunction never routes (arms must share one column)
+    val orTwoCols = sources.Or(
+      sources.EqualTo("pop", java.lang.Long.valueOf(70L)),
+      sources.EqualTo("city", "c1"))
+    assert(built(Array(orTwoCols)).usedIndexTable.isEmpty)
+    assert(spark.sql(
+      "SELECT k FROM gwor.`t$wide` WHERE pop = 70 OR city = 'c1' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 5L))
+    // key-head OR of equalities = the multiGet probes (the IN shape)
+    val keyOr = built(Array(sources.Or(
+      sources.EqualTo("k", java.lang.Long.valueOf(2L)),
+      sources.EqualTo("k", java.lang.Long.valueOf(5L)))))
+    assert(keyOr.pushedKeyProbes.exists(_.size == 2),
+      "key-head OR should set the probe set")
+    assert(spark.sql(
+      "SELECT k FROM gwor.`t$wide` WHERE k = 2 OR k = 5 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
+    // COVERED OR: the disjunction answered from the index table alone
+    val root2 = freshRoot("wideorc")
+    val g2 = mkTable(root2)
+    g2.createIndex("t", "f", b("city"), 3L, covered = Seq("f" -> b("pop")))
+    register("gworc", root2)
+    val covQ = "SELECT k, pop FROM gworc.`t$wide` " +
+      "WHERE city = 'paris' OR (city >= 'other1' AND city < 'other2') " +
+      "ORDER BY k"
+    assert(spark.sql(covQ).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq(1L, 3L, 10L, 11L, 12L, 13L, 14L, 15L, 16L, 17L, 18L,
+        19L, 23L, 33L).map(k => k -> k * 10L))
+    val covSpec = WideSpec.parse(Some("k:long"),
+      Some("f:city:string;f:pop:long"))
+    val covBld = new GraftWideScanBuilder(g2.catalog, "t", covSpec,
+      g2.catalog.currentManifest("t"))
+    covBld.pushFilters(Array(sources.Or(sources.EqualTo("city", "paris"),
+      sources.And(sources.GreaterThanOrEqual("city", "other1"),
+        sources.LessThan("city", "other2")))))
+    covBld.pruneColumns(org.apache.spark.sql.types.StructType(
+      covSpec.schema.filter(f => Seq("k", "pop", "city").contains(f.name))))
+    val covScan = covBld.build().asInstanceOf[GraftWideScan]
+    assert(covScan.usedIndexTable.isDefined, "covered OR did not route")
+    assert(covScan.indexOnly, "covered OR should answer index-only")
+    val covPlan = covScan.resolvedFrame(spark)
+      .queryExecution.executedPlan.toString
+    assert(!covPlan.contains(root2 + "/t/"),
+      s"covered OR touched the main table:\n$covPlan")
   }
 
   test("DDL declares the wide view; SHOW/DML still hit the cell table") {
