@@ -500,6 +500,20 @@ object PerfEval {
         .count(): Unit
     }
 
+    // annMatryoshkaIvf (r11): the bucketed composition — stage 1 touches
+    // only nProbe/nLists of the corpus AND only prefixDim/dim of each
+    // touched vector. The pair with annMatryoshka (linear stage 1, same
+    // prefix/shortlist/k) prices the bucket restriction: stage-1 cost
+    // tracks probed buckets, not the corpus.
+    results("annMatryoshkaIvf") = timedMin2 {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.pipeline.Similarity.matryoshkaIvfTopK(
+        emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, prefixDim = 16, shortlist = 20,
+        nLists = 16, nProbe = 2, iters = 2)
+        .count(): Unit
+    }
+
     // annPqAdc: product-quantization ANN end-to-end (maximin-seeded L2
     // codebook training + PqEncode codes + ADC-table scan + exact
     // re-rank). Like annLshHash, timed here rather than oracle-gated: the

@@ -4170,6 +4170,39 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // Bucketed Matryoshka (r10 ask 3, Similarity.matryoshkaIvfTopK): IVF
+  // coarse buckets composed with the prefix-cosine shortlist + exact
+  // full-dim re-rank. With nProbe == nLists every bucket is probed, so
+  // the bucket restriction vanishes BY CONSTRUCTION and the two-stage
+  // Matryoshka replay oracle applies verbatim — the fixture's
+  // determinism lever (the same one similarity_ivf_topk uses); the
+  // probed-bucket scale path is priced in PerfEval (annMatryoshkaIvf).
+  private val similarityMatryoshkaIvf = Q("similarity_matryoshka_ivf", Some(s"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+        list_dot_product(a.v[1:16], b.v[1:16]) /
+          (sqrt(list_dot_product(a.v[1:16], a.v[1:16])) *
+           sqrt(list_dot_product(b.v[1:16], b.v[1:16]))) AS pcos,
+        $duckCos AS cosine
+      FROM q a JOIN c b ON a.vec_id <> b.vec_id),
+    sl AS (SELECT query_id, nn_id, cosine, row_number() OVER (
+        PARTITION BY query_id ORDER BY pcos DESC, nn_id) AS prank FROM s)
+    SELECT query_id, rank, nn_id, cosine FROM (
+      SELECT query_id, nn_id, cosine, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+      FROM sl WHERE prank <= 20)
+    WHERE rank <= 5 ORDER BY query_id, rank""")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.matryoshkaIvfTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, prefixDim = 16, shortlist = 20,
+      nLists = 8, nProbe = 8, iters = 2)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   // IVF with nProbe == nLists probes every list — the full IVF machinery
   // (train/assign/probe/re-rank) with provably exact output, so the
   // brute-force oracle applies verbatim.
@@ -4960,7 +4993,7 @@ object Queries {
     similarityTopk, similarityIvf, clusterKmeans, sampleClusterBalanced,
     similarityLshPlanes, similarityQuantized, similarityPq,
     dedupEmbedding, dedupSemantic, dedupSegments, dedupUrl,
-    similarityMatryoshka, multimodalFeatures, multimodalMixed, sampleSplit,
+    similarityMatryoshka, similarityMatryoshkaIvf, multimodalFeatures, multimodalMixed, sampleSplit,
     sampleWeighted, sampleUpsampled, sampleTemperature, sampleDsir,
     sampleShardShuffle,
     packSequences, packChunks, sampleStratified, sampleTokenBudgetQ, corpusStatsQ,

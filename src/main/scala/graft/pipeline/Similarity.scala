@@ -117,6 +117,65 @@ object Similarity {
     re.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Bucketed Matryoshka: IVF coarse quantization COMPOSED with the
+    * prefix-cosine shortlist — stage 1 runs only within the query's
+    * `nProbe` probed buckets AND reads only the leading `prefixDim`
+    * components, stage 2 exact-re-ranks the shortlist at full dimension.
+    * The two approximations multiply where they are cheap: at 100 TB the
+    * corpus-sized work drops from O(corpus x dim) (brute), past
+    * O(corpus x prefixDim) (plain Matryoshka — still every vector), to
+    * O(corpus/nLists x nProbe x prefixDim) — probed buckets of prefix
+    * slices, nothing else.
+    *
+    * Shuffle discipline: the corpus side enters the stage-1 join as
+    * (nn_id, cid, prefix) — the full vector NEVER crosses a shuffle; the
+    * prefix is sliced in the scan projection. The shortlist rank windows
+    * ids + one score; full vectors are read again only for the
+    * queries x shortlist survivors. Deterministic throughout (the
+    * k-means-lite trainer has no RNG; ties break on id). `nProbe =
+    * nLists` probes every bucket, collapsing this to [[matryoshkaTopK]]
+    * exactly — the gate fixture's determinism lever. */
+  def matryoshkaIvfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      prefixDim: Int, shortlist: Int,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    require(prefixDim >= 1, "prefixDim must be >= 1")
+    require(k <= shortlist,
+      s"k=$k exceeds shortlist=$shortlist — the re-rank cannot recover " +
+        "neighbors the shortlist already dropped")
+    val cents = trainCentroids(
+      corpus.select(col(idCol).as("_id"), col(vecCol).as("_v")),
+      nLists, iters)
+    // corpus rows: ONE home bucket, prefix slice only (each (q, c) pair
+    // meets in at most one bucket, so no pair dedup is needed)
+    val corpusLists = corpus.select(col(idCol).as("nn_id"),
+      slice(col(vecCol), 1, prefixDim).as("_cpre"),
+      explode(nearestCids(col(vecCol), cents, 1)).as("cid"))
+    val queryLists = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, prefixDim).as("_qpre"),
+      explode(nearestCids(col(vecCol), cents, nProbe)).as("cid"))
+    // stage 1: prefix cosine within probed buckets, ids-only rank shuffle
+    val prefScore = corpusLists.join(broadcast(queryLists), "cid")
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("_qpre"), col("_cpre")).as("_pcos"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("_pcos").desc, col("nn_id"))
+    val short = prefScore.withColumn("_prank", row_number().over(wp))
+      .filter(col("_prank") <= shortlist)
+      .select("query_id", "nn_id")
+    // stage 2: exact full-dimension re-rank over the survivors
+    val cFull = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("_cv"))
+    val qFull = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val re = cFull.join(broadcast(short), "nn_id")
+      .join(broadcast(qFull), "query_id")
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("_qv"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("nn_id"))
+    re.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN: k-means-lite coarse quantizer + probed
     * buckets + exact re-rank — the other standard scale path besides LSH.
     *

@@ -1737,4 +1737,42 @@ class PipelineSpec extends SparkSpec {
         k = 10, prefixDim = 16, shortlist = 5)
     }
   }
+
+  test("matryoshkaIvfTopK: probe-all collapses to plain matryoshka; " +
+      "probed buckets keep recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "nn_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // nProbe == nLists: the bucket restriction vanishes BY CONSTRUCTION —
+    // byte-identical to the plain two-stage matryoshka (the gate's
+    // determinism lever)
+    val plain = Similarity.matryoshkaTopK(emb, q, "vec_id", "embedding",
+      k = 5, prefixDim = 16, shortlist = 20)
+    val probeAll = Similarity.matryoshkaIvfTopK(emb, q, "vec_id",
+      "embedding", k = 5, prefixDim = 16, shortlist = 20,
+      nLists = 8, nProbe = 8, iters = 2)
+    assert(key(probeAll) == key(plain))
+    // probed buckets: approximate in recall only; every emitted cosine
+    // is the exact full-dim value and ranks stay dense per query
+    val probed = Similarity.matryoshkaIvfTopK(emb, q, "vec_id",
+      "embedding", k = 5, prefixDim = 48, shortlist = 50,
+      nLists = 4, nProbe = 2, iters = 2)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      k = 5)
+    val hit = key(probed).map(t => (t._1, t._3))
+      .intersect(key(brute).map(t => (t._1, t._3))).size
+    // these synthetic embeddings are near-random, so bucket recall
+    // approaches the probe fraction (nProbe/nLists = 1/2; measured
+    // 12/25) — real corpora cluster and recall concentrates in the
+    // probed buckets. Assert a margin under the measured value.
+    assert(hit >= 8, s"bucketed matryoshka recall too low: $hit/25")
+    // stage-1 plan shape: the corpus side enters the bucket join with
+    // the PREFIX slice only — the full embedding never crosses a shuffle
+    val plan = Similarity.matryoshkaIvfTopK(emb, q, "vec_id", "embedding",
+      k = 5, prefixDim = 16, shortlist = 20, nLists = 8, nProbe = 2,
+      iters = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("slice"), s"no prefix slice in stage 1:\n$plan")
+  }
 }
