@@ -105,6 +105,15 @@ final case class Graft(spark: SparkSession, root: String) {
       columns: Seq[(String, Array[Byte])], nowMs: Long,
       indexTable: Option[String] = None): IndexDescriptor =
     SecondaryIndex.createComposite(catalog, table, columns, nowMs, indexTable)
+
+  /** ALTER a declared wide column's VALUE codec between the plain and
+    * order-preserving encodings (`double<->odouble` etc) — one rewrite
+    * pass + an atomic descriptor flip + index rebuilds; see
+    * [[graft.sql.GraftMigrate.alterColumnCodec]]. */
+  def alterColumnCodec(table: String, family: String, qualifier: Array[Byte],
+      newType: String, nowMs: Long): Unit =
+    graft.sql.GraftMigrate.alterColumnCodec(catalog, table, family,
+      qualifier, newType, nowMs)
 }
 
 /** Per-table operations (`HTable`). Reads honor the family descriptor's

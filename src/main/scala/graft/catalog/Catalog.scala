@@ -687,12 +687,29 @@ final class Catalog(spark: SparkSession, root: String) {
     * reference's compactions likewise never re-enter the WAL
     * (`Store.java:778` rewrites HFiles; `ReplicationSource.java:334`
     * ships only log edits). */
-  def replaceData(t: String, cells: DataFrame, nowMs: Long): Manifest = {
+  def replaceData(t: String, cells: DataFrame, nowMs: Long): Manifest =
+    replaceData(t, cells, nowMs, None)
+
+  /** [[replaceData]] with an ATOMIC descriptor swap: the rewritten data
+    * and the new descriptor land in ONE manifest commit, so a reader
+    * sees old-bytes+old-descriptor or new-bytes+new-descriptor, never a
+    * torn pair — what a codec migration ([[graft.sql.GraftMigrate]])
+    * needs (the reference's modifyColumn likewise swaps the
+    * HColumnDescriptor on a disabled table, `HBaseAdmin.java:618`). */
+  def replaceData(t: String, cells: DataFrame, nowMs: Long,
+      newDescriptor: Option[TableDescriptor]): Manifest = {
     val cur = currentManifest(t)
+    val desc = newDescriptor.getOrElse(cur.descriptor)
+    newDescriptor.foreach { nd =>
+      requireLegalFamilyNames(nd)
+      require(nd.saltBuckets == cur.descriptor.saltBuckets,
+        s"saltBuckets is immutable (table $t has ${cur.descriptor.saltBuckets})")
+    }
     val v = cur.version + 1
     val leaves = writeCells(
-      new Path(tableDir(t), s"compact-$v").toString, cells, cur.descriptor)
-    val m = cur.copy(version = v, createdMs = nowMs, dataDirs = leaves)
+      new Path(tableDir(t), s"compact-$v").toString, cells, desc)
+    val m = cur.copy(version = v, createdMs = nowMs, dataDirs = leaves,
+      descriptor = desc)
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
     commitCurrent(t, v)
     uncacheHot(cur)

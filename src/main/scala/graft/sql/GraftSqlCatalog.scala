@@ -177,8 +177,27 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
           if (p.property() == "wideKey") cur.copy(wideKey = Some(p.value()))
           else cur.copy(wideSchema = Some(p.value()))
         // validate once both halves are present
-        if (next.wideKey.isDefined && next.wideSchema.isDefined)
-          WideSpec.parse(next.wideKey, next.wideSchema): Unit
+        if (next.wideKey.isDefined && next.wideSchema.isDefined) {
+          val ns = WideSpec.parse(next.wideKey, next.wideSchema)
+          // Re-typing a DECLARED column through DDL would flip the decode
+          // without re-encoding stored bytes — that is GraftMigrate
+          // .alterColumnCodec's job (one rewrite + atomic flip). Adding
+          // or removing columns stays legal; the key is immutable once
+          // declared (re-keying rewrites row identity).
+          if (cur.wideKey.isDefined && cur.wideSchema.isDefined) {
+            val os = WideSpec.parse(cur.wideKey, cur.wideSchema)
+            require(ns.key == os.key && ns.orderedKey == os.orderedKey,
+              s"cannot re-declare the wideKey of $t via DDL (row identity " +
+                "is baked into stored keys) — CopyTable into a new table")
+            os.cols.foreach { oc =>
+              ns.cols.find(nc => nc.family == oc.family && nc.name == oc.name)
+                .foreach(nc => require(nc.dt == oc.dt && nc.ordered == oc.ordered,
+                  s"cannot re-type wide column ${oc.family}:${oc.name} via " +
+                    "DDL (stored bytes must be rewritten) — use " +
+                    "alterColumnCodec"))
+            }
+          }
+        }
         engine.alterTable(t, next, nowMs = GraftSqlCatalog.nowMs())
       case other => throw new UnsupportedOperationException(
         "graft catalog supports only SET TBLPROPERTIES('families'=..., " +

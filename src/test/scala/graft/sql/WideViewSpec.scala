@@ -556,6 +556,79 @@ class WideViewSpec extends SparkSpec {
     assert(bld2.build().asInstanceOf[GraftWideScan].usedIndexTable.isEmpty)
   }
 
+  test("alterColumnCodec: plain->ordered migration re-encodes, flips the " +
+      "declaration atomically, rebuilds the index, and routes") {
+    // r10 ask 4: a PLAIN double column (signed ranges decline the index)
+    // migrates to odouble through the compaction machinery — afterwards
+    // the SAME signed-interval query routes (the sql_index_double_range
+    // shape) with hash-identical results.
+    val root = freshRoot("widemig")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:price:double;f:city:string")), 1L)
+    val prices = Seq(1L -> -2.5, 2L -> -0.5, 3L -> 0.25, 4L -> 3.5, 5L -> 99.0)
+    g.table("t").put(prices.map { case (k, p) =>
+      Put(Bytes.toBytes(k)).add("f", b("price"), 2L, Bytes.toBytes(p))
+        .add("f", b("city"), 2L, b(s"c$k"))
+    }, 2L)
+    g.createIndex("t", "f", b("price"), 3L)
+    register("gwmig", root)
+    val q = "SELECT k, price, city FROM gwmig.`t$wide` " +
+      "WHERE price > -1.0 AND price < 1.0 ORDER BY k"
+    def rows() = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    val before = rows()
+    assert(before == Seq((2L, -0.5, "c2"), (3L, 0.25, "c3")))
+    // pre-migration: the signed interval must NOT route (plain IEEE)
+    import org.apache.spark.sql.sources
+    def routeOf(schema: String): Option[String] = {
+      val spec = WideSpec.parse(Some("k:long"), Some(schema))
+      val bld = new GraftWideScanBuilder(g.catalog, "t", spec,
+        g.catalog.currentManifest("t"))
+      bld.pushFilters(Array(sources.GreaterThan("price", -1.0),
+        sources.LessThan("price", 1.0)))
+      bld.build().asInstanceOf[GraftWideScan].usedIndexTable
+    }
+    assert(routeOf("f:price:double;f:city:string").isEmpty)
+
+    g.alterColumnCodec("t", "f", b("price"), "odouble", nowMs = 4L)
+
+    // declaration flipped; stored bytes re-encoded; answers identical
+    assert(g.table("t").descriptor.wideSchema
+      .contains("f:price:odouble;f:city:string"))
+    assert(rows() == before, "migration changed query results")
+    assert(spark.sql("SELECT k, price FROM gwmig.`t$wide` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == prices)
+    // post-migration: the SAME signed interval routes through the
+    // REBUILT index (the sql_index_double_range seam)
+    assert(routeOf("f:price:odouble;f:city:string")
+      .exists(_.startsWith("t_idx_f_")),
+      "migrated odouble interval did not route")
+    // and a fresh put under the new declaration keeps routing exact
+    g.table("t").put(Seq(Put(Bytes.toBytes(6L))
+      .add("f", b("price"), 5L, Bytes.toBytesOrdered(0.75))
+      .add("f", b("city"), 5L, b("c6"))), 5L)
+    assert(rows() == before :+ ((6L, 0.75, "c6")))
+    // refusals: key parts and non-width-preserving retypes
+    intercept[IllegalArgumentException] {
+      g.alterColumnCodec("t", "f", b("k"), "olong", nowMs = 6L)
+    }
+    intercept[IllegalArgumentException] {
+      g.alterColumnCodec("t", "f", b("city"), "odouble", nowMs = 6L)
+    }
+    // the DDL door refuses a silent re-type (decode flip without the
+    // rewrite) — adding a column stays legal
+    val ddlErr = intercept[Exception](spark.sql("ALTER TABLE gwmig.t SET " +
+      "TBLPROPERTIES('wideSchema'='f:price:double;f:city:string')"))
+    assert(ddlErr.getMessage.contains("alterColumnCodec"), ddlErr.getMessage)
+    spark.sql("ALTER TABLE gwmig.t SET TBLPROPERTIES(" +
+      "'wideSchema'='f:price:odouble;f:city:string;f:extra:long')")
+    assert(spark.sql("SELECT k, extra FROM gwmig.`t$wide` WHERE k = 6")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSeq ==
+      Seq((6L, true)))
+  }
+
   test("olong key: negative key ranges prune and stay exact") {
     val root = freshRoot("wideol")
     val g = Graft(spark, root)
@@ -1025,6 +1098,33 @@ class WideViewSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!covPlan.contains(root2 + "/t/"),
       s"covered OR touched the main table:\n$covPlan")
+  }
+
+  test("manifest-size statistics flow through the WIDE door too " +
+      "(GraftStatsRule fires on its V1ScanWrapper)") {
+    val root = freshRoot("widestats")
+    val g = mkTable(root)
+    register("gwst", root)
+    // seam: the wide V2 scan reports the manifest's live data-dir bytes
+    val spec2 = WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long"))
+    val scan = new GraftWideScanBuilder(g.catalog, "t", spec2,
+      g.catalog.currentManifest("t")).build().asInstanceOf[GraftWideScan]
+    val st = scan.estimateStatistics()
+    assert(st.sizeInBytes.isPresent && st.sizeInBytes.getAsLong ==
+      g.catalog.manifestBytes(g.catalog.currentManifest("t")))
+    // ... and reach the optimizer's sizing through the stats rule (the
+    // rule matches ANY V1ScanWrapper — this is the wide-door twin of
+    // SqlCatalogSpec's cell-door assert)
+    val logical = spark.sql("SELECT k, city FROM gwst.`t$wide`")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(logical > 0 && logical < 10L * 1024 * 1024, logical)
+    // a join against a too-big-to-broadcast frame plans the WIDE side as
+    // the broadcast side with no hint
+    val big = spark.range(0, 20000000L).select(col("id").as("jk"))
+    val joined = spark.sql("SELECT k, city FROM gwst.`t$wide`")
+      .join(big, col("k") === col("jk"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), joined.queryExecution.executedPlan)
   }
 
   test("DDL declares the wide view; SHOW/DML still hit the cell table") {
