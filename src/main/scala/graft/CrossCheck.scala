@@ -451,6 +451,80 @@ object CrossCheck {
         }
         // a zero-hit sweep would be a vacuous pass (wrong column/format)
         require(checked > 0, "prefix_route probed nothing — fixture drift?")
+      case "page_filter" =>
+        // r11 (BENCH_SF3's largest riser): the PageFilter(50) scan — the
+        // incremental first-N-rows cut over the committed sorted layout —
+        // against the relational ORDER BY key LIMIT 50 on the source
+        // parquet. Agreement at sf3 pins that the page cut returns the
+        // KEY-ORDER head as the table grows, not an arbitrary N rows.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.CellCodec
+        import graft.read.{PageFilter, Scan}
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-pfcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32), nowMs = 1L)
+        g.table("o").mutate(
+          CellCodec.encode(orders, "o", Seq("o_orderkey")), nowMs = 1L)
+        val schema = StructType(Seq(StructField("o_custkey", LongType)))
+        val viaScan = CellCodec.decode(
+          g.table("o").scan(Scan().setFilter(PageFilter(50))
+            .addColumn("o", graft.core.Bytes.toBytes("o_custkey"))),
+          schema, key = Seq("o_orderkey" -> LongType))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val direct = orders.orderBy("o_orderkey").limit(50)
+          .select("o_orderkey", "o_custkey")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sym = (viaScan diff direct) ++ (direct diff viaScan)
+        println(s"[crosscheck] page_filter: scan=${viaScan.size} " +
+          s"direct=${direct.size} symdiff=${sym.size}" +
+          s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
+        require(viaScan.size == 50, s"page cut returned ${viaScan.size}")
+        if (sym.nonEmpty) sys.exit(1)
+      case "versions_latest" =>
+        // r11 (the other large sf3 riser): maxVersions=1 resolution
+        // (newest event per user through the committed layout + Resolve)
+        // against the relational window (row_number ts desc, event_id
+        // desc) on the source parquet — the version-cap machinery vs a
+        // machinery-free recomputation.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{CellCodec, EventTime}
+        import graft.read.Scan
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+        val events = EventTime.normalize(
+          EventTime.readAdaptive(spark, s"$dir/events.parquet"))
+        val root = java.nio.file.Files.createTempDirectory("graft-vlcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("e",
+          Seq(FamilyDescriptor("e", maxVersions = 1)), splitKeys = 32),
+          nowMs = 1L)
+        g.table("e").mutate(CellCodec.encode(events, "e", Seq("user_id"),
+          tsCol = Some(col("ts")), seqCol = Some(col("event_id"))), nowMs = 1L)
+        val schema = StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        def tup(df: org.apache.spark.sql.DataFrame) = df
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+          .toSet
+        val viaScan = tup(CellCodec.decode(
+          g.table("e").scan(Scan().addFamily("e")), schema,
+          key = Seq("user_id" -> LongType))
+          .select("user_id", "event_type", "value"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val direct = tup(events
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select("user_id", "event_type", "value"))
+        val sym = (viaScan diff direct) ++ (direct diff viaScan)
+        println(s"[crosscheck] versions_latest: scan=${viaScan.size} " +
+          s"direct=${direct.size} symdiff=${sym.size}" +
+          s"${if (sym.nonEmpty) " MISMATCH " + sym.take(20) else " OK"}")
+        require(viaScan.nonEmpty, "versions_latest resolved nothing")
+        if (sym.nonEmpty) sys.exit(1)
       case other => sys.error(s"unknown check: $other")
     }
     spark.stop()

@@ -447,6 +447,29 @@ object PerfEval {
       }
     }
 
+    // statsJoinWideBroadcast (r11): the SAME fact/dim join through the
+    // DECLARED wide view — GraftStatsRule matches ANY V1ScanWrapper, so
+    // the typed relational dim auto-broadcasts exactly like the
+    // cell-door dim above (the require pins it). Prices what the wide
+    // door's decode + V1 bridge add over statsJoinBroadcast's raw-cell
+    // decode on the same join.
+    {
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+      g.createTable(TableDescriptor("dimw", Seq(FamilyDescriptor("c")),
+        wideKey = Some("c_custkey:long"),
+        wideSchema = Some("c:c_mktsegment:string")), 1L)
+      g.table("dimw").mutate(
+        CellCodec.encode(cust, "c", Seq("c_custkey")), nowMs = 1L)
+      def joined = orders.join(
+        spark.sql("SELECT c_custkey, c_mktsegment FROM graft_pe.`dimw$wide`"),
+        col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").count()
+      require(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "wide-door stats did not broadcast")
+      results("statsJoinWideBroadcast") = timedMin2 { joined.collect(): Unit }
+    }
+
     // runtimePrune pair (r11): join-driven key pruning PRICED — the wide
     // fact joined to a small DATA-DERIVED dim (customer 7's order keys,
     // ~constant count at any SF). Pruned: the scan reads O(|dim|) probed

@@ -44,11 +44,34 @@ import org.apache.spark.util.SerializableConfiguration
   * micro-batch at `n` manifest versions (Delta's `maxFilesPerTrigger`
   * analog, reference parity: replication ships WAL in bounded batches —
   * `ReplicationSource` reads segments up to a size cap, not the whole
-  * backlog). Without it, a stream starting against a long table history
-  * plans the ENTIRE backlog as one micro-batch — one giant commit, no
-  * incremental checkpoints, and a failure loses all progress. With the
-  * cap, a 100 TB backfill becomes a sequence of bounded, individually
-  * committed batches (AvailableNow drains them to the prepared end). */
+  * backlog). The cap DEFAULTS to
+  * [[GraftMicroBatchStream.DefaultMaxVersionsPerTrigger]] (32) when the
+  * option is absent (r10 ask 5): an unbounded backfill must not land in
+  * one micro-batch — one giant commit, no incremental checkpoints, a
+  * failure loses all progress. A 100 TB backfill instead becomes a
+  * sequence of bounded, individually committed batches (AvailableNow
+  * drains them to the prepared end). Explicit opt-out:
+  * `option("maxVersionsPerTrigger", "all")`. */
+object GraftMicroBatchStream {
+  /** Default admission cap (manifest versions per micro-batch) when the
+    * `maxVersionsPerTrigger` option is absent. Generous enough that a
+    * live tail always drains in one batch, small enough that a fresh
+    * checkpoint against a years-long history commits incrementally. */
+  val DefaultMaxVersionsPerTrigger = 32L
+
+  /** Shared option parsing for both streaming doors: absent -> the
+    * default cap; the literal `"all"` -> unbounded (explicit opt-out);
+    * a number -> that cap. */
+  def parseMaxVersions(opt: Option[String]): Option[Long] = opt match {
+    case None => Some(DefaultMaxVersionsPerTrigger)
+    case Some(s) if s.equalsIgnoreCase("all") => None
+    case Some(v) =>
+      val n = v.toLong
+      require(n > 0, s"maxVersionsPerTrigger must be positive or 'all', got $n")
+      Some(n)
+  }
+}
+
 class GraftMicroBatchStream(engine: Catalog, tableName: String,
     gscan: graft.read.Scan, required: StructType,
     maxVersionsPerTrigger: Option[Long] = None,

@@ -61,11 +61,8 @@ class GraftSqlTable(engine: Catalog, tableName: String,
       TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val maxVersions = Option(options.get("maxVersionsPerTrigger")).map { v =>
-      val n = v.toLong
-      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
-      n
-    }
+    val maxVersions = GraftMicroBatchStream.parseMaxVersions(
+      Option(options.get("maxVersionsPerTrigger")))
     new GraftScanBuilder(engine, tableName, pinned, maxVersions,
       Option(options.get("startingVersion")))
   }

@@ -166,11 +166,8 @@ class GraftWideTable(engine: Catalog, baseTable: String,
     * table version — no torn read across a concurrent commit). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = pinned.getOrElse(engine.currentManifest(baseTable))
-    val maxVersions = Option(options.get("maxVersionsPerTrigger")).map { v =>
-      val n = v.toLong
-      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
-      n
-    }
+    val maxVersions = GraftMicroBatchStream.parseMaxVersions(
+      Option(options.get("maxVersionsPerTrigger")))
     val withDeletes = Option(options.get("withDeletes")).exists(_.toBoolean)
     new GraftWideScanBuilder(engine, baseTable, specOf(m), m, maxVersions,
       timeTravel = pinned.isDefined, withDeletes = withDeletes,

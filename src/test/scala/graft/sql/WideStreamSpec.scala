@@ -242,6 +242,40 @@ class WideStreamSpec extends SparkSpec {
       ahead.getMessage)
   }
 
+  test("default read limit: a long backfill drains in bounded batches") {
+    // r10 ask 5: without maxVersionsPerTrigger, a fresh stream against a
+    // long history must NOT plan the whole backlog as one micro-batch —
+    // the cap defaults to DefaultMaxVersionsPerTrigger; the literal
+    // 'all' is the explicit opt-out.
+    assert(GraftMicroBatchStream.parseMaxVersions(None)
+      .contains(GraftMicroBatchStream.DefaultMaxVersionsPerTrigger))
+    assert(GraftMicroBatchStream.parseMaxVersions(Some("all")).isEmpty)
+    assert(GraftMicroBatchStream.parseMaxVersions(Some("7")).contains(7L))
+    intercept[IllegalArgumentException](
+      GraftMicroBatchStream.parseMaxVersions(Some("0")))
+    val root = freshRoot("widestream-cap")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string")), 1L)
+    val n = GraftMicroBatchStream.DefaultMaxVersionsPerTrigger.toInt + 2
+    (1 to n).foreach { i =>
+      g.table("t").put(Seq(Put(Bytes.toBytes(i.toLong))
+        .add("f", b("city"), i + 1L, b(s"c$i"))), i + 1L)
+    }
+    register("gwcap", root)
+    // default: the backfill splits (> 1 non-empty batch), nothing lost
+    val capped = drain("gwcap.`t$wide`", freshRoot("widestream-cap-w1"))
+    assert(capped.size > 1,
+      s"backfill of $n versions landed in ${capped.size} batch(es)")
+    assert(capped.flatten.map(_.getLong(0)).sorted == (1 to n).map(_.toLong))
+    // explicit opt-out: one batch carries everything
+    val all = drain("gwcap.`t$wide`", freshRoot("widestream-cap-w2"),
+      Map("maxVersionsPerTrigger" -> "all"))
+    assert(all.size == 1, s"'all' still split into ${all.size} batches")
+    assert(all.head.map(_.getLong(0)).sorted == (1 to n).map(_.toLong))
+  }
+
   test("withDeletes ships whole-row delete markers; default ships nothing") {
     val root = freshRoot("widestream-del")
     val g = Graft(spark, root)
