@@ -1756,6 +1756,37 @@ object Queries {
              ORDER BY f.o_orderkey""")
   }
 
+  // Runtime pruning on a ROUTED INDEXED column (the r10 ask 1
+  // parenthetical): the join key is NOT the row key — it is o_custkey,
+  // which carries a covered index — so the runtime In routes through
+  // the INDEX (probe + covered reconstruction, zero main-table touch)
+  // with probe values that exist only at execution (BUILDING customers
+  // below 60, read from the customer table). Exact: the index is
+  // complete for puts, the covered read applies synchronously-translated
+  // deletes, and the join re-checks the equality.
+  private val sqlRuntimeIndexPrune = Q("sql_runtime_index_prune", Some("""
+    SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+    FROM orders f
+    JOIN (SELECT c_custkey FROM customer
+          WHERE c_mktsegment = 'BUILDING' AND c_custkey < 60) d
+      ON f.o_custkey = d.c_custkey
+    WHERE NOT (f.o_orderkey >= 1000 AND f.o_orderkey < 30000)
+    ORDER BY f.o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wri",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wri.root", root)
+    s.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+      (256L << 20).toString)
+    t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") < 60)
+      .select(col("c_custkey")).createOrReplaceTempView("graft_rti_dim")
+    s.sql("""SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+             FROM graft_wri.`orders_w$wide` f
+             JOIN graft_rti_dim d ON f.o_custkey = d.c_custkey
+             ORDER BY f.o_orderkey""")
+  }
+
   // OR-of-probes routing (r10 ask 2, sql/GraftOrArms.scala +
   // SecondaryIndex.probeOr): a one-column disjunction of equalities and
   // bounded intervals — the reference's FilterList(MUST_PASS_ONE)
@@ -4971,7 +5002,7 @@ object Queries {
     snapshotDiffScan,
     asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown, sqlBroadcastJoin, sqlRuntimePrune,
-    sqlOrRoute,
+    sqlRuntimeIndexPrune, sqlOrRoute,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -138,14 +138,29 @@ object Similarity {
   def matryoshkaIvfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       prefixDim: Int, shortlist: Int,
-      nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
+    matryoshkaIvfTopKWith(corpus, queries, idCol, vecCol, k, prefixDim,
+      shortlist, ivfTrain(corpus, idCol, vecCol, nLists, iters), nProbe)
+
+  /** The IVF coarse quantizer trained standalone — at scale the
+    * codebook is built ONCE at ingest (like an index) and reused across
+    * queries; [[matryoshkaIvfTopKWith]] takes it pre-trained so query
+    * cost excludes training. Deterministic (no RNG). */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] =
+    trainCentroids(
+      corpus.select(col(idCol).as("_id"), col(vecCol).as("_v")),
+      nLists, iters)
+
+  /** [[matryoshkaIvfTopK]] over a PRE-TRAINED coarse quantizer. */
+  def matryoshkaIvfTopKWith(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      prefixDim: Int, shortlist: Int,
+      cents: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
     require(prefixDim >= 1, "prefixDim must be >= 1")
     require(k <= shortlist,
       s"k=$k exceeds shortlist=$shortlist — the re-rank cannot recover " +
         "neighbors the shortlist already dropped")
-    val cents = trainCentroids(
-      corpus.select(col(idCol).as("_id"), col(vecCol).as("_v")),
-      nLists, iters)
     // corpus rows: ONE home bucket, prefix slice only (each (q, c) pair
     // meets in at most one bucket, so no pair dedup is needed)
     val corpusLists = corpus.select(col(idCol).as("nn_id"),

@@ -59,23 +59,29 @@ import org.apache.spark.sql.sources
   */
 private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
 
-  /** The (single) column runtime key values can prune on: `row` for the
-    * cell door, the declared key head for the wide view. */
-  def runtimeKeyAttribute: String
+  /** Columns runtime key values can prune on, STRONGEST FIRST: the key
+    * (`row` / the declared key head) always; the wide door additionally
+    * exposes its ROUTABLE indexed value columns (a runtime In on one of
+    * those prunes through the index route — probe + gather + verify —
+    * instead of the key ranges). */
+  def runtimeFilterAttributes: Seq[String]
 
-  /** Encode one runtime literal into probe bytes under the key's codec;
-    * None = not encodable (the whole filter declines). */
-  protected def encodeRuntimeKey(v: Any): Option[Array[Byte]]
+  /** Encode one runtime literal of `attr` into probe bytes under that
+    * column's codec; None = not encodable (the whole filter declines). */
+  protected def encodeRuntimeKey(attr: String, v: Any): Option[Array[Byte]]
 
   /** False when this scan carries pushed state runtime pruning would
     * corrupt (LIMIT / TopN: pruning changes which k rows surface). */
   private[sql] def runtimeFilterEligible: Boolean
 
   // ---- state: a directly-set key list (the official interface) or a
-  // deferred build-side plan (the rule), resolved once per scan.
-  @volatile private var directKeys: Option[Seq[Array[Byte]]] = None
-  @volatile private var probePlan: Option[(LogicalPlan, Expression, Int)] = None
-  @volatile private var resolved: Option[Option[Seq[Array[Byte]]]] = None
+  // deferred build-side plan (the rule), resolved once per scan. At most
+  // ONE attribute is pruned per scan (first attach wins).
+  @volatile private var directKeys: Option[(String, Seq[Array[Byte]])] = None
+  @volatile private var probePlan
+      : Option[(String, LogicalPlan, Expression, Int)] = None
+  @volatile private var resolved
+      : Option[Option[(String, Seq[Array[Byte]])]] = None
   @volatile private var attempted = false
   @volatile private var collecting = false
 
@@ -85,41 +91,44 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
   private[sql] def runtimePruned: Boolean =
     directKeys.isDefined || resolved.exists(_.isDefined)
 
-  private[sql] def attachRuntimeProbe(dim: LogicalPlan, keyExpr: Expression,
-      maxKeys: Int): Unit =
-    if (!attempted && runtimeFilterEligible) {
+  private[sql] def attachRuntimeProbe(attr: String, dim: LogicalPlan,
+      keyExpr: Expression, maxKeys: Int): Unit =
+    if (!attempted && runtimeFilterEligible &&
+        runtimeFilterAttributes.contains(attr)) {
       attempted = true
-      probePlan = Some((dim, keyExpr, maxKeys))
+      probePlan = Some((attr, dim, keyExpr, maxKeys))
     }
 
   // ---- the official SupportsRuntimeFiltering surface
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(runtimeKeyAttribute))
+    runtimeFilterAttributes.map(Expressions.column).toArray
 
   override def filter(filters: Array[sources.Filter]): Unit =
     if (runtimeFilterEligible) filters.foreach {
-      case sources.In(c, vs) if c == runtimeKeyAttribute && vs != null =>
+      case sources.In(c, vs)
+          if runtimeFilterAttributes.contains(c) && vs != null &&
+            directKeys.isEmpty =>
         attempted = true
-        val enc = vs.toSeq.filter(_ != null).map(encodeRuntimeKey)
-        if (enc.forall(_.isDefined)) directKeys = Some(enc.flatten)
+        val enc = vs.toSeq.filter(_ != null).map(encodeRuntimeKey(c, _))
+        if (enc.forall(_.isDefined)) directKeys = Some((c, enc.flatten))
       case _ => ()
     }
 
-  /** The runtime key probes for this execution — collects the attached
-    * build plan on first use (cached; declines over-cap, non-encodable
-    * values, and any execution failure — an optimization must never fail
-    * the query it optimizes). */
+  /** The runtime (attribute, key probes) for this execution — collects
+    * the attached build plan on first use (cached; declines over-cap,
+    * non-encodable values, and any execution failure — an optimization
+    * must never fail the query it optimizes). */
   protected def currentRuntimeKeys(spark: SparkSession)
-      : Option[Seq[Array[Byte]]] =
+      : Option[(String, Seq[Array[Byte]])] =
     directKeys.orElse {
       resolved match {
         case Some(r) => r
         case None =>
           val r =
             if (collecting) None // re-entrant build (defensive): decline
-            else probePlan.flatMap { case (dim, expr, maxKeys) =>
+            else probePlan.flatMap { case (attr, dim, expr, maxKeys) =>
               collecting = true
-              try collectKeys(spark, dim, expr, maxKeys)
+              try collectKeys(spark, attr, dim, expr, maxKeys)
               finally collecting = false
             }
           resolved = Some(r)
@@ -127,8 +136,9 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
       }
     }
 
-  private def collectKeys(spark: SparkSession, dim: LogicalPlan,
-      keyExpr: Expression, maxKeys: Int): Option[Seq[Array[Byte]]] =
+  private def collectKeys(spark: SparkSession, attr: String,
+      dim: LogicalPlan, keyExpr: Expression, maxKeys: Int)
+      : Option[(String, Seq[Array[Byte]])] =
     try {
       val proj = Project(Seq(Alias(keyExpr, "_graft_rk")()), dim)
       val vals = org.apache.spark.sql.graft.SparkInternals.ofRows(spark, proj)
@@ -139,8 +149,8 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
         .map(_.get(0))
       if (vals.length > maxKeys) None
       else {
-        val enc = vals.toSeq.map(encodeRuntimeKey)
-        if (enc.forall(_.isDefined)) Some(enc.flatten) else None
+        val enc = vals.toSeq.map(encodeRuntimeKey(attr, _))
+        if (enc.forall(_.isDefined)) Some((attr, enc.flatten)) else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }
@@ -225,11 +235,11 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
       dimExpr: Expression, dim: LogicalPlan): Boolean =
     lineage(factAttr, fact) match {
       case Some((leafAttr, scan: GraftRuntimeFilterable))
-          if leafAttr.name == scan.runtimeKeyAttribute &&
+          if scan.runtimeFilterAttributes.contains(leafAttr.name) &&
             !scan.runtimeAttempted && scan.runtimeFilterEligible &&
             !dim.isStreaming && deterministicPlan(dim) &&
             dim.stats.sizeInBytes <= maxBuildBytes =>
-        scan.attachRuntimeProbe(dim, dimExpr, maxKeys)
+        scan.attachRuntimeProbe(leafAttr.name, dim, dimExpr, maxKeys)
         scan.runtimeAttempted
       case _ => false
     }

@@ -711,8 +711,9 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
   // would change WHICH k rows surface). Aggregates stay eligible: the
   // join key only reaches the agg output as a GROUP column, and pruning
   // whole head groups never changes a surviving group's value.
-  override def runtimeKeyAttribute: String = "row"
-  override protected def encodeRuntimeKey(v: Any): Option[Array[Byte]] =
+  override def runtimeFilterAttributes: Seq[String] = Seq("row")
+  override protected def encodeRuntimeKey(attr: String, v: Any)
+      : Option[Array[Byte]] =
     v match {
       case b: Array[Byte] => Some(b)
       case _ => None
@@ -765,7 +766,9 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     // intersection, both are raw logical row keys. None = unscoped;
     // Some(empty) = provably-empty scan (empty dim / empty intersection).
     val effKeys: Option[Seq[Array[Byte]]] =
-      (rowKeys, currentRuntimeKeys(spark)) match {
+      (rowKeys, currentRuntimeKeys(spark).collect {
+        case ("row", ks) => ks
+      }) match {
         case (Nil, None) => None
         case (Nil, Some(r)) => Some(r)
         case (ks, None) => Some(ks)

@@ -808,17 +808,39 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     with GraftRuntimeFilterable {
 
   // ---- runtime (join-driven) key pruning — see GraftRuntimeFilterable.
-  // The declared key HEAD is the prunable column; runtime values encode
-  // under its codec (ordered codecs honored) into the same prefix-probe
-  // shape the static IN takes. Probes are head-exact for fixed-width
-  // heads and prefix-supersets otherwise — either way the join above
-  // re-checks equality. A pushed LIMIT/TopN declines.
-  override def runtimeKeyAttribute: String = spec.key.head._1
-  override protected def encodeRuntimeKey(v: Any): Option[Array[Byte]] =
-    Option(v).flatMap(WideSpec.encodeLit(spec.key.head._2, _,
-      spec.orderedKey(spec.key.head._1)))
+  // The declared key HEAD is the strongest prunable column: runtime
+  // values encode under its codec (ordered codecs honored) into the same
+  // prefix-probe shape the static IN takes (head-exact for fixed-width
+  // heads, prefix-supersets otherwise — either way the join above
+  // re-checks equality). ROUTABLE INDEXED value columns are prunable
+  // too: a runtime In on one routes through the index (probe + gather +
+  // verify — exact, the index is complete for puts and the verify
+  // removes stale hits), so a fact joined on an indexed attribute reads
+  // O(index hits) instead of the table. Index routes reflect the
+  // PRESENT table, so value columns drop out of the surface on a
+  // time-travel scan. A pushed LIMIT/TopN declines.
+  override def runtimeFilterAttributes: Seq[String] =
+    spec.key.head._1 +: (if (timeTravel) Nil
+      else spec.cols.filter(c =>
+        manifest.descriptor.indexOn(c.family, c.qualifier).isDefined ||
+          manifest.descriptor.compositeLeadingOn(c.family, c.qualifier)
+            .isDefined)
+        .map(_.name))
+  override protected def encodeRuntimeKey(attr: String, v: Any)
+      : Option[Array[Byte]] =
+    if (attr == spec.key.head._1)
+      Option(v).flatMap(WideSpec.encodeLit(spec.key.head._2, _,
+        spec.orderedKey(spec.key.head._1)))
+    else Option(v).flatMap(x => spec.col(attr).flatMap(c =>
+      WideSpec.encodeLit(c.dt, x, c.ordered)))
   override private[sql] def runtimeFilterEligible: Boolean =
     limit.isEmpty && topN.isEmpty
+
+  // runtime In on an indexed value column, resolved at execution (set by
+  // resolvedFrame, consulted by route as its LOWEST-precedence arm);
+  // an empty runtime key set scopes the whole scan to nothing
+  @volatile private var runtimeEqCol: Option[(WideCol, Seq[Array[Byte]])] = None
+  @volatile private var runtimeEmptyScan = false
 
   /** The negative byte region of a PLAIN (non-ordered) fixed-width
     * integral key head: two's-complement negatives byte-sort in
@@ -976,6 +998,17 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         else d.indexOn(c.family, c.qualifier)
           .map(ix => WideSingle(c, ix, GraftValueOr(arms)))
       }.take(1).toSeq.headOption
+    }.orElse {
+      // runtime (join-driven) In on an indexed value column — the
+      // LOWEST-precedence arm (static predicates constrain harder and
+      // were chosen by the planner; this one only exists at execution).
+      // Exact: the index is complete for puts, the verified read drops
+      // stale hits, and the join above re-checks the equality anyway.
+      runtimeEqCol.flatMap { case (c, ks) =>
+        d.indexOn(c.family, c.qualifier)
+          .orElse(d.compositeLeadingOn(c.family, c.qualifier))
+          .map(ix => WideSingle(c, ix, GraftValueIn(ks)))
+      }
     }
   }
 
@@ -1008,11 +1041,23 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     val m = manifest
     val d = m.descriptor
     val wanted = scanCols
+    // Resolve any runtime (join-driven) keys once per execution: head
+    // values merge into the probe set below; values of an indexed column
+    // become the route's lowest-precedence arm (runtimeEqCol); an empty
+    // runtime key set makes the scan provably empty.
+    val rt = currentRuntimeKeys(spark)
+    rt match {
+      case Some((attr, ks)) if attr != spec.key.head._1 =>
+        if (ks.isEmpty) runtimeEmptyScan = true
+        else spec.col(attr).foreach(c => runtimeEqCol = Some((c, ks)))
+      case _ => ()
+    }
     // Effective head probes: the static IN probes intersected with any
     // runtime (join-driven) key values — byte-exact intersection, both
     // are head encodings. None = unscoped; Some(empty) = provably-empty.
     val effProbes: Option[Seq[Array[Byte]]] =
-      (keyProbes, currentRuntimeKeys(spark)) match {
+      (keyProbes, rt.collect { case (a, ks) if a == spec.key.head._1 => ks })
+      match {
         case (None, None) => None
         case (Some(ks), None) => Some(ks)
         case (None, Some(r)) => Some(r)
@@ -1150,9 +1195,13 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           familyMaxVersions = d.families.map(f => f.name -> f.maxVersions).toMap,
           familyTtlMs = d.families.flatMap(f => f.ttlMs.map(f.name -> _)).toMap)
     }
-    val decoded = CellCodec.decode(cells,
+    val decoded0 = CellCodec.decode(cells,
       StructType(wanted.map(c => StructField(c.name, c.dt))), key = spec.key,
       ordered = spec.orderedNames)
+    // an empty runtime key set (empty dim): structurally empty output
+    // (a global pushed aggregate still computes correctly over it)
+    val decoded =
+      if (runtimeEmptyScan) decoded0.filter(lit(false)) else decoded0
     aggSpec match {
       case Some(a) =>
         // pushed aggregation runs INSIDE the inner plan (codegen'd hash

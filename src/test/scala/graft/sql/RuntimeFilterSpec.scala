@@ -107,6 +107,43 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(graftScans(dfs).exists(_.runtimePruned))
   }
 
+  test("indexed value column: a runtime In routes through the index") {
+    val root = freshRoot("rtf-ix")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 4, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long")), 1L)
+    g.table("t").put((1 to 200).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("city"), 2L, b(s"c${i % 20}"))
+        .add("f", b("pop"), 2L, Bytes.toBytes(i.toLong * 10))), 2L)
+    g.createIndex("t", "f", b("city"), 3L)
+    register("grtfi2", root)
+    import spark.implicits._
+    Seq("c3", "c17").toDF("city").createOrReplaceTempView("rtf_dim_ix")
+    val q = "SELECT t.k, t.city, t.pop FROM grtfi2.`t$wide` t " +
+      "JOIN rtf_dim_ix d ON t.city = d.city"
+    spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+    val base = try spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+    assert(base.size == 20 && base.forall { case (k, c, p) =>
+      c == s"c${k % 20}" && p == k * 10 && (k % 20 == 3 || k % 20 == 17) })
+    val df = spark.sql(q)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == base)
+    assert(graftScans(df).exists(_.runtimePruned),
+      "indexed-column probe never applied")
+    // the executed inner plan reads the INDEX table (the route fired)
+    val scan = graftScans(df).collectFirst {
+      case s: GraftWideScan => s
+    }.get
+    val plan = scan.resolvedFrame(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("t_idx_f_"),
+      s"runtime In did not route through the index:\n$plan")
+  }
+
   test("an empty dim scopes the scan to nothing (and stays correct)") {
     val root = freshRoot("rtf-empty")
     val g = Graft(spark, root)
