@@ -1734,7 +1734,7 @@ object Queries {
   private val sqlRuntimePrune = Q("sql_runtime_prune", Some("""
     SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
     FROM orders f
-    JOIN (SELECT o_orderkey FROM orders WHERE o_custkey = 7) d
+    JOIN (SELECT o_orderkey FROM orders WHERE o_custkey < 20) d
       ON f.o_orderkey = d.o_orderkey
     WHERE NOT (f.o_orderkey >= 1000 AND f.o_orderkey < 30000)
     ORDER BY f.o_orderkey""")) { (s, dir) =>
@@ -1748,7 +1748,7 @@ object Queries {
     // cap (spark.graft.runtimeFilter.maxKeys), enforced at collect time
     s.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
       (256L << 20).toString)
-    t(s, dir, "orders").filter(col("o_custkey") === 7L)
+    t(s, dir, "orders").filter(col("o_custkey") < 20L)
       .select(col("o_orderkey")).createOrReplaceTempView("graft_rt_dim")
     s.sql("""SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
              FROM graft_wrt.`orders_w$wide` f

@@ -1029,22 +1029,26 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     * projection + predicate columns) when a recorded predicate implies
     * some needed column is non-null; ALL declared columns otherwise, so
     * the row set never depends on the projection (a row exists when any
-    * declared column has a visible cell). */
-  private def scanCols: Seq[WideCol] =
-    if (predCols.nonEmpty)
+    * declared column has a visible cell). A RESOLVED runtime In counts
+    * as a predicate too (its join drops non-matching rows either way),
+    * which is what lets a runtime-routed covered query stay index-only. */
+  private def scanCols: Seq[WideCol] = {
+    val preds = predCols ++ runtimeEqCol.map(_._1.name)
+    if (preds.nonEmpty)
       spec.cols.filter(c => required.fieldNames.contains(c.name) ||
-        predCols.contains(c.name))
+        preds.contains(c.name))
     else spec.cols
+  }
 
   private[sql] def resolvedFrame(spark: SparkSession): DataFrame = {
     import graft.read.{Scan => GScan, ScanExec, SecondaryIndex}
     val m = manifest
     val d = m.descriptor
-    val wanted = scanCols
-    // Resolve any runtime (join-driven) keys once per execution: head
-    // values merge into the probe set below; values of an indexed column
-    // become the route's lowest-precedence arm (runtimeEqCol); an empty
-    // runtime key set makes the scan provably empty.
+    // Resolve any runtime (join-driven) keys FIRST: head values merge
+    // into the probe set below; values of an indexed column become the
+    // route's lowest-precedence arm (runtimeEqCol — which scanCols and
+    // indexOnly below must already see); an empty runtime key set makes
+    // the scan provably empty.
     val rt = currentRuntimeKeys(spark)
     rt match {
       case Some((attr, ks)) if attr != spec.key.head._1 =>
@@ -1052,6 +1056,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         else spec.col(attr).foreach(c => runtimeEqCol = Some((c, ks)))
       case _ => ()
     }
+    val wanted = scanCols
     // Effective head probes: the static IN probes intersected with any
     // runtime (join-driven) key values — byte-exact intersection, both
     // are head encodings. None = unscoped; Some(empty) = provably-empty.
