@@ -451,6 +451,121 @@ object CrossCheck {
         }
         // a zero-hit sweep would be a vacuous pass (wrong column/format)
         require(checked > 0, "prefix_route probed nothing — fixture drift?")
+      case "or_route" =>
+        // r11: OR-of-probes (one probeOr pass over an equality arm + a
+        // range arm on the indexed string column) against the direct
+        // path (full resolved scan + decoded disjunction), with 1% name
+        // updates and 1% deletes injected so stale entries and
+        // tombstones sit inside the probed ranges — evidence the
+        // verified multi-arm read eliminates them at sf1 row counts.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{Bytes, CellCodec}
+        import graft.read.{Scan, SecondaryIndex}
+        import graft.write.Mutations
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val customer = spark.read.parquet(s"$dir/customer.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-orcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("c", Seq(FamilyDescriptor("c")),
+          splitKeys = 32), nowMs = 1L)
+        val nameQ = Bytes.toBytes("c_name")
+        val cells = CellCodec.encode(customer, "c", Seq("c_custkey"))
+        g.table("c").mutate(cells, nowMs = 1L)
+        val ix = g.createIndex("c", "c", nameQ, nowMs = 2L)
+        val nameCells = cells.filter(col("qualifier") === lit(nameQ))
+        val updates = nameCells
+          .filter(pmod(xxhash64(col("row")), lit(100)) === 1)
+          .withColumn("ts", lit(5L))
+          .withColumn("value", lit(Bytes.toBytes("Customer#999999999")))
+        val deletes = Mutations.deleteFamilyCells(
+          nameCells.filter(pmod(xxhash64(col("row")), lit(100)) === 2)
+            .select("row").distinct(),
+          col("row"), "c", ts = 5L)
+        g.table("c").mutate(updates.unionByName(deletes), nowMs = 5L)
+        // arms from the DATA: an equality on one sampled name + a range
+        // over a sampled decade (drop the name's last digit)
+        val sampled = g.table("c")
+          .scan(Scan().addColumn("c", nameQ))
+          .orderBy("row").limit(50)
+          .collect().map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+        val eqName = sampled(7)
+        val decade = sampled(23).dropRight(1)
+        val arms = Seq(
+          SecondaryIndex.ArmIn(Seq(Bytes.toBytes(eqName))),
+          SecondaryIndex.ArmRange(Some(Bytes.toBytes(decade)),
+            Bytes.prefixSuccessor(Bytes.toBytes(decade))))
+        val schema = StructType(Seq(StructField("c_name", StringType)))
+        def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+          df.select("c_custkey").collect().map(_.getLong(0)).toSet
+        val logical = g.table("c").cells
+        val viaIx = ids(CellCodec.decode(
+          SecondaryIndex.lookupOr(logical, g.catalog.read(ix.indexTable),
+            "c", nameQ, arms),
+          schema, key = Seq("c_custkey" -> LongType)))
+        val direct = ids(CellCodec.decode(
+          g.table("c").scan(Scan().addColumn("c", nameQ)),
+          schema, key = Seq("c_custkey" -> LongType))
+          .filter(col("c_name") === eqName ||
+            col("c_name").startsWith(decade)))
+        val symOr = (viaIx diff direct) ++ (direct diff viaIx)
+        println(s"[crosscheck] or_route eq='$eqName' range='$decade*': " +
+          s"index=${viaIx.size} direct=${direct.size} symdiff=${symOr.size}" +
+          s"${if (symOr.nonEmpty) " MISMATCH " + symOr.take(20) else " OK"}")
+        require(direct.nonEmpty, "or_route matched nothing — fixture drift?")
+        if (symOr.nonEmpty) sys.exit(1)
+      case "runtime_prune" =>
+        // r11: the runtime (join-driven) key prune — GraftRuntimeFilterRule
+        // re-pruning a SALTED wide fact scan to a data-derived dim's keys
+        // at execution — against the conf-off plain join, with a delete
+        // batch injected so resolution matters inside the probed ranges.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{Bytes, CellCodec}
+        import graft.write.Mutations
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-rtcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32, saltBuckets = 8,
+          wideKey = Some("o_orderkey:long"),
+          wideSchema = Some("o:o_custkey:long;o:o_totalprice:double")),
+          nowMs = 1L)
+        val cells = CellCodec.encode(orders, "o", Seq("o_orderkey"))
+        g.table("o").mutate(cells, nowMs = 1L)
+        g.table("o").mutate(Mutations.deleteFamilyCells(
+          cells.filter(pmod(xxhash64(col("row")), lit(100)) === 3)
+            .select("row").distinct(),
+          col("row"), "o", ts = 5L), nowMs = 5L)
+        spark.conf.set("spark.sql.catalog.graft_rtcc",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_rtcc.root", root)
+        spark.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+          (512L << 20).toString)
+        // dim keys must stay under the runtime key cap at EVERY scale:
+        // hash-select ~0.2% of orderkeys (sf-proportional corpora keep
+        // the absolute count bounded well below maxKeys at sf1)
+        orders.filter(pmod(xxhash64(col("o_orderkey")), lit(2000)) === 7)
+          .limit(800).select("o_orderkey")
+          .createOrReplaceTempView("rtcc_dim")
+        val q = """SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+                   FROM graft_rtcc.`o$wide` f
+                   JOIN rtcc_dim d ON f.o_orderkey = d.o_orderkey"""
+        def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val prunedDf = spark.sql(q)
+        val viaPrune = rows(prunedDf)
+        require(graft.sql.GraftRuntimeFilter.pruned(prunedDf),
+          "runtime filter did not apply — fixture drift?")
+        spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+        val viaPlain =
+          try rows(spark.sql(q))
+          finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+        val symRt = (viaPrune diff viaPlain) ++ (viaPlain diff viaPrune)
+        println(s"[crosscheck] runtime_prune: pruned=${viaPrune.size} " +
+          s"plain=${viaPlain.size} symdiff=${symRt.size}" +
+          s"${if (symRt.nonEmpty) " MISMATCH " + symRt.take(20) else " OK"}")
+        require(viaPlain.nonEmpty, "runtime_prune joined nothing — drift?")
+        if (symRt.nonEmpty) sys.exit(1)
       case "page_filter" =>
         // r11 (BENCH_SF3's largest riser): the PageFilter(50) scan — the
         // incremental first-N-rows cut over the committed sorted layout —
