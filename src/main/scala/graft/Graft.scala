@@ -277,6 +277,35 @@ final case class GraftTable(g: Graft, name: String) {
     }
   }
 
+  /** Index-backed OR-of-probes lookup — the reference's
+    * `FilterList(MUST_PASS_ONE)` over one column
+    * (`hbase/filter/FilterList.java:47-49`) served from the index as ONE
+    * [[SecondaryIndex.probeOr]] pass: a bounded disjunction of equality
+    * sets and value intervals, each arm a pruned probe range, verified
+    * against the current visible row. Same covered/verified route choice
+    * as [[indexLookupRange]]. */
+  def indexLookupOr(family: String, qualifier: Array[Byte],
+      arms: Seq[SecondaryIndex.ValueArm],
+      project: Seq[(String, Array[Byte])] = Nil): DataFrame = {
+    val ix = descriptor.indexOn(family, qualifier).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $name has no index on ($family, " +
+          s"${qualifier.map(b => f"$b%02x").mkString})"))
+    val coveredRoute = ix.covered.nonEmpty && project.nonEmpty &&
+      project.forall { case (f, q2) =>
+        ix.matches(f, q2) || ix.coversColumn(f, q2)
+      }
+    if (coveredRoute)
+      projectCells(SecondaryIndex.lookupCoveredOr(
+        g.catalog.read(ix.indexTable), family, qualifier, arms,
+        ix.covered), project)
+    else {
+      val full = SecondaryIndex.lookupOr(logicalCells,
+        g.catalog.read(ix.indexTable), family, qualifier, arms)
+      if (project.isEmpty) full else projectCells(full, project)
+    }
+  }
+
   /** Index-backed PREFIX lookup — the reference's `PrefixFilter` /
     * `BinaryPrefixComparator` surface (`hbase/filter/PrefixFilter.java:34`,
     * `BinaryPrefixComparator.java:30`) served from the index instead of a

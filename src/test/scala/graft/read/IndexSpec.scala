@@ -318,6 +318,38 @@ class IndexSpec extends SparkSpec {
       Array(0xff.toByte, 0xff.toByte))) == Set("r6"))
   }
 
+  test("indexLookupOr serves a one-column disjunction as one probe pass") {
+    // FilterList(MUST_PASS_ONE): equality arm + interval arm + prefix-
+    // shaped arm, all answered in one probeOr pass; updates make stale
+    // entries the verified read must drop from a MATCHING arm.
+    import graft.catalog.{FamilyDescriptor, TableDescriptor}
+    import graft.read.SecondaryIndex.{ArmIn, ArmRange}
+    import graft.write.Put
+    val g = graft.Graft(spark,
+      java.nio.file.Files.createTempDirectory("graft-ixor").toString)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    g.table("t").put(Seq(
+      Put(b("r1")).add("f", q, 2L, b("paris")),
+      Put(b("r2")).add("f", q, 2L, b("parma")),
+      Put(b("r3")).add("f", q, 2L, b("rome")),
+      Put(b("r4")).add("f", q, 2L, b("lyon")),
+      Put(b("r5")).add("f", q, 2L, b("tokyo"))), 2L)
+    g.createIndex("t", "f", q, 3L)
+    val arms = Seq(
+      ArmIn(Seq(b("rome"), b("nice"))),
+      ArmRange(Some(b("par")), Some(b("pars"))))
+    assert(rowsOf(g.table("t").indexLookupOr("f", q, arms))
+      == Set("r1", "r2", "r3"))
+    // an update moves r3 out of its arm: the stale index entry must be
+    // verified away (and the new value caught by a matching arm)
+    g.table("t").put(Seq(Put(b("r3")).add("f", q, 4L, b("lyon"))), 4L)
+    assert(rowsOf(g.table("t").indexLookupOr("f", q, arms))
+      == Set("r1", "r2"))
+    assert(rowsOf(g.table("t").indexLookupOr("f", q,
+      Seq(ArmIn(Seq(b("lyon")))))) == Set("r3", "r4"))
+  }
+
   test("range probe stays exact when values and bounds embed 0x00 bytes") {
     val v1 = Array[Byte](5)
     val v2 = Array[Byte](5, 0, 3)

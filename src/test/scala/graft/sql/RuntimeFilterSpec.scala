@@ -90,6 +90,16 @@ class RuntimeFilterSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(got == base)
     assert(scans.exists(_.runtimePruned), "probe attached but never applied")
+    // the runtime probes reach PARQUET on the unsalted path: the inner
+    // plan's scan carries the per-key row ranges as pushed filters (the
+    // same range-disjunction shape the static IN pushes)
+    val inner = scans.collectFirst { case s: GraftWideScan => s }.get
+      .resolvedFrame(spark).queryExecution.executedPlan.toString
+    val pushedLine = inner.linesIterator
+      .filter(_.contains("PushedFilters")).mkString(" | ")
+    assert(pushedLine.contains("GreaterThanOrEqual(row") ||
+      pushedLine.contains("Or(And(GreaterThanOrEqual(row"),
+      s"runtime probes not pushed to parquet:\n$pushedLine")
     // salted variant: the probes route through the salted scopeKeys path
     val root2 = freshRoot("rtf-wide-salt")
     val g2 = Graft(spark, root2)
