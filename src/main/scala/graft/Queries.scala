@@ -1756,6 +1756,30 @@ object Queries {
              ORDER BY f.o_orderkey""")
   }
 
+  // TUPLE-OR through the composite index (r11): `(custkey=a AND
+  // status=s) OR (custkey IN (..) AND status=t)` — FilterList
+  // (MUST_PASS_ONE) of conjunctions — probes the UNION of the
+  // disjuncts' blob cartesians in ONE gather pass over the composite
+  // key (WideViewSpec holds the route seam assert). The Or stays
+  // residual, so exactness is structural; the fixture's range DELETE
+  // stays applied.
+  private val sqlCompositeOr = Q("sql_composite_or", Some("""
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    WHERE ((o_custkey = 7 AND o_orderstatus = 'O')
+        OR (o_custkey IN (37, 73) AND o_orderstatus = 'F'))
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wco",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wco.root", root)
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus
+             FROM graft_wco.`orders_w$wide`
+             WHERE (o_custkey = 7 AND o_orderstatus = 'O')
+                OR (o_custkey IN (37, 73) AND o_orderstatus = 'F')
+             ORDER BY o_orderkey""")
+  }
+
   // Runtime pruning on a ROUTED INDEXED column (the r10 ask 1
   // parenthetical): the join key is NOT the row key — it is o_custkey,
   // which carries a covered index — so the runtime In routes through
@@ -5002,7 +5026,7 @@ object Queries {
     snapshotDiffScan,
     asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown, sqlBroadcastJoin, sqlRuntimePrune,
-    sqlRuntimeIndexPrune, sqlOrRoute,
+    sqlRuntimeIndexPrune, sqlOrRoute, sqlCompositeOr,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -191,6 +191,13 @@ private[sql] case class WideSingle(c: WideCol, ix: IndexDescriptor,
   * the lists' bounded cartesian. */
 private[sql] case class WideComposite(ix: IndexDescriptor,
     valueLists: Seq[Seq[Array[Byte]]]) extends WideRoute
+/** OR of equality TUPLES over a composite index's column set
+  * (`(a=x AND b=y) OR (a=u AND b=v)` — FilterList(MUST_PASS_ONE) of
+  * conjunctions): per DISJUNCT, per member in index key order, the
+  * encoded value lists; the probed blobs are the union of the
+  * disjuncts' bounded cartesians, ONE pass. */
+private[sql] case class WideCompositeOr(ix: IndexDescriptor,
+    tuples: Seq[Seq[Seq[Array[Byte]]]]) extends WideRoute
 
 private[sql] case class WideSpec(key: Seq[(String, DataType)],
     cols: Seq[WideCol], orderedKey: Set[String] = Set.empty) {
@@ -414,6 +421,11 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   // see GraftOrArms): a bounded disjunction of equalities/intervals on
   // ONE column, routable as a single probeOr pass
   private var colOr = Map.empty[String, Seq[graft.read.SecondaryIndex.ValueArm]]
+  // recorded OR of equality TUPLES over one column SET (`(a=x AND b=y)
+  // OR (a=u AND b=v)`): per disjunct, column -> encoded value list —
+  // routable as a union of composite blob probes when a composite index
+  // covers exactly that column set
+  private var colTupleOr: Seq[Map[String, Seq[Array[Byte]]]] = Nil
 
   private def tightenStart(b: Array[Byte]): Unit =
     if (startRow.forall(cur => Bytes.compareTo(b, cur) > 0)) startRow = Some(b)
@@ -652,6 +664,41 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
             GraftOrArms.parse(f, valueLeaf,
               graft.read.SecondaryIndex.MaxCompositeProbes) match {
               case Some((c, arms)) if !colOr.contains(c) => colOr += c -> arms
+              case None =>
+                // multi-column disjuncts: OR of equality TUPLES over one
+                // column set (each conjunct = column -> value list; all
+                // disjuncts must share the set; blob budget enforced)
+                def tupleOf(g: Filter)
+                    : Option[Map[String, Seq[Array[Byte]]]] = g match {
+                  case sources.And(a, b) =>
+                    for { x <- tupleOf(a); y <- tupleOf(b)
+                          if x.keySet.intersect(y.keySet).isEmpty }
+                      yield x ++ y
+                  case sources.EqualTo(c, v) if valCol(c).isDefined =>
+                    valEnc(c, v).map(b => Map(c -> Seq(b)))
+                  case sources.In(c, vs)
+                      if valCol(c).isDefined && vs.nonEmpty &&
+                        vs.forall(_ != null) =>
+                    val enc = vs.toSeq.map(valEnc(c, _))
+                    if (enc.forall(_.isDefined)) Some(Map(c -> enc.flatten))
+                    else None
+                  case _ => None
+                }
+                def disjT(g: Filter)
+                    : Option[Seq[Map[String, Seq[Array[Byte]]]]] = g match {
+                  case sources.Or(a, b) =>
+                    for { x <- disjT(a); y <- disjT(b) } yield x ++ y
+                  case other => tupleOf(other).map(Seq(_))
+                }
+                disjT(f) match {
+                  case Some(ts) if colTupleOr.isEmpty && ts.nonEmpty &&
+                      ts.forall(_.keySet == ts.head.keySet) &&
+                      ts.head.sizeIs >= 2 &&
+                      ts.map(_.values.map(_.size.toLong).product).sum <=
+                        graft.read.SecondaryIndex.MaxCompositeProbes =>
+                    colTupleOr = ts
+                  case _ => ()
+                }
               case _ => ()
             }
             res += f
@@ -784,7 +831,7 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
       maxVersionsPerTrigger, timeTravel, keyProbes, withDeletes,
       startingVersion,
       stopWraps = stopFromComparison && !headPinned,
-      colOr = colOr)
+      colOr = colOr, colTupleOr = colTupleOr)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -802,7 +849,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     withDeletes: Boolean = false,
     startingVersion: Option[String] = None,
     stopWraps: Boolean = false,
-    colOr: Map[String, Seq[graft.read.SecondaryIndex.ValueArm]] = Map.empty)
+    colOr: Map[String, Seq[graft.read.SecondaryIndex.ValueArm]] = Map.empty,
+    colTupleOr: Seq[Map[String, Seq[Array[Byte]]]] = Nil)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with GraftRuntimeFilterable {
@@ -889,12 +937,14 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     spec.cols.map(_.name)
       .filter(c => colEq.contains(c) || colLo.contains(c) || colHi.contains(c))
 
-  /** All predicate columns — conjuncts plus OR disjunctions. Every
-    * recorded predicate (each OR arm included) implies its column is
-    * non-null, which is exactly what [[scanCols]]' row-set rule needs. */
+  /** All predicate columns — conjuncts plus OR disjunctions (single-
+    * column arms and tuple-OR sets alike). Every recorded predicate
+    * (each OR arm included) implies its column is non-null, which is
+    * exactly what [[scanCols]]' row-set rule needs. */
   private def predCols: Seq[String] =
     spec.cols.map(_.name).filter(c => colEq.contains(c) ||
-      colLo.contains(c) || colHi.contains(c) || colOr.contains(c))
+      colLo.contains(c) || colHi.contains(c) || colOr.contains(c) ||
+      colTupleOr.headOption.exists(_.contains(c)))
 
   /** The chosen index route, if any — in precedence order:
     *  1. a registered COMPOSITE index whose every member column has a
@@ -999,6 +1049,25 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           .map(ix => WideSingle(c, ix, GraftValueOr(arms)))
       }.take(1).toSeq.headOption
     }.orElse {
+      // OR of equality TUPLES over a composite index's EXACT column set:
+      // the union of the disjuncts' blob cartesians probes in one pass
+      // (the Or stays residual, so the gathered superset is exact after
+      // Spark's re-apply)
+      if (colTupleOr.isEmpty) None
+      else {
+        val names = colTupleOr.head.keySet
+        def nameOf(f: String, q: Array[Byte]): Option[String] =
+          names.find(cn => spec.col(cn).exists(c =>
+            c.family == f && java.util.Arrays.equals(c.qualifier, q)))
+        d.indexes.filter(_.moreColumns.nonEmpty)
+          .find(ix => ix.columns.sizeIs == names.size &&
+            ix.columns.forall { case (f, q) => nameOf(f, q).isDefined })
+          .map { ix =>
+            WideCompositeOr(ix, colTupleOr.map(t =>
+              ix.columns.map { case (f, q) => t(nameOf(f, q).get) }))
+          }
+      }
+    }.orElse {
       // runtime (join-driven) In on an indexed value column — the
       // LOWEST-precedence arm (static predicates constrain harder and
       // were chosen by the planner; this one only exists at execution).
@@ -1017,12 +1086,13 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
   private[sql] def usedIndexTable: Option[String] = route.map {
     case WideSingle(_, ix, _) => ix.indexTable
     case WideComposite(ix, _) => ix.indexTable
+    case WideCompositeOr(ix, _) => ix.indexTable
   }
   private[sql] def indexOnly: Boolean = route.exists {
     case WideSingle(c, ix, _) =>
       ix.covered.nonEmpty && scanCols.forall(sc =>
         sc.name == c.name || ix.coversColumn(sc.family, sc.qualifier))
-    case _: WideComposite => false
+    case _: WideComposite | _: WideCompositeOr => false
   }
 
   /** Declared columns the cell scan must read: the needed set (required
@@ -1153,6 +1223,20 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         // verify against each member's list
         visible(keepWanted(boundsFilter(SecondaryIndex.lookupCompositeAll(
           logical, engine.read(ix.indexTable), ix.columns, valueLists))))
+      case Some(WideCompositeOr(ix, tuples)) =>
+        // OR of tuples: the union of the disjuncts' blob cartesians in
+        // ONE gather pass; candidates resolve like any scan and the
+        // RESIDUAL Or (all wide filters stay residual) makes the answer
+        // exact — blob aliasing and stale entries are false positives it
+        // drops
+        val blobs = tuples.flatMap { vls =>
+          vls.map(_.map(Seq(_)))
+            .reduce((as, bs) => for { a <- as; b <- bs } yield a ++ b)
+            .map(SecondaryIndex.compositeBlob)
+        }
+        visible(keepWanted(boundsFilter(ScanExec(
+          SecondaryIndex.gather(logical, engine.read(ix.indexTable), blobs),
+          GScan()))))
       case None =>
         // plain scan: salt-aware bounds + qualifier projection + resolve.
         // Key probes: on a salted SINGLE-part key the head encoding IS

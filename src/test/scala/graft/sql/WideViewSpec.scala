@@ -1071,6 +1071,53 @@ class WideViewSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT k FROM gwor.`t$wide` WHERE k = 2 OR k = 5 ORDER BY k")
       .collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
+    // TUPLE-OR through a composite index: `(city=a AND pop=x) OR
+    // (city=b AND pop IN (y, z))` probes the union of the disjuncts'
+    // blob cartesians in ONE pass
+    val root3 = freshRoot("wideort")
+    val g3 = Graft(spark, root3)
+    g3.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, immutableRows = true, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long")), 1L)
+    g3.table("t").put((1 to 40).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("city"), 2L, b(s"c${i % 4}"))
+        .add("f", b("pop"), 2L, Bytes.toBytes((i % 10).toLong))), 2L)
+    g3.createCompositeIndex("t",
+      Seq("f" -> b("city"), "f" -> b("pop")), 3L)
+    register("gwort", root3)
+    val tupQ = "SELECT k FROM gwort.`t$wide` WHERE " +
+      "(city = 'c1' AND pop = 3) OR (city = 'c2' AND pop IN (4, 6)) " +
+      "ORDER BY k"
+    assert(spark.sql(tupQ).collect().map(_.getLong(0)).toSeq ==
+      (1 to 40).filter(i =>
+        (i % 4 == 1 && i % 10 == 3) || (i % 4 == 2 && (i % 10 == 4 ||
+          i % 10 == 6))).map(_.toLong))
+    val tupBld = new GraftWideScanBuilder(g3.catalog, "t",
+      WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long")),
+      g3.catalog.currentManifest("t"))
+    tupBld.pushFilters(Array(sources.Or(
+      sources.And(sources.EqualTo("city", "c1"),
+        sources.EqualTo("pop", java.lang.Long.valueOf(3L))),
+      sources.And(sources.EqualTo("city", "c2"),
+        sources.In("pop", Array[Any](java.lang.Long.valueOf(4L),
+          java.lang.Long.valueOf(6L)))))))
+    assert(tupBld.build().asInstanceOf[GraftWideScan].usedIndexTable
+      .exists(_.contains("cidx")), "tuple-OR did not route composite")
+    // disjuncts over DIFFERENT column sets stay residual-only
+    val mixBld = new GraftWideScanBuilder(g3.catalog, "t",
+      WideSpec.parse(Some("k:long"), Some("f:city:string;f:pop:long")),
+      g3.catalog.currentManifest("t"))
+    mixBld.pushFilters(Array(sources.Or(
+      sources.And(sources.EqualTo("city", "c1"),
+        sources.EqualTo("pop", java.lang.Long.valueOf(3L))),
+      sources.EqualTo("city", "c2"))))
+    assert(mixBld.build().asInstanceOf[GraftWideScan].usedIndexTable.isEmpty)
+    assert(spark.sql("SELECT k FROM gwort.`t$wide` WHERE " +
+      "(city = 'c1' AND pop = 3) OR city = 'c2' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq ==
+      (1 to 40).filter(i => (i % 4 == 1 && i % 10 == 3) || i % 4 == 2)
+        .map(_.toLong))
     // COVERED OR: the disjunction answered from the index table alone
     val root2 = freshRoot("wideorc")
     val g2 = mkTable(root2)
