@@ -441,6 +441,33 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  // OR-of-probes through the CELL door (r11): a `value = v OR (value
+  // BETWEEN ...)` disjunction on the one projected indexed column —
+  // FilterList(MUST_PASS_ONE) in SQL — routes as ONE probeOr pass
+  // (SqlCatalogSpec holds the route seam assert); the Or stays residual,
+  // so exactness is structural. Oracle = the relational disjunction.
+  private val sqlCellOrRoute = Q("sql_cell_or_route", Some("""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey = 7 OR (o_custkey >= 40 AND o_custkey < 44)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = sqlIndexRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_ixo",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ixo.root", root)
+    val qual = "X'" + Bytes.toBytes("o_custkey").map(b => f"$b%02x").mkString + "'"
+    def h(v: Long) = "X'" + Bytes.toBytes(v).map(b => f"$b%02x").mkString + "'"
+    val cells = s.sql(
+      s"""SELECT row, family, qualifier, ts, kind, value, seq
+          FROM graft_ixo.orders_ix
+          WHERE family = 'o' AND qualifier = $qual
+            AND (value = ${h(7L)}
+                 OR (value >= ${h(40L)} AND value < ${h(44L)}))""")
+    CellCodec.decode(cells,
+      StructType(Seq(StructField("o_custkey", LongType))),
+      key = Seq("o_orderkey" -> LongType))
+      .orderBy("o_orderkey")
+  }
+
   // COVERED transparent SQL routing — the strongest form of the Phoenix
   // route: the table declares immutableRows, the registered index covers
   // (so its content is exact: synchronous deletes, data-first commits),
@@ -5000,7 +5027,7 @@ object Queries {
     dataContract,
     q1Agg, q3Join,
     scanRange, saltedScan, saltedIndexLookup, indexLookup, sqlIndexLookup,
-    indexRangeLookup, sqlIndexRange,
+    indexRangeLookup, sqlIndexRange, sqlCellOrRoute,
     sqlCoveredLookup, sqlMultiGet, sqlWideScan, sqlCoveredProjection,
     sqlWideMultiGet,
     sqlIndexComposite, sqlIndexLeadingRange, sqlPrefixRoute,
