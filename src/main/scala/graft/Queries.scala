@@ -1783,6 +1783,26 @@ object Queries {
              ORDER BY f.o_orderkey""")
   }
 
+  // Key-range disjunction (r11): `key < a OR key BETWEEN b AND c` — the
+  // time-partition-union shape — prunes as an Or of row ranges pushed to
+  // parquet (keyRangeOr, pruning-only; the Or stays residual so
+  // exactness is structural). On a plain signed head a lo-less arm keeps
+  // the negative byte region (WideViewSpec pins that case).
+  private val sqlKeyRangeOr = Q("sql_key_range_or", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE (o_orderkey < 300 OR (o_orderkey >= 600 AND o_orderkey < 900))
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wkr",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wkr.root", root)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+             FROM graft_wkr.`orders_w$wide`
+             WHERE o_orderkey < 300 OR (o_orderkey >= 600 AND o_orderkey < 900)
+             ORDER BY o_orderkey""")
+  }
+
   // TUPLE-OR through the composite index (r11): `(custkey=a AND
   // status=s) OR (custkey IN (..) AND status=t)` — FilterList
   // (MUST_PASS_ONE) of conjunctions — probes the UNION of the
@@ -5053,7 +5073,7 @@ object Queries {
     snapshotDiffScan,
     asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown, sqlBroadcastJoin, sqlRuntimePrune,
-    sqlRuntimeIndexPrune, sqlOrRoute, sqlCompositeOr,
+    sqlRuntimeIndexPrune, sqlOrRoute, sqlCompositeOr, sqlKeyRangeOr,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

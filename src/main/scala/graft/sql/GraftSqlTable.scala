@@ -257,6 +257,10 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   private var valueLo: Option[Array[Byte]] = None
   private var valueHi: Option[Array[Byte]] = None
   private var rowKeys: Seq[Array[Byte]] = Nil
+  // row-range disjunction (`row < a OR row >= b`): pruning-only byte
+  // ranges, the Or stays residual
+  private var rowRangeOr
+      : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = None
   // recorded OR-of-probes arms on `value` (FilterList(MUST_PASS_ONE) —
   // see GraftOrArms): a bounded disjunction of equalities/intervals on
   // the one projected column, routed as ONE probeOr pass
@@ -381,14 +385,24 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
         famTaken = true; accepted += f
       // `row = a OR row = b` — the multiGet shape via disjunction
       // (FilterList(MUST_PASS_ONE) over row equalities): scoped exactly
-      // like `row IN (...)`, kept residual; non-row Or trees fall through
-      // to the value pass below
+      // like `row IN (...)`, kept residual. A disjunction of row RANGES
+      // (`row < a OR row >= b` — the time-partition-union shape) records
+      // pruning-only byte ranges (binary row order IS the value order,
+      // so every arm is exact). Non-row Or trees fall through to the
+      // value pass below.
       case f @ sources.Or(_, _) =>
         rowOrKeys(f) match {
           case Some(ks) if rowKeys.isEmpty &&
               ks.size <= graft.read.SecondaryIndex.MaxCompositeProbes =>
             rowKeys = ks; residual += f
-          case _ => rest += f
+          case _ =>
+            rowOrRanges(f) match {
+              case Some(rs) if rowRangeOr.isEmpty && rs.nonEmpty &&
+                  rs.size <= graft.read.SecondaryIndex.MaxCompositeProbes &&
+                  rs.forall { case (lo, hi) => lo.isDefined || hi.isDefined } =>
+                rowRangeOr = Some(rs); residual += f
+              case _ => rest += f
+            }
         }
       case other => rest += other
     }
@@ -446,6 +460,46 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
     }
     pushed = accepted.result()
     residual.result()
+  }
+
+  /** Row-range disjunction arms: And-conjuncts intersect into one arm;
+    * equality/IN become exact one-key ranges. Binary unsigned-lex row
+    * order is the value order, so every arm is value-exact. */
+  private def rowOrRanges(f: Filter)
+      : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = {
+    def maxLoB(a: Option[Array[Byte]], b: Option[Array[Byte]]) = (a, b) match {
+      case (Some(x), Some(y)) => Some(if (Bytes.compareTo(x, y) >= 0) x else y)
+      case _ => a.orElse(b)
+    }
+    def minHiB(a: Option[Array[Byte]], b: Option[Array[Byte]]) = (a, b) match {
+      case (Some(x), Some(y)) => Some(if (Bytes.compareTo(x, y) <= 0) x else y)
+      case _ => a.orElse(b)
+    }
+    def go(g: Filter)
+        : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = g match {
+      case sources.Or(a, b) => for { x <- go(a); y <- go(b) } yield x ++ y
+      case sources.And(a, b) => (go(a), go(b)) match {
+        case (Some(Seq((l1, h1))), Some(Seq((l2, h2)))) =>
+          Some(Seq((maxLoB(l1, l2), minHiB(h1, h2))))
+        case _ => None
+      }
+      case sources.EqualTo("row", v: Array[Byte]) =>
+        Some(Seq((Some(v), Some(Bytes.successor(v)))))
+      case sources.In("row", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
+        Some(vs.toSeq.map(_.asInstanceOf[Array[Byte]])
+          .map(v => (Some(v), Some(Bytes.successor(v)))))
+      case sources.GreaterThanOrEqual("row", v: Array[Byte]) =>
+        Some(Seq((Some(v), None)))
+      case sources.GreaterThan("row", v: Array[Byte]) =>
+        Some(Seq((Some(Bytes.successor(v)), None)))
+      case sources.LessThan("row", v: Array[Byte]) =>
+        Some(Seq((None, Some(v))))
+      case sources.LessThanOrEqual("row", v: Array[Byte]) =>
+        Some(Seq((None, Some(Bytes.successor(v)))))
+      case _ => None
+    }
+    go(f)
   }
 
   private def rowOrKeys(f: Filter): Option[Seq[Array[Byte]]] = f match {
@@ -561,7 +615,7 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   override def build(): V2Scan =
     new GraftV1Scan(engine, tableName, scan, required, pinned, limit,
       maxVersionsPerTrigger, aggSpec, indexProbe, rowKeys, topN,
-      startingVersion)
+      startingVersion, rowRangeOr = rowRangeOr)
 }
 
 /** The index-routable `value` predicate the scan builder recorded. */
@@ -699,7 +753,9 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     indexProbe: Option[GraftIndexRoute] = None,
     rowKeys: Seq[Array[Byte]] = Nil,
     topN: Option[(Seq[GraftSortCol], Int)] = None,
-    startingVersion: Option[String] = None) extends V1Scan
+    startingVersion: Option[String] = None,
+    rowRangeOr: Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = None)
+    extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with GraftRuntimeFilterable {
 
@@ -807,6 +863,16 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
         }
         (keyed, gscan)
       }
+    // row-range disjunction (pruning-only; residual keeps exactness):
+    // applied on LOGICAL rows — pushed to parquet on the unsalted path,
+    // an in-plan filter after the salted strip
+    val frame0r = rowRangeOr.fold(frame0) { rs =>
+      import org.apache.spark.sql.functions.{col => c, lit => l}
+      frame0.filter(rs.map { case (lo, hi) =>
+        (lo.map(b => c("row") >= l(b)) ++ hi.map(b => c("row") < l(b)))
+          .reduceOption(_ && _).getOrElse(l(true))
+      }.reduceOption(_ || _).getOrElse(l(true)))
+    }
     // Transparent secondary-index routing: candidates = rows the index
     // probe names (size-gated gather), a superset the residual value
     // predicate reduces to the exact answer above the bridge. When the
@@ -817,7 +883,7 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     // their covered columns' cells the same way), so the whole SQL
     // answer is index-only: zero main-table touch, no gather — the
     // strongest form of the Phoenix route.
-    val frame = indexProbe.fold(frame0) { route =>
+    val frame = indexProbe.fold(frame0r) { route =>
       import graft.read.SecondaryIndex
       val ixCells = engine.read(route.ix.indexTable)
       if (route.ix.covered.nonEmpty) {
@@ -841,13 +907,13 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
         gscan.stopRow.foreach(b => cov = cov.filter(c("row") < l(b)))
         cov
       } else route.pred match {
-        case GraftValueIn(vs) => SecondaryIndex.gather(frame0, ixCells, vs)
+        case GraftValueIn(vs) => SecondaryIndex.gather(frame0r, ixCells, vs)
         case GraftValueRange(lo, hi) =>
-          SecondaryIndex.gatherHits(frame0,
+          SecondaryIndex.gatherHits(frame0r,
             SecondaryIndex.probeRange(ixCells, lo, hi,
               exactPrefix = route.ix.moreColumns.isEmpty))
         case GraftValueOr(arms) =>
-          SecondaryIndex.gatherHits(frame0,
+          SecondaryIndex.gatherHits(frame0r,
             SecondaryIndex.probeOr(ixCells, arms))
       }
     }

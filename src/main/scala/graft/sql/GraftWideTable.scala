@@ -412,6 +412,13 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   // key-head IN list (the multiGet shape): encoded head values, each a
   // PREFIX of the full row key (the whole key when the key has one part)
   private var keyProbes: Option[Seq[Array[Byte]]] = None
+  // key-head RANGE disjunction (`k < 10 OR k >= 90` — the
+  // time-partition-union shape): byte ranges on the row prefix, PRUNING
+  // ONLY (the Or stays residual; each arm is a value superset by
+  // construction, incl. the negative-region arm a plain signed head's
+  // lo-less hi bound appends)
+  private var keyRangeOr
+      : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = None
   // recorded per-column value predicates (encoded); intervals are VALUE
   // space, lo inclusive / hi exclusive
   private var colEq = Map.empty[String, Seq[Array[Byte]]]
@@ -652,6 +659,58 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
             case _ => None
           }
         }
+        // key-head RANGE disjunction: each arm a byte range on the row
+        // prefix; And-conjuncts intersect into one arm. Arms must be
+        // VALUE SUPERSETS: on a plain signed fixed head, a hi-bounded
+        // arm with no non-negative lo appends the negative byte region
+        // [0x80…, ∞) (those keys satisfy `< v` but byte-sort above it).
+        type KR = (Option[Array[Byte]], Option[Array[Byte]])
+        def maxLoB(a: Option[Array[Byte]], b: Option[Array[Byte]]) = (a, b) match {
+          case (Some(x), Some(y)) => Some(if (Bytes.compareTo(x, y) >= 0) x else y)
+          case _ => a.orElse(b)
+        }
+        def minHiB(a: Option[Array[Byte]], b: Option[Array[Byte]]) = (a, b) match {
+          case (Some(x), Some(y)) => Some(if (Bytes.compareTo(x, y) <= 0) x else y)
+          case _ => a.orElse(b)
+        }
+        def keyOrRanges(g: Filter): Option[Seq[KR]] = g match {
+          case sources.Or(x, y) =>
+            for { a <- keyOrRanges(x); b <- keyOrRanges(y) } yield a ++ b
+          case sources.And(x, y) =>
+            (keyOrRanges(x), keyOrRanges(y)) match {
+              case (Some(Seq((l1, h1))), Some(Seq((l2, h2)))) =>
+                Some(Seq((maxLoB(l1, l2), minHiB(h1, h2))))
+              case _ => None
+            }
+          case sources.EqualTo(c, v) if c == keyHead._1 =>
+            keyEnc(v).map(b => Seq((Some(b), Bytes.prefixSuccessor(b))))
+          case sources.In(c, vs)
+              if c == keyHead._1 && vs.nonEmpty && vs.forall(_ != null) =>
+            val enc = vs.toSeq.map(keyEnc)
+            if (enc.forall(_.isDefined))
+              Some(enc.flatten.map(b => (Some(b), Bytes.prefixSuccessor(b))))
+            else None
+          case sources.GreaterThanOrEqual(c, v)
+              if c == keyHead._1 && keyRangeable(v) =>
+            keyEnc(v).map(b => Seq((Some(b), None)))
+          case sources.GreaterThan(c, v)
+              if c == keyHead._1 && keyRangeable(v) =>
+            // binary successor: tight for variable heads, equivalent for
+            // fixed (no width-exact key sorts between enc(v) and enc(v)+1)
+            keyEnc(v).map(b => Seq((Some(Bytes.successor(b)), None)))
+          case sources.LessThan(c, v)
+              if c == keyHead._1 && keyRangeable(v) =>
+            keyEnc(v).map(b => Seq((None, Some(b))))
+          case sources.LessThanOrEqual(c, v)
+              if c == keyHead._1 && keyRangeable(v) =>
+            keyEnc(v).flatMap(Bytes.prefixSuccessor)
+              .map(s => Seq((None: Option[Array[Byte]], Some(s))))
+          case sources.StringStartsWith(c, p)
+              if c == keyHead._1 && keyHead._2 == StringType && p != null =>
+            val b = Bytes.toBytes(p)
+            Some(Seq((Some(b), Bytes.prefixSuccessor(b))))
+          case _ => None
+        }
         keyOrVals(f) match {
           case Some(bs) if keyProbes.isEmpty &&
               bs.size <= graft.read.SecondaryIndex.MaxCompositeProbes =>
@@ -660,6 +719,27 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
             tightenStart(bs.min(ord))
             Bytes.prefixSuccessor(bs.max(ord)).foreach(tightenStop)
             if (headFixed) acc += f else res += f
+          case _ if keyRangeOr.isEmpty && keyOrRanges(f).exists(rs =>
+              rs.nonEmpty &&
+                rs.size <= graft.read.SecondaryIndex.MaxCompositeProbes &&
+                rs.forall { case (lo, hi) => lo.isDefined || hi.isDefined }) =>
+            val rs = keyOrRanges(f).get
+            val fixed =
+              if (headFixed && !headOrdered &&
+                  rs.exists { case (lo, hi) => hi.isDefined && lo.isEmpty })
+                // a lo-less hi-bounded arm on a plain signed head: keep
+                // the negative byte region (those keys satisfy `< v` but
+                // byte-sort above every non-negative)
+                rs :+ ((Some({
+                  val w = keyHead._2 match {
+                    case org.apache.spark.sql.types.IntegerType => 4
+                    case _ => 8
+                  }
+                  (0x80.toByte +: Array.fill(w - 1)(0.toByte)): Array[Byte]
+                }): Option[Array[Byte]]), (None: Option[Array[Byte]]))
+              else rs
+            keyRangeOr = Some(fixed)
+            res += f
           case _ =>
             GraftOrArms.parse(f, valueLeaf,
               graft.read.SecondaryIndex.MaxCompositeProbes) match {
@@ -831,7 +911,7 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
       maxVersionsPerTrigger, timeTravel, keyProbes, withDeletes,
       startingVersion,
       stopWraps = stopFromComparison && !headPinned,
-      colOr = colOr, colTupleOr = colTupleOr)
+      colOr = colOr, colTupleOr = colTupleOr, keyRangeOr = keyRangeOr)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -850,7 +930,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     startingVersion: Option[String] = None,
     stopWraps: Boolean = false,
     colOr: Map[String, Seq[graft.read.SecondaryIndex.ValueArm]] = Map.empty,
-    colTupleOr: Seq[Map[String, Seq[Array[Byte]]]] = Nil)
+    colTupleOr: Seq[Map[String, Seq[Array[Byte]]]] = Nil,
+    keyRangeOr: Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = None)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with GraftRuntimeFilterable {
@@ -930,6 +1011,10 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
 
   /** Seam for plan asserts: the key-head IN probes scoping this scan. */
   private[sql] def pushedKeyProbes: Option[Seq[Array[Byte]]] = keyProbes
+
+  /** Seam for plan asserts: the key-head range disjunction arms. */
+  private[sql] def pushedKeyRangeOr
+      : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = keyRangeOr
 
   /** Columns with recorded CONJUNCT predicates, in declaration order
     * (deterministic route pick). */
@@ -1151,11 +1236,24 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     // open top — still a prune; exactness holds because a fixed-width
     // head's prefix range contains exactly its head == v rows, and
     // variable heads keep the IN residual.
-    def probeFilter(df: DataFrame): DataFrame = effProbes.fold(df) { ps =>
-      df.filter(ps.map { p =>
-        val lo = col("row") >= lit(p)
-        Bytes.prefixSuccessor(p).fold(lo)(u => lo && col("row") < lit(u))
-      }.reduceOption(_ || _).getOrElse(lit(false)))
+    def probeFilter(df: DataFrame): DataFrame = {
+      val probed = effProbes.fold(df) { ps =>
+        df.filter(ps.map { p =>
+          val lo = col("row") >= lit(p)
+          Bytes.prefixSuccessor(p).fold(lo)(u => lo && col("row") < lit(u))
+        }.reduceOption(_ || _).getOrElse(lit(false)))
+      }
+      // key-head RANGE disjunction (`k < 10 OR k >= 90`): pruning-only —
+      // pushes to parquet as an Or of row-range conjuncts on the
+      // unsalted path, filters stripped logical rows on the salted one;
+      // the residual Or keeps exactness either way
+      keyRangeOr.fold(probed) { rs =>
+        probed.filter(rs.map { case (lo, hi) =>
+          (lo.map(b => col("row") >= lit(b)) ++
+            hi.map(b => col("row") < lit(b)))
+            .reduceOption(_ && _).getOrElse(lit(true))
+        }.reduceOption(_ || _).getOrElse(lit(true)))
+      }
     }
     // stop bound as a Column: wrapped with the negative key region when a
     // plain signed head's </<= comparison set it (see negStart) — sound

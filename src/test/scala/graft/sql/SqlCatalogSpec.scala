@@ -664,6 +664,16 @@ class SqlCatalogSpec extends SparkSpec {
     assert(orRows.collect().map(x =>
       new String(x.getAs[Array[Byte]]("row"), "UTF-8")).toSet ==
       Set("r003", "r017"))
+    // row-RANGE disjunction (`row < a OR row >= b`): pruning-only byte
+    // ranges, residual-exact
+    val orRanges = spark.sql(
+      "SELECT row, value FROM graft_or.tor " +
+        s"WHERE row < ${hex("r003")} OR " +
+        s"(row >= ${hex("r010")} AND row < ${hex("r012")}) OR " +
+        s"row >= ${hex("r039")}")
+    assert(orRanges.collect().map(x =>
+      new String(x.getAs[Array[Byte]]("row"), "UTF-8")).toSet ==
+      Set("r001", "r002", "r010", "r011", "r039", "r040"))
   }
 
   test("row IN pushes the multiGet scope to the parquet scan") {

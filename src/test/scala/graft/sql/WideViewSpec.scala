@@ -921,6 +921,16 @@ class WideViewSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT k FROM gwsk.`t$wide` WHERE k IN (-3, -1) AND k < 5 ORDER BY k")
       .collect().map(_.getLong(0)).toSeq == Seq(-3L, -1L))
+    // r11: key-head RANGE disjunction (`k < a OR k >= b`) prunes as an
+    // Or of row ranges — and on a plain signed head the lo-less arm
+    // keeps the negative byte region (those keys satisfy `< 0`)
+    assert(spark.sql(
+      "SELECT k FROM gwsk.`t$wide` WHERE k < 0 OR k >= 7 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(-10L, -3L, -1L, 7L, 40L))
+    assert(spark.sql(
+      "SELECT k FROM gwsk.`t$wide` WHERE (k >= 0 AND k < 3) OR k = 40 " +
+        "ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 2L, 40L))
     // positive-only ranges still prune correctly
     assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k >= 2 AND k < 40 " +
       "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(2L, 7L))
@@ -938,6 +948,16 @@ class WideViewSpec extends SparkSpec {
     assert(pushed.contains("Or(LessThan(row") ||
       pushed.contains("Or(GreaterThanOrEqual(row"),
       s"wrapped stop bound not pushed to parquet:\n$pushed")
+    // r11 seam: the key-range disjunction records its arms — the two
+    // literal arms + the appended negative-region arm on a plain head
+    val orBld = new GraftWideScanBuilder(g.catalog, "t", spec,
+      g.catalog.currentManifest("t"))
+    orBld.pushFilters(Array(sources.Or(
+      sources.LessThan("k", java.lang.Long.valueOf(0L)),
+      sources.GreaterThanOrEqual("k", java.lang.Long.valueOf(7L)))))
+    val orScan = orBld.build().asInstanceOf[GraftWideScan]
+    assert(orScan.pushedKeyRangeOr.exists(_.size == 3),
+      orScan.pushedKeyRangeOr.map(_.size))
     // salted variant: the wrap rides the scatter as a second per-bucket
     // range disjunct on the raw (pushable) salted column
     val root2 = freshRoot("widesks")
