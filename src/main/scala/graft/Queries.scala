@@ -540,6 +540,8 @@ object Queries {
         g.table("orders_w").mutate(cells, nowMs = 1L)
         g.createIndex("orders_w", "o", Bytes.toBytes("o_custkey"), nowMs = 2L,
           covered = Seq("o" -> Bytes.toBytes("o_totalprice")))
+        g.createIndex("orders_w", "o", Bytes.toBytes("o_orderstatus"),
+          nowMs = 2L)
         g.createCompositeIndex("orders_w",
           Seq("o" -> Bytes.toBytes("o_custkey"),
             "o" -> Bytes.toBytes("o_orderstatus")), nowMs = 2L)
@@ -1882,6 +1884,64 @@ object Queries {
              WHERE o_custkey = 7 OR (o_custkey >= 37 AND o_custkey < 40)
                 OR o_custkey IN (73, 88)
              ORDER BY o_orderkey""")
+  }
+
+  // CROSS-column OR routing (r12): `custkey = 7 OR status = 'P'` — the
+  // GENERAL FilterList(MUST_PASS_ONE): heterogeneous filters on
+  // DIFFERENT columns composed in one disjunction
+  // (hbase/filter/FilterList.java:47-49). Each column carries its own
+  // index, so the door serves the disjunction as the UNION of the
+  // per-column probeOr passes, deduped by row key, ONE gather
+  // (WideViewSpec holds the route seam assert: BOTH index tables
+  // probed). The Or stays residual, so exactness is structural; the
+  // fixture's range DELETE stays applied through the synchronous index
+  // tombstones.
+  private val sqlCrossOr = Q("sql_cross_or", Some("""
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    WHERE (o_custkey = 7 OR o_orderstatus = 'P'
+           OR o_custkey IN (37, 73))
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wxo",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wxo.root", root)
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus
+             FROM graft_wxo.`orders_w$wide`
+             WHERE o_custkey = 7 OR o_orderstatus = 'P'
+                OR o_custkey IN (37, 73)
+             ORDER BY o_orderkey""")
+  }
+
+  // Runtime-filter RANGE degradation (r12): the dim's distinct join
+  // keys exceed the runtime key cap (1,024), so instead of declining —
+  // leaving the fact scan unpruned, exactly where mid-size-dim star
+  // joins live — the probe degrades to the dim's exact [min, max]
+  // key-range superset (one extra aggregate over the size-gated dim)
+  // and the fact scan still skips every row group outside the span.
+  // The join re-checks equality, so the superset prune is structurally
+  // exact; RuntimeFilterSpec asserts the ("k", "range") probe shape.
+  private val sqlRuntimeRangePrune = Q("sql_runtime_range_prune", Some("""
+    SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+    FROM orders f
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderkey >= 400 AND o_orderkey < 12000) d
+      ON f.o_orderkey = d.o_orderkey
+    WHERE NOT (f.o_orderkey >= 1000 AND f.o_orderkey < 30000)
+    ORDER BY f.o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wrr",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wrr.root", root)
+    s.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+      (256L << 20).toString)
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") >= 400L && col("o_orderkey") < 12000L)
+      .select(col("o_orderkey")).createOrReplaceTempView("graft_rtr_dim")
+    s.sql("""SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+             FROM graft_wrr.`orders_w$wide` f
+             JOIN graft_rtr_dim d ON f.o_orderkey = d.o_orderkey
+             ORDER BY f.o_orderkey""")
   }
 
   // SQL DELETE end-to-end: tombstones written through the DSv2 door
@@ -5074,6 +5134,7 @@ object Queries {
     asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown, sqlBroadcastJoin, sqlRuntimePrune,
     sqlRuntimeIndexPrune, sqlOrRoute, sqlCompositeOr, sqlKeyRangeOr,
+    sqlCrossOr, sqlRuntimeRangePrune,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -31,12 +31,9 @@ private[sql] object GraftOrArms {
       case _ => a.orElse(b)
     }
 
-  /** Parse `f` (an `Or` tree) into `(column, arms)`. `leaf` encodes one
-    * comparison leaf under the door's codec; None from it fails the
-    * whole parse. */
-  def parse(f: sources.Filter,
-      leaf: sources.Filter => Option[(String, ValueArm)],
-      maxArms: Int): Option[(String, Seq[ValueArm])] = {
+  private def disjuncts(f: sources.Filter,
+      leaf: sources.Filter => Option[(String, ValueArm)])
+      : Option[Seq[(String, ValueArm)]] = {
     def disj(g: sources.Filter): Option[Seq[(String, ValueArm)]] = g match {
       case sources.Or(a, b) =>
         for { x <- disj(a); y <- disj(b) } yield x ++ y
@@ -51,14 +48,44 @@ private[sql] object GraftOrArms {
         }
       case other => leaf(other).map(Seq(_))
     }
-    disj(f).flatMap { as =>
+    disj(f)
+  }
+
+  private def armCount(as: Seq[(String, ValueArm)]): Int =
+    as.map(_._2 match {
+      case ArmIn(vs) => vs.size
+      case _ => 1
+    }).sum
+
+  /** Parse `f` (an `Or` tree) into `(column, arms)`. `leaf` encodes one
+    * comparison leaf under the door's codec; None from it fails the
+    * whole parse. */
+  def parse(f: sources.Filter,
+      leaf: sources.Filter => Option[(String, ValueArm)],
+      maxArms: Int): Option[(String, Seq[ValueArm])] =
+    disjuncts(f, leaf).flatMap { as =>
       val cols = as.map(_._1).distinct
-      val armCount = as.map(_._2 match {
-        case ArmIn(vs) => vs.size
-        case _ => 1
-      }).sum
-      if (cols.sizeIs == 1 && armCount <= maxArms) Some((cols.head, as.map(_._2)))
+      if (cols.sizeIs == 1 && armCount(as) <= maxArms)
+        Some((cols.head, as.map(_._2)))
       else None
     }
-  }
+
+  /** [[parse]] generalized ACROSS columns — the full
+    * `FilterList(MUST_PASS_ONE)` shape (`custkey = 7 OR status = 'F'`,
+    * heterogeneous filters composed, `hbase/filter/FilterList.java:
+    * 47-49`): every disjunct is still a leaf (or an And of interval
+    * leaves on ONE column, intersected), but the leaves may name
+    * DIFFERENT columns. Arms group by column, first-appearance order;
+    * requires ≥ 2 distinct columns (one column is [[parse]]'s job) and
+    * the TOTAL arm count within `maxArms` — past the cap the disjunction
+    * falls back to the residual full scan. */
+  def parseMulti(f: sources.Filter,
+      leaf: sources.Filter => Option[(String, ValueArm)],
+      maxArms: Int): Option[Seq[(String, Seq[ValueArm])]] =
+    disjuncts(f, leaf).flatMap { as =>
+      val cols = as.map(_._1).distinct
+      if (cols.sizeIs >= 2 && armCount(as) <= maxArms)
+        Some(cols.map(c => c -> as.collect { case (`c`, arm) => arm }))
+      else None
+    }
 }

@@ -3,12 +3,28 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, GlobalLimit, Join, LocalLimit, LogicalPlan, Offset, Project, Sample, SubqueryAlias, Tail}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
 import org.apache.spark.sql.sources
+
+/** One resolved runtime (join-driven) probe on a scan attribute: either
+  * the dim's distinct encoded join-key values (at or under the key cap)
+  * or — over the cap — encoded byte RANGES covering [min, max] of the
+  * join keys. Both are value SUPERSETS of the dim's keys under the
+  * column's codec, and the join above re-checks the equality, so either
+  * form is pruning-only. The range form is the graceful degradation for
+  * mid-size dims (10k–1M keys — exactly where 100 TB star joins live):
+  * instead of declining entirely past `maxKeys`, the scan still skips
+  * every row group outside the dim's key span. */
+private[sql] sealed trait RuntimeProbe { def attr: String }
+private[sql] final case class RuntimeKeys(attr: String,
+    keys: Seq[Array[Byte]]) extends RuntimeProbe
+private[sql] final case class RuntimeRanges(attr: String,
+    ranges: Seq[(Option[Array[Byte]], Option[Array[Byte]])])
+    extends RuntimeProbe
 
 /** Runtime (join-driven) key pruning for the graft SQL doors — the
   * dynamic twin of the static `row IN (...)` multiGet span prune
@@ -37,8 +53,10 @@ import org.apache.spark.sql.sources
   *    evaluates it lazily at execution (`collect` of ≤ maxKeys distinct
   *    join-key values — the same out-of-band build-side execution
   *    Spark's own DPP does via SubqueryBroadcastExec) and re-prunes
-  *    itself; over-cap or non-encodable values decline silently and the
-  *    plan runs un-pruned.
+  *    itself. Past the cap, one cheap min/max aggregate over the same
+  *    dim subtree degrades the probe to a key-RANGE superset (still
+  *    row-group-prunable); non-encodable values or any execution
+  *    failure decline silently and the plan runs un-pruned.
   *
   * Soundness: the join stays in the plan and re-checks the equality, so
   * pruning only needs to KEEP every fact row that could match — an
@@ -52,11 +70,26 @@ import org.apache.spark.sql.sources
   *    Window or Generate, whose output is not row-lineage);
   *  - the scan declines when a LIMIT/TopN was pushed (pruning would
   *    change WHICH k rows surface) — see `runtimeFilterEligible`;
-  *  - the dim subtree must be fully deterministic and non-streaming
-  *    (it executes twice: once for the prune, once in the join);
-  *  - at most ONE side of a join is pruned (pruning both would make each
-  *    scan's build plan contain the other — a collect cycle).
-  */
+  *  - the dim subtree must be fully deterministic, non-streaming, and
+  *    free of row-SELECTION nodes (LIMIT / TABLESAMPLE / TAIL / OFFSET):
+  *    it executes twice — once for the probe collect, once in the join —
+  *    and a limit/sample without a defining order can return DIFFERENT
+  *    row sets across executions, which would prune fact rows the join's
+  *    second execution actually matches (Spark's own DPP avoids this by
+  *    reusing the build-side exchange; here the decline is the sound
+  *    equivalent);
+  *  - one probe per scan ATTRIBUTE (a fact joined to two dims on two
+  *    routed columns intersects both probe sets — key ranges ∩ index
+  *    route); at most ONE side of a join is pruned (pruning both would
+  *    make each scan's build plan contain the other — a collect cycle).
+  *
+  * PLAN-ONCE semantics: a scan resolves its probes once and caches them
+  * for the life of the planned frame. This is consistent by
+  * construction with re-execution: the graft doors pin their manifest at
+  * planning (`plannedManifest` / the captured wide manifest), so a
+  * re-executed frame reads the SAME pinned fact and dim data the probe
+  * was collected from — a dim mutation between executions is invisible
+  * to both the join and the prune (RuntimeFilterSpec pins this). */
 private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
 
   /** Columns runtime key values can prune on, STRONGEST FIRST: the key
@@ -67,36 +100,56 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
   def runtimeFilterAttributes: Seq[String]
 
   /** Encode one runtime literal of `attr` into probe bytes under that
-    * column's codec; None = not encodable (the whole filter declines). */
+    * column's codec; None = not encodable (the whole probe declines). */
   protected def encodeRuntimeKey(attr: String, v: Any): Option[Array[Byte]]
+
+  /** Encode the CLOSED value interval [min, max] of `attr` into byte
+    * ranges (lo inclusive, hi exclusive, None = open) that form a value
+    * SUPERSET of the interval under the column's codec — the over-cap
+    * degradation. None = range pruning unsupported for this attribute
+    * (the probe declines; doors support it on the key/row head only,
+    * where ranges prune row groups — a value-range has no index form). */
+  protected def encodeRuntimeRange(attr: String, min: Any, max: Any)
+      : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]]
 
   /** False when this scan carries pushed state runtime pruning would
     * corrupt (LIMIT / TopN: pruning changes which k rows surface). */
   private[sql] def runtimeFilterEligible: Boolean
 
-  // ---- state: a directly-set key list (the official interface) or a
-  // deferred build-side plan (the rule), resolved once per scan. At most
-  // ONE attribute is pruned per scan (first attach wins).
+  // ---- state: a directly-set key list (the official interface) and/or
+  // deferred build-side plans (the rule), resolved once per scan. One
+  // probe per ATTRIBUTE (first attach per attr wins).
   @volatile private var directKeys: Option[(String, Seq[Array[Byte]])] = None
-  @volatile private var probePlan
-      : Option[(String, LogicalPlan, Expression, Int)] = None
-  @volatile private var resolved
-      : Option[Option[(String, Seq[Array[Byte]])]] = None
+  @volatile private var probePlans
+      : List[(String, LogicalPlan, Expression, Int)] = Nil
+  @volatile private var resolvedProbes: Option[Seq[RuntimeProbe]] = None
   @volatile private var attempted = false
   @volatile private var collecting = false
 
   /** Seam: the rule attached a probe (or filter() was called). */
   private[sql] def runtimeAttempted: Boolean = attempted
-  /** Seam: runtime keys were actually applied to this scan. */
+  /** Seam: runtime probes were actually applied to this scan. */
   private[sql] def runtimePruned: Boolean =
-    directKeys.isDefined || resolved.exists(_.isDefined)
+    directKeys.isDefined || resolvedProbes.exists(_.nonEmpty)
+  /** Seam: the applied probes' (attribute, form) pairs — form is
+    * "keys" or "range" (specs assert the over-cap degradation and the
+    * multi-attribute intersection). */
+  private[sql] def runtimeProbeShapes: Seq[(String, String)] =
+    directKeys.map(d => (d._1, "keys")).toSeq ++
+      resolvedProbes.getOrElse(Nil).map {
+        case RuntimeKeys(a, _) => (a, "keys")
+        case RuntimeRanges(a, _) => (a, "range")
+      }
+
+  private[sql] def runtimeHasProbe(attr: String): Boolean =
+    directKeys.exists(_._1 == attr) || probePlans.exists(_._1 == attr)
 
   private[sql] def attachRuntimeProbe(attr: String, dim: LogicalPlan,
       keyExpr: Expression, maxKeys: Int): Unit =
-    if (!attempted && runtimeFilterEligible &&
-        runtimeFilterAttributes.contains(attr)) {
+    if (runtimeFilterEligible && !runtimeHasProbe(attr) &&
+        resolvedProbes.isEmpty && runtimeFilterAttributes.contains(attr)) {
       attempted = true
-      probePlan = Some((attr, dim, keyExpr, maxKeys))
+      probePlans = probePlans :+ ((attr, dim, keyExpr, maxKeys))
     }
 
   // ---- the official SupportsRuntimeFiltering surface
@@ -114,50 +167,59 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
       case _ => ()
     }
 
-  /** The runtime (attribute, key probes) for this execution — collects
-    * the attached build plan on first use (cached; declines over-cap,
-    * non-encodable values, and any execution failure — an optimization
-    * must never fail the query it optimizes). */
-  protected def currentRuntimeKeys(spark: SparkSession)
-      : Option[(String, Seq[Array[Byte]])] =
-    directKeys.orElse {
-      resolved match {
-        case Some(r) => r
-        case None =>
-          val r =
-            if (collecting) None // re-entrant build (defensive): decline
-            else probePlan.flatMap { case (attr, dim, expr, maxKeys) =>
-              collecting = true
-              try collectKeys(spark, attr, dim, expr, maxKeys)
-              finally collecting = false
+  /** The runtime probes for this execution — collects each attached
+    * build plan on first use (cached for the life of the planned frame;
+    * declines per-probe on non-encodable values and any execution
+    * failure — an optimization must never fail the query it optimizes). */
+  protected def currentRuntimeProbes(spark: SparkSession)
+      : Seq[RuntimeProbe] = {
+    val fromPlans = resolvedProbes match {
+      case Some(r) => r
+      case None =>
+        val r =
+          if (collecting) Nil // re-entrant build (defensive): decline
+          else {
+            collecting = true
+            try probePlans.flatMap { case (attr, dim, expr, maxKeys) =>
+              collectProbe(spark, attr, dim, expr, maxKeys)
             }
-          resolved = Some(r)
-          r
-      }
+            finally collecting = false
+          }
+        resolvedProbes = Some(r)
+        r
     }
+    directKeys.map(d => RuntimeKeys(d._1, d._2)).toSeq ++ fromPlans
+  }
 
-  private def collectKeys(spark: SparkSession, attr: String,
+  private def collectProbe(spark: SparkSession, attr: String,
       dim: LogicalPlan, keyExpr: Expression, maxKeys: Int)
-      : Option[(String, Seq[Array[Byte]])] =
+      : Option[RuntimeProbe] =
     try {
+      import org.apache.spark.sql.functions.{col, max, min}
       val proj = Project(Seq(Alias(keyExpr, "_graft_rk")()), dim)
-      val vals = org.apache.spark.sql.graft.SparkInternals.ofRows(spark, proj)
-        .filter(org.apache.spark.sql.functions.col("_graft_rk").isNotNull)
-        .distinct()
-        .limit(maxKeys + 1)
-        .collect()
-        .map(_.get(0))
-      if (vals.length > maxKeys) None
-      else {
+      def frame = org.apache.spark.sql.graft.SparkInternals.ofRows(spark, proj)
+        .filter(col("_graft_rk").isNotNull)
+      val vals = frame.distinct().limit(maxKeys + 1).collect().map(_.get(0))
+      if (vals.length > maxKeys) {
+        // over the cap: degrade to the key-range superset — one cheap
+        // aggregate over the same (size-gated) dim subtree yields exact
+        // [min, max]; the door encodes it into prunable byte ranges
+        val mm = frame.agg(min(col("_graft_rk")), max(col("_graft_rk")))
+          .collect().headOption
+        mm.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+          .flatMap(r => encodeRuntimeRange(attr, r.get(0), r.get(1)))
+          .map(RuntimeRanges(attr, _))
+      } else {
         val enc = vals.toSeq.map(encodeRuntimeKey(attr, _))
-        if (enc.forall(_.isDefined)) Some((attr, enc.flatten)) else None
+        if (enc.forall(_.isDefined)) Some(RuntimeKeys(attr, enc.flatten))
+        else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** Public seam for harnesses (PerfEval, specs outside this package):
   * whether any graft scan under `df`'s plan attached / applied runtime
-  * keys. Inspect AFTER executing the frame — application happens at
+  * probes. Inspect AFTER executing the frame — application happens at
   * execution. */
 object GraftRuntimeFilter {
   import org.apache.spark.sql.DataFrame
@@ -170,6 +232,9 @@ object GraftRuntimeFilter {
     }.collect { case g: GraftRuntimeFilterable => g }
   def attempted(df: DataFrame): Boolean = scans(df).exists(_.runtimeAttempted)
   def pruned(df: DataFrame): Boolean = scans(df).exists(_.runtimePruned)
+  /** (attribute, "keys"|"range") pairs applied across the frame's scans. */
+  def probeShapes(df: DataFrame): Seq[(String, String)] =
+    scans(df).flatMap(_.runtimeProbeShapes)
 }
 
 /** The activation rule (see [[GraftRuntimeFilterable]]): for each
@@ -236,18 +301,24 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     lineage(factAttr, fact) match {
       case Some((leafAttr, scan: GraftRuntimeFilterable))
           if scan.runtimeFilterAttributes.contains(leafAttr.name) &&
-            !scan.runtimeAttempted && scan.runtimeFilterEligible &&
-            !dim.isStreaming && deterministicPlan(dim) &&
+            !scan.runtimeHasProbe(leafAttr.name) &&
+            scan.runtimeFilterEligible &&
+            !dim.isStreaming && stableProbePlan(dim) &&
             dim.stats.sizeInBytes <= maxBuildBytes =>
         scan.attachRuntimeProbe(leafAttr.name, dim, dimExpr, maxKeys)
-        scan.runtimeAttempted
+        scan.runtimeHasProbe(leafAttr.name)
       case _ => false
     }
 
   /** Row-wise lineage only: walk `attr` down through Project aliasing /
-    * Filter / SubqueryAlias to a graft scan relation. Anything else
-    * (Aggregate, Window, Join, Generate...) stops the walk — pruning
-    * below those is not generally sound. */
+    * Filter / SubqueryAlias — and through a Join into the child that
+    * OWNS the attribute (join columns pass through uncomputed, and the
+    * attaching join's equality is re-checked above the whole subtree,
+    * so pruning a scan under an intermediate join keeps every row that
+    * could reach the output; this is what lets a fact inside
+    * `(fact ⋈ dim1) ⋈ dim2` take dim2's probe too). Anything else
+    * (Aggregate, Window, Generate...) stops the walk — pruning below
+    * those is not generally sound. */
   @annotation.tailrec
   private def lineage(attr: Attribute, p: LogicalPlan)
       : Option[(Attribute, GraftRuntimeFilterable)] = p match {
@@ -259,6 +330,8 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
       }
     case f: LFilter => lineage(attr, f.child)
     case s: SubqueryAlias => lineage(attr, s.child)
+    case j: Join if j.left.outputSet.contains(attr) => lineage(attr, j.left)
+    case j: Join if j.right.outputSet.contains(attr) => lineage(attr, j.right)
     case r: DataSourceV2ScanRelation
         if r.output.exists(_.exprId == attr.exprId) =>
       (r.scan match {
@@ -271,6 +344,16 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  private def deterministicPlan(p: LogicalPlan): Boolean =
-    p.find(n => !n.expressions.forall(_.deterministic)).isEmpty
+  /** The probe executes the dim subtree OUT OF BAND (the join executes
+    * it again), so the two executions must provably return the same row
+    * set: every expression deterministic AND no row-SELECTION node —
+    * GlobalLimit/LocalLimit/Tail/Offset/Sample without a defining order
+    * can legally pick different rows per execution, which would prune
+    * fact rows the join's own execution matches. */
+  private def stableProbePlan(p: LogicalPlan): Boolean =
+    p.find {
+      case _: GlobalLimit | _: LocalLimit | _: Tail | _: Offset |
+          _: Sample => true
+      case n => !n.expressions.forall(_.deterministic)
+    }.isEmpty
 }

@@ -774,6 +774,15 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       case b: Array[Byte] => Some(b)
       case _ => None
     }
+  /** Over-cap range degradation: `row` is raw binary whose byte order IS
+    * the value order, so [min, max] is exactly [min, successor(max)). */
+  override protected def encodeRuntimeRange(attr: String, min: Any, max: Any)
+      : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] =
+    (min, max) match {
+      case (lo: Array[Byte], hi: Array[Byte]) =>
+        Some(Seq((Some(lo), Some(Bytes.successor(hi)))))
+      case _ => None
+    }
   override private[sql] def runtimeFilterEligible: Boolean =
     limit.isEmpty && topN.isEmpty
 
@@ -821,9 +830,15 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     // intersected with any runtime (join-driven) keys — byte-exact
     // intersection, both are raw logical row keys. None = unscoped;
     // Some(empty) = provably-empty scan (empty dim / empty intersection).
+    // Over the key cap the probe degrades to a [min, max] row-range
+    // superset (rtRanges below) instead of declining.
+    val rtProbes = currentRuntimeProbes(spark)
+    val rtRanges = rtProbes.collectFirst {
+      case RuntimeRanges("row", rs) => rs
+    }
     val effKeys: Option[Seq[Array[Byte]]] =
-      (rowKeys, currentRuntimeKeys(spark).collect {
-        case ("row", ks) => ks
+      (rowKeys, rtProbes.collectFirst {
+        case RuntimeKeys("row", ks) => ks
       }) match {
         case (Nil, None) => None
         case (Nil, Some(r)) => Some(r)
@@ -863,15 +878,18 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
         }
         (keyed, gscan)
       }
-    // row-range disjunction (pruning-only; residual keeps exactness):
-    // applied on LOGICAL rows — pushed to parquet on the unsalted path,
-    // an in-plan filter after the salted strip
-    val frame0r = rowRangeOr.fold(frame0) { rs =>
-      import org.apache.spark.sql.functions.{col => c, lit => l}
-      frame0.filter(rs.map { case (lo, hi) =>
-        (lo.map(b => c("row") >= l(b)) ++ hi.map(b => c("row") < l(b)))
-          .reduceOption(_ && _).getOrElse(l(true))
-      }.reduceOption(_ || _).getOrElse(l(true)))
+    // row-range disjunctions (the pushed Or-of-ranges; the runtime
+    // over-cap [min, max] degradation) — pruning-only; the residual (or
+    // the join's equality re-check) keeps exactness. Applied on LOGICAL
+    // rows — pushed to parquet on the unsalted path, an in-plan filter
+    // after the salted strip.
+    val frame0r = (rowRangeOr.toSeq ++ rtRanges.toSeq).foldLeft(frame0) {
+      (df, rs) =>
+        import org.apache.spark.sql.functions.{col => c, lit => l}
+        df.filter(rs.map { case (lo, hi) =>
+          (lo.map(b => c("row") >= l(b)) ++ hi.map(b => c("row") < l(b)))
+            .reduceOption(_ && _).getOrElse(l(true))
+        }.reduceOption(_ || _).getOrElse(l(true)))
     }
     // Transparent secondary-index routing: candidates = rows the index
     // probe names (size-gated gather), a superset the residual value

@@ -198,6 +198,16 @@ private[sql] case class WideComposite(ix: IndexDescriptor,
   * disjuncts' bounded cartesians, ONE pass. */
 private[sql] case class WideCompositeOr(ix: IndexDescriptor,
     tuples: Seq[Seq[Seq[Array[Byte]]]]) extends WideRoute
+/** CROSS-column OR (`custkey = 7 OR status = 'F'`, each column indexed —
+  * the general FilterList(MUST_PASS_ONE): heterogeneous filters
+  * composed, `hbase/filter/FilterList.java:47-49`): per member column,
+  * its index and its arm subset. Served as the UNION of the per-column
+  * OR probes, deduped by row key, ONE gather; exactness comes from the
+  * residual Or (all wide filters stay residual) over the candidate
+  * superset. */
+private[sql] case class WideCrossOr(
+    members: Seq[(WideCol, IndexDescriptor,
+      Seq[graft.read.SecondaryIndex.ValueArm])]) extends WideRoute
 
 private[sql] case class WideSpec(key: Seq[(String, DataType)],
     cols: Seq[WideCol], orderedKey: Set[String] = Set.empty) {
@@ -433,6 +443,11 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   // routable as a union of composite blob probes when a composite index
   // covers exactly that column set
   private var colTupleOr: Seq[Map[String, Seq[Array[Byte]]]] = Nil
+  // recorded CROSS-column OR arms (`custkey = 7 OR status = 'F'`):
+  // per column, its arm subset — routable as a union of per-column
+  // probeOr passes when EVERY member column is indexed
+  private var colCrossOr
+      : Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])] = Nil
 
   private def tightenStart(b: Array[Byte]): Unit =
     if (startRow.forall(cur => Bytes.compareTo(b, cur) > 0)) startRow = Some(b)
@@ -679,7 +694,22 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
           case sources.And(x, y) =>
             (keyOrRanges(x), keyOrRanges(y)) match {
               case (Some(Seq((l1, h1))), Some(Seq((l2, h2)))) =>
-                Some(Seq((maxLoB(l1, l2), minHiB(h1, h2))))
+                // Byte-space intersection is value-space intersection
+                // only where byte order is value order. On a PLAIN
+                // signed fixed head that holds only WITHIN a sign
+                // region (enc(-5) starts 0xFF…, above every
+                // non-negative): an equality arm on a negative value
+                // intersected with a non-negative hi bound (pushed
+                // `(k = -5 AND k < 10)`) would yield lo > hi — an
+                // EMPTY byte range for a non-empty value set, and
+                // keyRangeOr is pruning-only (the residual Or cannot
+                // resurrect a pruned row). Mixed sign regions bail the
+                // whole parse (full scan + residual — correct).
+                val bounds = Seq(l1, h1, l2, h2).flatten
+                if (headFixed && !headOrdered &&
+                    bounds.exists(b => (b(0) & 0x80) != 0) &&
+                    bounds.exists(b => (b(0) & 0x80) == 0)) None
+                else Some(Seq((maxLoB(l1, l2), minHiB(h1, h2))))
               case _ => None
             }
           case sources.EqualTo(c, v) if c == keyHead._1 =>
@@ -777,7 +807,19 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
                       ts.map(_.values.map(_.size.toLong).product).sum <=
                         graft.read.SecondaryIndex.MaxCompositeProbes =>
                     colTupleOr = ts
-                  case _ => ()
+                  case _ =>
+                    // CROSS-column leaf disjunction (`custkey = 7 OR
+                    // status = 'F'` — the general MUST_PASS_ONE): arms
+                    // group per column for a union-of-probes route;
+                    // bounded by the same arm cap (past it the
+                    // disjunction stays residual-only: full scan,
+                    // never wrong)
+                    GraftOrArms.parseMulti(f, valueLeaf,
+                      graft.read.SecondaryIndex.MaxCompositeProbes) match {
+                      case Some(groups) if colCrossOr.isEmpty =>
+                        colCrossOr = groups
+                      case _ => ()
+                    }
                 }
               case _ => ()
             }
@@ -911,7 +953,8 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
       maxVersionsPerTrigger, timeTravel, keyProbes, withDeletes,
       startingVersion,
       stopWraps = stopFromComparison && !headPinned,
-      colOr = colOr, colTupleOr = colTupleOr, keyRangeOr = keyRangeOr)
+      colOr = colOr, colTupleOr = colTupleOr, keyRangeOr = keyRangeOr,
+      colCrossOr = colCrossOr)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -931,7 +974,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     stopWraps: Boolean = false,
     colOr: Map[String, Seq[graft.read.SecondaryIndex.ValueArm]] = Map.empty,
     colTupleOr: Seq[Map[String, Seq[Array[Byte]]]] = Nil,
-    keyRangeOr: Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = None)
+    keyRangeOr: Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = None,
+    colCrossOr: Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])] = Nil)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with GraftRuntimeFilterable {
@@ -962,6 +1006,39 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         spec.orderedKey(spec.key.head._1)))
     else Option(v).flatMap(x => spec.col(attr).flatMap(c =>
       WideSpec.encodeLit(c.dt, x, c.ordered)))
+  /** Over-cap range degradation — KEY HEAD only (a range on the head
+    * prunes parquet row groups; a value-column range has no sound probe
+    * form here — index range routes need the static soundness analysis).
+    * [min, max] encodes to [enc(min), prefixSuccessor(enc(max))) — a
+    * value superset wherever the codec is order-preserving (ordered
+    * fixed, string, binary). A PLAIN signed fixed head is
+    * order-preserving only WITHIN a sign region (negatives byte-sort
+    * above all non-negatives), so a mixed-sign interval splits into the
+    * non-negative arm [enc(0), succ(enc(max))) and the negative arm
+    * [enc(min), ∞) — together a byte-space superset of the value
+    * interval. The join above re-checks equality, so supersets are all
+    * that is needed. */
+  override protected def encodeRuntimeRange(attr: String, min: Any, max: Any)
+      : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = {
+    val (headName, dt) = spec.key.head
+    if (attr != headName) None
+    else {
+      val ordered = spec.orderedKey(headName)
+      for {
+        lo <- Option(min).flatMap(WideSpec.encodeLit(dt, _, ordered))
+        hiB <- Option(max).flatMap(WideSpec.encodeLit(dt, _, ordered))
+      } yield {
+        val hi = Bytes.prefixSuccessor(hiB)
+        val plainFixed =
+          (dt == LongType || dt == IntegerType) && !ordered
+        if (!plainFixed || ((lo(0) & 0x80) != 0) == ((hiB(0) & 0x80) != 0))
+          Seq((Some(lo), hi))
+        else Seq(
+          (Some(Array.fill(lo.length)(0.toByte): Array[Byte]), hi),
+          (Some(lo), None))
+      }
+    }
+  }
   override private[sql] def runtimeFilterEligible: Boolean =
     limit.isEmpty && topN.isEmpty
 
@@ -1023,13 +1100,17 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       .filter(c => colEq.contains(c) || colLo.contains(c) || colHi.contains(c))
 
   /** All predicate columns — conjuncts plus OR disjunctions (single-
-    * column arms and tuple-OR sets alike). Every recorded predicate
-    * (each OR arm included) implies its column is non-null, which is
-    * exactly what [[scanCols]]' row-set rule needs. */
+    * column arms, tuple-OR sets, and cross-column OR groups alike).
+    * Every recorded single-column predicate implies its column is
+    * non-null; a CROSS-column disjunction implies only that SOME member
+    * column is non-null — including ALL its members here keeps
+    * [[scanCols]]' row-set rule sound (any row passing the residual Or
+    * has a visible cell in at least one scanned member). */
   private def predCols: Seq[String] =
     spec.cols.map(_.name).filter(c => colEq.contains(c) ||
       colLo.contains(c) || colHi.contains(c) || colOr.contains(c) ||
-      colTupleOr.headOption.exists(_.contains(c)))
+      colTupleOr.headOption.exists(_.contains(c)) ||
+      colCrossOr.exists(_._1 == c))
 
   /** The chosen index route, if any — in precedence order:
     *  1. a registered COMPOSITE index whose every member column has a
@@ -1153,6 +1234,34 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           }
       }
     }.orElse {
+      // CROSS-column OR (the general FilterList(MUST_PASS_ONE)): the
+      // union of per-column probeOr passes, deduped by row key — routes
+      // only when EVERY member column carries a single-column index and
+      // every arm is probe-sound (same rule as the one-column OR above:
+      // a candidate set must be a value SUPERSET per arm, since
+      // exactness here comes from the residual Or, not a verify).
+      // Any unindexed or unsound member declines the whole route —
+      // probing a subset of the disjuncts would DROP rows the other
+      // disjuncts match.
+      import graft.read.SecondaryIndex.{ArmIn, ArmRange}
+      if (colCrossOr.isEmpty) None
+      else {
+        val members = colCrossOr.map { case (cn, arms) =>
+          spec.col(cn).flatMap { c =>
+            val sound = arms.forall {
+              case ArmIn(_) => true
+              case ArmRange(lo, hi) =>
+                hi.isEmpty || c.ordered || c.dt == StringType ||
+                  c.dt == BinaryType || lo.exists(b => (b(0) & 0x80) == 0)
+            }
+            if (!sound) None
+            else d.indexOn(c.family, c.qualifier).map(ix => (c, ix, arms))
+          }
+        }
+        if (members.forall(_.isDefined)) Some(WideCrossOr(members.flatten))
+        else None
+      }
+    }.orElse {
       // runtime (join-driven) In on an indexed value column — the
       // LOWEST-precedence arm (static predicates constrain harder and
       // were chosen by the planner; this one only exists at execution).
@@ -1172,12 +1281,19 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     case WideSingle(_, ix, _) => ix.indexTable
     case WideComposite(ix, _) => ix.indexTable
     case WideCompositeOr(ix, _) => ix.indexTable
+    case WideCrossOr(members) => members.head._2.indexTable
+  }
+  /** ALL index tables a cross-column OR route probes (seam: the
+    * sql_cross_or battery asserts every member's index participates). */
+  private[sql] def crossOrIndexTables: Seq[String] = route.toSeq.flatMap {
+    case WideCrossOr(members) => members.map(_._2.indexTable)
+    case _ => Nil
   }
   private[sql] def indexOnly: Boolean = route.exists {
     case WideSingle(c, ix, _) =>
       ix.covered.nonEmpty && scanCols.forall(sc =>
         sc.name == c.name || ix.coversColumn(sc.family, sc.qualifier))
-    case _: WideComposite | _: WideCompositeOr => false
+    case _: WideComposite | _: WideCompositeOr | _: WideCrossOr => false
   }
 
   /** Declared columns the cell scan must read: the needed set (required
@@ -1199,25 +1315,34 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     import graft.read.{Scan => GScan, ScanExec, SecondaryIndex}
     val m = manifest
     val d = m.descriptor
-    // Resolve any runtime (join-driven) keys FIRST: head values merge
-    // into the probe set below; values of an indexed column become the
-    // route's lowest-precedence arm (runtimeEqCol — which scanCols and
-    // indexOnly below must already see); an empty runtime key set makes
-    // the scan provably empty.
-    val rt = currentRuntimeKeys(spark)
-    rt match {
-      case Some((attr, ks)) if attr != spec.key.head._1 =>
+    // Resolve any runtime (join-driven) probes FIRST: head values merge
+    // into the probe set below (head RANGES — the over-cap degradation —
+    // prune like a keyRangeOr disjunction); values of an indexed column
+    // become the route's lowest-precedence arm (runtimeEqCol — which
+    // scanCols and indexOnly below must already see); an empty runtime
+    // key set makes the scan provably empty. One probe per attribute, so
+    // a fact joined to two dims intersects both prunes (key ∩ index).
+    val headName = spec.key.head._1
+    val rtProbes = currentRuntimeProbes(spark)
+    rtProbes.foreach {
+      case RuntimeKeys(attr, ks) if attr != headName =>
         if (ks.isEmpty) runtimeEmptyScan = true
-        else spec.col(attr).foreach(c => runtimeEqCol = Some((c, ks)))
-      case _ => ()
+        else if (runtimeEqCol.isEmpty)
+          spec.col(attr).foreach(c => runtimeEqCol = Some((c, ks)))
+      case _ => () // head probes below; value RANGES are never produced
+    }
+    val rtHeadKeys = rtProbes.collectFirst {
+      case RuntimeKeys(a, ks) if a == headName => ks
+    }
+    val rtHeadRanges = rtProbes.collectFirst {
+      case RuntimeRanges(a, rs) if a == headName => rs
     }
     val wanted = scanCols
     // Effective head probes: the static IN probes intersected with any
     // runtime (join-driven) key values — byte-exact intersection, both
     // are head encodings. None = unscoped; Some(empty) = provably-empty.
     val effProbes: Option[Seq[Array[Byte]]] =
-      (keyProbes, rt.collect { case (a, ks) if a == spec.key.head._1 => ks })
-      match {
+      (keyProbes, rtHeadKeys) match {
         case (None, None) => None
         case (Some(ks), None) => Some(ks)
         case (None, Some(r)) => Some(r)
@@ -1243,12 +1368,13 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           Bytes.prefixSuccessor(p).fold(lo)(u => lo && col("row") < lit(u))
         }.reduceOption(_ || _).getOrElse(lit(false)))
       }
-      // key-head RANGE disjunction (`k < 10 OR k >= 90`): pruning-only —
-      // pushes to parquet as an Or of row-range conjuncts on the
-      // unsalted path, filters stripped logical rows on the salted one;
-      // the residual Or keeps exactness either way
-      keyRangeOr.fold(probed) { rs =>
-        probed.filter(rs.map { case (lo, hi) =>
+      // key-head RANGE disjunctions (`k < 10 OR k >= 90`; the runtime
+      // over-cap [min, max] degradation): pruning-only — each set pushes
+      // to parquet as an Or of row-range conjuncts on the unsalted path,
+      // filters stripped logical rows on the salted one; the residual
+      // (or the join's equality re-check) keeps exactness either way
+      (keyRangeOr.toSeq ++ rtHeadRanges.toSeq).foldLeft(probed) { (df, rs) =>
+        df.filter(rs.map { case (lo, hi) =>
           (lo.map(b => col("row") >= lit(b)) ++
             hi.map(b => col("row") < lit(b)))
             .reduceOption(_ && _).getOrElse(lit(true))
@@ -1335,6 +1461,20 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         visible(keepWanted(boundsFilter(ScanExec(
           SecondaryIndex.gather(logical, engine.read(ix.indexTable), blobs),
           GScan()))))
+      case Some(WideCrossOr(members)) =>
+        // CROSS-column OR: the union of the per-column OR probes (each
+        // one parquet-pruned pass over its own index), deduped by row
+        // key, feeding ONE size-gated span-bounded gather; candidates
+        // resolve like any scan and the RESIDUAL Or (all wide filters
+        // stay residual) makes the answer exact — stale index entries
+        // and the other columns' non-matches are false positives it
+        // drops, while index completeness for puts guarantees no
+        // disjunct's match is missing from the union
+        val hits = members.map { case (_, ix, arms) =>
+          SecondaryIndex.probeOr(engine.read(ix.indexTable), arms)
+        }.reduce(_.unionByName(_)).distinct()
+        visible(keepWanted(boundsFilter(ScanExec(
+          SecondaryIndex.gatherHits(logical, hits), GScan()))))
       case None =>
         // plain scan: salt-aware bounds + qualifier projection + resolve.
         // Key probes: on a salted SINGLE-part key the head encoding IS

@@ -177,7 +177,7 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(graftScans(df).exists(_.runtimePruned))
   }
 
-  test("outer joins and pushed limits decline; oversized dims fall back") {
+  test("outer joins decline; over-cap dims degrade to a key-RANGE prune") {
     val root = freshRoot("rtf-decl")
     val g = Graft(spark, root)
     g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
@@ -194,16 +194,158 @@ class RuntimeFilterSpec extends SparkSpec {
       "LEFT JOIN rtf_dim_d d ON t.k = d.k")
     assert(graftScans(lo).forall(!_.runtimeAttempted))
     assert(lo.collect().length == 50)
-    // over-cap dim: attach happens, the collect declines, results exact
+    // over-cap dim: the key enumeration declines, but the probe DEGRADES
+    // to the [min, max] key-range superset (one extra aggregate over the
+    // size-gated dim) instead of running unpruned — the mid-size-dim
+    // star-join case
     spark.conf.set("spark.graft.runtimeFilter.maxKeys", "2")
     try {
       val big = spark.sql("SELECT t.k FROM grtfd.`t$wide` t JOIN " +
-        "(SELECT explode(sequence(1L, 10L)) AS k) d ON t.k = d.k")
-      assert(big.collect().length == 10)
+        "(SELECT explode(sequence(5L, 14L)) AS k) d ON t.k = d.k")
+      assert(big.collect().map(_.getLong(0)).toSet == (5L to 14L).toSet)
       val scans = graftScans(big)
       assert(scans.exists(_.runtimeAttempted))
-      assert(scans.forall(!_.runtimePruned), "over-cap dim must decline")
+      assert(scans.flatMap(_.runtimeProbeShapes).contains(("k", "range")),
+        "over-cap dim must degrade to a range probe")
     } finally spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+  }
+
+  test("over-cap range on a PLAIN signed head splits the sign regions") {
+    // plain long head: negatives byte-sort ABOVE all non-negatives, so a
+    // mixed-sign [min, max] must prune as TWO byte ranges — a single
+    // [enc(min), succ(enc(max))) range would be byte-EMPTY and silently
+    // drop every row (the join cannot resurrect pruned rows)
+    val root = freshRoot("rtf-neg")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string")), 1L)
+    g.table("t").put((-10L to 10L).map(i =>
+      Put(Bytes.toBytes(i)).add("f", b("city"), 2L, b(s"c$i"))), 2L)
+    register("grtfn", root)
+    spark.conf.set("spark.graft.runtimeFilter.maxKeys", "3")
+    try {
+      val df = spark.sql("SELECT t.k, t.city FROM grtfn.`t$wide` t JOIN " +
+        "(SELECT explode(sequence(-5L, 5L)) AS k) d ON t.k = d.k")
+      assert(df.collect().map(_.getLong(0)).toSet == (-5L to 5L).toSet)
+      assert(graftScans(df).flatMap(_.runtimeProbeShapes)
+        .contains(("k", "range")))
+    } finally spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+  }
+
+  test("cell door: over-cap dims degrade to a binary row-range prune") {
+    val root = freshRoot("rtf-cellrange")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    g.table("t").put((1 to 40).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("q"), 2L, b(s"v$i"))), 2L)
+    register("grtfcr", root)
+    import spark.implicits._
+    (10 to 19).map(i => f"r$i%03d").toDF("k")
+      .select(org.apache.spark.sql.functions.encode($"k", "UTF-8").as("rk"))
+      .createOrReplaceTempView("rtf_dim_cr")
+    spark.conf.set("spark.graft.runtimeFilter.maxKeys", "2")
+    try {
+      val df = spark.sql("SELECT t.row FROM grtfcr.t t JOIN rtf_dim_cr d " +
+        "ON t.row = d.rk WHERE t.family = 'f'")
+      val got = df.collect()
+        .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet
+      assert(got == (10 to 19).map(i => f"r$i%03d").toSet)
+      assert(graftScans(df).flatMap(_.runtimeProbeShapes)
+        .contains(("row", "range")))
+    } finally spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+  }
+
+  test("a dim containing LIMIT/TABLESAMPLE declines (row-selection hazard)") {
+    // the probe executes the dim subtree out of band; a LIMIT without a
+    // defining order can return a DIFFERENT row set in the join's own
+    // execution, so pruning with its first answer could drop matching
+    // fact rows — the rule must not attach at all
+    val root = freshRoot("rtf-lim")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string")), 1L)
+    g.table("t").put((1 to 30).map(i =>
+      Put(Bytes.toBytes(i.toLong)).add("f", b("city"), 2L, b(s"c$i"))), 2L)
+    register("grtfl", root)
+    val lim = spark.sql("SELECT t.k FROM grtfl.`t$wide` t JOIN " +
+      "(SELECT explode(sequence(1L, 9L)) AS k LIMIT 4) d ON t.k = d.k")
+    assert(graftScans(lim).forall(!_.runtimeAttempted),
+      "a LIMIT dim must not attach a probe")
+    assert(lim.collect().length == 4)
+    val samp = spark.sql("SELECT t.k FROM grtfl.`t$wide` t JOIN " +
+      "(SELECT k FROM (SELECT explode(sequence(1L, 9L)) AS k) " +
+      "TABLESAMPLE (50 PERCENT)) d ON t.k = d.k")
+    assert(graftScans(samp).forall(!_.runtimeAttempted),
+      "a TABLESAMPLE dim must not attach a probe")
+    samp.collect(): Unit
+  }
+
+  test("multi-attribute: key-head and indexed-column probes intersect") {
+    val root = freshRoot("rtf-multi")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 4, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long")), 1L)
+    g.table("t").put((1 to 200).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("city"), 2L, b(s"c${i % 20}"))
+        .add("f", b("pop"), 2L, Bytes.toBytes(i.toLong * 10))), 2L)
+    g.createIndex("t", "f", b("city"), 3L)
+    register("grtfm", root)
+    import spark.implicits._
+    (1L to 60L).toDF("k").createOrReplaceTempView("rtf_dim_k")
+    Seq("c3", "c17").toDF("city").createOrReplaceTempView("rtf_dim_c")
+    val q = "SELECT t.k, t.city FROM grtfm.`t$wide` t " +
+      "JOIN rtf_dim_k dk ON t.k = dk.k " +
+      "JOIN rtf_dim_c dc ON t.city = dc.city"
+    spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+    val base = try spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+    assert(base == (1L to 60L).filter(k => k % 20 == 3 || k % 20 == 17)
+      .map(k => (k, s"c${k % 20}")).toSet)
+    val df = spark.sql(q)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSet == base)
+    val shapes = graftScans(df).flatMap(_.runtimeProbeShapes).toSet
+    assert(shapes == Set(("k", "keys"), ("city", "keys")),
+      s"expected both probes applied, got $shapes")
+  }
+
+  test("plan-once: re-executing a pruned frame across a dim mutation " +
+      "stays consistent (both sides pinned at planning)") {
+    val root = freshRoot("rtf-pin")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("fact", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string")), 1L)
+    g.table("fact").put((1 to 30).map(i =>
+      Put(Bytes.toBytes(i.toLong)).add("f", b("city"), 2L, b(s"c$i"))), 2L)
+    g.createTable(TableDescriptor("dim", Seq(FamilyDescriptor("d")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("d:tag:string")), 1L)
+    g.table("dim").put(Seq(3L, 7L).map(k =>
+      Put(Bytes.toBytes(k)).add("d", b("tag"), 2L, b("x"))), 2L)
+    register("grtfp", root)
+    val df = spark.sql("SELECT f.k FROM grtfp.`fact$wide` f " +
+      "JOIN grtfp.`dim$wide` d ON f.k = d.k")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(3L, 7L))
+    assert(graftScans(df).exists(_.runtimePruned))
+    // mutate the dim AFTER the first execution: a new key that matches
+    // an existing fact row. The planned frame pinned BOTH manifests at
+    // planning, so re-execution returns the SAME answer — the stale
+    // probe can never drop a row the join's own (equally pinned) dim
+    // data matches. A FRESH frame sees the new row, pruned.
+    g.table("dim").put(Seq(Put(Bytes.toBytes(11L))
+      .add("d", b("tag"), 3L, b("x"))), 3L)
+    assert(df.collect().map(_.getLong(0)).toSet == Set(3L, 7L),
+      "re-execution must stay consistent with the planned snapshot")
+    val fresh = spark.sql("SELECT f.k FROM grtfp.`fact$wide` f " +
+      "JOIN grtfp.`dim$wide` d ON f.k = d.k")
+    assert(fresh.collect().map(_.getLong(0)).toSet == Set(3L, 7L, 11L))
+    assert(graftScans(fresh).exists(_.runtimePruned))
   }
 
   test("the official SupportsRuntimeFiltering surface re-prunes directly") {

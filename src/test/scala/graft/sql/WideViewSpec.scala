@@ -931,6 +931,25 @@ class WideViewSpec extends SparkSpec {
       "SELECT k FROM gwsk.`t$wide` WHERE (k >= 0 AND k < 3) OR k = 40 " +
         "ORDER BY k")
       .collect().map(_.getLong(0)).toSeq == Seq(0L, 2L, 40L))
+    // ADVICE r11: an And-intersected disjunct mixing sign REGIONS on a
+    // plain head (`(k = -3 AND k < 5) OR k = 40`) must not intersect in
+    // raw byte space — [enc(-3), enc(5)) is byte-EMPTY for a non-empty
+    // value set and keyRangeOr is pruning-only (the residual Or cannot
+    // resurrect the -3 row). The parse must bail instead (full scan +
+    // residual).
+    assert(spark.sql(
+      "SELECT k FROM gwsk.`t$wide` WHERE (k = -3 AND k < 5) OR k = 40 " +
+        "ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(-3L, 40L))
+    assert(spark.sql(
+      "SELECT k FROM gwsk.`t$wide` WHERE (k = -3 AND k <= 5) OR " +
+        "(k >= 7 AND k < 41) ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(-3L, 7L, 40L))
+    // same-region And-intersections still prune (arms stay recorded)
+    assert(spark.sql(
+      "SELECT k FROM gwsk.`t$wide` WHERE (k = 2 AND k < 5) OR k = 40 " +
+        "ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 40L))
     // positive-only ranges still prune correctly
     assert(spark.sql("SELECT k FROM gwsk.`t$wide` WHERE k >= 2 AND k < 40 " +
       "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(2L, 7L))
@@ -958,6 +977,17 @@ class WideViewSpec extends SparkSpec {
     val orScan = orBld.build().asInstanceOf[GraftWideScan]
     assert(orScan.pushedKeyRangeOr.exists(_.size == 3),
       orScan.pushedKeyRangeOr.map(_.size))
+    // ADVICE r11 seam: the mixed-sign And-intersection bails the parse
+    // (no recorded keyRangeOr) whatever filter tree Spark hands down
+    val mixBld = new GraftWideScanBuilder(g.catalog, "t", spec,
+      g.catalog.currentManifest("t"))
+    mixBld.pushFilters(Array(sources.Or(
+      sources.And(sources.EqualTo("k", java.lang.Long.valueOf(-3L)),
+        sources.LessThan("k", java.lang.Long.valueOf(5L))),
+      sources.EqualTo("k", java.lang.Long.valueOf(40L)))))
+    val mixScan = mixBld.build().asInstanceOf[GraftWideScan]
+    assert(mixScan.pushedKeyRangeOr.isEmpty,
+      s"mixed-sign And-intersection must bail: ${mixScan.pushedKeyRangeOr}")
     // salted variant: the wrap rides the scatter as a second per-bucket
     // range disjunct on the raw (pushable) salted column
     val root2 = freshRoot("widesks")
@@ -1165,6 +1195,86 @@ class WideViewSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!covPlan.contains(root2 + "/t/"),
       s"covered OR touched the main table:\n$covPlan")
+  }
+
+  test("CROSS-column OR: a disjunction over two indexed columns routes " +
+      "as a union of per-column probes") {
+    // the GENERAL FilterList(MUST_PASS_ONE): `pop = 3 OR city = 'c1'`,
+    // each column indexed — served as the union of the two probeOr
+    // passes, deduped by row key, one gather; the residual Or keeps
+    // exactness (r12)
+    val root = freshRoot("widexor")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long")), 1L)
+    g.table("t").put((1 to 40).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("city"), 2L, b(s"c${i % 4}"))
+        .add("f", b("pop"), 2L, Bytes.toBytes((i % 10).toLong))), 2L)
+    g.createIndex("t", "f", b("city"), 3L)
+    g.createIndex("t", "f", b("pop"), 3L)
+    // a delete AFTER the index builds: synchronous tombstones must keep
+    // the routed answer exact (k=13 matches city c1)
+    g.table("t").delete(Seq(graft.write.Delete(Bytes.toBytes(13L))
+      .deleteFamily("f", 4L)), 4L)
+    register("gwxor", root)
+    val q = "SELECT k FROM gwxor.`t$wide` " +
+      "WHERE pop = 3 OR city = 'c1' OR pop IN (6, 7) ORDER BY k"
+    val expect = (1 to 40).filter(i => i != 13 &&
+      (i % 10 == 3 || i % 4 == 1 || i % 10 == 6 || i % 10 == 7))
+      .map(_.toLong)
+    assert(spark.sql(q).collect().map(_.getLong(0)).toSeq == expect)
+    // route seam: BOTH index tables probed in one route
+    import org.apache.spark.sql.sources
+    val spec = WideSpec.parse(Some("k:long"),
+      Some("f:city:string;f:pop:long"))
+    def built(fs: Array[sources.Filter]): GraftWideScan = {
+      val bld = new GraftWideScanBuilder(g.catalog, "t", spec,
+        g.catalog.currentManifest("t"))
+      bld.pushFilters(fs): Unit
+      bld.build().asInstanceOf[GraftWideScan]
+    }
+    val cross = sources.Or(sources.Or(
+      sources.EqualTo("pop", java.lang.Long.valueOf(3L)),
+      sources.EqualTo("city", "c1")),
+      sources.In("pop", Array[Any](java.lang.Long.valueOf(6L),
+        java.lang.Long.valueOf(7L))))
+    val crossScan = built(Array(cross))
+    assert(crossScan.crossOrIndexTables.size == 2,
+      s"expected both indexes in the route: ${crossScan.crossOrIndexTables}")
+    val plan = crossScan.resolvedFrame(spark)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("t_idx_f_") && crossScan.crossOrIndexTables
+      .forall(plan.contains), s"cross-OR probes missing from plan:\n$plan")
+    // an UNSOUND arm in either column declines the WHOLE route (probing
+    // only the sound disjuncts would drop the other disjuncts' rows):
+    // lo-less hi-bounded range on plain signed pop
+    val unsound = sources.Or(sources.EqualTo("city", "c1"),
+      sources.LessThan("pop", java.lang.Long.valueOf(2L)))
+    assert(built(Array(unsound)).usedIndexTable.isEmpty,
+      "unsound member arm must decline the cross-OR route")
+    assert(spark.sql("SELECT k FROM gwxor.`t$wide` " +
+      "WHERE city = 'c1' OR pop < 2 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq ==
+      (1 to 40).filter(i => i != 13 && (i % 4 == 1 || i % 10 < 2))
+        .map(_.toLong))
+    // over the arm cap (64): the parse bails, residual-only, still exact
+    val bigIn = sources.In("pop",
+      (0L until 70L).map(java.lang.Long.valueOf).toArray[Any])
+    assert(built(Array(sources.Or(sources.EqualTo("city", "c1"), bigIn)))
+      .usedIndexTable.isEmpty, "over-cap cross-OR must fall back")
+    // a bounded range arm + an equality on the other column still routes
+    val rangeCross = sources.Or(
+      sources.And(sources.GreaterThanOrEqual("pop", java.lang.Long.valueOf(6L)),
+        sources.LessThan("pop", java.lang.Long.valueOf(8L))),
+      sources.EqualTo("city", "c2"))
+    assert(built(Array(rangeCross)).crossOrIndexTables.size == 2)
+    assert(spark.sql("SELECT k FROM gwxor.`t$wide` " +
+      "WHERE (pop >= 6 AND pop < 8) OR city = 'c2' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq ==
+      (1 to 40).filter(i => i != 13 &&
+        (i % 10 == 6 || i % 10 == 7 || i % 4 == 2)).map(_.toLong))
   }
 
   test("manifest-size statistics flow through the WIDE door too " +
