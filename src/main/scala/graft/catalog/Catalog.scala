@@ -125,7 +125,16 @@ final case class TableDescriptor(
       * covered-projection and composite forms the cell schema cannot
       * express. Schema-on-declare: no scan ever derives the column set. */
     wideKey: Option[String] = None,
-    wideSchema: Option[String] = None) {
+    wideSchema: Option[String] = None,
+    /** Indexes DEREGISTERED mid-maintenance and awaiting a rebuild —
+      * the crash-recovery marker a codec migration
+      * ([[graft.sql.GraftMigrate.alterColumnCodec]]) persists in its
+      * atomic commit: a restart between the data flip and the index
+      * re-registrations can detect and resume the rebuilds
+      * (`GraftMigrate.resumePendingIndexRebuilds`) instead of leaving
+      * the column silently unrouted forever. Pending indexes never
+      * serve routes (`indexOn`/`composite*` consult `indexes` only). */
+    pendingIndexes: Seq[IndexDescriptor] = Nil) {
   def family(n: String): FamilyDescriptor =
     families.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"no family $n in table $name"))
@@ -172,7 +181,7 @@ object ManifestJson {
     }.mkString("[", ",", "]")
     val bounds = m.descriptor.splitBoundaries
       .map(b => esc(b.map(x => f"$x%02x").mkString)).mkString("[", ",", "]")
-    val ixs = m.descriptor.indexes.map { ix =>
+    def ixArray(list: Seq[IndexDescriptor]): String = list.map { ix =>
       // covered/member lists kept FLAT (one string, no nested arrays or
       // objects) so the minimal per-object parser below stays valid
       def flat(cols: Seq[(String, Array[Byte])]): String =
@@ -185,6 +194,11 @@ object ManifestJson {
         s""""ixMore":${esc(flat(ix.moreColumns))},""" +
         s""""ixTable":${esc(ix.indexTable)}}"""
     }.mkString("[", ",", "]")
+    val ixs = ixArray(m.descriptor.indexes)
+    // emitted only when non-empty: older manifests stay byte-identical
+    val pendIxs =
+      if (m.descriptor.pendingIndexes.isEmpty) ""
+      else s""""pendingIndexes":${ixArray(m.descriptor.pendingIndexes)},"""
     val wide = m.descriptor.wideKey.map(k => s""""wideKey":${esc(k)},""")
       .getOrElse("") +
       m.descriptor.wideSchema.map(w => s""""wideSchema":${esc(w)},""")
@@ -193,7 +207,7 @@ object ManifestJson {
       s""""readOnly":${m.descriptor.readOnly},"splitKeys":${m.descriptor.splitKeys},""" +
       s""""saltBuckets":${m.descriptor.saltBuckets},""" +
       s""""immutableRows":${m.descriptor.immutableRows},""" + wide +
-      s""""splitBoundaries":$bounds,"indexes":$ixs,""" +
+      s""""splitBoundaries":$bounds,"indexes":$ixs,""" + pendIxs +
       s""""families":$fams,"dataDirs":${m.dataDirs.map(esc).mkString("[", ",", "]")}}"""
   }
 
@@ -248,12 +262,12 @@ object ManifestJson {
     // legacy manifests (pre-salt/index) default to 0 / none
     val salt = "\"saltBuckets\":(\\d+)".r.findFirstMatchIn(s)
       .map(_.group(1).toInt).getOrElse(0)
-    val ixs = {
-      val i = s.indexOf("\"indexes\":[")
+    def ixList(arrayKey: String): Seq[IndexDescriptor] = {
+      val i = s.indexOf("\"" + arrayKey + "\":[")
       if (i < 0) Seq.empty[IndexDescriptor]
       else {
         val j = s.indexOf("]", i)
-        val block = s.substring(i + "\"indexes\":[".length, j)
+        val block = s.substring(i + arrayKey.length + 4, j)
         "\\{[^}]*\\}".r.findAllIn(block).map { ix =>
           // legacy objects lack ixCovered/ixMore → Nil
           def flatCols(key: String): Seq[(String, Array[Byte])] =
@@ -275,6 +289,8 @@ object ManifestJson {
         }.toSeq
       }
     }
+    val ixs = ixList("indexes")
+    val pendIxs = ixList("pendingIndexes")
     // wideKey/wideSchema are TOP-LEVEL scalars emitted before the
     // splitBoundaries array — anchor their lookup to that prefix region so
     // a family/index/dir string that happens to contain the property text
@@ -290,7 +306,8 @@ object ManifestJson {
       TableDescriptor(str("table"), fams, bool("readOnly"),
         num("splitKeys").toInt, bounds, salt, ixs,
         immutableRows = bool("immutableRows"),
-        wideKey = optStr("wideKey"), wideSchema = optStr("wideSchema")), dirs)
+        wideKey = optStr("wideKey"), wideSchema = optStr("wideSchema"),
+        pendingIndexes = pendIxs), dirs)
   }
 }
 
@@ -440,7 +457,8 @@ final class Catalog(spark: SparkSession, root: String) {
     * last state and mislead a later same-named registration. */
   def deleteTable(t: String): Unit = {
     require(tableExists(t), s"no table $t")
-    currentManifest(t).descriptor.indexes
+    val d = currentManifest(t).descriptor
+    (d.indexes ++ d.pendingIndexes)
       .filter(ix => tableExists(ix.indexTable))
       .foreach(ix => deleteTable(ix.indexTable))
     fs.delete(tableDir(t), true)
@@ -697,8 +715,33 @@ final class Catalog(spark: SparkSession, root: String) {
     * needs (the reference's modifyColumn likewise swaps the
     * HColumnDescriptor on a disabled table, `HBaseAdmin.java:618`). */
   def replaceData(t: String, cells: DataFrame, nowMs: Long,
-      newDescriptor: Option[TableDescriptor]): Manifest = {
-    val cur = currentManifest(t)
+      newDescriptor: Option[TableDescriptor]): Manifest =
+    replaceData(t, cells, nowMs, newDescriptor, expectVersion = None)
+
+  /** [[replaceData]] with a WRITE FENCE: `expectVersion` is the manifest
+    * version the caller's rewrite was computed FROM; if the table has
+    * moved past it by commit time (a concurrent append/commit landed
+    * mid-rewrite), the replace FAILS LOUDLY instead of silently
+    * discarding the concurrent commit's data — the compare-and-swap
+    * analog of the reference's disabled-table contract for
+    * `modifyColumn` (`hbase/client/HBaseAdmin.java:618`: structural
+    * rewrites require exclusive ownership). Checked at entry (before
+    * paying for the distributed write) and re-checked right before the
+    * CURRENT swap. */
+  def replaceData(t: String, cells: DataFrame, nowMs: Long,
+      newDescriptor: Option[TableDescriptor],
+      expectVersion: Option[Long]): Manifest = {
+    def fence(at: String): Manifest = {
+      val cur = currentManifest(t)
+      expectVersion.filter(_ != cur.version).foreach { e =>
+        throw new IllegalStateException(
+          s"replaceData fence on $t: expected version $e but the table " +
+            s"is at ${cur.version} ($at) — a concurrent commit landed; " +
+            "re-run the rewrite from the current version")
+      }
+      cur
+    }
+    val cur = fence("at entry")
     val desc = newDescriptor.getOrElse(cur.descriptor)
     newDescriptor.foreach { nd =>
       requireLegalFamilyNames(nd)
@@ -708,6 +751,7 @@ final class Catalog(spark: SparkSession, root: String) {
     val v = cur.version + 1
     val leaves = writeCells(
       new Path(tableDir(t), s"compact-$v").toString, cells, desc)
+    fence("after the rewrite, before the commit"): Unit
     val m = cur.copy(version = v, createdMs = nowMs, dataDirs = leaves,
       descriptor = desc)
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))

@@ -145,12 +145,22 @@ object Similarity {
   /** The IVF coarse quantizer trained standalone — at scale the
     * codebook is built ONCE at ingest (like an index) and reused across
     * queries; [[matryoshkaIvfTopKWith]] takes it pre-trained so query
-    * cost excludes training. Deterministic (no RNG). */
+    * cost excludes training. Deterministic (no RNG).
+    *
+    * `nLists <= 0` (the default) derives the list count from the corpus:
+    * the standard `nLists ≈ √N` sizing (FAISS guideline; balances probe
+    * cost `nProbe·N/nLists` against centroid-assignment cost `nLists`),
+    * clamped to [1, 4096] so the driver-held codebook stays tiny at any
+    * corpus size. Explicit callers (the gates) are unaffected. */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      nLists: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] =
-    trainCentroids(
-      corpus.select(col(idCol).as("_id"), col(vecCol).as("_v")),
-      nLists, iters)
+      nLists: Int = 0, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val lists =
+      if (nLists > 0) nLists
+      else math.min(4096L,
+        math.max(1L, math.round(math.sqrt(c.count().toDouble)))).toInt
+    trainCentroids(c, lists, iters)
+  }
 
   /** [[matryoshkaIvfTopK]] over a PRE-TRAINED coarse quantizer. */
   def matryoshkaIvfTopKWith(corpus: DataFrame, queries: DataFrame,

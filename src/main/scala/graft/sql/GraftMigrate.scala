@@ -42,17 +42,41 @@ object GraftMigrate {
     * IN THE SAME manifest commit — a reader sees old-bytes+old-codec or
     * new-bytes+new-codec, never a torn pair. Indexes whose keys or
     * content embed the encoding (directly indexed, covered, or a
-    * composite member) are DROPPED from the descriptor in that commit,
-    * rebuilt under the new codec, then re-registered: between commits
-    * the column simply stops routing (full scan + residual — correct,
-    * just unrouted). Like the reference's modifyColumn (disabled-table
-    * contract), the job assumes no concurrent writers to this table.
+    * composite member) are moved to the descriptor's PENDING list in
+    * that commit, rebuilt under the new codec, then re-registered one by
+    * one: between commits the column simply stops routing (full scan +
+    * residual — correct, just unrouted), and a crash mid-rebuild leaves
+    * a persisted pending marker a restart can detect and finish
+    * ([[resumePendingIndexRebuilds]]) instead of a silently-unrouted
+    * column.
+    *
+    * The no-concurrent-writers contract is ENFORCED, not assumed: the
+    * data flip commits through the [[Catalog.replaceData]] write fence
+    * pinned to the version the rewrite read — a concurrent append
+    * landing mid-migration fails the migration loudly (nothing is lost;
+    * re-run it), the manifest-CAS analog of the reference's
+    * disabled-table requirement (`HBaseAdmin.java:618`).
     *
     * Key parts are refused: re-keying rewrites row identity (sort order,
     * salt, splits) — that is a CopyTable into a new declaration, not a
-    * column migration. */
+    * column migration.
+    *
+    * `beforeCommit` is a test seam: runs after the rewrite frame is
+    * built, before the fenced commit (crash/interleave injection). */
   def alterColumnCodec(catalog: Catalog, table: String, family: String,
-      qualifier: Array[Byte], newType: String, nowMs: Long): Unit = {
+      qualifier: Array[Byte], newType: String, nowMs: Long,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    migrateColumnData(catalog, table, family, qualifier, newType, nowMs,
+      beforeCommit)
+    resumePendingIndexRebuilds(catalog, table, nowMs): Unit
+  }
+
+  /** Commit 1 of [[alterColumnCodec]] alone — the fenced data flip that
+    * moves affected indexes to the pending list. Package-visible so the
+    * crash-recovery spec can stop exactly here. */
+  private[graft] def migrateColumnData(catalog: Catalog, table: String,
+      family: String, qualifier: Array[Byte], newType: String, nowMs: Long,
+      beforeCommit: () => Unit = () => ()): Unit = {
     val cur = catalog.currentManifest(table)
     val d = cur.descriptor
     val spec = WideSpec.parse(d.wideKey, d.wideSchema)
@@ -99,17 +123,33 @@ object GraftMigrate {
         c.dt, newOrdered))
         .otherwise(col("value")))
 
-    // commit 1 (atomic): new bytes + new declaration + affected indexes
-    // deregistered
+    // commit 1 (atomic, FENCED to the version the rewrite read): new
+    // bytes + new declaration + affected indexes moved to the PENDING
+    // list — deregistered from routing, but persistently marked for
+    // rebuild so a crash here is resumable
+    beforeCommit()
     catalog.replaceData(table, recoded, nowMs, Some(d.copy(
       wideSchema = Some(newSchema),
-      indexes = d.indexes.filterNot(affected.contains))))
+      indexes = d.indexes.filterNot(affected.contains),
+      pendingIndexes = d.pendingIndexes ++ affected)),
+      expectVersion = Some(cur.version)): Unit
+  }
 
-    // rebuild each affected index under the new codec, then re-register
-    affected.foreach { ix =>
+  /** Finish any PENDING index rebuilds on `table` — each rebuilds under
+    * the current (post-migration) codecs and moves back to the routing
+    * list in its own commit. Called by [[alterColumnCodec]] after its
+    * data flip, and by recovery after a crash that left pending markers
+    * behind. Returns the rebuilt index table names. */
+  def resumePendingIndexRebuilds(catalog: Catalog, table: String,
+      nowMs: Long): Seq[String] =
+    catalog.currentManifest(table).descriptor.pendingIndexes.map { ix =>
       SecondaryIndex.rebuild(catalog, table, ix, nowMs)
       val now = catalog.currentManifest(table).descriptor
-      catalog.alterTable(table, now.copy(indexes = now.indexes :+ ix), nowMs)
+      catalog.alterTable(table, now.copy(
+        indexes = now.indexes :+ ix,
+        pendingIndexes =
+          now.pendingIndexes.filterNot(_.indexTable == ix.indexTable)),
+        nowMs)
+      ix.indexTable
     }
-  }
 }

@@ -196,6 +196,39 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
                     "DDL (stored bytes must be rewritten) — use " +
                     "alterColumnCodec"))
             }
+            // Re-ADDED columns (dropped by an earlier ALTER, re-declared
+            // now) must come back with their LAST declared type: the
+            // dropped column's cells are still stored under the old
+            // encoding, so a different type token would flip the decode
+            // with no rewrite — the same torn-decode hazard as an
+            // in-place re-type, laundered through two ALTERs. The
+            // manifest history holds every prior declaration; compare
+            // against the latest one (best-effort: pruned history
+            // cannot testify).
+            val readded = ns.cols.filterNot(nc => os.cols.exists(oc =>
+              oc.family == nc.family && oc.name == nc.name))
+            if (readded.nonEmpty) {
+              val history = engine.manifests(t).sortBy(-_.version)
+                .flatMap(m => (m.descriptor.wideKey, m.descriptor.wideSchema)
+                  match {
+                    case (wk @ Some(_), ws @ Some(_)) =>
+                      scala.util.Try(WideSpec.parse(wk, ws)).toOption
+                    case _ => None
+                  })
+              readded.foreach { nc =>
+                history.iterator
+                  .flatMap(_.cols.find(pc =>
+                    pc.family == nc.family && pc.name == nc.name))
+                  .nextOption()
+                  .foreach(last => require(
+                    nc.dt == last.dt && nc.ordered == last.ordered,
+                    s"cannot re-add wide column ${nc.family}:${nc.name} " +
+                      s"with a different type (last declared as " +
+                      s"${last.dt.simpleString}${if (last.ordered) ", ordered"
+                        else ""}; stored cells still carry that encoding) " +
+                      "— use alterColumnCodec to migrate, or a new name"))
+              }
+            }
           }
         }
         engine.alterTable(t, next, nowMs = GraftSqlCatalog.nowMs())

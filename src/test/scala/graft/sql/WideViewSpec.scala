@@ -627,6 +627,97 @@ class WideViewSpec extends SparkSpec {
     assert(spark.sql("SELECT k, extra FROM gwmig.`t$wide` WHERE k = 6")
       .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSeq ==
       Seq((6L, true)))
+    // ADVICE r11: the re-type guard cannot be laundered through TWO
+    // ALTERs (drop the column, re-add it with a different type token —
+    // stored cells still carry the odouble encoding)
+    spark.sql("ALTER TABLE gwmig.t SET TBLPROPERTIES(" +
+      "'wideSchema'='f:city:string;f:extra:long')") // drop price
+    val readdErr = intercept[Exception](spark.sql(
+      "ALTER TABLE gwmig.t SET TBLPROPERTIES(" +
+        "'wideSchema'='f:price:double;f:city:string;f:extra:long')"))
+    assert(readdErr.getMessage.contains("re-add"), readdErr.getMessage)
+    // re-adding with the LAST declared type stays legal and exact
+    spark.sql("ALTER TABLE gwmig.t SET TBLPROPERTIES(" +
+      "'wideSchema'='f:price:odouble;f:city:string;f:extra:long')")
+    assert(rows() == before :+ ((6L, 0.75, "c6")))
+  }
+
+  test("alterColumnCodec: the write fence rejects a concurrent append; " +
+      "a crash mid-rebuild leaves a resumable pending marker") {
+    val root = freshRoot("widemigf")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:price:double;f:city:string")), 1L)
+    g.table("t").put((1L to 5L).map(k =>
+      Put(Bytes.toBytes(k)).add("f", b("price"), 2L, Bytes.toBytes(k * 0.5))
+        .add("f", b("city"), 2L, b(s"c$k"))), 2L)
+    g.createIndex("t", "f", b("price"), 3L)
+    register("gwmigf", root)
+    // --- write fence (r11 verdict ask 3 / ADVICE): a concurrent append
+    // landing between the migration's manifest read and its commit must
+    // fail the MIGRATION loudly, not silently discard the append
+    val err = intercept[IllegalStateException] {
+      GraftMigrate.alterColumnCodec(g.catalog, "t", "f", b("price"),
+        "odouble", nowMs = 4L, beforeCommit = () =>
+          g.table("t").put(Seq(Put(Bytes.toBytes(9L))
+            .add("f", b("price"), 4L, Bytes.toBytes(9.5))
+            .add("f", b("city"), 4L, b("c9"))), 4L))
+    }
+    assert(err.getMessage.contains("fence"), err.getMessage)
+    // nothing lost, nothing flipped: old declaration, append visible
+    assert(g.table("t").descriptor.wideSchema
+      .contains("f:price:double;f:city:string"))
+    assert(spark.sql("SELECT k, price FROM gwmigf.`t$wide` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      (1L to 5L).map(k => (k, k * 0.5)) :+ ((9L, 9.5)))
+    // re-run from the current version: succeeds
+    GraftMigrate.alterColumnCodec(g.catalog, "t", "f", b("price"),
+      "odouble", nowMs = 5L)
+    assert(g.table("t").descriptor.wideSchema
+      .contains("f:price:odouble;f:city:string"))
+    assert(spark.sql("SELECT k, price FROM gwmigf.`t$wide` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      (1L to 5L).map(k => (k, k * 0.5)) :+ ((9L, 9.5)))
+    // --- crash recovery (ADVICE r11): stop after commit 1 — the
+    // affected index is PERSISTED as pending (not silently gone)
+    val root2 = freshRoot("widemigp")
+    val g2 = Graft(spark, root2)
+    g2.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:price:double;f:city:string")), 1L)
+    g2.table("t").put((1L to 5L).map(k =>
+      Put(Bytes.toBytes(k)).add("f", b("price"), 2L, Bytes.toBytes(k * 0.5))
+        .add("f", b("city"), 2L, b(s"c$k"))), 2L)
+    g2.createIndex("t", "f", b("price"), 3L)
+    register("gwmigp", root2)
+    GraftMigrate.migrateColumnData(g2.catalog, "t", "f", b("price"),
+      "odouble", nowMs = 4L) // "crash" before the rebuilds
+    val d1 = g2.catalog.currentManifest("t").descriptor
+    assert(d1.indexes.isEmpty && d1.pendingIndexes.size == 1,
+      s"pending marker missing: ${d1.indexes} / ${d1.pendingIndexes}")
+    // queries stay correct while unrouted (full scan + residual)
+    assert(spark.sql("SELECT k FROM gwmigp.`t$wide` " +
+      "WHERE price >= 1.0 AND price < 2.1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    // restart path: detect + finish the rebuild; routing returns
+    val rebuilt = GraftMigrate.resumePendingIndexRebuilds(g2.catalog, "t",
+      nowMs = 5L)
+    assert(rebuilt.size == 1)
+    val d2 = g2.catalog.currentManifest("t").descriptor
+    assert(d2.pendingIndexes.isEmpty && d2.indexes.size == 1)
+    import org.apache.spark.sql.sources
+    val spec = WideSpec.parse(Some("k:long"),
+      Some("f:price:odouble;f:city:string"))
+    val bld = new GraftWideScanBuilder(g2.catalog, "t", spec,
+      g2.catalog.currentManifest("t"))
+    bld.pushFilters(Array(sources.GreaterThanOrEqual("price", 1.0),
+      sources.LessThan("price", 2.1)))
+    assert(bld.build().asInstanceOf[GraftWideScan].usedIndexTable.isDefined,
+      "resumed index does not route")
+    assert(spark.sql("SELECT k FROM gwmigp.`t$wide` " +
+      "WHERE price >= 1.0 AND price < 2.1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
   }
 
   test("olong key: negative key ranges prune and stay exact") {
