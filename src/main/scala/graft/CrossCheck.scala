@@ -513,6 +513,72 @@ object CrossCheck {
           s"${if (symOr.nonEmpty) " MISMATCH " + symOr.take(20) else " OK"}")
         require(direct.nonEmpty, "or_route matched nothing — fixture drift?")
         if (symOr.nonEmpty) sys.exit(1)
+      case "cross_or" =>
+        // r12: CROSS-column OR routing (the union of per-column probeOr
+        // passes through TWO indexes, deduped by row key, one gather)
+        // against the direct path (full resolved wide scan + relational
+        // disjunction), with 1% updates and 1% deletes injected so stale
+        // index entries and tombstones sit inside both columns' probed
+        // ranges at sf1 row counts.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{Bytes, CellCodec}
+        import graft.write.Mutations
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-xocc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32, wideKey = Some("o_orderkey:long"),
+          wideSchema =
+            Some("o:o_custkey:long;o:o_orderstatus:string")), nowMs = 1L)
+        val cells = CellCodec.encode(orders, "o", Seq("o_orderkey"))
+        g.table("o").mutate(cells, nowMs = 1L)
+        g.createIndex("o", "o", Bytes.toBytes("o_custkey"), nowMs = 2L)
+        g.createIndex("o", "o", Bytes.toBytes("o_orderstatus"), nowMs = 2L)
+        // 1% custkey updates (move rows OUT of the probed custkey set —
+        // their stale index entries must not resurface) + 1% deletes
+        val ckQ = Bytes.toBytes("o_custkey")
+        val ckCells = cells.filter(col("qualifier") === lit(ckQ))
+        g.table("o").mutate(
+          ckCells.filter(pmod(xxhash64(col("row")), lit(100)) === 1)
+            .withColumn("ts", lit(5L))
+            .withColumn("value", lit(Bytes.toBytes(999999999L)))
+            .unionByName(Mutations.deleteFamilyCells(
+              ckCells.filter(pmod(xxhash64(col("row")), lit(100)) === 2)
+                .select("row").distinct(),
+              col("row"), "o", ts = 5L)), nowMs = 5L)
+        spark.conf.set("spark.sql.catalog.graft_xocc",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_xocc.root", root)
+        val q = """SELECT o_orderkey, o_custkey, o_orderstatus
+                   FROM graft_xocc.`o$wide`
+                   WHERE o_custkey IN (7, 37, 73) OR o_orderstatus = 'P'"""
+        def xrows(df: org.apache.spark.sql.DataFrame)
+            : Set[(Long, Long, String)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        val routedDf = spark.sql(q)
+        val viaRoute = xrows(routedDf)
+        // seam: the executed frame really routed the cross-column union
+        // of BOTH indexes
+        require(graft.sql.GraftWideSeams.crossOrIndexTables(routedDf)
+          .size == 2, "cross-OR route missing: " +
+          graft.sql.GraftWideSeams.crossOrIndexTables(routedDf))
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val direct = xrows(CellCodec.decode(
+          g.table("o").scan(graft.read.Scan()
+            .addColumn("o", ckQ).addColumn("o", Bytes.toBytes("o_orderstatus"))),
+          StructType(Seq(
+            StructField("o_custkey", LongType),
+            StructField("o_orderstatus", StringType))),
+          key = Seq("o_orderkey" -> LongType))
+          .filter(col("o_custkey").isin(7L, 37L, 73L) ||
+            col("o_orderstatus") === "P"))
+        val symX = (viaRoute diff direct) ++ (direct diff viaRoute)
+        println(s"[crosscheck] cross_or: routed=${viaRoute.size} " +
+          s"direct=${direct.size} symdiff=${symX.size}" +
+          s"${if (symX.nonEmpty) " MISMATCH " + symX.take(20) else " OK"}")
+        require(direct.nonEmpty, "cross_or matched nothing — fixture drift?")
+        if (symX.nonEmpty) sys.exit(1)
       case "runtime_prune" =>
         // r11: the runtime (join-driven) key prune — GraftRuntimeFilterRule
         // re-pruning a SALTED wide fact scan to a data-derived dim's keys
@@ -541,10 +607,13 @@ object CrossCheck {
         spark.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
           (512L << 20).toString)
         // dim keys must stay under the runtime key cap at EVERY scale:
-        // hash-select ~0.2% of orderkeys (sf-proportional corpora keep
-        // the absolute count bounded well below maxKeys at sf1)
-        orders.filter(pmod(xxhash64(col("o_orderkey")), lit(2000)) === 7)
-          .limit(800).select("o_orderkey")
+        // hash-select ~0.025% of orderkeys (sf-proportional corpora keep
+        // the absolute count bounded well below maxKeys at sf1). No
+        // LIMIT in the dim — r12's row-selection guard rightly declines
+        // limit-bearing dims (the probe and the join could see
+        // different rows).
+        orders.filter(pmod(xxhash64(col("o_orderkey")), lit(4000)) === 7)
+          .select("o_orderkey")
           .createOrReplaceTempView("rtcc_dim")
         val q = """SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
                    FROM graft_rtcc.`o$wide` f

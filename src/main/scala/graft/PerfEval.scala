@@ -498,6 +498,35 @@ object PerfEval {
       finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
     }
 
+    // runtimeRangePrune pair (r12): the MID-SIZE dim case — more
+    // distinct join keys than the runtime key cap (1,024), so key
+    // enumeration declines and the probe DEGRADES to the dim's exact
+    // [min, max] key-range superset instead of running unpruned. The
+    // dim's key span is ~10% of the table at any SF, so the pruned
+    // fact scan reads ~10% of the row groups while the unpruned twin
+    // reads them all: the pair's gap is the degradation's value, and
+    // the pruned side staying ~flat across 10x is the design claim.
+    {
+      val span = spark.read.parquet(s"$sfDir/orders.parquet")
+        .agg(org.apache.spark.sql.functions.max("o_orderkey")).head.getLong(0)
+      orders.filter(col("o_orderkey") >= (span * 5 / 100) &&
+          col("o_orderkey") < (span * 15 / 100)).select("o_orderkey")
+        .createOrReplaceTempView("pe_rtr_dim")
+      def q = spark.sql(
+        """SELECT f.o_orderkey, f.o_totalprice
+           FROM graft_pe.`pe$wide` f
+           JOIN pe_rtr_dim d ON f.o_orderkey = d.o_orderkey""")
+      val probe = q
+      probe.collect(): Unit
+      require(graft.sql.GraftRuntimeFilter.probeShapes(probe)
+        .exists(_._2 == "range"),
+        "range degradation did not apply on the PE mid-size dim join")
+      results("runtimeRangePrunedJoin") = timedMin2 { q.collect(): Unit }
+      spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+      try results("runtimeRangeUnprunedJoin") = timedMin2 { q.collect(): Unit }
+      finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+    }
+
     // annLshHash: hash-derived-hyperplane ANN top-k (native HyperplaneBand
     // signatures). Timed here rather than in the correctness battery:
     // DuckDB cannot recompute xxhash64 buckets, so the battery carries the

@@ -1944,6 +1944,40 @@ object Queries {
              ORDER BY f.o_orderkey""")
   }
 
+  // MULTI-attribute runtime pruning (r12): the fact joined to TWO dims
+  // on two routed columns — the key head (o_orderkey, prunes key
+  // ranges) and an indexed value column (o_custkey, prunes through the
+  // index route) — applies BOTH probes to one scan: key ranges ∩ index
+  // route (RuntimeFilterSpec asserts the two probe shapes). Each join
+  // re-checks its own equality, so the intersected superset is
+  // structurally exact; the fixture's range DELETE stays applied.
+  private val sqlRuntimeMultiPrune = Q("sql_runtime_multi_prune", Some("""
+    SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+    FROM orders f
+    JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey < 700) dk
+      ON f.o_orderkey = dk.o_orderkey
+    JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 50) dc
+      ON f.o_custkey = dc.o_custkey
+    WHERE NOT (f.o_orderkey >= 1000 AND f.o_orderkey < 30000)
+    ORDER BY f.o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wrm",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wrm.root", root)
+    s.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+      (256L << 20).toString)
+    t(s, dir, "orders").filter(col("o_orderkey") < 700L)
+      .select(col("o_orderkey")).createOrReplaceTempView("graft_rtm_dk")
+    t(s, dir, "orders").filter(col("o_custkey") < 50L)
+      .select(col("o_custkey")).distinct()
+      .createOrReplaceTempView("graft_rtm_dc")
+    s.sql("""SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+             FROM graft_wrm.`orders_w$wide` f
+             JOIN graft_rtm_dk dk ON f.o_orderkey = dk.o_orderkey
+             JOIN graft_rtm_dc dc ON f.o_custkey = dc.o_custkey
+             ORDER BY f.o_orderkey""")
+  }
+
   // SQL DELETE end-to-end: tombstones written through the DSv2 door
   // (SupportsDelete -> DeleteFamily cells at each group's max ts), read
   // back resolved. Oracle = the source minus the deleted key range.
@@ -5134,7 +5168,7 @@ object Queries {
     asofScan, bulkLoadScan,
     sqlCatalogScan, sqlAggPushdown, sqlBroadcastJoin, sqlRuntimePrune,
     sqlRuntimeIndexPrune, sqlOrRoute, sqlCompositeOr, sqlKeyRangeOr,
-    sqlCrossOr, sqlRuntimeRangePrune,
+    sqlCrossOr, sqlRuntimeRangePrune, sqlRuntimeMultiPrune,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -18,6 +18,19 @@ import org.apache.spark.sql.sources
   * (the probe predicate must stay bounded). Any unparseable shape
   * returns None; the filter always STAYS residual either way, so parsing
   * is pure routing, never semantics. */
+/** Column combinators for LARGE predicate disjunctions/conjunctions.
+  * A linear `reduce(_ || _)` nests one level per operand; past a few
+  * hundred operands (runtime key probes go to 1,024) the Column →
+  * Expression conversion recurses past the thread stack. A BALANCED
+  * tree keeps the depth at log2(n). */
+private[sql] object GraftCols {
+  import org.apache.spark.sql.Column
+  def orAll(ps: Seq[Column]): Column = ps.length match {
+    case 1 => ps.head
+    case n => orAll(ps.take(n / 2)) || orAll(ps.drop(n / 2))
+  }
+}
+
 private[sql] object GraftOrArms {
 
   private def maxLo(a: Option[Array[Byte]], b: Option[Array[Byte]]) =

@@ -873,8 +873,10 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
         val keyed = effKeys match {
           case None => base
           case Some(ks) =>
-            base.filter(ks.map(k => fcol("row") === flit(k))
-              .reduceOption(_ || _).getOrElse(flit(false)))
+            // balanced Or (GraftCols doc): runtime key sets reach 1,024
+            // arms — a linear reduce overflows the converter stack
+            base.filter(if (ks.isEmpty) flit(false)
+              else GraftCols.orAll(ks.map(k => fcol("row") === flit(k))))
         }
         (keyed, gscan)
       }

@@ -1363,10 +1363,13 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     // variable heads keep the IN residual.
     def probeFilter(df: DataFrame): DataFrame = {
       val probed = effProbes.fold(df) { ps =>
-        df.filter(ps.map { p =>
+        // balanced Or: runtime probe sets reach 1,024 arms — a linear
+        // reduce would overflow the converter stack (GraftCols doc)
+        val arms = ps.map { p =>
           val lo = col("row") >= lit(p)
           Bytes.prefixSuccessor(p).fold(lo)(u => lo && col("row") < lit(u))
-        }.reduceOption(_ || _).getOrElse(lit(false)))
+        }
+        df.filter(if (arms.isEmpty) lit(false) else GraftCols.orAll(arms))
       }
       // key-head RANGE disjunctions (`k < 10 OR k >= 90`; the runtime
       // over-cap [min, max] degradation): pruning-only — each set pushes
@@ -1570,4 +1573,25 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       maxVersionsPerTrigger, manifest.descriptor.saltBuckets, withDeletes,
       startingVersion)
   }
+}
+
+/** Public plan seams for harnesses OUTSIDE this package (CrossCheck,
+  * PerfEval): route facts of the graft wide scans under a frame's
+  * optimized plan. Read-only; collecting them triggers optimization. */
+object GraftWideSeams {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+  private def scans(df: DataFrame): Seq[GraftWideScan] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan match {
+        case w: V1ScanWrapper => w.v1Scan
+        case s => s
+      }
+    }.collect { case g: GraftWideScan => g }
+  /** Index tables probed by CROSS-column OR routes under `df`. */
+  def crossOrIndexTables(df: DataFrame): Seq[String] =
+    scans(df).flatMap(_.crossOrIndexTables)
+  /** Every routed index table under `df` (any route form). */
+  def usedIndexTables(df: DataFrame): Seq[String] =
+    scans(df).flatMap(_.usedIndexTable)
 }

@@ -348,6 +348,42 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(graftScans(fresh).exists(_.runtimePruned))
   }
 
+  test("a near-cap key set (800 arms) applies without overflowing " +
+      "(balanced Or regression)") {
+    // the probe Or must build as a BALANCED tree: a linear reduce nests
+    // one converter stack frame per arm and overflows past a few
+    // hundred keys — caught live at 699 arms (sql_runtime_multi_prune)
+    val root = freshRoot("rtf-big")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 4, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string")), 1L)
+    g.table("t").put((1 to 1000).map(i =>
+      Put(Bytes.toBytes(i.toLong)).add("f", b("city"), 2L, b(s"c$i"))), 2L)
+    register("grtfb", root)
+    val df = spark.sql("SELECT t.k FROM grtfb.`t$wide` t JOIN " +
+      "(SELECT explode(sequence(101L, 900L)) AS k) d ON t.k = d.k")
+    assert(df.collect().map(_.getLong(0)).toSet == (101L to 900L).toSet)
+    assert(graftScans(df).flatMap(_.runtimeProbeShapes)
+      .contains(("k", "keys")))
+    // cell door, same arm count through the equality-Or path
+    val root2 = freshRoot("rtf-bigc")
+    val g2 = Graft(spark, root2)
+    g2.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 4), 1L)
+    g2.table("t").put((1 to 1000).map(i =>
+      Put(b(f"r$i%04d")).add("f", b("q"), 2L, b(s"v$i"))), 2L)
+    register("grtfbc", root2)
+    import spark.implicits._
+    (101 to 900).map(i => f"r$i%04d").toDF("kk")
+      .select(org.apache.spark.sql.functions.encode($"kk", "UTF-8").as("rk"))
+      .createOrReplaceTempView("rtf_dim_big")
+    val dfc = spark.sql("SELECT t.row FROM grtfbc.t t JOIN rtf_dim_big d " +
+      "ON t.row = d.rk WHERE t.family = 'f'")
+    assert(dfc.collect().length == 800)
+    assert(graftScans(dfc).exists(_.runtimePruned))
+  }
+
   test("the official SupportsRuntimeFiltering surface re-prunes directly") {
     // the interface Spark would drive if these scans ever plan as V2
     // batches: filter(In(key, vs)) scopes the scan like the static IN
