@@ -579,6 +579,35 @@ object CrossCheck {
           s"${if (symX.nonEmpty) " MISMATCH " + symX.take(20) else " OK"}")
         require(direct.nonEmpty, "cross_or matched nothing — fixture drift?")
         if (symX.nonEmpty) sys.exit(1)
+        // r12 conjunct-SUPERSET twin on the same mutated fixture: an
+        // And disjunct over two columns routes by ONE conjunct's arm
+        // (the superset), unioned with the other disjunct's probe; the
+        // residual Or re-applies the exact conjunction over the same
+        // stale-entry + tombstone state.
+        val qc = """SELECT o_orderkey, o_custkey, o_orderstatus
+                    FROM graft_xocc.`o$wide`
+                    WHERE (o_orderstatus = 'P' AND o_custkey IN (7, 37))
+                       OR o_custkey = 73"""
+        val conjDf = spark.sql(qc)
+        val viaConj = xrows(conjDf)
+        require(graft.sql.GraftWideSeams.crossOrIndexTables(conjDf)
+          .size == 2, "conjunct-superset route missing: " +
+          graft.sql.GraftWideSeams.crossOrIndexTables(conjDf))
+        val directC = xrows(CellCodec.decode(
+          g.table("o").scan(graft.read.Scan()
+            .addColumn("o", ckQ).addColumn("o", Bytes.toBytes("o_orderstatus"))),
+          StructType(Seq(
+            StructField("o_custkey", LongType),
+            StructField("o_orderstatus", StringType))),
+          key = Seq("o_orderkey" -> LongType))
+          .filter((col("o_orderstatus") === "P" &&
+            col("o_custkey").isin(7L, 37L)) || col("o_custkey") === 73L))
+        val symC = (viaConj diff directC) ++ (directC diff viaConj)
+        println(s"[crosscheck] cross_or(conjunct): routed=${viaConj.size} " +
+          s"direct=${directC.size} symdiff=${symC.size}" +
+          s"${if (symC.nonEmpty) " MISMATCH " + symC.take(20) else " OK"}")
+        require(directC.nonEmpty, "conjunct twin matched nothing — drift?")
+        if (symC.nonEmpty) sys.exit(1)
       case "runtime_prune" =>
         // r11: the runtime (join-driven) key prune — GraftRuntimeFilterRule
         // re-pruning a SALTED wide fact scan to a data-derived dim's keys
@@ -635,6 +664,73 @@ object CrossCheck {
           s"${if (symRt.nonEmpty) " MISMATCH " + symRt.take(20) else " OK"}")
         require(viaPlain.nonEmpty, "runtime_prune joined nothing — drift?")
         if (symRt.nonEmpty) sys.exit(1)
+
+      case "cluster_prune" =>
+        // r12: the over-cap CLUSTERED range degradation — a two-cluster
+        // dim past the key cap prunes the salted wide fact with
+        // gap-separated occupied runs (never a single [min, max] span
+        // spanning the hole) — vs the conf-off plain join, with a
+        // delete batch injected so resolution matters inside the runs.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.CellCodec
+        import graft.write.Mutations
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-clcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32, saltBuckets = 8,
+          wideKey = Some("o_orderkey:long"),
+          wideSchema = Some("o:o_custkey:long;o:o_totalprice:double")),
+          nowMs = 1L)
+        val cells = CellCodec.encode(orders, "o", Seq("o_orderkey"))
+        g.table("o").mutate(cells, nowMs = 1L)
+        g.table("o").mutate(Mutations.deleteFamilyCells(
+          cells.filter(pmod(xxhash64(col("row")), lit(100)) === 3)
+            .select("row").distinct(),
+          col("row"), "o", ts = 5L), nowMs = 5L)
+        spark.conf.set("spark.sql.catalog.graft_clcc",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_clcc.root", root)
+        spark.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+          (512L << 20).toString)
+        // the cap and grid pinned low so the dim is over-cap and the
+        // span outsizes the bucket grid at EVERY sf (sf0.001's span is
+        // only a few thousand keys)
+        spark.conf.set("spark.graft.runtimeFilter.maxKeys", "128")
+        spark.conf.set("spark.graft.runtimeFilter.rangeBuckets", "512")
+        val kmax = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+        orders.filter(col("o_orderkey") < lit(kmax / 20) ||
+            (col("o_orderkey") >= lit(kmax / 2) &&
+              col("o_orderkey") < lit(kmax / 2 + kmax / 10)))
+          .select("o_orderkey")
+          .createOrReplaceTempView("clcc_dim")
+        val q = """SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+                   FROM graft_clcc.`o$wide` f
+                   JOIN clcc_dim d ON f.o_orderkey = d.o_orderkey"""
+        def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val prunedDf = spark.sql(q)
+        val viaPrune = rows(prunedDf)
+        require(graft.sql.GraftRuntimeFilter.probeShapes(prunedDf)
+          .contains(("o_orderkey", "range")),
+          "over-cap dim did not degrade to a range probe — fixture drift?")
+        val rc = graft.sql.GraftRuntimeFilter.rangeCounts(prunedDf)
+        require(rc.exists(_._2 > 1),
+          s"expected gap-separated clustered runs, got $rc")
+        spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+        val viaPlain =
+          try rows(spark.sql(q))
+          finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+        spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+        spark.conf.unset("spark.graft.runtimeFilter.rangeBuckets")
+        val symCl = (viaPrune diff viaPlain) ++ (viaPlain diff viaPrune)
+        println(s"[crosscheck] cluster_prune: pruned=${viaPrune.size} " +
+          s"plain=${viaPlain.size} ranges=${rc.map(_._2).sum} " +
+          s"symdiff=${symCl.size}" +
+          s"${if (symCl.nonEmpty) " MISMATCH " + symCl.take(20) else " OK"}")
+        require(viaPlain.nonEmpty, "cluster_prune joined nothing — drift?")
+        if (symCl.nonEmpty) sys.exit(1)
       case "page_filter" =>
         // r11 (BENCH_SF3's largest riser): the PageFilter(50) scan — the
         // incremental first-N-rows cut over the committed sorted layout —

@@ -527,6 +527,37 @@ object PerfEval {
       finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
     }
 
+    // runtimeClusterPrune pair (r12): the over-cap dim's keys in TWO
+    // separated ~5%-span clusters. The clustered degradation prunes
+    // with gap-separated occupied runs and skips the ~60%-span hole
+    // between them; the maxRanges=1 twin degrades to the single
+    // [min, max] span and must read the hole too — the pair's gap is
+    // what clustering adds ON TOP of the r12 range degradation.
+    {
+      val span = spark.read.parquet(s"$sfDir/orders.parquet")
+        .agg(org.apache.spark.sql.functions.max("o_orderkey")).head.getLong(0)
+      orders.filter(
+        (col("o_orderkey") >= (span * 5 / 100) &&
+          col("o_orderkey") < (span * 10 / 100)) ||
+          (col("o_orderkey") >= (span * 70 / 100) &&
+            col("o_orderkey") < (span * 75 / 100)))
+        .select("o_orderkey").createOrReplaceTempView("pe_rtc_dim")
+      def q = spark.sql(
+        """SELECT f.o_orderkey, f.o_totalprice
+           FROM graft_pe.`pe$wide` f
+           JOIN pe_rtc_dim d ON f.o_orderkey = d.o_orderkey""")
+      val probe = q
+      probe.collect(): Unit
+      require(graft.sql.GraftRuntimeFilter.rangeCounts(probe)
+        .exists(_._2 > 1),
+        "clustered degradation did not produce gap-separated runs")
+      results("runtimeClusterPrunedJoin") = timedMin2 { q.collect(): Unit }
+      spark.conf.set("spark.graft.runtimeFilter.maxRanges", "1")
+      try results("runtimeClusterSingleRangeJoin") =
+        timedMin2 { q.collect(): Unit }
+      finally spark.conf.unset("spark.graft.runtimeFilter.maxRanges")
+    }
+
     // annLshHash: hash-derived-hyperplane ANN top-k (native HyperplaneBand
     // signatures). Timed here rather than in the correctness battery:
     // DuckDB cannot recompute xxhash64 buckets, so the battery carries the

@@ -1978,6 +1978,67 @@ object Queries {
              ORDER BY f.o_orderkey""")
   }
 
+  // Conjunct-SUPERSET OR routing (r12): a disjunct that is an And over
+  // MIXED columns (`(status = 'P' AND totalprice > x) OR custkey = 7`)
+  // no longer bails the whole route — it routes by ONE of its INDEXED
+  // conjuncts' arms (here o_orderstatus; o_totalprice carries no index),
+  // a value superset of the disjunct, unioned with the other arms'
+  // probes. Sound because the Or stays residual (Spark re-applies the
+  // exact disjunction, totalprice conjunct included) — the arbitrary-
+  // nesting face of FilterList(MUST_PASS_ONE)
+  // (hbase/filter/FilterList.java:47-49). WideViewSpec holds the route
+  // seam assert; this gate proves the routed answer hash-matches the
+  // relational oracle through the fixture's range delete.
+  private val sqlConjunctOr = Q("sql_conjunct_or", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+    WHERE ((o_orderstatus = 'P' AND o_totalprice > 150000) OR o_custkey = 7)
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wco",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wco.root", root)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             FROM graft_wco.`orders_w$wide`
+             WHERE (o_orderstatus = 'P' AND o_totalprice > 150000)
+                OR o_custkey = 7
+             ORDER BY o_orderkey""")
+  }
+
+  // Runtime-filter CLUSTERED range degradation (r12): the over-cap dim's
+  // keys live in TWO separated clusters of the fact key space, so the
+  // probe prunes with gap-separated ranges (occupied-bucket runs, ≤
+  // maxRanges) instead of one [min, max] span — the scan skips the
+  // multi-thousand-key hole between the clusters too. Each run is built from
+  // bucket OCCUPANCY (never a sample), so the union stays a value
+  // superset and the join's equality re-check keeps exactness;
+  // RuntimeFilterSpec asserts the ("o_orderkey", "range") shape with
+  // range count > 1 on a twin fixture.
+  private val sqlRuntimeClusterPrune = Q("sql_runtime_cluster_prune", Some("""
+    SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+    FROM orders f
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderkey < 1200
+             OR (o_orderkey >= 8000 AND o_orderkey < 9000)) d
+      ON f.o_orderkey = d.o_orderkey
+    WHERE NOT (f.o_orderkey >= 1000 AND f.o_orderkey < 30000)
+    ORDER BY f.o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wrc",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wrc.root", root)
+    s.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+      (256L << 20).toString)
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 1200L ||
+        (col("o_orderkey") >= 8000L && col("o_orderkey") < 9000L))
+      .select(col("o_orderkey")).createOrReplaceTempView("graft_rtc_dim")
+    s.sql("""SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+             FROM graft_wrc.`orders_w$wide` f
+             JOIN graft_rtc_dim d ON f.o_orderkey = d.o_orderkey
+             ORDER BY f.o_orderkey""")
+  }
+
   // SQL DELETE end-to-end: tombstones written through the DSv2 door
   // (SupportsDelete -> DeleteFamily cells at each group's max ts), read
   // back resolved. Oracle = the source minus the deleted key range.
@@ -5169,6 +5230,7 @@ object Queries {
     sqlCatalogScan, sqlAggPushdown, sqlBroadcastJoin, sqlRuntimePrune,
     sqlRuntimeIndexPrune, sqlOrRoute, sqlCompositeOr, sqlKeyRangeOr,
     sqlCrossOr, sqlRuntimeRangePrune, sqlRuntimeMultiPrune,
+    sqlConjunctOr, sqlRuntimeClusterPrune,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -45,19 +45,37 @@ private[sql] object GraftOrArms {
     }
 
   private def disjuncts(f: sources.Filter,
-      leaf: sources.Filter => Option[(String, ValueArm)])
+      leaf: sources.Filter => Option[(String, ValueArm)],
+      superset: Boolean)
       : Option[Seq[(String, ValueArm)]] = {
     def disj(g: sources.Filter): Option[Seq[(String, ValueArm)]] = g match {
       case sources.Or(a, b) =>
         for { x <- disj(a); y <- disj(b) } yield x ++ y
       case sources.And(a, b) =>
         // interval conjuncts intersect into one arm (`x >= 5 AND x < 9`);
-        // anything else inside an And bails the parse
-        (disj(a), disj(b)) match {
+        // in strict mode anything else inside an And bails the parse
+        val ca = disj(a)
+        val cb = disj(b)
+        ((ca, cb) match {
           case (Some(Seq((c1, ArmRange(l1, h1)))),
               Some(Seq((c2, ArmRange(l2, h2))))) if c1 == c2 =>
             Some(Seq((c1, ArmRange(maxLo(l1, l2), minHi(h1, h2)))))
           case _ => None
+        }).orElse {
+          // SUPERSET pick (`(a = 1 AND b = 2) OR c = 3`): a row
+          // satisfying the conjunction satisfies each conjunct, so
+          // EITHER side's arms are a value superset of the And — sound
+          // ONLY because every caller keeps the whole Or residual
+          // (routing, never semantics). Route the tighter side: fewer
+          // arms, equalities before ranges. Tried AFTER the exact
+          // forms (same-column intersect above; the tuple-OR composite
+          // route at the call site), so exact probes keep precedence.
+          if (!superset) None
+          else Seq(ca, cb).flatten match {
+            case Nil => None
+            case picks => Some(picks.minBy(as =>
+              (armCount(as), as.count(_._2.isInstanceOf[ArmRange]))))
+          }
         }
       case other => leaf(other).map(Seq(_))
     }
@@ -75,8 +93,9 @@ private[sql] object GraftOrArms {
     * whole parse. */
   def parse(f: sources.Filter,
       leaf: sources.Filter => Option[(String, ValueArm)],
-      maxArms: Int): Option[(String, Seq[ValueArm])] =
-    disjuncts(f, leaf).flatMap { as =>
+      maxArms: Int, superset: Boolean = false)
+      : Option[(String, Seq[ValueArm])] =
+    disjuncts(f, leaf, superset).flatMap { as =>
       val cols = as.map(_._1).distinct
       if (cols.sizeIs == 1 && armCount(as) <= maxArms)
         Some((cols.head, as.map(_._2)))
@@ -94,8 +113,9 @@ private[sql] object GraftOrArms {
     * falls back to the residual full scan. */
   def parseMulti(f: sources.Filter,
       leaf: sources.Filter => Option[(String, ValueArm)],
-      maxArms: Int): Option[Seq[(String, Seq[ValueArm])]] =
-    disjuncts(f, leaf).flatMap { as =>
+      maxArms: Int, superset: Boolean = false)
+      : Option[Seq[(String, Seq[ValueArm])]] =
+    disjuncts(f, leaf, superset).flatMap { as =>
       val cols = as.map(_._1).distinct
       if (cols.sizeIs >= 2 && armCount(as) <= maxArms)
         Some(cols.map(c => c -> as.collect { case (`c`, arm) => arm }))

@@ -141,6 +141,15 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
         case RuntimeRanges(a, _) => (a, "range")
       }
 
+  /** Seam: the byte-range count of each applied RANGE probe (specs and
+    * PerfEval assert the over-cap CLUSTERED degradation — a two-cluster
+    * dim must produce > 1 run, maxRanges=1 must collapse to the single
+    * [min, max] span). */
+  private[sql] def runtimeRangeCounts: Seq[(String, Int)] =
+    resolvedProbes.getOrElse(Nil).collect {
+      case RuntimeRanges(a, rs) => (a, rs.size)
+    }
+
   private[sql] def runtimeHasProbe(attr: String): Boolean =
     directKeys.exists(_._1 == attr) || probePlans.exists(_._1 == attr)
 
@@ -203,18 +212,108 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
       if (vals.length > maxKeys) {
         // over the cap: degrade to the key-range superset — one cheap
         // aggregate over the same (size-gated) dim subtree yields exact
-        // [min, max]; the door encodes it into prunable byte ranges
+        // [min, max]; the door encodes it into prunable byte ranges.
+        // For integral keys the span is further CLUSTERED into at most
+        // maxRanges gap-separated runs (see clusterRuns) — a dim whose
+        // keys live in a few regions of the fact key space then skips
+        // the empty regions too, not just the outside of [min, max].
         val mm = frame.agg(min(col("_graft_rk")), max(col("_graft_rk")))
           .collect().headOption
-        mm.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-          .flatMap(r => encodeRuntimeRange(attr, r.get(0), r.get(1)))
-          .map(RuntimeRanges(attr, _))
+        mm.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).flatMap { r =>
+          val runs = clusterRuns(spark, frame, r.get(0), r.get(1))
+          val enc = runs.map { case (a, b) => encodeRuntimeRange(attr, a, b) }
+          (if (enc.forall(_.isDefined)) Some(enc.flatMap(_.get))
+           else encodeRuntimeRange(attr, r.get(0), r.get(1)))
+            .map(RuntimeRanges(attr, _))
+        }
       } else {
         val enc = vals.toSeq.map(encodeRuntimeKey(attr, _))
         if (enc.forall(_.isDefined)) Some(RuntimeKeys(attr, enc.flatten))
         else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Cluster an over-cap dim's INTEGRAL key span [lo, hi] into at most
+    * `spark.graft.runtimeFilter.maxRanges` (default 16) CLOSED value
+    * runs covering every key, by bucketing `(k - lo) / width` into
+    * `spark.graft.runtimeFilter.rangeBuckets` (default 4096) cells and
+    * merging occupied cells — keeping the widest empty gaps as
+    * separators. Soundness is per-bucket: every key lands in its
+    * bucket's value range, so the union of occupied-bucket runs is a
+    * value superset of the dim's keys (runs are built from occupancy,
+    * never from a sample). Costs one extra distinct over the same
+    * size-gated dim subtree; any non-integral type, huge span, bucket
+    * overflow, or failure falls back to the single [lo, hi] run. */
+  private def clusterRuns(spark: SparkSession, frame: => org.apache.spark.sql.DataFrame,
+      lo: Any, hi: Any): Seq[(Any, Any)] = {
+    val single = Seq((lo, hi))
+    def asLong(v: Any): Option[Long] = v match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: java.lang.Long => Some(l.longValue)
+      case s: java.lang.Short => Some(s.longValue)
+      case b: java.lang.Byte => Some(b.longValue)
+      case _ => None
+    }
+    def back(v: Long): Any = lo match {
+      case _: java.lang.Integer => java.lang.Integer.valueOf(v.toInt)
+      case _: java.lang.Long => java.lang.Long.valueOf(v)
+      case _: java.lang.Short => java.lang.Short.valueOf(v.toShort)
+      case _: java.lang.Byte => java.lang.Byte.valueOf(v.toByte)
+      case _ => v
+    }
+    try {
+      val maxRanges = spark.conf
+        .get("spark.graft.runtimeFilter.maxRanges", "16").toInt
+      val buckets = spark.conf
+        .get("spark.graft.runtimeFilter.rangeBuckets", "4096").toInt
+      (asLong(lo), asLong(hi)) match {
+        case (Some(l), Some(h))
+            if maxRanges > 1 && buckets > 1 &&
+              // (k - l) must not overflow and the span must outsize the
+              // grid (a narrower span prunes fine as one run)
+              BigInt(h) - BigInt(l) < BigInt(Long.MaxValue) &&
+              h - l >= buckets.toLong =>
+          val width = ((BigInt(h) - BigInt(l) + 1 + buckets - 1) / buckets)
+            .toLong
+          // integer DIV, not `/` (double division loses bits past 2^53 —
+          // a key mis-bucketed at a boundary would break the superset)
+          val ids = frame
+            .selectExpr(s"(CAST(_graft_rk AS BIGINT) - ${l}L) DIV ${width}L"
+              + " AS _graft_b")
+            .distinct().limit(buckets + 1).collect().map(_.getLong(0))
+          if (ids.isEmpty || ids.length > buckets) single
+          else {
+            // occupied cells -> contiguous runs of bucket ids
+            val sorted = ids.sorted
+            val runs = sorted.tail.foldLeft(
+              List((sorted.head, sorted.head))) {
+              case ((s, e) :: rest, id) if id == e + 1 => (s, id) :: rest
+              case (acc, id) => (id, id) :: acc
+            }.reverse.toVector
+            // keep the (maxRanges - 1) WIDEST gaps as separators
+            val merged =
+              if (runs.size <= maxRanges) runs
+              else {
+                val keep = runs.indices.tail
+                  .sortBy(i => -(runs(i)._1 - runs(i - 1)._2))
+                  .take(maxRanges - 1).sorted
+                (Seq(0) ++ keep :+ runs.size).sliding(2).map { w =>
+                  (runs(w(0))._1, runs(w(1) - 1)._2)
+                }.toVector
+              }
+            merged.map { case (s, e) =>
+              // BigInt bounds clamped into [l, h] before narrowing —
+              // (e + 1) * width can pass Long.MaxValue near the top
+              def clamp(v: BigInt): Long =
+                v.max(BigInt(l)).min(BigInt(h)).toLong
+              (back(clamp(BigInt(l) + BigInt(s) * width)),
+                back(clamp(BigInt(l) + (BigInt(e) + 1) * width - 1)))
+            }
+          }
+        case _ => single
+      }
+    } catch { case scala.util.control.NonFatal(_) => single }
+  }
 }
 
 /** Public seam for harnesses (PerfEval, specs outside this package):
@@ -235,6 +334,10 @@ object GraftRuntimeFilter {
   /** (attribute, "keys"|"range") pairs applied across the frame's scans. */
   def probeShapes(df: DataFrame): Seq[(String, String)] =
     scans(df).flatMap(_.runtimeProbeShapes)
+  /** (attribute, rangeCount) of applied RANGE probes (the clustered
+    * over-cap degradation's seam). */
+  def rangeCounts(df: DataFrame): Seq[(String, Int)] =
+    scans(df).flatMap(_.runtimeRangeCounts)
 }
 
 /** The activation rule (see [[GraftRuntimeFilterable]]): for each

@@ -447,11 +447,14 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
       // OR-of-probes on `value`: a bounded disjunction of equalities /
       // IN lists / intervals records its arms for one probeOr routing
       // pass; the filter stays residual (Spark re-applies it), so the
-      // parse is pure routing
+      // parse is pure routing — which is also why superset mode is
+      // sound here (a disjunct that is an And over mixed columns
+      // routes by its tightest `value` conjunct's arm)
       case f @ sources.Or(_, _) =>
         if (valueOr.isEmpty)
           GraftOrArms.parse(f, cellValueLeaf,
-            graft.read.SecondaryIndex.MaxCompositeProbes) match {
+            graft.read.SecondaryIndex.MaxCompositeProbes,
+            superset = true) match {
             case Some(("value", arms)) => valueOr = arms
             case _ => ()
           }

@@ -818,7 +818,37 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
                       graft.read.SecondaryIndex.MaxCompositeProbes) match {
                       case Some(groups) if colCrossOr.isEmpty =>
                         colCrossOr = groups
-                      case _ => ()
+                      case _ =>
+                        // LAST: conjunct-SUPERSET retry — a disjunct
+                        // that is an And over mixed columns routes by
+                        // ONE of its conjuncts' arms (`(a = 1 AND
+                        // b = 2) OR c = 3` probes a=1 ∪ c=3). Sound
+                        // because the Or stays residual below; tried
+                        // after every exact form so tuple-OR keeps the
+                        // tighter composite probes. Leaves narrow to
+                        // INDEXED columns here — the probe routes only
+                        // through single-column indexes, so a pick on
+                        // an unindexed conjunct would just decline the
+                        // route the other conjunct could serve.
+                        val ixLeaf = (g: Filter) =>
+                          valueLeaf(g).filter { case (cn, _) =>
+                            spec.col(cn).exists(c => manifest.descriptor
+                              .indexOn(c.family, c.qualifier).isDefined)
+                          }
+                        GraftOrArms.parse(f, ixLeaf,
+                          graft.read.SecondaryIndex.MaxCompositeProbes,
+                          superset = true) match {
+                          case Some((c, arms)) if !colOr.contains(c) =>
+                            colOr += c -> arms
+                          case _ =>
+                            GraftOrArms.parseMulti(f, ixLeaf,
+                              graft.read.SecondaryIndex.MaxCompositeProbes,
+                              superset = true) match {
+                              case Some(groups) if colCrossOr.isEmpty =>
+                                colCrossOr = groups
+                              case _ => ()
+                            }
+                        }
                     }
                 }
               case _ => ()

@@ -384,6 +384,76 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(graftScans(dfc).exists(_.runtimePruned))
   }
 
+  test("over-cap CLUSTERED dim prunes as gap-separated ranges; " +
+      "maxRanges=1 collapses to the single span") {
+    // a dim whose keys live in two separated clusters must not pay for
+    // the hole between them: the over-cap degradation buckets the span
+    // and keeps only OCCUPIED runs (soundness is per-bucket — every key
+    // lands in its bucket's value range, so runs are a superset by
+    // construction, never a sample)
+    val root = freshRoot("rtf-clu")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 4, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string")), 1L)
+    g.table("t").put((0 to 2000).map(i =>
+      Put(Bytes.toBytes(i.toLong)).add("f", b("city"), 2L, b(s"c$i"))), 2L)
+    register("grtfclu", root)
+    spark.conf.set("spark.graft.runtimeFilter.maxKeys", "16")
+    spark.conf.set("spark.graft.runtimeFilter.rangeBuckets", "256")
+    try {
+      val q = "SELECT t.k FROM grtfclu.`t$wide` t JOIN " +
+        "(SELECT explode(sequence(100L, 200L)) AS k UNION ALL " +
+        "SELECT explode(sequence(1800L, 1900L)) AS k) d ON t.k = d.k"
+      val expect = ((100L to 200L) ++ (1800L to 1900L)).toSet
+      val df = spark.sql(q)
+      assert(df.collect().map(_.getLong(0)).toSet == expect)
+      val scans = graftScans(df)
+      assert(scans.flatMap(_.runtimeProbeShapes).contains(("k", "range")))
+      val counts = scans.flatMap(_.runtimeRangeCounts)
+      assert(counts == Seq(("k", 2)), s"expected 2 clustered runs: $counts")
+      // maxRanges=1: the same dim collapses to one [min, max] span
+      spark.conf.set("spark.graft.runtimeFilter.maxRanges", "1")
+      val one = spark.sql(q)
+      assert(one.collect().map(_.getLong(0)).toSet == expect)
+      assert(graftScans(one).flatMap(_.runtimeRangeCounts) == Seq(("k", 1)))
+    } finally {
+      spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+      spark.conf.unset("spark.graft.runtimeFilter.rangeBuckets")
+      spark.conf.unset("spark.graft.runtimeFilter.maxRanges")
+    }
+  }
+
+  test("clustered runs on a PLAIN signed head keep the sign regions " +
+      "sound") {
+    // run bounds are computed in VALUE space and only then encoded, so
+    // an all-negative run and an all-positive run each encode exactly,
+    // and a sign-straddling run splits (encodeRuntimeRange's existing
+    // mixed-sign rule) — no lo > hi byte inversion possible
+    val root = freshRoot("rtf-clun")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string")), 1L)
+    g.table("t").put((-200L to 200L).map(i =>
+      Put(Bytes.toBytes(i)).add("f", b("city"), 2L, b(s"c$i"))), 2L)
+    register("grtfclun", root)
+    spark.conf.set("spark.graft.runtimeFilter.maxKeys", "16")
+    spark.conf.set("spark.graft.runtimeFilter.rangeBuckets", "64")
+    try {
+      val df = spark.sql("SELECT t.k FROM grtfclun.`t$wide` t JOIN " +
+        "(SELECT explode(sequence(-150L, -100L)) AS k UNION ALL " +
+        "SELECT explode(sequence(100L, 150L)) AS k) d ON t.k = d.k")
+      assert(df.collect().map(_.getLong(0)).toSet ==
+        ((-150L to -100L) ++ (100L to 150L)).toSet)
+      val counts = graftScans(df).flatMap(_.runtimeRangeCounts)
+      assert(counts == Seq(("k", 2)), s"expected 2 sign-pure runs: $counts")
+    } finally {
+      spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+      spark.conf.unset("spark.graft.runtimeFilter.rangeBuckets")
+    }
+  }
+
   test("the official SupportsRuntimeFiltering surface re-prunes directly") {
     // the interface Spark would drive if these scans ever plan as V2
     // batches: filter(In(key, vs)) scopes the scan like the static IN

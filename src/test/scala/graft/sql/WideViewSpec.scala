@@ -1368,6 +1368,75 @@ class WideViewSpec extends SparkSpec {
         (i % 10 == 6 || i % 10 == 7 || i % 4 == 2)).map(_.toLong))
   }
 
+  test("conjunct-SUPERSET OR: an And disjunct over mixed columns routes " +
+      "by its indexed conjunct's arm") {
+    // `(a AND b) OR c` — strict parses bail on the mixed And; the
+    // superset retry routes the disjunct by ONE of its INDEXED
+    // conjuncts (a value superset of the conjunction), sound because
+    // the Or stays residual (r12)
+    val root = freshRoot("widecso")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long;f:note:string")), 1L)
+    g.table("t").put((1 to 40).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("city"), 2L, b(s"c${i % 4}"))
+        .add("f", b("pop"), 2L, Bytes.toBytes((i % 10).toLong))
+        .add("f", b("note"), 2L, b(s"n${i % 3}"))), 2L)
+    g.createIndex("t", "f", b("city"), 3L)
+    g.createIndex("t", "f", b("pop"), 3L)
+    register("gwcso", root)
+    import org.apache.spark.sql.sources
+    val spec = WideSpec.parse(Some("k:long"),
+      Some("f:city:string;f:pop:long;f:note:string"))
+    def built(fs: Array[sources.Filter]): GraftWideScan = {
+      val bld = new GraftWideScanBuilder(g.catalog, "t", spec,
+        g.catalog.currentManifest("t"))
+      bld.pushFilters(fs): Unit
+      bld.build().asInstanceOf[GraftWideScan]
+    }
+    // SAME-column superset: `(city='c1' AND pop=3) OR city='c2'` routes
+    // as one probeOr pass on the city index (arms c1 ∪ c2)
+    val sameCol = sources.Or(
+      sources.And(sources.EqualTo("city", "c1"),
+        sources.EqualTo("pop", java.lang.Long.valueOf(3L))),
+      sources.EqualTo("city", "c2"))
+    assert(built(Array(sameCol)).usedIndexTable.exists(_.contains("t_idx_f_")),
+      "same-column superset OR did not route")
+    assert(spark.sql("SELECT k FROM gwcso.`t$wide` " +
+      "WHERE (city = 'c1' AND pop = 3) OR city = 'c2' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq ==
+      (1 to 40).filter(i => (i % 4 == 1 && i % 10 == 3) || i % 4 == 2)
+        .map(_.toLong))
+    // CROSS-column superset: `(pop=3 AND note='n1') OR city='c2'` — note
+    // is unindexed, so the disjunct routes by its pop conjunct; the
+    // residual Or re-applies the exact note condition
+    val crossCol = sources.Or(
+      sources.And(sources.EqualTo("note", "n1"),
+        sources.EqualTo("pop", java.lang.Long.valueOf(3L))),
+      sources.EqualTo("city", "c2"))
+    assert(built(Array(crossCol)).crossOrIndexTables.size == 2,
+      "cross-column superset OR did not route both indexes")
+    assert(spark.sql("SELECT k FROM gwcso.`t$wide` " +
+      "WHERE (note = 'n1' AND pop = 3) OR city = 'c2' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq ==
+      (1 to 40).filter(i => (i % 3 == 1 && i % 10 == 3) || i % 4 == 2)
+        .map(_.toLong))
+    // no indexed conjunct in a disjunct: the route declines whole,
+    // residual-only, still exact
+    val noIx = sources.Or(
+      sources.And(sources.EqualTo("note", "n1"),
+        sources.EqualTo("note", "n2")),
+      sources.EqualTo("city", "c2"))
+    assert(built(Array(noIx)).usedIndexTable.isEmpty,
+      "un-routable And disjunct must decline")
+    assert(spark.sql("SELECT k FROM gwcso.`t$wide` " +
+      "WHERE (note = 'n1' AND note = 'n2') OR city = 'c2' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq ==
+      (1 to 40).filter(_ % 4 == 2).map(_.toLong))
+  }
+
   test("manifest-size statistics flow through the WIDE door too " +
       "(GraftStatsRule fires on its V1ScanWrapper)") {
     val root = freshRoot("widestats")
