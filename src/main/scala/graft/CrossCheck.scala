@@ -684,6 +684,8 @@ object CrossCheck {
           nowMs = 1L)
         val cells = CellCodec.encode(orders, "o", Seq("o_orderkey"))
         g.table("o").mutate(cells, nowMs = 1L)
+        g.createIndex("o", "o", graft.core.Bytes.toBytes("o_custkey"),
+          nowMs = 2L)
         g.table("o").mutate(Mutations.deleteFamilyCells(
           cells.filter(pmod(xxhash64(col("row")), lit(100)) === 3)
             .select("row").distinct(),
@@ -722,8 +724,6 @@ object CrossCheck {
         val viaPlain =
           try rows(spark.sql(q))
           finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
-        spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
-        spark.conf.unset("spark.graft.runtimeFilter.rangeBuckets")
         val symCl = (viaPrune diff viaPlain) ++ (viaPlain diff viaPrune)
         println(s"[crosscheck] cluster_prune: pruned=${viaPrune.size} " +
           s"plain=${viaPlain.size} ranges=${rc.map(_._2).sum} " +
@@ -731,6 +731,38 @@ object CrossCheck {
           s"${if (symCl.nonEmpty) " MISMATCH " + symCl.take(20) else " OK"}")
         require(viaPlain.nonEmpty, "cluster_prune joined nothing — drift?")
         if (symCl.nonEmpty) sys.exit(1)
+        // r12 INDEX-RANGE twin on the same fixture: the over-cap dim
+        // joins on the INDEXED custkey VALUE column — the probe
+        // degrades to index range arms (gathered + verified through the
+        // same tombstoned state) instead of declining. Cap lowered so
+        // the custkey domain is over-cap at every sf.
+        spark.conf.set("spark.graft.runtimeFilter.maxKeys", "8")
+        val ckmax = orders.agg(max(col("o_custkey"))).head.getLong(0)
+        orders.filter(col("o_custkey") >= lit(ckmax / 2) &&
+            col("o_custkey") < lit(ckmax / 2 + ckmax / 10))
+          .select("o_custkey").distinct()
+          .createOrReplaceTempView("clcc_ixdim")
+        val qi = """SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+                    FROM graft_clcc.`o$wide` f
+                    JOIN clcc_ixdim d ON f.o_custkey = d.o_custkey"""
+        val ixDf = spark.sql(qi)
+        val viaIx = rows(ixDf)
+        require(graft.sql.GraftRuntimeFilter.probeShapes(ixDf)
+          .contains(("o_custkey", "range")),
+          "over-cap value dim did not degrade to index range arms")
+        spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+        val viaIxPlain =
+          try rows(spark.sql(qi))
+          finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+        spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+        spark.conf.unset("spark.graft.runtimeFilter.rangeBuckets")
+        val symIx = (viaIx diff viaIxPlain) ++ (viaIxPlain diff viaIx)
+        println(s"[crosscheck] cluster_prune(index_range): " +
+          s"pruned=${viaIx.size} plain=${viaIxPlain.size} " +
+          s"symdiff=${symIx.size}" +
+          s"${if (symIx.nonEmpty) " MISMATCH " + symIx.take(20) else " OK"}")
+        require(viaIxPlain.nonEmpty, "index_range twin joined nothing")
+        if (symIx.nonEmpty) sys.exit(1)
       case "page_filter" =>
         // r11 (BENCH_SF3's largest riser): the PageFilter(50) scan — the
         // incremental first-N-rows cut over the committed sorted layout —

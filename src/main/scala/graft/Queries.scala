@@ -1978,6 +1978,38 @@ object Queries {
              ORDER BY f.o_orderkey""")
   }
 
+  // Runtime INDEX-RANGE degradation (r12): the over-cap dim joins on an
+  // INDEXED VALUE column (not the key head), where r11 declined
+  // entirely — the probe now degrades to index RANGE arms: [min, max]
+  // of the dim's join values encodes to an Or of ArmRanges probed
+  // through the column's single-column index (candidates gathered +
+  // verified; covered here, so the answer can stay index-only), and the
+  // join's equality re-check keeps the superset exact.
+  // RuntimeFilterSpec asserts the ("pop", "range") shape + index route
+  // on a twin fixture; sf0.001's dim sits under the cap and takes the
+  // exact-keys path (both paths hash the same oracle).
+  private val sqlRuntimeIndexRange = Q("sql_runtime_index_range", Some("""
+    SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+    FROM orders f
+    JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 1200) d
+      ON f.o_custkey = d.o_custkey
+    WHERE NOT (f.o_orderkey >= 1000 AND f.o_orderkey < 30000)
+    ORDER BY f.o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wir",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wir.root", root)
+    s.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+      (256L << 20).toString)
+    t(s, dir, "orders").filter(col("o_custkey") < 1200L)
+      .select(col("o_custkey")).distinct()
+      .createOrReplaceTempView("graft_rti_dim")
+    s.sql("""SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+             FROM graft_wir.`orders_w$wide` f
+             JOIN graft_rti_dim d ON f.o_custkey = d.o_custkey
+             ORDER BY f.o_orderkey""")
+  }
+
   // Conjunct-SUPERSET OR routing (r12): a disjunct that is an And over
   // MIXED columns (`(status = 'P' AND totalprice > x) OR custkey = 7`)
   // no longer bails the whole route — it routes by ONE of its INDEXED
@@ -5230,7 +5262,7 @@ object Queries {
     sqlCatalogScan, sqlAggPushdown, sqlBroadcastJoin, sqlRuntimePrune,
     sqlRuntimeIndexPrune, sqlOrRoute, sqlCompositeOr, sqlKeyRangeOr,
     sqlCrossOr, sqlRuntimeRangePrune, sqlRuntimeMultiPrune,
-    sqlConjunctOr, sqlRuntimeClusterPrune,
+    sqlConjunctOr, sqlRuntimeClusterPrune, sqlRuntimeIndexRange,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -1036,37 +1036,56 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         spec.orderedKey(spec.key.head._1)))
     else Option(v).flatMap(x => spec.col(attr).flatMap(c =>
       WideSpec.encodeLit(c.dt, x, c.ordered)))
-  /** Over-cap range degradation — KEY HEAD only (a range on the head
-    * prunes parquet row groups; a value-column range has no sound probe
-    * form here — index range routes need the static soundness analysis).
+  /** Over-cap range degradation: on the KEY HEAD the ranges prune
+    * parquet row groups; on an INDEXED value column (r12) they probe
+    * the column's index as an Or of ArmRanges (candidates gathered +
+    * verified, join re-checks). See [[encodeValueInterval]] for the
+    * soundness rules per codec. */
+  override protected def encodeRuntimeRange(attr: String, min: Any, max: Any)
+      : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = {
+    val (headName, hdt) = spec.key.head
+    if (attr == headName)
+      encodeValueInterval(hdt, spec.orderedKey(headName), min, max)
+    else
+      // r12: an over-cap dim joined on an INDEXED value column degrades
+      // to index RANGE probes (an Or of ArmRanges through the column's
+      // single-column index) instead of declining — produced only when
+      // the column carries an index (nothing could consume the ranges
+      // otherwise) and its encoding is order-preserving, or plain fixed
+      // integral where the sign-split keeps each arm sound.
+      spec.col(attr).filter(c => manifest.descriptor
+        .indexOn(c.family, c.qualifier).isDefined)
+        .flatMap(c => encodeValueInterval(c.dt, c.ordered, min, max))
+  }
+
+  /** Encode the CLOSED value interval [min, max] under (`dt`,
+    * `ordered`) into byte ranges forming a value superset.
     * [min, max] encodes to [enc(min), prefixSuccessor(enc(max))) — a
     * value superset wherever the codec is order-preserving (ordered
-    * fixed, string, binary). A PLAIN signed fixed head is
+    * fixed, string, binary). A PLAIN signed fixed integral is
     * order-preserving only WITHIN a sign region (negatives byte-sort
     * above all non-negatives), so a mixed-sign interval splits into the
     * non-negative arm [enc(0), succ(enc(max))) and the negative arm
     * [enc(min), ∞) — together a byte-space superset of the value
-    * interval. The join above re-checks equality, so supersets are all
-    * that is needed. */
-  override protected def encodeRuntimeRange(attr: String, min: Any, max: Any)
+    * interval; any other plain codec (e.g. double) declines. The join
+    * above re-checks equality, so supersets are all that is needed. */
+  private def encodeValueInterval(dt: org.apache.spark.sql.types.DataType,
+      ordered: Boolean, min: Any, max: Any)
       : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = {
-    val (headName, dt) = spec.key.head
-    if (attr != headName) None
-    else {
-      val ordered = spec.orderedKey(headName)
-      for {
-        lo <- Option(min).flatMap(WideSpec.encodeLit(dt, _, ordered))
-        hiB <- Option(max).flatMap(WideSpec.encodeLit(dt, _, ordered))
-      } yield {
-        val hi = Bytes.prefixSuccessor(hiB)
-        val plainFixed =
-          (dt == LongType || dt == IntegerType) && !ordered
-        if (!plainFixed || ((lo(0) & 0x80) != 0) == ((hiB(0) & 0x80) != 0))
-          Seq((Some(lo), hi))
-        else Seq(
-          (Some(Array.fill(lo.length)(0.toByte): Array[Byte]), hi),
-          (Some(lo), None))
-      }
+    val orderPreserving =
+      ordered || dt == StringType || dt == BinaryType
+    val plainFixed = (dt == LongType || dt == IntegerType) && !ordered
+    if (!orderPreserving && !plainFixed) None
+    else for {
+      lo <- Option(min).flatMap(WideSpec.encodeLit(dt, _, ordered))
+      hiB <- Option(max).flatMap(WideSpec.encodeLit(dt, _, ordered))
+    } yield {
+      val hi = Bytes.prefixSuccessor(hiB)
+      if (!plainFixed || ((lo(0) & 0x80) != 0) == ((hiB(0) & 0x80) != 0))
+        Seq((Some(lo), hi))
+      else Seq(
+        (Some(Array.fill(lo.length)(0.toByte): Array[Byte]), hi),
+        (Some(lo), None))
     }
   }
   override private[sql] def runtimeFilterEligible: Boolean =
@@ -1076,6 +1095,12 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
   // resolvedFrame, consulted by route as its LOWEST-precedence arm);
   // an empty runtime key set scopes the whole scan to nothing
   @volatile private var runtimeEqCol: Option[(WideCol, Seq[Array[Byte]])] = None
+  // runtime RANGE probes on an indexed value column (the r12 over-cap
+  // degradation off the key head): an Or of ArmRanges through the
+  // column's index, below runtimeEqCol in route precedence
+  @volatile private var runtimeRangeCol
+      : Option[(WideCol, Seq[(Option[Array[Byte]], Option[Array[Byte]])])] =
+    None
   @volatile private var runtimeEmptyScan = false
 
   /** The negative byte region of a PLAIN (non-ordered) fixed-width
@@ -1302,6 +1327,20 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           .orElse(d.compositeLeadingOn(c.family, c.qualifier))
           .map(ix => WideSingle(c, ix, GraftValueIn(ks)))
       }
+    }.orElse {
+      // runtime RANGE probes on an indexed value column (r12): the
+      // over-cap degradation off the key head — an Or of ArmRanges
+      // probed through the single-column index; every arm was produced
+      // sound by encodeValueInterval (order-preserving codec, or a
+      // sign-pure plain fixed arm), and the join above re-checks the
+      // equality over the verified candidate superset.
+      runtimeRangeCol.flatMap { case (c, rs) =>
+        import graft.read.SecondaryIndex.ArmRange
+        d.indexOn(c.family, c.qualifier).map(ix =>
+          WideSingle(c, ix, GraftValueOr(rs.map {
+            case (lo, hi) => ArmRange(lo, hi)
+          })))
+      }
     }
   }
 
@@ -1334,7 +1373,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     * as a predicate too (its join drops non-matching rows either way),
     * which is what lets a runtime-routed covered query stay index-only. */
   private def scanCols: Seq[WideCol] = {
-    val preds = predCols ++ runtimeEqCol.map(_._1.name)
+    val preds = predCols ++ runtimeEqCol.map(_._1.name) ++
+      runtimeRangeCol.map(_._1.name)
     if (preds.nonEmpty)
       spec.cols.filter(c => required.fieldNames.contains(c.name) ||
         preds.contains(c.name))
@@ -1359,7 +1399,11 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         if (ks.isEmpty) runtimeEmptyScan = true
         else if (runtimeEqCol.isEmpty)
           spec.col(attr).foreach(c => runtimeEqCol = Some((c, ks)))
-      case _ => () // head probes below; value RANGES are never produced
+      case RuntimeRanges(attr, rs) if attr != headName && rs.nonEmpty =>
+        // the r12 over-cap index-range degradation — route arm below
+        if (runtimeRangeCol.isEmpty)
+          spec.col(attr).foreach(c => runtimeRangeCol = Some((c, rs)))
+      case _ => () // head probes below
     }
     val rtHeadKeys = rtProbes.collectFirst {
       case RuntimeKeys(a, ks) if a == headName => ks

@@ -454,6 +454,66 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("over-cap dim on an INDEXED value column degrades to index " +
+      "RANGE probes (clustered; string columns single-span)") {
+    // r11 declined entirely here; the r12 degradation probes the
+    // column's index with an Or of ArmRanges built from the dim's
+    // [min, max] (clustered for integral values) — candidates gathered
+    // + verified, join re-checks
+    val root = freshRoot("rtf-ixr")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 4, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long")), 1L)
+    g.table("t").put((0 to 199).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("city"), 2L, b(f"c$i%03d"))
+        .add("f", b("pop"), 2L, Bytes.toBytes(i.toLong))), 2L)
+    g.createIndex("t", "f", b("pop"), 3L)
+    g.createIndex("t", "f", b("city"), 3L)
+    register("grtfixr", root)
+    spark.conf.set("spark.graft.runtimeFilter.maxKeys", "16")
+    spark.conf.set("spark.graft.runtimeFilter.rangeBuckets", "32")
+    try {
+      // integral indexed column, two clusters -> two index range arms
+      val q = "SELECT t.k, t.pop FROM grtfixr.`t$wide` t JOIN " +
+        "(SELECT explode(sequence(50L, 80L)) AS p UNION ALL " +
+        "SELECT explode(sequence(150L, 180L)) AS p) d ON t.pop = d.p"
+      val expect = ((50L to 80L) ++ (150L to 180L)).toSet
+      spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+      val base = try spark.sql(q).collect().map(_.getLong(1)).toSet
+      finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+      assert(base == expect)
+      val df = spark.sql(q)
+      assert(df.collect().map(_.getLong(1)).toSet == expect)
+      val scans = graftScans(df)
+      assert(scans.flatMap(_.runtimeProbeShapes).contains(("pop", "range")))
+      assert(scans.flatMap(_.runtimeRangeCounts) == Seq(("pop", 2)),
+        s"expected 2 clustered index arms: " +
+          scans.flatMap(_.runtimeRangeCounts))
+      // the executed inner plan reads the pop INDEX table (range route)
+      val scan = scans.collectFirst { case s: GraftWideScan => s }.get
+      val plan = scan.resolvedFrame(spark)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("t_idx_f_"),
+        s"runtime ranges did not route through the index:\n$plan")
+      // STRING indexed column: no integral clustering — a single
+      // [enc(min), succ(enc(max))) arm, still index-routed and exact
+      val qs = "SELECT t.k, t.city FROM grtfixr.`t$wide` t JOIN " +
+        "(SELECT format_string('c%03d', id) AS c FROM range(60, 90) " +
+        "UNION ALL SELECT format_string('c%03d', id) FROM range(110, 140)" +
+        ") d ON t.city = d.c"
+      val dfs = spark.sql(qs)
+      assert(dfs.collect().map(_.getLong(0)).toSet ==
+        ((60L until 90L) ++ (110L until 140L)).toSet)
+      assert(graftScans(dfs).flatMap(_.runtimeRangeCounts) ==
+        Seq(("city", 1)))
+    } finally {
+      spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+      spark.conf.unset("spark.graft.runtimeFilter.rangeBuckets")
+    }
+  }
+
   test("the official SupportsRuntimeFiltering surface re-prunes directly") {
     // the interface Spark would drive if these scans ever plan as V2
     // batches: filter(In(key, vs)) scopes the scan like the static IN
