@@ -509,11 +509,20 @@ object PerfEval {
     {
       val span = spark.read.parquet(s"$sfDir/orders.parquet")
         .agg(org.apache.spark.sql.functions.max("o_orderkey")).head.getLong(0)
+      // the dim is MATERIALIZED (its own table, as a real star-schema
+      // dimension is) — a dim defined as a filter over the fact's own
+      // parquet would charge every probe pass a full fact-file scan,
+      // a shape no production star join has
       orders.filter(col("o_orderkey") >= (span * 5 / 100) &&
           col("o_orderkey") < (span * 15 / 100)).select("o_orderkey")
+        .write.mode("overwrite").parquet(s"$work/pe_rtr_dim")
+      spark.read.parquet(s"$work/pe_rtr_dim")
         .createOrReplaceTempView("pe_rtr_dim")
+      // aggregated output: the pair prices probe + scan + join, not the
+      // driver-side transfer of a ~10%-of-table result set (which is
+      // identical in both variants and would mask the scan saving)
       def q = spark.sql(
-        """SELECT f.o_orderkey, f.o_totalprice
+        """SELECT sum(f.o_totalprice) AS s, count(*) AS n
            FROM graft_pe.`pe$wide` f
            JOIN pe_rtr_dim d ON f.o_orderkey = d.o_orderkey""")
       val probe = q
@@ -534,16 +543,24 @@ object PerfEval {
     // [min, max] span and must read the hole too — the pair's gap is
     // what clustering adds ON TOP of the r12 range degradation.
     {
-      val span = spark.read.parquet(s"$sfDir/orders.parquet")
-        .agg(org.apache.spark.sql.functions.max("o_orderkey")).head.getLong(0)
+      // cluster bounds from the key QUANTILES, not span percentages —
+      // scaled corpora band their keys (ScaleData shifts each replica by
+      // a large stride), so a span-relative window can land in an empty
+      // hole; the 5-10% and 70-75% mass windows are non-empty and
+      // separated by construction at every scale
+      val qs = spark.read.parquet(s"$sfDir/orders.parquet")
+        .stat.approxQuantile("o_orderkey",
+          Array(0.05, 0.10, 0.70, 0.75), 0.001)
       orders.filter(
-        (col("o_orderkey") >= (span * 5 / 100) &&
-          col("o_orderkey") < (span * 10 / 100)) ||
-          (col("o_orderkey") >= (span * 70 / 100) &&
-            col("o_orderkey") < (span * 75 / 100)))
-        .select("o_orderkey").createOrReplaceTempView("pe_rtc_dim")
+        (col("o_orderkey") >= qs(0) && col("o_orderkey") < qs(1)) ||
+          (col("o_orderkey") >= qs(2) && col("o_orderkey") < qs(3)))
+        .select("o_orderkey")
+        .write.mode("overwrite").parquet(s"$work/pe_rtc_dim")
+      spark.read.parquet(s"$work/pe_rtc_dim")
+        .createOrReplaceTempView("pe_rtc_dim")
+      // aggregated output, same reason as the range pair above
       def q = spark.sql(
-        """SELECT f.o_orderkey, f.o_totalprice
+        """SELECT sum(f.o_totalprice) AS s, count(*) AS n
            FROM graft_pe.`pe$wide` f
            JOIN pe_rtc_dim d ON f.o_orderkey = d.o_orderkey""")
       val probe = q

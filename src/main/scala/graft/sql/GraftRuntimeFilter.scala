@@ -206,8 +206,15 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
     try {
       import org.apache.spark.sql.functions.{col, max, min}
       val proj = Project(Seq(Alias(keyExpr, "_graft_rk")()), dim)
-      def frame = org.apache.spark.sql.graft.SparkInternals.ofRows(spark, proj)
+      // persisted across the probe's passes (cap check; over-cap adds a
+      // min/max aggregate and a bucket-occupancy distinct): the build
+      // side is gated to broadcast size at attach, so the cache is
+      // bounded, and passes 2-3 read memory instead of re-scanning the
+      // dim subtree
+      val frame = org.apache.spark.sql.graft.SparkInternals.ofRows(spark, proj)
         .filter(col("_graft_rk").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val vals = frame.distinct().limit(maxKeys + 1).collect().map(_.get(0))
       if (vals.length > maxKeys) {
         // over the cap: degrade to the key-range superset — one cheap
@@ -231,6 +238,7 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
         if (enc.forall(_.isDefined)) Some(RuntimeKeys(attr, enc.flatten))
         else None
       }
+      } finally frame.unpersist(false)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Cluster an over-cap dim's INTEGRAL key span [lo, hi] into at most
