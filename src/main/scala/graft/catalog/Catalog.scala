@@ -466,9 +466,25 @@ final class Catalog(spark: SparkSession, root: String) {
 
   /** `addColumn:549`/`deleteColumn:583`/`modifyColumn:618`/readonly flag:
     * new manifest version with same data, new descriptor. */
-  def alterTable(t: String, desc: TableDescriptor, nowMs: Long): Unit = {
+  def alterTable(t: String, desc: TableDescriptor, nowMs: Long): Unit =
+    alterTable(t, desc, nowMs, expectVersion = None)
+
+  /** [[alterTable]] with the [[replaceData]]-style WRITE FENCE:
+    * `expectVersion` is the manifest version the caller derived the new
+    * descriptor (or any content the descriptor vouches for, e.g. a
+    * freshly rebuilt index) FROM; if the table moved past it, the alter
+    * fails loudly instead of registering state computed from a stale
+    * snapshot. */
+  def alterTable(t: String, desc: TableDescriptor, nowMs: Long,
+      expectVersion: Option[Long]): Unit = {
     requireLegalFamilyNames(desc)
     val cur = currentManifest(t)
+    expectVersion.filter(_ != cur.version).foreach { e =>
+      throw new IllegalStateException(
+        s"alterTable fence on $t: expected version $e but the table is " +
+          s"at ${cur.version} — a concurrent commit landed; recompute " +
+          "from the current version")
+    }
     // The salt is baked into every committed file's sort order — changing
     // it would silently mis-route every point read on existing data.
     require(desc.saltBuckets == cur.descriptor.saltBuckets,

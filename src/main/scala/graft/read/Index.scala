@@ -796,7 +796,7 @@ object SecondaryIndex {
     * eliminated. One distributed pass over the main table + one
     * compaction commit on the index table. */
   def rebuild(catalog: Catalog, table: String, ix: IndexDescriptor,
-      nowMs: Long): Unit = {
+      nowMs: Long): Long = {
     val m = catalog.currentManifest(table)
     // visible cells carry no tombstones, so the covered rebuild needs no
     // delete translation — stale/deleted entries drop out wholesale
@@ -806,6 +806,10 @@ object SecondaryIndex {
       else indexCellsCovered(visibleCells(catalog, m, nowMs),
         ix.family, ix.qualifier, ix.covered)
     catalog.replaceData(ix.indexTable, fresh, nowMs): Unit
+    // the MAIN-table version this rebuild read — callers re-registering
+    // the index fence their alterTable to it (a put landing between the
+    // read and the registration would be missing from the index forever)
+    m.version
   }
 
   /** [[rebuild]] every registered index of a table — wired into

@@ -143,13 +143,36 @@ object GraftMigrate {
   def resumePendingIndexRebuilds(catalog: Catalog, table: String,
       nowMs: Long): Seq[String] =
     catalog.currentManifest(table).descriptor.pendingIndexes.map { ix =>
-      SecondaryIndex.rebuild(catalog, table, ix, nowMs)
-      val now = catalog.currentManifest(table).descriptor
-      catalog.alterTable(table, now.copy(
-        indexes = now.indexes :+ ix,
-        pendingIndexes =
-          now.pendingIndexes.filterNot(_.indexTable == ix.indexTable)),
-        nowMs)
+      // rebuild + FENCED re-registration, retried: the registration
+      // must commit against the exact main-table version the rebuild
+      // read — a concurrent put landing in between is maintained for
+      // ROUTING indexes only (Catalog.append walks descriptor.indexes;
+      // pending ones get no synchronous maintenance), so an unfenced
+      // re-register would ship an index permanently missing that row.
+      // The fence turns the race into a rebuild retry; persistent
+      // contention fails loudly, like the data flip's fence.
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        val readV = SecondaryIndex.rebuild(catalog, table, ix, nowMs)
+        val now = catalog.currentManifest(table).descriptor
+        try {
+          catalog.alterTable(table, now.copy(
+            indexes = now.indexes :+ ix,
+            pendingIndexes =
+              now.pendingIndexes.filterNot(_.indexTable == ix.indexTable)),
+            nowMs, expectVersion = Some(readV))
+          done = true
+        } catch {
+          case e: IllegalStateException =>
+            if (attempts >= 5) throw new IllegalStateException(
+              s"index ${ix.indexTable} re-registration lost the fence " +
+                s"$attempts times (sustained concurrent writes on " +
+                s"$table) — still pending, re-run " +
+                "resumePendingIndexRebuilds", e)
+        }
+      }
       ix.indexTable
     }
 }

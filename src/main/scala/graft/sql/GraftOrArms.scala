@@ -25,9 +25,16 @@ import org.apache.spark.sql.sources
   * tree keeps the depth at log2(n). */
 private[sql] object GraftCols {
   import org.apache.spark.sql.Column
-  def orAll(ps: Seq[Column]): Column = ps.length match {
-    case 1 => ps.head
-    case n => orAll(ps.take(n / 2)) || orAll(ps.drop(n / 2))
+  def orAll(ps: Seq[Column]): Column = {
+    // the combinator exists to avoid stack overflows — it must not
+    // introduce one itself: length 0 would recurse on empty halves
+    // forever under the bare `case n` arm
+    require(ps.nonEmpty, "orAll of an empty arm list (caller must " +
+      "handle the vacuous disjunction — usually lit(false))")
+    ps.length match {
+      case 1 => ps.head
+      case n => orAll(ps.take(n / 2)) || orAll(ps.drop(n / 2))
+    }
   }
 }
 

@@ -2,8 +2,9 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, BitAndAgg, BitOrAgg, BitXorAgg, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, GlobalLimit, Join, LocalLimit, LogicalPlan, Offset, Project, Sample, SubqueryAlias, Tail}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, DeduplicateWithinWatermark, Filter => LFilter, GlobalLimit, Join, LocalLimit, LogicalPlan, Offset, Project, Sample, SubqueryAlias, Tail}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -206,16 +207,18 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
     try {
       import org.apache.spark.sql.functions.{col, max, min}
       val proj = Project(Seq(Alias(keyExpr, "_graft_rk")()), dim)
-      // persisted across the probe's passes (cap check; over-cap adds a
-      // min/max aggregate and a bucket-occupancy distinct): the build
-      // side is gated to broadcast size at attach, so the cache is
-      // bounded, and passes 2-3 read memory instead of re-scanning the
-      // dim subtree
-      val frame = org.apache.spark.sql.graft.SparkInternals.ofRows(spark, proj)
+      val raw = org.apache.spark.sql.graft.SparkInternals.ofRows(spark, proj)
         .filter(col("_graft_rk").isNotNull)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vals = raw.distinct().limit(maxKeys + 1).collect().map(_.get(0))
+      // only the OVER-CAP branch re-reads the frame (min/max aggregate +
+      // bucket-occupancy distinct), so only it persists — the common
+      // under-cap case stays a single unpersisted pass. Bounded: the
+      // build side is gated to broadcast size at attach.
+      val frame =
+        if (vals.length > maxKeys)
+          raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else raw
       try {
-      val vals = frame.distinct().limit(maxKeys + 1).collect().map(_.get(0))
       if (vals.length > maxKeys) {
         // over the cap: degrade to the key-range superset — one cheap
         // aggregate over the same (size-gated) dim subtree yields exact
@@ -238,7 +241,7 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
         if (enc.forall(_.isDefined)) Some(RuntimeKeys(attr, enc.flatten))
         else None
       }
-      } finally frame.unpersist(false)
+      } finally { if (vals.length > maxKeys) frame.unpersist(false) }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Cluster an over-cap dim's INTEGRAL key span [lo, hi] into at most
@@ -331,12 +334,7 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
 object GraftRuntimeFilter {
   import org.apache.spark.sql.DataFrame
   private def scans(df: DataFrame): Seq[GraftRuntimeFilterable] =
-    df.queryExecution.optimizedPlan.collect {
-      case r: DataSourceV2ScanRelation => r.scan match {
-        case w: V1ScanWrapper => w.v1Scan
-        case s => s
-      }
-    }.collect { case g: GraftRuntimeFilterable => g }
+    GraftPlanSeams.scansOf[GraftRuntimeFilterable](df)
   def attempted(df: DataFrame): Boolean = scans(df).exists(_.runtimeAttempted)
   def pruned(df: DataFrame): Boolean = scans(df).exists(_.runtimePruned)
   /** (attribute, "keys"|"range") pairs applied across the frame's scans. */
@@ -457,14 +455,51 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The probe executes the dim subtree OUT OF BAND (the join executes
     * it again), so the two executions must provably return the same row
-    * set: every expression deterministic AND no row-SELECTION node —
+    * set: every expression deterministic, no row-SELECTION node —
     * GlobalLimit/LocalLimit/Tail/Offset/Sample without a defining order
-    * can legally pick different rows per execution, which would prune
-    * fact rows the join's own execution matches. */
+    * can legally pick different rows per execution — and no
+    * ORDER-DEPENDENT aggregate: `dropDuplicates(subset)` optimizes to
+    * Aggregate(groupBy subset, first(others)), and First/Last (and
+    * friends) report deterministic=true while legally returning a
+    * DIFFERENT representative per execution as shuffle order varies.
+    * Aggregates pass only when every aggregate function is on a known
+    * order-INSENSITIVE whitelist (grouping keys are fine by
+    * construction); anything unrecognized declines — a declined probe
+    * just runs unpruned. */
   private def stableProbePlan(p: LogicalPlan): Boolean =
     p.find {
       case _: GlobalLimit | _: LocalLimit | _: Tail | _: Offset |
           _: Sample => true
+      case _: Deduplicate | _: DeduplicateWithinWatermark => true
+      case a: Aggregate =>
+        a.aggregateExpressions.exists(_.exists {
+          case ae: AggregateExpression => !orderInsensitive(ae)
+          case _ => false
+        }) || !a.expressions.forall(_.deterministic)
       case n => !n.expressions.forall(_.deterministic)
     }.isEmpty
+
+  private def orderInsensitive(ae: AggregateExpression): Boolean =
+    ae.aggregateFunction match {
+      case _: Min | _: Max | _: Sum | _: Count | _: Average |
+          _: BitAndAgg | _: BitOrAgg | _: BitXorAgg => true
+      case _ => false
+    }
+}
+
+
+/** The ONE plan-walking seam: graft scans under a frame's optimized
+  * plan, V1ScanWrapper unwrapped. Every harness seam (runtime-filter
+  * probes, wide-route facts) goes through here so a Spark-upgrade
+  * change to scan wrapping is fixed in one place. */
+private[sql] object GraftPlanSeams {
+  import org.apache.spark.sql.DataFrame
+  import scala.reflect.ClassTag
+  def scansOf[T](df: DataFrame)(implicit ct: ClassTag[T]): Seq[T] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan match {
+        case w: V1ScanWrapper => w.v1Scan
+        case s => s
+      }
+    }.collect { case g: T => g }
 }

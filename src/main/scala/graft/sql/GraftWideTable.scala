@@ -1181,6 +1181,25 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     * cell door does), so the same query returns the same rows whether
     * or not a predicate routes (family maxVersions caps are harmless
     * here: a wide read decodes one version per column either way). */
+  /** THE probe-soundness rule for one index arm on column `c`, stated
+    * once (the single-column OR route, the cross-column OR route, and
+    * the conjunct hiUnsound check are all instances): an equality/IN
+    * arm is always sound (bijective per width); a range arm needs a
+    * hi-less bound (byte-order superset), an order-preserving codec
+    * (ordered fixed, string, binary), or a non-negative lo bound on a
+    * plain signed fixed codec (the byte interval then holds exactly the
+    * value matches — negatives sort above both bounds). */
+  private def armSound(c: WideCol,
+      arm: graft.read.SecondaryIndex.ValueArm): Boolean = {
+    import graft.read.SecondaryIndex.{ArmIn, ArmRange}
+    arm match {
+      case ArmIn(_) => true
+      case ArmRange(lo, hi) =>
+        hi.isEmpty || c.ordered || c.dt == StringType ||
+          c.dt == BinaryType || lo.exists(b => (b(0) & 0x80) == 0)
+    }
+  }
+
   private[sql] def route: Option[WideRoute] = {
     // Time-travel scans never route: a live index reflects the PRESENT
     // table, not the pinned version (same rule as the cell door).
@@ -1227,9 +1246,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       // are byte-order SUPERSETS (negatives sort above the start and the
       // residual drops them); ordered codecs (olong/oint/odouble) and
       // strings/binary are order-preserving over their full domain.
-      val hiUnsound = colEq.get(cn).isEmpty && colHi.contains(cn) &&
-        !(c.ordered || c.dt == StringType || c.dt == BinaryType) &&
-        !colLo.get(cn).exists(b => (b(0) & 0x80) == 0)
+      val hiUnsound = colEq.get(cn).isEmpty && !armSound(c,
+        graft.read.SecondaryIndex.ArmRange(colLo.get(cn), colHi.get(cn)))
       if (hiUnsound) None
       else d.indexOn(c.family, c.qualifier).map { ix =>
         val pred = colEq.get(cn).map(GraftValueIn)
@@ -1255,17 +1273,10 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       // conjunct routes above take precedence (they constrain harder);
       // composite leading members stay out (the loose-blob probe has no
       // multi-arm form) — unrouted ORs are residual-only, never wrong.
-      import graft.read.SecondaryIndex.{ArmIn, ArmRange}
       spec.cols.map(_.name).filter(colOr.contains).iterator.flatMap { cn =>
         val c = spec.col(cn).get
         val arms = colOr(cn)
-        val sound = arms.forall {
-          case ArmIn(_) => true
-          case ArmRange(lo, hi) =>
-            hi.isEmpty || c.ordered || c.dt == StringType ||
-              c.dt == BinaryType || lo.exists(b => (b(0) & 0x80) == 0)
-        }
-        if (!sound) None
+        if (!arms.forall(armSound(c, _))) None
         else d.indexOn(c.family, c.qualifier)
           .map(ix => WideSingle(c, ix, GraftValueOr(arms)))
       }.take(1).toSeq.headOption
@@ -1298,18 +1309,11 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       // Any unindexed or unsound member declines the whole route —
       // probing a subset of the disjuncts would DROP rows the other
       // disjuncts match.
-      import graft.read.SecondaryIndex.{ArmIn, ArmRange}
       if (colCrossOr.isEmpty) None
       else {
         val members = colCrossOr.map { case (cn, arms) =>
           spec.col(cn).flatMap { c =>
-            val sound = arms.forall {
-              case ArmIn(_) => true
-              case ArmRange(lo, hi) =>
-                hi.isEmpty || c.ordered || c.dt == StringType ||
-                  c.dt == BinaryType || lo.exists(b => (b(0) & 0x80) == 0)
-            }
-            if (!sound) None
+            if (!arms.forall(armSound(c, _))) None
             else d.indexOn(c.family, c.qualifier).map(ix => (c, ix, arms))
           }
         }
@@ -1654,14 +1658,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
   * optimized plan. Read-only; collecting them triggers optimization. */
 object GraftWideSeams {
   import org.apache.spark.sql.DataFrame
-  import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
   private def scans(df: DataFrame): Seq[GraftWideScan] =
-    df.queryExecution.optimizedPlan.collect {
-      case r: DataSourceV2ScanRelation => r.scan match {
-        case w: V1ScanWrapper => w.v1Scan
-        case s => s
-      }
-    }.collect { case g: GraftWideScan => g }
+    GraftPlanSeams.scansOf[GraftWideScan](df)
   /** Index tables probed by CROSS-column OR routes under `df`. */
   def crossOrIndexTables(df: DataFrame): Seq[String] =
     scans(df).flatMap(_.crossOrIndexTables)

@@ -281,6 +281,26 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(graftScans(samp).forall(!_.runtimeAttempted),
       "a TABLESAMPLE dim must not attach a probe")
     samp.collect(): Unit
+    // dropDuplicates on a SUBSET optimizes to Aggregate(groupBy subset,
+    // first(others)); first() reports deterministic=true but legally
+    // returns a DIFFERENT representative per execution — pruning with
+    // the probe's answer could drop rows the join's own execution
+    // matches, so the rule must decline (same hazard class as LIMIT)
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("k", "grp")
+      .createOrReplaceTempView("rtf_dim_dd")
+    val dd = spark.sql("SELECT t.k FROM grtfl.`t$wide` t JOIN " +
+      "(SELECT first(k) AS k FROM rtf_dim_dd GROUP BY grp) d ON t.k = d.k")
+    assert(graftScans(dd).forall(!_.runtimeAttempted),
+      "an order-dependent aggregate dim must not attach a probe")
+    dd.collect(): Unit
+    // ...while order-INSENSITIVE aggregates (min/max/sum/count + group
+    // keys) still attach: their output row set is execution-stable
+    val ok = spark.sql("SELECT t.k FROM grtfl.`t$wide` t JOIN " +
+      "(SELECT min(k) AS k FROM rtf_dim_dd GROUP BY grp) d ON t.k = d.k")
+    ok.collect(): Unit
+    assert(graftScans(ok).exists(_.runtimePruned),
+      "a min/max aggregate dim should still prune")
   }
 
   test("multi-attribute: key-head and indexed-column probes intersect") {

@@ -718,6 +718,27 @@ class WideViewSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM gwmigp.`t$wide` " +
       "WHERE price >= 1.0 AND price < 2.1 ORDER BY k")
       .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    // --- re-registration fence (r12): a put landing AFTER the rebuild's
+    // manifest read but BEFORE the alterTable re-registration must not
+    // ship an index missing that row. The stale-expectVersion path is
+    // exercised directly (the resume loop retries it internally).
+    val d3 = g2.catalog.currentManifest("t")
+    // the column is odouble after the migration — raw puts must encode
+    // under the DECLARED codec
+    g2.table("t").put(Seq(Put(Bytes.toBytes(8L))
+      .add("f", b("price"), 6L, Bytes.toBytesOrdered(1.5))
+      .add("f", b("city"), 6L, b("c8"))), 6L)
+    val fenceErr = intercept[IllegalStateException] {
+      g2.catalog.alterTable("t", d3.descriptor, nowMs = 7L,
+        expectVersion = Some(d3.version))
+    }
+    assert(fenceErr.getMessage.contains("fence"), fenceErr.getMessage)
+    // ...and the index maintained for the put routes it (registered
+    // indexes get synchronous maintenance; the fence only protects the
+    // pending->registered transition)
+    assert(spark.sql("SELECT k FROM gwmigp.`t$wide` " +
+      "WHERE price >= 1.0 AND price < 2.1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L, 8L))
   }
 
   test("olong key: negative key ranges prune and stay exact") {
