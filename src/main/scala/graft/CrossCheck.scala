@@ -608,6 +608,37 @@ object CrossCheck {
           s"${if (symC.nonEmpty) " MISMATCH " + symC.take(20) else " OK"}")
         require(directC.nonEmpty, "conjunct twin matched nothing — drift?")
         if (symC.nonEmpty) sys.exit(1)
+        // r12 MIXED key/value twin on the same fixture: a RowFilter-OR-
+        // SCVF disjunction — the key disjunct reads its row range off
+        // the cell scan, the custkey disjunct probes the index for rows
+        // OUTSIDE that range, one resolution pass; the 1% updates +
+        // deletes sit inside both branches.
+        val komax = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+        val qm = s"""SELECT o_orderkey, o_custkey, o_orderstatus
+                     FROM graft_xocc.`o$$wide`
+                     WHERE o_orderkey < ${komax / 100}
+                        OR o_custkey IN (7, 37, 73)"""
+        val mixDf = spark.sql(qm)
+        val viaMix = xrows(mixDf)
+        require(graft.sql.GraftWideSeams.mixedOrShapes(mixDf)
+          .exists(s => s._1 >= 1 && s._2.nonEmpty),
+          "mixed key/value OR did not route: " +
+            graft.sql.GraftWideSeams.mixedOrShapes(mixDf))
+        val directM = xrows(CellCodec.decode(
+          g.table("o").scan(graft.read.Scan()
+            .addColumn("o", ckQ).addColumn("o", Bytes.toBytes("o_orderstatus"))),
+          StructType(Seq(
+            StructField("o_custkey", LongType),
+            StructField("o_orderstatus", StringType))),
+          key = Seq("o_orderkey" -> LongType))
+          .filter(col("o_orderkey") < komax / 100 ||
+            col("o_custkey").isin(7L, 37L, 73L)))
+        val symM = (viaMix diff directM) ++ (directM diff viaMix)
+        println(s"[crosscheck] cross_or(mixed): routed=${viaMix.size} " +
+          s"direct=${directM.size} symdiff=${symM.size}" +
+          s"${if (symM.nonEmpty) " MISMATCH " + symM.take(20) else " OK"}")
+        require(directM.nonEmpty, "mixed twin matched nothing — drift?")
+        if (symM.nonEmpty) sys.exit(1)
       case "runtime_prune" =>
         // r11: the runtime (join-driven) key prune — GraftRuntimeFilterRule
         // re-pruning a SALTED wide fact scan to a data-derived dim's keys

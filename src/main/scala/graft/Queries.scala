@@ -1978,6 +1978,30 @@ object Queries {
              ORDER BY f.o_orderkey""")
   }
 
+  // MIXED key/value OR routing (r12): `o_orderkey < 200 OR o_custkey=7`
+  // — the reference's CLASSIC FilterList(MUST_PASS_ONE) of a RowFilter
+  // with a SingleColumnValueFilter (hbase/filter/FilterList.java:47-49).
+  // The key disjunct prunes as a row range read straight off the cell
+  // scan; the value disjunct probes the custkey index EXCLUDING rows
+  // the range branch owns; one resolution pass over the disjoint cell
+  // union, residual Or exact. WideViewSpec asserts the mixedOrShape
+  // seam; this gate proves the routed answer hash-matches the
+  // relational oracle through the fixture's range delete.
+  private val sqlMixedOr = Q("sql_mixed_or", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE (o_orderkey < 200 OR o_custkey = 7)
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wmx",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wmx.root", root)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+             FROM graft_wmx.`orders_w$wide`
+             WHERE o_orderkey < 200 OR o_custkey = 7
+             ORDER BY o_orderkey""")
+  }
+
   // Runtime INDEX-RANGE degradation (r12): the over-cap dim joins on an
   // INDEXED VALUE column (not the key head), where r11 declined
   // entirely — the probe now degrades to index RANGE arms: [min, max]
@@ -5263,6 +5287,7 @@ object Queries {
     sqlRuntimeIndexPrune, sqlOrRoute, sqlCompositeOr, sqlKeyRangeOr,
     sqlCrossOr, sqlRuntimeRangePrune, sqlRuntimeMultiPrune,
     sqlConjunctOr, sqlRuntimeClusterPrune, sqlRuntimeIndexRange,
+    sqlMixedOr,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -208,6 +208,18 @@ private[sql] case class WideCompositeOr(ix: IndexDescriptor,
 private[sql] case class WideCrossOr(
     members: Seq[(WideCol, IndexDescriptor,
       Seq[graft.read.SecondaryIndex.ValueArm])]) extends WideRoute
+/** MIXED key/value OR (`k < 200 OR custkey = 7` — the reference's
+  * classic `FilterList(MUST_PASS_ONE)` of a RowFilter with a
+  * SingleColumnValueFilter, `hbase/filter/FilterList.java:47-49`): the
+  * KEY disjuncts prune as row ranges (value supersets, negative-region
+  * arm included on plain signed heads), the VALUE disjuncts probe their
+  * indexes; the two candidate branches are split disjointly by the key
+  * ranges, resolved as ONE cell union, and the residual Or keeps
+  * exactness. */
+private[sql] case class WideMixedOr(
+    keyRanges: Seq[(Option[Array[Byte]], Option[Array[Byte]])],
+    members: Seq[(WideCol, IndexDescriptor,
+      Seq[graft.read.SecondaryIndex.ValueArm])]) extends WideRoute
 
 private[sql] case class WideSpec(key: Seq[(String, DataType)],
     cols: Seq[WideCol], orderedKey: Set[String] = Set.empty) {
@@ -448,6 +460,13 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   // probeOr passes when EVERY member column is indexed
   private var colCrossOr
       : Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])] = Nil
+  // recorded MIXED key/value OR (`k < 200 OR custkey = 7`): the key
+  // disjuncts' row ranges (negative-region-adjusted) + the value
+  // disjuncts' per-column arms — routable when every value member is
+  // indexed (WideMixedOr)
+  private var colMixedOr: Option[(
+      Seq[(Option[Array[Byte]], Option[Array[Byte]])],
+      Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])])] = None
 
   private def tightenStart(b: Array[Byte]): Unit =
     if (startRow.forall(cur => Bytes.compareTo(b, cur) > 0)) startRow = Some(b)
@@ -846,7 +865,70 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
                               superset = true) match {
                               case Some(groups) if colCrossOr.isEmpty =>
                                 colCrossOr = groups
-                              case _ => ()
+                              case _ =>
+                                // LAST: MIXED key/value disjunction (the
+                                // reference's RowFilter-OR-SCVF
+                                // FilterList shape): key disjuncts
+                                // become row ranges via keyOrRanges,
+                                // value disjuncts index arms via the
+                                // superset parse — every pure form
+                                // above is tighter, so this only
+                                // catches genuinely mixed trees.
+                                type Mixed = (Seq[(Option[Array[Byte]],
+                                  Option[Array[Byte]])],
+                                  Seq[(String,
+                                    graft.read.SecondaryIndex.ValueArm)])
+                                def mixedOf(g: Filter): Option[Mixed] =
+                                  g match {
+                                    case sources.Or(a, b) =>
+                                      for { x <- mixedOf(a); y <- mixedOf(b) }
+                                        yield (x._1 ++ y._1, x._2 ++ y._2)
+                                    case other =>
+                                      keyOrRanges(other) match {
+                                        case Some(rs) => Some((rs, Nil))
+                                        case None => GraftOrArms.parse(other,
+                                            ixLeaf, graft.read.SecondaryIndex
+                                              .MaxCompositeProbes,
+                                            superset = true)
+                                            .map { case (c, arms) =>
+                                              (Nil, arms.map(c -> _))
+                                            }
+                                      }
+                                  }
+                                mixedOf(f) match {
+                                  case Some((krs, varms))
+                                      if colMixedOr.isEmpty &&
+                                        krs.nonEmpty && varms.nonEmpty &&
+                                        krs.forall { case (lo, hi) =>
+                                          lo.isDefined || hi.isDefined } &&
+                                        krs.size + varms.size <=
+                                          graft.read.SecondaryIndex
+                                            .MaxCompositeProbes =>
+                                    // same plain-signed-head adjustment
+                                    // as keyRangeOr: a lo-less hi arm
+                                    // keeps the negative byte region
+                                    val fixedK =
+                                      if (headFixed && !headOrdered &&
+                                          krs.exists { case (lo, hi) =>
+                                            hi.isDefined && lo.isEmpty })
+                                        krs :+ ((Some({
+                                          val w = keyHead._2 match {
+                                            case org.apache.spark.sql.types
+                                              .IntegerType => 4
+                                            case _ => 8
+                                          }
+                                          (0x80.toByte +:
+                                            Array.fill(w - 1)(0.toByte))
+                                            : Array[Byte]
+                                        }): Option[Array[Byte]]),
+                                          (None: Option[Array[Byte]]))
+                                      else krs
+                                    val groups = varms.map(_._1).distinct
+                                      .map(c => c -> varms.collect {
+                                        case (`c`, a) => a })
+                                    colMixedOr = Some((fixedK, groups))
+                                  case _ => ()
+                                }
                             }
                         }
                     }
@@ -984,7 +1066,7 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
       startingVersion,
       stopWraps = stopFromComparison && !headPinned,
       colOr = colOr, colTupleOr = colTupleOr, keyRangeOr = keyRangeOr,
-      colCrossOr = colCrossOr)
+      colCrossOr = colCrossOr, colMixedOr = colMixedOr)
 }
 
 class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
@@ -1005,7 +1087,10 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     colOr: Map[String, Seq[graft.read.SecondaryIndex.ValueArm]] = Map.empty,
     colTupleOr: Seq[Map[String, Seq[Array[Byte]]]] = Nil,
     keyRangeOr: Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = None,
-    colCrossOr: Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])] = Nil)
+    colCrossOr: Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])] = Nil,
+    colMixedOr: Option[(
+      Seq[(Option[Array[Byte]], Option[Array[Byte]])],
+      Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])])] = None)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with GraftRuntimeFilterable {
@@ -1321,6 +1406,23 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         else None
       }
     }.orElse {
+      // MIXED key/value OR (RowFilter OR SingleColumnValueFilter —
+      // FilterList(MUST_PASS_ONE) across the row/value divide): key
+      // arms prune as row ranges, value arms probe their indexes;
+      // routes only when EVERY value member is indexed and sound (the
+      // cross-column rule — probing a subset would drop disjuncts).
+      colMixedOr.flatMap { case (krs, groups) =>
+        val members = groups.map { case (cn, arms) =>
+          spec.col(cn).flatMap { c =>
+            if (!arms.forall(armSound(c, _))) None
+            else d.indexOn(c.family, c.qualifier).map(ix => (c, ix, arms))
+          }
+        }
+        if (members.forall(_.isDefined))
+          Some(WideMixedOr(krs, members.flatten))
+        else None
+      }
+    }.orElse {
       // runtime (join-driven) In on an indexed value column — the
       // LOWEST-precedence arm (static predicates constrain harder and
       // were chosen by the planner; this one only exists at execution).
@@ -1355,6 +1457,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     case WideComposite(ix, _) => ix.indexTable
     case WideCompositeOr(ix, _) => ix.indexTable
     case WideCrossOr(members) => members.head._2.indexTable
+    case WideMixedOr(_, members) => members.head._2.indexTable
   }
   /** ALL index tables a cross-column OR route probes (seam: the
     * sql_cross_or battery asserts every member's index participates). */
@@ -1362,11 +1465,19 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     case WideCrossOr(members) => members.map(_._2.indexTable)
     case _ => Nil
   }
+  /** Seam: the MIXED route's shape — (key-range arm count, probed index
+    * tables). None when the scan routed some other way. */
+  private[sql] def mixedOrShape: Option[(Int, Seq[String])] =
+    route.collect {
+      case WideMixedOr(krs, members) =>
+        (krs.size, members.map(_._2.indexTable))
+    }
   private[sql] def indexOnly: Boolean = route.exists {
     case WideSingle(c, ix, _) =>
       ix.covered.nonEmpty && scanCols.forall(sc =>
         sc.name == c.name || ix.coversColumn(sc.family, sc.qualifier))
-    case _: WideComposite | _: WideCompositeOr | _: WideCrossOr => false
+    case _: WideComposite | _: WideCompositeOr | _: WideCrossOr |
+        _: WideMixedOr => false
   }
 
   /** Declared columns the cell scan must read: the needed set (required
@@ -1556,6 +1667,32 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         }.reduce(_.unionByName(_)).distinct()
         visible(keepWanted(boundsFilter(ScanExec(
           SecondaryIndex.gatherHits(logical, hits), GScan()))))
+      case Some(WideMixedOr(krs, members)) =>
+        // MIXED key/value OR: the key-range branch reads its rows
+        // straight off the (logical) cell scan — ranges push to parquet
+        // unsalted, filter stripped rows salted — while the value
+        // branch probes + gathers like the cross-column route, EXCLUDING
+        // hits the range branch already owns (the branches partition
+        // the candidate rows, so the one resolution pass below never
+        // sees a duplicate cell). Exactness is the residual Or's, over
+        // a candidate superset: each key arm is a value superset by
+        // construction (negative-region arm included) and index
+        // completeness for puts covers every value disjunct's match.
+        def inRanges(df: DataFrame): org.apache.spark.sql.Column =
+          GraftCols.orAll(krs.map { case (lo, hi) =>
+            (lo.map(b => df("row") >= lit(b)) ++
+              hi.map(b => df("row") < lit(b)))
+              .reduceOption(_ && _).getOrElse(lit(true))
+          })
+        val hits = members.map { case (_, ix, arms) =>
+          SecondaryIndex.probeOr(engine.read(ix.indexTable), arms)
+        }.reduce(_.unionByName(_)).distinct()
+        val hitsOutside = hits.filter(!inRanges(hits))
+        val lg = logical // bind ONE frame: the def mints fresh attr ids
+        val rangeCells = lg.filter(inRanges(lg))
+        val cells = SecondaryIndex.gatherHits(logical, hitsOutside)
+          .unionByName(rangeCells)
+        visible(keepWanted(boundsFilter(ScanExec(cells, GScan()))))
       case None =>
         // plain scan: salt-aware bounds + qualifier projection + resolve.
         // Key probes: on a salted SINGLE-part key the head encoding IS
@@ -1666,4 +1803,8 @@ object GraftWideSeams {
   /** Every routed index table under `df` (any route form). */
   def usedIndexTables(df: DataFrame): Seq[String] =
     scans(df).flatMap(_.usedIndexTable)
+  /** MIXED key/value OR route shapes under `df`: (key-range arm count,
+    * probed index tables) per routed scan. */
+  def mixedOrShapes(df: DataFrame): Seq[(Int, Seq[String])] =
+    scans(df).flatMap(_.mixedOrShape)
 }

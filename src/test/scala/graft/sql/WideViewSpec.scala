@@ -1458,6 +1458,56 @@ class WideViewSpec extends SparkSpec {
       (1 to 40).filter(_ % 4 == 2).map(_.toLong))
   }
 
+  test("MIXED key/value OR: a RowFilter-OR-SCVF disjunction routes as " +
+      "key ranges unioned with index probes") {
+    // the reference's classic FilterList(MUST_PASS_ONE) shape: one
+    // disjunct on the ROW, one on an indexed VALUE column (r12)
+    val root = freshRoot("widemixor")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long;f:note:string")), 1L)
+    // includes a NEGATIVE key: `k < 5` on a plain signed head must keep
+    // the negative byte region (k = -3 satisfies it but byte-sorts
+    // above every non-negative) — the mixed route's key arms carry the
+    // same negative-region adjustment as keyRangeOr
+    g.table("t").put((Seq(-3L) ++ (1L to 40L)).map(i =>
+      Put(Bytes.toBytes(i))
+        .add("f", b("city"), 2L, b(s"c${math.floorMod(i, 4)}"))
+        .add("f", b("pop"), 2L, Bytes.toBytes(math.floorMod(i, 10)))
+        .add("f", b("note"), 2L, b(s"n${math.floorMod(i, 3)}"))), 2L)
+    g.createIndex("t", "f", b("city"), 3L)
+    g.createIndex("t", "f", b("pop"), 3L)
+    register("gwmxor", root)
+    def ks(q: String): Seq[Long] =
+      spark.sql(q).collect().map(_.getLong(0)).toSeq.sorted
+    val q1 = "SELECT k FROM gwmxor.`t$wide` WHERE k < 5 OR pop = 3"
+    val df1 = spark.sql(q1)
+    assert(ks(q1) == (Seq(-3L) ++ (1L to 40L))
+      .filter(i => i < 5 || math.floorMod(i, 10) == 3).sorted)
+    val shapes = GraftWideSeams.mixedOrShapes(df1)
+    assert(shapes.nonEmpty && shapes.head._1 == 2 &&
+      shapes.head._2.sizeIs == 1,
+      s"expected (2 key arms incl. negative region, 1 index): $shapes")
+    // two value members + an IN key arm set
+    val q2 = "SELECT k FROM gwmxor.`t$wide` " +
+      "WHERE k IN (2, 30) OR city = 'c1' OR pop = 3"
+    assert(ks(q2) == (Seq(-3L) ++ (1L to 40L)).filter(i =>
+      i == 2 || i == 30 || math.floorMod(i, 4) == 1 ||
+        math.floorMod(i, 10) == 3).sorted)
+    assert(GraftWideSeams.mixedOrShapes(spark.sql(q2))
+      .exists(_._2.sizeIs == 2), "both indexes should probe")
+    // an UNINDEXED value member declines the whole route (residual-only,
+    // still exact)
+    val q3 = "SELECT k FROM gwmxor.`t$wide` WHERE k < 5 OR note = 'n1'"
+    val df3 = spark.sql(q3)
+    assert(ks(q3) == (Seq(-3L) ++ (1L to 40L))
+      .filter(i => i < 5 || math.floorMod(i, 3) == 1).sorted)
+    assert(GraftWideSeams.mixedOrShapes(df3).isEmpty &&
+      GraftWideSeams.usedIndexTables(df3).isEmpty,
+      "unindexed mixed member must decline the route")
+  }
+
   test("manifest-size statistics flow through the WIDE door too " +
       "(GraftStatsRule fires on its V1ScanWrapper)") {
     val root = freshRoot("widestats")
