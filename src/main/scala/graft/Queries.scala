@@ -468,6 +468,34 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  // MIXED row/value OR on the CELL door (r12): `row < k OR value = v` —
+  // the reference's RowFilter-OR-SingleColumnValueFilter FilterList on
+  // its native surface (hbase/filter/FilterList.java:47-49). The row
+  // disjunct reads its exact byte range off the cell scan (binary row
+  // order IS the value order), the value disjunct probes the custkey
+  // index for rows outside that range; one resolution pass, residual Or
+  // exact. SqlCatalogSpec asserts the mixedOrShape seam.
+  private val sqlCellMixedOr = Q("sql_cell_mixed_or", Some("""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderkey < 200 OR o_custkey = 7
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = sqlIndexRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_ixm",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ixm.root", root)
+    val qual = "X'" + Bytes.toBytes("o_custkey").map(b => f"$b%02x").mkString + "'"
+    def h(v: Long) = "X'" + Bytes.toBytes(v).map(b => f"$b%02x").mkString + "'"
+    val cells = s.sql(
+      s"""SELECT row, family, qualifier, ts, kind, value, seq
+          FROM graft_ixm.orders_ix
+          WHERE family = 'o' AND qualifier = $qual
+            AND (row < ${h(200L)} OR value = ${h(7L)})""")
+    CellCodec.decode(cells,
+      StructType(Seq(StructField("o_custkey", LongType))),
+      key = Seq("o_orderkey" -> LongType))
+      .orderBy("o_orderkey")
+  }
+
   // COVERED transparent SQL routing — the strongest form of the Phoenix
   // route: the table declares immutableRows, the registered index covers
   // (so its content is exact: synchronous deletes, data-first commits),
@@ -5287,7 +5315,7 @@ object Queries {
     sqlRuntimeIndexPrune, sqlOrRoute, sqlCompositeOr, sqlKeyRangeOr,
     sqlCrossOr, sqlRuntimeRangePrune, sqlRuntimeMultiPrune,
     sqlConjunctOr, sqlRuntimeClusterPrune, sqlRuntimeIndexRange,
-    sqlMixedOr,
+    sqlMixedOr, sqlCellMixedOr,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -265,6 +265,12 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   // see GraftOrArms): a bounded disjunction of equalities/intervals on
   // the one projected column, routed as ONE probeOr pass
   private var valueOr: Seq[graft.read.SecondaryIndex.ValueArm] = Nil
+  // recorded MIXED row/value OR (`row < a OR value = v` — RowFilter OR
+  // SingleColumnValueFilter composed MUST_PASS_ONE): exact row ranges
+  // (binary row order IS the value order) + value index arms
+  private var mixedOr: Option[(
+      Seq[(Option[Array[Byte]], Option[Array[Byte]])],
+      Seq[graft.read.SecondaryIndex.ValueArm])] = None
 
   /** Aggregate pushdown — COMPLETE (final values, not partial buffers):
     * the aggregation runs inside the inner resolved plan (hash aggregate
@@ -401,7 +407,40 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
                   rs.size <= graft.read.SecondaryIndex.MaxCompositeProbes &&
                   rs.forall { case (lo, hi) => lo.isDefined || hi.isDefined } =>
                 rowRangeOr = Some(rs); residual += f
-              case _ => rest += f
+              case _ =>
+                // r12: MIXED row/value disjunction (the reference's
+                // RowFilter-OR-SCVF FilterList shape) — row disjuncts
+                // become exact byte ranges, value disjuncts index arms
+                // (superset pick inside And conjuncts); recorded for
+                // the mixed route, the Or stays residual either way
+                type KR = (Option[Array[Byte]], Option[Array[Byte]])
+                def mixedOf(g: Filter)
+                    : Option[(Seq[KR],
+                      Seq[graft.read.SecondaryIndex.ValueArm])] = g match {
+                  case sources.Or(a, b) =>
+                    for { x <- mixedOf(a); y <- mixedOf(b) }
+                      yield (x._1 ++ y._1, x._2 ++ y._2)
+                  case other =>
+                    rowOrRanges(other).map(rs => (rs,
+                      Nil: Seq[graft.read.SecondaryIndex.ValueArm]))
+                      .orElse(GraftOrArms.parse(other, cellValueLeaf,
+                        graft.read.SecondaryIndex.MaxCompositeProbes,
+                        superset = true).collect {
+                          case ("value", arms) => (Nil: Seq[KR], arms)
+                        })
+                }
+                mixedOf(f) match {
+                  case Some((krs, varms))
+                      if mixedOr.isEmpty && krs.nonEmpty &&
+                        varms.nonEmpty &&
+                        krs.forall { case (lo, hi) =>
+                          lo.isDefined || hi.isDefined } &&
+                        krs.size + varms.size <=
+                          graft.read.SecondaryIndex.MaxCompositeProbes =>
+                    mixedOr = Some((krs, varms))
+                  case _ => ()
+                }
+                rest += f
             }
         }
       case other => rest += other
@@ -583,6 +622,21 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
       }
     } yield GraftIndexRoute(ix, pred, Nil)
 
+  /** The MIXED row/value OR route: only when no tighter index route
+    * exists, the scan touches exactly one column, and that column
+    * carries a single-column index for the value arms. */
+  private def mixedRoute: Option[(graft.catalog.IndexDescriptor,
+      Seq[(Option[Array[Byte]], Option[Array[Byte]])],
+      Seq[graft.read.SecondaryIndex.ValueArm])] =
+    if (pinned.isDefined || indexProbe.isDefined) None
+    else for {
+      (krs, varms) <- mixedOr
+      fams <- scan.families
+      if fams.size == 1 && scan.columns.get(fams.head).exists(_.size == 1)
+      ix <- engine.currentManifest(tableName).descriptor
+        .indexOn(fams.head, scan.columns(fams.head).head)
+    } yield (ix, krs, varms)
+
   override def pushedFilters(): Array[Filter] = pushed
 
   /** With an aggregate pushed, the scan's output is the aggregate schema
@@ -618,7 +672,7 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   override def build(): V2Scan =
     new GraftV1Scan(engine, tableName, scan, required, pinned, limit,
       maxVersionsPerTrigger, aggSpec, indexProbe, rowKeys, topN,
-      startingVersion, rowRangeOr = rowRangeOr)
+      startingVersion, rowRangeOr = rowRangeOr, mixedRoute = mixedRoute)
 }
 
 /** The index-routable `value` predicate the scan builder recorded. */
@@ -757,7 +811,10 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     rowKeys: Seq[Array[Byte]] = Nil,
     topN: Option[(Seq[GraftSortCol], Int)] = None,
     startingVersion: Option[String] = None,
-    rowRangeOr: Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = None)
+    rowRangeOr: Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = None,
+    mixedRoute: Option[(graft.catalog.IndexDescriptor,
+      Seq[(Option[Array[Byte]], Option[Array[Byte]])],
+      Seq[graft.read.SecondaryIndex.ValueArm])] = None)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with GraftRuntimeFilterable {
@@ -821,7 +878,11 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     * seam (SqlCatalogSpec checks routing fires for indexed predicates and
     * stays off for unindexed ones). */
   private[sql] def usedIndexTable: Option[String] =
-    indexProbe.map(_.ix.indexTable)
+    indexProbe.map(_.ix.indexTable).orElse(mixedRoute.map(_._1.indexTable))
+  /** Seam: the MIXED row/value OR route's shape — (row-range arm count,
+    * probed index table). */
+  private[sql] def mixedOrShape: Option[(Int, String)] =
+    mixedRoute.map { case (ix, krs, _) => (krs.size, ix.indexTable) }
 
   /** The resolved view this scan produces — also the seam SqlCatalogSpec
     * uses to assert that pushdown reached the inner parquet scan. */
@@ -906,7 +967,26 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     // their covered columns' cells the same way), so the whole SQL
     // answer is index-only: zero main-table touch, no gather — the
     // strongest form of the Phoenix route.
-    val frame = indexProbe.fold(frame0r) { route =>
+    val frame0m = mixedRoute.fold(frame0r) { case (ix, krs, varms) =>
+      // MIXED row/value OR: the row-range branch reads straight off the
+      // (logical) cell frame — exact byte ranges, binary row order IS
+      // the value order — while the value branch probes the index for
+      // rows OUTSIDE those ranges; the branches partition the candidate
+      // rows, one resolution pass below, the residual Or keeps
+      // exactness over the candidate superset.
+      import graft.read.SecondaryIndex
+      import org.apache.spark.sql.functions.{col => c, lit => l}
+      def inR(df: DataFrame): org.apache.spark.sql.Column =
+        GraftCols.orAll(krs.map { case (lo, hi) =>
+          (lo.map(b => df("row") >= l(b)) ++ hi.map(b => df("row") < l(b)))
+            .reduceOption(_ && _).getOrElse(l(true))
+        })
+      val hits = SecondaryIndex.probeOr(engine.read(ix.indexTable), varms)
+      val hitsOut = hits.filter(!inR(hits))
+      SecondaryIndex.gatherHits(frame0r, hitsOut)
+        .unionByName(frame0r.filter(inR(frame0r)))
+    }
+    val frame = indexProbe.fold(frame0m) { route =>
       import graft.read.SecondaryIndex
       val ixCells = engine.read(route.ix.indexTable)
       if (route.ix.covered.nonEmpty) {

@@ -676,6 +676,64 @@ class SqlCatalogSpec extends SparkSpec {
       Set("r001", "r002", "r010", "r011", "r039", "r040"))
   }
 
+  test("MIXED row/value OR routes: row range off the scan, value arm " +
+      "through the index") {
+    // the reference's RowFilter-OR-SingleColumnValueFilter FilterList on
+    // its native surface (r12): row disjuncts = exact byte ranges,
+    // value disjuncts probe the index for rows OUTSIDE those ranges
+    val r = Files.createTempDirectory("graft-sqlmix").toString
+    val g = Graft(spark, r)
+    g.createTable(TableDescriptor("tmx", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    g.table("tmx").put((1 to 40).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("city"), 2L,
+        b(if (i % 10 == 3) "paris" else "other"))), 2L)
+    g.createIndex("tmx", "f", b("city"), 3L)
+    spark.conf.set("spark.sql.catalog.graft_mx",
+      classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mx.root", r)
+    val out = spark.sql(
+      "SELECT row, value FROM graft_mx.tmx " +
+        s"WHERE family = 'f' AND qualifier = ${hex("city")} " +
+        s"AND (row < ${hex("r005")} OR value = ${hex("paris")})")
+    assert(out.collect().map(x =>
+      new String(x.getAs[Array[Byte]]("row"), "UTF-8")).toSet ==
+      (1 to 40).filter(i => i < 5 || i % 10 == 3)
+        .map(i => f"r$i%03d").toSet)
+    // seam: the mixed route fired (1 row-range arm, the city index)
+    val engine = new graft.catalog.Catalog(spark, r)
+    import org.apache.spark.sql.sources
+    val bld = new GraftScanBuilder(engine, "tmx")
+    bld.pushFilters(Array(
+      sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.Or(sources.LessThan("row", b("r005")),
+        sources.EqualTo("value", b("paris")))))
+    val routed = bld.build().asInstanceOf[GraftV1Scan]
+    assert(routed.mixedOrShape.exists { case (n, ix) =>
+      n == 1 && ix == "tmx_idx_f_63697479" }, routed.mixedOrShape)
+    assert(routed.usedIndexTable.contains("tmx_idx_f_63697479"))
+    // a pure value OR keeps the tighter probeOr route (no mixed shape),
+    // and a mixed tree over an UNINDEXED qualifier stays residual-only
+    val bld2 = new GraftScanBuilder(engine, "tmx")
+    bld2.pushFilters(Array(
+      sources.EqualTo("family", "f"),
+      sources.EqualTo("qualifier", b("city")),
+      sources.Or(sources.EqualTo("value", b("paris")),
+        sources.EqualTo("value", b("rome")))))
+    assert(bld2.build().asInstanceOf[GraftV1Scan].mixedOrShape.isEmpty)
+    g.table("tmx").put((1 to 40).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("pop"), 4L, b(s"p${i % 5}"))), 4L)
+    val unidx = spark.sql(
+      "SELECT row, value FROM graft_mx.tmx " +
+        s"WHERE family = 'f' AND qualifier = ${hex("pop")} " +
+        s"AND (row < ${hex("r005")} OR value = ${hex("p3")})")
+    assert(unidx.collect().map(x =>
+      new String(x.getAs[Array[Byte]]("row"), "UTF-8")).toSet ==
+      (1 to 40).filter(i => i < 5 || i % 5 == 3)
+        .map(i => f"r$i%03d").toSet)
+  }
+
   test("row IN pushes the multiGet scope to the parquet scan") {
     val r = Files.createTempDirectory("graft-sqlmget").toString
     val g = Graft(spark, r)
