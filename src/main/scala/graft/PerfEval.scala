@@ -575,6 +575,28 @@ object PerfEval {
       finally spark.conf.unset("spark.graft.runtimeFilter.maxRanges")
     }
 
+    // mixedOr pair (r12): `k < 1% OR custkey IN (...)` — the
+    // RowFilter-OR-SCVF FilterList shape. Before the index exists the
+    // disjunction is residual-only (full scan); after createIndex the
+    // SAME query routes mixed (row-range branch off the scan + index
+    // probe for the rest). The indexLookup5/fullScanLookup5 pattern:
+    // time the unrouted twin FIRST, then build, then the routed side.
+    {
+      def q = spark.sql(
+        s"""SELECT sum(o_totalprice) AS s, count(*) AS n
+            FROM graft_pe.`pe$$wide`
+            WHERE o_orderkey < ${keys / 100}
+               OR o_custkey IN (7, 37, 73)""")
+      results("mixedOrFullScan") = timedMin2 { q.collect(): Unit }
+      g.createIndex("pe", "o", custQ, nowMs = 2L)
+      val probe = q
+      probe.collect(): Unit
+      require(graft.sql.GraftWideSeams.mixedOrShapes(probe)
+        .exists(s => s._1 >= 1 && s._2.nonEmpty),
+        "mixed OR did not route after the index build")
+      results("mixedOrRouted") = timedMin2 { q.collect(): Unit }
+    }
+
     // annLshHash: hash-derived-hyperplane ANN top-k (native HyperplaneBand
     // signatures). Timed here rather than in the correctness battery:
     // DuckDB cannot recompute xxhash64 buckets, so the battery carries the
