@@ -25,6 +25,23 @@ import org.apache.spark.sql.sources
   * tree keeps the depth at log2(n). */
 private[sql] object GraftCols {
   import org.apache.spark.sql.Column
+
+  /** The Or-of-row-ranges predicate (`[lo, hi) ∪ ...` on `df`'s binary
+    * `row` column, lo inclusive / hi exclusive / None open), built as a
+    * BALANCED disjunction — the ONE builder every range-disjunction
+    * site uses (static keyRangeOr, runtime over-cap ranges, the mixed
+    * routes' branch split), so they stay uniformly stack-safe and a
+    * semantics fix lands once. `rs` must be non-empty (callers record
+    * only non-empty sets). */
+  def rowRangesPred(df: org.apache.spark.sql.DataFrame,
+      rs: Seq[(Option[Array[Byte]], Option[Array[Byte]])]): Column = {
+    import org.apache.spark.sql.functions.lit
+    orAll(rs.map { case (lo, hi) =>
+      (lo.map(b => df("row") >= lit(b)) ++ hi.map(b => df("row") < lit(b)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    })
+  }
+
   def orAll(ps: Seq[Column]): Column = {
     // the combinator exists to avoid stack overflows — it must not
     // introduce one itself: length 0 would recurse on empty halves

@@ -625,10 +625,14 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
   /** The MIXED row/value OR route: only when no tighter index route
     * exists, the scan touches exactly one column, and that column
     * carries a single-column index for the value arms. */
-  private def mixedRoute: Option[(graft.catalog.IndexDescriptor,
+  private def mixedRoute(probe: Option[GraftIndexRoute])
+      : Option[(graft.catalog.IndexDescriptor,
       Seq[(Option[Array[Byte]], Option[Array[Byte]])],
       Seq[graft.read.SecondaryIndex.ValueArm])] =
-    if (pinned.isDefined || indexProbe.isDefined) None
+    // cheap guards first: the common no-mixed-Or build must not pay the
+    // manifest reads below (and `probe` is the build's ONE indexProbe
+    // evaluation, shared — indexProbe itself reads the manifest)
+    if (mixedOr.isEmpty || pinned.isDefined || probe.isDefined) None
     else for {
       (krs, varms) <- mixedOr
       fams <- scan.families
@@ -669,10 +673,13 @@ class GraftScanBuilder(engine: Catalog, tableName: String,
     } else false
   }
 
-  override def build(): V2Scan =
+  override def build(): V2Scan = {
+    val probe = indexProbe
     new GraftV1Scan(engine, tableName, scan, required, pinned, limit,
-      maxVersionsPerTrigger, aggSpec, indexProbe, rowKeys, topN,
-      startingVersion, rowRangeOr = rowRangeOr, mixedRoute = mixedRoute)
+      maxVersionsPerTrigger, aggSpec, probe, rowKeys, topN,
+      startingVersion, rowRangeOr = rowRangeOr,
+      mixedRoute = mixedRoute(probe))
+  }
 }
 
 /** The index-routable `value` predicate the scan builder recorded. */
@@ -950,12 +957,7 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     // rows — pushed to parquet on the unsalted path, an in-plan filter
     // after the salted strip.
     val frame0r = (rowRangeOr.toSeq ++ rtRanges.toSeq).foldLeft(frame0) {
-      (df, rs) =>
-        import org.apache.spark.sql.functions.{col => c, lit => l}
-        df.filter(rs.map { case (lo, hi) =>
-          (lo.map(b => c("row") >= l(b)) ++ hi.map(b => c("row") < l(b)))
-            .reduceOption(_ && _).getOrElse(l(true))
-        }.reduceOption(_ || _).getOrElse(l(true)))
+      (df, rs) => df.filter(GraftCols.rowRangesPred(df, rs))
     }
     // Transparent secondary-index routing: candidates = rows the index
     // probe names (size-gated gather), a superset the residual value
@@ -975,16 +977,10 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       // rows, one resolution pass below, the residual Or keeps
       // exactness over the candidate superset.
       import graft.read.SecondaryIndex
-      import org.apache.spark.sql.functions.{col => c, lit => l}
-      def inR(df: DataFrame): org.apache.spark.sql.Column =
-        GraftCols.orAll(krs.map { case (lo, hi) =>
-          (lo.map(b => df("row") >= l(b)) ++ hi.map(b => df("row") < l(b)))
-            .reduceOption(_ && _).getOrElse(l(true))
-        })
       val hits = SecondaryIndex.probeOr(engine.read(ix.indexTable), varms)
-      val hitsOut = hits.filter(!inR(hits))
+      val hitsOut = hits.filter(!GraftCols.rowRangesPred(hits, krs))
       SecondaryIndex.gatherHits(frame0r, hitsOut)
-        .unionByName(frame0r.filter(inR(frame0r)))
+        .unionByName(frame0r.filter(GraftCols.rowRangesPred(frame0r, krs)))
     }
     val frame = indexProbe.fold(frame0m) { route =>
       import graft.read.SecondaryIndex

@@ -237,6 +237,19 @@ private[sql] case class WideSpec(key: Seq[(String, DataType)],
 }
 
 private[sql] object WideSpec {
+  /** First byte string of the NEGATIVE region of a PLAIN fixed-width
+    * integral head: two's-complement negatives byte-sort in
+    * [0x80 0*(w-1), ∞), above all non-negatives. The one constant every
+    * negative-region arm uses (keyRangeOr, the mixed route's key arms,
+    * the scan's stop-wrap). */
+  def negRegionStart(dt: DataType): Array[Byte] = {
+    val w = dt match {
+      case IntegerType => 4
+      case _ => 8
+    }
+    0x80.toByte +: Array.fill(w - 1)(0.toByte)
+  }
+
   /** SQL-door name suffix resolving a declared wide view:
     * `graft.\`t\$wide\``. */
   val Suffix = "$wide"
@@ -779,13 +792,8 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
                 // a lo-less hi-bounded arm on a plain signed head: keep
                 // the negative byte region (those keys satisfy `< v` but
                 // byte-sort above every non-negative)
-                rs :+ ((Some({
-                  val w = keyHead._2 match {
-                    case org.apache.spark.sql.types.IntegerType => 4
-                    case _ => 8
-                  }
-                  (0x80.toByte +: Array.fill(w - 1)(0.toByte)): Array[Byte]
-                }): Option[Array[Byte]]), (None: Option[Array[Byte]]))
+                rs :+ ((Some(WideSpec.negRegionStart(keyHead._2))
+                  : Option[Array[Byte]]), (None: Option[Array[Byte]]))
               else rs
             keyRangeOr = Some(fixed)
             res += f
@@ -911,16 +919,9 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
                                       if (headFixed && !headOrdered &&
                                           krs.exists { case (lo, hi) =>
                                             hi.isDefined && lo.isEmpty })
-                                        krs :+ ((Some({
-                                          val w = keyHead._2 match {
-                                            case org.apache.spark.sql.types
-                                              .IntegerType => 4
-                                            case _ => 8
-                                          }
-                                          (0x80.toByte +:
-                                            Array.fill(w - 1)(0.toByte))
-                                            : Array[Byte]
-                                        }): Option[Array[Byte]]),
+                                        krs :+ ((Some(WideSpec
+                                          .negRegionStart(keyHead._2))
+                                          : Option[Array[Byte]]),
                                           (None: Option[Array[Byte]]))
                                       else krs
                                     val groups = varms.map(_._1).distinct
@@ -1197,13 +1198,8 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     * false negative the residual filter cannot resurrect. Keeping the
     * region as a range DISJUNCT preserves the prune of [stop, 0x80…):
     * parquet row-group stats serve an Or of ranges on the sorted key. */
-  private val negStart: Array[Byte] = {
-    val w = spec.key.head._2 match {
-      case IntegerType => 4
-      case _ => 8
-    }
-    0x80.toByte +: Array.fill(w - 1)(0.toByte)
-  }
+  private val negStart: Array[Byte] =
+    WideSpec.negRegionStart(spec.key.head._2)
 
   override def readSchema(): StructType = aggSpec.fold(required)(_.schema)
 
@@ -1566,11 +1562,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       // filters stripped logical rows on the salted one; the residual
       // (or the join's equality re-check) keeps exactness either way
       (keyRangeOr.toSeq ++ rtHeadRanges.toSeq).foldLeft(probed) { (df, rs) =>
-        df.filter(rs.map { case (lo, hi) =>
-          (lo.map(b => col("row") >= lit(b)) ++
-            hi.map(b => col("row") < lit(b)))
-            .reduceOption(_ && _).getOrElse(lit(true))
-        }.reduceOption(_ || _).getOrElse(lit(true)))
+        df.filter(GraftCols.rowRangesPred(df, rs))
       }
     }
     // stop bound as a Column: wrapped with the negative key region when a
@@ -1678,18 +1670,13 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         // a candidate superset: each key arm is a value superset by
         // construction (negative-region arm included) and index
         // completeness for puts covers every value disjunct's match.
-        def inRanges(df: DataFrame): org.apache.spark.sql.Column =
-          GraftCols.orAll(krs.map { case (lo, hi) =>
-            (lo.map(b => df("row") >= lit(b)) ++
-              hi.map(b => df("row") < lit(b)))
-              .reduceOption(_ && _).getOrElse(lit(true))
-          })
         val hits = members.map { case (_, ix, arms) =>
           SecondaryIndex.probeOr(engine.read(ix.indexTable), arms)
         }.reduce(_.unionByName(_)).distinct()
-        val hitsOutside = hits.filter(!inRanges(hits))
+        val hitsOutside =
+          hits.filter(!GraftCols.rowRangesPred(hits, krs))
         val lg = logical // bind ONE frame: the def mints fresh attr ids
-        val rangeCells = lg.filter(inRanges(lg))
+        val rangeCells = lg.filter(GraftCols.rowRangesPred(lg, krs))
         val cells = SecondaryIndex.gatherHits(logical, hitsOutside)
           .unionByName(rangeCells)
         visible(keepWanted(boundsFilter(ScanExec(cells, GScan()))))
