@@ -311,6 +311,17 @@ object ManifestJson {
   }
 }
 
+/** A write FENCE trip: the manifest moved past the version the caller
+  * computed from (`expectVersion` in [[Catalog.replaceData]] /
+  * [[Catalog.alterTable]]). A DEDICATED type so retry loops (e.g.
+  * [[graft.sql.GraftMigrate.resumePendingIndexRebuilds]]) can retry
+  * exactly fence trips and let every other failure — a corrupted
+  * manifest, a commit race — propagate immediately instead of masking
+  * it under up to N full rebuilds. Subclasses IllegalStateException so
+  * existing callers that match the broader type keep working. */
+final class FenceTrippedException(msg: String)
+    extends IllegalStateException(msg)
+
 /** The table catalog — the reference's ROOT/META + `HBaseAdmin` surface
   * (§2.7), as a manifest store on any Hadoop FileSystem.
   *
@@ -478,13 +489,17 @@ final class Catalog(spark: SparkSession, root: String) {
   def alterTable(t: String, desc: TableDescriptor, nowMs: Long,
       expectVersion: Option[Long]): Unit = {
     requireLegalFamilyNames(desc)
-    val cur = currentManifest(t)
-    expectVersion.filter(_ != cur.version).foreach { e =>
-      throw new IllegalStateException(
-        s"alterTable fence on $t: expected version $e but the table is " +
-          s"at ${cur.version} — a concurrent commit landed; recompute " +
-          "from the current version")
+    def fence(at: String): graft.catalog.Manifest = {
+      val cur = currentManifest(t)
+      expectVersion.filter(_ != cur.version).foreach { e =>
+        throw new FenceTrippedException(
+          s"alterTable fence on $t: expected version $e but the table is " +
+            s"at ${cur.version} ($at) — a concurrent commit landed; " +
+            "recompute from the current version")
+      }
+      cur
     }
+    val cur = fence("at entry")
     // The salt is baked into every committed file's sort order — changing
     // it would silently mis-route every point read on existing data.
     require(desc.saltBuckets == cur.descriptor.saltBuckets,
@@ -492,6 +507,11 @@ final class Catalog(spark: SparkSession, root: String) {
     val v = cur.version + 1
     val m = cur.copy(version = v, createdMs = nowMs, descriptor = desc)
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
+    // re-fence right before the CURRENT swap (replaceData's double-fence
+    // rule): a concurrent append landing after the entry check would
+    // otherwise be silently discarded by this commit — e.g. an index
+    // re-registration would ship an index permanently missing that row
+    fence("after the manifest write, before the commit"): Unit
     commitCurrent(t, v)
   }
 
@@ -750,7 +770,7 @@ final class Catalog(spark: SparkSession, root: String) {
     def fence(at: String): Manifest = {
       val cur = currentManifest(t)
       expectVersion.filter(_ != cur.version).foreach { e =>
-        throw new IllegalStateException(
+        throw new FenceTrippedException(
           s"replaceData fence on $t: expected version $e but the table " +
             s"is at ${cur.version} ($at) — a concurrent commit landed; " +
             "re-run the rewrite from the current version")

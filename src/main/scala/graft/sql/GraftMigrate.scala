@@ -150,7 +150,10 @@ object GraftMigrate {
       // pending ones get no synchronous maintenance), so an unfenced
       // re-register would ship an index permanently missing that row.
       // The fence turns the race into a rebuild retry; persistent
-      // contention fails loudly, like the data flip's fence.
+      // contention fails loudly, like the data flip's fence. ONLY the
+      // dedicated fence type retries — any other failure (corrupted
+      // manifest, commit race, ...) propagates immediately instead of
+      // masking the real error under up to five full rebuilds.
       var attempts = 0
       var done = false
       while (!done) {
@@ -165,7 +168,7 @@ object GraftMigrate {
             nowMs, expectVersion = Some(readV))
           done = true
         } catch {
-          case e: IllegalStateException =>
+          case e: graft.catalog.FenceTrippedException =>
             if (attempts >= 5) throw new IllegalStateException(
               s"index ${ix.indexTable} re-registration lost the fence " +
                 s"$attempts times (sustained concurrent writes on " +

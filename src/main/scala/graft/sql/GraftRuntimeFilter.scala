@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, BitAndAgg, BitOrAgg, BitXorAgg, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, DeduplicateWithinWatermark, Filter => LFilter, GlobalLimit, Join, LocalLimit, LogicalPlan, Offset, Project, Sample, SubqueryAlias, Tail}
@@ -412,7 +412,8 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
           if scan.runtimeFilterAttributes.contains(leafAttr.name) &&
             !scan.runtimeHasProbe(leafAttr.name) &&
             scan.runtimeFilterEligible &&
-            !dim.isStreaming && stableProbePlan(dim) &&
+            !dim.isStreaming &&
+            stableProbePlan(dim, dimExpr.references) &&
             dim.stats.sizeInBytes <= maxBuildBytes =>
         scan.attachRuntimeProbe(leafAttr.name, dim, dimExpr, maxKeys)
         scan.runtimeHasProbe(leafAttr.name)
@@ -454,19 +455,64 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The probe executes the dim subtree OUT OF BAND (the join executes
-    * it again), so the two executions must provably return the same row
-    * set: every expression deterministic, no row-SELECTION node —
-    * GlobalLimit/LocalLimit/Tail/Offset/Sample without a defining order
-    * can legally pick different rows per execution — and no
-    * ORDER-DEPENDENT aggregate: `dropDuplicates(subset)` optimizes to
-    * Aggregate(groupBy subset, first(others)), and First/Last (and
-    * friends) report deterministic=true while legally returning a
-    * DIFFERENT representative per execution as shuffle order varies.
-    * Aggregates pass only when every aggregate function is on a known
-    * order-INSENSITIVE whitelist (grouping keys are fine by
-    * construction); anything unrecognized declines — a declined probe
-    * just runs unpruned. */
-  private def stableProbePlan(p: LogicalPlan): Boolean =
+    * it again), so the two executions must agree on the probe's key SET.
+    * The strict core (`strictStable`): every expression deterministic,
+    * no row-SELECTION node — GlobalLimit/LocalLimit/Tail/Offset/Sample
+    * without a defining order can legally pick different rows per
+    * execution — and no ORDER-DEPENDENT aggregate: `dropDuplicates
+    * (subset)` optimizes to Aggregate(groupBy subset, first(others)),
+    * and First/Last (and friends) report deterministic=true while
+    * legally returning a DIFFERENT representative per execution as
+    * shuffle order varies. Aggregates pass only when every aggregate
+    * function is on a known order-INSENSITIVE whitelist; anything
+    * unrecognized declines — a declined probe just runs unpruned.
+    *
+    * `refs` (the probe key expression's references) buys one sound
+    * relaxation on the path from the root down through row-wise nodes:
+    * a Deduplicate — or a First/Last-carrying Aggregate — whose dedup /
+    * grouping KEYS cover every probe reference is accepted, because the
+    * key SET is execution-stable even though the representative rows
+    * are not (`dim.select(k).dropDuplicates("k")` — a very common dim
+    * shape). A probe referencing any non-key column still declines. */
+  private def stableProbePlan(p: LogicalPlan, refs: AttributeSet)
+      : Boolean = p match {
+    case s: SubqueryAlias => stableProbePlan(s.child, refs)
+    case Project(list, child) =>
+      list.forall(_.deterministic) && stableProbePlan(child,
+        AttributeSet(list.filter(ne => refs.contains(ne.toAttribute))
+          .flatMap(_.references)))
+    case f: LFilter =>
+      // the filter's row selection reads its condition columns, so the
+      // child must be stable in those too (a filter over an unstable
+      // dedup representative would make the key SET unstable)
+      f.condition.deterministic &&
+        stableProbePlan(f.child, refs ++ f.condition.references)
+    case d: Deduplicate =>
+      refs.subsetOf(AttributeSet(d.keys)) && stableProbePlan(d.child, refs)
+    case a: Aggregate if a.expressions.forall(_.deterministic) =>
+      val orderSensitive = a.aggregateExpressions.exists(_.exists {
+        case ae: AggregateExpression => !orderInsensitive(ae)
+        case _ => false
+      })
+      val ok = !orderSensitive || {
+        // order-dependent aggregate VALUES are unstable, but the
+        // grouping-key OUTPUT columns are not: a probe referencing only
+        // those sees the child's distinct grouping tuples — stable when
+        // the child's rows are
+        val groupingOut = AttributeSet(a.aggregateExpressions.collect {
+          case ne if a.groupingExpressions.exists(_.semanticEquals(
+              ne match {
+                case Alias(c, _) => c
+                case e => e
+              })) => ne.toAttribute
+        })
+        refs.subsetOf(groupingOut)
+      }
+      ok && strictStable(a.child)
+    case other => strictStable(other)
+  }
+
+  private def strictStable(p: LogicalPlan): Boolean =
     p.find {
       case _: GlobalLimit | _: LocalLimit | _: Tail | _: Offset |
           _: Sample => true
@@ -481,10 +527,26 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def orderInsensitive(ae: AggregateExpression): Boolean =
     ae.aggregateFunction match {
-      case _: Min | _: Max | _: Sum | _: Count | _: Average |
+      // Sum/Average only over EXACT arithmetic: floating-point addition
+      // is non-associative, so a Double/Float sum can legally differ
+      // across partition merge orders — the same execution-instability
+      // class First/Last are declined for.
+      case s: Sum => exactNumeric(s.child.dataType)
+      case a: Average => exactNumeric(a.child.dataType)
+      case _: Min | _: Max | _: Count |
           _: BitAndAgg | _: BitOrAgg | _: BitXorAgg => true
       case _ => false
     }
+
+  private def exactNumeric(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
 }
 
 

@@ -303,6 +303,53 @@ class RuntimeFilterSpec extends SparkSpec {
       "a min/max aggregate dim should still prune")
   }
 
+  test("key-covering dedup dims prune; probes on unstable columns and " +
+      "float sums still decline") {
+    val root = freshRoot("rtf-dd")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string")), 1L)
+    g.table("t").put((1 to 30).map(i =>
+      Put(Bytes.toBytes(i.toLong)).add("f", b("city"), 2L, b(s"c$i"))), 2L)
+    register("grtfd", root)
+    import spark.implicits._
+    Seq((3L, "a", 1.5), (3L, "b", 2.5), (7L, "a", 3.25), (11L, "c", 4.0))
+      .toDF("k", "grp", "dbl").createOrReplaceTempView("rtf_dim_kc")
+    // dropDuplicates(subset) compiles to Aggregate(groupBy k, first(grp))
+    // — First's representative is execution-unstable, but the probe's
+    // key expression references ONLY the grouping key k, whose SET is
+    // stable: the r13 relaxation attaches where r12 declined
+    val dd = spark.sql("SELECT t.k, d.g FROM grtfd.`t$wide` t JOIN " +
+      "(SELECT k, first(grp) AS g FROM rtf_dim_kc GROUP BY k) d " +
+      "ON t.k = d.k")
+    assert(dd.collect().map(_.getLong(0)).toSet == Set(3L, 7L, 11L))
+    assert(graftScans(dd).exists(_.runtimePruned),
+      "a key-covering dedup dim should prune (probe refs ⊆ group keys)")
+    // counter-case: the probe key IS the First output — representative-
+    // dependent, must still decline (this is the r12 hazard unchanged)
+    val bad = spark.sql("SELECT t.k FROM grtfd.`t$wide` t JOIN " +
+      "(SELECT first(k) AS k FROM rtf_dim_kc GROUP BY grp) d ON t.k = d.k")
+    assert(graftScans(bad).forall(!_.runtimeAttempted),
+      "a probe on a First output must not attach")
+    bad.collect(): Unit
+    // float sums are NOT execution-stable (non-associative addition
+    // across partition merge orders) — ADVICE r12: a probe keyed on
+    // sum(double) must decline...
+    val fsum = spark.sql("SELECT t.k FROM grtfd.`t$wide` t JOIN " +
+      "(SELECT CAST(sum(dbl) AS BIGINT) AS k FROM rtf_dim_kc GROUP BY grp)" +
+      " d ON t.k = d.k")
+    assert(graftScans(fsum).forall(!_.runtimeAttempted),
+      "a probe keyed on a floating-point sum must not attach")
+    fsum.collect(): Unit
+    // ...while integral sums stay exact in any order and still prune
+    val isum = spark.sql("SELECT t.k FROM grtfd.`t$wide` t JOIN " +
+      "(SELECT sum(k) AS k FROM rtf_dim_kc GROUP BY grp) d ON t.k = d.k")
+    isum.collect(): Unit
+    assert(graftScans(isum).exists(_.runtimePruned),
+      "an integral-sum dim should still prune")
+  }
+
   test("multi-attribute: key-head and indexed-column probes intersect") {
     val root = freshRoot("rtf-multi")
     val g = Graft(spark, root)

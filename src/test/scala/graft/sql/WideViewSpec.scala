@@ -665,6 +665,12 @@ class WideViewSpec extends SparkSpec {
             .add("f", b("city"), 4L, b("c9"))), 4L))
     }
     assert(err.getMessage.contains("fence"), err.getMessage)
+    // the DEDICATED fence type (ADVICE r12): retry loops must be able to
+    // distinguish a fence trip from an unrelated IllegalStateException
+    // (a corrupted manifest, a commit race) — the latter must propagate
+    // immediately, never retry as a full index rebuild
+    assert(err.isInstanceOf[graft.catalog.FenceTrippedException],
+      s"fence must throw the dedicated type, got ${err.getClass}")
     // nothing lost, nothing flipped: old declaration, append visible
     assert(g.table("t").descriptor.wideSchema
       .contains("f:price:double;f:city:string"))
