@@ -794,6 +794,98 @@ object CrossCheck {
           s"${if (symIx.nonEmpty) " MISMATCH " + symIx.take(20) else " OK"}")
         require(viaIxPlain.nonEmpty, "index_range twin joined nothing")
         if (symIx.nonEmpty) sys.exit(1)
+      case "cell_runtime_index" =>
+        // r13: runtime (join-driven) VALUE pruning on the CELL door — a
+        // fact-dim join on an indexed qualifier VALUE resolves at
+        // execution into an index probe + size-gated gather, vs the
+        // conf-off plain join, on a SALTED fixture with 1% custkey
+        // UPDATES and 1% family DELETES injected first: stale index
+        // entries must be dropped by the join's equality re-check over
+        // RESOLVED rows, and tombstones must win inside the gathered
+        // span. An over-cap sub-twin (maxKeys=8) asserts the ArmRange
+        // degradation returns the same rows.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{Bytes, CellCodec}
+        import graft.write.Mutations
+        import org.apache.spark.sql.types.LongType
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-cvcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32, saltBuckets = 8), nowMs = 1L)
+        val cells = CellCodec.encode(orders, "o", Seq("o_orderkey"))
+        g.table("o").mutate(cells, nowMs = 1L)
+        g.createIndex("o", "o", Bytes.toBytes("o_custkey"), nowMs = 2L)
+        val custCells = cells
+          .filter(col("qualifier") === lit(Bytes.toBytes("o_custkey")))
+        val updates = custCells
+          .filter(pmod(xxhash64(col("row")), lit(100)) === 1)
+          .withColumn("ts", lit(5L))
+          .withColumn("value",
+            CellCodec.longBytes(Bytes.asLong(col("value")) + 1))
+        val deletes = Mutations.deleteFamilyCells(
+          custCells.filter(pmod(xxhash64(col("row")), lit(100)) === 2)
+            .select("row").distinct(),
+          col("row"), "o", ts = 5L)
+        g.table("o").mutate(updates.unionByName(deletes), nowMs = 5L)
+        spark.conf.set("spark.sql.catalog.graft_cvcc",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_cvcc.root", root)
+        spark.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+          (512L << 20).toString)
+        // dim: a hash-selected slice of the custkey domain sized to stay
+        // under the runtime key cap at EVERY sf (no LIMIT — the
+        // row-selection guard rightly declines limit-bearing dims),
+        // encoded under the cell codec's value bytes
+        val nck = orders.select("o_custkey").distinct().count()
+        val mod = math.max(1L, nck / 300)
+        orders.filter(pmod(xxhash64(col("o_custkey")), lit(mod)) === (mod - 1))
+          .select(CellCodec.encodeValue(col("o_custkey"), LongType,
+            ordered = false).as("cv"))
+          .distinct()
+          .createOrReplaceTempView("cvcc_dim")
+        val ckQual = "X'" + Bytes.toBytes("o_custkey")
+          .map(x => f"$x%02x").mkString + "'"
+        val q = s"""SELECT f.row, f.value FROM graft_cvcc.o f
+                    JOIN cvcc_dim d ON f.value = d.cv
+                    WHERE f.family = 'o' AND f.qualifier = $ckQual"""
+        def brows(df: org.apache.spark.sql.DataFrame)
+            : Set[(Seq[Byte], Seq[Byte])] =
+          df.collect().map(r => (r.getAs[Array[Byte]](0).toSeq,
+            r.getAs[Array[Byte]](1).toSeq)).toSet
+        val prunedDf = spark.sql(q)
+        val viaPrune = brows(prunedDf)
+        require(graft.sql.GraftRuntimeFilter.probeShapes(prunedDf)
+          .contains(("value", "keys")),
+          "cell-door value probe did not apply — fixture drift? " +
+            graft.sql.GraftRuntimeFilter.probeShapes(prunedDf))
+        spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+        val viaPlain =
+          try brows(spark.sql(q))
+          finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+        val symCv = (viaPrune diff viaPlain) ++ (viaPlain diff viaPrune)
+        println(s"[crosscheck] cell_runtime_index: pruned=${viaPrune.size} " +
+          s"plain=${viaPlain.size} symdiff=${symCv.size}" +
+          s"${if (symCv.nonEmpty) " MISMATCH " + symCv.take(20) else " OK"}")
+        require(viaPlain.nonEmpty, "cell_runtime_index joined nothing — drift?")
+        if (symCv.nonEmpty) sys.exit(1)
+        // over-cap sub-twin: the same dim past a lowered cap degrades to
+        // index ArmRanges, same rows
+        spark.conf.set("spark.graft.runtimeFilter.maxKeys", "8")
+        val rangeDf = spark.sql(q)
+        val viaRange =
+          try brows(rangeDf)
+          finally spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+        require(graft.sql.GraftRuntimeFilter.probeShapes(rangeDf)
+          .contains(("value", "range")),
+          "over-cap cell value dim did not degrade to index range arms: " +
+            graft.sql.GraftRuntimeFilter.probeShapes(rangeDf))
+        val symCr = (viaRange diff viaPlain) ++ (viaPlain diff viaRange)
+        println(s"[crosscheck] cell_runtime_index(range): " +
+          s"pruned=${viaRange.size} plain=${viaPlain.size} " +
+          s"symdiff=${symCr.size}" +
+          s"${if (symCr.nonEmpty) " MISMATCH " + symCr.take(20) else " OK"}")
+        if (symCr.nonEmpty) sys.exit(1)
       case "page_filter" =>
         // r11 (BENCH_SF3's largest riser): the PageFilter(50) scan — the
         // incremental first-N-rows cut over the committed sorted layout —

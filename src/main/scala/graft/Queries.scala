@@ -496,6 +496,45 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  // Runtime (join-driven) VALUE pruning on the CELL door (r13): a
+  // fact-dim join keyed on an indexed qualifier VALUE — the reference's
+  // native surface (the index_lookup shape, as a star join). The
+  // runtime-filter rule attaches the dim's distinct encoded values to
+  // the scan, which resolves them at execution into an index probe +
+  // size-gated gather (O(index hits) instead of a fact scan); the
+  // join's equality re-check above the bridge replaces the static
+  // route's verify, and index completeness for puts keeps the candidate
+  // superset exact. RuntimeFilterSpec asserts the ("value", "keys")
+  // shape, the over-cap ArmRange degradation, and exactness through an
+  // update + delete; this gate proves the pruned join hash-matches the
+  // relational oracle.
+  private val sqlCellRuntimeIndex = Q("sql_cell_runtime_index", Some("""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_custkey < 50)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = sqlIndexRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_ixrt",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ixrt.root", root)
+    s.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+      (256L << 20).toString)
+    val qual = "X'" + Bytes.toBytes("o_custkey").map(b => f"$b%02x").mkString + "'"
+    t(s, dir, "orders").filter(col("o_custkey") < 50L)
+      .select(CellCodec.encodeValue(col("o_custkey"), LongType,
+        ordered = false).as("cv"))
+      .distinct()
+      .createOrReplaceTempView("graft_cri_dim")
+    val cells = s.sql(
+      s"""SELECT f.row, f.family, f.qualifier, f.ts, f.kind, f.value, f.seq
+          FROM graft_ixrt.orders_ix f JOIN graft_cri_dim d ON f.value = d.cv
+          WHERE f.family = 'o' AND f.qualifier = $qual""")
+    CellCodec.decode(cells,
+      StructType(Seq(StructField("o_custkey", LongType))),
+      key = Seq("o_orderkey" -> LongType))
+      .orderBy("o_orderkey")
+  }
+
   // COVERED transparent SQL routing — the strongest form of the Phoenix
   // route: the table declares immutableRows, the registered index covers
   // (so its content is exact: synchronous deletes, data-first commits),
@@ -5315,7 +5354,7 @@ object Queries {
     sqlRuntimeIndexPrune, sqlOrRoute, sqlCompositeOr, sqlKeyRangeOr,
     sqlCrossOr, sqlRuntimeRangePrune, sqlRuntimeMultiPrune,
     sqlConjunctOr, sqlRuntimeClusterPrune, sqlRuntimeIndexRange,
-    sqlMixedOr, sqlCellMixedOr,
+    sqlMixedOr, sqlCellMixedOr, sqlCellRuntimeIndex,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

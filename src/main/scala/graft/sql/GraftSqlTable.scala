@@ -834,15 +834,38 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
   // would change WHICH k rows surface). Aggregates stay eligible: the
   // join key only reaches the agg output as a GROUP column, and pruning
   // whole head groups never changes a surviving group's value.
-  override def runtimeFilterAttributes: Seq[String] = Seq("row")
+  //
+  // r13: the projected VALUE column is prunable too — the reference's
+  // native surface (`index_lookup` / `salted_index_lookup` shapes)
+  // deserves the same star-join story the wide door got in r12. Exposed
+  // only when the scan projects exactly ONE (family, qualifier), that
+  // column carries a registered single-column index, and no static
+  // index route was chosen (static predicates constrain harder). A
+  // runtime In probes the index + size-gated gather; the join's
+  // equality re-check above the bridge replaces the static route's
+  // verify, and index completeness for puts guarantees every current
+  // match is a candidate. Over-cap dims degrade to an Or of ArmRanges
+  // (binary value order IS the cell door's value order).
+  private def runtimeValueIndex: Option[graft.catalog.IndexDescriptor] =
+    if (pinned.isDefined || indexProbe.isDefined || mixedRoute.isDefined)
+      None
+    else for {
+      fams <- gscan.families
+      if fams.size == 1 && gscan.columns.get(fams.head).exists(_.size == 1)
+      ix <- plannedManifest.descriptor
+        .indexOn(fams.head, gscan.columns(fams.head).head)
+    } yield ix
+  override def runtimeFilterAttributes: Seq[String] =
+    "row" +: (if (runtimeValueIndex.isDefined) Seq("value") else Nil)
   override protected def encodeRuntimeKey(attr: String, v: Any)
       : Option[Array[Byte]] =
     v match {
       case b: Array[Byte] => Some(b)
       case _ => None
     }
-  /** Over-cap range degradation: `row` is raw binary whose byte order IS
-    * the value order, so [min, max] is exactly [min, successor(max)). */
+  /** Over-cap range degradation: `row` and `value` are raw binary whose
+    * byte order IS the value order, so [min, max] is exactly
+    * [min, successor(max)). */
   override protected def encodeRuntimeRange(attr: String, min: Any, max: Any)
       : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] =
     (min, max) match {
@@ -883,9 +906,12 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
 
   /** The index table this scan routes through, if any — the plan-assert
     * seam (SqlCatalogSpec checks routing fires for indexed predicates and
-    * stays off for unindexed ones). */
+    * stays off for unindexed ones). Includes a runtime value-probe
+    * route once resolution APPLIED it (inspect after execution). */
   private[sql] def usedIndexTable: Option[String] =
     indexProbe.map(_.ix.indexTable).orElse(mixedRoute.map(_._1.indexTable))
+      .orElse(appliedRuntimeValueIndex)
+  @volatile private var appliedRuntimeValueIndex: Option[String] = None
   /** Seam: the MIXED row/value OR route's shape — (row-range arm count,
     * probed index table). */
   private[sql] def mixedOrShape: Option[(Int, String)] =
@@ -982,7 +1008,34 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       SecondaryIndex.gatherHits(frame0r, hitsOut)
         .unionByName(frame0r.filter(GraftCols.rowRangesPred(frame0r, krs)))
     }
-    val frame = indexProbe.fold(frame0m) { route =>
+    // runtime (join-driven) probes on the projected VALUE column (r13):
+    // exact keys gather through the column's index (probe + size-gated
+    // gather — the multiGet shape on the index); over-cap ranges probe
+    // as an Or of ArmRanges. Exposed only with no static route, so
+    // frame0m is the plain bounded scan here. The join above re-checks
+    // the equality over the resolved candidates, which both drops stale
+    // index hits and keeps the superset exact; an empty dim makes the
+    // scan structurally empty.
+    val frameV = runtimeValueIndex.fold(frame0m) { ix =>
+      import graft.read.SecondaryIndex
+      val keys = rtProbes.collectFirst { case RuntimeKeys("value", ks) => ks }
+      val ranges = rtProbes.collectFirst {
+        case RuntimeRanges("value", rs) if rs.nonEmpty => rs
+      }
+      (keys, ranges) match {
+        case (Some(Nil), _) => frame0m.filter(flit(false))
+        case (Some(ks), _) =>
+          appliedRuntimeValueIndex = Some(ix.indexTable)
+          SecondaryIndex.gather(frame0m, engine.read(ix.indexTable), ks)
+        case (None, Some(rs)) =>
+          appliedRuntimeValueIndex = Some(ix.indexTable)
+          SecondaryIndex.gatherHits(frame0m,
+            SecondaryIndex.probeOr(engine.read(ix.indexTable),
+              rs.map { case (lo, hi) => SecondaryIndex.ArmRange(lo, hi) }))
+        case _ => frame0m
+      }
+    }
+    val frame = indexProbe.fold(frameV) { route =>
       import graft.read.SecondaryIndex
       val ixCells = engine.read(route.ix.indexTable)
       if (route.ix.covered.nonEmpty) {

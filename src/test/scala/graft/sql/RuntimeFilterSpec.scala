@@ -350,6 +350,65 @@ class RuntimeFilterSpec extends SparkSpec {
       "an integral-sum dim should still prune")
   }
 
+  test("cell door: a join on an indexed qualifier VALUE prunes through " +
+      "the index; over-cap dims degrade to ArmRanges") {
+    val root = freshRoot("rtf-cellval")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 4), 1L)
+    g.table("t").put((1 to 200).map(i =>
+      Put(b(f"r$i%03d")).add("f", b("city"), 2L, b(f"c${i % 20}%02d"))), 2L)
+    g.createIndex("t", "f", b("city"), 3L)
+    // an update + a delete AFTER the index build: the probe's candidate
+    // set must stay exact through stale entries and tombstones (the
+    // join's equality re-check over the RESOLVED rows)
+    g.table("t").put(Seq(
+      Put(b("r003")).add("f", b("city"), 4L, b("c99"))), 4L)
+    g.table("t").delete(
+      Seq(graft.write.Delete(b("r023")).deleteFamily("f", 5L)), 5L)
+    register("grtfcv", root)
+    import spark.implicits._
+    val cityQ = "X'" + "city".getBytes("UTF-8")
+      .map(x => f"$x%02x").mkString + "'"
+    Seq("c03", "c17").toDF("c")
+      .select(org.apache.spark.sql.functions.encode($"c", "UTF-8").as("cv"))
+      .createOrReplaceTempView("rtf_dim_cv")
+    val q = "SELECT t.row FROM grtfcv.t t JOIN rtf_dim_cv d " +
+      s"ON t.value = d.cv WHERE t.family = 'f' AND t.qualifier = $cityQ"
+    spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+    val base = try {
+      val df = spark.sql(q)
+      assert(graftScans(df).forall(!_.runtimeAttempted))
+      df.collect().map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet
+    } finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+    // r003 updated away from c03; r023 (== c03 mod 20) deleted
+    assert(base == (1 to 200)
+      .filter(i => i % 20 == 3 || i % 20 == 17)
+      .map(i => f"r$i%03d").toSet -- Set("r003", "r023"), s"fixture: $base")
+    val df = spark.sql(q)
+    val got = df.collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet
+    assert(got == base)
+    val scans = graftScans(df)
+    assert(scans.flatMap(_.runtimeProbeShapes).contains(("value", "keys")),
+      s"expected a value-keys probe, got ${scans.flatMap(_.runtimeProbeShapes)}")
+    assert(scans.collect { case s: GraftV1Scan => s }
+      .exists(_.usedIndexTable.isDefined), "value probe did not route " +
+      "through the index")
+    // over the key cap: the probe degrades to index RANGE arms instead
+    // of declining — same answer, ("value", "range") shape
+    spark.conf.set("spark.graft.runtimeFilter.maxKeys", "1")
+    try {
+      val dfr = spark.sql(q)
+      assert(dfr.collect()
+        .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet == base)
+      assert(graftScans(dfr).flatMap(_.runtimeProbeShapes)
+        .contains(("value", "range")))
+    } finally spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+    // a time-travel or statically-routed scan does not expose the value
+    // attribute; a LIMIT-pushed scan declines entirely (existing rule)
+  }
+
   test("multi-attribute: key-head and indexed-column probes intersect") {
     val root = freshRoot("rtf-multi")
     val g = Graft(spark, root)
