@@ -2162,6 +2162,57 @@ object Queries {
              ORDER BY f.o_orderkey""")
   }
 
+  // Runtime-filter PREFIX-CLUSTERED degradation on a STRING key (r13):
+  // the MOST common HBase row-key shape is string/binary, where r12's
+  // over-cap degradation could only hold the single [min, max] span.
+  // The probe now occupancy-clusters a 7-byte prefix of the ENCODED key
+  // into gap-separated byte ranges (value supersets per bucket — see
+  // GraftRuntimeFilter.clusterPrefixRuns), so a two-cluster dim skips
+  // the hole between its clusters on a string-keyed fact too.
+  // RuntimeFilterSpec asserts rangeCount > 1 on string AND binary keyed
+  // fixtures; this gate proves the pruned join hash-matches the
+  // relational oracle (under the cap at tiny sf, over it from sf0.01 up
+  // — both paths must hash identically).
+  private val sqlRuntimePrefixRoots =
+    scala.collection.mutable.Map.empty[String, String]
+  private val sqlRuntimePrefixPrune = Q("sql_runtime_prefix_prune", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey < 1200 OR (o_orderkey >= 8000 AND o_orderkey < 9000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val skey = concat(lit("k"),
+      lpad(col("o_orderkey").cast(StringType), 14, "0")).as("ok")
+    val root = Queries.synchronized {
+      sqlRuntimePrefixRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-rpp").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_sk",
+          Seq(FamilyDescriptor("o")), splitKeys = 8,
+          wideKey = Some("ok:string"),
+          wideSchema = Some("o:o_orderkey:long;o:o_custkey:long;" +
+            "o:o_totalprice:double")), nowMs = 1L)
+        g.table("orders_sk").mutate(CellCodec.encode(
+          t(s, dir, "orders").select(skey, col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")),
+          "o", Seq("ok")), nowMs = 1L)
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_rpp",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_rpp.root", root)
+    s.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+      (256L << 20).toString)
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 1200L ||
+        (col("o_orderkey") >= 8000L && col("o_orderkey") < 9000L))
+      .select(skey).createOrReplaceTempView("graft_rpp_dim")
+    s.sql("""SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+             FROM graft_rpp.`orders_sk$wide` f
+             JOIN graft_rpp_dim d ON f.ok = d.ok
+             ORDER BY f.o_orderkey""")
+  }
+
   // SQL DELETE end-to-end: tombstones written through the DSv2 door
   // (SupportsDelete -> DeleteFamily cells at each group's max ts), read
   // back resolved. Oracle = the source minus the deleted key range.
@@ -5354,7 +5405,7 @@ object Queries {
     sqlRuntimeIndexPrune, sqlOrRoute, sqlCompositeOr, sqlKeyRangeOr,
     sqlCrossOr, sqlRuntimeRangePrune, sqlRuntimeMultiPrune,
     sqlConjunctOr, sqlRuntimeClusterPrune, sqlRuntimeIndexRange,
-    sqlMixedOr, sqlCellMixedOr, sqlCellRuntimeIndex,
+    sqlMixedOr, sqlCellMixedOr, sqlCellRuntimeIndex, sqlRuntimePrefixPrune,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -1,5 +1,6 @@
 package graft.sql
 
+import graft.core.Bytes
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, BitAndAgg, BitOrAgg, BitXorAgg, Count, Max, Min, Sum}
@@ -113,6 +114,16 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
   protected def encodeRuntimeRange(attr: String, min: Any, max: Any)
       : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]]
 
+  /** SQL expression rendering `colName` (the probe frame's collected
+    * key column) as the attribute's ENCODED bytes — the hook for
+    * byte-PREFIX occupancy clustering of non-integral keys (see
+    * [[clusterPrefixRuns]]). None = prefix clustering unsupported for
+    * this attribute (the over-cap probe keeps the single [min, max]
+    * envelope). Doors return it only where a byte range on the encoded
+    * form is a VALUE superset: raw binary columns, UTF-8 strings. */
+  protected def encodeRuntimeKeyBytesSql(attr: String, colName: String)
+      : Option[String]
+
   /** False when this scan carries pushed state runtime pruning would
     * corrupt (LIMIT / TopN: pruning changes which k rows surface). */
   private[sql] def runtimeFilterEligible: Boolean
@@ -224,16 +235,27 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
         // aggregate over the same (size-gated) dim subtree yields exact
         // [min, max]; the door encodes it into prunable byte ranges.
         // For integral keys the span is further CLUSTERED into at most
-        // maxRanges gap-separated runs (see clusterRuns) — a dim whose
-        // keys live in a few regions of the fact key space then skips
-        // the empty regions too, not just the outside of [min, max].
+        // maxRanges gap-separated runs (see clusterRuns); string/binary
+        // keys cluster by a fixed-width byte PREFIX of the encoded form
+        // instead (clusterPrefixRuns, r13) — either way a dim whose
+        // keys live in a few regions of the fact key space skips the
+        // empty regions too, not just the outside of [min, max].
         val mm = frame.agg(min(col("_graft_rk")), max(col("_graft_rk")))
           .collect().headOption
         mm.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).flatMap { r =>
-          val runs = clusterRuns(spark, frame, r.get(0), r.get(1))
-          val enc = runs.map { case (a, b) => encodeRuntimeRange(attr, a, b) }
-          (if (enc.forall(_.isDefined)) Some(enc.flatMap(_.get))
-           else encodeRuntimeRange(attr, r.get(0), r.get(1)))
+          val (lo, hi) = (r.get(0), r.get(1))
+          val envelope = encodeRuntimeRange(attr, lo, hi)
+          val runs = clusterRuns(spark, frame, lo, hi)
+          val clustered =
+            if (runs.sizeIs > 1) {
+              val enc = runs.map { case (a, b) =>
+                encodeRuntimeRange(attr, a, b)
+              }
+              if (enc.forall(_.isDefined)) Some(enc.flatMap(_.get)) else None
+            } else None
+          clustered
+            .orElse(clusterPrefixRuns(spark, frame, attr, lo, hi, envelope))
+            .orElse(envelope)
             .map(RuntimeRanges(attr, _))
         }
       } else {
@@ -293,37 +315,128 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
               + " AS _graft_b")
             .distinct().limit(buckets + 1).collect().map(_.getLong(0))
           if (ids.isEmpty || ids.length > buckets) single
-          else {
-            // occupied cells -> contiguous runs of bucket ids
-            val sorted = ids.sorted
-            val runs = sorted.tail.foldLeft(
-              List((sorted.head, sorted.head))) {
-              case ((s, e) :: rest, id) if id == e + 1 => (s, id) :: rest
-              case (acc, id) => (id, id) :: acc
-            }.reverse.toVector
-            // keep the (maxRanges - 1) WIDEST gaps as separators
-            val merged =
-              if (runs.size <= maxRanges) runs
-              else {
-                val keep = runs.indices.tail
-                  .sortBy(i => -(runs(i)._1 - runs(i - 1)._2))
-                  .take(maxRanges - 1).sorted
-                (Seq(0) ++ keep :+ runs.size).sliding(2).map { w =>
-                  (runs(w(0))._1, runs(w(1) - 1)._2)
-                }.toVector
-              }
-            merged.map { case (s, e) =>
-              // BigInt bounds clamped into [l, h] before narrowing —
-              // (e + 1) * width can pass Long.MaxValue near the top
-              def clamp(v: BigInt): Long =
-                v.max(BigInt(l)).min(BigInt(h)).toLong
-              (back(clamp(BigInt(l) + BigInt(s) * width)),
-                back(clamp(BigInt(l) + (BigInt(e) + 1) * width - 1)))
-            }
+          else mergeIdRuns(ids.sorted, maxRanges).map { case (s, e) =>
+            // BigInt bounds clamped into [l, h] before narrowing —
+            // (e + 1) * width can pass Long.MaxValue near the top
+            def clamp(v: BigInt): Long =
+              v.max(BigInt(l)).min(BigInt(h)).toLong
+            (back(clamp(BigInt(l) + BigInt(s) * width)),
+              back(clamp(BigInt(l) + (BigInt(e) + 1) * width - 1)))
           }
         case _ => single
       }
     } catch { case scala.util.control.NonFatal(_) => single }
+  }
+
+  /** Occupied cells -> contiguous runs of sorted bucket ids, merged
+    * down to `maxRanges` by keeping the (maxRanges - 1) WIDEST gaps as
+    * separators (shared by the integral and byte-prefix clusterings). */
+  private def mergeIdRuns(sorted: Seq[Long], maxRanges: Int)
+      : Vector[(Long, Long)] = {
+    val runs = sorted.tail.foldLeft(List((sorted.head, sorted.head))) {
+      case ((s, e) :: rest, id) if id == e + 1 => (s, id) :: rest
+      case (acc, id) => (id, id) :: acc
+    }.reverse.toVector
+    if (runs.size <= maxRanges) runs
+    else {
+      val keep = runs.indices.tail
+        .sortBy(i => -(runs(i)._1 - runs(i - 1)._2))
+        .take(maxRanges - 1).sorted
+      (Seq(0) ++ keep :+ runs.size).sliding(2).map { w =>
+        (runs(w(0))._1, runs(w(1) - 1)._2)
+      }.toVector
+    }
+  }
+
+  /** Cluster an over-cap dim's STRING/BINARY keys (r13): bucket a
+    * fixed-width byte PREFIX of each ENCODED key — 7 bytes, so the
+    * hex/conv round trip stays inside a non-negative signed long — by
+    * the same occupancy grid as [[clusterRuns]], and map occupied-run
+    * boundaries back to byte ranges. Soundness per bucket run [s, e]
+    * (7-byte prefixes as big-endian longs): every key k with
+    * paddedPrefix(k) ∈ [s, e] satisfies
+    * `stripTrailingZeros(bytes(s)) <= k < prefixSuccessor(bytes(e))` —
+    * the lower bound because stripping a 0x00 tail only moves a bound
+    * DOWN past any key whose padding produced it, the upper because
+    * prefixSuccessor exceeds every extension of a <= prefix. Each run
+    * additionally intersects the known-sound [min, max] `envelope`, so
+    * the union stays a value superset built from occupancy, never a
+    * sample. Supported only where the door vouches (encodeRuntimeKeyBytesSql)
+    * that encoded-byte ranges are value supersets: raw binary columns
+    * and UTF-8 strings (order-preserving codecs). Declines (None) on a
+    * shared 7-byte prefix, bucket overflow, or any failure — the caller
+    * falls back to the envelope. */
+  private def clusterPrefixRuns(spark: SparkSession,
+      frame: org.apache.spark.sql.DataFrame, attr: String, lo: Any, hi: Any,
+      envelope: Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]])
+      : Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] =
+    try {
+      val maxRanges = spark.conf
+        .get("spark.graft.runtimeFilter.maxRanges", "16").toInt
+      val buckets = spark.conf
+        .get("spark.graft.runtimeFilter.rangeBuckets", "4096").toInt
+      val w = 7
+      for {
+        sqlBytes <- encodeRuntimeKeyBytesSql(attr, "_graft_rk")
+        if maxRanges > 1 && buckets > 1
+        loB <- encodeRuntimeKey(attr, lo)
+        hiB <- encodeRuntimeKey(attr, hi)
+        loP = prefixLong(loB, w)
+        hiP = prefixLong(hiB, w)
+        if hiP > loP
+        width = ((BigInt(hiP) - BigInt(loP) + buckets) / buckets)
+          .max(1).toLong
+        ids = frame.selectExpr(
+            s"(CAST(conv(hex(rpad(substring($sqlBytes, 1, $w), $w, x'00'))" +
+              s", 16, 10) AS BIGINT) - ${loP}L) DIV ${width}L AS _graft_b")
+          .distinct().limit(buckets + 1).collect().map(_.getLong(0))
+        if ids.nonEmpty && ids.length <= buckets
+      } yield {
+        def maxLoB(a: Option[Array[Byte]], b: Option[Array[Byte]]) =
+          (a, b) match {
+            case (Some(x), Some(y)) =>
+              Some(if (Bytes.compareTo(x, y) >= 0) x else y)
+            case _ => a.orElse(b)
+          }
+        def minHiB(a: Option[Array[Byte]], b: Option[Array[Byte]]) =
+          (a, b) match {
+            case (Some(x), Some(y)) =>
+              Some(if (Bytes.compareTo(x, y) <= 0) x else y)
+            case _ => a.orElse(b)
+          }
+        val (envLo, envHi) = envelope match {
+          case Some(Seq((a, b))) => (a, b)
+          case _ => (None, None)
+        }
+        mergeIdRuns(ids.sorted, maxRanges).map { case (s, e) =>
+          def clamp(v: BigInt): Long =
+            v.max(BigInt(loP)).min(BigInt(hiP)).toLong
+          val startP = clamp(BigInt(loP) + BigInt(s) * width)
+          val endP = clamp(BigInt(loP) + (BigInt(e) + 1) * width - 1)
+          (maxLoB(Some(stripTrailingZeros(prefixBytes(startP, w))), envLo),
+            minHiB(Bytes.prefixSuccessor(prefixBytes(endP, w)), envHi))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** First `w` bytes of `b` (0x00-right-padded) as a big-endian long. */
+  private def prefixLong(b: Array[Byte], w: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < w) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v
+  }
+
+  private def prefixBytes(v: Long, w: Int): Array[Byte] =
+    Array.tabulate(w)(i => ((v >>> ((w - 1 - i) * 8)) & 0xff).toByte)
+
+  private def stripTrailingZeros(b: Array[Byte]): Array[Byte] = {
+    var n = b.length
+    while (n > 0 && b(n - 1) == 0) n -= 1
+    b.take(n)
   }
 }
 

@@ -863,6 +863,10 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       case b: Array[Byte] => Some(b)
       case _ => None
     }
+  /** Both cell-door probe attributes are raw binary — encoded-byte
+    * ranges ARE value ranges, so prefix clustering is always sound. */
+  override protected def encodeRuntimeKeyBytesSql(attr: String,
+      colName: String): Option[String] = Some(colName)
   /** Over-cap range degradation: `row` and `value` are raw binary whose
     * byte order IS the value order, so [min, max] is exactly
     * [min, successor(max)). */

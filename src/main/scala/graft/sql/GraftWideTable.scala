@@ -1177,6 +1177,26 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
   override private[sql] def runtimeFilterEligible: Boolean =
     limit.isEmpty && topN.isEmpty
 
+  /** Byte-prefix clustering hook (r13): supported where encoded-byte
+    * ranges are value supersets — UTF-8 strings (cast to binary = the
+    * codec's exact bytes) and raw binary, on the key head or an indexed
+    * value column. A string/binary HEAD is necessarily the ONLY key
+    * part (WideSpec: variable-length parts are tail-only), so its
+    * encoding IS the whole row key and prefix row-ranges prune exactly.
+    * Integral columns decline here — clusterRuns already clusters their
+    * VALUES, and ordered/plain fixed codecs re-encode per run. */
+  override protected def encodeRuntimeKeyBytesSql(attr: String,
+      colName: String): Option[String] = {
+    val dt =
+      if (attr == spec.key.head._1) Some(spec.key.head._2)
+      else spec.col(attr).map(_.dt)
+    dt match {
+      case Some(StringType) => Some(s"cast($colName as binary)")
+      case Some(BinaryType) => Some(colName)
+      case _ => None
+    }
+  }
+
   // runtime In on an indexed value column, resolved at execution (set by
   // resolvedFrame, consulted by route as its LOWEST-precedence arm);
   // an empty runtime key set scopes the whole scan to nothing

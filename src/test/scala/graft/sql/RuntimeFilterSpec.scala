@@ -409,6 +409,55 @@ class RuntimeFilterSpec extends SparkSpec {
     // attribute; a LIMIT-pushed scan declines entirely (existing rule)
   }
 
+  test("over-cap STRING and BINARY keys cluster by byte prefix " +
+      "(gap-skipping ranges, rangeCount > 1)") {
+    val root = freshRoot("rtf-pfx")
+    val g = Graft(spark, root)
+    // wide door: string single-part key (r12 degraded these to the one
+    // [min, max] span; r13 occupancy-clusters a 7-byte encoded prefix)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 4, wideKey = Some("k:string"),
+      wideSchema = Some("f:pop:long")), 1L)
+    g.table("t").put((1 to 500).map(i =>
+      Put(b(f"r$i%04d")).add("f", b("pop"), 2L, Bytes.toBytes(i.toLong))), 2L)
+    // cell door: raw binary row keys, same clustered shape
+    g.createTable(TableDescriptor("c", Seq(FamilyDescriptor("f")),
+      splitKeys = 4), 1L)
+    g.table("c").put((1 to 500).map(i =>
+      Put(b(f"r$i%04d")).add("f", b("q"), 2L, b(s"v$i"))), 2L)
+    register("grtfx", root)
+    import spark.implicits._
+    // dim keys in TWO byte-separated clusters with a wide hole between
+    val dimKeys = ((10 to 99) ++ (400 to 450)).map(i => f"r$i%04d")
+    dimKeys.toDF("k").createOrReplaceTempView("rtf_dim_pfx")
+    dimKeys.toDF("k")
+      .select(org.apache.spark.sql.functions.encode($"k", "UTF-8").as("rk"))
+      .createOrReplaceTempView("rtf_dim_pfxc")
+    spark.conf.set("spark.graft.runtimeFilter.maxKeys", "8")
+    try {
+      val dfw = spark.sql("SELECT t.k, t.pop FROM grtfx.`t$wide` t " +
+        "JOIN rtf_dim_pfx d ON t.k = d.k")
+      assert(dfw.collect().map(_.getString(0)).toSet == dimKeys.toSet)
+      val wScans = graftScans(dfw)
+      assert(wScans.flatMap(_.runtimeProbeShapes).contains(("k", "range")),
+        s"wide: ${wScans.flatMap(_.runtimeProbeShapes)}")
+      val wRc = wScans.flatMap(_.runtimeRangeCounts)
+      assert(wRc.exists(_._2 > 1),
+        s"wide string head: expected gap-separated prefix runs, got $wRc")
+      val dfc = spark.sql("SELECT t.row FROM grtfx.c t " +
+        "JOIN rtf_dim_pfxc d ON t.row = d.rk WHERE t.family = 'f'")
+      assert(dfc.collect()
+        .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet ==
+        dimKeys.toSet)
+      val cScans = graftScans(dfc)
+      assert(cScans.flatMap(_.runtimeProbeShapes).contains(("row", "range")),
+        s"cell: ${cScans.flatMap(_.runtimeProbeShapes)}")
+      val cRc = cScans.flatMap(_.runtimeRangeCounts)
+      assert(cRc.exists(_._2 > 1),
+        s"cell binary row: expected gap-separated prefix runs, got $cRc")
+    } finally spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+  }
+
   test("multi-attribute: key-head and indexed-column probes intersect") {
     val root = freshRoot("rtf-multi")
     val g = Graft(spark, root)
