@@ -597,6 +597,40 @@ object PerfEval {
       results("mixedOrRouted") = timedMin2 { q.collect(): Unit }
     }
 
+    // routeGuard pair (r13): an ANTI-selective indexed disjunction —
+    // `status IN ('O', 'F')` matches ~97% of orders — was the one legal
+    // input where routing LOST to the pushed scan it replaced (index
+    // probe + row-key dedup + gather join over most of the table; the
+    // reference's filters stream inside the scan and never pay this,
+    // ScanQueryMatcher.java:186-200). The selectivity guard measures
+    // and declines: `routeGuardFallback` is the guarded path (capped
+    // occupancy probe + pushed scan), `routeGuardForcedRoute` the same
+    // query with the guard disabled — the r12 behavior. Forced should
+    // exceed fallback; the selective workloads (mixedOrRouted,
+    // indexLookup5) sit on the other side of the crossover.
+    {
+      g.createIndex("pe", "o", Bytes.toBytes("o_orderstatus"), nowMs = 3L)
+      spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+      def q = spark.sql(
+        s"""SELECT sum(o_totalprice) AS s, count(*) AS n
+            FROM graft_pe.`pe$$wide`
+            WHERE o_orderstatus IN ('O', 'F')""")
+      val guarded = q
+      guarded.collect(): Unit
+      require(graft.sql.GraftRouteSeams.guardDeclined(guarded),
+        "route guard did not decline the anti-selective arm")
+      results("routeGuardFallback") = timedMin2 { q.collect(): Unit }
+      spark.conf.set("spark.graft.route.guard.enabled", "false")
+      try {
+        val forced = q
+        forced.collect(): Unit
+        require(graft.sql.GraftWideSeams.usedIndexTables(forced).nonEmpty,
+          "guard-off twin did not route — fixture drift?")
+        results("routeGuardForcedRoute") = timedMin2 { q.collect(): Unit }
+      } finally spark.conf.set("spark.graft.route.guard.enabled", "true")
+      spark.conf.unset("spark.graft.route.guard.minIndexRows")
+    }
+
     // annLshHash: hash-derived-hyperplane ANN top-k (native HyperplaneBand
     // signatures). Timed here rather than in the correctness battery:
     // DuckDB cannot recompute xxhash64 buckets, so the battery carries the

@@ -420,6 +420,18 @@ final class Catalog(spark: SparkSession, root: String) {
         if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
       }.sum)
 
+  private val manifestRowsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+
+  /** Total stored cell rows of a manifest (cached forever per version —
+    * data dirs are immutable): the row-count statistic the route
+    * selectivity guard ([[graft.sql.GraftRouteGuard]]) compares probe
+    * hit counts against. Parquet serves the count from footers, no
+    * column materialization. */
+  def manifestRows(m: Manifest): Long =
+    manifestRowsCache.getOrElseUpdate((m.table, m.version),
+      readManifest(m).count())
+
   /** [[manifestAt]] tolerating pruned history (`expireVersions`). */
   def tryManifestAt(t: String, v: Long): Option[Manifest] =
     if (fs.exists(new Path(tableDir(t), s"manifest-$v.json")))

@@ -68,11 +68,19 @@ private[sql] object GraftOrArms {
       case _ => a.orElse(b)
     }
 
+  /** One parsed DISJUNCT: its conjunctive LEGS, each (column, arm).
+    * Plain leaves are single-leg; in superset mode an And disjunct
+    * whose BOTH sides parsed keeps every side's legs — a multi-leg
+    * member whose candidate set a route may serve as the INTERSECTION
+    * of its legs' probes (each leg alone is already a value superset
+    * of the conjunction, so any subset of legs stays sound). */
+  private type Conj = Seq[(String, ValueArm)]
+
   private def disjuncts(f: sources.Filter,
       leaf: sources.Filter => Option[(String, ValueArm)],
       superset: Boolean)
-      : Option[Seq[(String, ValueArm)]] = {
-    def disj(g: sources.Filter): Option[Seq[(String, ValueArm)]] = g match {
+      : Option[Seq[Conj]] = {
+    def disj(g: sources.Filter): Option[Seq[Conj]] = g match {
       case sources.Or(a, b) =>
         for { x <- disj(a); y <- disj(b) } yield x ++ y
       case sources.And(a, b) =>
@@ -81,47 +89,62 @@ private[sql] object GraftOrArms {
         val ca = disj(a)
         val cb = disj(b)
         ((ca, cb) match {
-          case (Some(Seq((c1, ArmRange(l1, h1)))),
-              Some(Seq((c2, ArmRange(l2, h2))))) if c1 == c2 =>
-            Some(Seq((c1, ArmRange(maxLo(l1, l2), minHi(h1, h2)))))
+          case (Some(Seq(Seq((c1, ArmRange(l1, h1))))),
+              Some(Seq(Seq((c2, ArmRange(l2, h2)))))) if c1 == c2 =>
+            Some(Seq(Seq((c1, ArmRange(maxLo(l1, l2), minHi(h1, h2))))))
           case _ => None
         }).orElse {
-          // SUPERSET pick (`(a = 1 AND b = 2) OR c = 3`): a row
-          // satisfying the conjunction satisfies each conjunct, so
-          // EITHER side's arms are a value superset of the And — sound
-          // ONLY because every caller keeps the whole Or residual
-          // (routing, never semantics). Route the tighter side: fewer
-          // arms, equalities before ranges. Tried AFTER the exact
-          // forms (same-column intersect above; the tuple-OR composite
-          // route at the call site), so exact probes keep precedence.
+          // SUPERSET conjunction (`(a = 1 AND b = 2) OR c = 3`): a row
+          // satisfying the conjunction satisfies each conjunct, so any
+          // side's arms are a value superset of the And — sound ONLY
+          // because every caller keeps the whole Or residual (routing,
+          // never semantics). Both single-disjunct sides keep ALL
+          // their legs (r13: the route intersects multi-leg members'
+          // probes before the gather); an Or-bearing side falls back
+          // to the r12 tighter-side pick. Tried AFTER the exact forms
+          // (same-column intersect above; the tuple-OR composite route
+          // at the call site), so exact probes keep precedence.
           if (!superset) None
-          else Seq(ca, cb).flatten match {
-            case Nil => None
-            case picks => Some(picks.minBy(as =>
-              (armCount(as), as.count(_._2.isInstanceOf[ArmRange]))))
+          else (ca, cb) match {
+            case (Some(Seq(la)), Some(Seq(lb))) => Some(Seq(la ++ lb))
+            case _ => Seq(ca, cb).flatten match {
+              case Nil => None
+              case picks => Some(picks.minBy(as =>
+                (armCount(as), as.flatten.count(_._2.isInstanceOf[ArmRange]))))
+            }
           }
         }
-      case other => leaf(other).map(Seq(_))
+      case other => leaf(other).map(a => Seq(Seq(a)))
     }
     disj(f)
   }
 
-  private def armCount(as: Seq[(String, ValueArm)]): Int =
-    as.map(_._2 match {
+  private def armCount(as: Seq[Conj]): Int =
+    as.flatten.map(_._2 match {
       case ArmIn(vs) => vs.size
       case _ => 1
     }).sum
 
+  /** The tightest leg of a conjunctive member — fewest arms, equalities
+    * before ranges (the r12 single-pick, now per member). */
+  private def pickLeg(c: Conj): (String, ValueArm) =
+    c.minBy(l => (l._2 match {
+      case ArmIn(vs) => vs.size
+      case _ => 1
+    }, if (l._2.isInstanceOf[ArmRange]) 1 else 0))
+
   /** Parse `f` (an `Or` tree) into `(column, arms)`. `leaf` encodes one
     * comparison leaf under the door's codec; None from it fails the
-    * whole parse. */
+    * whole parse. Multi-leg members reduce to their tightest leg (a
+    * value superset — the single-column route has no intersect form). */
   def parse(f: sources.Filter,
       leaf: sources.Filter => Option[(String, ValueArm)],
       maxArms: Int, superset: Boolean = false)
       : Option[(String, Seq[ValueArm])] =
-    disjuncts(f, leaf, superset).flatMap { as =>
+    disjuncts(f, leaf, superset).flatMap { cs =>
+      val as = cs.map(pickLeg)
       val cols = as.map(_._1).distinct
-      if (cols.sizeIs == 1 && armCount(as) <= maxArms)
+      if (cols.sizeIs == 1 && armCount(as.map(Seq(_))) <= maxArms)
         Some((cols.head, as.map(_._2)))
       else None
     }
@@ -130,19 +153,28 @@ private[sql] object GraftOrArms {
     * `FilterList(MUST_PASS_ONE)` shape (`custkey = 7 OR status = 'F'`,
     * heterogeneous filters composed, `hbase/filter/FilterList.java:
     * 47-49`): every disjunct is still a leaf (or an And of interval
-    * leaves on ONE column, intersected), but the leaves may name
-    * DIFFERENT columns. Arms group by column, first-appearance order;
-    * requires ≥ 2 distinct columns (one column is [[parse]]'s job) and
-    * the TOTAL arm count within `maxArms` — past the cap the disjunction
-    * falls back to the residual full scan. */
+    * leaves on ONE column, intersected; or, superset mode, an And whose
+    * every side parsed — kept as a multi-leg member), but the leaves
+    * may name DIFFERENT columns. Single-leg members group by column in
+    * first-appearance order (their probes union anyway); multi-leg
+    * members stay separate so the route can intersect their legs.
+    * Requires ≥ 2 distinct columns overall (one column is [[parse]]'s
+    * job) and the TOTAL arm count within `maxArms` — past the cap the
+    * disjunction falls back to the residual full scan. */
   def parseMulti(f: sources.Filter,
       leaf: sources.Filter => Option[(String, ValueArm)],
       maxArms: Int, superset: Boolean = false)
-      : Option[Seq[(String, Seq[ValueArm])]] =
-    disjuncts(f, leaf, superset).flatMap { as =>
-      val cols = as.map(_._1).distinct
-      if (cols.sizeIs >= 2 && armCount(as) <= maxArms)
-        Some(cols.map(c => c -> as.collect { case (`c`, arm) => arm }))
-      else None
+      : Option[Seq[Seq[(String, Seq[ValueArm])]]] =
+    disjuncts(f, leaf, superset).flatMap { cs =>
+      val cols = cs.flatten.map(_._1).distinct
+      if (cols.sizeIs >= 2 && armCount(cs) <= maxArms) {
+        val singles = cs.filter(_.sizeIs == 1).map(_.head)
+        val grouped = singles.map(_._1).distinct.map(c =>
+          Seq(c -> singles.collect { case (`c`, arm) => arm }))
+        val multi = cs.filter(_.sizeIs > 1).map(_.map {
+          case (c, arm) => c -> Seq(arm)
+        })
+        Some(grouped ++ multi)
+      } else None
     }
 }

@@ -824,10 +824,54 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       Seq[graft.read.SecondaryIndex.ValueArm])] = None)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with GraftRuntimeFilterable {
+    with GraftRuntimeFilterable with GraftGuardedRoute {
 
   override def readSchema(): StructType =
     aggSpec.fold(required)(_.schema)
+
+  // ---- route selectivity guard (r13, see GraftRouteGuard): a measured
+  // anti-selective probe falls back to the pushed scan + residual
+  // (cost-only — every value predicate stays residual, and runtime
+  // probes are re-checked by their join). Verdicts memoize per scan so
+  // execution and the seams agree.
+  @volatile private var guardVerdicts = Map.empty[String, Boolean]
+  @volatile private var guardDeclinedFlag = false
+  override private[sql] def routeGuardDeclined: Boolean = guardDeclinedFlag
+
+  private def guardAllows(ixTable: String,
+      arms: Seq[graft.read.SecondaryIndex.ValueArm]): Boolean =
+    guardVerdicts.get(ixTable).getOrElse {
+      val m = engine.currentManifest(ixTable)
+      val ok = GraftRouteGuard.allows(engine, Seq(m), Seq(
+        () => graft.read.SecondaryIndex.probeOr(engine.readManifest(m),
+          arms)))
+      guardVerdicts += ixTable -> ok
+      if (!ok) guardDeclinedFlag = true
+      ok
+    }
+
+  private def armsOf(p: GraftValuePred)
+      : Seq[graft.read.SecondaryIndex.ValueArm] = p match {
+    case GraftValueIn(vs) => Seq(graft.read.SecondaryIndex.ArmIn(vs))
+    case GraftValueRange(lo, hi) =>
+      Seq(graft.read.SecondaryIndex.ArmRange(lo, hi))
+    case GraftValueOr(arms) => arms
+  }
+
+  /** [[indexProbe]] after the selectivity guard. Covered routes skip
+    * (index-only answer, no gather); composite-leading probes skip
+    * (loose blob probe, not arm-shaped). */
+  private def effIndexProbe: Option[GraftIndexRoute] =
+    indexProbe.filter { r =>
+      r.ix.covered.nonEmpty || r.ix.moreColumns.nonEmpty ||
+        guardAllows(r.ix.indexTable, armsOf(r.pred))
+    }
+  private def effMixedRoute: Option[(graft.catalog.IndexDescriptor,
+      Seq[(Option[Array[Byte]], Option[Array[Byte]])],
+      Seq[graft.read.SecondaryIndex.ValueArm])] =
+    mixedRoute.filter { case (ix, _, varms) =>
+      guardAllows(ix.indexTable, varms)
+    }
 
   // ---- runtime (join-driven) key pruning — see GraftRuntimeFilterable.
   // `row` is binary end-to-end; a pushed LIMIT/TopN declines (pruning
@@ -913,13 +957,14 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     * stays off for unindexed ones). Includes a runtime value-probe
     * route once resolution APPLIED it (inspect after execution). */
   private[sql] def usedIndexTable: Option[String] =
-    indexProbe.map(_.ix.indexTable).orElse(mixedRoute.map(_._1.indexTable))
+    effIndexProbe.map(_.ix.indexTable)
+      .orElse(effMixedRoute.map(_._1.indexTable))
       .orElse(appliedRuntimeValueIndex)
   @volatile private var appliedRuntimeValueIndex: Option[String] = None
   /** Seam: the MIXED row/value OR route's shape — (row-range arm count,
     * probed index table). */
   private[sql] def mixedOrShape: Option[(Int, String)] =
-    mixedRoute.map { case (ix, krs, _) => (krs.size, ix.indexTable) }
+    effMixedRoute.map { case (ix, krs, _) => (krs.size, ix.indexTable) }
 
   /** The resolved view this scan produces — also the seam SqlCatalogSpec
     * uses to assert that pushdown reached the inner parquet scan. */
@@ -999,7 +1044,7 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     // their covered columns' cells the same way), so the whole SQL
     // answer is index-only: zero main-table touch, no gather — the
     // strongest form of the Phoenix route.
-    val frame0m = mixedRoute.fold(frame0r) { case (ix, krs, varms) =>
+    val frame0m = effMixedRoute.fold(frame0r) { case (ix, krs, varms) =>
       // MIXED row/value OR: the row-range branch reads straight off the
       // (logical) cell frame — exact byte ranges, binary row order IS
       // the value order — while the value branch probes the index for
@@ -1028,10 +1073,14 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       }
       (keys, ranges) match {
         case (Some(Nil), _) => frame0m.filter(flit(false))
-        case (Some(ks), _) =>
+        case (Some(ks), _)
+            if guardAllows(ix.indexTable,
+              Seq(SecondaryIndex.ArmIn(ks))) =>
           appliedRuntimeValueIndex = Some(ix.indexTable)
           SecondaryIndex.gather(frame0m, engine.read(ix.indexTable), ks)
-        case (None, Some(rs)) =>
+        case (None, Some(rs))
+            if guardAllows(ix.indexTable,
+              rs.map { case (lo, hi) => SecondaryIndex.ArmRange(lo, hi) }) =>
           appliedRuntimeValueIndex = Some(ix.indexTable)
           SecondaryIndex.gatherHits(frame0m,
             SecondaryIndex.probeOr(engine.read(ix.indexTable),
@@ -1039,7 +1088,7 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
         case _ => frame0m
       }
     }
-    val frame = indexProbe.fold(frameV) { route =>
+    val frame = effIndexProbe.fold(frameV) { route =>
       import graft.read.SecondaryIndex
       val ixCells = engine.read(route.ix.indexTable)
       if (route.ix.covered.nonEmpty) {

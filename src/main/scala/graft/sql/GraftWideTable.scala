@@ -200,14 +200,17 @@ private[sql] case class WideCompositeOr(ix: IndexDescriptor,
     tuples: Seq[Seq[Seq[Array[Byte]]]]) extends WideRoute
 /** CROSS-column OR (`custkey = 7 OR status = 'F'`, each column indexed —
   * the general FilterList(MUST_PASS_ONE): heterogeneous filters
-  * composed, `hbase/filter/FilterList.java:47-49`): per member column,
-  * its index and its arm subset. Served as the UNION of the per-column
-  * OR probes, deduped by row key, ONE gather; exactness comes from the
-  * residual Or (all wide filters stay residual) over the candidate
+  * composed, `hbase/filter/FilterList.java:47-49`): one entry per OR
+  * member, each a CONJUNCTION of legs (column, index, arms) —
+  * single-leg for plain disjuncts, multi-leg (r13) for an And disjunct
+  * whose every conjunct is indexed, whose candidate set is the
+  * INTERSECTION of its legs' probes. Served as the UNION of per-member
+  * candidate sets, deduped by row key, ONE gather; exactness comes from
+  * the residual Or (all wide filters stay residual) over the candidate
   * superset. */
 private[sql] case class WideCrossOr(
-    members: Seq[(WideCol, IndexDescriptor,
-      Seq[graft.read.SecondaryIndex.ValueArm])]) extends WideRoute
+    members: Seq[Seq[(WideCol, IndexDescriptor,
+      Seq[graft.read.SecondaryIndex.ValueArm])]]) extends WideRoute
 /** MIXED key/value OR (`k < 200 OR custkey = 7` — the reference's
   * classic `FilterList(MUST_PASS_ONE)` of a RowFilter with a
   * SingleColumnValueFilter, `hbase/filter/FilterList.java:47-49`): the
@@ -468,11 +471,12 @@ class GraftWideScanBuilder(engine: Catalog, baseTable: String, spec: WideSpec,
   // routable as a union of composite blob probes when a composite index
   // covers exactly that column set
   private var colTupleOr: Seq[Map[String, Seq[Array[Byte]]]] = Nil
-  // recorded CROSS-column OR arms (`custkey = 7 OR status = 'F'`):
-  // per column, its arm subset — routable as a union of per-column
-  // probeOr passes when EVERY member column is indexed
+  // recorded CROSS-column OR members (`custkey = 7 OR status = 'F'`):
+  // per member, its conjunctive legs (column -> arms; single-leg for
+  // plain disjuncts) — routable as a union of per-member probe passes
+  // (legs intersected) when every member has an indexed leg
   private var colCrossOr
-      : Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])] = Nil
+      : Seq[Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])]] = Nil
   // recorded MIXED key/value OR (`k < 200 OR custkey = 7`): the key
   // disjuncts' row ranges (negative-region-adjusted) + the value
   // disjuncts' per-column arms — routable when every value member is
@@ -1088,13 +1092,14 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     colOr: Map[String, Seq[graft.read.SecondaryIndex.ValueArm]] = Map.empty,
     colTupleOr: Seq[Map[String, Seq[Array[Byte]]]] = Nil,
     keyRangeOr: Option[Seq[(Option[Array[Byte]], Option[Array[Byte]])]] = None,
-    colCrossOr: Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])] = Nil,
+    colCrossOr: Seq[Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])]] =
+      Nil,
     colMixedOr: Option[(
       Seq[(Option[Array[Byte]], Option[Array[Byte]])],
       Seq[(String, Seq[graft.read.SecondaryIndex.ValueArm])])] = None)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with GraftRuntimeFilterable {
+    with GraftRuntimeFilterable with GraftGuardedRoute {
 
   // ---- runtime (join-driven) key pruning — see GraftRuntimeFilterable.
   // The declared key HEAD is the strongest prunable column: runtime
@@ -1266,7 +1271,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     spec.cols.map(_.name).filter(c => colEq.contains(c) ||
       colLo.contains(c) || colHi.contains(c) || colOr.contains(c) ||
       colTupleOr.headOption.exists(_.contains(c)) ||
-      colCrossOr.exists(_._1 == c))
+      colCrossOr.exists(_.exists(_._1 == c)))
 
   /** The chosen index route, if any — in precedence order:
     *  1. a registered COMPOSITE index whose every member column has a
@@ -1301,7 +1306,80 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     }
   }
 
-  private[sql] def route: Option[WideRoute] = {
+  /** The chosen route, SELECTIVITY-GUARDED (r13, [[GraftRouteGuard]]):
+    * a measured anti-selective probe route falls back to the pushed
+    * scan + residual — cost-only, the filters stay residual either way.
+    * Verdicts memoize per scan so execution and the seams agree. */
+  private[sql] def route: Option[WideRoute] =
+    routeCandidate.filter(guardAllows)
+
+  @volatile private var guardVerdicts = Map.empty[String, Boolean]
+  @volatile private var guardDeclinedFlag = false
+  override private[sql] def routeGuardDeclined: Boolean = guardDeclinedFlag
+
+  /** ONE metadata read per index table per scan: the guard and the
+    * routed resolution share the same pinned (manifest, cells) pair —
+    * keeps the one-read-per-build metadata contract (WideViewSpec) and
+    * guarantees the guard measured the same index version resolution
+    * reads. */
+  @volatile private var indexMeta =
+    Map.empty[String, (graft.catalog.Manifest, DataFrame)]
+  private def indexTableMeta(t: String): (graft.catalog.Manifest, DataFrame) =
+    indexMeta.getOrElse(t, {
+      val m = engine.currentManifest(t)
+      val v = (m, engine.readManifest(m))
+      indexMeta += t -> v
+      v
+    })
+  private def indexCells(t: String): DataFrame = indexTableMeta(t)._2
+
+  private def guardAllows(r: WideRoute): Boolean = {
+    import graft.read.SecondaryIndex
+    def armsOf(p: GraftValuePred): Seq[SecondaryIndex.ValueArm] = p match {
+      case GraftValueIn(vs) => Seq(SecondaryIndex.ArmIn(vs))
+      case GraftValueRange(lo, hi) => Seq(SecondaryIndex.ArmRange(lo, hi))
+      case GraftValueOr(arms) => arms
+    }
+    // guardable routes: (involved index tables, per-MEMBER probe-hits
+    // builders — an intersected frame for multi-leg cross-or members,
+    // so the guard measures what the gather would actually fetch).
+    // Covered index-only routes skip (no gather — see GraftRouteGuard);
+    // composite blob probes skip (equality tuples on the composite key,
+    // not arm-shaped; the leading-member loose probe likewise).
+    def memberHits(legs: Seq[(WideCol, graft.catalog.IndexDescriptor,
+        Seq[SecondaryIndex.ValueArm])]): DataFrame =
+      legs.map { case (_, ix, arms) =>
+        SecondaryIndex.probeOr(indexCells(ix.indexTable), arms)
+      }.reduce((a, b) => a.join(b, Seq("row"), "left_semi"))
+    val guardable: Option[(Seq[String], Seq[() => DataFrame])] = r match {
+      case WideSingle(c, ix, _) if coveredOnly(c, ix) => None
+      case WideSingle(_, ix, _) if ix.moreColumns.nonEmpty => None
+      case WideSingle(c, ix, pred) =>
+        Some((Seq(ix.indexTable),
+          Seq(() => memberHits(Seq((c, ix, armsOf(pred)))))))
+      case _: WideComposite | _: WideCompositeOr => None
+      case WideCrossOr(ms) =>
+        Some((ms.flatMap(_.map(_._2.indexTable)).distinct,
+          ms.map(legs => () => memberHits(legs))))
+      case WideMixedOr(_, ms) =>
+        Some((ms.map(_._2.indexTable).distinct,
+          ms.map(m => () => memberHits(Seq(m)))))
+    }
+    guardable match {
+      case None => true
+      case Some((tables, probes)) =>
+        val key = r.getClass.getSimpleName + tables.mkString(",")
+        guardVerdicts.get(key).getOrElse {
+          val ok = GraftRouteGuard.allows(engine,
+            tables.map(t => indexTableMeta(t)._1), probes)
+          guardVerdicts += key -> ok
+          if (!ok) guardDeclinedFlag = true
+          ok
+        }
+    }
+  }
+
+  private def routeCandidate: Option[WideRoute] = {
     // Time-travel scans never route: a live index reflects the PRESENT
     // table, not the pinned version (same rule as the cell door).
     if (timeTravel) return None
@@ -1402,21 +1480,29 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       }
     }.orElse {
       // CROSS-column OR (the general FilterList(MUST_PASS_ONE)): the
-      // union of per-column probeOr passes, deduped by row key — routes
-      // only when EVERY member column carries a single-column index and
-      // every arm is probe-sound (same rule as the one-column OR above:
-      // a candidate set must be a value SUPERSET per arm, since
-      // exactness here comes from the residual Or, not a verify).
-      // Any unindexed or unsound member declines the whole route —
-      // probing a subset of the disjuncts would DROP rows the other
-      // disjuncts match.
+      // union of per-MEMBER probe passes, deduped by row key — routes
+      // only when EVERY member keeps at least one indexed, probe-sound
+      // leg (a candidate set must be a value SUPERSET per member, since
+      // exactness here comes from the residual Or, not a verify; a
+      // member with NO probe would DROP the rows its disjunct matches).
+      // Multi-leg members (r13) may shed unindexed/unsound legs —
+      // fewer legs = a larger superset, still sound — and the
+      // resolution INTERSECTS the surviving legs' probes before the
+      // gather, shrinking the fetched candidate set.
       if (colCrossOr.isEmpty) None
       else {
-        val members = colCrossOr.map { case (cn, arms) =>
-          spec.col(cn).flatMap { c =>
-            if (!arms.forall(armSound(c, _))) None
-            else d.indexOn(c.family, c.qualifier).map(ix => (c, ix, arms))
+        val members = colCrossOr.map { legs =>
+          val resolved = legs.flatMap { case (cn, arms) =>
+            spec.col(cn).flatMap { c =>
+              if (!arms.forall(armSound(c, _))) None
+              else d.indexOn(c.family, c.qualifier).map(ix => (c, ix, arms))
+            }
           }
+          // a SINGLE-leg member must resolve fully (old rule); a
+          // multi-leg member survives on any subset of its legs
+          if (resolved.nonEmpty && (legs.sizeIs > 1 ||
+              resolved.sizeIs == legs.size)) Some(resolved)
+          else None
         }
         if (members.forall(_.isDefined)) Some(WideCrossOr(members.flatten))
         else None
@@ -1472,15 +1558,23 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     case WideSingle(_, ix, _) => ix.indexTable
     case WideComposite(ix, _) => ix.indexTable
     case WideCompositeOr(ix, _) => ix.indexTable
-    case WideCrossOr(members) => members.head._2.indexTable
+    case WideCrossOr(members) => members.head.head._2.indexTable
     case WideMixedOr(_, members) => members.head._2.indexTable
   }
   /** ALL index tables a cross-column OR route probes (seam: the
     * sql_cross_or battery asserts every member's index participates). */
   private[sql] def crossOrIndexTables: Seq[String] = route.toSeq.flatMap {
-    case WideCrossOr(members) => members.map(_._2.indexTable)
+    case WideCrossOr(members) => members.flatMap(_.map(_._2.indexTable))
     case _ => Nil
   }
+  /** Per-MEMBER probed index tables of a cross-column OR route (seam:
+    * the r13 conjunct-intersection spec asserts one member probes TWO
+    * index tables whose hits intersect before the gather). */
+  private[sql] def crossOrMemberTables: Seq[Seq[String]] =
+    route.toSeq.flatMap {
+      case WideCrossOr(members) => members.map(_.map(_._2.indexTable))
+      case _ => Nil
+    }
   /** Seam: the MIXED route's shape — (key-range arm count, probed index
     * tables). None when the scan routed some other way. */
   private[sql] def mixedOrShape: Option[(Int, Seq[String])] =
@@ -1488,10 +1582,12 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       case WideMixedOr(krs, members) =>
         (krs.size, members.map(_._2.indexTable))
     }
+  private def coveredOnly(c: WideCol, ix: IndexDescriptor): Boolean =
+    ix.covered.nonEmpty && scanCols.forall(sc =>
+      sc.name == c.name || ix.coversColumn(sc.family, sc.qualifier))
+
   private[sql] def indexOnly: Boolean = route.exists {
-    case WideSingle(c, ix, _) =>
-      ix.covered.nonEmpty && scanCols.forall(sc =>
-        sc.name == c.name || ix.coversColumn(sc.family, sc.qualifier))
+    case WideSingle(c, ix, _) => coveredOnly(c, ix)
     case _: WideComposite | _: WideCompositeOr | _: WideCrossOr |
         _: WideMixedOr => false
   }
@@ -1626,23 +1722,23 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
           .map(w => (w.family, w.qualifier))
         visible(boundsFilter(pred match {
           case GraftValueIn(vs) => SecondaryIndex.lookupCovered(
-            engine.read(ix.indexTable), c.family, c.qualifier, vs, others)
+            indexCells(ix.indexTable), c.family, c.qualifier, vs, others)
           case GraftValueRange(lo, hi) => SecondaryIndex.lookupCoveredRange(
-            engine.read(ix.indexTable), c.family, c.qualifier, lo, hi, others)
+            indexCells(ix.indexTable), c.family, c.qualifier, lo, hi, others)
           case GraftValueOr(arms) => SecondaryIndex.lookupCoveredOr(
-            engine.read(ix.indexTable), c.family, c.qualifier, arms, others)
+            indexCells(ix.indexTable), c.family, c.qualifier, arms, others)
         }))
       case Some(WideSingle(c, ix, pred)) =>
         // verified route over the logical view, projected to the scanned
         // columns after the whole-row verify
         val hit = pred match {
           case GraftValueIn(vs) => SecondaryIndex.lookupAll(logical,
-            engine.read(ix.indexTable), c.family, c.qualifier, vs)
+            indexCells(ix.indexTable), c.family, c.qualifier, vs)
           case GraftValueRange(lo, hi) => SecondaryIndex.lookupRange(logical,
-            engine.read(ix.indexTable), c.family, c.qualifier, lo, hi,
+            indexCells(ix.indexTable), c.family, c.qualifier, lo, hi,
             exactPrefix = ix.moreColumns.isEmpty)
           case GraftValueOr(arms) => SecondaryIndex.lookupOr(logical,
-            engine.read(ix.indexTable), c.family, c.qualifier, arms)
+            indexCells(ix.indexTable), c.family, c.qualifier, arms)
         }
         visible(keepWanted(boundsFilter(hit)))
       case Some(WideComposite(ix, valueLists)) =>
@@ -1650,7 +1746,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         // pass over the bounded blob cartesian + gather + every-member
         // verify against each member's list
         visible(keepWanted(boundsFilter(SecondaryIndex.lookupCompositeAll(
-          logical, engine.read(ix.indexTable), ix.columns, valueLists))))
+          logical, indexCells(ix.indexTable), ix.columns, valueLists))))
       case Some(WideCompositeOr(ix, tuples)) =>
         // OR of tuples: the union of the disjuncts' blob cartesians in
         // ONE gather pass; candidates resolve like any scan and the
@@ -1663,19 +1759,24 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
             .map(SecondaryIndex.compositeBlob)
         }
         visible(keepWanted(boundsFilter(ScanExec(
-          SecondaryIndex.gather(logical, engine.read(ix.indexTable), blobs),
+          SecondaryIndex.gather(logical, indexCells(ix.indexTable), blobs),
           GScan()))))
       case Some(WideCrossOr(members)) =>
-        // CROSS-column OR: the union of the per-column OR probes (each
-        // one parquet-pruned pass over its own index), deduped by row
-        // key, feeding ONE size-gated span-bounded gather; candidates
-        // resolve like any scan and the RESIDUAL Or (all wide filters
-        // stay residual) makes the answer exact — stale index entries
-        // and the other columns' non-matches are false positives it
-        // drops, while index completeness for puts guarantees no
-        // disjunct's match is missing from the union
-        val hits = members.map { case (_, ix, arms) =>
-          SecondaryIndex.probeOr(engine.read(ix.indexTable), arms)
+        // CROSS-column OR: the union of per-MEMBER candidate sets (each
+        // leg one parquet-pruned pass over its own index; a multi-leg
+        // member INTERSECTS its legs' row keys — r13 — so a conjunctive
+        // disjunct fetches only rows satisfying every indexed
+        // conjunct), deduped by row key, feeding ONE size-gated
+        // span-bounded gather; candidates resolve like any scan and the
+        // RESIDUAL Or (all wide filters stay residual) makes the answer
+        // exact — stale index entries and the other columns'
+        // non-matches are false positives it drops, while index
+        // completeness for puts guarantees no disjunct's match is
+        // missing from the union
+        val hits = members.map { legs =>
+          legs.map { case (_, ix, arms) =>
+            SecondaryIndex.probeOr(indexCells(ix.indexTable), arms)
+          }.reduce((a, b) => a.join(b, Seq("row"), "left_semi"))
         }.reduce(_.unionByName(_)).distinct()
         visible(keepWanted(boundsFilter(ScanExec(
           SecondaryIndex.gatherHits(logical, hits), GScan()))))
@@ -1691,7 +1792,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         // construction (negative-region arm included) and index
         // completeness for puts covers every value disjunct's match.
         val hits = members.map { case (_, ix, arms) =>
-          SecondaryIndex.probeOr(engine.read(ix.indexTable), arms)
+          SecondaryIndex.probeOr(indexCells(ix.indexTable), arms)
         }.reduce(_.unionByName(_)).distinct()
         val hitsOutside =
           hits.filter(!GraftCols.rowRangesPred(hits, krs))
@@ -1807,6 +1908,10 @@ object GraftWideSeams {
   /** Index tables probed by CROSS-column OR routes under `df`. */
   def crossOrIndexTables(df: DataFrame): Seq[String] =
     scans(df).flatMap(_.crossOrIndexTables)
+  /** Per-MEMBER probed index tables of cross-column OR routes (r13:
+    * a multi-leg member's legs intersect before the gather). */
+  def crossOrMemberTables(df: DataFrame): Seq[Seq[String]] =
+    scans(df).flatMap(_.crossOrMemberTables)
   /** Every routed index table under `df` (any route form). */
   def usedIndexTables(df: DataFrame): Seq[String] =
     scans(df).flatMap(_.usedIndexTable)

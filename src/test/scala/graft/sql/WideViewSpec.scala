@@ -1541,6 +1541,114 @@ class WideViewSpec extends SparkSpec {
       .contains("BroadcastHashJoin"), joined.queryExecution.executedPlan)
   }
 
+  test("conjunct-INTERSECT OR (r13): an And disjunct with BOTH conjuncts " +
+      "indexed probes both indexes and intersects before the gather") {
+    val root = freshRoot("wideisect")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:city:string;f:pop:long;f:tag:string")), 1L)
+    g.table("t").put((1 to 200).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("city"), 2L, b(s"c${i % 20}"))
+        .add("f", b("pop"), 2L, Bytes.toBytes((i % 7).toLong))
+        .add("f", b("tag"), 2L, b(s"t${i % 50}"))), 2L)
+    g.createIndex("t", "f", b("city"), 3L)
+    g.createIndex("t", "f", b("pop"), 3L)
+    g.createIndex("t", "f", b("tag"), 3L)
+    register("gwis", root)
+    // r12 routed this shape by ONE conjunct's arms (a value superset of
+    // the And); r13 probes BOTH indexed conjuncts and intersects their
+    // candidate row keys before the gather — fewer rows fetched, same
+    // residual-exact answer
+    val df = spark.sql("SELECT k FROM gwis.`t$wide` " +
+      "WHERE (city = 'c3' AND pop = 3) OR tag = 't1' ORDER BY k")
+    val expect = (1 to 200).filter(i =>
+      (i % 20 == 3 && i % 7 == 3) || i % 50 == 1).map(_.toLong)
+    assert(df.collect().map(_.getLong(0)).toSeq == expect)
+    val memberTables = GraftWideSeams.crossOrMemberTables(df)
+    assert(memberTables.exists(_.distinct.sizeIs == 2),
+      s"expected one member probing TWO index tables, got $memberTables")
+    assert(memberTables.flatten.distinct.sizeIs == 3,
+      s"all three indexes should participate, got $memberTables")
+    // an And with ONE unindexed conjunct still routes by the indexed
+    // leg alone (the r12 superset pick, unchanged) — drop the pop index
+    // by querying an unindexed column in the conjunct
+    val df2 = spark.sql("SELECT k FROM gwis.`t$wide` " +
+      "WHERE (city = 'c3' AND k < 100) OR tag = 't1' ORDER BY k")
+    val expect2 = (1 to 200).filter(i =>
+      (i % 20 == 3 && i < 100) || i % 50 == 1).map(_.toLong)
+    assert(df2.collect().map(_.getLong(0)).toSeq == expect2)
+  }
+
+  test("route selectivity guard: a MEASURED anti-selective arm falls " +
+      "back to the pushed scan; selective arms keep routing") {
+    val root = freshRoot("wideguard")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, wideKey = Some("k:long"),
+      wideSchema = Some("f:status:string;f:pop:long")), 1L)
+    // 'O' covers half the table (anti-selective), 'P' ~0.25%
+    g.table("t").put((1 to 2000).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("status"), 2L,
+          b(if (i % 400 == 3) "P" else if (i % 2 == 0) "O" else "F"))
+        .add("f", b("pop"), 2L, Bytes.toBytes(i.toLong))), 2L)
+    g.createIndex("t", "f", b("status"), 3L)
+    register("gwg", root)
+    // the floor exists so SMALL indexes never pay the measurement —
+    // zero it so this fixture is measured like a large table would be
+    spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    try {
+      val expO = (1 to 2000)
+        .filter(i => i % 2 == 0 && i % 400 != 3).map(_.toLong)
+      val anti = spark.sql(
+        "SELECT k, status FROM gwg.`t$wide` WHERE status = 'O' ORDER BY k")
+      assert(anti.collect().map(_.getLong(0)).toSeq == expO)
+      assert(GraftWideSeams.usedIndexTables(anti).isEmpty,
+        "anti-selective arm must fall back to the pushed scan")
+      assert(GraftRouteSeams.guardDeclined(anti),
+        "guard-decline seam must report")
+      // an anti-selective OR disjunction declines the same way
+      val antiOr = spark.sql("SELECT k, status FROM gwg.`t$wide` " +
+        "WHERE status = 'O' OR status = 'ZZZ' ORDER BY k")
+      assert(antiOr.collect().map(_.getLong(0)).toSeq == expO)
+      assert(GraftWideSeams.usedIndexTables(antiOr).isEmpty &&
+        GraftRouteSeams.guardDeclined(antiOr))
+      // selective: 'P' routes through the index, guard quiet
+      val sel = spark.sql(
+        "SELECT k, status FROM gwg.`t$wide` WHERE status = 'P' ORDER BY k")
+      assert(sel.collect().map(_.getLong(0)).toSeq ==
+        (1 to 2000).filter(_ % 400 == 3).map(_.toLong))
+      assert(GraftWideSeams.usedIndexTables(sel).nonEmpty,
+        "selective arm should keep routing")
+      assert(!GraftRouteSeams.guardDeclined(sel))
+      // the guard is a cost-only knob: disabled, the anti-selective arm
+      // routes again and still returns the same rows (residual exactness)
+      spark.conf.set("spark.graft.route.guard.enabled", "false")
+      try {
+        val forced = spark.sql(
+          "SELECT k, status FROM gwg.`t$wide` WHERE status = 'O' ORDER BY k")
+        assert(forced.collect().map(_.getLong(0)).toSeq == expO)
+        assert(GraftWideSeams.usedIndexTables(forced).nonEmpty)
+      } finally spark.conf.unset("spark.graft.route.guard.enabled")
+      // CELL door: the same anti-selective value equality declines too
+      g.createTable(TableDescriptor("c", Seq(FamilyDescriptor("f")),
+        splitKeys = 2), 1L)
+      g.table("c").put((1 to 2000).map(i =>
+        Put(b(f"r$i%04d")).add("f", b("st"), 2L,
+          b(if (i % 2 == 0) "O" else "F"))), 2L)
+      g.createIndex("c", "f", b("st"), 3L)
+      val stQ = "X'" + "st".getBytes("UTF-8").map(x => f"$x%02x").mkString + "'"
+      val oV = "X'" + "O".getBytes("UTF-8").map(x => f"$x%02x").mkString + "'"
+      val cAnti = spark.sql("SELECT row FROM gwg.c WHERE family = 'f' " +
+        s"AND qualifier = $stQ AND value = $oV")
+      assert(cAnti.collect().length == 1000)
+      assert(GraftRouteSeams.guardDeclined(cAnti),
+        "cell-door anti-selective value equality must decline")
+    } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+
   test("DDL declares the wide view; SHOW/DML still hit the cell table") {
     val root = freshRoot("wideddl")
     register("gwd", root)
