@@ -579,20 +579,21 @@ object CrossCheck {
           s"${if (symX.nonEmpty) " MISMATCH " + symX.take(20) else " OK"}")
         require(direct.nonEmpty, "cross_or matched nothing — fixture drift?")
         if (symX.nonEmpty) sys.exit(1)
-        // r12 conjunct-SUPERSET twin on the same mutated fixture: an
-        // And disjunct over two columns routes by ONE conjunct's arm
-        // (the superset), unioned with the other disjunct's probe; the
-        // residual Or re-applies the exact conjunction over the same
-        // stale-entry + tombstone state.
+        // Conjunct twin on the same mutated fixture (r12 routed the And
+        // disjunct by ONE conjunct's superset arm; r13 probes BOTH
+        // indexed conjuncts and INTERSECTS their candidate row keys
+        // before the gather — smaller fetched superset, same residual
+        // exactness over the stale-entry + tombstone state).
         val qc = """SELECT o_orderkey, o_custkey, o_orderstatus
                     FROM graft_xocc.`o$wide`
                     WHERE (o_orderstatus = 'P' AND o_custkey IN (7, 37))
                        OR o_custkey = 73"""
         val conjDf = spark.sql(qc)
         val viaConj = xrows(conjDf)
-        require(graft.sql.GraftWideSeams.crossOrIndexTables(conjDf)
-          .size == 2, "conjunct-superset route missing: " +
-          graft.sql.GraftWideSeams.crossOrIndexTables(conjDf))
+        val conjMembers = graft.sql.GraftWideSeams.crossOrMemberTables(conjDf)
+        require(conjMembers.exists(_.distinct.sizeIs == 2) &&
+          conjMembers.flatten.distinct.sizeIs == 2,
+          s"conjunct-intersect route missing: $conjMembers")
         val directC = xrows(CellCodec.decode(
           g.table("o").scan(graft.read.Scan()
             .addColumn("o", ckQ).addColumn("o", Bytes.toBytes("o_orderstatus"))),

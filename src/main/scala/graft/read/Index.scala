@@ -232,11 +232,21 @@ object SecondaryIndex {
   /** Multi-value probe (`IN (v1..vk)`): ONE index pass with the k ranges
     * OR'd — parquet prunes to the union of the value ranges — instead of
     * k probe jobs. */
+  /** Balanced disjunction: a linear `reduce(_ || _)` nests one converter
+    * stack frame per operand, and value lists here reach the RUNTIME key
+    * cap (1,024 — join-driven probes), which overflows the Column →
+    * Expression conversion (the same lesson as `graft.sql.GraftCols
+    * .orAll`; static probe lists are capped at 64 and never hit it). */
+  private def orAll(ps: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = ps.length match {
+    case 1 => ps.head
+    case n => orAll(ps.take(n / 2)) || orAll(ps.drop(n / 2))
+  }
+
   def probeAll(index: DataFrame, values: Seq[Array[Byte]]): DataFrame = {
     require(values.nonEmpty, "probeAll needs at least one value")
-    val pred = values.map(v =>
-        col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte)))
-      .reduce(_ || _)
+    val pred = orAll(values.map(v =>
+      col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte))))
     ScanExec(index.filter(pred), Scan().addColumn(IndexFamily, RowQualifier))
       .select(col("value").as("row")).distinct()
   }
@@ -322,9 +332,8 @@ object SecondaryIndex {
   /** Index-row-space predicate of one arm (probe ranges). */
   private def armRowPred(arm: ValueArm): org.apache.spark.sql.Column =
     arm match {
-      case ArmIn(vs) => vs.map(v =>
-          col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte)))
-        .reduce(_ || _)
+      case ArmIn(vs) => orAll(vs.map(v =>
+        col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte))))
       case ArmRange(lo, hi) =>
         (lo.map(b => col("row") >= lit(b ++ Sep)) ++
           hi.map(b => col("row") < lit(valueRangeStop(b)))) match {
@@ -338,7 +347,7 @@ object SecondaryIndex {
   def armsPred(c: org.apache.spark.sql.Column, arms: Seq[ValueArm])
       : org.apache.spark.sql.Column =
     arms.map {
-      case ArmIn(vs) => vs.map(v => c === lit(v)).reduce(_ || _)
+      case ArmIn(vs) => orAll(vs.map(v => c === lit(v)))
       case ArmRange(lo, hi) =>
         (lo.map(b => c >= lit(b)) ++ hi.map(b => c < lit(b))) match {
           case Nil => lit(true)
@@ -448,8 +457,7 @@ object SecondaryIndex {
       broadcastMaxKeys: Long = DefaultBroadcastMaxKeys): DataFrame =
     verifiedRows(
       gather(mainCells, index, values, broadcastMaxKeys), family, qualifier,
-      values.map(v => (c: org.apache.spark.sql.Column) => c === lit(v))
-        .reduce((a, b) => c => a(c) || b(c)))
+      c => orAll(values.map(v => c === lit(v))))
 
   /** Index-backed RANGE lookup (`value in [lo, hi)`, bounds optional,
     * VALUE space, lo inclusive / hi exclusive): one [[probeRange]] pass,
@@ -625,10 +633,9 @@ object SecondaryIndex {
       covered: Seq[(String, Array[Byte])]): DataFrame = {
     require(values.nonEmpty, "lookupCovered needs at least one value")
     coveredRead(index, family, qualifier, covered,
-      rowPred = values.map(v =>
-          col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte)))
-        .reduce(_ || _),
-      valuePred = values.map(v => col("_ixVal") === lit(v)).reduce(_ || _))
+      rowPred = orAll(values.map(v =>
+        col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte)))),
+      valuePred = orAll(values.map(v => col("_ixVal") === lit(v))))
   }
 
   /** Covered RANGE lookup (`value in [lo, hi)`, bounds optional, VALUE
