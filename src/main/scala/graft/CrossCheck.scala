@@ -870,17 +870,33 @@ object CrossCheck {
           s"${if (symCv.nonEmpty) " MISMATCH " + symCv.take(20) else " OK"}")
         require(viaPlain.nonEmpty, "cell_runtime_index joined nothing — drift?")
         if (symCv.nonEmpty) sys.exit(1)
+        // keys path must have APPLIED, not just attached: the r13 route
+        // guard may decline an attached probe (then "pruned" would be
+        // the plain path twice — proving nothing)
+        require(!graft.sql.GraftRouteSeams.guardDeclined(prunedDf),
+          "guard declined the keys probe — the twin tested nothing")
         // over-cap sub-twin: the same dim past a lowered cap degrades to
-        // index ArmRanges, same rows
+        // index ArmRanges, same rows. The scattered hash-selected keys
+        // make the range superset ANTI-selective at sf1 — exactly what
+        // the r13 guard declines — so the guard floor is raised here to
+        // keep the ArmRange gather path itself under test (its decline
+        // behavior has its own seam in WideViewSpec).
         spark.conf.set("spark.graft.runtimeFilter.maxKeys", "8")
+        spark.conf.set("spark.graft.route.guard.minIndexRows",
+          Long.MaxValue.toString)
         val rangeDf = spark.sql(q)
         val viaRange =
           try brows(rangeDf)
-          finally spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+          finally {
+            spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+            spark.conf.unset("spark.graft.route.guard.minIndexRows")
+          }
         require(graft.sql.GraftRuntimeFilter.probeShapes(rangeDf)
           .contains(("value", "range")),
           "over-cap cell value dim did not degrade to index range arms: " +
             graft.sql.GraftRuntimeFilter.probeShapes(rangeDf))
+        require(!graft.sql.GraftRouteSeams.guardDeclined(rangeDf),
+          "guard declined the range probe despite the raised floor")
         val symCr = (viaRange diff viaPlain) ++ (viaPlain diff viaRange)
         println(s"[crosscheck] cell_runtime_index(range): " +
           s"pruned=${viaRange.size} plain=${viaPlain.size} " +

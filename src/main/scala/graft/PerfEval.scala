@@ -609,26 +609,31 @@ object PerfEval {
     // exceed fallback; the selective workloads (mixedOrRouted,
     // indexLookup5) sit on the other side of the crossover.
     {
+      // NOTE the status index persists on the shared 'pe' table from
+      // here on — no later workload carries a status predicate, so
+      // nothing downstream changes routing; a future workload that does
+      // should build its own table.
       g.createIndex("pe", "o", Bytes.toBytes("o_orderstatus"), nowMs = 3L)
-      spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
       def q = spark.sql(
         s"""SELECT sum(o_totalprice) AS s, count(*) AS n
             FROM graft_pe.`pe$$wide`
             WHERE o_orderstatus IN ('O', 'F')""")
-      val guarded = q
-      guarded.collect(): Unit
-      require(graft.sql.GraftRouteSeams.guardDeclined(guarded),
-        "route guard did not decline the anti-selective arm")
-      results("routeGuardFallback") = timedMin2 { q.collect(): Unit }
-      spark.conf.set("spark.graft.route.guard.enabled", "false")
+      spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
       try {
-        val forced = q
-        forced.collect(): Unit
-        require(graft.sql.GraftWideSeams.usedIndexTables(forced).nonEmpty,
-          "guard-off twin did not route — fixture drift?")
-        results("routeGuardForcedRoute") = timedMin2 { q.collect(): Unit }
-      } finally spark.conf.set("spark.graft.route.guard.enabled", "true")
-      spark.conf.unset("spark.graft.route.guard.minIndexRows")
+        val guarded = q
+        guarded.collect(): Unit
+        require(graft.sql.GraftRouteSeams.guardDeclined(guarded),
+          "route guard did not decline the anti-selective arm")
+        results("routeGuardFallback") = timedMin2 { q.collect(): Unit }
+        spark.conf.set("spark.graft.route.guard.enabled", "false")
+        try {
+          val forced = q
+          forced.collect(): Unit
+          require(graft.sql.GraftWideSeams.usedIndexTables(forced).nonEmpty,
+            "guard-off twin did not route — fixture drift?")
+          results("routeGuardForcedRoute") = timedMin2 { q.collect(): Unit }
+        } finally spark.conf.set("spark.graft.route.guard.enabled", "true")
+      } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
     }
 
     // annLshHash: hash-derived-hyperplane ANN top-k (native HyperplaneBand

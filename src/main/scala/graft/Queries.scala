@@ -2168,11 +2168,16 @@ object Queries {
   // The probe now occupancy-clusters a 7-byte prefix of the ENCODED key
   // into gap-separated byte ranges (value supersets per bucket — see
   // GraftRuntimeFilter.clusterPrefixRuns), so a two-cluster dim skips
-  // the hole between its clusters on a string-keyed fact too.
-  // RuntimeFilterSpec asserts rangeCount > 1 on string AND binary keyed
-  // fixtures; this gate proves the pruned join hash-matches the
-  // relational oracle (under the cap at tiny sf, over it from sf0.01 up
-  // — both paths must hash identically).
+  // holes in its key distribution on a string-keyed fact too. The
+  // fixture key is UNPADDED ('k<digits>#' — '#' keeps distinct keys
+  // prefix-free), so the dim's 7-byte prefixes genuinely differ and
+  // clustering engages; a zero-padded key would share one prefix and
+  // (correctly) fall back to the single envelope, proving nothing.
+  // The dense orderkey domain makes the dim 2,200 distinct keys from
+  // sf0.01 up — over the 1,024 runtime key cap, so the gate runs the
+  // over-cap prefix path there (under-cap exact keys at sf0.001; both
+  // paths must hash identically). RuntimeFilterSpec asserts
+  // rangeCount > 1 on string AND binary keyed fixtures.
   private val sqlRuntimePrefixRoots =
     scala.collection.mutable.Map.empty[String, String]
   private val sqlRuntimePrefixPrune = Q("sql_runtime_prefix_prune", Some("""
@@ -2180,7 +2185,7 @@ object Queries {
     WHERE o_orderkey < 1200 OR (o_orderkey >= 8000 AND o_orderkey < 9000)
     ORDER BY o_orderkey""")) { (s, dir) =>
     val skey = concat(lit("k"),
-      lpad(col("o_orderkey").cast(StringType), 14, "0")).as("ok")
+      col("o_orderkey").cast(StringType), lit("#")).as("ok")
     val root = Queries.synchronized {
       sqlRuntimePrefixRoots.getOrElseUpdate(dir, {
         val r = java.nio.file.Files.createTempDirectory("graft-q-rpp").toString

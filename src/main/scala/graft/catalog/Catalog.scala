@@ -359,7 +359,11 @@ final class Catalog(spark: SparkSession, root: String) {
     writeFile(tmp, v.toString)
     fs.delete(currentPath(t), false)
     if (!fs.rename(tmp, currentPath(t)))
-      throw new IllegalStateException(s"commit race on table $t v$v")
+      // the CURRENT swap lost to a concurrent committer — the same
+      // transient concurrency loss a write fence detects, so the same
+      // DEDICATED type: retry loops (resumePendingIndexRebuilds) absorb
+      // it like a fence trip instead of hard-failing crash recovery
+      throw new FenceTrippedException(s"commit race on table $t v$v")
   }
 
   /** Fresh scratch dir INSIDE the table dir for a distributed delta write
@@ -516,14 +520,16 @@ final class Catalog(spark: SparkSession, root: String) {
     // it would silently mis-route every point read on existing data.
     require(desc.saltBuckets == cur.descriptor.saltBuckets,
       s"saltBuckets is immutable (table $t has ${cur.descriptor.saltBuckets})")
+    // re-fence BEFORE the manifest write (replaceData's double-fence
+    // order): a concurrent commit landing after the entry check would
+    // otherwise not only be discarded by this commit, but its
+    // manifest-(v) FILE would be clobbered by ours (writeFile
+    // overwrites) — fencing first turns the race into a loud failure
+    // with the winner's manifest intact
+    fence("before the manifest write"): Unit
     val v = cur.version + 1
     val m = cur.copy(version = v, createdMs = nowMs, descriptor = desc)
     writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
-    // re-fence right before the CURRENT swap (replaceData's double-fence
-    // rule): a concurrent append landing after the entry check would
-    // otherwise be silently discarded by this commit — e.g. an index
-    // re-registration would ship an index permanently missing that row
-    fence("after the manifest write, before the commit"): Unit
     commitCurrent(t, v)
   }
 

@@ -238,9 +238,14 @@ object SecondaryIndex {
     * Expression conversion (the same lesson as `graft.sql.GraftCols
     * .orAll`; static probe lists are capped at 64 and never hit it). */
   private def orAll(ps: Seq[org.apache.spark.sql.Column])
-      : org.apache.spark.sql.Column = ps.length match {
-    case 1 => ps.head
-    case n => orAll(ps.take(n / 2)) || orAll(ps.drop(n / 2))
+      : org.apache.spark.sql.Column = {
+    // same guard as GraftCols.orAll: length 0 would recurse on empty
+    // halves forever — fail loudly instead
+    require(ps.nonEmpty, "orAll of an empty operand list")
+    ps.length match {
+      case 1 => ps.head
+      case n => orAll(ps.take(n / 2)) || orAll(ps.drop(n / 2))
+    }
   }
 
   def probeAll(index: DataFrame, values: Seq[Array[Byte]]): DataFrame = {

@@ -838,12 +838,27 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
   @volatile private var guardDeclinedFlag = false
   override private[sql] def routeGuardDeclined: Boolean = guardDeclinedFlag
 
+  /** ONE metadata read per index table per scan (the wide door's
+    * indexTableMeta pattern): guard and routed resolution share the
+    * same pinned (manifest, cells) pair, so the guard measures exactly
+    * the index version resolution reads and a routed scan pays a single
+    * index-manifest read. */
+  @volatile private var indexMeta =
+    Map.empty[String, (graft.catalog.Manifest, DataFrame)]
+  private def indexTableMeta(t: String): (graft.catalog.Manifest, DataFrame) =
+    indexMeta.getOrElse(t, {
+      val m = engine.currentManifest(t)
+      val v = (m, engine.readManifest(m))
+      indexMeta += t -> v
+      v
+    })
+  private def indexCells(t: String): DataFrame = indexTableMeta(t)._2
+
   private def guardAllows(ixTable: String,
       arms: Seq[graft.read.SecondaryIndex.ValueArm]): Boolean =
     guardVerdicts.get(ixTable).getOrElse {
-      val m = engine.currentManifest(ixTable)
-      val ok = GraftRouteGuard.allows(engine, Seq(m), Seq(
-        () => graft.read.SecondaryIndex.probeOr(engine.readManifest(m),
+      val ok = GraftRouteGuard.allows(engine, Seq(indexTableMeta(ixTable)._1),
+        Seq(() => graft.read.SecondaryIndex.probeOr(indexCells(ixTable),
           arms)))
       guardVerdicts += ixTable -> ok
       if (!ok) guardDeclinedFlag = true
@@ -1052,7 +1067,7 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       // rows, one resolution pass below, the residual Or keeps
       // exactness over the candidate superset.
       import graft.read.SecondaryIndex
-      val hits = SecondaryIndex.probeOr(engine.read(ix.indexTable), varms)
+      val hits = SecondaryIndex.probeOr(indexCells(ix.indexTable), varms)
       val hitsOut = hits.filter(!GraftCols.rowRangesPred(hits, krs))
       SecondaryIndex.gatherHits(frame0r, hitsOut)
         .unionByName(frame0r.filter(GraftCols.rowRangesPred(frame0r, krs)))
@@ -1077,20 +1092,20 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
             if guardAllows(ix.indexTable,
               Seq(SecondaryIndex.ArmIn(ks))) =>
           appliedRuntimeValueIndex = Some(ix.indexTable)
-          SecondaryIndex.gather(frame0m, engine.read(ix.indexTable), ks)
+          SecondaryIndex.gather(frame0m, indexCells(ix.indexTable), ks)
         case (None, Some(rs))
             if guardAllows(ix.indexTable,
               rs.map { case (lo, hi) => SecondaryIndex.ArmRange(lo, hi) }) =>
           appliedRuntimeValueIndex = Some(ix.indexTable)
           SecondaryIndex.gatherHits(frame0m,
-            SecondaryIndex.probeOr(engine.read(ix.indexTable),
+            SecondaryIndex.probeOr(indexCells(ix.indexTable),
               rs.map { case (lo, hi) => SecondaryIndex.ArmRange(lo, hi) }))
         case _ => frame0m
       }
     }
     val frame = effIndexProbe.fold(frameV) { route =>
       import graft.read.SecondaryIndex
-      val ixCells = engine.read(route.ix.indexTable)
+      val ixCells = indexCells(route.ix.indexTable)
       if (route.ix.covered.nonEmpty) {
         var cov = route.pred match {
           case GraftValueIn(vs) => SecondaryIndex.lookupCovered(ixCells,
