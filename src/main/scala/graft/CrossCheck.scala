@@ -795,6 +795,79 @@ object CrossCheck {
           s"${if (symIx.nonEmpty) " MISMATCH " + symIx.take(20) else " OK"}")
         require(viaIxPlain.nonEmpty, "index_range twin joined nothing")
         if (symIx.nonEmpty) sys.exit(1)
+      case "prefix_cluster" =>
+        // r13: over-cap runtime pruning on a STRING-keyed wide fact —
+        // the byte-prefix occupancy clustering (clusterPrefixRuns) vs
+        // the conf-off plain join, with 1% deletes injected so
+        // resolution matters inside the pruned ranges. The unpadded
+        // 'k<digits>#' key shape scatters the dim's 7-byte prefixes, so
+        // the probe must produce MULTIPLE gap-separated ranges (seam),
+        // each a per-bucket value superset the join's equality re-check
+        // keeps exact.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.CellCodec
+        import graft.write.Mutations
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-pxcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32, wideKey = Some("ok:string"),
+          wideSchema = Some("o:o_orderkey:long;o:o_custkey:long;" +
+            "o:o_totalprice:double")), nowMs = 1L)
+        val skey = concat(lit("k"),
+          col("o_orderkey").cast(org.apache.spark.sql.types.StringType),
+          lit("#")).as("ok")
+        val cells = CellCodec.encode(
+          orders.select(skey, col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")), "o", Seq("ok"))
+        g.table("o").mutate(cells, nowMs = 1L)
+        g.table("o").mutate(Mutations.deleteFamilyCells(
+          cells.filter(pmod(xxhash64(col("row")), lit(100)) === 3)
+            .select("row").distinct(),
+          col("row"), "o", ts = 5L), nowMs = 5L)
+        spark.conf.set("spark.sql.catalog.graft_pxcc",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_pxcc.root", root)
+        spark.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+          (512L << 20).toString)
+        // over-cap at every sf: two orderkey windows mapped through the
+        // SAME string transform, capped low
+        spark.conf.set("spark.graft.runtimeFilter.maxKeys", "128")
+        val pkmax = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+        orders.filter(col("o_orderkey") < lit(pkmax / 20) ||
+            (col("o_orderkey") >= lit(pkmax / 2) &&
+              col("o_orderkey") < lit(pkmax / 2 + pkmax / 20)))
+          .select(skey)
+          .createOrReplaceTempView("pxcc_dim")
+        val q = """SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+                   FROM graft_pxcc.`o$wide` f
+                   JOIN pxcc_dim d ON f.ok = d.ok"""
+        def prows(df: org.apache.spark.sql.DataFrame)
+            : Set[(Long, Long, Double)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val prunedDf = spark.sql(q)
+        val viaPrune =
+          try prows(prunedDf)
+          finally spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+        require(graft.sql.GraftRuntimeFilter.probeShapes(prunedDf)
+          .contains(("ok", "range")),
+          "string dim did not degrade to a range probe: " +
+            graft.sql.GraftRuntimeFilter.probeShapes(prunedDf))
+        val rcP = graft.sql.GraftRuntimeFilter.rangeCounts(prunedDf)
+        require(rcP.exists(_._2 > 1),
+          s"expected gap-separated prefix runs, got $rcP")
+        spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+        val viaPlainP =
+          try prows(spark.sql(q))
+          finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+        val symP = (viaPrune diff viaPlainP) ++ (viaPlainP diff viaPrune)
+        println(s"[crosscheck] prefix_cluster: pruned=${viaPrune.size} " +
+          s"plain=${viaPlainP.size} ranges=${rcP.map(_._2).sum} " +
+          s"symdiff=${symP.size}" +
+          s"${if (symP.nonEmpty) " MISMATCH " + symP.take(20) else " OK"}")
+        require(viaPlainP.nonEmpty, "prefix_cluster joined nothing — drift?")
+        if (symP.nonEmpty) sys.exit(1)
       case "cell_runtime_index" =>
         // r13: runtime (join-driven) VALUE pruning on the CELL door — a
         // fact-dim join on an indexed qualifier VALUE resolves at
@@ -835,11 +908,12 @@ object CrossCheck {
         spark.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
           (512L << 20).toString)
         // dim: a hash-selected slice of the custkey domain sized to stay
-        // under the runtime key cap at EVERY sf (no LIMIT — the
-        // row-selection guard rightly declines limit-bearing dims),
-        // encoded under the cell codec's value bytes
+        // under the VALUE-attribute exact-keys cap (64, runtimeKeyCap)
+        // at EVERY sf (no LIMIT — the row-selection guard rightly
+        // declines limit-bearing dims), encoded under the cell codec's
+        // value bytes
         val nck = orders.select("o_custkey").distinct().count()
-        val mod = math.max(1L, nck / 300)
+        val mod = math.max(1L, nck / 48)
         orders.filter(pmod(xxhash64(col("o_custkey")), lit(mod)) === (mod - 1))
           .select(CellCodec.encodeValue(col("o_custkey"), LongType,
             ordered = false).as("cv"))

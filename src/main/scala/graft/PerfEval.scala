@@ -636,6 +636,46 @@ object PerfEval {
       } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
     }
 
+    // cell-door runtime VALUE pair (r13): a fact-dim join on the indexed
+    // custkey VALUE through the CELL door — the reference's native
+    // surface as a star join. The dim is MATERIALIZED parquet (the
+    // BENCHNOTES lesson: a dim defined over the fact's own files charges
+    // every probe pass a fact scan). This pair prices the REFUSAL bound,
+    // not a win: the dim's hash-scattered values are the shape where a
+    // broadcast join over one scan is already the optimal plan — under
+    // the 64-key value cap the tiny-range probe stays near-parity (the
+    // probe+gather job floor vs one scan), over it the clustered-range
+    // degradation is anti-selective and the guard DECLINES, so pruned
+    // must track unpruned instead of paying probe machinery (an r13
+    // interim without the cap paid 9x here). The WIN cases are priced
+    // by their own pairs: clustered value dims (runtimeRangePrunedJoin /
+    // runtimeClusterPrunedJoin) and selective static probes
+    // (registeredIndexLookup5).
+    {
+      val dimPath = s"$work/cellval_dim"
+      orders.filter(pmod(xxhash64(col("o_custkey")), lit(500)) === 7)
+        .select(CellCodec.encodeValue(col("o_custkey"),
+          org.apache.spark.sql.types.LongType, ordered = false).as("cv"))
+        .distinct().write.mode("overwrite").parquet(dimPath)
+      spark.read.parquet(dimPath).createOrReplaceTempView("pe_cellval_dim")
+      val ckHex = "X'" + Bytes.toBytes("o_custkey")
+        .map(x => f"$x%02x").mkString + "'"
+      def q = spark.sql(
+        s"""SELECT f.row, f.value FROM graft_pe.pe f
+            JOIN pe_cellval_dim d ON f.value = d.cv
+            WHERE f.family = 'o' AND f.qualifier = $ckHex""")
+      val probe = q
+      probe.collect(): Unit
+      require(graft.sql.GraftRuntimeFilter.probeShapes(probe)
+        .exists(_._1 == "value"),
+        "cell-door value probe did not apply — fixture drift?")
+      results("runtimeCellValueJoin") = timedMin2 { q.collect(): Unit }
+      spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+      try results("runtimeCellValueUnprunedJoin") =
+        timedMin2 { q.collect(): Unit }
+      finally spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+    }
+
     // annLshHash: hash-derived-hyperplane ANN top-k (native HyperplaneBand
     // signatures). Timed here rather than in the correctness battery:
     // DuckDB cannot recompute xxhash64 buckets, so the battery carries the

@@ -2162,6 +2162,36 @@ object Queries {
              ORDER BY f.o_orderkey""")
   }
 
+  // Route SELECTIVITY-guard gate (r13): an ANTI-selective equality on an
+  // indexed column — status 'O' matches ~half of orders — with the guard
+  // floor zeroed. The route MUST decline (asserted in-closure via the
+  // GraftRouteSeams.guardDeclined seam; r12 would have paid index probe
+  // + dedup + gather over half the table) and the declined plan's full
+  // scan + residual must hash-match the relational oracle. The result is
+  // LOCALIZED (collected + re-created) so the guard conf never leaks
+  // into other gates' executions in the same session.
+  private val sqlRouteGuard = Q("sql_route_guard", Some("""
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    WHERE o_orderstatus = 'O'
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 30000)
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = wideRoot(s, dir)
+    s.conf.set("spark.sql.catalog.graft_wgd",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wgd.root", root)
+    s.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    try {
+      val df = s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus
+               FROM graft_wgd.`orders_w$wide`
+               WHERE o_orderstatus = 'O'
+               ORDER BY o_orderkey""")
+      val rows = df.collect()
+      require(graft.sql.GraftRouteSeams.guardDeclined(df),
+        "route guard did not decline the anti-selective arm")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally s.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+
   // Runtime-filter PREFIX-CLUSTERED degradation on a STRING key (r13):
   // the MOST common HBase row-key shape is string/binary, where r12's
   // over-cap degradation could only hold the single [min, max] span.
@@ -5411,6 +5441,7 @@ object Queries {
     sqlCrossOr, sqlRuntimeRangePrune, sqlRuntimeMultiPrune,
     sqlConjunctOr, sqlRuntimeClusterPrune, sqlRuntimeIndexRange,
     sqlMixedOr, sqlCellMixedOr, sqlCellRuntimeIndex, sqlRuntimePrefixPrune,
+    sqlRouteGuard,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -250,6 +250,11 @@ object SecondaryIndex {
 
   def probeAll(index: DataFrame, values: Seq[Array[Byte]]): DataFrame = {
     require(values.nonEmpty, "probeAll needs at least one value")
+    // callers cap value lists at MaxCompositeProbes (static pushdown by
+    // construction; runtime probes via runtimeKeyCap): a multi-hundred-
+    // arm Or leaves whole-stage codegen and evaluates interpreted per
+    // row — an r13 interim shape measured 9x the unpruned join it was
+    // meant to beat before the cap landed
     val pred = orAll(values.map(v =>
       col("row") >= lit(v ++ Sep) && col("row") < lit(v ++ Array(1.toByte))))
     ScanExec(index.filter(pred), Scan().addColumn(IndexFamily, RowQualifier))

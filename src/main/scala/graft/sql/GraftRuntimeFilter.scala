@@ -124,6 +124,17 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
   protected def encodeRuntimeKeyBytesSql(attr: String, colName: String)
       : Option[String]
 
+  /** Per-ATTRIBUTE exact-keys cap (default: the session cap). Doors
+    * clamp VALUE attributes to the static probe cap (64): an exact-keys
+    * probe past it builds a predicate that leaves whole-stage codegen
+    * (interpreted per-arm evaluation — measured 9x the unpruned join it
+    * was meant to beat), while the RANGE degradation it falls to keeps
+    * ≤16 arms, wins where the dim's values cluster (the PE cluster
+    * pairs), and is guard-declined where they scatter — where a
+    * broadcast join over one scan is already the optimal plan and the
+    * engine should refuse to pay probe machinery at all. */
+  protected def runtimeKeyCap(attr: String, maxKeys: Int): Int = maxKeys
+
   /** False when this scan carries pushed state runtime pruning would
     * corrupt (LIMIT / TopN: pruning changes which k rows surface). */
   private[sql] def runtimeFilterEligible: Boolean
@@ -213,10 +224,11 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
   }
 
   private def collectProbe(spark: SparkSession, attr: String,
-      dim: LogicalPlan, keyExpr: Expression, maxKeys: Int)
+      dim: LogicalPlan, keyExpr: Expression, sessionMaxKeys: Int)
       : Option[RuntimeProbe] =
     try {
       import org.apache.spark.sql.functions.{col, max, min}
+      val maxKeys = runtimeKeyCap(attr, sessionMaxKeys)
       val proj = Project(Seq(Alias(keyExpr, "_graft_rk")()), dim)
       val raw = org.apache.spark.sql.graft.SparkInternals.ofRows(spark, proj)
         .filter(col("_graft_rk").isNotNull)

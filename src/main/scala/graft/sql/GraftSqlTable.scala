@@ -926,6 +926,14 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     * ranges ARE value ranges, so prefix clustering is always sound. */
   override protected def encodeRuntimeKeyBytesSql(attr: String,
       colName: String): Option[String] = Some(colName)
+  /** `value` exact-keys probes clamp to the STATIC probe cap: past it
+    * the range degradation wins or the guard refuses (see the trait
+    * doc); `row` keeps the session cap (row-key Or chains push to
+    * parquet and stay cheap — runtimePrunedJoin holds flat at 1,024). */
+  override protected def runtimeKeyCap(attr: String, maxKeys: Int): Int =
+    if (attr == "value")
+      math.min(maxKeys, graft.read.SecondaryIndex.MaxCompositeProbes)
+    else maxKeys
   /** Over-cap range degradation: `row` and `value` are raw binary whose
     * byte order IS the value order, so [min, max] is exactly
     * [min, successor(max)). */

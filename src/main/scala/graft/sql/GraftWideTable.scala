@@ -1182,6 +1182,14 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
   override private[sql] def runtimeFilterEligible: Boolean =
     limit.isEmpty && topN.isEmpty
 
+  /** VALUE-column exact-keys probes clamp to the STATIC probe cap (see
+    * the trait doc): past it the clustered range degradation wins or
+    * the selectivity guard refuses; the key HEAD keeps the session cap
+    * (head probes prune parquet row groups and stay cheap at 1,024). */
+  override protected def runtimeKeyCap(attr: String, maxKeys: Int): Int =
+    if (attr == spec.key.head._1) maxKeys
+    else math.min(maxKeys, graft.read.SecondaryIndex.MaxCompositeProbes)
+
   /** Byte-prefix clustering hook (r13): supported where encoded-byte
     * ranges are value supersets — UTF-8 strings (cast to binary = the
     * codec's exact bytes) and raw binary, on the key head or an indexed
@@ -1587,7 +1595,16 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       sc.name == c.name || ix.coversColumn(sc.family, sc.qualifier))
 
   private[sql] def indexOnly: Boolean = route.exists {
-    case WideSingle(c, ix, _) => coveredOnly(c, ix)
+    case WideSingle(c, ix, pred) => coveredOnly(c, ix) && (pred match {
+      // an In past the STATIC probe cap is necessarily a runtime key
+      // set (up to 1,024): the covered read's per-value row predicate
+      // would leave whole-stage codegen and evaluate interpreted per
+      // index row — the VERIFIED route's probeAll switches to a
+      // span-scan + broadcast-semi-join shape instead, so route there
+      case GraftValueIn(vs) =>
+        vs.sizeIs <= graft.read.SecondaryIndex.MaxCompositeProbes
+      case _ => true
+    })
     case _: WideComposite | _: WideCompositeOr | _: WideCrossOr |
         _: WideMixedOr => false
   }
