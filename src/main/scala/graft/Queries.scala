@@ -2242,10 +2242,27 @@ object Queries {
       .filter(col("o_orderkey") < 1200L ||
         (col("o_orderkey") >= 8000L && col("o_orderkey") < 9000L))
       .select(skey).createOrReplaceTempView("graft_rpp_dim")
-    s.sql("""SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+    val df = s.sql("""SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
              FROM graft_rpp.`orders_sk$wide` f
              JOIN graft_rpp_dim d ON f.ok = d.ok
              ORDER BY f.o_orderkey""")
+    val rows = df.collect()
+    // gate integrity (r14, the sql_route_guard standard): the join is
+    // exact whether or not the probe engages, so a silently-declined
+    // prefix path would still hash-match — assert the CLUSTERED range
+    // probe actually APPLIED (over-cap string key => rangeCount > 1),
+    // except at sf0.001 where the dim is under the 1,024 key cap and
+    // the exact-keys shape is the correct application
+    val shapes = graft.sql.GraftRuntimeFilter.probeShapes(df)
+    val overCap = shapes.exists(p => p._1 == "ok" && p._2 == "range")
+    require(shapes.exists(_._1 == "ok"),
+      "runtime probe on the string key did not apply — fixture drift?")
+    require(!overCap ||
+      graft.sql.GraftRuntimeFilter.rangeCounts(df).exists(p =>
+        p._1 == "ok" && p._2 > 1),
+      "over-cap string-key probe fell back to the single envelope — " +
+        "prefix clustering regressed")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   // SQL DELETE end-to-end: tombstones written through the DSv2 door

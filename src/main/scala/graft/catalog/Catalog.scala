@@ -313,12 +313,17 @@ object ManifestJson {
 
 /** A write FENCE trip: the manifest moved past the version the caller
   * computed from (`expectVersion` in [[Catalog.replaceData]] /
-  * [[Catalog.alterTable]]). A DEDICATED type so retry loops (e.g.
+  * [[Catalog.alterTable]]), or the CURRENT swap lost to a concurrent
+  * committer ([[Catalog]] `commitCurrent` — a commit race is
+  * deliberately the same retryable condition: both mean "someone else
+  * won this version, recompute and try again"). A DEDICATED type so
+  * retry loops (e.g.
   * [[graft.sql.GraftMigrate.resumePendingIndexRebuilds]]) can retry
-  * exactly fence trips and let every other failure — a corrupted
-  * manifest, a commit race — propagate immediately instead of masking
-  * it under up to N full rebuilds. Subclasses IllegalStateException so
-  * existing callers that match the broader type keep working. */
+  * exactly these transient concurrency losses and let every other
+  * failure — a corrupted manifest, a missing dir — propagate
+  * immediately instead of masking it under up to N full rebuilds.
+  * Subclasses IllegalStateException so existing callers that match the
+  * broader type keep working. */
 final class FenceTrippedException(msg: String)
     extends IllegalStateException(msg)
 
@@ -408,8 +413,12 @@ final class Catalog(spark: SparkSession, root: String) {
   // total of a manifest VERSION never changes — cache it forever, keyed
   // by (table, version). One getContentSummary per dir on first ask
   // (recursive on the namenode side, no client listing walk).
-  private val manifestBytesCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+  /** Key of the JVM-wide per-version stat caches ([[Catalog]] companion
+    * — the SQL door mints a fresh Catalog instance per query, so
+    * instance-level caches would re-measure every execution): the root
+    * disambiguates same-named tables of different catalogs. */
+  private def statKey(m: Manifest): (String, String, Long) =
+    (root, m.table, m.version)
 
   /** Summed on-disk bytes of a manifest's live data dirs — the planning
     * statistic the DSv2 doors report (`SupportsReportStatistics`) so
@@ -418,23 +427,54 @@ final class Catalog(spark: SparkSession, root: String) {
     * same signal as per-region HFile sizes (store file size in region
     * metrics) that drive its balancer; here it drives join planning. */
   def manifestBytes(m: Manifest): Long =
-    manifestBytesCache.getOrElseUpdate((m.table, m.version),
+    Catalog.manifestBytesCache.getOrElseUpdate(statKey(m),
       m.dataDirs.map { d =>
         val p = new Path(d)
         if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
       }.sum)
 
-  private val manifestRowsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
-
   /** Total stored cell rows of a manifest (cached forever per version —
     * data dirs are immutable): the row-count statistic the route
     * selectivity guard ([[graft.sql.GraftRouteGuard]]) compares probe
     * hit counts against. Parquet serves the count from footers, no
-    * column materialization. */
+    * column materialization. Churn caveat (cost-only): the count is
+    * RAW stored cells — stale versions and tombstones included — while
+    * the guard's numerator is distinct resolved row-key hits, so a
+    * heavily updated/deleted index inflates the denominator and the
+    * guard leans permissive until a compaction shrinks the manifest
+    * (compaction rewrites the dirs, bumps the version, and this cache
+    * re-counts the resolved survivors). */
   def manifestRows(m: Manifest): Long =
-    manifestRowsCache.getOrElseUpdate((m.table, m.version),
+    Catalog.manifestRowsCache.getOrElseUpdate(statKey(m),
       readManifest(m).count())
+
+  /** The manifest's stored row-key span [min, max] (cached forever per
+    * version — data dirs are immutable): one column-pruned min/max
+    * aggregate, served largely from parquet footer statistics. The
+    * route guard's span pre-estimate compares arm byte ranges against
+    * it ([[graft.sql.GraftRouteGuard]]). None on an empty table. */
+  def manifestKeySpan(m: Manifest): Option[(Array[Byte], Array[Byte])] =
+    Catalog.manifestKeySpanCache.getOrElseUpdate(statKey(m), {
+      import org.apache.spark.sql.functions.{col, max, min}
+      val r = readManifest(m).agg(min(col("row")), max(col("row")))
+        .collect()(0)
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some((r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+    })
+
+  /** Cross-query route-guard verdict cache: a verdict is a pure
+    * function of (index manifest versions, arm-set signature, guard
+    * config) — all baked into `key` by [[graft.sql.GraftRouteGuard]] —
+    * so a repeated query (the dashboard pattern) pays zero
+    * re-measurement, and an index append bumps the version and
+    * naturally invalidates. Bounded: runtime-probe arm sets vary with
+    * dim content, so the cache clears wholesale past a size cap rather
+    * than growing with distinct dims. */
+  def guardVerdict(key: String)(measure: => Boolean): Boolean = {
+    if (Catalog.guardVerdictCache.size > 8192)
+      Catalog.guardVerdictCache.clear()
+    Catalog.guardVerdictCache.getOrElseUpdate(root + " " + key, measure)
+  }
 
   /** [[manifestAt]] tolerating pruned history (`expireVersions`). */
   def tryManifestAt(t: String, v: Long): Option[Manifest] =
@@ -489,6 +529,16 @@ final class Catalog(spark: SparkSession, root: String) {
       .filter(ix => tableExists(ix.indexTable))
       .foreach(ix => deleteTable(ix.indexTable))
     fs.delete(tableDir(t), true)
+    // a recreated table restarts versions at 1 — stale per-version stats
+    // must not survive the delete (guard verdicts clear wholesale: they
+    // embed index versions opaquely, and deletes are rare)
+    Seq(Catalog.manifestBytesCache, Catalog.manifestRowsCache).foreach {
+      c => c.keys.filter(k => k._1 == root && k._2 == t).foreach(c.remove)
+    }
+    Catalog.manifestKeySpanCache.keys
+      .filter(k => k._1 == root && k._2 == t)
+      .foreach(Catalog.manifestKeySpanCache.remove)
+    Catalog.guardVerdictCache.clear()
   }
 
   /** `addColumn:549`/`deleteColumn:583`/`modifyColumn:618`/readonly flag:
@@ -524,8 +574,14 @@ final class Catalog(spark: SparkSession, root: String) {
     // order): a concurrent commit landing after the entry check would
     // otherwise not only be discarded by this commit, but its
     // manifest-(v) FILE would be clobbered by ours (writeFile
-    // overwrites) — fencing first turns the race into a loud failure
-    // with the winner's manifest intact
+    // overwrites). Fencing first NARROWS that window to the instants
+    // between this check and the write — it does not close it (the
+    // fence->write pair is not atomic; a loser in that sliver still
+    // overwrites the winner's file before failing at commitCurrent).
+    // Write-once manifest files (create overwrite=false) would close
+    // it, but would also turn a crash-leftover manifest-(v) without a
+    // CURRENT swap into a permanent commit blocker — the narrow window
+    // plus the loud commitCurrent failure is the chosen trade.
     fence("before the manifest write"): Unit
     val v = cur.version + 1
     val m = cur.copy(version = v, createdMs = nowMs, descriptor = desc)
@@ -941,4 +997,20 @@ object Catalog {
   /** Per-family leaf-dir prefix inside a `data-{v}`/`compact-{v}` dir
     * (written via `partitionBy`, family column duplicated into the data). */
   val FamDirPrefix = "_fam="
+
+  // JVM-WIDE per-version stat caches — the SQL door mints a fresh
+  // Catalog per query, so these must outlive the instance for the
+  // "repeated query pays zero re-measurement" contract. Keyed by
+  // (root, table, version): data dirs are immutable once referenced,
+  // and deleteTable purges its table's entries (a recreated table
+  // restarts versions).
+  private[catalog] val manifestBytesCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), Long]
+  private[catalog] val manifestRowsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), Long]
+  private[catalog] val manifestKeySpanCache = scala.collection.concurrent
+    .TrieMap.empty[(String, String, Long),
+      Option[(Array[Byte], Array[Byte])]]
+  private[catalog] val guardVerdictCache =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
 }

@@ -151,9 +151,11 @@ object GraftMigrate {
       // re-register would ship an index permanently missing that row.
       // The fence turns the race into a rebuild retry; persistent
       // contention fails loudly, like the data flip's fence. ONLY the
-      // dedicated fence type retries — any other failure (corrupted
-      // manifest, commit race, ...) propagates immediately instead of
-      // masking the real error under up to five full rebuilds.
+      // dedicated fence type retries — and a commit race throws exactly
+      // that type (Catalog.commitCurrent): it is deliberately the same
+      // retryable someone-else-won condition. Any OTHER failure (a
+      // corrupted manifest, a missing dir, ...) propagates immediately
+      // instead of masking the real error under up to five rebuilds.
       var attempts = 0
       var done = false
       while (!done) {

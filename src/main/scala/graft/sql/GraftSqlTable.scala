@@ -854,16 +854,26 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     })
   private def indexCells(t: String): DataFrame = indexTableMeta(t)._2
 
-  private def guardAllows(ixTable: String,
-      arms: Seq[graft.read.SecondaryIndex.ValueArm]): Boolean =
-    guardVerdicts.get(ixTable).getOrElse {
+  /** Guard one probe against one index table: the verdict memoizes per
+    * scan BY SIGNATURE (not table alone — two routes over the same
+    * table with different arms must not alias, ADVICE r13) and
+    * cross-query in the catalog ([[graft.catalog.Catalog.guardVerdict]],
+    * keyed by index version + signature — the dashboard pattern pays
+    * zero re-measurement). `marker` names the probe shape so an exact
+    * and a loose probe over identical arms key apart; `arms` also feed
+    * the guard's span pre-estimate. */
+  private def guardAllows(ixTable: String, marker: String,
+      arms: Seq[graft.read.SecondaryIndex.ValueArm],
+      probe: () => DataFrame): Boolean = {
+    val sig = GraftRouteGuard.signature(marker, Seq((ixTable, arms)))
+    guardVerdicts.get(sig).getOrElse {
       val ok = GraftRouteGuard.allows(engine, Seq(indexTableMeta(ixTable)._1),
-        Seq(() => graft.read.SecondaryIndex.probeOr(indexCells(ixTable),
-          arms)))
-      guardVerdicts += ixTable -> ok
+        Seq(probe), sig, estimateArms = arms)
+      guardVerdicts += sig -> ok
       if (!ok) guardDeclinedFlag = true
       ok
     }
+  }
 
   private def armsOf(p: GraftValuePred)
       : Seq[graft.read.SecondaryIndex.ValueArm] = p match {
@@ -873,19 +883,44 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
     case GraftValueOr(arms) => arms
   }
 
+  /** The EXACT probe frame the route's resolution would gather — the
+    * guard must count what the gather would fetch, so each shape
+    * mirrors the `frame` dispatch below (including the composite
+    * leading member's LOOSE range probe). */
+  private def guardProbeOf(r: GraftIndexRoute): () => DataFrame = {
+    import graft.read.SecondaryIndex
+    def ixc = indexCells(r.ix.indexTable)
+    r.pred match {
+      case GraftValueIn(vs) => () =>
+        if (vs.sizeIs == 1) SecondaryIndex.probe(ixc, vs.head)
+        else SecondaryIndex.probeAll(ixc, vs)
+      case GraftValueRange(lo, hi) => () =>
+        SecondaryIndex.probeRange(ixc, lo, hi,
+          exactPrefix = r.ix.moreColumns.isEmpty)
+      case GraftValueOr(arms) => () => SecondaryIndex.probeOr(ixc, arms)
+    }
+  }
+
   /** [[indexProbe]] after the selectivity guard. Covered routes skip
-    * (index-only answer, no gather); composite-leading probes skip
-    * (loose blob probe, not arm-shaped). */
+    * (index-only answer, no gather — reading O(hits) of the index alone
+    * never loses to a full fact scan). r14: composite-LEADING routes no
+    * longer skip — the loose blob probe is exactly as arm-shaped as the
+    * single-column case (a range on the leading member matching half
+    * the table pays probe + dedup + gather like any anti-selective
+    * arm), so it is measured with the same probe the gather would run. */
   private def effIndexProbe: Option[GraftIndexRoute] =
     indexProbe.filter { r =>
-      r.ix.covered.nonEmpty || r.ix.moreColumns.nonEmpty ||
-        guardAllows(r.ix.indexTable, armsOf(r.pred))
+      r.ix.covered.nonEmpty || guardAllows(r.ix.indexTable,
+        if (r.ix.moreColumns.nonEmpty) "cellLeading" else "cellSingle",
+        armsOf(r.pred), guardProbeOf(r))
     }
   private def effMixedRoute: Option[(graft.catalog.IndexDescriptor,
       Seq[(Option[Array[Byte]], Option[Array[Byte]])],
       Seq[graft.read.SecondaryIndex.ValueArm])] =
     mixedRoute.filter { case (ix, _, varms) =>
-      guardAllows(ix.indexTable, varms)
+      guardAllows(ix.indexTable, "cellMixed", varms,
+        () => graft.read.SecondaryIndex.probeOr(indexCells(ix.indexTable),
+          varms))
     }
 
   // ---- runtime (join-driven) key pruning — see GraftRuntimeFilterable.
@@ -1097,13 +1132,24 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       (keys, ranges) match {
         case (Some(Nil), _) => frame0m.filter(flit(false))
         case (Some(ks), _)
-            if guardAllows(ix.indexTable,
-              Seq(SecondaryIndex.ArmIn(ks))) =>
+            if guardAllows(ix.indexTable, "cellRtKeys",
+              Seq(SecondaryIndex.ArmIn(ks)),
+              () => if (ks.sizeIs == 1)
+                SecondaryIndex.probe(indexCells(ix.indexTable), ks.head)
+              else SecondaryIndex.probeAll(indexCells(ix.indexTable), ks)) =>
           appliedRuntimeValueIndex = Some(ix.indexTable)
           SecondaryIndex.gather(frame0m, indexCells(ix.indexTable), ks)
         case (None, Some(rs))
-            if guardAllows(ix.indexTable,
-              rs.map { case (lo, hi) => SecondaryIndex.ArmRange(lo, hi) }) =>
+            // range arms carry the dim's occupancy-clustered byte
+            // ranges — the guard's span pre-estimate declines a
+            // near-full-span dim with ZERO index jobs (the r13 weak
+            // path: a hash-scattered dim paid 2.1x the plan its
+            // refusal protected)
+            if guardAllows(ix.indexTable, "cellRtRanges",
+              rs.map { case (lo, hi) => SecondaryIndex.ArmRange(lo, hi) },
+              () => SecondaryIndex.probeOr(indexCells(ix.indexTable),
+                rs.map { case (lo, hi) =>
+                  SecondaryIndex.ArmRange(lo, hi) })) =>
           appliedRuntimeValueIndex = Some(ix.indexTable)
           SecondaryIndex.gatherHits(frame0m,
             SecondaryIndex.probeOr(indexCells(ix.indexTable),

@@ -1348,39 +1348,81 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       case GraftValueRange(lo, hi) => Seq(SecondaryIndex.ArmRange(lo, hi))
       case GraftValueOr(arms) => arms
     }
-    // guardable routes: (involved index tables, per-MEMBER probe-hits
+    // guardable routes: (signature parts, per-MEMBER probe-hits
     // builders — an intersected frame for multi-leg cross-or members,
-    // so the guard measures what the gather would actually fetch).
-    // Covered index-only routes skip (no gather — see GraftRouteGuard);
-    // composite blob probes skip (equality tuples on the composite key,
-    // not arm-shaped; the leading-member loose probe likewise).
+    // so the guard measures what the gather would actually fetch;
+    // estimate arms for single-index routes). Covered index-only routes
+    // skip (no gather — see GraftRouteGuard). r14: composite and
+    // LEADING-member routes no longer skip — the leading loose probe is
+    // exactly as arm-shaped as the single-column case, and a composite
+    // blob cartesian counts as an IN of blobs; each is measured with
+    // the probe shape its gather would run.
     def memberHits(legs: Seq[(WideCol, graft.catalog.IndexDescriptor,
         Seq[SecondaryIndex.ValueArm])]): DataFrame =
       legs.map { case (_, ix, arms) =>
         SecondaryIndex.probeOr(indexCells(ix.indexTable), arms)
       }.reduce((a, b) => a.join(b, Seq("row"), "left_semi"))
-    val guardable: Option[(Seq[String], Seq[() => DataFrame])] = r match {
+    def blobProbe(ix: graft.catalog.IndexDescriptor,
+        blobs: Seq[Array[Byte]]): () => DataFrame = () =>
+      if (blobs.sizeIs == 1)
+        SecondaryIndex.probe(indexCells(ix.indexTable), blobs.head)
+      else SecondaryIndex.probeAll(indexCells(ix.indexTable), blobs)
+    val guardable: Option[(String,
+        Seq[(String, Seq[SecondaryIndex.ValueArm])],
+        Seq[() => DataFrame], Seq[SecondaryIndex.ValueArm])] = r match {
       case WideSingle(c, ix, _) if coveredOnly(c, ix) => None
-      case WideSingle(_, ix, _) if ix.moreColumns.nonEmpty => None
+      case WideSingle(_, ix, pred) if ix.moreColumns.nonEmpty =>
+        // leading member of a composite: the same probe shapes the
+        // verified lookup runs — prefix-range probe for equality/IN
+        // (blob extensions included), the LOOSE range probe for an
+        // interval (probeRange exactPrefix=false)
+        val probe: () => DataFrame = pred match {
+          case GraftValueIn(vs) => blobProbe(ix, vs)
+          case GraftValueRange(lo, hi) => () =>
+            SecondaryIndex.probeRange(indexCells(ix.indexTable), lo, hi,
+              exactPrefix = false)
+          case GraftValueOr(arms) => () =>
+            SecondaryIndex.probeOr(indexCells(ix.indexTable), arms)
+        }
+        Some(("wideLeading", Seq((ix.indexTable, armsOf(pred))),
+          Seq(probe), armsOf(pred)))
       case WideSingle(c, ix, pred) =>
-        Some((Seq(ix.indexTable),
-          Seq(() => memberHits(Seq((c, ix, armsOf(pred)))))))
-      case _: WideComposite | _: WideCompositeOr => None
+        Some(("wideSingle", Seq((ix.indexTable, armsOf(pred))),
+          Seq(() => memberHits(Seq((c, ix, armsOf(pred))))), armsOf(pred)))
+      case WideComposite(ix, valueLists) =>
+        val blobs = valueLists.map(_.map(Seq(_)))
+          .reduce((as, bs) => for { a <- as; b <- bs } yield a ++ b)
+          .map(SecondaryIndex.compositeBlob)
+        Some(("wideComposite",
+          Seq((ix.indexTable, Seq(SecondaryIndex.ArmIn(blobs)))),
+          Seq(blobProbe(ix, blobs)), Nil))
+      case WideCompositeOr(ix, tuples) =>
+        val blobs = tuples.flatMap { vls =>
+          vls.map(_.map(Seq(_)))
+            .reduce((as, bs) => for { a <- as; b <- bs } yield a ++ b)
+            .map(SecondaryIndex.compositeBlob)
+        }
+        Some(("wideCompositeOr",
+          Seq((ix.indexTable, Seq(SecondaryIndex.ArmIn(blobs)))),
+          Seq(blobProbe(ix, blobs)), Nil))
       case WideCrossOr(ms) =>
-        Some((ms.flatMap(_.map(_._2.indexTable)).distinct,
-          ms.map(legs => () => memberHits(legs))))
+        Some(("wideCrossOr",
+          ms.flatMap(_.map(l => (l._2.indexTable, l._3))),
+          ms.map(legs => () => memberHits(legs)), Nil))
       case WideMixedOr(_, ms) =>
-        Some((ms.map(_._2.indexTable).distinct,
-          ms.map(m => () => memberHits(Seq(m)))))
+        Some(("wideMixedOr", ms.map(m => (m._2.indexTable, m._3)),
+          ms.map(m => () => memberHits(Seq(m))), Nil))
     }
     guardable match {
       case None => true
-      case Some((tables, probes)) =>
-        val key = r.getClass.getSimpleName + tables.mkString(",")
-        guardVerdicts.get(key).getOrElse {
+      case Some((marker, parts, probes, estArms)) =>
+        val tables = parts.map(_._1).distinct
+        val sig = GraftRouteGuard.signature(marker, parts)
+        guardVerdicts.get(sig).getOrElse {
           val ok = GraftRouteGuard.allows(engine,
-            tables.map(t => indexTableMeta(t)._1), probes)
-          guardVerdicts += key -> ok
+            tables.map(t => indexTableMeta(t)._1), probes, sig,
+            estimateArms = estArms)
+          guardVerdicts += sig -> ok
           if (!ok) guardDeclinedFlag = true
           ok
         }

@@ -1,0 +1,232 @@
+package graft.sql
+
+import graft.{Graft, SparkSpec}
+import graft.catalog.{FamilyDescriptor, TableDescriptor}
+import graft.core.Bytes
+import graft.write.Put
+import java.nio.file.Files
+
+/** r14 route-guard hardening: the previously-exempt LEADING-member and
+  * COMPOSITE routes are guarded, verdicts cache across queries in the
+  * catalog (zero re-measurement for the dashboard pattern, invalidated
+  * by index appends), and the measurement itself is scale-safe (a
+  * constant probe budget plus the arm-span pre-estimate — a refusal
+  * must never cost more than the plan it protects). */
+class RouteGuardSpec extends SparkSpec {
+
+  private def b(s: String) = Bytes.toBytes(s)
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+  private def register(cat: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+  }
+
+  /** 2000-row fixture: pop = i (dense longs), status 'O'/'F' split in
+    * half with a rare 'P', flag 'x' on even rows; composite indexes
+    * (pop, status) — pop is a LEADING member only — and (status, flag). */
+  private def mkGuardTable(root: String): Graft = {
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, immutableRows = true, wideKey = Some("k:long"),
+      wideSchema = Some("f:pop:long;f:status:string;f:flag:string")), 1L)
+    g.table("t").put((1 to 2000).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("pop"), 2L, Bytes.toBytes(i.toLong))
+        .add("f", b("status"), 2L,
+          b(if (i % 400 == 3) "P" else if (i % 2 == 0) "O" else "F"))
+        .add("f", b("flag"), 2L, b(if (i % 2 == 0) "x" else "y"))), 2L)
+    g.createCompositeIndex("t",
+      Seq("f" -> b("pop"), "f" -> b("status")), 3L)
+    g.createCompositeIndex("t",
+      Seq("f" -> b("status"), "f" -> b("flag")), 4L)
+    g
+  }
+
+  test("leading-member and composite routes are selectivity-guarded " +
+      "(r14: the r13 exemptions closed)") {
+    val root = freshRoot("guardlead")
+    mkGuardTable(root)
+    register("ggl", root)
+    spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    try {
+      // LEADING-member range, anti-selective: pop in [10, 1990) is ~99%
+      // of the table — the loose blob probe + dedup + gather must NOT
+      // fire; the pushed scan + residual answers
+      val anti = spark.sql("SELECT k, pop FROM ggl.`t$wide` " +
+        "WHERE pop >= 10 AND pop < 1990 ORDER BY k")
+      assert(anti.collect().map(_.getLong(0)).toSeq ==
+        (10L until 1990L))
+      assert(GraftWideSeams.usedIndexTables(anti).isEmpty,
+        "anti-selective leading range must fall back to the pushed scan")
+      assert(GraftRouteSeams.guardDeclined(anti))
+      // LEADING-member range, selective: [5, 10) routes through the
+      // composite index's loose probe
+      val sel = spark.sql("SELECT k, pop FROM ggl.`t$wide` " +
+        "WHERE pop >= 5 AND pop < 10 ORDER BY k")
+      assert(sel.collect().map(_.getLong(0)).toSeq == (5L until 10L))
+      assert(GraftWideSeams.usedIndexTables(sel).nonEmpty,
+        "selective leading range should keep routing")
+      assert(!GraftRouteSeams.guardDeclined(sel))
+      // guard off: the anti-selective leading range routes again and
+      // still answers exactly (cost-only knob)
+      spark.conf.set("spark.graft.route.guard.enabled", "false")
+      try {
+        val forced = spark.sql("SELECT k, pop FROM ggl.`t$wide` " +
+          "WHERE pop >= 10 AND pop < 1990 ORDER BY k")
+        assert(forced.collect().map(_.getLong(0)).toSeq == (10L until 1990L))
+        assert(GraftWideSeams.usedIndexTables(forced).nonEmpty)
+      } finally spark.conf.unset("spark.graft.route.guard.enabled")
+      // COMPOSITE tuple, anti-selective: ('O','x') is half the table —
+      // the blob probe counts its hits and declines
+      val cAnti = spark.sql("SELECT k, status, flag FROM ggl.`t$wide` " +
+        "WHERE status = 'O' AND flag = 'x' ORDER BY k")
+      assert(cAnti.collect().map(_.getLong(0)).toSeq ==
+        (1 to 2000).filter(i => i % 2 == 0 && i % 400 != 3).map(_.toLong))
+      assert(GraftWideSeams.usedIndexTables(cAnti).isEmpty &&
+        GraftRouteSeams.guardDeclined(cAnti))
+      // COMPOSITE tuple, selective: ('P', 'y') is 5 rows — routes
+      val cSel = spark.sql("SELECT k, status, flag FROM ggl.`t$wide` " +
+        "WHERE status = 'P' AND flag = 'y' ORDER BY k")
+      assert(cSel.collect().map(_.getLong(0)).toSeq ==
+        (1 to 2000).filter(i => i % 400 == 3 && i % 2 == 1).map(_.toLong))
+      assert(GraftWideSeams.usedIndexTables(cSel).nonEmpty &&
+        !GraftRouteSeams.guardDeclined(cSel))
+    } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+
+  test("cell-door composite-leading probes are guarded too") {
+    val root = freshRoot("guardcell")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("c", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, immutableRows = true), 1L)
+    g.table("c").put((1 to 2000).map(i =>
+      Put(b(f"r$i%04d"))
+        .add("f", b("ck"), 2L, Bytes.toBytes(i.toLong))
+        .add("f", b("st"), 2L, b(if (i % 2 == 0) "O" else "F"))), 2L)
+    g.createCompositeIndex("c", Seq("f" -> b("ck"), "f" -> b("st")), 3L)
+    register("ggc", root)
+    spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    try {
+      val ckQ = "X'" + b("ck").map(x => f"$x%02x").mkString + "'"
+      def h(v: Long) = "X'" + Bytes.toBytes(v).map(x => f"$x%02x").mkString + "'"
+      // anti-selective leading range on the cell door: ck in [10, 1990)
+      val anti = spark.sql(s"SELECT row FROM ggc.c WHERE family = 'f' " +
+        s"AND qualifier = $ckQ AND value >= ${h(10L)} AND value < ${h(1990L)}")
+      assert(anti.collect().length == 1980)
+      assert(GraftRouteSeams.guardDeclined(anti),
+        "cell-door anti-selective leading range must decline")
+      // selective leading range routes (no decline seam)
+      val sel = spark.sql(s"SELECT row FROM ggc.c WHERE family = 'f' " +
+        s"AND qualifier = $ckQ AND value >= ${h(5L)} AND value < ${h(10L)}")
+      assert(sel.collect().length == 5)
+      assert(!GraftRouteSeams.guardDeclined(sel))
+    } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+
+  test("guard verdicts cache across queries and invalidate on index " +
+      "append (r14: zero re-measurement for the dashboard pattern)") {
+    val root = freshRoot("guardcache")
+    val g = mkGuardTable(root)
+    register("ggv", root)
+    spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    try {
+      def q() = spark.sql("SELECT k, status, flag FROM ggv.`t$wide` " +
+        "WHERE status = 'P' AND flag = 'y' ORDER BY k")
+      val expect = (1 to 2000)
+        .filter(i => i % 400 == 3 && i % 2 == 1).map(_.toLong)
+      val before = GraftRouteGuard.measurements.get()
+      val first = q()
+      assert(first.collect().map(_.getLong(0)).toSeq == expect)
+      assert(GraftWideSeams.usedIndexTables(first).nonEmpty)
+      val afterFirst = GraftRouteGuard.measurements.get()
+      assert(afterFirst > before, "first execution must measure")
+      // SECOND execution (fresh plan, fresh scan, fresh Catalog
+      // instance): the verdict comes from the catalog cache — the guard
+      // runs ZERO measurement jobs
+      val second = q()
+      assert(second.collect().map(_.getLong(0)).toSeq == expect)
+      assert(GraftWideSeams.usedIndexTables(second).nonEmpty)
+      assert(GraftRouteGuard.measurements.get() == afterFirst,
+        "repeated query must not re-measure")
+      // declined verdicts cache the same way
+      def anti() = spark.sql("SELECT k, status, flag FROM ggv.`t$wide` " +
+        "WHERE status = 'O' AND flag = 'x' ORDER BY k")
+      anti().collect(): Unit
+      val afterAnti = GraftRouteGuard.measurements.get()
+      val anti2 = anti()
+      anti2.collect(): Unit
+      assert(GraftRouteSeams.guardDeclined(anti2),
+        "cached decline must still report through the seam")
+      assert(GraftRouteGuard.measurements.get() == afterAnti,
+        "repeated declined query must not re-measure")
+      // an APPEND bumps the maintained index's version -> the cached
+      // verdict no longer matches and the guard re-measures
+      g.table("t").put(Seq(Put(Bytes.toBytes(2001L))
+        .add("f", b("pop"), 5L, Bytes.toBytes(2001L))
+        .add("f", b("status"), 5L, b("P"))
+        .add("f", b("flag"), 5L, b("y"))), 5L)
+      val third = q()
+      assert(third.collect().map(_.getLong(0)).toSeq == expect :+ 2001L)
+      assert(GraftRouteGuard.measurements.get() > afterAnti,
+        "an index append must invalidate the cached verdict")
+    } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+
+  test("span pre-estimate declines near-full-span range arms with zero " +
+      "probe jobs; constant budget caps measurement on huge caps") {
+    val root = freshRoot("guardest")
+    val g = mkGuardTable(root)
+    val engine = g.catalog
+    val ixTable = engine.currentManifest("t").descriptor.indexes
+      .find(_.columns.map(_._2.toSeq) ==
+        Seq(b("pop").toSeq, b("status").toSeq))
+      .map(_.indexTable).get
+    val m = engine.currentManifest(ixTable)
+    spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    try {
+      import graft.read.SecondaryIndex.{ArmIn, ArmRange}
+      var probeRan = false
+      def probe(): org.apache.spark.sql.DataFrame = {
+        probeRan = true
+        engine.readManifest(m).select(
+          org.apache.spark.sql.functions.col("row"))
+      }
+      // arms covering the full encoded-value span: the estimate declines
+      // BEFORE any index job — the probe closure must never run
+      val full = Seq(ArmRange(Some(Bytes.toBytes(1L)),
+        Some(Bytes.toBytes(2001L))))
+      assert(!GraftRouteGuard.allows(engine, Seq(m), Seq(() => probe()),
+        "est-full", estimateArms = full))
+      assert(!probeRan, "estimate-decline must not run an index job")
+      // narrow arms: the estimate stays quiet, the measured probe runs
+      // and (selective) allows
+      val narrow = Seq(ArmRange(Some(Bytes.toBytes(5L)),
+        Some(Bytes.toBytes(10L))))
+      var narrowHits = 0
+      assert(GraftRouteGuard.allows(engine, Seq(m),
+        Seq(() => { narrowHits += 1
+          graft.read.SecondaryIndex.probeRange(engine.readManifest(m),
+            Some(Bytes.toBytes(5L)), Some(Bytes.toBytes(10L)),
+            exactPrefix = false) }),
+        "est-narrow", estimateArms = narrow))
+      assert(narrowHits == 1, "narrow arms must be measured")
+      // CONSTANT budget: with maxProbeRows=8 an un-estimable probe
+      // (equality arms have no span mass) exhausts the budget and
+      // declines OPTIMISTICALLY — measurement cost must not scale with
+      // the index — while the same budget with narrow range arms lets
+      // the estimate vouch past the exhaustion
+      spark.conf.set("spark.graft.route.guard.maxProbeRows", "8")
+      try {
+        assert(!GraftRouteGuard.allows(engine, Seq(m),
+          Seq(() => engine.readManifest(m).select(
+            org.apache.spark.sql.functions.col("row"))),
+          "est-budget-in", estimateArms = Seq(ArmIn(Seq(Bytes.toBytes(1L))))))
+        assert(GraftRouteGuard.allows(engine, Seq(m),
+          Seq(() => engine.readManifest(m).select(
+            org.apache.spark.sql.functions.col("row")).limit(20)),
+          "est-budget-range", estimateArms = narrow))
+      } finally spark.conf.unset("spark.graft.route.guard.maxProbeRows")
+    } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+}

@@ -666,9 +666,10 @@ class WideViewSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("fence"), err.getMessage)
     // the DEDICATED fence type (ADVICE r12): retry loops must be able to
-    // distinguish a fence trip from an unrelated IllegalStateException
-    // (a corrupted manifest, a commit race) — the latter must propagate
-    // immediately, never retry as a full index rebuild
+    // distinguish a retryable concurrency loss (a fence trip, a commit
+    // race — both throw this type) from an unrelated
+    // IllegalStateException (a corrupted manifest) — the latter must
+    // propagate immediately, never retry as a full index rebuild
     assert(err.isInstanceOf[graft.catalog.FenceTrippedException],
       s"fence must throw the dedicated type, got ${err.getClass}")
     // nothing lost, nothing flipped: old declaration, append visible
