@@ -2162,6 +2162,62 @@ object Queries {
              ORDER BY f.o_orderkey""")
   }
 
+  // LEADING-member guard gate (r14): the r13 guard exempted
+  // composite-LEADING routes — a range on the leading member matching
+  // ~the whole table still paid loose probe + dedup + gather. The
+  // exemption is closed on both doors; this gate drives the CELL door
+  // (the sql_index_leading_range fixture: composite (custkey, status)
+  // index, custkey is a leading member only) with an anti-selective
+  // leading range and asserts the decline in-closure. At sf0.01+ the
+  // decline comes from the SPAN PRE-ESTIMATE (zero index jobs — the
+  // arms cover the index's whole cached key span); at sf0.001 the
+  // 7-byte prefixes degenerate (custkey < 256) and the measured
+  // occupancy probe declines instead — both paths must produce the
+  // same pushed-scan answer, hash-matched against the oracle.
+  private val sqlGuardLeading = Q("sql_guard_leading", Some("""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey >= 10 AND o_custkey < 10000000
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlLeadingRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-sqllr").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_lc",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, immutableRows = true),
+          nowMs = 1L)
+        g.table("orders_lc").mutate(
+          CellCodec.encode(t(s, dir, "orders"), "o", Seq("o_orderkey")),
+          nowMs = 1L)
+        g.createCompositeIndex("orders_lc",
+          Seq("o" -> Bytes.toBytes("o_custkey"),
+            "o" -> Bytes.toBytes("o_orderstatus")), nowMs = 2L)
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_lr",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lr.root", root)
+    s.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    try {
+      val qual = "X'" + Bytes.toBytes("o_custkey").map(b => f"$b%02x").mkString + "'"
+      def h(v: Long) = "X'" + Bytes.toBytes(v).map(b => f"$b%02x").mkString + "'"
+      val cells = s.sql(
+        s"""SELECT row, family, qualifier, ts, kind, value, seq
+            FROM graft_lr.orders_lc
+            WHERE family = 'o' AND qualifier = $qual
+              AND value >= ${h(10L)} AND value < ${h(10000000L)}""")
+      val df = CellCodec.decode(cells,
+        StructType(Seq(StructField("o_custkey", LongType))),
+        key = Seq("o_orderkey" -> LongType))
+        .orderBy("o_orderkey")
+      val rows = df.collect()
+      require(graft.sql.GraftRouteSeams.guardDeclined(df),
+        "anti-selective leading range did not decline — guard regressed")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally s.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+
   // Route SELECTIVITY-guard gate (r13): an ANTI-selective equality on an
   // indexed column — status 'O' matches ~half of orders — with the guard
   // floor zeroed. The route MUST decline (asserted in-closure via the
@@ -5458,7 +5514,7 @@ object Queries {
     sqlCrossOr, sqlRuntimeRangePrune, sqlRuntimeMultiPrune,
     sqlConjunctOr, sqlRuntimeClusterPrune, sqlRuntimeIndexRange,
     sqlMixedOr, sqlCellMixedOr, sqlCellRuntimeIndex, sqlRuntimePrefixPrune,
-    sqlRouteGuard,
+    sqlRouteGuard, sqlGuardLeading,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -44,7 +44,9 @@ private[sql] trait GraftGuardedRoute {
   *    `fraction × manifestRows`, which at 100 TB let one decline read
   *    20% of a huge index. When the budget is exhausted before the
   *    fraction verdict is reachable, the guard declines optimistically
-  *    unless the span estimate (below) vouches for the arms.
+  *    — the estimate below must NOT vouch past an exhausted budget
+  *    (entries concentrate inside narrow arms in banded key spaces, so
+  *    tiny value-space coverage can still be ~every entry).
   *  - **Span pre-estimate, no index job.** Range-shaped arms (the
   *    runtime filter's over-cap degradation) already carry the
   *    occupancy-clustered byte ranges the dim pass computed
@@ -137,6 +139,31 @@ private[sql] object GraftRouteGuard {
       val maxProbeRows =
         conf("spark.graft.route.guard.maxProbeRows", "262144").toLong
       val total = manifests.map(engine.manifestRows).sum
+      // byte-space mass of the arms over the index's key span, under
+      // uniformity; single-index range-shaped routes only (a point
+      // value's byte-space mass is ~0, so equality/IN arms never
+      // estimate — the measured probe keeps the final word for them)
+      lazy val estimate: Option[Double] =
+        if (manifests.sizeIs != 1 ||
+            !estimateArms.exists(_.isInstanceOf[ArmRange])) None
+        else engine.manifestKeySpan(manifests.head).flatMap {
+          case (minK, maxK) =>
+            val w = 7
+            val lo = prefixLong(minK, w)
+            val hi = prefixLong(maxK, w)
+            if (hi <= lo) None
+            else Some(estimateArms.map {
+              case ArmIn(_) => 0.0
+              case ArmRange(a, b) =>
+                val s = a.fold(lo)(x => math.max(prefixLong(x, w), lo))
+                val e = b.fold(hi)(x => math.min(prefixLong(x, w), hi))
+                math.max(0L, e - s).toDouble / (hi - lo).toDouble
+            }.sum)
+        }
+      // below the floor routes go UNGUARDED, estimate included: a
+      // mis-routed scan at this size costs less than any measurement,
+      // and the route-mechanism contracts (specs pin that small
+      // fixtures route on predicate shape) stay honest
       if (total <= minRows) return true
       val key = manifests.map(m => s"${m.table}@${m.version}")
         .mkString(",") + s"|$sig|$fraction|$maxProbeRows"
@@ -144,25 +171,6 @@ private[sql] object GraftRouteGuard {
         measurements.incrementAndGet(): Unit
         val cap = math.max(1L, (total * fraction).toLong)
         val budget = math.min(cap, math.max(1L, maxProbeRows))
-        // byte-space mass of the arms over the index's key span, under
-        // uniformity; single-index range-shaped routes only
-        lazy val estimate: Option[Double] =
-          if (manifests.sizeIs != 1 ||
-              !estimateArms.exists(_.isInstanceOf[ArmRange])) None
-          else engine.manifestKeySpan(manifests.head).flatMap {
-            case (minK, maxK) =>
-              val w = 7
-              val lo = prefixLong(minK, w)
-              val hi = prefixLong(maxK, w)
-              if (hi <= lo) None
-              else Some(estimateArms.map {
-                case ArmIn(_) => 0.0
-                case ArmRange(a, b) =>
-                  val s = a.fold(lo)(x => math.max(prefixLong(x, w), lo))
-                  val e = b.fold(hi)(x => math.min(prefixLong(x, w), hi))
-                  math.max(0L, e - s).toDouble / (hi - lo).toDouble
-              }.sum)
-          }
         if (estimate.exists(_ >= fraction * 2.0)) false
         else {
           var hits = 0L
@@ -172,11 +180,16 @@ private[sql] object GraftRouteGuard {
             val b = math.min(budget - hits + 1L, Int.MaxValue.toLong).toInt
             hits += probe().limit(b).count()
           }
-          if (hits <= budget) true
-          // budget exhausted below the fraction verdict: the estimate
-          // breaks the tie; no estimate -> decline optimistically
-          // (measurement cost must not scale with the index)
-          else budget < cap && estimate.exists(_ <= fraction)
+          // budget exhausted below the fraction verdict -> decline
+          // OPTIMISTICALLY: measurement cost must not scale with the
+          // index, and the span estimate must NOT vouch past an
+          // exhausted budget — entries concentrate INSIDE narrow arms
+          // (banded key spaces are the norm in scaled corpora), so a
+          // tiny value-space coverage can still be ~every entry; only
+          // counting tells. `cap` is unused past the budget floor but
+          // kept explicit: budget == cap whenever the cap is small
+          // enough to measure outright.
+          hits <= math.min(budget, cap)
         }
       }
     } catch { case scala.util.control.NonFatal(_) => true }

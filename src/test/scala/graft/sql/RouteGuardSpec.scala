@@ -211,22 +211,58 @@ class RouteGuardSpec extends SparkSpec {
             exactPrefix = false) }),
         "est-narrow", estimateArms = narrow))
       assert(narrowHits == 1, "narrow arms must be measured")
-      // CONSTANT budget: with maxProbeRows=8 an un-estimable probe
-      // (equality arms have no span mass) exhausts the budget and
-      // declines OPTIMISTICALLY — measurement cost must not scale with
-      // the index — while the same budget with narrow range arms lets
-      // the estimate vouch past the exhaustion
+      // CONSTANT budget: with maxProbeRows=8 a probe that exceeds the
+      // budget declines OPTIMISTICALLY — measurement cost must not
+      // scale with the index — and the estimate must NOT vouch past the
+      // exhaustion even for narrow range arms (banded key spaces put
+      // ~every entry inside narrow arms; only counting tells)
       spark.conf.set("spark.graft.route.guard.maxProbeRows", "8")
       try {
         assert(!GraftRouteGuard.allows(engine, Seq(m),
           Seq(() => engine.readManifest(m).select(
             org.apache.spark.sql.functions.col("row"))),
           "est-budget-in", estimateArms = Seq(ArmIn(Seq(Bytes.toBytes(1L))))))
-        assert(GraftRouteGuard.allows(engine, Seq(m),
+        assert(!GraftRouteGuard.allows(engine, Seq(m),
           Seq(() => engine.readManifest(m).select(
             org.apache.spark.sql.functions.col("row")).limit(20)),
-          "est-budget-range", estimateArms = narrow))
+          "est-budget-range", estimateArms = narrow),
+          "narrow-arm estimate must not override an exhausted budget")
+        // under the budget the same narrow probe still measures + allows
+        assert(GraftRouteGuard.allows(engine, Seq(m),
+          Seq(() => engine.readManifest(m).select(
+            org.apache.spark.sql.functions.col("row")).limit(5)),
+          "est-budget-under", estimateArms = narrow))
       } finally spark.conf.unset("spark.graft.route.guard.maxProbeRows")
     } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+
+  test("below the measurement floor routes go unguarded — zero jobs, " +
+      "zero measurements (small-fixture route mechanics stay pinned)") {
+    val root = freshRoot("guardfloor")
+    val g = mkGuardTable(root)
+    val engine = g.catalog
+    val ixTable = engine.currentManifest("t").descriptor.indexes
+      .head.indexTable
+    val m = engine.currentManifest(ixTable)
+    import graft.read.SecondaryIndex.{ArmIn, ArmRange}
+    var probeRan = false
+    def probe(): org.apache.spark.sql.DataFrame = {
+      probeRan = true
+      engine.readManifest(m)
+    }
+    // default minIndexRows (1,048,576) >> this 2,000-entry index: every
+    // arm shape routes without measurement — even a full-span range
+    // (estimate included; a mis-routed scan at this size costs less
+    // than any measurement, and WideViewSpec pins that small fixtures
+    // route on predicate shape)
+    val before = GraftRouteGuard.measurements.get()
+    assert(GraftRouteGuard.allows(engine, Seq(m), Seq(() => probe()),
+      "floor-full", estimateArms = Seq(ArmRange(Some(Bytes.toBytes(1L)),
+        Some(Bytes.toBytes(2001L))))))
+    assert(GraftRouteGuard.allows(engine, Seq(m), Seq(() => probe()),
+      "floor-in", estimateArms = Seq(ArmIn(Seq(Bytes.toBytes(1L))))))
+    assert(!probeRan, "below the floor no probe may run")
+    assert(GraftRouteGuard.measurements.get() == before,
+      "below the floor no measurement may be counted")
   }
 }
