@@ -2176,7 +2176,7 @@ object Queries {
   // same pushed-scan answer, hash-matched against the oracle.
   private val sqlGuardLeading = Q("sql_guard_leading", Some("""
     SELECT o_orderkey, o_custkey FROM orders
-    WHERE o_custkey >= 10 AND o_custkey < 10000000
+    WHERE o_custkey >= 10 AND o_custkey < 4611686018427387904
     ORDER BY o_orderkey""")) { (s, dir) =>
     val root = Queries.synchronized {
       sqlLeadingRoots.getOrElseUpdate(dir, {
@@ -2206,7 +2206,7 @@ object Queries {
         s"""SELECT row, family, qualifier, ts, kind, value, seq
             FROM graft_lr.orders_lc
             WHERE family = 'o' AND qualifier = $qual
-              AND value >= ${h(10L)} AND value < ${h(10000000L)}""")
+              AND value >= ${h(10L)} AND value < ${h(1L << 62)}""")
       val df = CellCodec.decode(cells,
         StructType(Seq(StructField("o_custkey", LongType))),
         key = Seq("o_orderkey" -> LongType))

@@ -427,11 +427,12 @@ final class Catalog(spark: SparkSession, root: String) {
     * same signal as per-region HFile sizes (store file size in region
     * metrics) that drive its balancer; here it drives join planning. */
   def manifestBytes(m: Manifest): Long =
-    Catalog.manifestBytesCache.getOrElseUpdate(statKey(m),
+    Catalog.bounded(Catalog.manifestBytesCache, statKey(m)) {
       m.dataDirs.map { d =>
         val p = new Path(d)
         if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-      }.sum)
+      }.sum
+    }
 
   /** Total stored cell rows of a manifest (cached forever per version —
     * data dirs are immutable): the row-count statistic the route
@@ -445,8 +446,9 @@ final class Catalog(spark: SparkSession, root: String) {
     * (compaction rewrites the dirs, bumps the version, and this cache
     * re-counts the resolved survivors). */
   def manifestRows(m: Manifest): Long =
-    Catalog.manifestRowsCache.getOrElseUpdate(statKey(m),
-      readManifest(m).count())
+    Catalog.bounded(Catalog.manifestRowsCache, statKey(m)) {
+      readManifest(m).count()
+    }
 
   /** The manifest's stored row-key span [min, max] (cached forever per
     * version — data dirs are immutable): one column-pruned min/max
@@ -454,13 +456,13 @@ final class Catalog(spark: SparkSession, root: String) {
     * route guard's span pre-estimate compares arm byte ranges against
     * it ([[graft.sql.GraftRouteGuard]]). None on an empty table. */
   def manifestKeySpan(m: Manifest): Option[(Array[Byte], Array[Byte])] =
-    Catalog.manifestKeySpanCache.getOrElseUpdate(statKey(m), {
+    Catalog.bounded(Catalog.manifestKeySpanCache, statKey(m)) {
       import org.apache.spark.sql.functions.{col, max, min}
       val r = readManifest(m).agg(min(col("row")), max(col("row")))
         .collect()(0)
       if (r.isNullAt(0) || r.isNullAt(1)) None
       else Some((r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
-    })
+    }
 
   /** Cross-query route-guard verdict cache: a verdict is a pure
     * function of (index manifest versions, arm-set signature, guard
@@ -470,11 +472,8 @@ final class Catalog(spark: SparkSession, root: String) {
     * naturally invalidates. Bounded: runtime-probe arm sets vary with
     * dim content, so the cache clears wholesale past a size cap rather
     * than growing with distinct dims. */
-  def guardVerdict(key: String)(measure: => Boolean): Boolean = {
-    if (Catalog.guardVerdictCache.size > 8192)
-      Catalog.guardVerdictCache.clear()
-    Catalog.guardVerdictCache.getOrElseUpdate(root + " " + key, measure)
-  }
+  def guardVerdict(key: String)(measure: => Boolean): Boolean =
+    Catalog.bounded(Catalog.guardVerdictCache, root + " " + key)(measure)
 
   /** [[manifestAt]] tolerating pruned history (`expireVersions`). */
   def tryManifestAt(t: String, v: Long): Option[Manifest] =
@@ -575,18 +574,30 @@ final class Catalog(spark: SparkSession, root: String) {
     // otherwise not only be discarded by this commit, but its
     // manifest-(v) FILE would be clobbered by ours (writeFile
     // overwrites). Fencing first NARROWS that window to the instants
-    // between this check and the write — it does not close it (the
-    // fence->write pair is not atomic; a loser in that sliver still
-    // overwrites the winner's file before failing at commitCurrent).
-    // Write-once manifest files (create overwrite=false) would close
-    // it, but would also turn a crash-leftover manifest-(v) without a
-    // CURRENT swap into a permanent commit blocker — the narrow window
-    // plus the loud commitCurrent failure is the chosen trade.
+    // between this check and the write; the post-commit content check
+    // below CLOSES the remaining silent-lost-update: a loser clobbering
+    // manifest-(v) in that sliver would otherwise have its content
+    // committed under the winner's successful CURRENT swap — and since
+    // commit races are deliberately retryable, nothing would ever
+    // surface the replacement. (Write-once manifest files would close
+    // the window at the filesystem instead, but would turn a
+    // crash-leftover manifest-(v) without a CURRENT swap into a
+    // permanent commit blocker.)
     fence("before the manifest write"): Unit
     val v = cur.version + 1
     val m = cur.copy(version = v, createdMs = nowMs, descriptor = desc)
-    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
+    val json = ManifestJson.write(m)
+    val mPath = new Path(tableDir(t), s"manifest-$v.json")
+    writeFile(mPath, json)
     commitCurrent(t, v)
+    // verify-after-commit: if a concurrent writer replaced our file
+    // between write and commit, the COMMITTED content is theirs — trip
+    // the fence so this caller recomputes from the current (their)
+    // version and re-applies; both changes land, loudly ordered.
+    if (readFile(mPath) != json)
+      throw new FenceTrippedException(
+        s"alterTable on $t lost manifest-$v to a concurrent writer " +
+          "after this commit — recompute from the current version")
   }
 
   /** Read the table as a cell DataFrame: union of the manifest's immutable
@@ -1013,4 +1024,18 @@ object Catalog {
       Option[(Array[Byte], Array[Byte])]]
   private[catalog] val guardVerdictCache =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Bounded lookup-or-compute: superseded versions accumulate in a
+    * long-running JVM (every append mints one), so each cache clears
+    * wholesale past a size cap — entries are cheap to recompute
+    * (footer reads) and the bound beats an eviction policy here. The
+    * size walk (O(n) on a TrieMap) runs only on a MISS; the hot
+    * cached-lookup path stays O(1). */
+  private[catalog] def bounded[K, V](
+      cache: scala.collection.concurrent.TrieMap[K, V], k: K)
+      (compute: => V): V =
+    cache.get(k).getOrElse {
+      if (cache.size > 8192) cache.clear()
+      cache.getOrElseUpdate(k, compute)
+    }
 }

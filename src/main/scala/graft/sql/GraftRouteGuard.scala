@@ -39,14 +39,19 @@ private[sql] trait GraftGuardedRoute {
   * more than the plan it protects, and GROWS with the table, is a
   * scale-killer of its own):
   *  - **Constant measurement budget.** The occupancy probe reads at
-  *    most `spark.graft.route.guard.maxProbeRows` (default 262,144)
+  *    most `spark.graft.route.guard.maxProbeRows` (default 1,048,576)
   *    hits regardless of index size — the r13 budget was
   *    `fraction × manifestRows`, which at 100 TB let one decline read
   *    20% of a huge index. When the budget is exhausted before the
   *    fraction verdict is reachable, the guard declines optimistically
   *    — the estimate below must NOT vouch past an exhausted budget
   *    (entries concentrate inside narrow arms in banded key spaces, so
-  *    tiny value-space coverage can still be ~every entry).
+  *    tiny value-space coverage can still be ~every entry). The flip
+  *    side is deliberate, cost-only conservatism: on an index whose
+  *    cap exceeds the constant, a selective probe with more than
+  *    `maxProbeRows` hits declines too and the query runs as the
+  *    pushed scan — raise the knob to trade measurement cost for
+  *    routing reach on very large indexes.
   *  - **Span pre-estimate, no index job.** Range-shaped arms (the
   *    runtime filter's over-cap degradation) already carry the
   *    occupancy-clustered byte ranges the dim pass computed
@@ -136,8 +141,15 @@ private[sql] object GraftRouteGuard {
         conf("spark.graft.route.guard.maxCandidateFraction", "0.2").toDouble
       val minRows =
         conf("spark.graft.route.guard.minIndexRows", "1048576").toLong
+      // the constant is sized so the FRACTION verdict rules outright up
+      // to ~5M-entry caps (the fraction test is exact there) and the
+      // exhaustion decline only kicks in where r13's fraction-scaled
+      // budget became the hazard; 262,144 was tried first and declined
+      // a genuinely profitable 12.5%-selectivity cross-OR at sf1 (the
+      // CrossCheck battery caught it) — a bigger constant is still a
+      // constant
       val maxProbeRows =
-        conf("spark.graft.route.guard.maxProbeRows", "262144").toLong
+        conf("spark.graft.route.guard.maxProbeRows", "1048576").toLong
       val total = manifests.map(engine.manifestRows).sum
       // byte-space mass of the arms over the index's key span, under
       // uniformity; single-index range-shaped routes only (a point
@@ -148,15 +160,20 @@ private[sql] object GraftRouteGuard {
             !estimateArms.exists(_.isInstanceOf[ArmRange])) None
         else engine.manifestKeySpan(manifests.head).flatMap {
           case (minK, maxK) =>
+            // 7-byte prefixes via the clustering's OWN arithmetic
+            // (GraftRuntimeFilter.prefixLong) — shared definition, so
+            // the estimate's units can never drift from the runs'
             val w = 7
-            val lo = prefixLong(minK, w)
-            val hi = prefixLong(maxK, w)
+            val lo = GraftRuntimeFilter.prefixLong(minK, w)
+            val hi = GraftRuntimeFilter.prefixLong(maxK, w)
             if (hi <= lo) None
             else Some(estimateArms.map {
               case ArmIn(_) => 0.0
               case ArmRange(a, b) =>
-                val s = a.fold(lo)(x => math.max(prefixLong(x, w), lo))
-                val e = b.fold(hi)(x => math.min(prefixLong(x, w), hi))
+                val s = a.fold(lo)(x =>
+                  math.max(GraftRuntimeFilter.prefixLong(x, w), lo))
+                val e = b.fold(hi)(x =>
+                  math.min(GraftRuntimeFilter.prefixLong(x, w), hi))
                 math.max(0L, e - s).toDouble / (hi - lo).toDouble
             }.sum)
         }
@@ -194,18 +211,6 @@ private[sql] object GraftRouteGuard {
       }
     } catch { case scala.util.control.NonFatal(_) => true }
 
-  /** First `w` bytes of `b` (0x00-right-padded) as a big-endian long —
-    * the same prefix arithmetic as the runtime filter's byte-prefix
-    * clustering, so the estimate speaks the clustering's units. */
-  private def prefixLong(b: Array[Byte], w: Int): Long = {
-    var v = 0L
-    var i = 0
-    while (i < w) {
-      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
-      i += 1
-    }
-    v
-  }
 }
 
 /** Public plan seam for harnesses outside this package (PerfEval,

@@ -393,8 +393,8 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
         if maxRanges > 1 && buckets > 1
         loB <- encodeRuntimeKey(attr, lo)
         hiB <- encodeRuntimeKey(attr, hi)
-        loP = prefixLong(loB, w)
-        hiP = prefixLong(hiB, w)
+        loP = GraftRuntimeFilter.prefixLong(loB, w)
+        hiP = GraftRuntimeFilter.prefixLong(hiB, w)
         if hiP > loP
         width = ((BigInt(hiP) - BigInt(loP) + buckets) / buckets)
           .max(1).toLong
@@ -431,17 +431,6 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** First `w` bytes of `b` (0x00-right-padded) as a big-endian long. */
-  private def prefixLong(b: Array[Byte], w: Int): Long = {
-    var v = 0L
-    var i = 0
-    while (i < w) {
-      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
-      i += 1
-    }
-    v
-  }
-
   private def prefixBytes(v: Long, w: Int): Array[Byte] =
     Array.tabulate(w)(i => ((v >>> ((w - 1 - i) * 8)) & 0xff).toByte)
 
@@ -458,6 +447,21 @@ private[sql] trait GraftRuntimeFilterable extends SupportsRuntimeFiltering {
   * execution. */
 object GraftRuntimeFilter {
   import org.apache.spark.sql.DataFrame
+
+  /** First `w` bytes of `b` (0x00-right-padded) as a big-endian long —
+    * the canonical prefix arithmetic shared by the byte-prefix
+    * clustering above and the route guard's span estimate
+    * ([[GraftRouteGuard]]), so the estimate's units can never drift
+    * from the clustering's. */
+  private[sql] def prefixLong(b: Array[Byte], w: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < w) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v
+  }
   private def scans(df: DataFrame): Seq[GraftRuntimeFilterable] =
     GraftPlanSeams.scansOf[GraftRuntimeFilterable](df)
   def attempted(df: DataFrame): Boolean = scans(df).exists(_.runtimeAttempted)

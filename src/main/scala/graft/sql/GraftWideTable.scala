@@ -1341,6 +1341,16 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     })
   private def indexCells(t: String): DataFrame = indexTableMeta(t)._2
 
+  /** Cartesian of per-member value lists -> composite key blobs, in
+    * declared key order — ONE definition shared by the guard's probe
+    * and the resolution's gather, so the guard can never measure a
+    * different probe than the gather runs. */
+  private def blobCartesian(valueLists: Seq[Seq[Array[Byte]]])
+      : Seq[Array[Byte]] =
+    valueLists.map(_.map(Seq(_)))
+      .reduce((as, bs) => for { a <- as; b <- bs } yield a ++ b)
+      .map(graft.read.SecondaryIndex.compositeBlob)
+
   private def guardAllows(r: WideRoute): Boolean = {
     import graft.read.SecondaryIndex
     def armsOf(p: GraftValuePred): Seq[SecondaryIndex.ValueArm] = p match {
@@ -1370,7 +1380,16 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
     val guardable: Option[(String,
         Seq[(String, Seq[SecondaryIndex.ValueArm])],
         Seq[() => DataFrame], Seq[SecondaryIndex.ValueArm])] = r match {
-      case WideSingle(c, ix, _) if coveredOnly(c, ix) => None
+      // the covered skip must match indexOnly's OWN condition: an In
+      // past the static probe cap (a runtime key set) resolves through
+      // the VERIFIED probe+gather path, not index-only — an ungated
+      // gather is exactly what the guard exists for, so only the
+      // genuinely index-only shapes skip
+      case WideSingle(c, ix, pred) if coveredOnly(c, ix) && (pred match {
+        case GraftValueIn(vs) =>
+          vs.sizeIs <= SecondaryIndex.MaxCompositeProbes
+        case _ => true
+      }) => None
       case WideSingle(_, ix, pred) if ix.moreColumns.nonEmpty =>
         // leading member of a composite: the same probe shapes the
         // verified lookup runs — prefix-range probe for equality/IN
@@ -1390,18 +1409,12 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         Some(("wideSingle", Seq((ix.indexTable, armsOf(pred))),
           Seq(() => memberHits(Seq((c, ix, armsOf(pred))))), armsOf(pred)))
       case WideComposite(ix, valueLists) =>
-        val blobs = valueLists.map(_.map(Seq(_)))
-          .reduce((as, bs) => for { a <- as; b <- bs } yield a ++ b)
-          .map(SecondaryIndex.compositeBlob)
+        val blobs = blobCartesian(valueLists)
         Some(("wideComposite",
           Seq((ix.indexTable, Seq(SecondaryIndex.ArmIn(blobs)))),
           Seq(blobProbe(ix, blobs)), Nil))
       case WideCompositeOr(ix, tuples) =>
-        val blobs = tuples.flatMap { vls =>
-          vls.map(_.map(Seq(_)))
-            .reduce((as, bs) => for { a <- as; b <- bs } yield a ++ b)
-            .map(SecondaryIndex.compositeBlob)
-        }
+        val blobs = tuples.flatMap(blobCartesian)
         Some(("wideCompositeOr",
           Seq((ix.indexTable, Seq(SecondaryIndex.ArmIn(blobs)))),
           Seq(blobProbe(ix, blobs)), Nil))
@@ -1812,11 +1825,7 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
         // RESIDUAL Or (all wide filters stay residual) makes the answer
         // exact — blob aliasing and stale entries are false positives it
         // drops
-        val blobs = tuples.flatMap { vls =>
-          vls.map(_.map(Seq(_)))
-            .reduce((as, bs) => for { a <- as; b <- bs } yield a ++ b)
-            .map(SecondaryIndex.compositeBlob)
-        }
+        val blobs = tuples.flatMap(blobCartesian)
         visible(keepWanted(boundsFilter(ScanExec(
           SecondaryIndex.gather(logical, indexCells(ix.indexTable), blobs),
           GScan()))))

@@ -236,6 +236,43 @@ class RouteGuardSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
   }
 
+  test("covered routes skip the guard ONLY when genuinely index-only: " +
+      "an over-cap runtime IN resolves through the gather and is measured") {
+    // the covered skip's rationale is "no gather to lose" — but an In
+    // past the static probe cap (a runtime key set) resolves through
+    // the VERIFIED probe+gather path even when the projection is
+    // covered, so it must be guarded like any arm (review r14)
+    val root = freshRoot("guardcov")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, immutableRows = true, wideKey = Some("k:long"),
+      wideSchema = Some("f:pop:long")), 1L)
+    g.table("t").put((1 to 2000).map(i =>
+      Put(Bytes.toBytes(i.toLong))
+        .add("f", b("pop"), 2L, Bytes.toBytes((i % 200).toLong))), 2L)
+    g.createIndex("t", "f", b("pop"), 3L)
+    register("ggcov", root)
+    spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    try {
+      // 150 distinct runtime keys (over the 64 static cap) matching 75%
+      // of rows: the gather-shaped covered route must DECLINE
+      val anti = spark.sql("SELECT t.k, t.pop FROM ggcov.`t$wide` t " +
+        "JOIN (SELECT explode(sequence(0L, 149L)) AS p) d ON t.pop = d.p")
+      assert(anti.collect().length == 1500)
+      assert(GraftWideSeams.usedIndexTables(anti).isEmpty,
+        "anti-selective over-cap covered IN must not route")
+      assert(GraftRouteSeams.guardDeclined(anti))
+      // 10 keys (under the static cap): genuinely index-only — skips
+      // the guard and routes
+      val sel = spark.sql("SELECT t.k, t.pop FROM ggcov.`t$wide` t " +
+        "JOIN (SELECT explode(sequence(0L, 9L)) AS p) d ON t.pop = d.p")
+      assert(sel.collect().length == 100)
+      assert(GraftWideSeams.usedIndexTables(sel).nonEmpty,
+        "under-cap covered IN should stay index-only routed")
+      assert(!GraftRouteSeams.guardDeclined(sel))
+    } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+
   test("below the measurement floor routes go unguarded — zero jobs, " +
       "zero measurements (small-fixture route mechanics stay pinned)") {
     val root = freshRoot("guardfloor")
