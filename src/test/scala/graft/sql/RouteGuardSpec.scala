@@ -236,6 +236,51 @@ class RouteGuardSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
   }
 
+  test("second execution of a guarded query runs ZERO guard jobs — " +
+      "listener-counted against the guard-disabled twin") {
+    val root = freshRoot("guardjobs")
+    mkGuardTable(root)
+    register("ggj", root)
+    spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    try {
+      def q() = spark.sql("SELECT k, status, flag FROM ggj.`t$wide` " +
+        "WHERE status = 'P' AND flag = 'y' ORDER BY k")
+      // first execution measures (and caches the verdict + stats)
+      q().collect(): Unit
+      def jobsOf(f: => Unit): Int = {
+        val n = new java.util.concurrent.atomic.AtomicInteger
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            n.incrementAndGet(): Unit
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          // the listener bus is async: poll until the count is stable
+          var last = -1
+          var stable = 0
+          while (stable < 3) {
+            Thread.sleep(100)
+            val c = n.get
+            if (c == last) stable += 1 else { stable = 0; last = c }
+          }
+        } finally spark.sparkContext.removeSparkListener(l)
+        n.get
+      }
+      // cached verdict: the guarded run must cost EXACTLY the jobs of
+      // the same query with the guard off (same routed plan, zero
+      // measurement jobs on top)
+      val guarded = jobsOf { q().collect(): Unit }
+      spark.conf.set("spark.graft.route.guard.enabled", "false")
+      val unguarded = try jobsOf { q().collect(): Unit }
+      finally spark.conf.unset("spark.graft.route.guard.enabled")
+      assert(guarded == unguarded,
+        s"cached-verdict run cost $guarded jobs vs $unguarded unguarded" +
+          " — the guard ran measurement jobs on a repeated query")
+    } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+
   test("covered routes skip the guard ONLY when genuinely index-only: " +
       "an over-cap runtime IN resolves through the gather and is measured") {
     // the covered skip's rationale is "no gather to lose" — but an In
