@@ -152,17 +152,67 @@ final case class TableDescriptor(
       java.util.Arrays.equals(ix.qualifier, q))
 }
 
+/** Persisted per-version statistics (r15) — computed WHEN THE DATA IS IN
+  * HAND (create/append/compaction/build — the writer just shuffled these
+  * rows anyway) and committed in the manifest, so planning and the route
+  * selectivity guard ([[graft.sql.GraftRouteGuard]]) read them
+  * metadata-only: a cold-start first query pays ZERO stat jobs, where the
+  * r14 lazy caches ran a count + a min/max aggregate per index version.
+  *
+  *  - `rows`: RAW stored cell count (tombstones and stale versions
+  *    included) — exact, rolled forward in O(delta) on every commit.
+  *  - `resolvedRows`: an UPPER BOUND on the live resolved entries —
+  *    exact (one [[graft.read.Resolve]] pass) at full rewrites
+  *    ([[Catalog.replaceData]] — compactions and index rebuilds — and
+  *    [[Catalog.analyzeTable]]); rolled forward as `+ delta puts` on
+  *    appends (new puts may shadow old entries, never create extra live
+  *    ones) and clamped to the surviving raw total on partial
+  *    compactions (a rewrite never adds live entries). The guard's
+  *    denominator uses this instead of `rows`, closing the r14 churn
+  *    caveat: a heavily updated/deleted index no longer inflates the
+  *    denominator and leans the guard permissive.
+  *  - `minKey`/`maxKey`: the stored row-key span (storage order — salted
+  *    keys on a salted table). Widened on append/partial compaction,
+  *    recomputed exactly on full rewrites — a stale-wide span only
+  *    overestimates arm coverage, i.e. leans the guard toward the pushed
+  *    scan (cost-only).
+  *  - `histogram`/`histRows`: an equi-depth row-key histogram —
+  *    `HistBuckets + 1` boundary keys at equal rank steps over the
+  *    `histRows` rows present when it was computed (full rewrites and
+  *    first loads). Boundaries come from a uniform key sample of up to
+  *    [[Catalog.HistSampleTarget]] rows sorted driver-side; by
+  *    Dvoretzky–Kiefer–Wolfowitz the empirical CDF is uniformly within
+  *    [[Catalog.HistRankErr]] of the true one with probability
+  *    1 - 2·exp(-2·10^6·0.005^2) ≈ 1 - 10^-21, so rank bounds derived
+  *    from the boundaries are sound for all practical purposes. Appends
+  *    after the computation are covered by the UNSEEN MASS
+  *    `rows - histRows`, which the guard adds to every upper bound — the
+  *    histogram may therefore VOUCH (route a probe) as well as decline,
+  *    unlike the uniformity span estimate (r14), which only ever
+  *    declines. */
+final case class ManifestStats(
+    rows: Long,
+    resolvedRows: Long,
+    minKey: Option[Array[Byte]],
+    maxKey: Option[Array[Byte]],
+    histRows: Long,
+    histogram: Seq[Array[Byte]])
+
 /** One committed table version: the list of immutable data directories
   * (each a sorted parquet write) plus the descriptor. The reference's
   * region dirs + HFiles + META, collapsed to a manifest — the same
   * copy-on-write idea as its snapshot reference files
-  * (`SnapshotDescriptor.java:157-170`, `HRegion.java:2263-2292`). */
+  * (`SnapshotDescriptor.java:157-170`, `HRegion.java:2263-2292`).
+  * `stats` is [[ManifestStats]] for this version's data; None on legacy
+  * manifests and restore-style repoints ([[Catalog.commitDataDirs]]),
+  * where the lazy per-version caches serve instead. */
 final case class Manifest(
     table: String,
     version: Long,
     createdMs: Long,
     descriptor: TableDescriptor,
-    dataDirs: Seq[String])
+    dataDirs: Seq[String],
+    stats: Option[ManifestStats] = None)
 
 /** Hand-rolled JSON for manifests — flat, deterministic, no deps. */
 object ManifestJson {
@@ -203,12 +253,30 @@ object ManifestJson {
       .getOrElse("") +
       m.descriptor.wideSchema.map(w => s""""wideSchema":${esc(w)},""")
         .getOrElse("")
+    // stats trail the dataDirs array (emitted only when present, so
+    // legacy manifests stay byte-identical) and deliberately sit OUTSIDE
+    // the top-level prefix region the wideKey/wideSchema anchor scans —
+    // hex payloads can never be misparsed into the descriptor
+    def hexS(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    val stats = m.stats.map { st =>
+      val span = (st.minKey, st.maxKey) match {
+        case (Some(a), Some(b)) =>
+          s""","statsMin":${esc(hexS(a))},"statsMax":${esc(hexS(b))}"""
+        case _ => ""
+      }
+      val hist =
+        if (st.histogram.isEmpty) ""
+        else s""","statsHist":${esc(st.histogram.map(hexS).mkString(";"))}"""
+      s""","statsRows":${st.rows},"statsResolved":${st.resolvedRows},""" +
+        s""""statsHistRows":${st.histRows}""" + span + hist
+    }.getOrElse("")
     s"""{"table":${esc(m.table)},"version":${m.version},"createdMs":${m.createdMs},""" +
       s""""readOnly":${m.descriptor.readOnly},"splitKeys":${m.descriptor.splitKeys},""" +
       s""""saltBuckets":${m.descriptor.saltBuckets},""" +
       s""""immutableRows":${m.descriptor.immutableRows},""" + wide +
       s""""splitBoundaries":$bounds,"indexes":$ixs,""" + pendIxs +
-      s""""families":$fams,"dataDirs":${m.dataDirs.map(esc).mkString("[", ",", "]")}}"""
+      s""""families":$fams,"dataDirs":${m.dataDirs.map(esc).mkString("[", ",", "]")}""" +
+      stats + "}"
   }
 
   // Minimal parser for exactly the shape `write` produces.
@@ -302,12 +370,30 @@ object ManifestJson {
       val top = if (end < 0) s else s.substring(0, end)
       ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(top).map(_.group(1))
     }
+    def unhex(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // stats fields are top-level scalars AFTER the dataDirs array (see
+    // write); absent on legacy manifests -> None
+    val stats = "\"statsRows\":(\\d+)".r.findFirstMatchIn(s).map { r =>
+      def optNum(k: String): Option[Long] =
+        ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
+      def optHex(k: String): Option[Array[Byte]] =
+        ("\"" + k + "\":\"([0-9a-f]*)\"").r.findFirstMatchIn(s)
+          .map(m => unhex(m.group(1)))
+      ManifestStats(r.group(1).toLong,
+        optNum("statsResolved").getOrElse(r.group(1).toLong),
+        optHex("statsMin"), optHex("statsMax"),
+        optNum("statsHistRows").getOrElse(0L),
+        "\"statsHist\":\"([0-9a-f;]*)\"".r.findFirstMatchIn(s)
+          .map(_.group(1)).filter(_.nonEmpty)
+          .fold(Seq.empty[Array[Byte]])(_.split(';').toSeq.map(unhex)))
+    }
     Manifest(str("table"), num("version"), num("createdMs"),
       TableDescriptor(str("table"), fams, bool("readOnly"),
         num("splitKeys").toInt, bounds, salt, ixs,
         immutableRows = bool("immutableRows"),
         wideKey = optStr("wideKey"), wideSchema = optStr("wideSchema"),
-        pendingIndexes = pendIxs), dirs)
+        pendingIndexes = pendIxs), dirs, stats)
   }
 }
 
@@ -371,6 +457,32 @@ final class Catalog(spark: SparkSession, root: String) {
       throw new FenceTrippedException(s"commit race on table $t v$v")
   }
 
+  /** The ONE manifest-commit path every mutation shares: write
+    * manifest-(v), swap CURRENT, then VERIFY the committed content —
+    * `writeFile` overwrites, so two concurrent committers computing the
+    * same v+1 could otherwise have the loser's manifest-(v) content
+    * land under the winner's successful CURRENT swap, a SILENT lost
+    * update (r14 closed this for alterTable only; ADVICE r14 asked for
+    * it uniformly — append/replaceData/replaceDirs/commitDataDirs/
+    * bulkLoad now share it). On a verify mismatch the committed state is
+    * the other writer's: trip the fence so this caller recomputes from
+    * the current (their) version and re-applies — both changes land,
+    * loudly ordered. (Write-once manifest files would close the window
+    * at the filesystem instead, but would turn a crash-leftover
+    * manifest-(v) without a CURRENT swap into a permanent commit
+    * blocker.) */
+  private def commitManifest(m: Manifest): Unit = {
+    val json = ManifestJson.write(m)
+    val p = new Path(tableDir(m.table), s"manifest-${m.version}.json")
+    writeFile(p, json)
+    commitCurrent(m.table, m.version)
+    if (readFile(p) != json)
+      throw new FenceTrippedException(
+        s"commit on ${m.table} lost manifest-${m.version} to a " +
+          "concurrent writer after this commit — recompute from the " +
+          "current version and re-apply")
+  }
+
   /** Fresh scratch dir INSIDE the table dir for a distributed delta write
     * (SQL UPDATE/MERGE task staging) — same filesystem as the table, so it
     * scales wherever the table lives. Dot-prefixed: never matches the
@@ -427,41 +539,58 @@ final class Catalog(spark: SparkSession, root: String) {
     * same signal as per-region HFile sizes (store file size in region
     * metrics) that drive its balancer; here it drives join planning. */
   def manifestBytes(m: Manifest): Long =
-    Catalog.bounded(Catalog.manifestBytesCache, statKey(m)) {
+    Catalog.manifestBytesCache.getOrElseUpdate(statKey(m)) {
       m.dataDirs.map { d =>
         val p = new Path(d)
         if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
       }.sum
     }
 
-  /** Total stored cell rows of a manifest (cached forever per version —
-    * data dirs are immutable): the row-count statistic the route
-    * selectivity guard ([[graft.sql.GraftRouteGuard]]) compares probe
-    * hit counts against. Parquet serves the count from footers, no
-    * column materialization. Churn caveat (cost-only): the count is
-    * RAW stored cells — stale versions and tombstones included — while
-    * the guard's numerator is distinct resolved row-key hits, so a
-    * heavily updated/deleted index inflates the denominator and the
-    * guard leans permissive until a compaction shrinks the manifest
-    * (compaction rewrites the dirs, bumps the version, and this cache
-    * re-counts the resolved survivors). */
+  /** Total stored cell rows of a manifest: served METADATA-ONLY from the
+    * persisted [[ManifestStats]] (every manifest committed since r15
+    * carries them — rolled forward in O(delta)); the lazy cached count
+    * (one footer-served job per version) remains only for legacy
+    * manifests and restore repoints. */
   def manifestRows(m: Manifest): Long =
-    Catalog.bounded(Catalog.manifestRowsCache, statKey(m)) {
-      readManifest(m).count()
-    }
+    m.stats.map(_.rows).getOrElse(
+      Catalog.manifestRowsCache.getOrElseUpdate(statKey(m)) {
+        Catalog.statJobs.incrementAndGet(): Unit
+        readManifest(m).count()
+      })
 
-  /** The manifest's stored row-key span [min, max] (cached forever per
-    * version — data dirs are immutable): one column-pruned min/max
-    * aggregate, served largely from parquet footer statistics. The
-    * route guard's span pre-estimate compares arm byte ranges against
-    * it ([[graft.sql.GraftRouteGuard]]). None on an empty table. */
+  /** Upper bound on the LIVE (resolved) entries of a manifest, when the
+    * persisted stats carry one — the route guard's denominator of
+    * choice: raw counts inflate under churn and lean the guard
+    * permissive (the r14 caveat this closes). */
+  def manifestResolvedRows(m: Manifest): Option[Long] =
+    m.stats.map(s => math.min(s.resolvedRows, s.rows))
+
+  /** The persisted equi-depth row-key histogram of a manifest version:
+    * (rows it was computed over, sorted boundary keys). None when the
+    * version predates stats or no full computation has run yet — the
+    * guard then falls back to measured probes. */
+  def manifestHistogram(m: Manifest): Option[(Long, Seq[Array[Byte]])] =
+    m.stats.filter(s => s.histRows > 0 && s.histogram.nonEmpty)
+      .map(s => (s.histRows, s.histogram))
+
+  /** The manifest's stored row-key span [min, max]: metadata-only from
+    * the persisted stats when present. Legacy fallback: one
+    * column-pruned min/max aggregate over the row column (a real scan —
+    * parquet aggregate pushdown is not enabled — which is exactly why
+    * new commits persist the span instead), cached per version. None on
+    * an empty table. */
   def manifestKeySpan(m: Manifest): Option[(Array[Byte], Array[Byte])] =
-    Catalog.bounded(Catalog.manifestKeySpanCache, statKey(m)) {
-      import org.apache.spark.sql.functions.{col, max, min}
-      val r = readManifest(m).agg(min(col("row")), max(col("row")))
-        .collect()(0)
-      if (r.isNullAt(0) || r.isNullAt(1)) None
-      else Some((r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+    m.stats match {
+      case Some(st) => for { lo <- st.minKey; hi <- st.maxKey } yield (lo, hi)
+      case None =>
+        Catalog.manifestKeySpanCache.getOrElseUpdate(statKey(m)) {
+          import org.apache.spark.sql.functions.{col, max, min}
+          Catalog.statJobs.incrementAndGet(): Unit
+          val r = readManifest(m).agg(min(col("row")), max(col("row")))
+            .collect()(0)
+          if (r.isNullAt(0) || r.isNullAt(1)) None
+          else Some((r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+        }
     }
 
   /** Cross-query route-guard verdict cache: a verdict is a pure
@@ -469,11 +598,14 @@ final class Catalog(spark: SparkSession, root: String) {
     * config) — all baked into `key` by [[graft.sql.GraftRouteGuard]] —
     * so a repeated query (the dashboard pattern) pays zero
     * re-measurement, and an index append bumps the version and
-    * naturally invalidates. Bounded: runtime-probe arm sets vary with
-    * dim content, so the cache clears wholesale past a size cap rather
-    * than growing with distinct dims. */
+    * naturally invalidates. Bounded LRU: runtime-probe arm sets vary
+    * with dim content, so the cache evicts least-recently-used past a
+    * size cap rather than growing with distinct dims. The key is
+    * prefixed with this catalog's root, 0x00-delimited (no path may
+    * contain NUL), so [[deleteTable]] can purge exactly this root's
+    * verdicts. */
   def guardVerdict(key: String)(measure: => Boolean): Boolean =
-    Catalog.bounded(Catalog.guardVerdictCache, root + " " + key)(measure)
+    Catalog.guardVerdictCache.getOrElseUpdate(root + "\u0000" + key)(measure)
 
   /** [[manifestAt]] tolerating pruned history (`expireVersions`). */
   def tryManifestAt(t: String, v: Long): Option[Manifest] =
@@ -512,9 +644,12 @@ final class Catalog(spark: SparkSession, root: String) {
       s"saltBuckets must be in [0, 256], got ${desc.saltBuckets}")
     requireLegalFamilyNames(desc)
     fs.mkdirs(tableDir(desc.name))
-    val m = Manifest(desc.name, 1L, nowMs, desc, Seq.empty)
-    writeFile(new Path(tableDir(desc.name), "manifest-1.json"), ManifestJson.write(m))
-    commitCurrent(desc.name, 1L)
+    // seed EMPTY stats: every table born here rolls its stats forward
+    // in O(delta) from the first batch on — no query ever pays a lazy
+    // count/min-max job
+    val m = Manifest(desc.name, 1L, nowMs, desc, Seq.empty,
+      stats = Some(ManifestStats(0L, 0L, None, None, 0L, Nil)))
+    commitManifest(m)
   }
 
   /** `HBaseAdmin.deleteTable:299` — drops the catalog entry and data.
@@ -529,15 +664,16 @@ final class Catalog(spark: SparkSession, root: String) {
       .foreach(ix => deleteTable(ix.indexTable))
     fs.delete(tableDir(t), true)
     // a recreated table restarts versions at 1 — stale per-version stats
-    // must not survive the delete (guard verdicts clear wholesale: they
-    // embed index versions opaquely, and deletes are rare)
+    // must not survive the delete. Guard verdicts embed index versions
+    // opaquely inside the key, so they purge by ROOT prefix (the key's
+    // 0x00-delimited first component): one catalog's temp-table drop
+    // must not force every other catalog in the JVM to re-measure
+    // (ADVICE r14 — the r14 cut cleared the cache wholesale).
     Seq(Catalog.manifestBytesCache, Catalog.manifestRowsCache).foreach {
-      c => c.keys.filter(k => k._1 == root && k._2 == t).foreach(c.remove)
+      c => c.removeIf(k => k._1 == root && k._2 == t)
     }
-    Catalog.manifestKeySpanCache.keys
-      .filter(k => k._1 == root && k._2 == t)
-      .foreach(Catalog.manifestKeySpanCache.remove)
-    Catalog.guardVerdictCache.clear()
+    Catalog.manifestKeySpanCache.removeIf(k => k._1 == root && k._2 == t)
+    Catalog.guardVerdictCache.removeIf(_.startsWith(root + "\u0000"))
   }
 
   /** `addColumn:549`/`deleteColumn:583`/`modifyColumn:618`/readonly flag:
@@ -584,20 +720,9 @@ final class Catalog(spark: SparkSession, root: String) {
     // crash-leftover manifest-(v) without a CURRENT swap into a
     // permanent commit blocker.)
     fence("before the manifest write"): Unit
-    val v = cur.version + 1
-    val m = cur.copy(version = v, createdMs = nowMs, descriptor = desc)
-    val json = ManifestJson.write(m)
-    val mPath = new Path(tableDir(t), s"manifest-$v.json")
-    writeFile(mPath, json)
-    commitCurrent(t, v)
-    // verify-after-commit: if a concurrent writer replaced our file
-    // between write and commit, the COMMITTED content is theirs — trip
-    // the fence so this caller recomputes from the current (their)
-    // version and re-applies; both changes land, loudly ordered.
-    if (readFile(mPath) != json)
-      throw new FenceTrippedException(
-        s"alterTable on $t lost manifest-$v to a concurrent writer " +
-          "after this commit — recompute from the current version")
+    // data unchanged -> stats carry forward verbatim (cur.copy keeps them)
+    commitManifest(cur.copy(version = cur.version + 1, createdMs = nowMs,
+      descriptor = desc))
   }
 
   /** Read the table as a cell DataFrame: union of the manifest's immutable
@@ -740,6 +865,108 @@ final class Catalog(spark: SparkSession, root: String) {
       .map(_.getPath.toString).sorted
   }
 
+  // ---- persisted per-version stats (r15, [[ManifestStats]]): computed
+  // while the data is in hand, so queries never pay stat jobs.
+
+  /** One column-pruned agg over `dirs`: (raw cells, min row, max row,
+    * put cells). The O(delta) roll-forward input — on an append this
+    * reads ONLY the just-written leaves. */
+  private def statAgg(dirs: Seq[String])
+      : (Long, Option[Array[Byte]], Option[Array[Byte]], Long) = {
+    if (dirs.isEmpty) return (0L, None, None, 0L)
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    val r = readDirs(dirs).agg(count(lit(1)), min(col("row")),
+      max(col("row")),
+      sum(when(col("kind") === graft.core.CellKind.Put, 1L).otherwise(0L)))
+      .collect()(0)
+    (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getAs[Array[Byte]](1)),
+      if (r.isNullAt(2)) None else Some(r.getAs[Array[Byte]](2)),
+      if (r.isNullAt(3)) 0L else r.getLong(3))
+  }
+
+  /** Equi-depth row-key boundaries ([[Catalog.HistBuckets]] + 1 keys)
+    * over `n` stored rows: a uniform sample of up to
+    * [[Catalog.HistSampleTarget]] keys, sorted driver-side, read at
+    * equal rank steps. DKW bounds the sample CDF within
+    * [[Catalog.HistRankErr]] of the truth (probability ~1 - 10^-21 at
+    * the 10^6 target — see [[ManifestStats]]); below the target the
+    * sample is the full key set and the boundaries are exact. Driver
+    * cost is O(sample), never O(table). */
+  private def keyHistogram(rows: org.apache.spark.sql.DataFrame,
+      n: Long): Seq[Array[Byte]] = {
+    if (n <= 0) return Nil
+    val frac = math.min(1.0, Catalog.HistSampleTarget.toDouble / n)
+    val keys = rows.select("row")
+    val sample =
+      (if (frac >= 1.0) keys
+       else keys.sample(withReplacement = false, frac, seed = 42L))
+        .collect().map(_.getAs[Array[Byte]](0))
+    if (sample.isEmpty) return Nil
+    java.util.Arrays.sort(sample,
+      (a: Array[Byte], b: Array[Byte]) => graft.core.Bytes.compareTo(a, b))
+    val m = sample.length
+    val b = Catalog.HistBuckets
+    (0 to b).map(j =>
+      sample(math.min(m - 1, (j.toLong * m / b).toInt)))
+  }
+
+  /** FULL stats of a data-dir set — the full-rewrite path
+    * ([[replaceData]]: compactions and index rebuilds; [[analyzeTable]];
+    * a table's FIRST batch). Three passes over data the caller just
+    * rewrote anyway: the [[statAgg]] aggregate, one
+    * [[graft.read.Resolve]] count (the EXACT live-entry count — the
+    * guard denominator that stays honest under churn), and the
+    * histogram sample. */
+  private def fullStats(dirs: Seq[String]): ManifestStats = {
+    val (n, lo, hi, _) = statAgg(dirs)
+    if (n == 0) return ManifestStats(0L, 0L, None, None, 0L, Nil)
+    val resolved = graft.read.Resolve(readDirs(dirs)).count()
+    ManifestStats(n, resolved, lo, hi, n, keyHistogram(readDirs(dirs), n))
+  }
+
+  /** O(delta) stats roll-forward for an append/bulk-load commit: raw
+    * rows add exactly; the resolved upper bound grows by the delta's
+    * PUTS only (new puts may shadow old entries, never mint extra live
+    * ones; tombstones mint none); the span widens to the union. A
+    * table's FIRST batch computes the full stats instead (histogram
+    * included — CREATE INDEX's initial build lands here, so a fresh
+    * index is guard-estimable from birth). Legacy manifests (None)
+    * stay legacy until a full rewrite or [[analyzeTable]]. */
+  private def mergeDeltaStats(prev: Option[ManifestStats],
+      newLeaves: Seq[String]): Option[ManifestStats] =
+    prev.map { p =>
+      if (newLeaves.isEmpty) p
+      else if (p.rows == 0) fullStats(newLeaves)
+      else {
+        val (n, lo, hi, puts) = statAgg(newLeaves)
+        ManifestStats(p.rows + n, p.resolvedRows + puts,
+          minKey = minOf(p.minKey, lo), maxKey = maxOf(p.maxKey, hi),
+          p.histRows, p.histogram)
+      }
+    }
+
+  private def minOf(a: Option[Array[Byte]], b: Option[Array[Byte]]) =
+    (a ++ b).reduceOption((x, y) =>
+      if (graft.core.Bytes.compareTo(x, y) <= 0) x else y)
+  private def maxOf(a: Option[Array[Byte]], b: Option[Array[Byte]]) =
+    (a ++ b).reduceOption((x, y) =>
+      if (graft.core.Bytes.compareTo(x, y) >= 0) x else y)
+
+  /** ANALYZE TABLE: recompute and persist FULL stats for the CURRENT
+    * data in a metadata-only manifest commit (data dirs untouched) —
+    * the explicit refresh for legacy tables, restore repoints, and
+    * churned indexes whose rolled-forward `resolvedRows` upper bound
+    * has drifted wide. Fenced like any commit. */
+  def analyzeTable(t: String, nowMs: Long): Manifest = {
+    val cur = currentManifest(t)
+    val stats = fullStats(cur.dataDirs)
+    val m = cur.copy(version = cur.version + 1, createdMs = nowMs,
+      stats = Some(stats))
+    commitManifest(m)
+    m
+  }
+
   /** Append a batch of cells as a new immutable data dir + manifest
     * version — the LSM "flush" (layout: [[writeCells]]).
     *
@@ -799,9 +1026,9 @@ final class Catalog(spark: SparkSession, root: String) {
     val leaves = writeCells(
       new Path(tableDir(t), s"data-$v").toString, storage, cur.descriptor)
     val m = cur.copy(version = v, createdMs = nowMs,
-      dataDirs = cur.dataDirs ++ leaves)
-    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
-    commitCurrent(t, v)
+      dataDirs = cur.dataDirs ++ leaves,
+      stats = mergeDeltaStats(cur.stats, leaves))
+    commitManifest(m)
     uncacheHot(cur)
     coveredIxs.foreach { ix =>
       append(ix.indexTable,
@@ -873,10 +1100,12 @@ final class Catalog(spark: SparkSession, root: String) {
     val leaves = writeCells(
       new Path(tableDir(t), s"compact-$v").toString, cells, desc)
     fence("after the rewrite, before the commit"): Unit
+    // a FULL rewrite is the designated stats (re)computation point:
+    // exact resolved count + fresh histogram over data this commit just
+    // shuffled anyway — compactions and index rebuilds land here
     val m = cur.copy(version = v, createdMs = nowMs, dataDirs = leaves,
-      descriptor = desc)
-    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
-    commitCurrent(t, v)
+      descriptor = desc, stats = Some(fullStats(leaves)))
+    commitManifest(m)
     uncacheHot(cur)
     m
   }
@@ -899,10 +1128,26 @@ final class Catalog(spark: SparkSession, root: String) {
     val v = cur.version + 1
     val leaves = writeCells(
       new Path(tableDir(t), s"compact-$v").toString, cells, cur.descriptor)
+    // a PARTIAL compaction must stay O(delta) — stats roll forward:
+    // raw rows subtract the removed leaves' footer count and add the
+    // rewrite's; the resolved upper bound clamps to the surviving raw
+    // total (a rewrite never ADDS live entries, so the previous bound
+    // stays sound); the span only widens (stale-wide = decline-leaning,
+    // cost-only) and the histogram carries (removals only LOWER true
+    // in-range mass, so its upper bounds stay sound; the unseen-mass
+    // term tracks the new raw total). The next FULL rewrite or
+    // analyzeTable re-tightens everything.
+    val stats = cur.stats.map { p =>
+      val removed = readDirs(removedLeaves.distinct).count()
+      val (n, lo, hi, _) = statAgg(leaves)
+      val raw = math.max(0L, p.rows - removed) + n
+      ManifestStats(raw, math.min(p.resolvedRows, raw),
+        minKey = minOf(p.minKey, lo), maxKey = maxOf(p.maxKey, hi),
+        p.histRows, p.histogram)
+    }
     val m = cur.copy(version = v, createdMs = nowMs,
-      dataDirs = cur.dataDirs.filterNot(gone) ++ leaves)
-    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
-    commitCurrent(t, v)
+      dataDirs = cur.dataDirs.filterNot(gone) ++ leaves, stats = stats)
+    commitManifest(m)
     uncacheHot(cur)
     m
   }
@@ -932,9 +1177,9 @@ final class Catalog(spark: SparkSession, root: String) {
     require(fs.exists(new Path(dataDir)), s"no such data dir: $dataDir")
     val v = cur.version + 1
     val m = cur.copy(version = v, createdMs = nowMs,
-      dataDirs = cur.dataDirs :+ dataDir)
-    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
-    commitCurrent(t, v)
+      dataDirs = cur.dataDirs :+ dataDir,
+      stats = mergeDeltaStats(cur.stats, Seq(dataDir)))
+    commitManifest(m)
     m
   }
 
@@ -943,9 +1188,11 @@ final class Catalog(spark: SparkSession, root: String) {
   def commitDataDirs(t: String, dataDirs: Seq[String], nowMs: Long): Manifest = {
     val cur = currentManifest(t)
     val v = cur.version + 1
-    val m = cur.copy(version = v, createdMs = nowMs, dataDirs = dataDirs)
-    writeFile(new Path(tableDir(t), s"manifest-$v.json"), ManifestJson.write(m))
-    commitCurrent(t, v)
+    // arbitrary repointed dirs -> stats unknown; the lazy caches serve
+    // until the next full rewrite or analyzeTable
+    val m = cur.copy(version = v, createdMs = nowMs, dataDirs = dataDirs,
+      stats = None)
+    commitManifest(m)
     uncacheHot(cur)
     m
   }
@@ -1009,33 +1256,66 @@ object Catalog {
     * (written via `partitionBy`, family column duplicated into the data). */
   val FamDirPrefix = "_fam="
 
+  /** Equi-depth histogram shape: bucket count (boundaries = B + 1 keys).
+    * 128 buckets keep rank bounds within ~1% of the truth while a
+    * manifest's histogram block stays a few KB. */
+  val HistBuckets = 128
+  /** Histogram sample-size target (driver-side sort bound). */
+  val HistSampleTarget = 1000000L
+  /** Uniform rank-error budget of the sampled boundaries (DKW at the
+    * sample target — see [[ManifestStats]]); consumers
+    * ([[graft.sql.GraftRouteGuard]]) widen every bound by it. */
+  val HistRankErr = 0.005
+
+  /** Lazy stat jobs actually RUN (legacy-manifest fallbacks only) —
+    * the test seam behind "a build-persisted table never pays a stat
+    * job at query time". */
+  private[graft] val statJobs = new java.util.concurrent.atomic.AtomicLong
+
+  /** Minimal synchronized access-order LRU: a miss past the cap evicts
+    * only the ELDEST entry — the r14 cut cleared the whole cache
+    * wholesale, so one miss past the cap forced a fleet-wide
+    * re-measurement stampede in a long-running multi-tenant JVM
+    * (ADVICE r14). `compute` runs OUTSIDE the lock (it may run Spark
+    * jobs); concurrent first-misses of one key may compute twice —
+    * idempotent by construction, same as the TrieMap it replaces. */
+  private[catalog] final class LruCache[K, V](max: Int) {
+    private val m = new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        this.size() > max
+    }
+    def getOrElseUpdate(k: K)(compute: => V): V = {
+      val hit = m.synchronized(m.get(k))
+      if (hit != null) hit
+      else {
+        val v = compute
+        m.synchronized {
+          val again = m.get(k)
+          if (again != null) again else { m.put(k, v); v }
+        }
+      }
+    }
+    def removeIf(pred: K => Boolean): Unit = m.synchronized {
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (pred(it.next())) it.remove()
+    }
+    private[graft] def size: Int = m.synchronized(m.size())
+  }
+
   // JVM-WIDE per-version stat caches — the SQL door mints a fresh
   // Catalog per query, so these must outlive the instance for the
   // "repeated query pays zero re-measurement" contract. Keyed by
   // (root, table, version): data dirs are immutable once referenced,
   // and deleteTable purges its table's entries (a recreated table
-  // restarts versions).
+  // restarts versions). Since r15 these serve only LEGACY manifests
+  // (new commits persist their stats); the verdict cache remains hot.
   private[catalog] val manifestBytesCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Long), Long]
+    new LruCache[(String, String, Long), java.lang.Long](8192)
   private[catalog] val manifestRowsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Long), Long]
-  private[catalog] val manifestKeySpanCache = scala.collection.concurrent
-    .TrieMap.empty[(String, String, Long),
-      Option[(Array[Byte], Array[Byte])]]
+    new LruCache[(String, String, Long), java.lang.Long](8192)
+  private[catalog] val manifestKeySpanCache =
+    new LruCache[(String, String, Long),
+      Option[(Array[Byte], Array[Byte])]](8192)
   private[catalog] val guardVerdictCache =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
-
-  /** Bounded lookup-or-compute: superseded versions accumulate in a
-    * long-running JVM (every append mints one), so each cache clears
-    * wholesale past a size cap — entries are cheap to recompute
-    * (footer reads) and the bound beats an eviction policy here. The
-    * size walk (O(n) on a TrieMap) runs only on a MISS; the hot
-    * cached-lookup path stays O(1). */
-  private[catalog] def bounded[K, V](
-      cache: scala.collection.concurrent.TrieMap[K, V], k: K)
-      (compute: => V): V =
-    cache.get(k).getOrElse {
-      if (cache.size > 8192) cache.clear()
-      cache.getOrElseUpdate(k, compute)
-    }
+    new LruCache[String, java.lang.Boolean](8192)
 }

@@ -339,6 +339,37 @@ object SecondaryIndex {
   final case class ArmRange(lo: Option[Array[Byte]],
       hi: Option[Array[Byte]]) extends ValueArm
 
+  /** Index-ROW-space key ranges of one arm, for the route guard's
+    * HISTOGRAM estimate ([[graft.sql.GraftRouteGuard]]) — the same
+    * ranges the probe predicates scan ([[armRowPred]]/[[probe]]/
+    * [[probeRange]]), exposed from HERE so the estimate's ranges can
+    * never drift from the probes'. The Boolean is EXACTNESS: whether
+    * stored-entry mass inside the ranges equals what the probe would
+    * count (so a histogram LOWER bound may decline), or only bounds it
+    * from above (UPPER/vouch only):
+    *  - equality/IN values map exactly (the value-prefix bijection —
+    *    the layout contract: values are 0x00-free unless fixed-width);
+    *  - a range with 0x00-FREE bounds maps exactly to
+    *    `[lo ++ 0x00, hi ++ 0x00)` under the same contract (and the
+    *    loose composite-leading probe adds no prefix ranges for a
+    *    0x00-free `hi`, so the loose scan IS this range);
+    *  - a 0x00-embedding bound (big-endian numerics) widens to
+    *    [[valueRangeStop]] — a superset of both the exact and the loose
+    *    probe's scan, sound for vouching but typically ~the whole span,
+    *    so numeric range arms in practice keep the measured probe. */
+  private[graft] def armEstimateRanges(arm: ValueArm)
+      : (Seq[(Option[Array[Byte]], Option[Array[Byte]])], Boolean) =
+    arm match {
+      case ArmIn(vs) =>
+        (vs.map(v => (Some(v ++ Sep) : Option[Array[Byte]],
+          Some(v ++ Array(1.toByte)) : Option[Array[Byte]])), true)
+      case ArmRange(lo, hi) =>
+        val zeroFree = lo.forall(!_.contains(0.toByte)) &&
+          hi.forall(!_.contains(0.toByte))
+        if (zeroFree) (Seq((lo.map(_ ++ Sep), hi.map(_ ++ Sep))), true)
+        else (Seq((lo.map(_ ++ Sep), hi.map(valueRangeStop))), false)
+    }
+
   /** Index-row-space predicate of one arm (probe ranges). */
   private def armRowPred(arm: ValueArm): org.apache.spark.sql.Column =
     arm match {

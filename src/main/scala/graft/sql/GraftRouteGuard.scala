@@ -1,6 +1,8 @@
 package graft.sql
 
-import graft.catalog.Catalog
+import graft.catalog.{Catalog, Manifest}
+import graft.core.Bytes
+import graft.read.SecondaryIndex
 import graft.read.SecondaryIndex.{ArmIn, ArmRange, ValueArm}
 import org.apache.spark.sql.DataFrame
 
@@ -22,67 +24,71 @@ private[sql] trait GraftGuardedRoute {
   * routed OR was the one legal input where this engine could be WORSE
   * than the reference.
   *
-  * The guard measures, not guesses: the route's own probe frame is
-  * counted with a capped occupancy probe (incremental execution stops
-  * early on anti-selective arms) against the index table's total entry
-  * count ([[Catalog.manifestRows]], a cached footer-only statistic) —
-  * candidate mass and table mass in the SAME units. The route declines
-  * when hits exceed `spark.graft.route.guard.maxCandidateFraction`
-  * (default 0.2) of the entries; indexes under
+  * A route is a set of [[GuardMember]]s (one per OR member; a member's
+  * `probe` builds the EXACT hit frame its gather would fetch — an
+  * intersected frame for conjunctive multi-leg members) whose summed
+  * candidate mass is compared against the involved index tables' entry
+  * count. The verdict ladder, cheapest first:
+  *
+  *  1. **Histogram bounds (r15) — zero index jobs, may VOUCH or
+  *     decline.** Index builds/compactions persist an equi-depth
+  *     row-key histogram in the manifest ([[graft.catalog.ManifestStats]]);
+  *     the member arms map to the probes' own scan key ranges
+  *     ([[SecondaryIndex.armEstimateRanges]] — one shared definition, so
+  *     estimate and probe can never drift) and rank arithmetic over the
+  *     boundaries yields a SOUND upper and (for exact mappings) lower
+  *     bound on the stored entries a probe would count; appends since
+  *     the computation are covered by the unseen mass `rows - histRows`
+  *     added to every upper bound. Upper below the allowed fraction →
+  *     ROUTE with zero measurement jobs — this is what lets a selective
+  *     probe with MORE than `maxProbeRows` hits on a very large index
+  *     still route, where the r14 exhaustion rule surrendered the
+  *     index's advantage exactly where it is largest. Lower above 2×
+  *     the fraction → DECLINE with zero jobs. Unlike the uniformity
+  *     span estimate below, the histogram is measurement-derived (a
+  *     banded key space concentrating every entry inside a narrow VALUE
+  *     range spreads those entries across ALL histogram buckets, so the
+  *     bounds stay honest where r14's uniformity hazard lived).
+  *  2. **Span pre-estimate (r14) — zero index jobs, decline-only.**
+  *     Range-shaped single-leg members estimate byte-space mass against
+  *     the index's persisted key span under a UNIFORMITY assumption;
+  *     per-member masses compose by sum (r15 — multi-member cross/mixed
+  *     ORs estimate too) and ≥ 2× the allowed fraction declines. An
+  *     assumption may only ever send the query to the pushed scan —
+  *     never vouch a route.
+  *  3. **Measured occupancy probe — capped.** The member probes are
+  *     counted incrementally under a CONSTANT budget
+  *     (`spark.graft.route.guard.maxProbeRows`, default 1,048,576 —
+  *     measurement cost must not scale with the index); exhaustion
+  *     before the fraction verdict declines optimistically.
+  *
+  * The denominator is the RESOLVED entry bound
+  * ([[Catalog.manifestResolvedRows]]) when the manifest persists one
+  * (r15 — a churned index no longer inflates the denominator and leans
+  * the guard permissive), else the raw count. Indexes at or under
   * `spark.graft.route.guard.minIndexRows` (default 1,048,576) route
   * unguarded — below that a mis-routed scan costs less than the
   * measurement, and small tables never pay the double probe. Covered
   * (index-only) routes skip the guard entirely: with no gather, reading
   * O(hits) of the index alone never loses to a full fact scan + decode.
-  *
-  * r14 — the refusal itself must be scale-safe (a decline that costs
-  * more than the plan it protects, and GROWS with the table, is a
-  * scale-killer of its own):
-  *  - **Constant measurement budget.** The occupancy probe reads at
-  *    most `spark.graft.route.guard.maxProbeRows` (default 1,048,576)
-  *    hits regardless of index size — the r13 budget was
-  *    `fraction × manifestRows`, which at 100 TB let one decline read
-  *    20% of a huge index. When the budget is exhausted before the
-  *    fraction verdict is reachable, the guard declines optimistically
-  *    — the estimate below must NOT vouch past an exhausted budget
-  *    (entries concentrate inside narrow arms in banded key spaces, so
-  *    tiny value-space coverage can still be ~every entry). The flip
-  *    side is deliberate, cost-only conservatism: on an index whose
-  *    cap exceeds the constant, a selective probe with more than
-  *    `maxProbeRows` hits declines too and the query runs as the
-  *    pushed scan — raise the knob to trade measurement cost for
-  *    routing reach on very large indexes.
-  *  - **Span pre-estimate, no index job.** Range-shaped arms (the
-  *    runtime filter's over-cap degradation) already carry the
-  *    occupancy-clustered byte ranges the dim pass computed
-  *    ([[GraftRuntimeFilterable]] `clusterRuns`/`clusterPrefixRuns`);
-  *    their byte-space overlap with the index's cached key span
-  *    ([[Catalog.manifestKeySpan]], one min/max aggregate per version)
-  *    estimates arm mass under uniformity. Arms covering ≥ 2× the
-  *    allowed fraction decline with ZERO index jobs — exactly the
-  *    hash-scattered-dim shape whose r13 refusal cost 2.1× the plan it
-  *    protected. Equality arms contribute nothing (a point's byte-space
-  *    mass is ~0); the measured probe keeps the final word for them.
-  *  - **Cross-query verdict cache.** A verdict is a pure function of
-  *    (index manifest versions, arm-set signature, guard config), so it
-  *    caches in the catalog next to `manifestRows`
-  *    ([[Catalog.guardVerdict]]) — the dashboard pattern (same query
-  *    re-run) pays zero re-measurement; an index append bumps the
-  *    version and naturally invalidates.
-  *
-  * Known estimate caveats (cost-only in both directions): the
-  * denominator counts raw stored index cells including stale versions
-  * and tombstones, so a heavily churned index inflates it and the guard
-  * leans permissive until a compaction shrinks the manifest; the span
-  * estimate assumes rough uniformity of entries over the key span, so a
-  * skewed index can estimate-decline a genuinely selective range probe.
-  * Either way the query falls back to the pushed scan + residual — the
-  * reference's own cost shape.
+  * Verdicts cache cross-query in the catalog ([[Catalog.guardVerdict]],
+  * keyed by index versions + arm signature + config), so the dashboard
+  * pattern pays zero re-measurement and an index append invalidates
+  * naturally.
   *
   * Routing is cost-only on every door (the OR/value predicates stay
   * residual, or the join re-checks equality), so a declined route can
   * never change semantics — the query just runs as the pushed scan. */
 private[sql] object GraftRouteGuard {
+
+  /** One index leg of a route member: the pinned index manifest plus
+    * the value arms probed on it. */
+  final case class GuardLeg(manifest: Manifest, arms: Seq[ValueArm])
+
+  /** One route member: `probe` builds the member's exact hit frame (an
+    * intersected frame when `legs.sizeIs > 1` — conjunctive members);
+    * `legs` carry the per-index arms the estimates work from. */
+  final case class GuardMember(probe: () => DataFrame, legs: Seq[GuardLeg])
 
   private def conf(k: String, d: String): String =
     try org.apache.spark.sql.SparkSession.active.conf.get(k, d)
@@ -96,16 +102,22 @@ private[sql] object GraftRouteGuard {
     * key component that distinguishes two routes over the same index
     * tables (an r13 memo keyed by table alone aliased them). `marker`
     * names the route class / probe looseness; each part is one probed
-    * index table with its value arms. */
+    * index table with its value arms. Every variable-length component
+    * (marker included) is 4-byte-length-delimited, so components can
+    * never alias across boundaries (ADVICE r14: the 16-bit prefix
+    * aliased lengths modulo 64 KiB and left the marker undelimited). */
   def signature(marker: String, parts: Seq[(String, Seq[ValueArm])])
       : String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def put(b: Array[Byte]): Unit = {
-      md.update((b.length & 0xff).toByte)
-      md.update((b.length >>> 8).toByte)
+      val n = b.length
+      md.update((n >>> 24).toByte)
+      md.update((n >>> 16).toByte)
+      md.update((n >>> 8).toByte)
+      md.update(n.toByte)
       md.update(b)
     }
-    md.update(marker.getBytes("UTF-8"))
+    put(marker.getBytes("UTF-8"))
     parts.foreach { case (table, arms) =>
       put(table.getBytes("UTF-8"))
       arms.foreach {
@@ -123,17 +135,83 @@ private[sql] object GraftRouteGuard {
     md.digest().map(b => f"$b%02x").mkString
   }
 
-  /** True when the summed capped hit count of the `probes` (one builder
-    * per route member — an intersected frame for conjunctive members)
-    * stays within the configured fraction of the involved index tables'
-    * (`manifests`) total entry count. `sig` keys the cross-query
-    * verdict cache ([[signature]]); `estimateArms` (single-index routes
-    * only) feeds the span pre-estimate. Any failure ALLOWS (an
-    * optimization gate must never fail or pessimize the query on
-    * measurement error). */
-  def allows(engine: Catalog, manifests: Seq[graft.catalog.Manifest],
-      probes: Seq[() => DataFrame], sig: String,
-      estimateArms: Seq[ValueArm] = Nil): Boolean =
+  /** (lower, upper) bound on the FRACTION of histogram rows whose key
+    * sorts strictly below `x`, from the equi-depth boundaries `bs`
+    * (each boundary's true rank is within [[Catalog.HistRankErr]] of
+    * its nominal `j / buckets` — see [[graft.catalog.ManifestStats]]). */
+  private def cdfBounds(bs: Seq[Array[Byte]], x: Array[Byte])
+      : (Double, Double) = {
+    val b = bs.length - 1
+    val below = bs.lastIndexWhere(Bytes.compareTo(_, x) < 0)
+    val atOrAbove = bs.indexWhere(Bytes.compareTo(_, x) >= 0)
+    val err = Catalog.HistRankErr
+    (if (below < 0) 0.0 else math.max(0.0, below.toDouble / b - err),
+      if (atOrAbove < 0) 1.0 else math.min(1.0, atOrAbove.toDouble / b + err))
+  }
+
+  /** Merge key ranges into disjoint ones (bytewise; None = unbounded),
+    * so summed per-range bounds never double-count an overlap. */
+  private def mergeRanges(
+      rs: Seq[(Option[Array[Byte]], Option[Array[Byte]])])
+      : Seq[(Option[Array[Byte]], Option[Array[Byte]])] = {
+    def loLt(a: Option[Array[Byte]], b: Option[Array[Byte]]): Boolean =
+      (a, b) match {
+        case (None, None) => false
+        case (None, _) => true
+        case (_, None) => false
+        case (Some(x), Some(y)) => Bytes.compareTo(x, y) < 0
+      }
+    // next.lo < cur.hi (None hi = +inf always overlaps)
+    def overlaps(hi: Option[Array[Byte]], lo: Option[Array[Byte]]): Boolean =
+      hi.forall(h => lo.forall(l => Bytes.compareTo(l, h) <= 0))
+    def hiMax(a: Option[Array[Byte]], b: Option[Array[Byte]]) =
+      if (a.isEmpty || b.isEmpty) None
+      else if (Bytes.compareTo(a.get, b.get) >= 0) a else b
+    rs.sortWith((p, q) => loLt(p._1, q._1))
+      .foldLeft(List.empty[(Option[Array[Byte]], Option[Array[Byte]])]) {
+        case (acc @ (cLo, cHi) :: rest, (lo, hi)) =>
+          if (overlaps(cHi, lo)) (cLo, hiMax(cHi, hi)) :: rest
+          else (lo, hi) :: acc
+        case (Nil, r) => r :: Nil
+      }.reverse
+  }
+
+  /** Histogram-derived (upper, lower) bound on the stored entries one
+    * leg's probe would count; None without a persisted histogram. */
+  private def histBounds(engine: Catalog, leg: GuardLeg)
+      : Option[(Double, Double)] =
+    engine.manifestHistogram(leg.manifest)
+      .filter(_ => leg.arms.nonEmpty)
+      .map { case (n0, bs) =>
+        val mapped = leg.arms.map(SecondaryIndex.armEstimateRanges)
+        def mass(rs: Seq[(Option[Array[Byte]], Option[Array[Byte]])],
+            lower: Boolean): Double =
+          mergeRanges(rs).map { case (lo, hi) =>
+            val (fLoL, fLoU) = lo.map(cdfBounds(bs, _)).getOrElse((0.0, 0.0))
+            val (fHiL, fHiU) = hi.map(cdfBounds(bs, _)).getOrElse((1.0, 1.0))
+            if (lower) math.max(0.0, fHiL - fLoU) * n0
+            else math.max(0.0, fHiU - fLoL) * n0
+          }.sum
+        val raw = engine.manifestRows(leg.manifest)
+        val unseen = math.max(0L, raw - n0).toDouble
+        val upper = math.min(raw.toDouble,
+          mass(mapped.flatMap(_._1), lower = false) + unseen)
+        // the lower bound may only use EXACTLY-mapped arms (a widened
+        // range bounds the probe's count from above, not below)
+        val exact = mapped.filter(_._2)
+        val lower =
+          if (exact.isEmpty) 0.0 else mass(exact.flatMap(_._1), lower = true)
+        (upper, lower)
+      }
+
+  /** True when the route's candidate mass stays within the configured
+    * fraction of the involved index tables' entry count — see the
+    * verdict ladder in the class doc. `sig` keys the cross-query
+    * verdict cache ([[signature]]). Any failure ALLOWS (an optimization
+    * gate must never fail or pessimize the query on measurement
+    * error). */
+  def allows(engine: Catalog, members: Seq[GuardMember], sig: String)
+      : Boolean =
     try {
       if (!conf("spark.graft.route.guard.enabled", "true").toBoolean)
         return true
@@ -147,27 +225,97 @@ private[sql] object GraftRouteGuard {
       // budget became the hazard; 262,144 was tried first and declined
       // a genuinely profitable 12.5%-selectivity cross-OR at sf1 (the
       // CrossCheck battery caught it) — a bigger constant is still a
-      // constant
+      // constant. Above it, HISTOGRAM-vouched routes (ladder step 1)
+      // keep selective probes routing without any measurement at all.
       val maxProbeRows =
         conf("spark.graft.route.guard.maxProbeRows", "1048576").toLong
-      val total = manifests.map(engine.manifestRows).sum
-      // byte-space mass of the arms over the index's key span, under
-      // uniformity; single-index range-shaped routes only (a point
-      // value's byte-space mass is ~0, so equality/IN arms never
-      // estimate — the measured probe keeps the final word for them)
-      lazy val estimate: Option[Double] =
-        if (manifests.sizeIs != 1 ||
-            !estimateArms.exists(_.isInstanceOf[ArmRange])) None
-        else engine.manifestKeySpan(manifests.head).flatMap {
+      val histEnabled =
+        conf("spark.graft.route.guard.histogram", "true").toBoolean
+      val manifests = members.flatMap(_.legs.map(_.manifest))
+        .groupBy(m => (m.table, m.version)).values.map(_.head).toSeq
+      def effRows(m: Manifest): Long =
+        engine.manifestResolvedRows(m).getOrElse(engine.manifestRows(m))
+      val total = manifests.map(effRows).sum
+      // below the floor routes go UNGUARDED, estimates included: a
+      // mis-routed scan at this size costs less than any measurement,
+      // and the route-mechanism contracts (specs pin that small
+      // fixtures route on predicate shape) stay honest
+      if (total <= minRows) return true
+      val key = manifests.map(m => s"${m.table}@${m.version}").sorted
+        .mkString(",") + s"|$sig|$fraction|$maxProbeRows|$histEnabled"
+      engine.guardVerdict(key) {
+        measurements.incrementAndGet(): Unit
+        // 1) histogram bounds: sound both ways (vouch needs EVERY
+        // member bounded; a multi-leg member's probe is an
+        // intersection, so the tightest leg bounds it from above and
+        // no lower bound exists)
+        val bounds: Seq[Option[(Double, Double)]] =
+          if (!histEnabled) members.map(_ => None)
+          else members.map { mem =>
+            val legBounds = mem.legs.flatMap(histBounds(engine, _))
+            if (legBounds.isEmpty) None
+            else Some((legBounds.map(_._1).min,
+              if (mem.legs.sizeIs == 1) legBounds.head._2 else 0.0))
+          }
+        val upperAll: Option[Double] =
+          if (bounds.forall(_.isDefined))
+            Some(bounds.flatten.map(_._1).sum)
+          else None
+        val lowerAll = bounds.flatten.map(_._2).sum
+        if (upperAll.exists(_ <= fraction * total)) true
+        else if (lowerAll >= 2.0 * fraction * total) false
+        // 2) span pre-estimate (uniformity — decline only): per-member
+        // single-leg byte-space masses over the persisted key span,
+        // composed by sum; members without an estimate contribute
+        // nothing (under-sum = fewer declines, cost-only)
+        else if (spanMass(engine, members, effRows) >= 2.0 * fraction * total)
+          false
+        else {
+          // 3) measured occupancy probes under the constant budget
+          val cap = math.max(1L, (total * fraction).toLong)
+          val budget = math.min(cap, math.max(1L, maxProbeRows))
+          var hits = 0L
+          val it = members.iterator
+          while (it.hasNext && hits <= budget) {
+            val probe = it.next().probe
+            val b = math.min(budget - hits + 1L, Int.MaxValue.toLong).toInt
+            hits += probe().limit(b).count()
+          }
+          // budget exhausted below the fraction verdict -> decline
+          // OPTIMISTICALLY: measurement cost must not scale with the
+          // index, and the UNIFORMITY estimate must never vouch past an
+          // exhausted budget — entries concentrate INSIDE narrow arms
+          // (banded key spaces are the norm in scaled corpora); only
+          // counting, or the measurement-derived histogram above,
+          // tells. `cap` is unused past the budget floor but kept
+          // explicit: budget == cap whenever the cap is small enough
+          // to measure outright.
+          hits <= math.min(budget, cap)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => true }
+
+  /** Summed byte-space mass estimate of the members' range arms over
+    * their indexes' key spans, under uniformity (7-byte prefixes via
+    * the clustering's OWN arithmetic — [[GraftRuntimeFilter.prefixLong]]
+    * — so the estimate's units can never drift from the runs').
+    * Equality arms contribute nothing (a point's byte-space mass is
+    * ~0); multi-leg members and degenerate spans contribute nothing
+    * (an unknown is never a reason to decline). */
+  private def spanMass(engine: Catalog, members: Seq[GuardMember],
+      effRows: Manifest => Long): Double =
+    members.map { mem =>
+      if (mem.legs.sizeIs != 1) 0.0
+      else {
+        val leg = mem.legs.head
+        if (!leg.arms.exists(_.isInstanceOf[ArmRange])) 0.0
+        else engine.manifestKeySpan(leg.manifest).fold(0.0) {
           case (minK, maxK) =>
-            // 7-byte prefixes via the clustering's OWN arithmetic
-            // (GraftRuntimeFilter.prefixLong) — shared definition, so
-            // the estimate's units can never drift from the runs'
             val w = 7
             val lo = GraftRuntimeFilter.prefixLong(minK, w)
             val hi = GraftRuntimeFilter.prefixLong(maxK, w)
-            if (hi <= lo) None
-            else Some(estimateArms.map {
+            if (hi <= lo) 0.0
+            else leg.arms.map {
               case ArmIn(_) => 0.0
               case ArmRange(a, b) =>
                 val s = a.fold(lo)(x =>
@@ -175,41 +323,10 @@ private[sql] object GraftRouteGuard {
                 val e = b.fold(hi)(x =>
                   math.min(GraftRuntimeFilter.prefixLong(x, w), hi))
                 math.max(0L, e - s).toDouble / (hi - lo).toDouble
-            }.sum)
-        }
-      // below the floor routes go UNGUARDED, estimate included: a
-      // mis-routed scan at this size costs less than any measurement,
-      // and the route-mechanism contracts (specs pin that small
-      // fixtures route on predicate shape) stay honest
-      if (total <= minRows) return true
-      val key = manifests.map(m => s"${m.table}@${m.version}")
-        .mkString(",") + s"|$sig|$fraction|$maxProbeRows"
-      engine.guardVerdict(key) {
-        measurements.incrementAndGet(): Unit
-        val cap = math.max(1L, (total * fraction).toLong)
-        val budget = math.min(cap, math.max(1L, maxProbeRows))
-        if (estimate.exists(_ >= fraction * 2.0)) false
-        else {
-          var hits = 0L
-          val it = probes.iterator
-          while (it.hasNext && hits <= budget) {
-            val probe = it.next()
-            val b = math.min(budget - hits + 1L, Int.MaxValue.toLong).toInt
-            hits += probe().limit(b).count()
-          }
-          // budget exhausted below the fraction verdict -> decline
-          // OPTIMISTICALLY: measurement cost must not scale with the
-          // index, and the span estimate must NOT vouch past an
-          // exhausted budget — entries concentrate INSIDE narrow arms
-          // (banded key spaces are the norm in scaled corpora), so a
-          // tiny value-space coverage can still be ~every entry; only
-          // counting tells. `cap` is unused past the budget floor but
-          // kept explicit: budget == cap whenever the cap is small
-          // enough to measure outright.
-          hits <= math.min(budget, cap)
+            }.sum * effRows(leg.manifest)
         }
       }
-    } catch { case scala.util.control.NonFatal(_) => true }
+    }.sum
 
 }
 

@@ -867,8 +867,10 @@ class GraftV1Scan(engine: Catalog, tableName: String, gscan: GScan,
       probe: () => DataFrame): Boolean = {
     val sig = GraftRouteGuard.signature(marker, Seq((ixTable, arms)))
     guardVerdicts.get(sig).getOrElse {
-      val ok = GraftRouteGuard.allows(engine, Seq(indexTableMeta(ixTable)._1),
-        Seq(probe), sig, estimateArms = arms)
+      val ok = GraftRouteGuard.allows(engine,
+        Seq(GraftRouteGuard.GuardMember(probe,
+          Seq(GraftRouteGuard.GuardLeg(indexTableMeta(ixTable)._1, arms)))),
+        sig)
       guardVerdicts += sig -> ok
       if (!ok) guardDeclinedFlag = true
       ok

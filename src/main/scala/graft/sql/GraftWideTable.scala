@@ -1358,28 +1358,40 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
       case GraftValueRange(lo, hi) => Seq(SecondaryIndex.ArmRange(lo, hi))
       case GraftValueOr(arms) => arms
     }
-    // guardable routes: (signature parts, per-MEMBER probe-hits
-    // builders — an intersected frame for multi-leg cross-or members,
-    // so the guard measures what the gather would actually fetch;
-    // estimate arms for single-index routes). Covered index-only routes
-    // skip (no gather — see GraftRouteGuard). r14: composite and
-    // LEADING-member routes no longer skip — the leading loose probe is
-    // exactly as arm-shaped as the single-column case, and a composite
-    // blob cartesian counts as an IN of blobs; each is measured with
-    // the probe shape its gather would run.
+    // guardable routes: (signature parts, route MEMBERS — each member's
+    // probe builds the exact hit frame its gather would fetch, an
+    // intersected frame for multi-leg cross-or members, and each leg
+    // carries its per-index arms for the guard's histogram/span
+    // estimates). Covered index-only routes skip (no gather — see
+    // GraftRouteGuard). r14: composite and LEADING-member routes no
+    // longer skip — the leading loose probe is exactly as arm-shaped as
+    // the single-column case, and a composite blob cartesian counts as
+    // an IN of blobs; each is measured with the probe shape its gather
+    // would run.
+    import GraftRouteGuard.{GuardLeg, GuardMember}
     def memberHits(legs: Seq[(WideCol, graft.catalog.IndexDescriptor,
         Seq[SecondaryIndex.ValueArm])]): DataFrame =
       legs.map { case (_, ix, arms) =>
         SecondaryIndex.probeOr(indexCells(ix.indexTable), arms)
       }.reduce((a, b) => a.join(b, Seq("row"), "left_semi"))
+    def legsOf(legs: Seq[(WideCol, graft.catalog.IndexDescriptor,
+        Seq[SecondaryIndex.ValueArm])]): Seq[GuardLeg] =
+      legs.map { case (_, ix, arms) =>
+        GuardLeg(indexTableMeta(ix.indexTable)._1, arms)
+      }
     def blobProbe(ix: graft.catalog.IndexDescriptor,
         blobs: Seq[Array[Byte]]): () => DataFrame = () =>
       if (blobs.sizeIs == 1)
         SecondaryIndex.probe(indexCells(ix.indexTable), blobs.head)
       else SecondaryIndex.probeAll(indexCells(ix.indexTable), blobs)
+    def oneLeg(ix: graft.catalog.IndexDescriptor,
+        arms: Seq[SecondaryIndex.ValueArm],
+        probe: () => DataFrame): Seq[GuardMember] =
+      Seq(GuardMember(probe,
+        Seq(GuardLeg(indexTableMeta(ix.indexTable)._1, arms))))
     val guardable: Option[(String,
         Seq[(String, Seq[SecondaryIndex.ValueArm])],
-        Seq[() => DataFrame], Seq[SecondaryIndex.ValueArm])] = r match {
+        Seq[GuardMember])] = r match {
       // the covered skip must match indexOnly's OWN condition: an In
       // past the static probe cap (a runtime key set) resolves through
       // the VERIFIED probe+gather path, not index-only — an ungated
@@ -1404,37 +1416,38 @@ class GraftWideScan(engine: Catalog, baseTable: String, spec: WideSpec,
             SecondaryIndex.probeOr(indexCells(ix.indexTable), arms)
         }
         Some(("wideLeading", Seq((ix.indexTable, armsOf(pred))),
-          Seq(probe), armsOf(pred)))
+          oneLeg(ix, armsOf(pred), probe)))
       case WideSingle(c, ix, pred) =>
         Some(("wideSingle", Seq((ix.indexTable, armsOf(pred))),
-          Seq(() => memberHits(Seq((c, ix, armsOf(pred))))), armsOf(pred)))
+          oneLeg(ix, armsOf(pred),
+            () => memberHits(Seq((c, ix, armsOf(pred)))))))
       case WideComposite(ix, valueLists) =>
         val blobs = blobCartesian(valueLists)
         Some(("wideComposite",
           Seq((ix.indexTable, Seq(SecondaryIndex.ArmIn(blobs)))),
-          Seq(blobProbe(ix, blobs)), Nil))
+          oneLeg(ix, Seq(SecondaryIndex.ArmIn(blobs)),
+            blobProbe(ix, blobs))))
       case WideCompositeOr(ix, tuples) =>
         val blobs = tuples.flatMap(blobCartesian)
         Some(("wideCompositeOr",
           Seq((ix.indexTable, Seq(SecondaryIndex.ArmIn(blobs)))),
-          Seq(blobProbe(ix, blobs)), Nil))
+          oneLeg(ix, Seq(SecondaryIndex.ArmIn(blobs)),
+            blobProbe(ix, blobs))))
       case WideCrossOr(ms) =>
         Some(("wideCrossOr",
           ms.flatMap(_.map(l => (l._2.indexTable, l._3))),
-          ms.map(legs => () => memberHits(legs)), Nil))
+          ms.map(legs => GuardMember(() => memberHits(legs), legsOf(legs)))))
       case WideMixedOr(_, ms) =>
         Some(("wideMixedOr", ms.map(m => (m._2.indexTable, m._3)),
-          ms.map(m => () => memberHits(Seq(m))), Nil))
+          ms.map(m =>
+            GuardMember(() => memberHits(Seq(m)), legsOf(Seq(m))))))
     }
     guardable match {
       case None => true
-      case Some((marker, parts, probes, estArms)) =>
-        val tables = parts.map(_._1).distinct
+      case Some((marker, parts, members)) =>
         val sig = GraftRouteGuard.signature(marker, parts)
         guardVerdicts.get(sig).getOrElse {
-          val ok = GraftRouteGuard.allows(engine,
-            tables.map(t => indexTableMeta(t)._1), probes, sig,
-            estimateArms = estArms)
+          val ok = GraftRouteGuard.allows(engine, members, sig)
           guardVerdicts += sig -> ok
           if (!ok) guardDeclinedFlag = true
           ok

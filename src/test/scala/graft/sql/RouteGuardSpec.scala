@@ -173,6 +173,12 @@ class RouteGuardSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
   }
 
+  private def member(m: graft.catalog.Manifest,
+      arms: Seq[graft.read.SecondaryIndex.ValueArm],
+      probe: () => org.apache.spark.sql.DataFrame) =
+    Seq(GraftRouteGuard.GuardMember(probe,
+      Seq(GraftRouteGuard.GuardLeg(m, arms))))
+
   test("span pre-estimate declines near-full-span range arms with zero " +
       "probe jobs; constant budget caps measurement on huge caps") {
     val root = freshRoot("guardest")
@@ -196,44 +202,155 @@ class RouteGuardSpec extends SparkSpec {
       // BEFORE any index job — the probe closure must never run
       val full = Seq(ArmRange(Some(Bytes.toBytes(1L)),
         Some(Bytes.toBytes(2001L))))
-      assert(!GraftRouteGuard.allows(engine, Seq(m), Seq(() => probe()),
-        "est-full", estimateArms = full))
+      assert(!GraftRouteGuard.allows(engine,
+        member(m, full, () => probe()), "est-full"))
       assert(!probeRan, "estimate-decline must not run an index job")
-      // narrow arms: the estimate stays quiet, the measured probe runs
-      // and (selective) allows
+      // narrow LONG-bounded arms (0x00-embedding bounds -> the histogram
+      // mapping widens to an upper-only bound and stays quiet): the
+      // measured probe runs and (selective) allows
       val narrow = Seq(ArmRange(Some(Bytes.toBytes(5L)),
         Some(Bytes.toBytes(10L))))
       var narrowHits = 0
-      assert(GraftRouteGuard.allows(engine, Seq(m),
-        Seq(() => { narrowHits += 1
+      assert(GraftRouteGuard.allows(engine,
+        member(m, narrow, () => { narrowHits += 1
           graft.read.SecondaryIndex.probeRange(engine.readManifest(m),
             Some(Bytes.toBytes(5L)), Some(Bytes.toBytes(10L)),
             exactPrefix = false) }),
-        "est-narrow", estimateArms = narrow))
+        "est-narrow"))
       assert(narrowHits == 1, "narrow arms must be measured")
       // CONSTANT budget: with maxProbeRows=8 a probe that exceeds the
       // budget declines OPTIMISTICALLY — measurement cost must not
-      // scale with the index — and the estimate must NOT vouch past the
-      // exhaustion even for narrow range arms (banded key spaces put
-      // ~every entry inside narrow arms; only counting tells)
+      // scale with the index — and the UNIFORMITY estimate must NOT
+      // vouch past the exhaustion even for narrow range arms (banded
+      // key spaces put ~every entry inside narrow arms). The
+      // measurement-derived HISTOGRAM is the sanctioned way past the
+      // budget (next test); disable it here to pin the fallback.
       spark.conf.set("spark.graft.route.guard.maxProbeRows", "8")
+      spark.conf.set("spark.graft.route.guard.histogram", "false")
       try {
-        assert(!GraftRouteGuard.allows(engine, Seq(m),
-          Seq(() => engine.readManifest(m).select(
-            org.apache.spark.sql.functions.col("row"))),
-          "est-budget-in", estimateArms = Seq(ArmIn(Seq(Bytes.toBytes(1L))))))
-        assert(!GraftRouteGuard.allows(engine, Seq(m),
-          Seq(() => engine.readManifest(m).select(
+        assert(!GraftRouteGuard.allows(engine,
+          member(m, Seq(ArmIn(Seq(Bytes.toBytes(1L)))),
+            () => engine.readManifest(m).select(
+              org.apache.spark.sql.functions.col("row"))),
+          "est-budget-in"))
+        assert(!GraftRouteGuard.allows(engine,
+          member(m, narrow, () => engine.readManifest(m).select(
             org.apache.spark.sql.functions.col("row")).limit(20)),
-          "est-budget-range", estimateArms = narrow),
+          "est-budget-range"),
           "narrow-arm estimate must not override an exhausted budget")
         // under the budget the same narrow probe still measures + allows
-        assert(GraftRouteGuard.allows(engine, Seq(m),
-          Seq(() => engine.readManifest(m).select(
+        assert(GraftRouteGuard.allows(engine,
+          member(m, narrow, () => engine.readManifest(m).select(
             org.apache.spark.sql.functions.col("row")).limit(5)),
-          "est-budget-under", estimateArms = narrow))
-      } finally spark.conf.unset("spark.graft.route.guard.maxProbeRows")
+          "est-budget-under"))
+      } finally {
+        spark.conf.unset("spark.graft.route.guard.maxProbeRows")
+        spark.conf.unset("spark.graft.route.guard.histogram")
+      }
     } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+
+  test("histogram crossover (r15): a sub-fraction probe LARGER than the " +
+      "probe budget still routes — zero index jobs either way") {
+    val root = freshRoot("guardhist")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("h", Seq(FamilyDescriptor("f")),
+      splitKeys = 2, immutableRows = true), 1L)
+    // grp skew: value 7 on 60% of rows (anti-selective), values 0..7 on
+    // the rest (~10% each of the remainder) — value 3 is ~5% (selective)
+    g.table("h").put((1 to 2000).map(i =>
+      Put(Bytes.toBytes(i.toLong)).add("f", b("grp"), 2L,
+        Bytes.toBytes(if (i <= 1200) 7L else (i % 8).toLong))), 2L)
+    g.createIndex("h", "f", b("grp"), 3L)
+    val engine = g.catalog
+    val ixTable = engine.currentManifest("h").descriptor.indexes
+      .head.indexTable
+    val m = engine.currentManifest(ixTable)
+    assert(m.stats.exists(_.histogram.nonEmpty),
+      "the initial index build must persist a histogram")
+    import graft.read.SecondaryIndex.ArmIn
+    spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    // budget far below the selective probe's ~100 hits: the r14
+    // exhaustion rule alone would surrender the route
+    spark.conf.set("spark.graft.route.guard.maxProbeRows", "8")
+    try {
+      var probeRan = false
+      def probe(): org.apache.spark.sql.DataFrame = {
+        probeRan = true
+        graft.read.SecondaryIndex.probe(engine.readManifest(m),
+          Bytes.toBytes(3L))
+      }
+      // selective value (≈5% << 20% fraction), hits >> budget: the
+      // histogram upper bound VOUCHES — routes with ZERO index jobs
+      assert(GraftRouteGuard.allows(engine,
+        member(m, Seq(ArmIn(Seq(Bytes.toBytes(3L)))), () => probe()),
+        "hist-route"),
+        "histogram must route a selective probe past the budget")
+      assert(!probeRan, "histogram-vouched route must run zero index jobs")
+      // anti-selective value (60%): the histogram LOWER bound declines,
+      // also with zero index jobs
+      assert(!GraftRouteGuard.allows(engine,
+        member(m, Seq(ArmIn(Seq(Bytes.toBytes(7L)))), () => probe()),
+        "hist-decline"),
+        "histogram must decline the anti-selective probe")
+      assert(!probeRan, "histogram decline must run zero index jobs")
+      // histogram off: the same selective probe falls back to the
+      // measured path, exhausts the forced-low budget, and declines —
+      // the retained no-histogram fallback
+      spark.conf.set("spark.graft.route.guard.histogram", "false")
+      try
+        assert(!GraftRouteGuard.allows(engine,
+          member(m, Seq(ArmIn(Seq(Bytes.toBytes(3L)))), () => probe()),
+          "hist-off"),
+          "without the histogram the exhausted budget must decline")
+      finally spark.conf.unset("spark.graft.route.guard.histogram")
+      assert(probeRan, "the no-histogram fallback must measure")
+    } finally {
+      spark.conf.unset("spark.graft.route.guard.minIndexRows")
+      spark.conf.unset("spark.graft.route.guard.maxProbeRows")
+    }
+  }
+
+  test("multi-member span estimate (r15): an anti-selective two-member " +
+      "cross-or declines from per-member estimates, zero index jobs") {
+    val root = freshRoot("guardxor")
+    val g = mkGuardTable(root)
+    val engine = g.catalog
+    val ixs = engine.currentManifest("t").descriptor.indexes
+    val m1 = engine.currentManifest(ixs.head.indexTable)
+    val m2 = engine.currentManifest(ixs.last.indexTable)
+    spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    // pin the SPAN path (the histogram would decline this on its own)
+    spark.conf.set("spark.graft.route.guard.histogram", "false")
+    try {
+      import graft.read.SecondaryIndex.ArmRange
+      var probes = 0
+      def probe(m: graft.catalog.Manifest)
+          : org.apache.spark.sql.DataFrame = {
+        probes += 1
+        engine.readManifest(m).select(
+          org.apache.spark.sql.functions.col("row"))
+      }
+      def full(m: graft.catalog.Manifest) = {
+        val span = engine.manifestKeySpan(m).get
+        Seq(ArmRange(Some(span._1),
+          Some(span._2 ++ Array(0.toByte))))
+      }
+      // each member alone is ~its whole index: the summed per-member
+      // masses cross the 2x margin and the route declines with ZERO
+      // index jobs — r14 skipped estimation entirely for multi-index
+      // routes and paid a measured first probe here
+      val members =
+        member(m1, full(m1), () => probe(m1)) ++
+          member(m2, full(m2), () => probe(m2))
+      assert(!GraftRouteGuard.allows(engine, members, "xor-est"),
+        "summed member estimates must decline the cross-or")
+      assert(probes == 0,
+        "multi-member estimate-decline must run zero index jobs")
+    } finally {
+      spark.conf.unset("spark.graft.route.guard.minIndexRows")
+      spark.conf.unset("spark.graft.route.guard.histogram")
+    }
   }
 
   test("second execution of a guarded query runs ZERO guard jobs — " +
@@ -247,14 +364,22 @@ class RouteGuardSpec extends SparkSpec {
         "WHERE status = 'P' AND flag = 'y' ORDER BY k")
       // first execution measures (and caches the verdict + stats)
       q().collect(): Unit
+      // count only THIS test's jobs: guard measurement jobs and the
+      // query's own jobs are submitted from this thread, so a job group
+      // scopes them — an unrelated job from a parallel suite on the
+      // shared context no longer breaks the exact equality (ADVICE r14:
+      // the unscoped count was flaky by design)
       def jobsOf(f: => Unit): Int = {
+        val group = s"guardjobs-${java.util.UUID.randomUUID()}"
         val n = new java.util.concurrent.atomic.AtomicInteger
         val l = new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
               js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-            n.incrementAndGet(): Unit
+            if (group == js.properties.getProperty("spark.jobGroup.id"))
+              n.incrementAndGet(): Unit
         }
         spark.sparkContext.addSparkListener(l)
+        spark.sparkContext.setJobGroup(group, "RouteGuardSpec.jobsOf")
         try {
           f
           // the listener bus is async: poll until the count is stable
@@ -265,7 +390,10 @@ class RouteGuardSpec extends SparkSpec {
             val c = n.get
             if (c == last) stable += 1 else { stable = 0; last = c }
           }
-        } finally spark.sparkContext.removeSparkListener(l)
+        } finally {
+          spark.sparkContext.clearJobGroup()
+          spark.sparkContext.removeSparkListener(l)
+        }
         n.get
       }
       // cached verdict: the guarded run must cost EXACTLY the jobs of
@@ -338,13 +466,103 @@ class RouteGuardSpec extends SparkSpec {
     // than any measurement, and WideViewSpec pins that small fixtures
     // route on predicate shape)
     val before = GraftRouteGuard.measurements.get()
-    assert(GraftRouteGuard.allows(engine, Seq(m), Seq(() => probe()),
-      "floor-full", estimateArms = Seq(ArmRange(Some(Bytes.toBytes(1L)),
-        Some(Bytes.toBytes(2001L))))))
-    assert(GraftRouteGuard.allows(engine, Seq(m), Seq(() => probe()),
-      "floor-in", estimateArms = Seq(ArmIn(Seq(Bytes.toBytes(1L))))))
+    assert(GraftRouteGuard.allows(engine,
+      member(m, Seq(ArmRange(Some(Bytes.toBytes(1L)),
+        Some(Bytes.toBytes(2001L)))), () => probe()), "floor-full"))
+    assert(GraftRouteGuard.allows(engine,
+      member(m, Seq(ArmIn(Seq(Bytes.toBytes(1L)))), () => probe()),
+      "floor-in"))
     assert(!probeRan, "below the floor no probe may run")
     assert(GraftRouteGuard.measurements.get() == before,
       "below the floor no measurement may be counted")
+  }
+
+  test("churned index: the resolved denominator declines a probe the " +
+      "raw one would have routed (r15)") {
+    val root = freshRoot("guardchurn")
+    val g = Graft(spark, root)
+    g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+      splitKeys = 2), 1L)
+    // value 5 on 30% of rows; the batch is re-put 5x (same cells, newer
+    // ts) so the INDEX build sees 5 stored versions per entry: raw
+    // index mass 5x the live mass — the churn shape that inflated the
+    // r14 denominator and leaned the guard permissive
+    def batch(ts: Long) = (1 to 2000).map(i =>
+      Put(b(f"r$i%04d")).add("f", b("grp"), ts,
+        Bytes.toBytes(if (i % 10 < 3) 5L else (i % 10).toLong)))
+    (2L to 6L).foreach(ts => g.table("t").put(batch(ts), ts))
+    g.createIndex("t", "f", b("grp"), 7L)
+    val engine = g.catalog
+    val ixTable = engine.currentManifest("t").descriptor.indexes
+      .head.indexTable
+    val m = engine.currentManifest(ixTable)
+    val st = m.stats.get
+    assert(st.rows == 10000L, s"raw stored index cells (got ${st.rows})")
+    assert(st.resolvedRows == 2000L,
+      s"index build must persist the RESOLVED count (got " +
+        s"${st.resolvedRows}) — maxVersions=1 collapses the re-puts")
+    // value 5 hits 600 distinct rows: 30% of the resolved 2,000 (must
+    // decline at fraction 0.2) but only 6% of the raw 10,000 — the r14
+    // raw denominator would have ROUTED this probe (600 <= 2,000 cap)
+    assert(600L <= (st.rows * 0.2).toLong &&
+      600L > (st.resolvedRows * 0.2).toLong,
+      "fixture drift: the probe must sit between the two denominators")
+    spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    try {
+      import graft.read.SecondaryIndex.ArmIn
+      val declined = !GraftRouteGuard.allows(engine,
+        member(m, Seq(ArmIn(Seq(Bytes.toBytes(5L)))),
+          () => graft.read.SecondaryIndex.probe(engine.readManifest(m),
+            Bytes.toBytes(5L))), "churn-denominator")
+      assert(declined,
+        "30% of the RESOLVED entries must decline even though it is " +
+          "only 6% of the raw stored cells")
+    } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
+  }
+
+  test("deleteTable purges guard verdicts by ROOT: a drop in catalog A " +
+      "leaves catalog B's cached verdicts hot (r15)") {
+    val rootA = freshRoot("guardpurgeA")
+    val rootB = freshRoot("guardpurgeB")
+    def mk(root: String): Graft = {
+      val g = Graft(spark, root)
+      g.createTable(TableDescriptor("t", Seq(FamilyDescriptor("f")),
+        splitKeys = 2), 1L)
+      g.table("t").put((1 to 200).map(i =>
+        Put(b(f"r$i%03d")).add("f", b("v"), 2L,
+          Bytes.toBytes((i % 4).toLong))), 2L)
+      g.createIndex("t", "f", b("v"), 3L)
+      g
+    }
+    val gA = mk(rootA)
+    val gB = mk(rootB)
+    import graft.read.SecondaryIndex.ArmIn
+    def verdict(g: Graft): Boolean = {
+      val engine = g.catalog
+      val ix = engine.currentManifest("t").descriptor.indexes.head.indexTable
+      val m = engine.currentManifest(ix)
+      GraftRouteGuard.allows(engine,
+        member(m, Seq(ArmIn(Seq(Bytes.toBytes(1L)))),
+          () => graft.read.SecondaryIndex.probe(engine.readManifest(m),
+            Bytes.toBytes(1L))), "purge-scope")
+    }
+    spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    try {
+      verdict(gA): Unit
+      verdict(gB): Unit
+      val cached = GraftRouteGuard.measurements.get()
+      verdict(gB): Unit
+      assert(GraftRouteGuard.measurements.get() == cached,
+        "B's verdict must be cached before the drop")
+      gA.deleteTable("t")
+      verdict(gB): Unit
+      assert(GraftRouteGuard.measurements.get() == cached,
+        "dropping a table in root A must not purge root B's verdicts")
+      // A's own verdicts ARE gone: a recreated A re-measures
+      mk(rootA): Unit
+      verdict(Graft(spark, rootA)): Unit
+      assert(GraftRouteGuard.measurements.get() > cached,
+        "root A's recreated table must re-measure")
+    } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
   }
 }
