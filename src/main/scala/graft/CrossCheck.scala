@@ -640,6 +640,94 @@ object CrossCheck {
           s"${if (symM.nonEmpty) " MISMATCH " + symM.take(20) else " OK"}")
         require(directM.nonEmpty, "mixed twin matched nothing — drift?")
         if (symM.nonEmpty) sys.exit(1)
+      case "guard_histogram" =>
+        // r15: HISTOGRAM-vouched routing at scale — a selective equality
+        // (a derived custkey-digit column, 10% of orders; the corpus's
+        // natural categoricals are uniform thirds, all anti-selective)
+        // whose hit count exceeds a forced-low probe budget (the shape
+        // r14's exhaustion rule surrendered) must ROUTE via the
+        // persisted histogram's upper bound and still answer exactly
+        // against the direct resolved scan, with 1% digit UPDATES (rows
+        // moved OUT of the probed value — stale entries the verified
+        // read must drop) and 1% deletes injected. At sf1 the index
+        // (1.5M entries) exceeds the histogram sample target, so this
+        // exercises the SAMPLED (DKW-margin) bounds — the gates at
+        // sf0.01 cover the exact-boundary regime. The route assertion
+        // is the evidence-integrity half: hits >> budget and the span
+        // estimate never vouches, so a silently-declined plan — which
+        // would also match — cannot pass.
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        import graft.core.{Bytes, CellCodec}
+        import graft.write.Mutations
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val root = java.nio.file.Files.createTempDirectory("graft-ghcc").toString
+        val g = Graft(spark, root)
+        g.createTable(TableDescriptor("o", Seq(FamilyDescriptor("o")),
+          splitKeys = 32, wideKey = Some("o_orderkey:long"),
+          wideSchema =
+            Some("o:o_custkey:long;o:ckd:string")), nowMs = 1L)
+        val cells = CellCodec.encode(
+          orders.select(col("o_orderkey"), col("o_custkey"),
+            pmod(col("o_custkey"), lit(10L)).cast(StringType).as("ckd")),
+          "o", Seq("o_orderkey"))
+        g.table("o").mutate(cells, nowMs = 1L)
+        val ckdQ = Bytes.toBytes("ckd")
+        g.createIndex("o", "o", ckdQ, nowMs = 2L)
+        val ckdCells = cells.filter(col("qualifier") === lit(ckdQ))
+        g.table("o").mutate(
+          ckdCells.filter(pmod(xxhash64(col("row")), lit(100)) === 1)
+            .withColumn("ts", lit(5L))
+            .withColumn("value", lit(Bytes.toBytes("X")))
+            .unionByName(Mutations.deleteFamilyCells(
+              ckdCells.filter(pmod(xxhash64(col("row")), lit(100)) === 2)
+                .select("row").distinct(),
+              col("row"), "o", ts = 5L)), nowMs = 5L)
+        val ixm = g.catalog.currentManifest(
+          g.catalog.currentManifest("o").descriptor.indexes.head.indexTable)
+        require(ixm.stats.exists(_.histogram.nonEmpty),
+          "index build did not persist a histogram — fixture drift?")
+        spark.conf.set("spark.sql.catalog.graft_ghcc",
+          classOf[graft.sql.GraftSqlCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_ghcc.root", root)
+        spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+        spark.conf.set("spark.graft.route.guard.maxProbeRows", "64")
+        try {
+          val q = """SELECT o_orderkey, o_custkey, ckd
+                     FROM graft_ghcc.`o$wide`
+                     WHERE ckd = '7'"""
+          def ghRows(df: org.apache.spark.sql.DataFrame)
+              : Set[(Long, Long, String)] =
+            df.collect().map(r =>
+              (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+          val routedDf = spark.sql(q)
+          val viaRoute = ghRows(routedDf)
+          require(
+            graft.sql.GraftWideSeams.usedIndexTables(routedDf).nonEmpty &&
+              !graft.sql.GraftRouteSeams.guardDeclined(routedDf),
+            "histogram vouch did not route past the forced-low budget")
+          require(viaRoute.size > 64,
+            "fixture drift: hits must exceed the forced budget so only " +
+              "the histogram can have vouched")
+          val direct = ghRows(CellCodec.decode(
+            g.table("o").scan(graft.read.Scan()
+              .addColumn("o", Bytes.toBytes("o_custkey"))
+              .addColumn("o", ckdQ)),
+            StructType(Seq(
+              StructField("o_custkey", LongType),
+              StructField("ckd", StringType))),
+            key = Seq("o_orderkey" -> LongType))
+            .filter(col("ckd") === "7"))
+          val symH = (viaRoute diff direct) ++ (direct diff viaRoute)
+          println(s"[crosscheck] guard_histogram: routed=${viaRoute.size} " +
+            s"direct=${direct.size} symdiff=${symH.size}" +
+            s"${if (symH.nonEmpty) " MISMATCH " + symH.take(20) else " OK"}")
+          require(direct.nonEmpty, "guard_histogram matched nothing — drift?")
+          if (symH.nonEmpty) sys.exit(1)
+        } finally {
+          spark.conf.unset("spark.graft.route.guard.minIndexRows")
+          spark.conf.unset("spark.graft.route.guard.maxProbeRows")
+        }
       case "runtime_prune" =>
         // r11: the runtime (join-driven) key prune — GraftRuntimeFilterRule
         // re-pruning a SALTED wide fact scan to a data-derived dim's keys

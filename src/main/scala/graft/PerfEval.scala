@@ -612,7 +612,7 @@ object PerfEval {
       // NOTE the status index persists on the shared 'pe' table from
       // here on — no later workload carries a status predicate, so
       // nothing downstream changes routing; a future workload that does
-      // should build its own table.
+      // should build its own table (the r15 guardHistogram pair does).
       g.createIndex("pe", "o", Bytes.toBytes("o_orderstatus"), nowMs = 3L)
       def q = spark.sql(
         s"""SELECT sum(o_totalprice) AS s, count(*) AS n
@@ -634,6 +634,59 @@ object PerfEval {
           results("routeGuardForcedRoute") = timedMin2 { q.collect(): Unit }
         } finally spark.conf.set("spark.graft.route.guard.enabled", "true")
       } finally spark.conf.unset("spark.graft.route.guard.minIndexRows")
+    }
+
+    // guardHistogram pair (r15): the OTHER side of the budget — a
+    // SELECTIVE equality (a derived custkey-digit column, 10% of
+    // orders; the corpus's natural categoricals are uniform thirds,
+    // all anti-selective) whose hit count exceeds a forced-low probe
+    // budget (64). r14's exhaustion rule surrendered this route to the
+    // pushed scan exactly where the index advantage is largest; the
+    // persisted equi-depth histogram's upper bound now VOUCHES it with
+    // zero measurement jobs. `guardHistogramRouted` is the r15
+    // behavior; the `guardHistogramDeclined` twin disables the
+    // histogram so the budget exhausts and the query runs as the
+    // pushed scan — the r14 behavior at the same knob settings. Routed
+    // should beat declined, and the gap is the routing reach the
+    // histogram buys. Own table (a string digit column — the long
+    // custkey's 0x00-embedding bounds never histogram-vouch by
+    // design), untimed setup.
+    {
+      g.createTable(TableDescriptor("peh", Seq(FamilyDescriptor("o")),
+        wideKey = Some("o_orderkey:long"),
+        wideSchema = Some("o:ckd:string;o:o_totalprice:double")), 6L)
+      g.table("peh").mutate(CellCodec.encode(
+        orders.select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(10L))
+            .cast(org.apache.spark.sql.types.StringType).as("ckd"),
+          col("o_totalprice")),
+        "o", Seq("o_orderkey")), nowMs = 6L)
+      g.createIndex("peh", "o", Bytes.toBytes("ckd"), nowMs = 7L)
+      def q = spark.sql(
+        s"""SELECT sum(o_totalprice) AS s, count(*) AS n
+            FROM graft_pe.`peh$$wide`
+            WHERE ckd = '7'""")
+      spark.conf.set("spark.graft.route.guard.minIndexRows", "0")
+      spark.conf.set("spark.graft.route.guard.maxProbeRows", "64")
+      try {
+        val routed = q
+        routed.collect(): Unit
+        require(graft.sql.GraftWideSeams.usedIndexTables(routed).nonEmpty &&
+          !graft.sql.GraftRouteSeams.guardDeclined(routed),
+          "histogram did not vouch the selective probe past the budget")
+        results("guardHistogramRouted") = timedMin2 { q.collect(): Unit }
+        spark.conf.set("spark.graft.route.guard.histogram", "false")
+        try {
+          val declined = q
+          declined.collect(): Unit
+          require(graft.sql.GraftRouteSeams.guardDeclined(declined),
+            "histogram-off twin did not exhaustion-decline — drift?")
+          results("guardHistogramDeclined") = timedMin2 { q.collect(): Unit }
+        } finally spark.conf.unset("spark.graft.route.guard.histogram")
+      } finally {
+        spark.conf.unset("spark.graft.route.guard.minIndexRows")
+        spark.conf.unset("spark.graft.route.guard.maxProbeRows")
+      }
     }
 
     // cell-door runtime VALUE pair (r13): a fact-dim join on the indexed

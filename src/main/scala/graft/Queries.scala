@@ -2248,6 +2248,69 @@ object Queries {
     } finally s.conf.unset("spark.graft.route.guard.minIndexRows")
   }
 
+  // HISTOGRAM-vouched routing gate (r15): a SELECTIVE equality (a
+  // derived custkey-digit column — 10% of orders; the corpus's natural
+  // categoricals are uniform thirds, all anti-selective) with the probe
+  // budget forced far below its hit count. r14's exhaustion rule
+  // declined this shape — surrendering the index's advantage exactly
+  // where it is largest — and at sf0.01+ (where the ~1,500 hits exceed
+  // the forced budget of 64) neither the measured probe (exhausts) nor
+  // the span estimate (never vouches) can route it, so the in-closure
+  // route assertion below is only satisfiable by the persisted
+  // equi-depth histogram's upper bound
+  // ([[graft.catalog.ManifestStats]]) vouching with ZERO index jobs.
+  // (At sf0.001 the ~150 hits also exceed the budget — the gate pins
+  // the crossing at every sf.) The routed answer must hash-match the
+  // relational oracle; result LOCALIZED so the forced knobs never leak
+  // into other gates.
+  private val sqlGuardHistRoots =
+    scala.collection.mutable.Map.empty[String, String]
+  private val sqlGuardHistogram = Q("sql_guard_histogram", Some("""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE CAST(o_custkey % 10 AS VARCHAR) = '7'
+    ORDER BY o_orderkey""")) { (s, dir) =>
+    val root = Queries.synchronized {
+      sqlGuardHistRoots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-q-gh").toString
+        import graft.catalog.{FamilyDescriptor, TableDescriptor}
+        val g = graft.Graft(s, r)
+        g.createTable(TableDescriptor("orders_gh",
+          Seq(FamilyDescriptor("o")), splitKeys = 8, immutableRows = true,
+          wideKey = Some("o_orderkey:long"),
+          wideSchema = Some("o:o_custkey:long;o:ckd:string")), nowMs = 1L)
+        g.table("orders_gh").mutate(CellCodec.encode(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            pmod(col("o_custkey"), lit(10L)).cast(StringType).as("ckd")),
+          "o", Seq("o_orderkey")), nowMs = 1L)
+        g.createIndex("orders_gh", "o", Bytes.toBytes("ckd"), nowMs = 2L)
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.graft_wgh",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wgh.root", root)
+    s.conf.set("spark.graft.route.guard.minIndexRows", "0")
+    s.conf.set("spark.graft.route.guard.maxProbeRows", "64")
+    try {
+      val df = s.sql("""SELECT o_orderkey, o_custkey
+               FROM graft_wgh.`orders_gh$wide`
+               WHERE ckd = '7'
+               ORDER BY o_orderkey""")
+      val rows = df.collect()
+      require(graft.sql.GraftWideSeams.usedIndexTables(df).nonEmpty &&
+        !graft.sql.GraftRouteSeams.guardDeclined(df),
+        "selective probe above the forced-low budget did not route — " +
+          "the histogram vouch regressed")
+      require(rows.length > 64,
+        "fixture drift: hits must exceed the forced budget so only the " +
+          "histogram can have vouched")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally {
+      s.conf.unset("spark.graft.route.guard.minIndexRows")
+      s.conf.unset("spark.graft.route.guard.maxProbeRows")
+    }
+  }
+
   // Runtime-filter PREFIX-CLUSTERED degradation on a STRING key (r13):
   // the MOST common HBase row-key shape is string/binary, where r12's
   // over-cap degradation could only hold the single [min, max] span.
@@ -5514,7 +5577,7 @@ object Queries {
     sqlCrossOr, sqlRuntimeRangePrune, sqlRuntimeMultiPrune,
     sqlConjunctOr, sqlRuntimeClusterPrune, sqlRuntimeIndexRange,
     sqlMixedOr, sqlCellMixedOr, sqlCellRuntimeIndex, sqlRuntimePrefixPrune,
-    sqlRouteGuard, sqlGuardLeading,
+    sqlRouteGuard, sqlGuardLeading, sqlGuardHistogram,
     sqlDeleteScan, sqlUpdateScan, sqlMergeScan,
     copyTableScan, importTsvScan, importJsonScan, multiTableWriteQ,
     replicationStream, streamIndexMaintain, streamAutoCompact,

@@ -136,15 +136,17 @@ private[sql] object GraftRouteGuard {
   }
 
   /** (lower, upper) bound on the FRACTION of histogram rows whose key
-    * sorts strictly below `x`, from the equi-depth boundaries `bs`
-    * (each boundary's true rank is within [[Catalog.HistRankErr]] of
-    * its nominal `j / buckets` — see [[graft.catalog.ManifestStats]]). */
-  private def cdfBounds(bs: Seq[Array[Byte]], x: Array[Byte])
+    * sorts strictly below `x`, from the equi-depth boundaries `bs`.
+    * `err` is the boundaries' uniform rank-error budget: 0 when the
+    * histogram was computed over the FULL key set (histRows at or under
+    * the sample target — boundaries are exact order statistics),
+    * [[Catalog.HistRankErr]] for sampled boundaries (DKW — see
+    * [[graft.catalog.ManifestStats]]). */
+  private def cdfBounds(bs: Seq[Array[Byte]], x: Array[Byte], err: Double)
       : (Double, Double) = {
     val b = bs.length - 1
     val below = bs.lastIndexWhere(Bytes.compareTo(_, x) < 0)
     val atOrAbove = bs.indexWhere(Bytes.compareTo(_, x) >= 0)
-    val err = Catalog.HistRankErr
     (if (below < 0) 0.0 else math.max(0.0, below.toDouble / b - err),
       if (atOrAbove < 0) 1.0 else math.min(1.0, atOrAbove.toDouble / b + err))
   }
@@ -184,11 +186,15 @@ private[sql] object GraftRouteGuard {
       .filter(_ => leg.arms.nonEmpty)
       .map { case (n0, bs) =>
         val mapped = leg.arms.map(SecondaryIndex.armEstimateRanges)
+        val err =
+          if (n0 <= Catalog.HistSampleTarget) 0.0 else Catalog.HistRankErr
         def mass(rs: Seq[(Option[Array[Byte]], Option[Array[Byte]])],
             lower: Boolean): Double =
           mergeRanges(rs).map { case (lo, hi) =>
-            val (fLoL, fLoU) = lo.map(cdfBounds(bs, _)).getOrElse((0.0, 0.0))
-            val (fHiL, fHiU) = hi.map(cdfBounds(bs, _)).getOrElse((1.0, 1.0))
+            val (fLoL, fLoU) =
+              lo.map(cdfBounds(bs, _, err)).getOrElse((0.0, 0.0))
+            val (fHiL, fHiU) =
+              hi.map(cdfBounds(bs, _, err)).getOrElse((1.0, 1.0))
             if (lower) math.max(0.0, fHiL - fLoU) * n0
             else math.max(0.0, fHiU - fLoL) * n0
           }.sum
