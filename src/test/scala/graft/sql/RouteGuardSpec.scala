@@ -498,10 +498,12 @@ class RouteGuardSpec extends SparkSpec {
     val m = engine.currentManifest(ixTable)
     val st = m.stats.get
     assert(st.rows == 10000L, s"raw stored index cells (got ${st.rows})")
-    assert(st.resolvedRows == 2000L,
-      s"index build must persist the RESOLVED count (got " +
-        s"${st.resolvedRows}) — maxVersions=1 collapses the re-puts")
-    // value 5 hits 600 distinct rows: 30% of the resolved 2,000 (must
+    // the resolved bound is an HLL distinct-coordinate count (~1%
+    // relative error) — the 5x stored versions collapse to ~2,000
+    assert(st.resolvedRows >= 1900L && st.resolvedRows <= 2100L,
+      s"index build must persist the ~resolved count (got " +
+        s"${st.resolvedRows}) — distinct coords collapse the re-puts")
+    // value 5 hits 600 distinct rows: ~30% of the resolved ~2,000 (must
     // decline at fraction 0.2) but only 6% of the raw 10,000 — the r14
     // raw denominator would have ROUTED this probe (600 <= 2,000 cap)
     assert(600L <= (st.rows * 0.2).toLong &&

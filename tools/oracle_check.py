@@ -4,7 +4,9 @@ out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     p = f'{sf}/{t}.parquet'
-    if os.path.exists(p):
+    if os.path.isdir(p):  # raw Spark dir layout (e.g. /tmp/sf3): glob the parts
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 fails = 0
