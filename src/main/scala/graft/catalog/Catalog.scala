@@ -180,6 +180,17 @@ final case class TableDescriptor(
   *    recomputed exactly on full rewrites — a stale-wide span only
   *    overestimates arm coverage, i.e. leans the guard toward the pushed
   *    scan (cost-only).
+  *  - `unseenRows`: raw rows appended SINCE the histogram was computed
+  *    — the mass the histogram cannot see, added to every upper bound
+  *    the guard derives. Tracked explicitly (append adds the delta,
+  *    full rewrites reset to zero, partial compactions leave it
+  *    UNCHANGED) because deriving it as `rows - histRows` is unsound
+  *    under partial compactions: folding histogram-covered leaves
+  *    shrinks `rows` and would shrink the derived term while the
+  *    post-histogram appends it must cover are untouched (review r15).
+  *    Removals never decrease it — if a compaction dropped appended
+  *    rows the term overcounts, which only leans the guard toward the
+  *    pushed scan.
   *  - `histogram`/`histRows`: an equi-depth row-key histogram —
   *    `HistBuckets + 1` boundary keys at equal rank steps over the
   *    `histRows` rows present when it was computed (full rewrites and
@@ -200,7 +211,8 @@ final case class ManifestStats(
     minKey: Option[Array[Byte]],
     maxKey: Option[Array[Byte]],
     histRows: Long,
-    histogram: Seq[Array[Byte]])
+    histogram: Seq[Array[Byte]],
+    unseenRows: Long = 0L)
 
 /** One committed table version: the list of immutable data directories
   * (each a sorted parquet write) plus the descriptor. The reference's
@@ -220,6 +232,12 @@ final case class Manifest(
 
 /** Hand-rolled JSON for manifests — flat, deterministic, no deps. */
 object ManifestJson {
+  // the ONE byte<->hex codec pair for every binary payload in the
+  // manifest wire format (review r15: five inline copies had accreted)
+  private def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+  private def unhex(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   private def esc(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -234,16 +252,14 @@ object ManifestJson {
         s""""bloom":${esc(f.bloomFilter.toString)},"compression":${f.compression.map(esc).getOrElse("null")},"inMemory":${f.inMemory}}"""
     }.mkString("[", ",", "]")
     val bounds = m.descriptor.splitBoundaries
-      .map(b => esc(b.map(x => f"$x%02x").mkString)).mkString("[", ",", "]")
+      .map(b => esc(hex(b))).mkString("[", ",", "]")
     def ixArray(list: Seq[IndexDescriptor]): String = list.map { ix =>
       // covered/member lists kept FLAT (one string, no nested arrays or
       // objects) so the minimal per-object parser below stays valid
       def flat(cols: Seq[(String, Array[Byte])]): String =
-        cols.map { case (f, q) =>
-          f + ":" + q.map(x => f"$x%02x").mkString
-        }.mkString(";")
+        cols.map { case (f, q) => f + ":" + hex(q) }.mkString(";")
       s"""{"ixFamily":${esc(ix.family)},""" +
-        s""""ixQualifier":${esc(ix.qualifier.map(x => f"$x%02x").mkString)},""" +
+        s""""ixQualifier":${esc(hex(ix.qualifier))},""" +
         s""""ixCovered":${esc(flat(ix.covered))},""" +
         s""""ixMore":${esc(flat(ix.moreColumns))},""" +
         s""""ixTable":${esc(ix.indexTable)}}"""
@@ -261,18 +277,18 @@ object ManifestJson {
     // legacy manifests stay byte-identical) and deliberately sit OUTSIDE
     // the top-level prefix region the wideKey/wideSchema anchor scans —
     // hex payloads can never be misparsed into the descriptor
-    def hexS(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
     val stats = m.stats.map { st =>
       val span = (st.minKey, st.maxKey) match {
         case (Some(a), Some(b)) =>
-          s""","statsMin":${esc(hexS(a))},"statsMax":${esc(hexS(b))}"""
+          s""","statsMin":${esc(hex(a))},"statsMax":${esc(hex(b))}"""
         case _ => ""
       }
       val hist =
         if (st.histogram.isEmpty) ""
-        else s""","statsHist":${esc(st.histogram.map(hexS).mkString(";"))}"""
+        else s""","statsHist":${esc(st.histogram.map(hex).mkString(";"))}"""
       s""","statsRows":${st.rows},"statsResolved":${st.resolvedRows},""" +
-        s""""statsHistRows":${st.histRows}""" + span + hist
+        s""""statsHistRows":${st.histRows},"statsUnseen":${st.unseenRows}""" +
+        span + hist
     }.getOrElse("")
     s"""{"table":${esc(m.table)},"version":${m.version},"createdMs":${m.createdMs},""" +
       s""""readOnly":${m.descriptor.readOnly},"splitKeys":${m.descriptor.splitKeys},""" +
@@ -327,8 +343,7 @@ object ManifestJson {
         val j = s.indexOf("]", i)
         val block = s.substring(i + "\"splitBoundaries\":[".length, j)
         "\"([0-9a-f]*)\"".r.findAllMatchIn(block).map(_.group(1))
-          .map(hex => hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
-          .toSeq
+          .map(unhex).toSeq
       }
     }
     // legacy manifests (pre-salt/index) default to 0 / none
@@ -348,14 +363,13 @@ object ManifestJson {
                 Seq.empty[(String, Array[Byte])]) {
                 _.split(';').toSeq.map { e =>
                   val c = e.lastIndexOf(':')
-                  (e.substring(0, c), e.substring(c + 1).grouped(2)
-                    .map(Integer.parseInt(_, 16).toByte).toArray)
+                  (e.substring(0, c), unhex(e.substring(c + 1)))
                 }
               }
           IndexDescriptor(
             "\"ixFamily\":\"([^\"]*)\"".r.findFirstMatchIn(ix).get.group(1),
-            "\"ixQualifier\":\"([0-9a-f]*)\"".r.findFirstMatchIn(ix).get.group(1)
-              .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+            unhex("\"ixQualifier\":\"([0-9a-f]*)\"".r
+              .findFirstMatchIn(ix).get.group(1)),
             "\"ixTable\":\"([^\"]*)\"".r.findFirstMatchIn(ix).get.group(1),
             flatCols("ixCovered"), flatCols("ixMore"))
         }.toSeq
@@ -374,8 +388,6 @@ object ManifestJson {
       val top = if (end < 0) s else s.substring(0, end)
       ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(top).map(_.group(1))
     }
-    def unhex(h: String): Array[Byte] =
-      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     // stats fields are top-level scalars AFTER the dataDirs array (see
     // write); absent on legacy manifests -> None
     val stats = "\"statsRows\":(\\d+)".r.findFirstMatchIn(s).map { r =>
@@ -390,7 +402,8 @@ object ManifestJson {
         optNum("statsHistRows").getOrElse(0L),
         "\"statsHist\":\"([0-9a-f;]*)\"".r.findFirstMatchIn(s)
           .map(_.group(1)).filter(_.nonEmpty)
-          .fold(Seq.empty[Array[Byte]])(_.split(';').toSeq.map(unhex)))
+          .fold(Seq.empty[Array[Byte]])(_.split(';').toSeq.map(unhex)),
+        unseenRows = optNum("statsUnseen").getOrElse(0L))
     }
     Manifest(str("table"), num("version"), num("createdMs"),
       TableDescriptor(str("table"), fams, bool("readOnly"),
@@ -470,11 +483,16 @@ final class Catalog(spark: SparkSession, root: String) {
     * it uniformly — append/replaceData/replaceDirs/commitDataDirs/
     * bulkLoad now share it). On a verify mismatch the committed state is
     * the other writer's: trip the fence so this caller recomputes from
-    * the current (their) version and re-applies — both changes land,
-    * loudly ordered. (Write-once manifest files would close the window
-    * at the filesystem instead, but would turn a crash-leftover
-    * manifest-(v) without a CURRENT swap into a permanent commit
-    * blocker.) */
+    * the current (their) version and re-applies. The verify NARROWS the
+    * window — it catches overwrites landing between this writer's
+    * manifest write and its readback — it does not CLOSE it: a fully
+    * serialized competitor (same v, writing after this verify passed)
+    * still wins silently, because `commitCurrent`'s delete+rename is
+    * not a compare-and-swap on a local filesystem. Closing it needs a
+    * filesystem primitive: write-once manifest creation would do it,
+    * but would turn a crash-leftover manifest-(v) without a CURRENT
+    * swap into a permanent commit blocker — the documented trade since
+    * r13, unchanged. */
   private def commitManifest(m: Manifest): Unit = {
     val json = ManifestJson.write(m)
     val p = new Path(tableDir(m.table), s"manifest-${m.version}.json")
@@ -570,12 +588,14 @@ final class Catalog(spark: SparkSession, root: String) {
     m.stats.map(s => math.min(s.resolvedRows, s.rows))
 
   /** The persisted equi-depth row-key histogram of a manifest version:
-    * (rows it was computed over, sorted boundary keys). None when the
-    * version predates stats or no full computation has run yet — the
-    * guard then falls back to measured probes. */
-  def manifestHistogram(m: Manifest): Option[(Long, Seq[Array[Byte]])] =
+    * (rows it was computed over, rows appended SINCE — the unseen mass
+    * every upper bound must add — and the sorted boundary keys). None
+    * when the version predates stats or no full computation has run
+    * yet — the guard then falls back to measured probes. */
+  def manifestHistogram(m: Manifest)
+      : Option[(Long, Long, Seq[Array[Byte]])] =
     m.stats.filter(s => s.histRows > 0 && s.histogram.nonEmpty)
-      .map(s => (s.histRows, s.histogram))
+      .map(s => (s.histRows, s.unseenRows, s.histogram))
 
   /** The manifest's stored row-key span [min, max]: metadata-only from
     * the persisted stats when present. Legacy fallback: one
@@ -959,7 +979,8 @@ final class Catalog(spark: SparkSession, root: String) {
         val (n, lo, hi, puts) = statAgg(newLeaves)
         ManifestStats(p.rows + n, p.resolvedRows + puts,
           minKey = minOf(p.minKey, lo), maxKey = maxOf(p.maxKey, hi),
-          p.histRows, p.histogram)
+          p.histRows, p.histogram,
+          unseenRows = p.unseenRows + n)
       }
     }
 
@@ -974,10 +995,21 @@ final class Catalog(spark: SparkSession, root: String) {
     * data in a metadata-only manifest commit (data dirs untouched) —
     * the explicit refresh for legacy tables, restore repoints, and
     * churned indexes whose rolled-forward `resolvedRows` upper bound
-    * has drifted wide. Fenced like any commit. */
+    * has drifted wide. The stats jobs run over a LONG window, so the
+    * commit RE-FENCES on the version it read (review r15: committing
+    * `cur`'s data-dir list blindly would silently drop a concurrent
+    * append's dirs): a moved version trips the fence and the caller
+    * re-runs against the new current — the same retryable contract as
+    * every other fence. */
   def analyzeTable(t: String, nowMs: Long): Manifest = {
     val cur = currentManifest(t)
     val stats = fullStats(cur.dataDirs)
+    val now = currentManifest(t)
+    if (now.version != cur.version)
+      throw new FenceTrippedException(
+        s"analyzeTable fence on $t: read version ${cur.version} but the " +
+          s"table moved to ${now.version} mid-analysis — re-run against " +
+          "the current version")
     val m = cur.copy(version = cur.version + 1, createdMs = nowMs,
       stats = Some(stats))
     commitManifest(m)
@@ -1150,17 +1182,21 @@ final class Catalog(spark: SparkSession, root: String) {
     // rewrite's; the resolved upper bound clamps to the surviving raw
     // total (a rewrite never ADDS live entries, so the previous bound
     // stays sound); the span only widens (stale-wide = decline-leaning,
-    // cost-only) and the histogram carries (removals only LOWER true
-    // in-range mass, so its upper bounds stay sound; the unseen-mass
-    // term tracks the new raw total). The next FULL rewrite or
-    // analyzeTable re-tightens everything.
+    // cost-only); the histogram carries (removals only LOWER true
+    // in-range mass, so its upper bounds stay sound) and the
+    // EXPLICIT unseen-mass term carries UNCHANGED — a rewrite mints no
+    // histogram-unseen rows, and decreasing it when the removed leaves
+    // were appended-after-histogram ones would at worst overcount,
+    // never undercount (review r15: deriving unseen from the shrunken
+    // raw total was unsound). The next FULL rewrite or analyzeTable
+    // re-tightens everything.
     val stats = cur.stats.map { p =>
       val removed = readDirs(removedLeaves.distinct).count()
       val (n, lo, hi, _) = statAgg(leaves)
       val raw = math.max(0L, p.rows - removed) + n
       ManifestStats(raw, math.min(p.resolvedRows, raw),
         minKey = minOf(p.minKey, lo), maxKey = maxOf(p.maxKey, hi),
-        p.histRows, p.histogram)
+        p.histRows, p.histogram, unseenRows = p.unseenRows)
     }
     val m = cur.copy(version = v, createdMs = nowMs,
       dataDirs = cur.dataDirs.filterNot(gone) ++ leaves, stats = stats)

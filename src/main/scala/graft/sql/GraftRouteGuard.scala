@@ -178,13 +178,24 @@ private[sql] object GraftRouteGuard {
       }.reverse
   }
 
-  /** Histogram-derived (upper, lower) bound on the stored entries one
-    * leg's probe would count; None without a persisted histogram. */
+  /** Histogram-derived (upper, lower) bound on the entries one leg's
+    * probe would count; None without a persisted histogram. The upper
+    * bound adds the persisted UNSEEN mass (rows appended since the
+    * histogram — tracked explicitly; deriving it from the raw total
+    * was unsound under partial compactions) and stays in STORED-cell
+    * units — always at or above what the probe counts, so vouching is
+    * sound. The lower bound (decline direction, cost-only) is scaled
+    * by the resolved/raw churn ratio: the histogram counts stored
+    * cells while the probe counts distinct resolved hits, so on a
+    * version-churned index an unscaled lower bound would
+    * estimate-decline selective routes the measured path used to
+    * route (review r15); under skewed churn the scaled value is an
+    * estimate, and the 2x decline margin absorbs it. */
   private def histBounds(engine: Catalog, leg: GuardLeg)
       : Option[(Double, Double)] =
     engine.manifestHistogram(leg.manifest)
       .filter(_ => leg.arms.nonEmpty)
-      .map { case (n0, bs) =>
+      .map { case (n0, unseen, bs) =>
         val mapped = leg.arms.map(SecondaryIndex.armEstimateRanges)
         val err =
           if (n0 <= Catalog.HistSampleTarget) 0.0 else Catalog.HistRankErr
@@ -199,14 +210,19 @@ private[sql] object GraftRouteGuard {
             else math.max(0.0, fHiU - fLoL) * n0
           }.sum
         val raw = engine.manifestRows(leg.manifest)
-        val unseen = math.max(0L, raw - n0).toDouble
         val upper = math.min(raw.toDouble,
-          mass(mapped.flatMap(_._1), lower = false) + unseen)
+          mass(mapped.flatMap(_._1), lower = false) + unseen.toDouble)
         // the lower bound may only use EXACTLY-mapped arms (a widened
         // range bounds the probe's count from above, not below)
         val exact = mapped.filter(_._2)
+        val churn =
+          if (raw <= 0L) 1.0
+          else math.min(1.0,
+            engine.manifestResolvedRows(leg.manifest)
+              .fold(1.0)(_.toDouble / raw.toDouble))
         val lower =
-          if (exact.isEmpty) 0.0 else mass(exact.flatMap(_._1), lower = true)
+          if (exact.isEmpty) 0.0
+          else mass(exact.flatMap(_._1), lower = true) * churn
         (upper, lower)
       }
 

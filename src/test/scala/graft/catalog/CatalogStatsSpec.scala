@@ -23,10 +23,12 @@ class CatalogStatsSpec extends SparkSpec {
     val withStats = Manifest("t", 3L, 9L, d, Seq("/a", "/b"),
       stats = Some(ManifestStats(100L, 80L,
         Some(Array[Byte](0, 1, 0)), Some(Array[Byte](-1, 0, 2)),
-        100L, Seq(Array[Byte](0), Array[Byte](0, 5), Array[Byte](-1)))))
+        100L, Seq(Array[Byte](0), Array[Byte](0, 5), Array[Byte](-1)),
+        unseenRows = 7L)))
     val rt = ManifestJson.read(ManifestJson.write(withStats))
     val st = rt.stats.get
     assert(st.rows == 100L && st.resolvedRows == 80L && st.histRows == 100L)
+    assert(st.unseenRows == 7L)
     assert(st.minKey.get.toSeq == Seq[Byte](0, 1, 0))
     assert(st.maxKey.get.toSeq == Seq[Byte](-1, 0, 2))
     assert(st.histogram.map(_.toSeq) ==
@@ -73,6 +75,8 @@ class CatalogStatsSpec extends SparkSpec {
     assert(s2.histRows == 100L &&
       s2.histogram.map(_.toSeq) == s1.histogram.map(_.toSeq),
       "appends must not recompute the histogram — unseen mass covers")
+    assert(s1.unseenRows == 0L && s2.unseenRows == 50L,
+      "the unseen-mass term must track post-histogram appends")
     // tombstones: raw rows grow, the resolved upper bound does not
     g.table("t").delete(Seq(graft.write.Delete(b("r0001"))
       .deleteFamily("f", 4L)), 4L)
@@ -85,7 +89,8 @@ class CatalogStatsSpec extends SparkSpec {
     val s4 = m4.stats.get
     assert(s4.rows == 149L && s4.resolvedRows == 149L,
       s"full rewrite must re-tighten (got $s4)")
-    assert(s4.histRows == 149L && s4.histogram.nonEmpty)
+    assert(s4.histRows == 149L && s4.histogram.nonEmpty &&
+      s4.unseenRows == 0L)
     assert(new String(s4.minKey.get, "UTF-8") == "r0002")
   }
 
