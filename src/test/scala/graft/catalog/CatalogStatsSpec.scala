@@ -94,6 +94,40 @@ class CatalogStatsSpec extends SparkSpec {
     assert(new String(s4.minKey.get, "UTF-8") == "r0002")
   }
 
+  test("a partial compaction carries the histogram AND the unseen-mass " +
+      "term unchanged (review r15: deriving unseen from the shrunken " +
+      "raw total was unsound)") {
+    val root = freshRoot("statpartial")
+    val g = Graft(spark, root)
+    g.createTable(desc("t"), 1L)
+    g.table("t").put((1 to 100).map(i =>
+      Put(b(f"r$i%04d")).add("f", b("v"), 2L, Bytes.toBytes(i.toLong))), 2L)
+    g.table("t").put((101 to 150).map(i =>
+      Put(b(f"r$i%04d")).add("f", b("v"), 3L, Bytes.toBytes(i.toLong))), 3L)
+    val engine = g.catalog
+    val before = engine.currentManifest("t")
+    val s0 = before.stats.get
+    assert(s0.unseenRows == 50L && s0.histRows == 100L)
+    // fold the SECOND batch's leaves (a minor compaction of the delta
+    // tail): raw total is back to 150, yet the 50 post-histogram rows
+    // are still stored — the carried unseen term must keep covering
+    // them (rows - histRows would read 50 here by luck; fold the FIRST
+    // batch instead and it would read 0 while the 50 appended rows
+    // remain — so pin the EXPLICIT carry on exactly that shape)
+    val firstLeaves = before.dataDirs.filter(_.contains("data-2"))
+    assert(firstLeaves.nonEmpty)
+    val folded = engine.replaceDirs("t", firstLeaves,
+      engine.readLeafDirs(firstLeaves), 4L)
+    val s1 = folded.stats.get
+    assert(s1.rows == 150L, s"raw total after fold (got ${s1.rows})")
+    assert(s1.unseenRows == 50L,
+      "the unseen term must carry UNCHANGED through a partial " +
+        "compaction — the appended rows are still histogram-invisible")
+    assert(s1.histRows == 100L &&
+      s1.histogram.map(_.toSeq) == s0.histogram.map(_.toSeq),
+      "the histogram must carry through a partial compaction")
+  }
+
   test("query-time stats are metadata-only after a build: zero lazy " +
       "stat jobs (r15 ask: cold-start guarding reads the manifest)") {
     val root = freshRoot("statcold")
