@@ -151,6 +151,26 @@ private[sql] object GraftRouteGuard {
       if (atOrAbove < 0) 1.0 else math.min(1.0, atOrAbove.toDouble / b + err))
   }
 
+  /** Pure (upper, lower) bound on the number of the histogram's
+    * `n0` keys falling inside the UNION of `rs` — merge to disjoint
+    * ranges, then rank arithmetic per range. Exposed for the
+    * property test that pins this arithmetic against brute force. */
+  private[sql] def rangeMassBounds(bs: Seq[Array[Byte]],
+      rs: Seq[(Option[Array[Byte]], Option[Array[Byte]])],
+      err: Double, n0: Long): (Double, Double) = {
+    val merged = mergeRanges(rs)
+    def mass(lower: Boolean): Double =
+      merged.map { case (lo, hi) =>
+        val (fLoL, fLoU) =
+          lo.map(cdfBounds(bs, _, err)).getOrElse((0.0, 0.0))
+        val (fHiL, fHiU) =
+          hi.map(cdfBounds(bs, _, err)).getOrElse((1.0, 1.0))
+        if (lower) math.max(0.0, fHiL - fLoU) * n0
+        else math.max(0.0, fHiU - fLoL) * n0
+      }.sum
+    (mass(lower = false), mass(lower = true))
+  }
+
   /** Merge key ranges into disjoint ones (bytewise; None = unbounded),
     * so summed per-range bounds never double-count an overlap. */
   private def mergeRanges(
@@ -199,19 +219,10 @@ private[sql] object GraftRouteGuard {
         val mapped = leg.arms.map(SecondaryIndex.armEstimateRanges)
         val err =
           if (n0 <= Catalog.HistSampleTarget) 0.0 else Catalog.HistRankErr
-        def mass(rs: Seq[(Option[Array[Byte]], Option[Array[Byte]])],
-            lower: Boolean): Double =
-          mergeRanges(rs).map { case (lo, hi) =>
-            val (fLoL, fLoU) =
-              lo.map(cdfBounds(bs, _, err)).getOrElse((0.0, 0.0))
-            val (fHiL, fHiU) =
-              hi.map(cdfBounds(bs, _, err)).getOrElse((1.0, 1.0))
-            if (lower) math.max(0.0, fHiL - fLoU) * n0
-            else math.max(0.0, fHiU - fLoL) * n0
-          }.sum
         val raw = engine.manifestRows(leg.manifest)
         val upper = math.min(raw.toDouble,
-          mass(mapped.flatMap(_._1), lower = false) + unseen.toDouble)
+          rangeMassBounds(bs, mapped.flatMap(_._1), err, n0)._1 +
+            unseen.toDouble)
         // the lower bound may only use EXACTLY-mapped arms (a widened
         // range bounds the probe's count from above, not below)
         val exact = mapped.filter(_._2)
@@ -222,7 +233,7 @@ private[sql] object GraftRouteGuard {
               .fold(1.0)(_.toDouble / raw.toDouble))
         val lower =
           if (exact.isEmpty) 0.0
-          else mass(exact.flatMap(_._1), lower = true) * churn
+          else rangeMassBounds(bs, exact.flatMap(_._1), err, n0)._2 * churn
         (upper, lower)
       }
 
