@@ -133,15 +133,26 @@ object Dedup {
     * over-tightening the length bound. */
   private def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     def ceilT(n: Column): Column = ceil(n * threshold - lit(1e-9))
-    val inv = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    val ranked = inv.join(freq, "s")
+    // Shingle identity travels as xxhash64 from here on: the docFreq
+    // groupBy and the prefix self-join key on 8 bytes instead of the
+    // shingle string (shuffle-bytes win at any scale). A 64-bit collision
+    // can only ADD a candidate pair (verified exactly afterwards), never
+    // lose one: the global rarity order stays total on the STRING
+    // ((df, hash, s) — df is a function of the hash, the s tiebreak keeps
+    // same-key-distinct-string elements consistently ordered across
+    // docs), and the join fires on hash equality, a superset of string
+    // equality.
+    val inv = sh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+      .withColumn("_sh", xxhash64(col("s")))
+    val freq = inv.groupBy("_sh").agg(count(lit(1)).as("df"))
+    val ranked = inv.join(freq, "_sh")
       .withColumn("_r", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+        Window.partitionBy("id").orderBy(col("df"), col("_sh"), col("s"))))
       .filter(col("_r") <= col("n") - ceilT(col("n")) + 1)
-      .select("id", "n", "s")
+      .select("id", "n", "_sh")
     ranked.as("a").join(ranked.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("a._sh") === col("b._sh") && col("a.id") < col("b.id") &&
           col("b.n") >= ceilT(col("a.n")) && col("a.n") >= ceilT(col("b.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -734,13 +745,22 @@ object Dedup {
     // hash array computed in ONE codegen'd projection (gram strings exist
     // only transiently inside the expression), then exploded to narrow
     // (id, pos, h) rows; pos is the 1-based start token index.
+    // materialized (localCheckpoint): the frame feeds BOTH the dup-key
+    // aggregation and the candidate join, and recomputing it means
+    // re-building + re-hashing every k-token gram string — far more
+    // expensive than writing back the 24-byte (id, pos, h) rows.
     val hashes = toks.select(col("id"),
       posexplode(transform(sequence(lit(1), size(col("_ts")) - (k - 1)),
         i => xxhash64(concat_ws(" ", slice(col("_ts"), i, lit(k)))))))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .localCheckpoint()
     def dupKeys(g: DataFrame, key: String): DataFrame = {
-      val agg = g.groupBy(key).agg(count(lit(1)).as("_c"),
-        min("id").as("_i1"), max("id").as("_i2"))
+      // crossDocOnly needs no occurrence count — skip the extra aggregate
+      val agg =
+        if (crossDocOnly)
+          g.groupBy(key).agg(min("id").as("_i1"), max("id").as("_i2"))
+        else g.groupBy(key).agg(count(lit(1)).as("_c"),
+          min("id").as("_i1"), max("id").as("_i2"))
       val keep = if (crossDocOnly) col("_i1") =!= col("_i2")
       else col("_c") > 1 || col("_i1") =!= col("_i2")
       agg.filter(keep).select(key)

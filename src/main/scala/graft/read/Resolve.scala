@@ -72,22 +72,52 @@ object Resolve {
 
     // Time travel: cap everything (puts AND tombstones) at asOf, so the
     // read is exactly "the table as of T".
-    val base = view.asOf.fold(cells)(t => cells.filter(col("ts") <= t))
+    val base0 = view.asOf.fold(cells)(t => cells.filter(col("ts") <= t))
 
-    val famDelTs = max(when(k === CellKind.DeleteFamily, col("ts"))).over(wFam)
-    val colDelTs = max(when(k === CellKind.DeleteColumn, col("ts"))).over(wCol)
-    val pointDelTs = collect_set(when(k === CellKind.Delete, col("ts"))).over(wCol)
+    // TOMBSTONE-FREE FAST PATH. Most scans read stores that contain only
+    // Put cells (bulk loads, compacted tables, append-only corpora); the
+    // three masking windows then compute all-null masks over every cell.
+    // One limit-1 probe decides: `kind != Put` is pushed into the parquet
+    // scan, so on an all-Put store the row groups are skipped on their
+    // min/max stats and the probe is ~footer-only. When it proves the
+    // frame tombstone-free, masking reduces to the Put filter (kept — it
+    // is free under codegen and keeps the reduction local) and the
+    // version-cap stage's single sort. This is the read-side analog of
+    // the reference skipping delete tracking when a store has no
+    // tombstones; cost: one tiny job per resolve, priced inside the
+    // query it serves (never cached across runs).
+    val tombstoneFree =
+      try base0.filter(k =!= CellKind.Put).isEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
 
-    val maskedPuts = base
-      .withColumn("_fdel", famDelTs)
-      .withColumn("_cdel", colDelTs)
-      .withColumn("_pdel", pointDelTs)
-      .filter(
-        k === CellKind.Put &&
-          (col("_fdel").isNull || col("ts") > col("_fdel")) &&
-          (col("_cdel").isNull || col("ts") > col("_cdel")) &&
-          !array_contains(col("_pdel"), col("ts")))
-      .drop("_fdel", "_cdel", "_pdel")
+    // The explicit repartition pins the resolve's one exchange to `row`
+    // ALONE: hashpartitioning(row) satisfies the window clustering on
+    // (row, family) and (row, family, qualifier) (subset rule), AND every
+    // downstream row-keyed consumer — the decode pivot's groupBy(row),
+    // FirstKeyOnly/page windows partitioned by row — so those no longer
+    // pay a SECOND full-width exchange after the resolve (EnsureRequirements
+    // otherwise picks hash(row, family) here, which satisfies nothing
+    // row-keyed). Same shuffle bytes as the implicit exchange it replaces.
+    val base = base0.repartition(col("row"))
+
+    val maskedPuts =
+      if (tombstoneFree) base.filter(k === CellKind.Put)
+      else {
+        val famDelTs = max(when(k === CellKind.DeleteFamily, col("ts"))).over(wFam)
+        val colDelTs = max(when(k === CellKind.DeleteColumn, col("ts"))).over(wCol)
+        val pointDelTs =
+          collect_set(when(k === CellKind.Delete, col("ts"))).over(wCol)
+        base
+          .withColumn("_fdel", famDelTs)
+          .withColumn("_cdel", colDelTs)
+          .withColumn("_pdel", pointDelTs)
+          .filter(
+            k === CellKind.Put &&
+              (col("_fdel").isNull || col("ts") > col("_fdel")) &&
+              (col("_cdel").isNull || col("ts") > col("_cdel")) &&
+              !array_contains(col("_pdel"), col("ts")))
+          .drop("_fdel", "_cdel", "_pdel")
+      }
 
     // TTL + time range apply to surviving puts
     // (`ScanQueryMatcher.java:105-230` order: deletes before time checks).

@@ -175,8 +175,10 @@ class IndexSpec extends SparkSpec {
       g.table("t").descriptor.indexOn("f", q).get.indexTable)
     val probePlan = SecondaryIndex.probe(idx, b("paris"))
       .queryExecution.executedPlan.toString
-    assert(probePlan.contains("PushedFilters: [IsNotNull(row), " +
-      "GreaterThanOrEqual(row,") || probePlan.contains("GreaterThanOrEqual(row,"),
+    // truncation-proof: the pushed list now leads with the fast path's
+    // kind IsNotNulls, which can push the bound's comma past the plan
+    // string's per-list print limit
+    assert(probePlan.contains("GreaterThanOrEqual(row"),
       s"probe range not pushed:\n$probePlan")
   }
 
