@@ -594,7 +594,11 @@ final class Catalog(spark: SparkSession, root: String) {
     * yet — the guard then falls back to measured probes. */
   def manifestHistogram(m: Manifest)
       : Option[(Long, Long, Seq[Array[Byte]])] =
-    m.stats.filter(s => s.histRows > 0 && s.histogram.nonEmpty)
+    // >= 2 boundaries required: the guard's rank arithmetic divides by
+    // bucket count (length - 1); a single-boundary block (hand-edited
+    // manifest) would yield 0/0 NaN bounds that silently decline routes
+    // (ADVICE r15) — fall through to the measured probe instead.
+    m.stats.filter(s => s.histRows > 0 && s.histogram.length >= 2)
       .map(s => (s.histRows, s.unseenRows, s.histogram))
 
   /** The manifest's stored row-key span [min, max]: metadata-only from
@@ -1148,12 +1152,17 @@ final class Catalog(spark: SparkSession, root: String) {
     val v = cur.version + 1
     val leaves = writeCells(
       new Path(tableDir(t), s"compact-$v").toString, cells, desc)
-    fence("after the rewrite, before the commit"): Unit
     // a FULL rewrite is the designated stats (re)computation point:
     // exact resolved count + fresh histogram over data this commit just
-    // shuffled anyway — compactions and index rebuilds land here
+    // shuffled anyway — compactions and index rebuilds land here.
+    // Stats run BEFORE the fence (ADVICE r15 medium): they are two full
+    // Spark jobs plus a driver-side sample collect, and the fence only
+    // narrows the lost-update window if it sits immediately adjacent to
+    // commitManifest.
+    val stats = fullStats(leaves)
+    fence("after the rewrite, before the commit"): Unit
     val m = cur.copy(version = v, createdMs = nowMs, dataDirs = leaves,
-      descriptor = desc, stats = Some(fullStats(leaves)))
+      descriptor = desc, stats = Some(stats))
     commitManifest(m)
     uncacheHot(cur)
     m
@@ -1198,6 +1207,18 @@ final class Catalog(spark: SparkSession, root: String) {
         minKey = minOf(p.minKey, lo), maxKey = maxOf(p.maxKey, hi),
         p.histRows, p.histogram, unseenRows = p.unseenRows)
     }
+    // re-fence immediately before the commit (ADVICE r15): the stats
+    // roll-forward above runs a removed-leaf count job + statAgg between
+    // the manifest read and the write — without this check a concurrent
+    // append's commit at the same v+1 could be silently overwritten
+    // (the serialized-competitor class commitManifest's readback verify
+    // cannot catch), mirroring analyzeTable's re-fence.
+    val now = currentManifest(t)
+    if (now.version != cur.version)
+      throw new FenceTrippedException(
+        s"replaceDirs fence on $t: read version ${cur.version} but the " +
+          s"table moved to ${now.version} mid-rewrite — re-run against " +
+          "the current version")
     val m = cur.copy(version = v, createdMs = nowMs,
       dataDirs = cur.dataDirs.filterNot(gone) ++ leaves, stats = stats)
     commitManifest(m)
@@ -1214,7 +1235,11 @@ final class Catalog(spark: SparkSession, root: String) {
 
   /** `LoadIncrementalHFiles` analog (`LoadIncrementalHFiles.java:59`):
     * adopt an already-written parquet cell directory into the table by
-    * reference — a manifest append, no data read, copy, or rewrite. The
+    * reference — a manifest append, no data copy or rewrite. The commit
+    * DOES read the adopted dir once for the stats roll-forward
+    * (`mergeDeltaStats`: a column-pruned aggregate; on a table's first
+    * batch the full two-pass stats including the histogram sample), so
+    * a dir violating the Cell-schema promise fails the commit here. The
     * caller promises the dir holds Cell-schema parquet (e.g. produced by
     * an `HFileOutputFormat`-style job via [[append]]'s layout on another
     * table, or an export). The reference splits straddling HFiles across
