@@ -724,9 +724,20 @@ object Text {
     // against the huge `df < maxDocFreq` set: the planner/AQE can
     // broadcast the boilerplate set, while the unique-segment set only
     // ever fit a broadcast by accident of scale.
-    val common = segs.filter(col("_seg").isNotNull).groupBy("_h")
-      .agg(countDistinct(col("_id")).as("_df"))
-      .filter(col("_df") >= maxDocFreq)
+    // maxDocFreq == 2 (the CCNet default) asks only "seen in MORE THAN
+    // one document" — exactly min(doc) != max(doc), a single
+    // map-side-combined aggregation pass, where countDistinct plans the
+    // two-exchange distinct pyramid. General thresholds keep the exact
+    // distinct count.
+    val nonNull = segs.filter(col("_seg").isNotNull)
+    val common = (if (maxDocFreq == 2)
+      nonNull.groupBy("_h")
+        .agg(min(col("_id")).as("_i1"), max(col("_id")).as("_i2"))
+        .filter(col("_i1") =!= col("_i2"))
+    else
+      nonNull.groupBy("_h")
+        .agg(countDistinct(col("_id")).as("_df"))
+        .filter(col("_df") >= maxDocFreq))
       .select(col("_h"), lit(1).as("_isC"))
     val keep = col("_seg").isNotNull && col("_isC").isNull
     segs.join(common, Seq("_h"), "left")

@@ -142,6 +142,24 @@ object Resolve {
   /** Stage 2 — duplicate-write dedup + the version cap over a
     * [[masked]] frame. */
   def finish(timed: DataFrame, view: ReadView = ReadView()): DataFrame = {
+    // CAP==1 FAST PATH (the default scan shape, `Scan.java` maxVersions
+    // = 1): "newest (ts, seq) per column" is an argmax, not a window —
+    // one map-side-combined max_by hash aggregate (clustering satisfied
+    // by masked()'s row partitioning, so NO exchange and NO full
+    // (row, family, qualifier, ts, seq) sort). min(familyCap, 1) == 1
+    // for any valid cap, so per-family overrides cannot differ; guard
+    // against a pathological <=0 family cap by falling through.
+    if (view.maxVersions == 1 && view.familyMaxVersions.values.forall(_ >= 1)) {
+      val dataCols = timed.columns.filterNot(
+        Set("row", "family", "qualifier").contains)
+      val top = max_by(
+        struct(dataCols.map(col): _*),
+        struct(col("ts"), col("seq"))).as("_top")
+      return timed.groupBy("row", "family", "qualifier").agg(top)
+        .select(timed.columns.map { c =>
+          if (dataCols.contains(c)) col("_top").getField(c).as(c) else col(c)
+        }: _*)
+    }
     // Duplicate-write dedup (same coords+ts: highest seq wins) and the
     // version cap share ONE sort: within (row,family,qualifier) ordered
     // by (ts desc, seq desc), a duplicate is a row whose predecessor has
