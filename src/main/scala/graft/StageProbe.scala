@@ -1,9 +1,12 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Text}
+import graft.pipeline.Text
 
-/** Scratch stage-timing probe (optimization round instrumentation). */
+/** Stage-timing probe (optimization-round instrumentation, guide §1):
+  * times individual pipeline stages through the noop sink so hot spots
+  * are attributed to operators, not whole queries. Harness only — never
+  * part of a query path. */
 object StageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,43 +28,6 @@ object StageProbe {
     time("repetition")(Text.repetitionSignals(docs, "doc_id"))
     time("tokens_explode")(docs.select(col("doc_id"),
       explode(Text.tokens(col("text")))))
-    // candidate: per-row mode counts via sorted-array HOF (no shuffle)
-    import org.apache.spark.sql.Column
-    import org.apache.spark.sql.types._
-    def modeCount(arr: Column): Column =
-      aggregate(array_sort(arr),
-        struct(lit(null).cast(StringType).as("prev"), lit(0L).as("run"),
-          lit(0L).as("best")),
-        (acc, x) => {
-          val run = when(x <=> acc.getField("prev"),
-            acc.getField("run") + 1L).otherwise(1L)
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
-    def repHof(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      d.withColumn("_rts", Text.tokens(col("text")))
-        .withColumn("_bg", Text.kgrams(col("text"), 2))
-        .withColumn("n_tokens", size(col("_rts")).cast("long"))
-        .withColumn("dup_token_frac",
-          when(col("n_tokens") > 0,
-            (col("n_tokens") - size(array_distinct(col("_rts"))))
-              .cast("double") / col("n_tokens")).otherwise(lit(0.0)))
-        .withColumn("top_bigram_frac",
-          when(size(col("_bg")) > 0,
-            modeCount(col("_bg")).cast("double") / size(col("_bg")))
-            .otherwise(lit(0.0)))
-        .withColumn("max_token_rep",
-          when(col("n_tokens") > 0, modeCount(col("_rts"))).otherwise(lit(0L)))
-        .drop("_rts", "_bg")
-    time("repetition_hof")(repHof(docs))
-    val a = Text.repetitionSignals(docs, "doc_id")
-      .select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac",
-        "max_token_rep")
-    val b = repHof(docs)
-      .select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac",
-        "max_token_rep")
-    println(s"[stage] rep_diff=${a.exceptAll(b).count()} + ${b.exceptAll(a).count()}")
     spark.stop()
   }
 }
