@@ -57,7 +57,21 @@ object Bench {
     // total sums only successful queries — the -1 sentinel must not make
     // the headline number SMALLER when a query breaks
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO write the contract line to a file: sbt prefixes stdout with
+    // "[info] ", which a strict line parser on the driver side rejects
+    // (PERF_r16 recorded now_bench_ok=false with the JSON present in the
+    // tail). The file is the unambiguous channel; stdout stays for humans
+    // and for any parser that strips the prefix. Best-effort — a
+    // read-only cwd must not fail the bench itself.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

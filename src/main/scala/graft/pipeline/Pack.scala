@@ -117,7 +117,11 @@ object Pack {
     require(stride >= 1 && stride <= maxTokens,
       s"stride must be in [1, maxTokens]; got stride=$stride max=$maxTokens")
     val overlap = maxTokens - stride
-    val ts = graft.pipeline.Text.tokens(col(textCol))
+    // Tokens materialize as an ATTRIBUTE before the chunk lambda slices
+    // them: an inline Text.tokens(text) would re-run the whitespace
+    // split per chunk (no CSE inside HOF lambdas — the Text.shinglesOf
+    // hazard), turning a linear pass quadratic on long documents.
+    val ts = col("_ts")
     val n = size(ts)
     // sequence(start, stop) descends when stop < start — guard empties
     val starts = when(n === 0, array().cast("array<int>"))
@@ -126,7 +130,8 @@ object Pack {
     val chunks = transform(starts, s => struct(
       array_join(slice(ts, s, lit(maxTokens)), " ").as("chunk_text"),
       least(lit(maxTokens), n - s + 1).cast("long").as("n_tokens")))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "_c")))
+    df.select(col(idCol), graft.pipeline.Text.tokens(col(textCol)).as("_ts"))
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "_c")))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         col("_c.chunk_text").as("chunk_text"),
         col("_c.n_tokens").as("n_tokens"))

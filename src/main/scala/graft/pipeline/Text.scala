@@ -36,16 +36,28 @@ object Text {
   def canonicalFold(text: Column): Column =
     graft.functions.TextFunctions.canonicalFold(text)
 
+  /** Token COUNT. `regexp_count(text, "\S+")` is value-identical (a
+    * token is exactly a maximal `\S+` run) and beat this form ~1.3x in a
+    * single-expression microbench, but was tried and REJECTED (r17,
+    * measured): in composed pipelines the count is referenced by several
+    * operators (a pushed filter, projections, a join side), each
+    * evaluation is a fresh full regex pass, and curation_pipeline went
+    * 1.94 -> 2.94 s. The split form's array is built once per operator
+    * and the per-element `filter` lambda, though interpreted, touches
+    * only array entries — cheaper than re-scanning the string. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count approximation: words + punctuation marks each
     * count, long words count ceil(len/4) pieces — a deterministic stand-in
-    * for a real BPE vocab (which would be a broadcast lookup table). */
-  def tokenCountBpeIsh(text: Column): Column = {
-    val pieces = transform(tokens(text), t => ceil(length(t) / lit(4.0)))
-    (aggregate(pieces, lit(0L), (acc, x) => acc + x.cast("long")) +
+    * for a real BPE vocab (which would be a broadcast lookup table).
+    *
+    * One codegen'd regex pass: greedy non-overlapping `\S{1,4}` matches
+    * chunk each token left-to-right into ceil(len/4) pieces (4,4,...,rest
+    * — matches cannot cross whitespace), so the count equals the old
+    * interpreted `aggregate(transform(tokens))` sum bit-for-bit. */
+  def tokenCountBpeIsh(text: Column): Column =
+    (regexp_count(text, lit("\\S{1,4}")).cast("long") +
       length(regexp_replace(text, "[^.,!?;:]", ""))).cast("long")
-  }
 
   /** Per-document quality signals (length/punct/stopword ratios) — the
     * standard pre-training quality heuristics, each a plain column so
@@ -71,7 +83,7 @@ object Text {
 
   def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val nTok = size(tokens(t))
+    val nTok = tokenCount(t)
     df.withColumn("n_chars_m", length(t).cast("long"))
       .withColumn("n_tokens", nTok.cast("long"))
       // sum of token lengths == count of non-whitespace chars (tokens
@@ -109,27 +121,46 @@ object Text {
     * rounding. One narrow codegen'd pass, no shuffle, no UDFs. */
   def gopherRules(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = col("_g_ts")
     val lines = col("_g_ls")
     val nw = col("n_words")
     val nl = greatest(size(lines).cast("long"), lit(1L))
-    val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x))
+    // sum of token lengths == count of non-whitespace chars (tokens
+    // partition them): one codegen'd pass, replacing the interpreted
+    // per-token aggregate() — same identity as qualitySignals'
+    // avg_token_len numerator.
+    val sumLen = length(regexp_replace(t, "\\s", "")).cast("long")
     val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
     // non-overlapping "..." count, times 3 (avoids any division)
     val ell3 = (length(t) -
       length(regexp_replace(t, "\\.\\.\\.", ""))).cast("long")
-    val alphaW = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    // one regexp_count match per token containing a letter, replacing the
+    // interpreted filter(rlike) lambda: a match's trailing \S* is greedy
+    // to the token's end (it cannot cross whitespace), so a
+    // letter-bearing token yields exactly one match and a letterless
+    // token none.
+    val alphaW = regexp_count(t, lit("\\S*[A-Za-z]\\S*")).cast("long")
+    // Line-level rules stay as array HOFs on purpose: the lambdas run
+    // per LINE (a handful per document — this corpus is single-line),
+    // not per token, so the interpreted cost is noise; the regex
+    // equivalents would need multiline anchors with their own \r edge
+    // cases for no measurable win.
     val bulletL = size(filter(lines, x =>
       x.startsWith("•") || x.startsWith("-") || x.startsWith("*")))
       .cast("long")
     val ellipsisL = size(filter(lines, x => x.endsWith("..."))).cast("long")
-    val stopArr = array(GopherStopwords.map(lit): _*)
-    val stopHits = size(filter(stopArr, w =>
-      array_contains(transform(toks, x => lower(x)), w))).cast("long")
-    df.withColumn("_g_ts", tokens(t))
-      .withColumn("_g_ls", filter(
+    // distinct stop words present as whole lowercase tokens: extract the
+    // boundary-anchored alternation's matches (the same token-exactness
+    // argument as tokenSetCount) and count distinct — one codegen'd
+    // regex pass, where the old form ran an interpreted transform+
+    // array_contains scan of the token array PER stop word.
+    val stopAlt = GopherStopwords.sortBy(w => (-w.length, w))
+      .map(java.util.regex.Pattern.quote).mkString("|")
+    val stopHits = size(array_distinct(regexp_extract_all(
+      lower(regexp_replace(trim(t), "\\s+", " ")),
+      lit("(?:^|(?<= ))(?:" + stopAlt + ")(?= |$)"), lit(0)))).cast("long")
+    df.withColumn("_g_ls", filter(
         transform(split(t, "\n"), x => trim(x)), x => x =!= ""))
-      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("n_words", tokenCount(t).cast("long"))
       .withColumn("rule_word_count", nw >= 50L && nw <= 100000L)
       .withColumn("rule_mean_word_len",
         lit(3L) * nw <= sumLen && sumLen <= lit(10L) * nw)
@@ -145,7 +176,7 @@ object Text {
         col("rule_symbol_ratio") && col("rule_bullet_lines") &&
         col("rule_ellipsis_lines") && col("rule_alpha_words") &&
         col("rule_stop_words"))
-      .drop("_g_ts", "_g_ls")
+      .drop("_g_ls")
   }
 
   /** Rule 7's closed list (Rae et al. 2021 Appendix A). */
@@ -228,7 +259,7 @@ object Text {
     * the same int-count / int-size doubles, so the argmax and threshold
     * decisions are bit-identical. */
   private def langIdOf(text: Column, minScore: Double): Column = {
-    val n = greatest(size(tokens(text)), lit(1))
+    val n = greatest(tokenCount(text), lit(1))
     val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
         (tokenSetCount(text, words).cast("double") / n).as("score"),
@@ -376,11 +407,20 @@ object Text {
     * the full gram table never sorts globally. */
   def topNgrams(df: DataFrame, idCol: String, textCol: String = "text",
       k: Int = 2, topN: Int = 50): DataFrame = {
+    // count + countDistinct in one agg plans the Expand-based distinct
+    // pyramid (every exploded row duplicated into two aggregation
+    // groups before the first exchange). The manual two-level rewrite —
+    // (gram, doc) partial counts, then one gram-keyed pass computing
+    // occurrences = sum and doc_freq = row count — shuffles each
+    // DISTINCT (gram, doc) pair once instead, with map-side combine on
+    // both levels, and is value-identical by definition.
     df.select(col(idCol).as("_id"),
         explode(kgrams(col(textCol), k)).as("ngram"))
+      .groupBy("ngram", "_id")
+      .agg(count(lit(1)).as("_c"))
       .groupBy("ngram")
-      .agg(count(lit(1)).as("occurrences"),
-        countDistinct(col("_id")).as("doc_freq"))
+      .agg(sum(col("_c")).as("occurrences"),
+        count(lit(1)).as("doc_freq"))
       .orderBy(col("occurrences").desc, col("ngram"))
       .limit(topN)
   }
@@ -705,19 +745,35 @@ object Text {
       windowTokens: Int = 4, maxDocFreq: Int = 2): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be >= 1")
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
-    val ts = tokens(col(textCol))
-    // window starts 1, 1+w, ... (sequence is empty-UNSAFE: stop < start
-    // generates a DESCENDING range, so the empty document guards first)
-    val segsArr = when(size(ts) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ts), lit(windowTokens)),
-        i => array_join(slice(ts, i, lit(windowTokens)), " ")))
-    // posexplode_OUTER keeps zero-segment documents as a single null-seg
-    // row, so ONE doc-keyed rollup covers every input document and the
-    // old third scan + text-carrying join back to `df` disappear.
-    val segs = df
-      .select(col(idCol).as("_id"),
-        posexplode_outer(segsArr).as(Seq("_pos", "_seg")))
-      .withColumn("_h", md5(col("_seg")))
+    // One row per (doc, window position, token SLICE), built over a
+    // materialized token ATTRIBUTE: the previous form sliced an INLINE
+    // `tokens(text)` expression inside the transform lambda, which
+    // re-ran the whitespace split for every window position (HOF
+    // lambdas get no CSE — the [[shinglesOf]] hazard), an
+    // O(tokens^2/windowTokens) per-document blowup that made this the
+    // bench's most expensive query. posexplode_OUTER keeps
+    // zero-segment documents as a single null-slice row, so one
+    // doc-keyed rollup covers every input document. (sequence is
+    // empty-UNSAFE: stop < start generates a DESCENDING range, so the
+    // empty document guards first.)
+    def sliceRows(in: DataFrame): DataFrame = {
+      val ts = col("_ts")
+      val slices = when(size(ts) === 0, array().cast("array<array<string>>"))
+        .otherwise(transform(sequence(lit(1), size(ts), lit(windowTokens)),
+          i => slice(ts, i, lit(windowTokens))))
+      in.select(col(idCol).as("_id"), tokens(col(textCol)).as("_ts"))
+        .select(col("_id"), posexplode_outer(slices).as(Seq("_pos", "_sl")))
+    }
+    // Segment identity is a structural 128-bit hash of the TOKEN SLICE
+    // (two independently-seeded xxhash64 words). Tokens contain no
+    // whitespace, so slice identity == joined-string identity, and 128
+    // bits is collision-free in practice at any corpus size — the same
+    // contract as the md5-of-string key it replaces (CCNet itself keys
+    // on 64-bit SHA-1 prefixes) — while the frequency branch no longer
+    // pays the array_join string build + md5 over it, and the shuffle
+    // key is 16 bytes instead of a 32-char string.
+    def hashOf(sl: Column): Column = when(sl.isNotNull,
+      struct(xxhash64(sl).as("_h1"), xxhash64(lit(1L), sl).as("_h2")))
     // Corpus-common (boilerplate) segments are the SMALL side of the
     // dedup decision — join the survivor test against `df >= maxDocFreq`
     // (left join + null flag == NOT IN) instead of the old inner join
@@ -729,7 +785,8 @@ object Text {
     // map-side-combined aggregation pass, where countDistinct plans the
     // two-exchange distinct pyramid. General thresholds keep the exact
     // distinct count.
-    val nonNull = segs.filter(col("_seg").isNotNull)
+    val nonNull = sliceRows(df).filter(col("_sl").isNotNull)
+      .select(col("_id"), hashOf(col("_sl")).as("_h"))
     val common = (if (maxDocFreq == 2)
       nonNull.groupBy("_h")
         .agg(min(col("_id")).as("_i1"), max(col("_id")).as("_i2"))
@@ -739,6 +796,12 @@ object Text {
         .agg(countDistinct(col("_id")).as("_df"))
         .filter(col("_df") >= maxDocFreq))
       .select(col("_h"), lit(1).as("_isC"))
+    // Reassembly branch: only HERE does the segment string get built
+    // (it IS the output), once per segment.
+    val segs = sliceRows(df)
+      .withColumn("_h", hashOf(col("_sl")))
+      .withColumn("_seg", array_join(col("_sl"), " "))
+      .drop("_sl")
     val keep = col("_seg").isNotNull && col("_isC").isNull
     segs.join(common, Seq("_h"), "left")
       .groupBy("_id").agg(
@@ -767,7 +830,11 @@ object Text {
   def dedupWithinDoc(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 4): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be >= 1")
-    val ts = tokens(col(textCol))
+    // Tokens materialize as an ATTRIBUTE before the window-slicing
+    // lambda references them: an inline tokens(text) would re-run the
+    // whitespace split per window position (no CSE inside HOF lambdas —
+    // the [[shinglesOf]] hazard).
+    val ts = col("_dw_ts")
     val segsArr = when(size(ts) === 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(ts), lit(windowTokens)),
         i => array_join(slice(ts, i, lit(windowTokens)), " ")))
@@ -775,11 +842,12 @@ object Text {
     // keep segment i (0-based lambda index) iff absent from the prefix
     val kept = filter(segs,
       (s, i) => array_position(slice(segs, lit(1), i), s) === 0)
-    df.withColumn("_dw_segs", segsArr)
+    df.withColumn("_dw_ts", tokens(col(textCol)))
+      .withColumn("_dw_segs", segsArr)
       .withColumn("text_deduped", array_join(kept, " "))
       .withColumn("n_segments", size(segs).cast("long"))
       .withColumn("n_kept", size(kept).cast("long"))
-      .drop("_dw_segs")
+      .drop("_dw_ts", "_dw_segs")
   }
 
   /** Tracking/session query parameters a canonical URL drops — the
