@@ -82,6 +82,19 @@ object Queries {
               .sortWithinPartitions(col("row"), col("family"), col("qualifier"),
                 col("ts").desc, col("seq").desc)
               .write.mode("overwrite").parquet(tmp.toString)
+            // Write-side tombstone stats (r17), same contract as
+            // Catalog.writeCells: the store's exact non-Put count rides
+            // next to the data, so Resolve.masked proves
+            // tombstone-freeness from metadata instead of running a
+            // probe job per scan. Computed once here at store-build
+            // time — the writer's knowledge, not a query-time cache.
+            val tomb = s.read.schema(graft.core.Cell.schema)
+              .parquet(tmp.toString)
+              .filter(col("kind") =!= graft.core.CellKind.Put).count()
+            graft.core.StoreStats.write(
+              org.apache.hadoop.fs.FileSystem.getLocal(
+                s.sparkContext.hadoopConfiguration),
+              new org.apache.hadoop.fs.Path(tmp.toString), tomb)
             if (!tmp.renameTo(root)) {
               deleteRec(tmp)
               throw new IllegalStateException(

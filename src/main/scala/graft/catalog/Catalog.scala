@@ -888,9 +888,36 @@ final class Catalog(spark: SparkSession, root: String) {
     }
     val bp = new Path(base)
     if (!fs.exists(bp)) Seq.empty // an empty batch writes nothing
-    else fs.listStatus(bp).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(Catalog.FamDirPrefix))
-      .map(_.getPath.toString).sorted
+    else {
+      val leaves = fs.listStatus(bp).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(Catalog.FamDirPrefix))
+        .map(_.getPath.toString).sorted
+      // Write-side tombstone stats (r17): record each leaf dir's exact
+      // non-Put count while the delta is in hand — ONE column-pruned agg
+      // over the just-written files (leaves are per-family dirs and
+      // `family` is in the data, so per-family == per-leaf). Read side:
+      // [[graft.read.Resolve.masked]] proves tombstone-freeness from
+      // these files with zero Spark jobs instead of a per-query probe.
+      // Each committed dir is immutable, so the count is exact forever —
+      // no roll-forward arithmetic across appends or partial compactions.
+      // Best-effort: a stats failure must not fail the data commit.
+      try {
+        import org.apache.spark.sql.functions.count
+        val counts = readDirs(leaves)
+          .groupBy("family")
+          .agg(count(when(col("kind") =!= graft.core.CellKind.Put, lit(1)))
+            .as("_t"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        leaves.foreach { d =>
+          val fam = new Path(d).getName.stripPrefix(Catalog.FamDirPrefix)
+          // a leaf whose family key is absent from the agg (dir-name
+          // escaping mismatch) stays UNKNOWN rather than claiming 0
+          counts.get(fam).foreach(t =>
+            graft.core.StoreStats.write(fs, new Path(d), t))
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      leaves
+    }
   }
 
   // ---- persisted per-version stats (r15, [[ManifestStats]]): computed

@@ -28,7 +28,15 @@ case class ReadView(
     // effective cap = min(scan maxVersions, family maxVersions); a family
     // TTL overrides the global one for that family's cells.
     familyMaxVersions: Map[String, Int] = Map.empty,
-    familyTtlMs: Map[String, Long] = Map.empty)
+    familyTtlMs: Map[String, Long] = Map.empty,
+    // Caller-supplied tombstone knowledge (r17, ADVICE r16): Some(true)
+    // = the caller GUARANTEES the frame holds only Put cells (masking
+    // reduces to the Put filter, no probe job); Some(false) = skip the
+    // probe and run the full masking windows (the right call when the
+    // input is an expensive derived frame whose re-evaluation the probe
+    // would pay); None (default) = [[Resolve.masked]] decides — written
+    // store stats first (zero jobs), then the limit-1 probe.
+    tombstoneFree: Option[Boolean] = None)
 
 /** The keystone transform (SURVEY.md §7.2): reproduces the reference's
   * per-cell visibility pipeline — tombstone masking
@@ -77,18 +85,30 @@ object Resolve {
     // TOMBSTONE-FREE FAST PATH. Most scans read stores that contain only
     // Put cells (bulk loads, compacted tables, append-only corpora); the
     // three masking windows then compute all-null masks over every cell.
-    // One limit-1 probe decides: `kind != Put` is pushed into the parquet
-    // scan, so on an all-Put store the row groups are skipped on their
-    // min/max stats and the probe is ~footer-only. When it proves the
-    // frame tombstone-free, masking reduces to the Put filter (kept — it
-    // is free under codegen and keeps the reduction local) and the
-    // version-cap stage's single sort. This is the read-side analog of
-    // the reference skipping delete tracking when a store has no
-    // tombstones; cost: one tiny job per resolve, priced inside the
-    // query it serves (never cached across runs).
-    val tombstoneFree =
-      try base0.filter(k =!= CellKind.Put).isEmpty
-      catch { case scala.util.control.NonFatal(_) => false }
+    // Decision order (r17, VERDICT r16 #4 + ADVICE #1):
+    //  1. an explicit caller hint ([[ReadView.tombstoneFree]]) wins;
+    //  2. write-side store stats ([[graft.core.StoreStats]]): when the
+    //     frame is provably only filters/projections/unions over data
+    //     dirs whose writers recorded zero tombstones, the proof is a
+    //     driver-side metadata read — ZERO Spark jobs, where the probe
+    //     at 100 TB is an O(row-groups) footer pass per query for a
+    //     property the writer already knew;
+    //  3. otherwise one limit-1 probe decides: `kind != Put` is pushed
+    //     into the parquet scan, so on an all-Put store row groups are
+    //     skipped on min/max stats and the probe is ~footer-only
+    //     (legacy dirs and foreign parquet land here). Streaming frames
+    //     skip the probe (isEmpty is unsupported) and mask fully.
+    // When the frame is tombstone-free, masking reduces to the Put
+    // filter (kept — free under codegen) and the version-cap stage's
+    // single sort — the read-side analog of the reference skipping
+    // delete tracking when a store has no tombstones. The probe, when
+    // it runs, is priced inside the query it serves every run (never
+    // cached across runs).
+    val tombstoneFree = view.tombstoneFree.getOrElse(
+      !base0.isStreaming && (provablyTombstoneFree(base0) || {
+        try base0.filter(k =!= CellKind.Put).isEmpty
+        catch { case scala.util.control.NonFatal(_) => false }
+      }))
 
     // The explicit repartition pins the resolve's one exchange to `row`
     // ALONE: hashpartitioning(row) satisfies the window clustering on
@@ -98,6 +118,22 @@ object Resolve {
     // pay a SECOND full-width exchange after the resolve (EnsureRequirements
     // otherwise picks hash(row, family) here, which satisfies nothing
     // row-keyed). Same shuffle bytes as the implicit exchange it replaces.
+    //
+    // SKEW POSTURE (recorded r17, VERDICT r16 #3): hash(row) concentrates
+    // a pathologically hot row (one key carrying a table-sized share of
+    // cells) into ONE task, and AQE does not split aggregate/window
+    // exchanges. Accepted deliberately: the masking windows and the
+    // cap-1 argmax REQUIRE every cell of a row key in one partition
+    // (salting here would break semantics — a salted window can miss a
+    // DeleteFamily sitting in another salt bucket); falling back to
+    // hash(row, family) only spreads a hot row across its families (one,
+    // for the single-family hot rows that dominate in practice) while
+    // re-introducing the second exchange for every row-keyed consumer;
+    // and a row models one entity — the reference accepts the same
+    // bound (a row never splits across regions, however wide). Callers
+    // with adversarial row widths own the fix at WRITE time (salted key
+    // design / splitBoundaries), not in the resolve. Correctness under a
+    // hot row is pinned by ResolveSpec ("hot row skew posture").
     val base = base0.repartition(col("row"))
 
     val maskedPuts =
@@ -182,4 +218,61 @@ object Resolve {
         col("_v") <= cap)
       .drop("_prevTs", "_v")
   }
+
+  /** ZERO-JOB tombstone-freeness proof from write-side store stats
+    * (r17, VERDICT r16 #4): true iff the frame is a row-REDUCING /
+    * kind-PRESERVING composition (filters, pass-through projections,
+    * unions, semi/anti joins, repartitions, limits) over parquet data
+    * dirs whose writers all recorded zero non-Put cells
+    * ([[graft.core.StoreStats]]). Soundness:
+    *  - every admitted node can only REMOVE or route rows, never mint a
+    *    tombstone — EXCEPT a Project computing a new `kind`, so any
+    *    Alias named `kind` disqualifies (a plain AttributeReference is
+    *    a pass-through of the scanned column);
+    *  - a dir without a stats file is UNKNOWN and disqualifies (the
+    *    runtime probe then decides, as before r17);
+    *  - unknown node types disqualify (joins that can duplicate,
+    *    generators, aggregates, local/streaming sources).
+    * Cost: one plan walk + an O(#dirs) driver-side metadata read per
+    * resolve construction — no Spark job, no per-run caching. */
+  private def provablyTombstoneFree(df: DataFrame): Boolean =
+    try {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+      import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      def dirsFree(paths: Seq[org.apache.hadoop.fs.Path]): Boolean =
+        paths.nonEmpty && paths.forall(p =>
+          graft.core.StoreStats.tombstones(conf, p).contains(0L))
+      def walk(p: LogicalPlan): Boolean = p match {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => dirsFree(h.location.rootPaths)
+          case _ => false
+        }
+        case f: Filter => walk(f.child)
+        case pr: Project =>
+          pr.projectList.forall {
+            // case-INsensitive: the analyzer resolves column names case-
+            // insensitively by default, so an Alias named "KIND" could
+            // shadow the scanned kind column just as well
+            case a: Alias => !a.name.equalsIgnoreCase("kind")
+            case _: AttributeReference => true
+            case _ => false
+          } && walk(pr.child)
+        case s: SubqueryAlias => walk(s.child)
+        case r: RepartitionOperation => walk(r.child)
+        case u: Union => u.children.forall(walk)
+        case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+          walk(j.left)
+        case l: GlobalLimit => walk(l.child)
+        case l: LocalLimit => walk(l.child)
+        case s: Sort => walk(s.child)
+        case _ => false
+      }
+      // the ANALYZED plan: raw `.logical` still holds UnresolvedAttribute
+      // / UnresolvedAlias nodes for DataFrame-API projections, which the
+      // projectList match would (soundly but uselessly) reject
+      walk(df.queryExecution.analyzed)
+    } catch { case scala.util.control.NonFatal(_) => false }
 }

@@ -117,4 +117,33 @@ class ResolveSpec extends SparkSpec {
     // generous bound — the point is no quadratic blowup on the hot group
     assert(secs < 60.0, s"hot-row resolve took ${secs}s")
   }
+
+  test("hot row skew posture: wide row with tombstones resolves exactly") {
+    // The pinned hash(row) exchange concentrates a hot row key into ONE
+    // task (skew posture recorded at Resolve.masked, r17). This pins
+    // that the concentration is CORRECT: a row carrying a corpus-sized
+    // cell share — many qualifiers x versions across two families, with
+    // family- and column-level tombstones interleaved — must mask and
+    // version-cap exactly, next to untouched normal rows.
+    val hot = (0 until 300).flatMap { i =>
+      val q = f"q$i%03d"
+      Seq(put("hot", q, 1, s"$q-1"), put("hot", q, 2, s"$q-2"),
+        put("hot", q, 3, s"$q-3"))
+    } ++ Seq(
+      Cell.deleteFamily(b("hot"), "f", 1), // masks every f ts<=1
+      // masks ts<=2 of even qualifiers
+    ) ++ (0 until 300 by 2).map(i =>
+      Cell.deleteColumn(b("hot"), "f", b(f"q$i%03d"), 2)) ++
+      (0 until 50).map(i => put(f"r$i%03d", "q1", 1, s"n$i")) ++
+      Seq(put("hot", "g1", 7, "gv", fam = "g"))
+    val out = collectCells(Resolve(cells(hot).toDF(), ReadView(maxVersions = 2)))
+    val hotF = out.filter(c => c._1 == "hot" && c._2 == "f")
+    // odd qualifiers: DeleteFamily@1 masks ts1, cap keeps ts3+ts2
+    assert(hotF.count(_._4 == 2L) == 150, "odd quals keep ts2")
+    assert(hotF.count(_._4 == 3L) == 300, "all quals keep ts3")
+    assert(!hotF.exists(_._4 == 1L), "DeleteFamily@1 masks every ts1")
+    assert(hotF.size == 450)
+    assert(out.count(_._2 == "g") == 1) // other family untouched
+    assert(out.count(c => c._1 != "hot") == 50) // normal rows intact
+  }
 }
