@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.ExplainMode
   * the optimization rounds to commit before/after physical plans — plan
   * evidence only, never part of any query path.
   *
-  * Usage: runMain graft.PlanDump <outDir> [suffix] [query ...]
+  * Usage: runMain graft.PlanDump <outDir> <suffix> [query ...]
   * writes <outDir>/<name>_<suffix>.txt (suffix e.g. "before"/"after").
   */
 object PlanDump {

@@ -736,7 +736,8 @@ object Dedup {
     * lifecycle as [[shingled]] (`spark.catalog.clearCache()` between
     * corpora). */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, crossDocOnly: Boolean = true): DataFrame = {
+      k: Int = 12, crossDocOnly: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 2, s"span length must be >= 2, got $k")
     val toks = df
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("_ts"))
@@ -745,15 +746,17 @@ object Dedup {
     // hash array computed in ONE codegen'd projection (gram strings exist
     // only transiently inside the expression), then exploded to narrow
     // (id, pos, h) rows; pos is the 1-based start token index.
-    // materialized (localCheckpoint): the frame feeds BOTH the dup-key
+    // materialized ([[materialize]]): the frame feeds BOTH the dup-key
     // aggregation and the candidate join, and recomputing it means
     // re-building + re-hashing every k-token gram string — far more
     // expensive than writing back the 24-byte (id, pos, h) rows.
-    val hashes = toks.select(col("id"),
+    // `checkpointDir` selects reliable (FS-backed) materialization, same
+    // contract as every other Dedup materialization point.
+    val hashes = materialize(toks.select(col("id"),
       posexplode(transform(sequence(lit(1), size(col("_ts")) - (k - 1)),
         i => xxhash64(concat_ws(" ", slice(col("_ts"), i, lit(k)))))))
-      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
-      .localCheckpoint()
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h")),
+      checkpointDir)
     def dupKeys(g: DataFrame, key: String): DataFrame = {
       // crossDocOnly needs no occurrence count — skip the extra aggregate
       val agg =

@@ -173,13 +173,20 @@ class IndexSpec extends SparkSpec {
     // probe stays O(hits): the index scan pushes the value-range bounds
     val idx = g.catalog.read(
       g.table("t").descriptor.indexOn("f", q).get.indexTable)
-    val probePlan = SecondaryIndex.probe(idx, b("paris"))
-      .queryExecution.executedPlan.toString
-    // truncation-proof: the pushed list now leads with the fast path's
-    // kind IsNotNulls, which can push the bound's comma past the plan
-    // string's per-list print limit
-    assert(probePlan.contains("GreaterThanOrEqual(row"),
-      s"probe range not pushed:\n$probePlan")
+    // asserted INSIDE the PushedFilters list (r16 ADVICE: anywhere-in-plan
+    // could match incidental text), with the metadata print limit raised
+    // so the fast path's leading kind IsNotNulls cannot truncate the
+    // range bound away
+    val prevLim = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val probePushed =
+      try {
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        SecondaryIndex.probe(idx, b("paris"))
+          .queryExecution.executedPlan.toString
+          .linesIterator.filter(_.contains("PushedFilters")).mkString
+      } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLim)
+    assert(probePushed.contains("GreaterThanOrEqual(row"),
+      s"probe range not pushed:\n$probePushed")
   }
 
   test("gather span-bounds the main scan: hit-key range pushed to parquet") {
