@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.functions._
-import graft.pipeline.Text
+import graft.pipeline.{Dedup, Text}
 
 /** Scratch A/B probes for round 17 (instrumentation only — never part of
   * any query path): token-count expression A/Bs, and a Spark JOB COUNT
@@ -38,6 +38,80 @@ object ProbeR17 {
       time("bpeish_new")(docs.select(Text.tokenCountBpeIsh(t).as("n")))
       time("quality_cur")(Text.qualitySignals(docs))
       time("langid_cur")(Text.withLangId(docs, "text"))
+    } else if (mode == "repetition") {
+      // stage decomposition of repetitionSignals' per-row cost
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val t = col("text")
+      val ts = Text.tokens(t)
+      time("scan_only")(docs.select(t))
+      time("tokens_size")(docs.select(size(ts).as("n")))
+      time("tokens_distinct")(docs.select(size(array_distinct(ts)).as("n")))
+      time("tokens_sort")(docs.select(size(array_sort(ts)).as("n")))
+      time("kgrams2")(docs.select(size(Text.kgrams(t, 2)).as("n")))
+      time("kgrams2_sort")(docs.select(
+        size(array_sort(Text.kgrams(t, 2))).as("n")))
+      time("mode_tokens")(docs.select(Text.probeModeCount(ts).as("n")))
+      time("mode_bigrams")(docs.select(
+        Text.probeModeCount(Text.kgrams(t, 2)).as("n")))
+      // variants: mode over hashes (long/128-bit struct) instead of
+      // strings; bigrams rebuilt from the token ATTRIBUTE instead of a
+      // second regex pass over the text
+      val tsA = col("_ts")
+      def withTs(f: org.apache.spark.sql.Column) =
+        docs.select(ts.as("_ts")).select(f.as("n"))
+      // type-parameterized clone of Text.modeCount (the production one
+      // pins a string accumulator)
+      def modeP(arr: org.apache.spark.sql.Column, prevType: String) =
+        aggregate(array_sort(arr),
+          struct(lit(null).cast(prevType).as("prev"), lit(0L).as("run"),
+            lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x <=> acc.getField("prev"),
+              acc.getField("run") + 1L).otherwise(1L)
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best"))
+      val h128 = "struct<h1:bigint,h2:bigint>"
+      time("mode_tokens_h64")(withTs(
+        modeP(transform(tsA, x => xxhash64(x)), "bigint")))
+      time("mode_tokens_h128")(withTs(modeP(
+        transform(tsA, x =>
+          struct(xxhash64(x).as("h1"), xxhash64(lit(1L), x).as("h2"))),
+        h128)))
+      time("mode_bigrams_zipstr")(withTs(modeP(
+        transform(sequence(lit(1), greatest(size(tsA) - 1, lit(0))),
+          i => concat_ws(" ", element_at(tsA, i), element_at(tsA, i + 1))),
+        "string")))
+      time("mode_bigrams_ziph64")(withTs(modeP(
+        transform(sequence(lit(1), greatest(size(tsA) - 1, lit(0))),
+          i => xxhash64(element_at(tsA, i), element_at(tsA, i + 1))),
+        "bigint")))
+      time("mode_bigrams_ziph128")(withTs(modeP(
+        transform(sequence(lit(1), greatest(size(tsA) - 1, lit(0))),
+          i => struct(
+            xxhash64(element_at(tsA, i), element_at(tsA, i + 1)).as("h1"),
+            xxhash64(lit(1L), element_at(tsA, i),
+              element_at(tsA, i + 1)).as("h2"))),
+        h128)))
+      time("repetition_full")(Text.repetitionSignals(docs, "doc_id"))
+    } else if (mode == "spans") {
+      // duplicateSpans hash-pass A/B: hash the joined gram STRING
+      // (current) vs the token SLICE directly (no string build). The
+      // exact recheck downstream makes the choice output-invariant.
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val k = 12
+      val toks = docs
+        .select(col("doc_id").as("id"), Text.tokens(col("text")).as("_ts"))
+        .filter(size(col("_ts")) >= k)
+      def hashPass(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        toks.select(col("id"),
+          posexplode(transform(sequence(lit(1), size(col("_ts")) - (k - 1)),
+            i => h(slice(col("_ts"), i, lit(k))))))
+          .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      time("hash_gram_string")(hashPass(sl => xxhash64(concat_ws(" ", sl))))
+      time("hash_token_slice")(hashPass(sl => xxhash64(sl)))
+      time("spans_full")(Dedup.duplicateSpans(docs, "doc_id", "text", k))
     } else {
       // JOB COUNT per cell query: jobs fired during plan CONSTRUCTION
       // (where the tombstone probe lived) and during execution. Run

@@ -743,18 +743,23 @@ object Dedup {
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("_ts"))
       .filter(size(col("_ts")) >= k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hash array computed in ONE codegen'd projection (gram strings exist
-    // only transiently inside the expression), then exploded to narrow
+    // hash array computed in ONE projection over the token SLICE
+    // directly — xxhash64 folds the k element strings' bytes without
+    // ever building the joined gram string (r17, measured 5.9 -> 4.4 s
+    // on this pass at sf1). Output-invariant: equal gram strings <=>
+    // equal token slices (tokens carry no whitespace), so no duplicate
+    // is missed, and a 64-bit collision still only ADDS a candidate
+    // that the exact string re-check below rejects. Exploded to narrow
     // (id, pos, h) rows; pos is the 1-based start token index.
     // materialized ([[materialize]]): the frame feeds BOTH the dup-key
     // aggregation and the candidate join, and recomputing it means
-    // re-building + re-hashing every k-token gram string — far more
-    // expensive than writing back the 24-byte (id, pos, h) rows.
-    // `checkpointDir` selects reliable (FS-backed) materialization, same
-    // contract as every other Dedup materialization point.
+    // re-hashing every k-token gram — far more expensive than writing
+    // back the 24-byte (id, pos, h) rows. `checkpointDir` selects
+    // reliable (FS-backed) materialization, same contract as every
+    // other Dedup materialization point.
     val hashes = materialize(toks.select(col("id"),
       posexplode(transform(sequence(lit(1), size(col("_ts")) - (k - 1)),
-        i => xxhash64(concat_ws(" ", slice(col("_ts"), i, lit(k)))))))
+        i => xxhash64(slice(col("_ts"), i, lit(k))))))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h")),
       checkpointDir)
     def dupKeys(g: DataFrame, key: String): DataFrame = {

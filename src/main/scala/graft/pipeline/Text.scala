@@ -319,6 +319,9 @@ object Text {
   /** Longest equal-element run of the SORTED array = the multiplicity of
     * the array's mode — the per-row reduction behind
     * [[repetitionSignals]]. Null-safe equality; empty arrays yield 0. */
+  /** [[modeCount]] exposed for instrumentation probes only. */
+  private[graft] def probeModeCount(arr: Column): Column = modeCount(arr)
+
   private def modeCount(arr: Column): Column =
     aggregate(array_sort(arr),
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
