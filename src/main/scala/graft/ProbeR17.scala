@@ -112,6 +112,28 @@ object ProbeR17 {
       time("hash_gram_string")(hashPass(sl => xxhash64(concat_ws(" ", sl))))
       time("hash_token_slice")(hashPass(sl => xxhash64(sl)))
       time("spans_full")(Dedup.duplicateSpans(docs, "doc_id", "text", k))
+    } else if (mode == "curation") {
+      // curation_pipeline dedup-stage A/B: the fingerprint SELF-JOIN
+      // evaluates the whole quality+langid chain twice (groupBy side +
+      // probe side); the window form (Dedup.keepFirst — the oracle's own
+      // min-over-partition formulation) evaluates it once.
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def english = {
+        val quality = Text.qualitySignals(docs)
+          .filter(col("n_tokens") >= 30 && col("stopword_ratio") > 0)
+        Text.withLangId(quality, "text").filter(col("lang_guess") === "en")
+      }
+      def aggOf(canon: org.apache.spark.sql.DataFrame) = canon
+        .groupBy(col("doc_id") % 7) // stand-in for the split agg
+        .agg(count(lit(1)), sum("n_tokens"), min("doc_id"), max("doc_id"))
+      time("upstream_once")(english)
+      time("dedup_selfjoin")(aggOf {
+        val fp = english.withColumn("_fp", md5(col("text")))
+        fp.join(fp.groupBy("_fp").agg(min("doc_id").as("doc_id")),
+          Seq("_fp", "doc_id"), "left_semi")
+      })
+      time("dedup_keepfirst")(aggOf(
+        Dedup.keepFirst(english, md5(col("text")), "doc_id")))
     } else {
       // JOB COUNT per cell query: jobs fired during plan CONSTRUCTION
       // (where the tombstone probe lived) and during execution. Run

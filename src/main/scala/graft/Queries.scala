@@ -5415,10 +5415,15 @@ object Queries {
       .filter(col("n_tokens") >= 30 && col("stopword_ratio") > 0)
     val english = Text.withLangId(quality, "text")
       .filter(col("lang_guess") === "en")
-    val fp = english.withColumn("_fp", md5(col("text")))
-    val canon = fp.join(
-      fp.groupBy("_fp").agg(min("doc_id").as("doc_id")),
-      Seq("_fp", "doc_id"), "left_semi")
+    // min-id canonical via ONE window pass (Dedup.keepFirst — the same
+    // min-over-md5-partition formulation as the oracle): the previous
+    // fingerprint SELF-JOIN (groupBy min + left_semi) evaluated the
+    // whole quality+langid chain TWICE, once per join side (no exchange
+    // reuse across an aggregate). Same winner set by definition
+    // (doc_id is unique, so row_number()=1 ordered by doc_id ==
+    // doc_id = min(doc_id) per fingerprint); r17 measured 9.24 -> 4.77 s
+    // on the dedup stage at sf1.
+    val canon = Dedup.keepFirst(english, md5(col("text")), "doc_id")
     canon
       .withColumn("split", Sampling.splitLabel(col("doc_id"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
