@@ -134,6 +134,25 @@ object ProbeR17 {
       })
       time("dedup_keepfirst")(aggOf(
         Dedup.keepFirst(english, md5(col("text")), "doc_id")))
+    } else if (mode == "sort") {
+      // does a global orderBy over an expression-heavy projection pay
+      // the projection TWICE (range-partitioner sampling pass)?
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def qual = Text.qualitySignals(docs)
+        .withColumn("bpeish_tokens", Text.tokenCountBpeIsh(col("text")))
+        .withColumn("avg_token_len",
+          when(col("n_tokens") > 0, col("avg_token_len")).otherwise(0.0))
+        .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+          "stopword_ratio", "bpeish_tokens")
+      time("quality_nosort")(qual)
+      time("quality_orderby")(qual.orderBy("doc_id"))
+      time("quality_ckpt_orderby")(qual.localCheckpoint().orderBy("doc_id"))
+      def rep = Text.repetitionSignals(docs, "doc_id")
+        .select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac",
+          "max_token_rep")
+      time("rep_nosort")(rep)
+      time("rep_orderby")(rep.orderBy("doc_id"))
+      time("rep_ckpt_orderby")(rep.localCheckpoint().orderBy("doc_id"))
     } else {
       // JOB COUNT per cell query: jobs fired during plan CONSTRUCTION
       // (where the tombstone probe lived) and during execution. Run

@@ -4292,6 +4292,12 @@ object Queries {
         when(col("n_tokens") > 0, col("avg_token_len")).otherwise(0.0))
       .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
         "stopword_ratio", "bpeish_tokens")
+      // materialize the NARROW result before the global sort (same
+      // rationale as text_repetition: the range-exchange sampling pass
+      // re-ran this shuffle-free regex pipeline end-to-end; r17
+      // measured 7.3 -> 3.7 s at sf1). Values byte-identical; the
+      // checkpoint is recomputed inside every run.
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -4551,6 +4557,15 @@ object Queries {
     Text.repetitionSignals(t(s, dir, "documents"), "doc_id")
       .select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac",
         "max_token_rep")
+      // materialize the NARROW result before the global sort: orderBy's
+      // range-exchange SAMPLING pass re-executes its child, and this
+      // child is a shuffle-free per-row pipeline (tokenize + two mode
+      // folds over every document) with no map outputs to reuse — the
+      // whole corpus pass ran TWICE (r17, measured 11.1 -> 5.8 s at
+      // sf1). The checkpoint is (id + 4 numbers)/doc, recomputed inside
+      // every timed/verified run; at 100 TB it is exactly guide §2.3:
+      // sample and sort the numbers, never re-run the regexes.
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
